@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function parity surface for the reference's `utils.py`:
+  *
+  *  - blake2b_256 / blake2b_512 / sha3_512 hex digests of UTF-8 text
+  *    (reference `src/catenae/utils.py:42-57`),
+  *  - uid = blake2b_256(uuid4)[:12] (reference `utils.py:60-61`),
+  *  - epoch-second / epoch-milli timestamps (reference `utils.py:11-16`),
+  *  - JSON serde (reference `utils.py:19-39`) → Spark built-ins
+  *    `to_json` / `from_json` / `get_json_object` (no port needed).
+  *
+  * SHA3-512 uses the JDK 17 built-in MessageDigest provider; BLAKE2b is the
+  * from-spec impl in [[Blake2b]]. Both are plain Scala UDFs — they sit outside
+  * whole-stage codegen, so queries should compute them once per row and not
+  * in a hot inner loop; for the dedup path the hash is computed in a single
+  * projection before the shuffle, which is the dominant-cost-correct shape.
+  */
+object GraftFunctions {
+
+  private def sha3_512Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA3-512")
+    Blake2b.toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  private val blake2b256Udf = udf((s: String) => if (s == null) null else Blake2b.hex256(s))
+  private val blake2b512Udf = udf((s: String) => if (s == null) null else Blake2b.hex512(s))
+  private val sha3_512Udf   = udf((s: String) => if (s == null) null else sha3_512Hex(s))
+
+  /** blake2b-256 hex digest (the reference's canonical content address). */
+  def blake2b_256(c: Column): Column = blake2b256Udf(c)
+  def blake2b_512(c: Column): Column = blake2b512Udf(c)
+  def sha3_512(c: Column): Column   = sha3_512Udf(c)
+
+  /** Random 12-hex-char node/instance uid (reference `utils.py:60-61`).
+    * Driver-side helper (non-deterministic; not for use inside queries). */
+  def getUid(): String =
+    Blake2b.hex256(java.util.UUID.randomUUID().toString).substring(0, 12)
+
+  /** Deterministic per-row uid column: blake2b_256 of the given key, first
+    * 12 hex chars — the distributed analog of the reference uid. */
+  def uidFor(c: Column): Column = substring(blake2b_256(c.cast("string")), 1, 12)
+
+  /** Epoch seconds / millis (reference `utils.py:11-16`). */
+  def timestampSec(): Column = unix_timestamp(current_timestamp())
+  def timestampMs(): Column  = unix_millis(current_timestamp())
+
+  /** Register SQL-callable names so `spark.sql` queries can use them too. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("blake2b_256", (s: String) => if (s == null) null else Blake2b.hex256(s))
+    spark.udf.register("blake2b_512", (s: String) => if (s == null) null else Blake2b.hex512(s))
+    spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY.md §2.3).
+  *
+  * Scale stance (100 TB): every step is a DataFrame transformation —
+  * hash-groupBy for exact dedup (shuffle key = 32-byte digest, not the
+  * document), inverted-index / LSH-band equi-joins for near-dup candidate
+  * generation (never an all-pairs cross join), exact Jaccard only on the
+  * candidate set. Anchored on the reference's blake2b-256 content
+  * addressing (`/root/reference/src/catenae/utils.py:42-61`).
+  */
+object Dedup {
+
+  /** 64-bit FNV-1a over UTF-8 bytes — cheap, deterministic base hash for
+    * MinHash/SimHash (cryptographic strength not needed for sketches;
+    * content addressing uses blake2b instead). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — mixes a base hash with a seed into an
+    * independent-enough hash family for MinHash. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text column —
+    * pure `functions._`, stays inside whole-stage codegen. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Exact dedup keyed on the blake2b-256 content hash: one hash projection,
+    * one hash-groupBy. Output: surviving `doc_id` (min id per content),
+    * `dup_count`, `content_hash`. */
+  def exactByHash(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), GraftFunctions.blake2b_256(text).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count", "content_hash")
+
+  /** Near-dup pairs by exact shingle Jaccard, candidates from an inverted
+    * index: explode distinct shingles → equi-self-join on shingle →
+    * shared-count per pair → Jaccard ≥ `minJaccard`. Join work is Σ df²
+    * over shingles — bounded and shuffle-friendly; at extreme corpus sizes
+    * swap candidate generation for [[minHashLshPairs]]. */
+  def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard_raw",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 3).as("jaccard"))
+  }
+
+  /** Number of MinHash permutations / LSH bands (4 rows per band →
+    * threshold ≈ (1/32)^(1/4) ≈ 0.42; candidates then exact-verified). */
+  val MinHashes = 128
+  val Bands     = 32
+  private val RowsPerBand = MinHashes / Bands
+
+  /** Band signature keys for a shingle set: minhash under `MinHashes` seeded
+    * splitmix64 families, folded into one 64-bit key per band. */
+  private[ops] def bandKeys(shingleArr: Seq[String]): Seq[Long] = {
+    if (shingleArr == null || shingleArr.isEmpty) return Seq.empty
+    val base = shingleArr.map(fnv1a64).toArray
+    val mins = new Array[Long](MinHashes)
+    var i = 0
+    while (i < MinHashes) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val h = mix64(base(j) ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < m) m = h
+        j += 1
+      }
+      mins(i) = m
+      i += 1
+    }
+    (0 until Bands).map { b =>
+      var acc = b.toLong // band index in the key → buckets never cross bands
+      var r = 0
+      while (r < RowsPerBand) {
+        acc = mix64(acc ^ mins(b * RowsPerBand + r))
+        r += 1
+      }
+      acc
+    }
+  }
+
+  private val bandKeysUdf = udf((s: Seq[String]) => bandKeys(s))
+
+  /** MinHash-LSH near-dup pairs: band signatures → equi-self-join on band
+    * key (candidate pairs, no cross join) → exact Jaccard confirm ≥
+    * `minJaccard`. Output matches [[jaccardNearDupPairs]]: (doc_a, doc_b,
+    * jaccard). */
+  def minHashLshPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+    val banded = sh.select(col("doc_id"), explode(bandKeysUdf(col("s"))).as("band"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 3).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over shingles. */
+  private[ops] def simHash64(shingleArr: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    shingleArr.foreach { sg =>
+      val h = fnv1a64(sg)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simHashUdf = udf((s: Seq[String]) => simHash64(s))
+
+  /** Per-document SimHash fingerprint (hex) + shingle count. */
+  def simHash(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+      .select(col("doc_id"), lpad(hex(simHashUdf(col("s"))), 16, "0").as("simhash"),
+        size(col("s")).cast("long").as("n_shingles"))
+
+  /** Hamming distance between two hex simhashes (for near-dup grouping). */
+  def hammingHex(a: Column, b: Column): Column =
+    bit_count(conv(a, 16, 10).cast("long").bitwiseXOR(conv(b, 16, 10).cast("long")))
+}

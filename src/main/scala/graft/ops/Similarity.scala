@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers (SURVEY.md §2.3):
+  *  - [[cosineTopK]]: brute-force exact — the query set is broadcast
+  *    against the corpus, cosine via codegen'd higher-order fns. Right
+  *    when |queries| is small; work is |Q|×|corpus| but embarrassingly
+  *    parallel with zero shuffle on the corpus side.
+  *  - [[annLsh]]: random-hyperplane LSH — corpus and queries are bucketed
+  *    by signature, candidates come from a bucket equi-join, exact cosine
+  *    is computed on candidates only. This is the 100 TB path: corpus-side
+  *    cost is one projection + one shuffle on (table, signature).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array columns (sequential fold —
+    * deterministic, matches DuckDB's list_dot_product accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k of `corpus` for each row of `queries` (both need
+    * `vec_id`, `embedding`; corpus also `label`). Ranking is on
+    * round(cos, 4) with id tie-break so results are engine-stable. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val c = corpus.select(col("vec_id").as("c_id"), col("label"),
+      col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "label", "cos_sim")
+  }
+
+  /** Deterministic random-hyperplane component: plane (t, p) dimension i. */
+  private def planeCoef(table: Int, plane: Int, i: Int): Double = {
+    val h = Dedup.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ i.toLong)
+    // map 64-bit hash to (-1, 1) uniformly — adequate for sign-LSH
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-LSH signatures: for each of `tables` hash tables, a `planes`-bit
+    * signature (bit = sign of dot(v, random plane)), returned as
+    * (table<<32 | signature) keys. */
+  private[ops] def signatures(v: Seq[Double], planes: Int, tables: Int): Seq[Long] = {
+    if (v == null || v.isEmpty) return Seq.empty
+    (0 until tables).map { t =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0d
+        var i = 0
+        while (i < v.length) { s += v(i) * planeCoef(t, p, i); i += 1 }
+        if (s >= 0) sig |= (1L << p)
+        p += 1
+      }
+      (t.toLong << 32) | sig
+    }
+  }
+
+  /** Approximate NN via sign-LSH buckets: candidates share a (table,
+    * signature) bucket; exact cosine + top-k on candidates only. Output
+    * shape matches [[cosineTopK]] (ranks may be sparse if < k candidates).
+    * `planes` trades recall vs bucket size; `tables` boosts recall. */
+  def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+             planes: Int = 12, tables: Int = 6): DataFrame = {
+    val sigUdf = udf((v: Seq[Double]) => signatures(v, planes, tables))
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val c = corpus.select(col("vec_id").as("c_id"), col("label"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val qb = q.withColumn("bucket", explode(sigUdf(col("qe"))))
+    val cb = c.withColumn("bucket", explode(sigUdf(col("ce"))))
+    val cands = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "qe", "qn", "c_id", "label", "ce", "cn")
+      .dropDuplicates("q_id", "c_id")
+    val sims = cands.select(col("q_id"), col("c_id"), col("label"),
+      round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "label", "cos_sim")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2.3):
+  * language ID, token counting (whitespace + BPE-ish regex), quality
+  * features. Everything is `functions._` expressions — no UDFs, full
+  * whole-stage codegen, trivially 100 TB-parallel.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenizer count: word pieces, numbers, and single
+    * non-space symbols (a GPT-2-style pre-tokenization regex family). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Tiny per-language stopword profiles for heuristic lang-ID. A real
+    * pipeline ships char-n-gram models; the heuristic keeps identical
+    * plumbing (score → argmax) with a deterministic, dependency-free
+    * scorer. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "value", "data", "row"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "las", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"))
+
+  /** Heuristic language ID: character-class gate (CJK / non-latin scripts)
+    * then stopword-profile argmax over latin text. Output: doc_id,
+    * pred_lang, lang_score, n_tokens_ws, n_tokens_bpe. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val scores: Seq[(String, Column)] = profiles.map { case (lang, words) =>
+      lang -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / nTok)
+    }
+    // argmax with deterministic tie-break on profile order
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
+      when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    val cjkCount = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    docs.select(col("doc_id"),
+      when(cjkCount > 0, lit("zh"))
+        .when(best.getField("s") > 0, best.getField("l"))
+        .otherwise(lit("unknown")).as("pred_lang"),
+      round(best.getField("s"), 3).as("lang_score"),
+      size(toks).cast("long").as("n_tokens_ws"),
+      bpeishTokenCount(col("text")).as("n_tokens_bpe"))
+  }
+
+  /** Quality-feature battery (mirrors q52 but reusable as a library op). */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    docs.select(col("doc_id"), col("lang"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("uniq_ratio"),
+      round((length(col("text")) - nTok + 1).cast("double") / nTok, 4).as("avg_token_len"),
+      round(size(filter(toks, t => t.isin("the", "a", "of"))).cast("double") / nTok, 4)
+        .as("stopword_ratio"))
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import RelationalQueries.Q
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (driver north star; SURVEY.md §2.3). All designed scale-first:
+  *  - dedup / near-dup use hash-groupBy and inverted-index / LSH-band
+  *    equi-joins — never an all-pairs cross join;
+  *  - cosine top-k broadcasts the (small) query set against the corpus;
+  *    the LSH-bucketed ANN variant is the 100 TB path;
+  *  - text analysis is pure `functions._` higher-order expressions inside
+  *    whole-stage codegen.
+  * The reference anchors: blake2b-256 content addressing
+  * (`/root/reference/src/catenae/utils.py:42-61`) and schemaless JSON text
+  * payloads (`utils.py:19-39`).
+  */
+object PipelineQueries {
+
+  private def q(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(sql))
+  private def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Exact dedup: group-by content, keep first doc id. At scale the group
+    * key is the blake2b-256 content hash (see [[graft.ops.Dedup.exactByHash]]
+    * — same survivors, 32-byte shuffle key instead of full text; ScalaTest
+    * asserts the equivalence). The oracle groups by raw text, which DuckDB
+    * can express. */
+  val q30ExactDedup: Q = q("q30_exact_dedup",
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup keyed on the blake2b-256 content hash (the reference's
+    * canonical content address) — rows-only oracle (DuckDB has no blake2b);
+    * ScalaTest proves survivors == q30's. */
+  val q31HashDedup: Q = rowsOnly("q31_hash_dedup") { (s, d) =>
+    Dedup.exactByHash(Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate pairs via 3-gram shingle inverted index: explode
+    * distinct shingles, equi-self-join on shingle, count shared, exact
+    * Jaccard ≥ 0.6 on candidates only. Linear in corpus + Σ df² join work —
+    * the exact-verification stage of a MinHash pipeline, never all-pairs. */
+  val q32JaccardNeardup: Q = q("q32_jaccard_neardup",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.jaccardNearDupPairs(Tables.documents(s, d), minJaccard = 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding near-dup: shingle → 128 minhashes → 32 bands →
+    * band-bucket equi-join for candidates → exact Jaccard confirm. Same
+    * answer as q32 at threshold 0.8 w.h.p.; candidate generation is O(docs ×
+    * bands) instead of the inverted index's Σ df². Hash is engine-internal →
+    * rows-only oracle; ScalaTest checks recall vs q32. */
+  val q33MinhashLsh: Q = rowsOnly("q33_minhash_lsh") { (s, d) =>
+    Dedup.minHashLshPairs(Tables.documents(s, d), minJaccard = 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash-64 fingerprint per document (rows-only; hamming-distance
+    * near-dup check in ScalaTest). */
+  val q34Simhash: Q = rowsOnly("q34_simhash") { (s, d) =>
+    Dedup.simHash(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Content-defined rolling-hash fingerprint — polynomial hash over the
+    * character stream, exactly reproducible in SQL (list_reduce). */
+  val q35Fingerprint: Q = q("q35_fingerprint",
+    """SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 257 + c) % 2147483647) AS fingerprint
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        aggregate(filter(split(col("text"), ""), c => c =!= ""), lit(0L),
+          (acc, c) => (acc * 257 + ascii(c)) % 2147483647L).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-5: small query set (vec_id < 10) broadcast
+    * against the corpus; rank on round(cos,4) with id tie-break so both
+    * engines agree bit-for-bit. */
+  val q40CosineTopk: Q = q("q40_cosine_topk",
+    """WITH qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+      |            FROM embeddings WHERE vec_id < 10),
+      |cand AS (SELECT vec_id AS c_id, label, embedding::DOUBLE[] AS ce FROM embeddings),
+      |sims AS (
+      |  SELECT q_id, c_id, label,
+      |    round(list_dot_product(qe, ce) /
+      |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) AS cos_sim
+      |  FROM qv CROSS JOIN cand WHERE q_id <> c_id)
+      |SELECT q_id, rnk, c_id, label, cos_sim FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+      |  FROM sims)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.cosineTopK(
+        queries = emb.filter(col("vec_id") < 10),
+        corpus = emb, k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** LSH-bucketed approximate NN (random-hyperplane signatures → bucket
+    * equi-join): the 100 TB path — candidates share a signature bucket, no
+    * cross join. Rows-only oracle; ScalaTest measures recall vs q40. */
+  val q41AnnLsh: Q = rowsOnly("q41_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annLsh(queries = emb.filter(col("vec_id") < 10),
+        corpus = emb, k = 5, planes = 12, tables = 6)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Per-label embedding stats (norms via higher-order fns, no UDF). */
+  val q42EmbeddingStats: Q = q("q42_embedding_stats",
+    """SELECT label, count(*) AS n,
+      |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+      |  round(avg(len(embedding)), 2) AS avg_dim
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val e = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        sqrt(aggregate(zip_with(e, e, (x, y) => x * y), lit(0d), (acc, x) => acc + x)).as("norm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
+           round(avg("dim"), 2).as("avg_dim"))
+      .orderBy("label")
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Token frequency over the whole corpus (explode → groupBy; partial
+    * aggregation makes this a map-side-combine wordcount). */
+  val q50TokenCounts: Q = q("q50_token_counts",
+    """SELECT tok, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  /** Per-language corpus rollup. */
+  val q51LangStats: Q = q("q51_lang_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  round(avg(n_chars), 2) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("source")).as("n_sources"),
+           round(avg("n_chars"), 2).as("avg_chars"),
+           round(avg(size(toks)), 2).as("avg_tokens"),
+           sum(size(toks).cast("long")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Per-document quality scoring: token/char ratios, stopword ratio,
+    * uniqueness — the standard pre-training quality-filter features. */
+  val q52DocQuality: Q = q("q52_doc_quality",
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS uniq_ratio,
+      |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  round(CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio
+      |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nTok = size(toks).cast("long")
+    Tables.documents(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        round(size(array_distinct(toks)).cast("double") / nTok, 4).as("uniq_ratio"),
+        round((length(col("text")) - nTok + 1).cast("double") / nTok, 4).as("avg_token_len"),
+        round(size(filter(toks, t => t.isin("the", "a", "of"))).cast("double") / nTok, 4)
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language-ID from character n-gram profile (rows-only; the
+    * scoring table is engine-internal). */
+  val q53LangId: Q = rowsOnly("q53_lang_id") { (s, d) =>
+    TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing: text treated as an opaque binary blob column with
+    * typed metadata — byte length + leading-bytes fingerprint. The decode /
+    * feature-extract stage is [[graft.ops.Multimodal]] (deterministic stub:
+    * no media libs in the container; Spark-side schema/partitioning real). */
+  val q54BinaryMeta: Q = q("q54_binary_meta",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+      |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bin = encode(col("text"), "UTF-8")
+    Tables.documents(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        lower(substring(hex(bin), 1, 16)).as("head_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** Reference hash-fn parity surface (blake2b-256/512, sha3-512 —
+    * `utils.py:42-57`): rows-only (DuckDB lacks these); ScalaTest pins
+    * precomputed Python hashlib vectors. */
+  val q55HashFns: Q = rowsOnly("q55_hash_fns") { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        GraftFunctions.blake2b_256(col("text")).as("b2b_256"),
+        GraftFunctions.blake2b_512(col("text")).as("b2b_512"),
+        GraftFunctions.sha3_512(col("text")).as("sha3_512"),
+        GraftFunctions.uidFor(col("doc_id")).as("uid"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
+    q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats,
+    q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
+    q55HashFns)
+}

@@ -1,0 +1,531 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One registered, DuckDB-oracle-checked query per relational operator
+  * category of SURVEY.md §2.2.
+  *
+  * The reference (`/root/reference/src/catenae/catenae.py:456-461`) has a
+  * single data-shaping operator — the per-message `transform` with
+  * falsy-drop — so the relational surface here is the engine's own, built
+  * Spark-first: declarative DataFrame plans, broadcast hints on dimension
+  * tables, no collect, total ORDER BY + rounded floats for oracle
+  * determinism (SURVEY.md §5.2).
+  */
+object RelationalQueries {
+
+  /** A registered query: Spark plan + optional DuckDB oracle SQL. */
+  final case class Q(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def q(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(sql))
+  private def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
+  // ---------------------------------------------------------------- scans+agg
+
+  /** Flagship: TPC-H-Q1-style pricing summary — scan → filter → groupBy →
+    * agg → orderBy. Exercises the reference's whole transform surface (O3)
+    * in one declarative plan; filter + pruning reach the parquet scan. */
+  val q01PricingSummary: Q = q("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 2) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ------------------------------------------------------------------- joins
+
+  /** TPC-H-Q5-style 6-table join chain: revenue by nation for one region
+    * and one order year. Dimensions (region, nation, supplier) are
+    * broadcast; the lineitem⋈orders join shuffles on the key both sides
+    * already share. */
+  val q02JoinChain: Q = q("q02_join_chain",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(s, d)
+    val su = broadcast(Tables.supplier(s, d))
+    val n = broadcast(Tables.nation(s, d))
+    val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("n_name")
+  }
+
+  /** Explicit broadcast join: fact ⋈ small dim, agg per brand. */
+  val q03BroadcastJoin: Q = q("q03_broadcast_join",
+    """SELECT p_brand,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(avg(l_quantity), 2) AS avg_qty, count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           round(avg("l_quantity"), 2).as("avg_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Left-semi join (EXISTS): customers having a big order. */
+  val q04SemiJoin: Q = q("q04_semi_join",
+    """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  val q05AntiJoin: Q = q("q05_anti_join",
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Theta join: nation pairs within a region (equi on region + `<` on key).
+    * Planned as a broadcast join with the non-equi residual. */
+  val q06ThetaJoin: Q = q("q06_theta_join",
+    """SELECT r_name, n1.n_name AS nation_a, n2.n_name AS nation_b
+      |FROM nation n1
+      |JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+      |               AND n1.n_nationkey < n2.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |ORDER BY r_name, nation_a, nation_b""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("k1"),
+      col("n_name").as("nation_a"), col("n_regionkey").as("rk1"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("k2"),
+      col("n_name").as("nation_b"), col("n_regionkey").as("rk2"))
+    n1.join(broadcast(n2), col("rk1") === col("rk2") && col("k1") < col("k2"))
+      .join(broadcast(Tables.region(s, d)), col("rk1") === col("r_regionkey"))
+      .select("r_name", "nation_a", "nation_b")
+      .orderBy("r_name", "nation_a", "nation_b")
+  }
+
+  /** As-of join, Spark-first: instead of a per-row lookup join, union both
+    * sides with a tag and forward-fill the most recent left-side timestamp
+    * with a window — one shuffle on (user_id), linear in input, no join.
+    * For each purchase event: the latest click by the same user at or
+    * before it. Oracle uses DuckDB's native ASOF JOIN. */
+  val q07AsofJoin: Q = q("q07_asof_join",
+    """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms,
+      |       epoch_ms(c.ts) AS last_click_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        (col("event_type") === "purchase").cast("int").as("is_p"))
+    // clicks sort before purchases at equal ms (is_p asc) → ">= same-ms" match
+    val w = Window.partitionBy("user_id").orderBy("ms", "is_p", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("last_click_ms",
+        last(when(col("is_p") === 0, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"), col("last_click_ms"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------ aggregations
+
+  /** Distinct aggregation: exact count_distinct + plain aggs per status. */
+  val q08AggDistinct: Q = q("q08_agg_distinct",
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_customers"),
+           round(sum("o_totalprice"), 2).as("sum_price"),
+           round(min("o_totalprice"), 2).as("min_price"),
+           round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ROLLUP hierarchy totals (nulls folded to 'ALL' for stable ordering
+    * across engines). */
+  val q09Rollup: Q = q("q09_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** CUBE over two order dimensions. */
+  val q10Cube: Q = q("q10_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+      |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+              col("n_orders"), col("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+  }
+
+  /** HLL approximate distinct — estimator differs across engines by design,
+    * so no value oracle; ScalaTest bounds the relative error instead. */
+  val q11ApproxDistinct: Q = rowsOnly("q11_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+           approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  // ----------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer (deterministic tie-break). */
+  val q12WindowTopk: Q = q("q12_window_topk",
+    """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic windows: lag / lead / running sum / rank over event time. */
+  val q13WindowRunning: Q = q("q13_window_running",
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+      |  round(value, 2) AS value,
+      |  round(sum(value) OVER w_run, 2) AS running_value,
+      |  lag(event_type) OVER w AS prev_type,
+      |  lead(event_type) OVER w AS next_type,
+      |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+      |FROM events WHERE user_id < 30
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wRank = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d).filter(col("user_id") < 30)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), round(col("value"), 2).as("value"),
+        round(sum("value").over(wRun), 2).as("running_value"),
+        lag("event_type", 1).over(w).as("prev_type"),
+        lead("event_type", 1).over(w).as("next_type"),
+        rank().over(wRank).cast("long").as("value_rank"))
+      .orderBy("event_id")
+  }
+
+  /** Batch sessionization (gaps-and-islands): session = events of a user
+    * separated by ≤ 30 min; one shuffle on user_id, two window passes. */
+  val q14Sessionize: Q = q("q14_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WHERE user_id < 40),
+      |sessions AS (
+      |  SELECT user_id, ms, event_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id_raw
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id_raw AS BIGINT) AS session_id,
+      |  min(ms) AS session_start_ms,
+      |  max(ms) AS session_end_ms, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d).filter(col("user_id") < 40)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        when(col("ts").isNull, lit(1)) // never null; keeps shape explicit
+          .otherwise(
+            when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w) > 1800000 ||
+                 lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)).as("new_session"))
+      .withColumn("session_id", sum("new_session").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min("ms").as("session_start_ms"), max("ms").as("session_end_ms"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ------------------------------------------------------------ sorts/setops
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject (no full sort). */
+  val q15SortLimit: Q = q("q15_sort_limit",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+      |  o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("totalprice"), col("o_orderpriority"))
+  }
+
+  /** Set operations: UNION / INTERSECT / EXCEPT (all distinct semantics),
+    * tagged and stacked into one deterministic result. */
+  val q16SetOps: Q = q("q16_set_ops",
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+    |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+    |SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    |UNION ALL
+    |SELECT 'only_auto' AS tag, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    |UNION ALL
+    |SELECT 'either' AS tag, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+    |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 7500).select("c_custkey")
+    a.intersect(b).select(lit("both").as("tag"), col("c_custkey"))
+      .unionAll(a.except(b).select(lit("only_auto").as("tag"), col("c_custkey")))
+      .unionAll(a.union(b).distinct().select(lit("either").as("tag"), col("c_custkey")))
+      .orderBy("tag", "c_custkey")
+  }
+
+  // -------------------------------------------------------------- scalar fns
+
+  /** String function battery (row-level, bounded slice). */
+  val q17StringFns: Q = q("q17_string_fns",
+    """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+      |  length(c_name) AS name_len, substring(c_name, 1, 8) AS name_prefix,
+      |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+      |  replace(c_name, 'Customer', 'C') AS short_name,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+      |  split_part(c_name, '#', 2) AS name_num,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      |  c_name LIKE 'Customer%' AS is_customer,
+      |  trim(reverse(c_name)) AS rev_name
+      |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        element_at(split(col("c_name"), "#"), 2).as("name_num"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").startsWith("Customer").as("is_customer"),
+        trim(reverse(col("c_name"))).as("rev_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Date/time rollup: orders per month with epoch bounds. */
+  val q18DateTrunc: Q = q("q18_date_trunc",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price,
+      |  min(epoch_ms(o_orderdate)) AS first_ms, max(epoch_ms(o_orderdate)) AS last_ms
+      |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"),
+           min(unix_millis(col("o_orderdate").cast("timestamp"))).as("first_ms"),
+           max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"))
+      .orderBy("order_month")
+  }
+
+  /** Date/time scalar battery (row-level, bounded slice). */
+  val q19DateScalar: Q = q("q19_date_scalar",
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+      |  day(o_orderdate) AS o_day, quarter(o_orderdate) AS o_quarter,
+      |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+      |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+      |  epoch_ms(o_orderdate) AS odate_ms
+      |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 150)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
+        year(col("o_orderdate")).cast("long").as("o_year"), month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"), quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+        add_months(col("o_orderdate"), 1).as("next_month"),
+        date_add(col("o_orderdate"), 90).as("due_date"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since_95"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Math scalar battery (row-level, bounded slice; per-row rounding keeps
+    * cross-engine float drift below the hash compare's resolution). */
+  val q20MathFns: Q = q("q20_math_fns",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(sqrt(l_quantity), 4) AS sqrt_qty,
+      |  round(ln(l_extendedprice), 4) AS ln_price,
+      |  round(pow(l_discount, 2), 6) AS disc_sq,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |  abs(l_discount - l_tax) > 0.05 AS spread_gt5,
+      |  l_linenumber % 3 AS ln_mod3,
+      |  round(greatest(l_discount, l_tax), 2) AS max_rate,
+      |  round(least(l_discount, l_tax), 2) AS min_rate,
+      |  CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
+      |FROM lineitem WHERE l_orderkey < 60 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 60)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        (abs(col("l_discount") - col("l_tax")) > 0.05).as("spread_gt5"),
+        (col("l_linenumber") % 3).as("ln_mod3"),
+        round(greatest(col("l_discount"), col("l_tax")), 2).as("max_rate"),
+        round(least(col("l_discount"), col("l_tax")), 2).as("min_rate"),
+        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** JSON extraction (`events.props` is a JSON string, reference O13:
+    * `utils.py:19-39`) aggregated by extracted key. */
+  val q21JsonFns: Q = q("q21_json_fns",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k")
+  }
+
+  /** Array/higher-order battery on tokenized text (row-level slice). */
+  val q22ArrayFns: Q = q("q22_array_fns",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ' ') AS first3,
+      |  list_contains(string_split(text, ' '), 'data') AS has_data,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), " ").as("first3"),
+        array_contains(toks, "data").as("has_data"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Conditional aggregation (pivot-style counts per event type). */
+  val q23ConditionalAgg: Q = q("q23_conditional_agg",
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
+    Tables.events(s, d).groupBy("user_id")
+      .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
+           cnt("purchase").as("n_purchase"), cnt("error").as("n_error"),
+           cnt("signup").as("n_signup"),
+           round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0d)), 2)
+             .as("purchase_value"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
+    q06ThetaJoin, q07AsofJoin, q08AggDistinct, q09Rollup, q10Cube,
+    q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
+    q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
+    q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
+}
