@@ -11,6 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (not timed): touch every table once so per-query numbers
+    // measure the operator, not first-read page-cache/JIT warmup.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").write
+        .format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    try Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // Force with a real sink (noop write materializes every column +
     // expression, unlike count() which lets Catalyst prune the plan).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

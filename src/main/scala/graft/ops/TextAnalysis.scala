@@ -42,9 +42,9 @@ object TextAnalysis {
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
       when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
     }
-    val cjkCount = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
     docs.select(col("doc_id"),
-      when(cjkCount > 0, lit("zh"))
+      when(hasCjk, lit("zh"))
         .when(best.getField("s") > 0, best.getField("l"))
         .otherwise(lit("unknown")).as("pred_lang"),
       round(best.getField("s"), 3).as("lang_score"),

@@ -476,8 +476,11 @@ object RelationalQueries {
     """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+    // from_json with an explicit schema: one codegen'd parse per row
+    // (get_json_object re-parses per extraction path)
     Tables.events(s, d)
-      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(from_json(col("props"), "k INT",
+        Map.empty[String, String]).getField("k").as("k"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("k")
   }
