@@ -171,7 +171,12 @@ object Dedup {
       .select(col("doc_id"), lpad(hex(simHashUdf(col("s"))), 16, "0").as("simhash"),
         size(col("s")).cast("long").as("n_shingles"))
 
-  /** Hamming distance between two hex simhashes (for near-dup grouping). */
-  def hammingHex(a: Column, b: Column): Column =
-    bit_count(conv(a, 16, 10).cast("long").bitwiseXOR(conv(b, 16, 10).cast("long")))
+  private val hammingUdf = udf((a: String, b: String) =>
+    java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+      java.lang.Long.parseUnsignedLong(b, 16)))
+
+  /** Hamming distance between two 64-bit hex simhashes (for near-dup
+    * grouping). UDF because `conv(hex,16,10)` renders unsigned decimal
+    * strings that overflow a signed BIGINT cast. */
+  def hammingHex(a: Column, b: Column): Column = hammingUdf(a, b).cast("long")
 }

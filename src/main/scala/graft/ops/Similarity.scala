@@ -76,7 +76,7 @@ object Similarity {
     * shape matches [[cosineTopK]] (ranks may be sparse if < k candidates).
     * `planes` trades recall vs bucket size; `tables` boosts recall. */
   def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
-             planes: Int = 12, tables: Int = 6): DataFrame = {
+             planes: Int = 6, tables: Int = 8): DataFrame = {
     val sigUdf = udf((v: Seq[Double]) => signatures(v, planes, tables))
     val q = queries.select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("qe"))

@@ -144,7 +144,7 @@ object PipelineQueries {
   val q41AnnLsh: Q = rowsOnly("q41_ann_lsh") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.annLsh(queries = emb.filter(col("vec_id") < 10),
-        corpus = emb, k = 5, planes = 12, tables = 6)
+        corpus = emb, k = 5)
       .orderBy("q_id", "rnk")
   }
 

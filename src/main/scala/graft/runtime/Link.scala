@@ -1,0 +1,78 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** A processing node in a chained-stream pipeline — the Spark-native `Link`
+  * (reference `src/catenae/catenae.py:66`, subclassing idiom
+  * `src/examples/loop_filter/main.py:4-11`).
+  *
+  * Mapping (SURVEY.md §1.4 / §7.1):
+  *  - N input streams consumed uniformly → union of streaming reads
+  *    (reference round-robin poll, `catenae.py:435-451`);
+  *  - per-message `transform` with falsy-drop → a DataFrame transformation;
+  *    the exact O3 semantics (`return None` ⇒ drop, `catenae.py:456-461`)
+  *    are available typed via [[Link.mapTransform]];
+  *  - emit to default output stream → `writeStream` into the registry
+  *    (`catenae.py:461-465`);
+  *  - receiver-group offset progress → one checkpoint per (link, output):
+  *    restart resumes exactly where it left off, upgrading the broker's
+  *    at-least-once commit (`catenae.py:469-470`) to exactly-once;
+  *  - scale-out replicas of a receiver group → partition parallelism of
+  *    the single query (no process replication to manage).
+  */
+trait Link {
+  /** Link name ≈ receiver group (reference defaults it to the class name,
+    * `catenae.py:117-120`). */
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+
+  /** Input stream names (uniform consume — union semantics, O2). */
+  def inputs: Seq[String]
+
+  /** Default output stream (None ⇒ terminal sink link). */
+  def output: Option[String]
+
+  /** The user transform — whole-DataFrame form so Catalyst optimizes it;
+    * row-wise Option semantics via [[Link.mapTransform]]. */
+  def transform(df: DataFrame): DataFrame = df
+
+  /** One-time hook before the query starts (reference `setup`,
+    * `catenae.py:285-287`). */
+  def setup(spark: SparkSession): Unit = {}
+
+  /** Wire inputs → transform → output and start the streaming query
+    * (reference `start()`, `catenae.py:262-314`; `embedded=True` ≈ just
+    * not blocking on the returned query). */
+  def start(spark: SparkSession, registry: StreamRegistry,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    setup(spark)
+    val in = inputs.map(registry.readStream).reduce(_ unionByName _)
+    val out = transform(in)
+    val target = output.getOrElse(s"${name}_sink")
+    output match {
+      case Some(stream) =>
+        // declare so a downstream link can attach before our first batch
+        registry.declare(stream, out.schema)
+        out.writeStream
+          .option("checkpointLocation", registry.checkpointDir(name, target))
+          .trigger(trigger)
+          .format("parquet")
+          .option("path", s"${registry.root}/streams/$stream")
+          .start()
+      case None =>
+        out.writeStream
+          .option("checkpointLocation", registry.checkpointDir(name, target))
+          .trigger(trigger)
+          .foreachBatch { (_: DataFrame, _: Long) => () }
+          .start()
+    }
+  }
+}
+
+object Link {
+  /** Exact O3 per-message semantics: `f` returns None ⇒ message dropped
+    * (the reference's falsy-return filter, `catenae.py:461`), made explicit
+    * as Option instead of Python truthiness. */
+  def mapTransform[T, U: Encoder](ds: Dataset[T])(f: T => Option[U]): Dataset[U] =
+    ds.flatMap(f(_))(implicitly[Encoder[U]])
+}

@@ -1,0 +1,72 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions
+
+/** Control plane carried over a registry stream — the Spark-native port of
+  * the reference's RPC-over-broker-topics (reference
+  * `src/catenae/catenae.py:362-391` invoke, `475-534` dispatch).
+  *
+  * Semantics preserved:
+  *  - envelope `{method, context{group,uid}, args}` (`catenae.py:381-389`);
+  *  - addressing: a link name, or `broadcast` (`catenae.py:124-127`);
+  *  - every instance sees every call — the dispatcher checkpoints under
+  *    the instance uid, not the group (`catenae.py:480`);
+  *  - self-skip (`catenae.py:490-491`);
+  *  - whitelist: only registered handlers run (the `@rpc` decorator
+  *    registry, `catenae.py:45-52`, checked at `512-514`);
+  *  - serialized execution per instance (the `rpc_lock`,
+  *    `catenae.py:528-529`) — foreachBatch runs batches sequentially.
+  */
+class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
+          handlers: Map[String, Seq[String] => Unit]) {
+
+  val uid: String = GraftFunctions.getUid()
+  val ControlStream = "catenae_rpc"
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("to", StringType), StructField("method", StringType),
+    StructField("args", ArrayType(StringType)),
+    StructField("from_uid", StringType), StructField("from_group", StringType)))
+
+  registry.declare(ControlStream, envelopeSchema)
+
+  /** Invoke `method` on `to` (a link name or "broadcast") — append the
+    * envelope to the control stream (reference `rpc_notify`). */
+  def notify(method: String, args: Seq[String], to: String = "broadcast"): Unit = {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(to, method, args, uid, linkName)), envelopeSchema)
+    registry.write(df, ControlStream)
+  }
+
+  /** Number of calls dispatched (for observability/tests). */
+  @volatile var dispatched: Long = 0L
+
+  /** Start the dispatcher: filters to us, skips our own calls, whitelists
+    * methods, and executes serially per microbatch. */
+  def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    registry.readStream(ControlStream)
+      .filter(col("to").isin(linkName, "broadcast"))
+      .writeStream
+      .option("checkpointLocation", registry.checkpointDir(s"rpc_$uid", ControlStream))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { row =>  // control plane: tiny, driver-side by design
+          val fromUid = row.getAs[String]("from_uid")
+          val method = row.getAs[String]("method")
+          if (fromUid != uid) {           // self-skip (catenae.py:490-491)
+            handlers.get(method) match {  // whitelist (catenae.py:512-514)
+              case Some(h) =>
+                h(row.getAs[scala.collection.Seq[String]]("args").toSeq)
+                dispatched += 1
+              case None => () // unregistered method: ignored, like a failed
+                              // whitelist check in the reference
+            }
+          }
+        }
+      }
+      .start()
+}

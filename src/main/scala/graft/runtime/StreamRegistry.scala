@@ -1,0 +1,64 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.file.{Files, Paths, Path}
+import java.nio.charset.StandardCharsets
+
+/** Named-stream registry — the engine's analog of the reference's Stopover
+  * broker (named, append-only, partitioned message logs created implicitly
+  * on first put; reference `src/catenae/catenae.py:79-81`, `319-324`).
+  *
+  * A stream is a parquet directory under `root/streams/<name>` plus a
+  * persisted schema (`root/schemas/<name>.json`) so streaming readers can
+  * attach without sampling. Offset/commit progress (reference
+  * `catenae.py:424-427`, `469-470`) is Structured Streaming's checkpoint
+  * under `root/checkpoints/<link>/<target>` — per (consumer, stream), the
+  * same ledger shape as the broker's per-(stream, receiver-group) offsets,
+  * upgraded from at-least-once to exactly-once (SURVEY.md §2.1 O5).
+  *
+  * Scale: a stream directory is a plain partitioned parquet dataset —
+  * writers append files, readers list + tail them; no driver-side state
+  * beyond the schema file.
+  */
+class StreamRegistry(spark: SparkSession, val root: String) {
+
+  private def streamDir(name: String): String = s"$root/streams/$name"
+  private def schemaPath(name: String): Path = Paths.get(s"$root/schemas/$name.json")
+  def checkpointDir(link: String, target: String): String =
+    s"$root/checkpoints/$link/$target"
+
+  def exists(name: String): Boolean = Files.exists(schemaPath(name))
+
+  def schemaOf(name: String): StructType =
+    DataType.fromJson(new String(Files.readAllBytes(schemaPath(name)),
+      StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  private def persistSchema(name: String, schema: StructType): Unit = {
+    Files.createDirectories(schemaPath(name).getParent)
+    Files.write(schemaPath(name), schema.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Batch append — the `send` analog (reference `catenae.py:319-324`);
+    * creates the stream implicitly like the broker's first `put`. */
+  def write(df: DataFrame, name: String): Unit = {
+    if (!exists(name)) persistSchema(name, df.schema)
+    df.write.mode("append").parquet(streamDir(name))
+  }
+
+  /** Batch read of a whole stream. */
+  def read(name: String): DataFrame =
+    spark.read.schema(schemaOf(name)).parquet(streamDir(name))
+
+  /** Streaming tail of a stream (file source; exactly-once with the
+    * per-link checkpoint). */
+  def readStream(name: String): DataFrame =
+    spark.readStream.schema(schemaOf(name)).parquet(streamDir(name))
+
+  /** Declare a stream's schema up front (optional — first write also
+    * registers it); lets a consumer start before any producer ran. */
+  def declare(name: String, schema: StructType): Unit = {
+    if (!exists(name)) persistSchema(name, schema)
+    Files.createDirectories(Paths.get(streamDir(name)))
+  }
+}

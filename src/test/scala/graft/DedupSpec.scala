@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Dedup operator semantics on the sf0.001 fixture corpus. */
+class DedupSpec extends SparkSpec {
+  import SparkSpec.sf0001
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("hash dedup and text dedup agree on survivors and dup counts") {
+    val byText = docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+    val byHash = Dedup.exactByHash(docs, col("text"), col("doc_id"))
+      .select("doc_id", "dup_count")
+    assert(byText.exceptAll(byHash).isEmpty && byHash.exceptAll(byText).isEmpty)
+  }
+
+  test("shingles: exact 3-gram sliding window, distinct") {
+    val df = spark.createDataFrame(Seq((1L, "a b c d e"), (2L, "x y z"), (3L, "p q")))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) === Set("a b c", "b c d", "c d e"))
+    assert(got(2L) === Set("x y z"))
+    assert(got(3L) === Set.empty[String])
+  }
+
+  test("minhash-LSH finds the same high-similarity pairs as the exact inverted index") {
+    // threshold 0.8 with 32 bands × 4 rows → candidate prob ≈ 1 for j≥0.8
+    val exact = Dedup.jaccardNearDupPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash: near-dup pairs are close in hamming distance, random pairs far") {
+    val sh = Dedup.simHash(docs).select("doc_id", "simhash")
+    val pairs = Dedup.jaccardNearDupPairs(docs, 0.8).select("doc_a", "doc_b")
+    val near = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .select(Dedup.hammingHex(col("ha"), col("hb")).as("d"))
+      .collect().map(_.getLong(0))
+    assert(near.nonEmpty && near.forall(_ <= 16), near.mkString(","))
+    // random (non-near) pairs: expect ~32 bit flips on average
+    val rand = sh.limit(20).collect().map(_.getString(1))
+    val dists = for (a <- rand; b <- rand if a < b)
+      yield java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    assert(dists.nonEmpty && dists.sum.toDouble / dists.length > 16.0)
+  }
+
+  test("fnv1a64 and mix64 are deterministic and dispersive") {
+    assert(Dedup.fnv1a64("abc") === Dedup.fnv1a64("abc"))
+    assert(Dedup.fnv1a64("abc") !== Dedup.fnv1a64("abd"))
+    val hashes = (1 to 1000).map(i => Dedup.mix64(i.toLong))
+    assert(hashes.distinct.size === 1000)
+  }
+}

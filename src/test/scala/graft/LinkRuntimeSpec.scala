@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.runtime.{Link, Rpc, StreamRegistry}
+
+/** Link runtime semantics — the reference's microservice surface mapped to
+  * Structured Streaming, including the loop_filter parity smoke
+  * (reference `src/examples/loop_filter/main.py:1-18`) and the
+  * at-least-once → exactly-once commit upgrade (SURVEY.md §2.1 O5). */
+class LinkRuntimeSpec extends SparkSpec {
+
+  private def freshRegistry(): StreamRegistry =
+    new StreamRegistry(spark, Files.createTempDirectory("graft-reg").toString)
+
+  private def msgs(values: String*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    values.toSeq.toDF("value")
+  }
+
+  test("registry: implicit stream creation on first write, batch roundtrip") {
+    val reg = freshRegistry()
+    assert(!reg.exists("stream0"))
+    reg.write(msgs("seed message"), "stream0")
+    assert(reg.exists("stream0"))
+    assert(reg.read("stream0").collect().map(_.getString(0)).toSeq === Seq("seed message"))
+  }
+
+  test("loop_filter parity: a transform Link forwards messages end-to-end") {
+    // reference LoopFilter: transform returns the message -> re-emitted
+    val reg = freshRegistry()
+    object LoopFilter extends Link {
+      val inputs = Seq("stream0"); val output = Some("stream1")
+    }
+    reg.write(msgs("seed message"), "stream0")
+    LoopFilter.start(spark, reg).awaitTermination()
+    assert(reg.read("stream1").collect().map(_.getString(0)).toSeq === Seq("seed message"))
+    // feed the output back in (the example's self-loop, one hop at a time)
+    reg.write(reg.read("stream1"), "stream0")
+    LoopFilter.start(spark, reg).awaitTermination()
+    assert(reg.read("stream1").count() === 2) // circulated twice
+  }
+
+  test("O3 falsy-drop: transform returning None drops the message") {
+    val reg = freshRegistry()
+    object FilterLink extends Link {
+      val inputs = Seq("in"); val output = Some("out")
+      override def transform(df: DataFrame): DataFrame = {
+        val s = df.sparkSession
+        import s.implicits._
+        // per-message Option transform — None ⇒ drop, like a falsy return
+        Link.mapTransform(df.as[String]) { m =>
+          if (m.contains("pass")) Some(m.toUpperCase) else None
+        }.toDF("value")
+      }
+    }
+    reg.write(msgs("pass one", "drop me", "pass two"), "in")
+    FilterLink.start(spark, reg).awaitTermination()
+    assert(reg.read("out").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("PASS ONE", "PASS TWO"))
+  }
+
+  test("multi-input union (O2): all input streams consumed uniformly") {
+    val reg = freshRegistry()
+    object Merge extends Link {
+      val inputs = Seq("a", "b"); val output = Some("merged")
+    }
+    reg.write(msgs("from a"), "a")
+    reg.write(msgs("from b1", "from b2"), "b")
+    Merge.start(spark, reg).awaitTermination()
+    assert(reg.read("merged").count() === 3)
+  }
+
+  test("chained links compose through named streams") {
+    val reg = freshRegistry()
+    object Upper extends Link {
+      val inputs = Seq("s0"); val output = Some("s1")
+      override def transform(df: DataFrame) = df.select(upper(col("value")).as("value"))
+    }
+    object Exclaim extends Link {
+      val inputs = Seq("s1"); val output = Some("s2")
+      override def transform(df: DataFrame) =
+        df.select(concat(col("value"), lit("!")).as("value"))
+    }
+    reg.write(msgs("hello"), "s0")
+    Upper.start(spark, reg).awaitTermination()
+    Exclaim.start(spark, reg).awaitTermination()
+    assert(reg.read("s2").collect().map(_.getString(0)).toSeq === Seq("HELLO!"))
+  }
+
+  test("exactly-once commit (O5 upgrade): restart from checkpoint does not redeliver") {
+    val reg = freshRegistry()
+    object Pass extends Link {
+      val inputs = Seq("src"); val output = Some("dst")
+    }
+    reg.write(msgs("m1", "m2"), "src")
+    Pass.start(spark, reg).awaitTermination()
+    assert(reg.read("dst").count() === 2)
+    // second batch arrives; restart the link (same checkpoint)
+    reg.write(msgs("m3"), "src")
+    Pass.start(spark, reg).awaitTermination()
+    val out = reg.read("dst").collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq("m1", "m2", "m3")) // m1/m2 not re-emitted
+  }
+
+  test("RPC: whitelist, addressing, broadcast, and self-skip (O6/O7)") {
+    val reg = freshRegistry()
+    val aCalls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val bCalls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val a = new Rpc(spark, reg, "LinkA", Map("ping" -> (args => aCalls.add(s"ping:${args.mkString(",")}"))))
+    val b = new Rpc(spark, reg, "LinkB", Map("ping" -> (args => bCalls.add(s"ping:${args.mkString(",")}"))))
+
+    a.notify("ping", Seq("x"), to = "LinkB")     // addressed: only B
+    a.notify("ping", Seq("y"), to = "broadcast") // broadcast: B yes, A self-skipped
+    a.notify("evil", Seq.empty, to = "LinkB")    // not whitelisted: ignored
+    a.start().awaitTermination()
+    b.start().awaitTermination()
+
+    assert(bCalls.toArray.toSet === Set("ping:x", "ping:y"))
+    assert(aCalls.isEmpty) // self-skip on both sends
+    assert(b.dispatched === 2)
+  }
+}

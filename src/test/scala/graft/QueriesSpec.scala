@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Every registered query runs on sf0.001 and produces a sane result;
+  * plan-shape assertions verify the scale-critical properties (pushdown,
+  * broadcast, no cartesian blowups) — not just "it returns rows". */
+class QueriesSpec extends SparkSpec {
+  import SparkSpec.sf0001
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and is non-empty on sf0.001") {
+    // q33/q41 may legitimately return few rows, but none should be empty
+    // except possibly LSH candidate sets on the tiny sf — allow those two.
+    val allowEmpty = Set("q33_minhash_lsh", "q41_ann_lsh", "q32_jaccard_neardup",
+      "q05_anti_join", "q04_semi_join")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val n = run(name).count()
+      assert(n >= 0, s"$name failed")
+      if (!allowEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracleSql only names registered queries, with matching column names") {
+    SparkEntry.oracleSql.keys.foreach { k => assert(SparkEntry.queries.contains(k), k) }
+  }
+
+  test("q01: filter is pushed to the parquet scan") {
+    val p = plan(run("q01_pricing_summary"))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("q01: column pruning reaches the scan (no unused columns read)") {
+    val p = plan(run("q01_pricing_summary"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    assert(plan(run("q03_broadcast_join")).contains("BroadcastHashJoin"))
+  }
+
+  test("q02: join chain broadcasts all dimensions (single shuffle join at most)") {
+    val p = plan(run("q02_join_chain"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q04/q05: semi and anti joins plan as such") {
+    assert(plan(run("q04_semi_join")).toLowerCase.contains("leftsemi"))
+    assert(plan(run("q05_anti_join")).toLowerCase.contains("leftanti"))
+  }
+
+  test("near-dup pipelines never plan a cartesian product") {
+    Seq("q32_jaccard_neardup", "q33_minhash_lsh", "q41_ann_lsh").foreach { name =>
+      val p = plan(run(name))
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
+  test("q15: global top-k plans TakeOrderedAndProject (no full sort)") {
+    assert(plan(run("q15_sort_limit")).contains("TakeOrderedAndProject"))
+  }
+
+  test("q30: dedup scan prunes to the two needed columns") {
+    val p = plan(run("q30_exact_dedup"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan(run("q50_token_counts"))
+    // two HashAggregate levels around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+}
