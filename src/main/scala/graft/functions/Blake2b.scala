@@ -119,6 +119,10 @@ object Blake2b {
     sb.toString
   }
 
+  /** Hex digest of raw bytes — codegen entry point for [[Blake2bHash]]. */
+  def hexOfBytes(bytes: Array[Byte], outLen: Int): String =
+    toHex(hash(bytes, outLen))
+
   def hex256(s: String): String =
     toHex(hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 32))
   def hex512(s: String): String =

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the reference's content-address hashes
+  * (`/root/reference/src/catenae/utils.py:42-57`): blake2b-256/512 hex of
+  * UTF-8 text as a codegen'd `UnaryExpression`.
+  *
+  * Versus the Scala-UDF form: no encoder round-trip, inline null handling,
+  * and the call stays inside the surrounding WholeStageCodegen span — the
+  * per-row cost is the digest itself. The digest is a static call into
+  * [[Blake2b]] (stateless, thread-safe). */
+case class Blake2bHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits == 256 || bits == 512, s"unsupported digest size $bits")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"blake2b_$bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Blake2b.toHex(Blake2b.hash(input.asInstanceOf[UTF8String].getBytes, bits / 8)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.Blake2b.hexOfBytes($c.getBytes(), ${bits / 8}))")
+
+  override protected def withNewChildInternal(newChild: Expression): Blake2bHash =
+    copy(child = newChild)
+}
+
+/** SparkSessionExtensions hook — registers the native hash functions for
+  * SQL use: `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((new FunctionIdentifier("blake2b_256"),
+      new ExpressionInfo(classOf[Blake2bHash].getName, "blake2b_256"),
+      (exprs: Seq[Expression]) => Blake2bHash(exprs.head, 256)))
+    e.injectFunction((new FunctionIdentifier("blake2b_512"),
+      new ExpressionInfo(classOf[Blake2bHash].getName, "blake2b_512"),
+      (exprs: Seq[Expression]) => Blake2bHash(exprs.head, 512)))
+  }
+}

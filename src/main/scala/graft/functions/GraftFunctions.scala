@@ -25,14 +25,19 @@ object GraftFunctions {
     Blake2b.toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
-  private val blake2b256Udf = udf((s: String) => if (s == null) null else Blake2b.hex256(s))
-  private val blake2b512Udf = udf((s: String) => if (s == null) null else Blake2b.hex512(s))
-  private val sha3_512Udf   = udf((s: String) => if (s == null) null else sha3_512Hex(s))
+  private val sha3_512Udf = udf((s: String) => if (s == null) null else sha3_512Hex(s))
 
-  /** blake2b-256 hex digest (the reference's canonical content address). */
-  def blake2b_256(c: Column): Column = blake2b256Udf(c)
-  def blake2b_512(c: Column): Column = blake2b512Udf(c)
+  private def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  /** blake2b-256 hex digest (the reference's canonical content address) —
+    * native codegen'd expression, see [[Blake2bHash]]. */
+  def blake2b_256(c: Column): Column = ncol(Blake2bHash(expression(c), 256))
+  def blake2b_512(c: Column): Column = ncol(Blake2bHash(expression(c), 512))
   def sha3_512(c: Column): Column   = sha3_512Udf(c)
+
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
 
   /** Random 12-hex-char node/instance uid (reference `utils.py:60-61`).
     * Driver-side helper (non-deterministic; not for use inside queries). */
@@ -47,10 +52,14 @@ object GraftFunctions {
   def timestampSec(): Column = unix_timestamp(current_timestamp())
   def timestampMs(): Column  = unix_millis(current_timestamp())
 
-  /** Register SQL-callable names so `spark.sql` queries can use them too. */
+  /** Register SQL-callable names so `spark.sql` queries can use them too
+    * (blake2b as the native codegen'd expression; for cluster deployments
+    * prefer `spark.sql.extensions=graft.functions.GraftExtensions`). */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("blake2b_256", (s: String) => if (s == null) null else Blake2b.hex256(s))
-    spark.udf.register("blake2b_512", (s: String) => if (s == null) null else Blake2b.hex512(s))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "blake2b_256",
+      exprs => Blake2bHash(exprs.head, 256))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "blake2b_512",
+      exprs => Blake2bHash(exprs.head, 512))
     spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))
   }
 }

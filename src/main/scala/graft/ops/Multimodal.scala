@@ -66,5 +66,6 @@ object Multimodal {
     withBinaryPayload(docs)
       .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
         transform(sequence(lit(0), lit(k - 1)),
-          i => (i * length(col("payload")).cast("long")) / k).as("frame_offsets"))
+          i => floor(i * length(col("payload")).cast("long") / k).cast("long"))
+          .as("frame_offsets"))
 }

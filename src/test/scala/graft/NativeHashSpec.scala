@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Blake2b, GraftFunctions, GraftExtensions}
+import graft.ops.{Dedup, MinHashSignatureAgg}
+
+/** Native Catalyst expression + UDAF surface. */
+class NativeHashSpec extends SparkSpec {
+
+  test("Blake2bHash expression matches the reference impl on real texts") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001).limit(20)
+    val rows = docs.select(col("text"),
+      GraftFunctions.blake2b_256(col("text")).as("h256"),
+      GraftFunctions.blake2b_512(col("text")).as("h512")).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === Blake2b.hex256(r.getString(0)))
+      assert(r.getString(2) === Blake2b.hex512(r.getString(0)))
+    }
+  }
+
+  test("Blake2bHash: null in, null out") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("abc"), None).toDF("t")
+    val got = df.select(GraftFunctions.blake2b_256(col("t"))).collect().map(_.isNullAt(0))
+    assert(got.toSeq === Seq(false, true))
+  }
+
+  test("Blake2bHash stays inside whole-stage codegen") {
+    val df = Tables.documents(spark, SparkSpec.sf0001)
+      .select(GraftFunctions.blake2b_256(col("text")).as("h"))
+    // whole-stage codegen spans print as "*(n)" in the plan string
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [blake2b_256"), p.take(1000))
+  }
+
+  test("SQL registration: blake2b callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT blake2b_256('abc') AS h, sha3_512('abc') AS s").collect()(0)
+    assert(got.getString(0) ===
+      "bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319")
+    assert(got.getString(1).startsWith("b751850b1a57168a"))
+  }
+
+  test("GraftExtensions registers without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("MinHashSignatureAgg: group signature == minhash of shingle union") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "g1", "a b c d e f g"),
+      (2L, "g1", "d e f g h i j"),
+      (3L, "g2", "x y z w v u t")).toDF("doc_id", "grp", "text")
+    val sigs = docs.select(col("grp"), Dedup.shingles(col("text")).as("s"))
+      .groupBy("grp").agg(MinHashSignatureAgg.asColumn(Seq(col("s"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // direct signature over the union of each group's shingles
+    def direct(texts: Seq[String]): Array[Long] = {
+      val shingleSets = docs.filter(col("text").isin(texts: _*))
+        .select(Dedup.shingles(col("text"))).collect()
+        .flatMap(_.getSeq[String](0)).distinct.toSeq
+      MinHashSignatureAgg.reduce(MinHashSignatureAgg.zero, shingleSets)
+    }
+    assert(sigs("g1").toSeq === direct(Seq("a b c d e f g", "d e f g h i j")).toSeq)
+    assert(sigs("g2").toSeq === direct(Seq("x y z w v u t")).toSeq)
+  }
+
+  test("MinHash signature estimates Jaccard for near-dup docs") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    def sig(t: String): Array[Long] = {
+      val sh = (0 to t.split(" ").length - 3).map(i => t.split(" ").slice(i, i + 3).mkString(" "))
+      MinHashSignatureAgg.reduce(MinHashSignatureAgg.zero, sh.distinct)
+    }
+    val est = MinHashSignatureAgg.estimateJaccard(sig(a), sig(b))
+    val sa = (0 to 10).map(i => a.split(" ").slice(i, i + 3).mkString(" ")).toSet
+    val sb = (0 to 10).map(i => b.split(" ").slice(i, i + 3).mkString(" ")).toSet
+    val real = (sa intersect sb).size.toDouble / (sa union sb).size
+    assert(math.abs(est - real) < 0.2, s"est=$est real=$real")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Multimodal
+import graft.runtime._
+
+/** Remaining reference-operator surface: config overlay (O17), error
+  * taxonomy (O20), health endpoint (O18), generator source (O1), pipeline
+  * lifecycle (O9/O10), multimodal stub plumbing, HLL bounds. */
+class RuntimeExtrasSpec extends SparkSpec {
+
+  test("GraftConfig: CLI overlay wins, comma lists split, unknown preserved (O17)") {
+    val c = GraftConfig(inputs = Seq("default_in"), group = Some("G"))
+      .withArgs(Array("-i", "s1,s2", "-o", "out", "-u", "abc123",
+        "--custom-key", "v", "stray"))
+    assert(c.inputs === Seq("s1", "s2"))
+    assert(c.output === Some("out"))
+    assert(c.group === Some("G")) // not overridden
+    assert(c.uid === Some("abc123"))
+    assert(c.extra === Map("custom-key" -> "v"))
+    assert(c.unknown === Seq("stray"))
+  }
+
+  test("error taxonomy mirrors the reference hierarchy (O20)") {
+    assert(new EmptyError().isInstanceOf[GraftError])
+    assert(new TimeoutError().isInstanceOf[GraftError])
+    assert(new RpcMethodNotFoundError("m").isInstanceOf[RpcError])
+    assert(new RpcMethodNotFoundError("m").getMessage.contains("m"))
+    assert(new StreamNotFoundError("s").getMessage.contains("s"))
+  }
+
+  test("health endpoint serves available status + query states (O18)") {
+    val h = new Health(spark, port = 0) // ephemeral port
+    val port = h.start()
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:$port/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.body().contains("\"status\": \"available\""))
+      assert(resp.body().contains("\"queries\""))
+    } finally h.stop()
+  }
+
+  test("generator link produces batches into its output stream (O1)") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-gen").toString)
+    object Gen extends GeneratorLink {
+      val output = "generated"
+      def generate(s: SparkSession, batchId: Long): Option[DataFrame] =
+        Some(s.range(3).toDF("n").withColumn("batch", lit(batchId)))
+    }
+    Gen.start(spark, reg, Trigger.AvailableNow()).awaitTermination()
+    assert(reg.exists("generated"))
+    assert(reg.read("generated").count() >= 3)
+  }
+
+  test("pipeline: generator -> transform chain via runOnce; stopAll idles (O9)") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-pipe").toString)
+    object Gen extends GeneratorLink {
+      val output = "p0"
+      def generate(s: SparkSession, batchId: Long): Option[DataFrame] =
+        Some(s.range(5).toDF("n"))
+    }
+    object Square extends Link {
+      val inputs = Seq("p0"); val output = Some("p1")
+      override def transform(df: DataFrame) = df.select((col("n") * col("n")).as("n"))
+    }
+    object BigOnly extends Link {
+      val inputs = Seq("p1"); val output = Some("p2")
+      override def transform(df: DataFrame) = df.filter(col("n") >= 4)
+    }
+    Gen.start(spark, reg, Trigger.AvailableNow()).awaitTermination()
+    new Pipeline(Seq(Square, BigOnly)).runOnce(spark, reg)
+    val out = reg.read("p2").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(4L, 9L, 16L))
+    new Pipeline(Seq.empty).stopAll(spark)
+    assert(spark.streams.active.isEmpty)
+  }
+
+  test("multimodal stub: deterministic features, real schema/partition plumbing") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001).limit(50)
+    val f1 = Multimodal.decodeStub(spark, docs).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeStub(spark, docs).collect().sortBy(_.doc_id)
+    assert(f1.toSeq === f2.toSeq) // stub is deterministic
+    assert(f1.forall(m => m.width >= 64 && m.height >= 64 && m.channels >= 1))
+    assert(f1.forall(m => m.format == "png" || m.format == "jpeg"))
+    // n_bytes is the real payload size (UTF-8 byte length of text)
+    val expected = docs.select(col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f1.foreach(m => assert(m.n_bytes === expected(m.doc_id)))
+  }
+
+  test("multimodal frame offsets are within payload and ordered") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001).limit(10)
+    Multimodal.frameOffsets(docs, k = 4).collect().foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      val offs = r.getSeq[Long](2)
+      assert(offs.length === 4)
+      assert(offs === offs.sorted)
+      assert(offs.forall(o => o >= 0 && o < n))
+    }
+  }
+
+  test("approx_count_distinct within documented error of exact (HLL)") {
+    val li = Tables.lineitem(spark, SparkSpec.sf0001)
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"$approx vs $exact")
+  }
+}
