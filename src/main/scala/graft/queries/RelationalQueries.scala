@@ -196,6 +196,45 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: equi key + range predicate on time — lineitems
+    * shipped within 90 days of their order, rolled up by order month. */
+  val q24RangeJoin: Q = q("q24_range_join",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  count(*) AS n_shipped_90d
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY order_month""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(count(lit(1)).as("n_shipped_90d"))
+      .orderBy("order_month")
+  }
+
+  /** GROUPING SETS (beyond rollup/cube): two independent 1-D rollups in one
+    * pass. */
+  val q25GroupingSets: Q = q("q25_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+      |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY orderstatus, orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY orderstatus, orderpriority""".stripMargin)
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Distinct aggregation: exact count_distinct + plain aggs per status. */
@@ -286,7 +325,9 @@ object RelationalQueries {
       |  round(sum(value) OVER w_run, 2) AS running_value,
       |  lag(event_type) OVER w AS prev_type,
       |  lead(event_type) OVER w AS next_type,
-      |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+      |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW), 2) AS sum_10min
       |FROM events WHERE user_id < 30
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
       |  w_run AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -301,7 +342,9 @@ object RelationalQueries {
         round(sum("value").over(wRun), 2).as("running_value"),
         lag("event_type", 1).over(w).as("prev_type"),
         lead("event_type", 1).over(w).as("next_type"),
-        rank().over(wRank).cast("long").as("value_rank"))
+        rank().over(wRank).cast("long").as("value_rank"),
+        round(sum("value").over(Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts"))).rangeBetween(-600000, 0)), 2).as("sum_10min"))
       .orderBy("event_id")
   }
 
@@ -527,7 +570,7 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
-    q06ThetaJoin, q07AsofJoin, q08AggDistinct, q09Rollup, q10Cube,
+    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)

@@ -56,7 +56,7 @@ trait Link {
         out.writeStream
           .option("checkpointLocation", registry.checkpointDir(name, target))
           .trigger(trigger)
-          .format("parquet")
+          .format(registry.format)
           .option("path", s"${registry.root}/streams/$stream")
           .start()
       case None =>

@@ -21,7 +21,8 @@ import java.nio.charset.StandardCharsets
   * writers append files, readers list + tail them; no driver-side state
   * beyond the schema file.
   */
-class StreamRegistry(spark: SparkSession, val root: String) {
+class StreamRegistry(spark: SparkSession, val root: String,
+                     val format: String = "parquet") {
 
   private def streamDir(name: String): String = s"$root/streams/$name"
   private def schemaPath(name: String): Path = Paths.get(s"$root/schemas/$name.json")
@@ -40,20 +41,24 @@ class StreamRegistry(spark: SparkSession, val root: String) {
   }
 
   /** Batch append — the `send` analog (reference `catenae.py:319-324`);
-    * creates the stream implicitly like the broker's first `put`. */
-  def write(df: DataFrame, name: String): Unit = {
+    * creates the stream implicitly like the broker's first `put`.
+    * `partitionBy` lays the stream out hive-partitioned — at 100 TB a
+    * stream is a partitioned dataset so consumers prune by partition. */
+  def write(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     if (!exists(name)) persistSchema(name, df.schema)
-    df.write.mode("append").parquet(streamDir(name))
+    val w = df.write.mode("append").format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(streamDir(name))
   }
 
   /** Batch read of a whole stream. */
   def read(name: String): DataFrame =
-    spark.read.schema(schemaOf(name)).parquet(streamDir(name))
+    spark.read.schema(schemaOf(name)).format(format).load(streamDir(name))
 
   /** Streaming tail of a stream (file source; exactly-once with the
     * per-link checkpoint). */
   def readStream(name: String): DataFrame =
-    spark.readStream.schema(schemaOf(name)).parquet(streamDir(name))
+    spark.readStream.schema(schemaOf(name)).format(format).load(streamDir(name))
 
   /** Declare a stream's schema up front (optional — first write also
     * registers it); lets a consumer start before any producer ran. */

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.runtime.StreamRegistry
+
+/** Source/sink format surface (SURVEY.md §2.2 scans/sinks rows): the
+  * registry over parquet (default), json, csv; hive-partitioned stream
+  * layout; map + JSON serde function coverage (O13). */
+class SourcesSinksSpec extends SparkSpec {
+
+  private def df3 = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "a", "2024-02"))
+      .toDF("id", "k", "month")
+  }
+
+  test("registry roundtrip over json format") {
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-json").toString, format = "json")
+    reg.write(df3, "j")
+    assert(reg.read("j").count() === 3)
+    assert(reg.read("j").schema.fieldNames.toSet === Set("id", "k", "month"))
+  }
+
+  test("registry roundtrip over csv format") {
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-csv").toString, format = "csv")
+    reg.write(df3, "c")
+    val got = reg.read("c").orderBy("id").collect()
+    assert(got.length === 3 && got(0).getLong(0) === 1L)
+  }
+
+  test("partitioned stream layout prunes by partition") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-part").toString)
+    reg.write(df3, "p", partitionBy = Seq("month"))
+    // hive layout on disk
+    val dirs = new java.io.File(s"${reg.root}/streams/p").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("month=2024-01", "month=2024-02"))
+    // partition filter prunes at plan level
+    val q = reg.read("p").filter(col("month") === "2024-01")
+    assert(q.count() === 2)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(month"), scan.take(1500))
+  }
+
+  test("JSON serde roundtrip: to_json / from_json / schema_of_json (O13)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x", 2.5)).toDF("id", "name", "score")
+    val packed = df.select(to_json(struct(col("id"), col("name"), col("score"))).as("j"))
+    val json = packed.collect()(0).getString(0)
+    assert(json === """{"id":1,"name":"x","score":2.5}""")
+    val schema = packed.select(schema_of_json(lit(json))).collect()(0).getString(0)
+    assert(schema.contains("id") && schema.contains("BIGINT"))
+    val back = packed.select(from_json(col("j"),
+        lit("id BIGINT, name STRING, score DOUBLE")).as("s"))
+      .select("s.*").collect()(0)
+    assert(back.getLong(0) === 1L && back.getString(1) === "x" && back.getDouble(2) === 2.5)
+  }
+
+  test("map functions: build, access, merge, transform values") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq("a", "b"), Seq(10, 20))).toDF("id", "ks", "vs")
+      .select(col("id"), map_from_arrays(col("ks"), col("vs")).as("m"))
+    val r = df.select(
+      map_keys(col("m")).as("keys"),
+      map_values(col("m")).as("vals"),
+      element_at(col("m"), "b").as("b"),
+      map_concat(col("m"), map(lit("c"), lit(30))).as("m2"),
+      transform_values(col("m"), (_, v) => v * 2).as("doubled")).collect()(0)
+    assert(r.getSeq[String](0).toSeq === Seq("a", "b"))
+    assert(r.getSeq[Int](1).toSeq === Seq(10, 20))
+    assert(r.getInt(2) === 20)
+    assert(r.getMap[String, Int](3).toMap === Map("a" -> 10, "b" -> 20, "c" -> 30))
+    assert(r.getMap[String, Int](4).toMap === Map("a" -> 20, "b" -> 40))
+  }
+}
