@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Scale-path mechanics: salting for skew and bucketed co-located joins —
+  * the techniques the 100 TB plan leans on when AQE alone isn't enough. */
+class ScaleSpec extends SparkSpec {
+  import SparkSpec.sf0001
+
+  test("salted join equals plain join on a skewed key") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Tables.part(spark, sf0001).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(part, Seq("l_partkey"))
+      .groupBy("p_brand").agg(round(sum("l_quantity"), 2).as("q"))
+    val salted = Skew.saltedJoin(li, part, Seq("l_partkey"), salts = 8)
+      .groupBy("p_brand").agg(round(sum("l_quantity"), 2).as("q"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf0001)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+    val salted = Skew.saltedAgg(ev, "event_type", salts = 8,
+      partial = Seq("n" -> count(lit(1)), "sv" -> sum("value")),
+      merge = Seq("n" -> sum("n"), "sv" -> round(sum("sv"), 2)))
+    val d = direct.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val s = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d === s)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_bucketed").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_bucketed").saveAsTable("o_bucketed")
+    // force a sort-merge path (tiny test tables would broadcast) and
+    // assert the bucket layout removes the shuffle exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
