@@ -243,14 +243,20 @@ object RelationalQueries {
       |  count(DISTINCT o_custkey) AS n_customers,
       |  round(sum(o_totalprice), 2) AS sum_price,
       |  round(min(o_totalprice), 2) AS min_price,
-      |  round(max(o_totalprice), 2) AS max_price
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  round(median(o_totalprice), 2) AS median_price,
+      |  round(stddev_samp(o_totalprice), 2) AS sd_price,
+      |  round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
     Tables.orders(s, d).groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
            countDistinct(col("o_custkey")).as("n_customers"),
            round(sum("o_totalprice"), 2).as("sum_price"),
            round(min("o_totalprice"), 2).as("min_price"),
-           round(max("o_totalprice"), 2).as("max_price"))
+           round(max("o_totalprice"), 2).as("max_price"),
+           round(median(col("o_totalprice")), 2).as("median_price"),
+           round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+           round(corr(col("o_totalprice"), col("o_custkey")), 4).as("price_cust_corr"))
       .orderBy("o_orderstatus")
   }
 
