@@ -45,6 +45,24 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ `minCos`.
+    * Exact within the given frame — quadratic, so callers bound the input
+    * (dedup verification stage) or pre-bucket with [[annLsh]]-style
+    * signatures at corpus scale; this is the confirm stage of that
+    * pipeline, like exact Jaccard is for MinHash. */
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", norm(col("va")))
+    val b = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").cast("array<double>").as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Deterministic random-hyperplane component: plane (t, p) dimension i. */
   private def planeCoef(table: Int, plane: Int, i: Int): Double = {
     val h = Dedup.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ i.toLong)

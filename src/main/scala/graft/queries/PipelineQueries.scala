@@ -148,6 +148,27 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding-cosine near-dup pairs over a bounded frame (vec_id < 400):
+    * the exact confirm stage of an ANN-bucketed dedup pipeline. The fixture
+    * vectors are random (max pairwise cos ≈ 0.51), so 0.4 marks the
+    * "suspiciously similar" tail. */
+  val q43CosineNeardup: Q = q("q43_cosine_neardup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id < 400)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS raw
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE raw >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 400), minCos = 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Per-label embedding stats (norms via higher-order fns, no UDF). */
   val q42EmbeddingStats: Q = q("q42_embedding_stats",
     """SELECT label, count(*) AS n,
@@ -260,7 +281,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
-    q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats,
+    q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns)
 }

@@ -107,6 +107,37 @@ class RuntimeExtrasSpec extends SparkSpec {
     }
   }
 
+  test("HTTP ingest: POST /ingest/<stream> lands in the registry, chainable (falcon_api parity)") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-ingest").toString)
+    val ingest = new Ingest(spark, reg, port = 0)
+    val port = ingest.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(stream: String, body: String) = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:$port/ingest/$stream"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post("api_in", "hello").statusCode() === 202)
+      assert(post("api_in", "world").statusCode() === 202)
+      assert(reg.read("api_in").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("hello", "world"))
+      // a transform link consumes the ingested stream like any other
+      object Shout extends Link {
+        val inputs = Seq("api_in"); val output = Some("api_out")
+        override def transform(df: DataFrame) =
+          df.select(upper(col("value")).as("value"), col("ingest_ms"))
+      }
+      Shout.start(spark, reg).awaitTermination()
+      assert(reg.read("api_out").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("HELLO", "WORLD"))
+      // wrong method rejected
+      val bad = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:$port/ingest/api_in"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 405)
+    } finally ingest.stop()
+  }
+
   test("approx_count_distinct within documented error of exact (HLL)") {
     val li = Tables.lineitem(spark, SparkSpec.sf0001)
     val r = li.agg(
