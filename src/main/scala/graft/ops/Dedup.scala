@@ -74,7 +74,11 @@ object Dedup {
   def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    // join key = xxhash64(shingle): the shuffle carries 8-byte keys instead
+    // of shingle strings; shared counts are unchanged w.h.p. (a cross-doc
+    // 64-bit collision would need ~2^32 distinct shingles per pair)
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg0"))
+      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

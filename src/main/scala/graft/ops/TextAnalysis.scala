@@ -16,7 +16,7 @@ object TextAnalysis {
   /** BPE-ish pre-tokenizer count: word pieces, numbers, and single
     * non-space symbols (a GPT-2-style pre-tokenization regex family). */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   /** Tiny per-language stopword profiles for heuristic lang-ID. A real
     * pipeline ships char-n-gram models; the heuristic keeps identical
@@ -34,14 +34,13 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val scores: Seq[(String, Column)] = profiles.map { case (lang, words) =>
-      lang -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / nTok)
-    }
-    // argmax with deterministic tie-break on profile order
-    val best = scores.tail.foldLeft(
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
-      when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
+    // argmax via array_max over (score, lang) structs: each score expression
+    // is evaluated once (a when-chain fold re-evaluates every score at every
+    // comparison level); ties break to the lexicographically larger lang.
+    val best = array_max(array(profiles.map { case (lang, words) =>
+      struct((size(filter(toks, t => t.isin(words: _*))).cast("double") / nTok).as("s"),
+        lit(lang).as("l"))
+    }: _*))
     val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
     docs.select(col("doc_id"),
       when(hasCjk, lit("zh"))
