@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators that Spark lacks as single built-ins
+  * (SURVEY.md §2.2): as-of join, gaps-and-islands sessionization, top-k
+  * per group. Each is a plain DataFrame→DataFrame combinator — Catalyst
+  * optimizes through them, and each costs exactly one shuffle on its
+  * partition key.
+  */
+object Relational {
+
+  /** As-of join: for each left row, the latest right row with the same key
+    * and `rightTs` ≤ `leftTs`. Implemented Spark-first as union +
+    * forward-fill window — one shuffle on `key`, linear in |left|+|right|,
+    * no per-row lookup join (the pattern a native engine implements as a
+    * sorted merge; SURVEY.md §2.2 joins row).
+    *
+    * `rightCols` are the right-side columns carried into the result
+    * (null when no right row precedes the left row). Both inputs need
+    * `key`; timestamps must be numeric/orderable (use `unix_millis`).
+    * Right rows at the same timestamp as a left row DO match (≤). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    // a NULL of the matching struct type (the struct itself null, not a
+    // struct of nulls — `last(ignoreNulls)` must skip these rows)
+    def nullStruct(src: DataFrame, cols: Seq[String]): Column =
+      lit(null).cast(org.apache.spark.sql.types.StructType(cols.map(src.schema(_))))
+    val l = left.select(
+      key.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_tag") :+
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_l") :+
+        nullStruct(right, rightCols).as("_r"): _*)
+    val r = right.select(
+      key.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_tag") :+
+        nullStruct(left, left.columns.toIndexedSeq).as("_l") :+
+        struct(rightCols.map(col): _*).as("_r"): _*)
+    // right rows sort before left rows at equal ts (tag 0 < 1) → "≤" match
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("_rff", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_l.*") +: rightCols.map(c => col(s"_rff.$c").as(c)): _*)
+  }
+
+  /** Gaps-and-islands sessionization: assigns `session_id` (1-based per
+    * partition) splitting on gaps > `gapMs` in `tsMsCol`. One shuffle on
+    * the partition cols; two window passes. */
+  def sessionize(df: DataFrame, partitionCols: Seq[String], tsMsCol: String,
+                 gapMs: Long, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val order = (tsMsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_new_session",
+        when(col(tsMsCol) - lag(col(tsMsCol), 1).over(w) > gapMs ||
+          lag(col(tsMsCol), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("_new_session").over(wRun))
+      .drop("_new_session")
+  }
+
+  /** Top-k rows per group by `order`, with a `rn` rank column (1-based).
+    * Deterministic given a total `order`. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+                   order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

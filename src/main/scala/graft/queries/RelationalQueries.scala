@@ -183,16 +183,14 @@ object RelationalQueries {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "click"))
-      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
-        (col("event_type") === "purchase").cast("int").as("is_p"))
-    // clicks sort before purchases at equal ms (is_p asc) → ">= same-ms" match
-    val w = Window.partitionBy("user_id").orderBy("ms", "is_p", "event_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    ev.withColumn("last_click_ms",
-        last(when(col("is_p") === 0, col("ms")), ignoreNulls = true).over(w))
-      .filter(col("is_p") === 1)
-      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"), col("last_click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("purchase_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("last_click_ms", col("ms"))
+    graft.ops.Relational.asOfJoin(purchases, clicks, key = Seq("user_id"),
+        leftTs = "purchase_ms", rightTs = "ms", rightCols = Seq("last_click_ms"))
+      .select("event_id", "user_id", "purchase_ms", "last_click_ms")
       .orderBy("event_id")
   }
 
@@ -315,10 +313,8 @@ object RelationalQueries {
       |      FROM orders)
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+    graft.ops.Relational.topKPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
               round(col("o_totalprice"), 2).as("totalprice"))
       .orderBy("o_custkey", "rn")
@@ -374,16 +370,10 @@ object RelationalQueries {
       |  max(ms) AS session_end_ms, count(*) AS n_events
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wRun = Window.partitionBy("user_id").orderBy("ms", "event_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, d).filter(col("user_id") < 40)
-      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
-        when(col("ts").isNull, lit(1)) // never null; keeps shape explicit
-          .otherwise(
-            when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w) > 1800000 ||
-                 lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)).as("new_session"))
-      .withColumn("session_id", sum("new_session").over(wRun))
+    val base = Tables.events(s, d).filter(col("user_id") < 40)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+    graft.ops.Relational.sessionize(base, Seq("user_id"), "ms",
+        gapMs = 1800000, tieBreak = Seq("event_id"))
       .groupBy("user_id", "session_id")
       .agg(min("ms").as("session_start_ms"), max("ms").as("session_end_ms"),
            count(lit(1)).as("n_events"))

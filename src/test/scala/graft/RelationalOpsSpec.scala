@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Library-surface semantics of the reusable relational operators. */
+class RelationalOpsSpec extends SparkSpec {
+
+  test("asOfJoin: latest right ≤ left; equal-ts matches; no-match is null") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "v", 10L), (4L, "w", 99L))
+      .toDF("id", "k", "t")
+    val quotes = Seq(("u", 40L, "q40"), ("u", 100L, "q100"), ("v", 20L, "q20"))
+      .toDF("k", "qt", "quote")
+    val got = Relational.asOfJoin(probes, quotes, key = Seq("k"),
+        leftTs = "t", rightTs = "qt", rightCols = Seq("quote"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, "q100"), // equal timestamp matches (≤)
+      (2L, "q40"),  // latest preceding
+      (3L, null),   // right exists but only later
+      (4L, null)))  // key never seen on right
+  }
+
+  test("sessionize: splits on gap, 1-based ids per partition") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("u", 0L, 1L), ("u", 10L, 2L), ("u", 1000L, 3L),
+      ("v", 5L, 4L)).toDF("k", "ms", "id")
+    val got = Relational.sessionize(df, Seq("k"), "ms", gapMs = 100, tieBreak = Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("topKPerGroup: rank column, deterministic tie-break") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 5, 1), ("g", 5, 2), ("g", 3, 3), ("h", 9, 4))
+      .toDF("k", "score", "id")
+    val got = Relational.topKPerGroup(df, Seq("k"),
+        Seq(col("score").desc, col("id")), k = 2)
+      .orderBy("k", "rn").collect().map(r => (r.getString(0), r.getLong(3), r.getInt(2)))
+    assert(got.toSeq === Seq(("g", 1L, 1), ("g", 2L, 2), ("h", 1L, 4)))
+  }
+
+  test("asOfJoin plans one shuffle on the key, no join operator") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq((1L, "u", 100L)).toDF("id", "k", "t")
+    val quotes = Seq(("u", 40L, "q40")).toDF("k", "qt", "quote")
+    val p = Relational.asOfJoin(probes, quotes, Seq("k"), "t", "qt", Seq("quote"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(1500)) // union + window, not a join
+  }
+}
