@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -279,9 +279,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Full curation pipeline (quality gate → exact dedup → near-dup
+    * removal → per-lang stats). Rows-only: the near-dup stage uses
+    * engine-internal MinHash; CurationSpec proves the invariants
+    * (survivor subset, no near-dup pair among survivors, idempotence). */
+  val q60Curation: Q = rowsOnly("q60_curation") { (s, d) =>
+    Curation.stats(Curation.curate(Tables.documents(s, d)))
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
-    q55HashFns)
+    q55HashFns, q60Curation)
 }
