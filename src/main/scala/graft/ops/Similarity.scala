@@ -102,14 +102,19 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), col("label"),
         col("embedding").cast("array<double>").as("ce"))
       .withColumn("cn", norm(col("ce")))
-    val qb = q.withColumn("bucket", explode(sigUdf(col("qe"))))
-    val cb = c.withColumn("bucket", explode(sigUdf(col("ce"))))
-    val cands = cb.join(broadcast(qb), Seq("bucket"))
+    // candidate id pairs first (the distinct shuffles 16 bytes per pair,
+    // not the embedding arrays); vectors re-attached after dedup
+    val qb = q.select(col("q_id"), explode(sigUdf(col("qe"))).as("bucket"))
+    val cb = c.select(col("c_id"), explode(sigUdf(col("ce"))).as("bucket"))
+    val candIds = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "qe", "qn", "c_id", "label", "ce", "cn")
-      .dropDuplicates("q_id", "c_id")
-    val sims = cands.select(col("q_id"), col("c_id"), col("label"),
-      round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+      .select("q_id", "c_id")
+      .distinct()
+    val sims = candIds
+      .join(broadcast(q), Seq("q_id"))
+      .join(c, Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
