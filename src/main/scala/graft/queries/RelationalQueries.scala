@@ -233,6 +233,22 @@ object RelationalQueries {
         |ORDER BY orderstatus, orderpriority""".stripMargin)
   }
 
+  /** Unpivot (wide → long) via stack — the melt surface. */
+  val q26Unpivot: Q = q("q26_unpivot",
+    """SELECT o_orderkey, metric, round(value, 2) AS value FROM (
+      |  SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders)
+      |WHERE o_orderkey < 100
+      |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        expr("stack(2, 'custkey', CAST(o_custkey AS DOUBLE), " +
+          "'totalprice', o_totalprice) AS (metric, value)"))
+      .select(col("o_orderkey"), col("metric"), round(col("value"), 2).as("value"))
+      .orderBy("o_orderkey", "metric")
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Distinct aggregation: exact count_distinct + plain aggs per status. */
@@ -531,7 +547,10 @@ object RelationalQueries {
       |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
       |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ' ') AS first3,
       |  list_contains(string_split(text, ' '), 'data') AS has_data,
-      |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens
+      |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) > 7)) > 0 AS any_len8,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) >= 1))
+      |    = len(string_split(text, ' ')) AS all_nonempty
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = split(col("text"), " ")
     Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -540,7 +559,9 @@ object RelationalQueries {
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         array_join(slice(array_sort(array_distinct(toks)), 1, 3), " ").as("first3"),
         array_contains(toks, "data").as("has_data"),
-        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_tokens"))
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_tokens"),
+        exists(toks, t => length(t) > 7).as("any_len8"),
+        forall(toks, t => length(t) >= 1).as("all_nonempty"))
       .orderBy("doc_id")
   }
 
@@ -566,7 +587,7 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
-    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q08AggDistinct, q09Rollup, q10Cube,
+    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot, q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
