@@ -46,7 +46,10 @@ trait Link {
   def start(spark: SparkSession, registry: StreamRegistry,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
-    val in = inputs.map(registry.readStream).reduce(_ unionByName _)
+    // lenient union: the reference's streams are schemaless — columns
+    // missing from one input surface as nulls rather than failing the wire
+    val in = inputs.map(registry.readStream)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val out = transform(in)
     val target = output.getOrElse(s"${name}_sink")
     output match {
