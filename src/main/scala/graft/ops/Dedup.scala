@@ -140,9 +140,15 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // prune the corpus-sized shingle frame to candidate docs BEFORE the
+    // confirm joins — at scale |candidates| << |corpus|, so the two joins
+    // below shuffle only the near-dup suspects' shingles
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(shCand.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(shCand.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jaccard_raw",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))
@@ -174,6 +180,29 @@ object Dedup {
     docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
       .select(col("doc_id"), lpad(hex(simHashUdf(col("s"))), 16, "0").as("simhash"),
         size(col("s")).cast("long").as("n_shingles"))
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * simhash bands (any pair within hamming distance 3 must agree on one
+    * band by pigeonhole); confirmed at `maxHamming`. Same
+    * inverted-index-not-cross-join shape as MinHash banding. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+      .select(col("doc_id"), simHashUdf(col("s")).as("h"))
+    val banded = fp.select(col("doc_id"), col("h"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("h"), b * 16).bitwiseAND(0xffffL).as("bits"))): _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 
   private val hammingUdf = udf((a: String, b: String) =>
     java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^

@@ -98,6 +98,12 @@ object PipelineQueries {
     Dedup.simHash(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs via 16-bit band buckets (pigeonhole-complete
+    * for hamming ≤ 3). Rows-only; DedupSpec pins the candidate guarantee. */
+  val q36SimhashNeardup: Q = rowsOnly("q36_simhash_neardup") { (s, d) =>
+    Dedup.simHashNearDupPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+  }
+
   /** Content-defined rolling-hash fingerprint — polynomial hash over the
     * character stream, exactly reproducible in SQL (list_reduce). */
   val q35Fingerprint: Q = q("q35_fingerprint",
@@ -289,6 +295,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
+    q36SimhashNeardup,
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q60Curation)

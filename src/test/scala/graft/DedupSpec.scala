@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     assert(dists.nonEmpty && dists.sum.toDouble / dists.length > 16.0)
   }
 
+  test("simHashNearDupPairs: complete for hamming ≤ 3, nothing above threshold") {
+    val got = graft.ops.Dedup.simHashNearDupPairs(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.values.forall(_ <= 3))
+    // expected: brute-force hamming over all fingerprint pairs
+    val fps = graft.ops.Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(1), 16))
+    val expected = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got === expected) // pigeonhole: 4×16-bit bands cover hamming ≤ 3
+  }
+
   test("fnv1a64 and mix64 are deterministic and dispersive") {
     assert(Dedup.fnv1a64("abc") === Dedup.fnv1a64("abc"))
     assert(Dedup.fnv1a64("abc") !== Dedup.fnv1a64("abd"))
