@@ -45,6 +45,49 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** IVF (inverted-file) approximate NN: a coarse k-means quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and ranks exact cosine within them. The
+    * cluster-scale shape: corpus-side cost is one assignment projection +
+    * a shuffle on cell id; probe cost is |queries| × nprobe cells.
+    * KMeans seed is fixed → deterministic cells. */
+  def annIvf(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+             corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+    val bCenters = spark.sparkContext.broadcast(centers)
+    // cell assignment for the corpus; nprobe nearest cells per query
+    val cellsOf = udf((v: Seq[Double]) => {
+      val cs = bCenters.value
+      cs.indices.map { i =>
+        var d = 0d; var j = 0
+        while (j < v.length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val c = corpus.select(col("vec_id").as("c_id"), col("label"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+      .withColumn("cell", element_at(cellsOf(col("ce")), 1))
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("cell", explode(cellsOf(col("qe"))))
+    val sims = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "label", "cos_sim")
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ `minCos`.
     * Exact within the given frame — quadratic, so callers bound the input
     * (dedup verification stage) or pre-bucket with [[annLsh]]-style

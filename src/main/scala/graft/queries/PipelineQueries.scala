@@ -175,6 +175,15 @@ object PipelineQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF approximate NN (k-means coarse quantizer, nprobe cells per
+    * query). Rows-only; SimilaritySpec measures recall vs exact. */
+  val q44AnnIvf: Q = rowsOnly("q44_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annIvf(s, queries = emb.filter(col("vec_id") < 10),
+        corpus = emb, k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label embedding stats (norms via higher-order fns, no UDF). */
   val q42EmbeddingStats: Q = q("q42_embedding_stats",
     """SELECT label, count(*) AS n,
@@ -297,6 +306,7 @@ object PipelineQueries {
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
+    q44AnnIvf,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q60Curation)
 }

@@ -36,6 +36,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"recall=$recall")
   }
 
+  test("annIvf: deterministic, sane shape, better recall than one random cell") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.annIvf(spark, queries, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Similarity.annIvf(spark, queries, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 === ivf2) // fixed seed → deterministic cells
+    val recall = (exact intersect ivf1).size.toDouble / exact.size
+    // random unclustered vectors: nprobe=3 of nlist=16 cells ≈ 19% of the
+    // corpus scanned; recall must beat that share substantially
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("ann candidates are a subset of real corpus ids, no self-matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val ann = Similarity.annLsh(emb.filter(col("vec_id") < 5), emb, k = 5)
