@@ -55,9 +55,11 @@ object Similarity {
              corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(col("vec_id"),
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
+    // quantizer trained on a sample — IVF centroids don't need the full
+    // corpus (at 100 TB you train on a few hundred-k rows, never all)
+    val train = corpus.sample(withReplacement = false, 0.5, seed = 42L)
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     val bCenters = spark.sparkContext.broadcast(centers)
     // cell assignment for the corpus; nprobe nearest cells per query
