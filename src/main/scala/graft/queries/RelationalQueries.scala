@@ -345,7 +345,11 @@ object RelationalQueries {
       |  lead(event_type) OVER w AS next_type,
       |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
       |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-      |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW), 2) AS sum_10min
+      |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW), 2) AS sum_10min,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cdist,
+      |  first_value(event_type) OVER w AS first_type
       |FROM events WHERE user_id < 30
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
       |  w_run AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -362,7 +366,11 @@ object RelationalQueries {
         lead("event_type", 1).over(w).as("next_type"),
         rank().over(wRank).cast("long").as("value_rank"),
         round(sum("value").over(Window.partitionBy("user_id")
-          .orderBy(unix_millis(col("ts"))).rangeBetween(-600000, 0)), 2).as("sum_10min"))
+          .orderBy(unix_millis(col("ts"))).rangeBetween(-600000, 0)), 2).as("sum_10min"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        first("event_type").over(w).as("first_type"))
       .orderBy("event_id")
   }
 
@@ -442,7 +450,11 @@ object RelationalQueries {
       |  split_part(c_name, '#', 2) AS name_num,
       |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
       |  c_name LIKE 'Customer%' AS is_customer,
-      |  trim(reverse(c_name)) AS rev_name
+      |  trim(reverse(c_name)) AS rev_name,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      |  CAST(ascii(c_name) AS BIGINT) AS first_char_code,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+      |  repeat(substring(c_name, 1, 2), 2) AS doubled_prefix
       |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin) { (s, d) =>
     Tables.customer(s, d).filter(col("c_custkey") < 200)
       .select(col("c_custkey"),
@@ -456,7 +468,11 @@ object RelationalQueries {
         element_at(split(col("c_name"), "#"), 2).as("name_num"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
         col("c_name").startsWith("Customer").as("is_customer"),
-        trim(reverse(col("c_name"))).as("rev_name"))
+        trim(reverse(col("c_name"))).as("rev_name"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        ascii(col("c_name")).cast("long").as("first_char_code"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        repeat(substring(col("c_name"), 1, 2), 2).as("doubled_prefix"))
       .orderBy("c_custkey")
   }
 
@@ -482,7 +498,12 @@ object RelationalQueries {
       |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
       |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
       |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
-      |  epoch_ms(o_orderdate) AS odate_ms
+      |  epoch_ms(o_orderdate) AS odate_ms,
+      |  last_day(o_orderdate) AS month_end,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS o_doy,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS o_week,
+      |  make_date(CAST(year(o_orderdate) AS INTEGER),
+      |            CAST(month(o_orderdate) AS INTEGER), 1) AS month_start
       |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d).filter(col("o_orderkey") < 150)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
@@ -491,7 +512,12 @@ object RelationalQueries {
         add_months(col("o_orderdate"), 1).as("next_month"),
         date_add(col("o_orderdate"), 90).as("due_date"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since_95"),
-        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofyear(col("o_orderdate")).cast("long").as("o_doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("o_week"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("month_start"))
       .orderBy("o_orderkey")
   }
 
@@ -508,7 +534,12 @@ object RelationalQueries {
       |  l_linenumber % 3 AS ln_mod3,
       |  round(greatest(l_discount, l_tax), 2) AS max_rate,
       |  round(least(l_discount, l_tax), 2) AS min_rate,
-      |  CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
+      |  CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+      |  round(exp(l_discount), 4) AS exp_disc,
+      |  round(log10(l_extendedprice), 4) AS log10_price,
+      |  round(sin(l_discount), 6) AS sin_disc,
+      |  round(atan2(l_discount, l_tax + 0.01), 4) AS angle,
+      |  round(degrees(l_discount), 4) AS disc_deg
       |FROM lineitem WHERE l_orderkey < 60 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d).filter(col("l_orderkey") < 60)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -521,7 +552,12 @@ object RelationalQueries {
         (col("l_linenumber") % 3).as("ln_mod3"),
         round(greatest(col("l_discount"), col("l_tax")), 2).as("max_rate"),
         round(least(col("l_discount"), col("l_tax")), 2).as("min_rate"),
-        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
+        round(exp(col("l_discount")), 4).as("exp_disc"),
+        round(log10(col("l_extendedprice")), 4).as("log10_price"),
+        round(sin(col("l_discount")), 6).as("sin_disc"),
+        round(atan2(col("l_discount"), col("l_tax") + 0.01), 4).as("angle"),
+        round(degrees(col("l_discount")), 4).as("disc_deg"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
