@@ -43,6 +43,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation chain: quality-gate link → stateful dedup link over the registry") {
+    val s = spark
+    import s.implicits._
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-cur").toString)
+    object QualityGate extends graft.runtime.Link {
+      val inputs = Seq("docs_in"); val output = Some("docs_q")
+      override def transform(df: org.apache.spark.sql.DataFrame) =
+        df.filter(size(split(col("text"), " ")) >= 3)
+    }
+    object DedupLink extends graft.runtime.Link {
+      val inputs = Seq("docs_q"); val output = Some("docs_clean")
+      override def transform(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("content_hash", GraftFunctions.blake2b_256(col("text")))
+          .dropDuplicates("content_hash")
+    }
+    val pipe = new graft.runtime.Pipeline(Seq(QualityGate, DedupLink))
+    reg.write(Seq("good doc one", "bad", "good doc one", "good doc two")
+      .toDF("text"), "docs_in")
+    pipe.runOnce(spark, reg)
+    assert(reg.read("docs_clean").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("good doc one", "good doc two"))
+    // second batch: a cross-batch duplicate must be suppressed by the
+    // dedup state persisted in the link's checkpoint
+    reg.write(Seq("good doc two", "good doc three").toDF("text"), "docs_in")
+    pipe.runOnce(spark, reg)
+    assert(reg.read("docs_clean").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("good doc one", "good doc three", "good doc two"))
+  }
+
   test("streaming dedup: content hash + dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
