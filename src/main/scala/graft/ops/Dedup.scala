@@ -186,6 +186,8 @@ object Dedup {
     * band by pigeonhole); confirmed at `maxHamming`. Same
     * inverted-index-not-cross-join shape as MinHash banding. */
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee candidate completeness only for hamming <= 3")
     val fp = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
       .select(col("doc_id"), simHashUdf(col("s")).as("h"))
     val banded = fp.select(col("doc_id"), col("h"),
@@ -202,6 +204,32 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Incremental dedup of a new batch against an existing (huge) corpus:
+    * a Bloom filter over the corpus content hashes is broadcast and
+    * prefilters the batch — rows the filter says are definitely-new pass
+    * with NO join at all; only possible-dups (corpus-hit or false
+    * positive) go through the exact anti-join. At 100 TB this turns
+    * "anti-join every new batch against the corpus" into "broadcast a
+    * few-GB bitset + anti-join a tiny suspect set". Result is exact
+    * (false positives are resolved by the anti-join). */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpusHashes: DataFrame,
+                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    if (corpusHashes.isEmpty) { // Spark's bloomFilter NPEs on an empty frame
+      return newDocs.withColumn("content_hash",
+        GraftFunctions.blake2b_256(col("text")))
+    }
+    val bloom = corpusHashes.stat.bloomFilter("content_hash", expectedItems, fpp)
+    val spark = newDocs.sparkSession
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    val mightBeDup = udf((h: String) => bBloom.value.mightContain(h))
+    val hashed = newDocs.withColumn("content_hash",
+      GraftFunctions.blake2b_256(col("text")))
+    val definitelyNew = hashed.filter(!mightBeDup(col("content_hash")))
+    val suspects = hashed.filter(mightBeDup(col("content_hash")))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+    definitelyNew.unionByName(suspects)
   }
 
   private val hammingUdf = udf((a: String, b: String) =>

@@ -51,6 +51,29 @@ object TextAnalysis {
       bpeishTokenCount(col("text")).as("n_tokens_bpe"))
   }
 
+  /** Sketch-based heavy hitters: a count-min sketch over the exploded token
+    * stream estimates per-token frequency without carrying exact per-token
+    * state; candidates above `minShare` of total are then exact-counted.
+    * The 100 TB shape: the sketch merges associatively executor-side (one
+    * small binary per partition), so the full-shuffle wordcount happens
+    * only for the few candidate tokens. */
+  def heavyHitters(docs: DataFrame, minShare: Double,
+                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val toksDf = docs.select(explode(tokens(col("text"))).as("tok"))
+    val total = toksDf.count()
+    val sketch = toksDf.stat.countMinSketch("tok", eps, confidence, seed = 42)
+    val threshold = (total * minShare).toLong
+    val spark = docs.sparkSession
+    val bSketch = spark.sparkContext.broadcast(sketch)
+    val estimate = udf((t: String) => bSketch.value.estimateCount(t))
+    // candidate set from the sketch (over-approximation), then exact count
+    toksDf.filter(estimate(col("tok")) >= threshold)
+      .groupBy("tok").agg(fcount(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   /** Quality-feature battery (mirrors q52 but reusable as a library op). */
   def qualityFeatures(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Sketch-backed scale operators: Bloom-prefiltered incremental dedup,
+  * count-min heavy hitters, approx quantiles. */
+class SketchSpec extends SparkSpec {
+  import SparkSpec.sf0001
+
+  test("dedupAgainstCorpus == exact anti-join (bloom false positives resolved)") {
+    val docs = Tables.documents(spark, sf0001)
+    // corpus = first 300 docs' hashes; new batch = all docs (so 300 dups)
+    val corpusHashes = docs.filter(col("doc_id") < 300)
+      .select(graft.functions.GraftFunctions.blake2b_256(col("text")).as("content_hash"))
+    val got = Dedup.dedupAgainstCorpus(docs, corpusHashes, expectedItems = 1000)
+    val expected = docs
+      .withColumn("content_hash", graft.functions.GraftFunctions.blake2b_256(col("text")))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+    assert(got.count() === expected.count())
+    assert(got.select("doc_id").exceptAll(expected.select("doc_id")).isEmpty)
+  }
+
+  test("dedupAgainstCorpus with empty corpus keeps everything") {
+    val docs = Tables.documents(spark, sf0001)
+    val empty = docs.filter(lit(false))
+      .select(lit("").as("content_hash"))
+    val got = Dedup.dedupAgainstCorpus(docs, empty, expectedItems = 10)
+    assert(got.count() === docs.count())
+  }
+
+  test("heavyHitters matches exact frequency filter") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.heavyHitters(docs, minShare = 0.03)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= (total * 0.03).toLong)
+      .orderBy(col("n").desc, col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === exact.toSeq)
+    assert(got.nonEmpty) // 31-word vocab → plenty of heavy tokens
+  }
+
+  test("approxQuantile within declared relative error") {
+    val orders = Tables.orders(spark, sf0001)
+    val Array(p50) = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.01)
+    val exact = orders.selectExpr("median(o_totalprice)").collect()(0).getDouble(0)
+    // 1% rank tolerance → value must sit between the 45th and 55th pct
+    val Array(lo, hi) = orders.stat.approxQuantile("o_totalprice", Array(0.45, 0.55), 0.001)
+    assert(p50 >= lo && p50 <= hi, s"p50=$p50 exact=$exact")
+  }
+}
