@@ -20,6 +20,9 @@ case class Blake2bHash(child: Expression, bits: Int) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = s"blake2b_$bits"
+  // digest of a literal is a literal — lets ConstantFolding evaluate
+  // blake2b_256('…') once at plan time instead of per row
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(

@@ -34,6 +34,14 @@ class NativeHashSpec extends SparkSpec {
     assert(p.contains("*(1) Project [blake2b_256"), p.take(1000))
   }
 
+  test("Blake2bHash of a literal constant-folds at plan time") {
+    val df = Tables.documents(spark, SparkSpec.sf0001)
+      .select(GraftFunctions.blake2b_256(lit("abc")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("bddd813c"), optimized.take(800)) // folded literal
+    assert(!optimized.contains("blake2b_256"), optimized.take(800))
+  }
+
   test("SQL registration: blake2b callable from spark.sql") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT blake2b_256('abc') AS h, sha3_512('abc') AS s").collect()(0)

@@ -32,6 +32,23 @@ class SourcesSinksSpec extends SparkSpec {
     assert(got.length === 3 && got(0).getLong(0) === 1L)
   }
 
+  test("registry roundtrip over orc format") {
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-orc").toString, format = "orc")
+    reg.write(df3, "o")
+    assert(reg.read("o").orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("registry roundtrip over text format (single string column)") {
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-text").toString, format = "text")
+    reg.write(Seq("line one", "line two").toDF("value"), "t")
+    assert(reg.read("t").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("line one", "line two"))
+  }
+
   test("partitioned stream layout prunes by partition") {
     val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-part").toString)
     reg.write(df3, "p", partitionBy = Seq("month"))
