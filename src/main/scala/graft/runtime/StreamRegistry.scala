@@ -60,6 +60,30 @@ class StreamRegistry(spark: SparkSession, val root: String,
   def readStream(name: String): DataFrame =
     spark.readStream.schema(schemaOf(name)).format(format).load(streamDir(name))
 
+  /** Compact a stream's many small appended files into `numFiles`
+    * (maintenance analog of a table OPTIMIZE). Run in a maintenance
+    * window: streaming consumers tailing the directory must be stopped,
+    * and their checkpoints reset, since file identities change — this is
+    * batch housekeeping for downstream BATCH readers of a stream at scale,
+    * where thousands of micro-appends otherwise dominate scan planning. */
+  def compact(name: String, numFiles: Int = 1): Unit = {
+    val dir = streamDir(name)
+    val tmp = s"$dir.compacting"
+    read(name).repartition(numFiles).write.format(format).save(tmp)
+    val dirFile = new java.io.File(dir)
+    val old = new java.io.File(s"$dir.old")
+    if (!dirFile.renameTo(old)) throw new java.io.IOException(s"cannot rotate $dir")
+    if (!new java.io.File(tmp).renameTo(dirFile)) {
+      old.renameTo(dirFile) // roll back
+      throw new java.io.IOException(s"cannot swap in compacted $name")
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+  }
+
   /** Declare a stream's schema up front (optional — first write also
     * registers it); lets a consumer start before any producer ran. */
   def declare(name: String, schema: StructType): Unit = {

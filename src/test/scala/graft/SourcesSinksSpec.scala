@@ -63,6 +63,46 @@ class SourcesSinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(month"), scan.take(1500))
   }
 
+  test("stream compaction: many appends collapse to one file, data intact") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-compact").toString)
+    (1 to 5).foreach { i =>
+      val s = spark
+      import s.implicits._
+      reg.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), "c")
+    }
+    val before = new java.io.File(s"${reg.root}/streams/c")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before >= 5)
+    reg.compact("c", numFiles = 1)
+    val after = new java.io.File(s"${reg.root}/streams/c")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(after === 1)
+    assert(reg.read("c").collect().map(_.getLong(0)).sorted.toSeq === (1L to 5L))
+  }
+
+  test("monitoring listener captures per-batch progress for link queries") {
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-mon").toString)
+    val mon = new graft.runtime.Monitoring(spark, "testuid")
+    mon.start()
+    try {
+      object Pass extends graft.runtime.Link {
+        val inputs = Seq("m_in"); val output = Some("m_out")
+      }
+      reg.write(Seq("a", "b").toDF("value"), "m_in")
+      Pass.start(spark, reg).awaitTermination()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (mon.snapshot().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val recs = mon.snapshot()
+      assert(recs.nonEmpty)
+      assert(recs.exists(_.numInputRows == 2), recs.mkString(","))
+      assert(recs.forall(_.uid == "testuid"))
+    } finally mon.stop()
+  }
+
   test("JSON serde roundtrip: to_json / from_json / schema_of_json (O13)") {
     val s = spark
     import s.implicits._
