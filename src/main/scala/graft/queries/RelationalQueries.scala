@@ -249,6 +249,20 @@ object RelationalQueries {
       .orderBy("o_orderkey", "metric")
   }
 
+  /** Batch analog of the streaming tumbling window: `window()` in a batch
+    * groupBy (the streaming form is validated on MemoryStream in
+    * StreamingOpsSpec; DuckDB mirrors with epoch-aligned time_bucket). */
+  val q27TumblingBatch: Q = q("q27_tumbling_batch",
+    """SELECT epoch_ms(time_bucket(INTERVAL 6 HOUR, ts)) AS bucket_ms,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY bucket_ms""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"), col("n"), col("sum_value"))
+      .orderBy("bucket_ms")
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Distinct aggregation: exact count_distinct + plain aggs per status. */
@@ -623,7 +637,8 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
-    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot, q08AggDistinct, q09Rollup, q10Cube,
+    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
+    q27TumblingBatch, q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
