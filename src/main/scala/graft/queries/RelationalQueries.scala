@@ -579,14 +579,17 @@ object RelationalQueries {
     * `utils.py:19-39`) aggregated by extracted key. */
   val q21JsonFns: Q = q("q21_json_fns",
     """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |  count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS k_check
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
     // from_json with an explicit schema: one codegen'd parse per row
     // (get_json_object re-parses per extraction path)
     Tables.events(s, d)
       .groupBy(from_json(col("props"), "k INT",
         Map.empty[String, String]).getField("k").as("k"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+           // same extraction via the per-path API — proves both JSON surfaces
+           min(get_json_object(col("props"), "$.k").cast("int")).as("k_check"))
       .orderBy("k")
   }
 

@@ -73,6 +73,22 @@ class LinkRuntimeSpec extends SparkSpec {
     assert(reg.read("merged").count() === 3)
   }
 
+  test("multi-input union tolerates heterogeneous schemas (schemaless parity)") {
+    val s = spark
+    import s.implicits._
+    val reg = freshRegistry()
+    object Merge extends Link {
+      val inputs = Seq("h1", "h2"); val output = Some("h_out")
+    }
+    reg.write(Seq(("a", 1L)).toDF("value", "extra"), "h1")
+    reg.write(Seq("b").toDF("value"), "h2") // no `extra` column
+    Merge.start(spark, reg).awaitTermination()
+    val rows = reg.read("h_out").orderBy("value").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "a" && rows(0).getLong(1) === 1L)
+    assert(rows(1).getString(0) === "b" && rows(1).isNullAt(1)) // null-filled
+  }
+
   test("chained links compose through named streams") {
     val reg = freshRegistry()
     object Upper extends Link {
