@@ -31,9 +31,11 @@ class StreamRegistry(spark: SparkSession, val root: String,
 
   def exists(name: String): Boolean = Files.exists(schemaPath(name))
 
-  def schemaOf(name: String): StructType =
+  def schemaOf(name: String): StructType = {
+    if (!exists(name)) throw new StreamNotFoundError(name)
     DataType.fromJson(new String(Files.readAllBytes(schemaPath(name)),
       StandardCharsets.UTF_8)).asInstanceOf[StructType]
+  }
 
   private def persistSchema(name: String, schema: StructType): Unit = {
     Files.createDirectories(schemaPath(name).getParent)

@@ -28,6 +28,12 @@ class LinkRuntimeSpec extends SparkSpec {
     assert(reg.read("stream0").collect().map(_.getString(0)).toSeq === Seq("seed message"))
   }
 
+  test("reading an unregistered stream raises StreamNotFoundError") {
+    val reg = freshRegistry()
+    val e = intercept[graft.runtime.StreamNotFoundError] { reg.read("nope") }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("loop_filter parity: a transform Link forwards messages end-to-end") {
     // reference LoopFilter: transform returns the message -> re-emitted
     val reg = freshRegistry()
