@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -17,6 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[Blake2b]] (stateless, thread-safe). */
 case class Blake2bHash(child: Expression, bits: Int) extends UnaryExpression {
   require(bits == 256 || bits == 512, s"unsupported digest size $bits")
+
+  // SQL-registered: reject non-string input at analysis time so
+  // blake2b_256(42) is an AnalysisException, not a runtime
+  // ClassCastException / codegen failure. (ExpectsInputTypes is
+  // private[sql] in Spark 4, so the check is implemented directly.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = StringType
   override def prettyName: String = s"blake2b_$bits"

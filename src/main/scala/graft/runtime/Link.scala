@@ -63,10 +63,13 @@ trait Link {
           .option("path", s"${registry.root}/streams/$stream")
           .start()
       case None =>
+        // Terminal link: still force the batch so the transform's work runs
+        // (side effects, metrics) — an unmaterialized batch would silently
+        // discard the computation while offsets advance.
         out.writeStream
           .option("checkpointLocation", registry.checkpointDir(name, target))
           .trigger(trigger)
-          .foreachBatch { (_: DataFrame, _: Long) => () }
+          .foreachBatch { (batch: DataFrame, _: Long) => batch.foreach(_ => ()) }
           .start()
     }
   }

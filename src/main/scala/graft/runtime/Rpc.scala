@@ -22,15 +22,29 @@ import graft.functions.GraftFunctions
   *    `catenae.py:528-529`) — foreachBatch runs batches sequentially.
   */
 class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
-          handlers: Map[String, Seq[String] => Unit]) {
+          handlers: Map[String, Seq[String] => Unit],
+          stableUid: Option[String] = None,
+          replayHistory: Boolean = false) {
 
-  val uid: String = GraftFunctions.getUid()
+  /** Instance uid. Pass `stableUid` (the analog of the reference's `-u`
+    * flag, `catenae.py:229-232`) to keep the dispatcher checkpoint stable
+    * across restarts — resume where it left off instead of a fresh
+    * randomized checkpoint. */
+  val uid: String = stableUid.getOrElse(GraftFunctions.getUid())
   val ControlStream = "catenae_rpc"
+
+  /** A fresh dispatcher starts at the *current end* of the control stream:
+    * calls sent before this instance existed are not re-executed (a
+    * side-effect-replay hazard otherwise — every restart under a new uid
+    * would replay the full RPC history). Set `replayHistory=true` to opt
+    * back into full-history dispatch. */
+  private val bornAtMs: Long = System.currentTimeMillis()
 
   private val envelopeSchema = StructType(Seq(
     StructField("to", StringType), StructField("method", StringType),
     StructField("args", ArrayType(StringType)),
-    StructField("from_uid", StringType), StructField("from_group", StringType)))
+    StructField("from_uid", StringType), StructField("from_group", StringType),
+    StructField("sent_at_ms", LongType)))
 
   registry.declare(ControlStream, envelopeSchema)
 
@@ -38,7 +52,8 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
     * envelope to the control stream (reference `rpc_notify`). */
   def notify(method: String, args: Seq[String], to: String = "broadcast"): Unit = {
     val df = spark.createDataFrame(
-      java.util.List.of(Row(to, method, args, uid, linkName)), envelopeSchema)
+      java.util.List.of(Row(to, method, args, uid, linkName,
+        java.lang.Long.valueOf(System.currentTimeMillis()))), envelopeSchema)
     registry.write(df, ControlStream)
   }
 
@@ -50,6 +65,7 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     registry.readStream(ControlStream)
       .filter(col("to").isin(linkName, "broadcast"))
+      .filter(if (replayHistory) lit(true) else col("sent_at_ms") >= bornAtMs)
       .writeStream
       .option("checkpointLocation", registry.checkpointDir(s"rpc_$uid", ControlStream))
       .trigger(trigger)

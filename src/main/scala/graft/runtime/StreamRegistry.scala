@@ -54,36 +54,59 @@ class StreamRegistry(spark: SparkSession, val root: String,
   }
 
   /** Batch read of a whole stream. */
-  def read(name: String): DataFrame =
+  def read(name: String): DataFrame = {
+    recover(name)
     spark.read.schema(schemaOf(name)).format(format).load(streamDir(name))
+  }
 
   /** Streaming tail of a stream (file source; exactly-once with the
     * per-link checkpoint). */
-  def readStream(name: String): DataFrame =
+  def readStream(name: String): DataFrame = {
+    recover(name)
     spark.readStream.schema(schemaOf(name)).format(format).load(streamDir(name))
+  }
 
   /** Compact a stream's many small appended files into `numFiles`
     * (maintenance analog of a table OPTIMIZE). Run in a maintenance
     * window: streaming consumers tailing the directory must be stopped,
     * and their checkpoints reset, since file identities change — this is
     * batch housekeeping for downstream BATCH readers of a stream at scale,
-    * where thousands of micro-appends otherwise dominate scan planning. */
+    * where thousands of micro-appends otherwise dominate scan planning.
+    *
+    * The swap uses the Hadoop `FileSystem` API so the same code works on
+    * HDFS (atomic dir rename) and local FS. NOTE the two renames are not
+    * one atomic commit: there is a window where the stream dir is absent,
+    * and on an object store (S3A) "rename" is copy+delete — on the 100 TB
+    * scale path back streams with a table format that has atomic commit
+    * (or HDFS), and treat this as the local/HDFS maintenance tool. A crash
+    * between the renames leaves `<dir>.old`, recovered by [[recover]]
+    * (called automatically by [[read]]/[[readStream]]). */
   def compact(name: String, numFiles: Int = 1): Unit = {
-    val dir = streamDir(name)
-    val tmp = s"$dir.compacting"
-    read(name).repartition(numFiles).write.format(format).save(tmp)
-    val dirFile = new java.io.File(dir)
-    val old = new java.io.File(s"$dir.old")
-    if (!dirFile.renameTo(old)) throw new java.io.IOException(s"cannot rotate $dir")
-    if (!new java.io.File(tmp).renameTo(dirFile)) {
-      old.renameTo(dirFile) // roll back
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val dir = new HPath(streamDir(name))
+    val tmp = new HPath(s"${streamDir(name)}.compacting")
+    val old = new HPath(s"${streamDir(name)}.old")
+    read(name).repartition(numFiles).write.format(format).save(tmp.toString)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(dir, old)) throw new java.io.IOException(s"cannot rotate $dir")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back
       throw new java.io.IOException(s"cannot swap in compacted $name")
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(old)
+    fs.delete(old, true); ()
+  }
+
+  /** Recover from a crash mid-[[compact]]: if `<dir>.old` exists and the
+    * stream dir is gone, roll the original back; a leftover `.compacting`
+    * dir is incomplete output and is dropped. */
+  def recover(name: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val dir = new HPath(streamDir(name))
+    val old = new HPath(s"${streamDir(name)}.old")
+    val tmp = new HPath(s"${streamDir(name)}.compacting")
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old) && !fs.exists(dir)) { fs.rename(old, dir); () }
+    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
   }
 
   /** Declare a stream's schema up front (optional — first write also
