@@ -47,10 +47,17 @@ object PipelineQueries {
   }
 
   /** Exact dedup keyed on the blake2b-256 content hash (the reference's
-    * canonical content address) — rows-only oracle (DuckDB has no blake2b);
-    * ScalaTest proves survivors == q30's. */
-  val q31HashDedup: Q = rowsOnly("q31_hash_dedup") { (s, d) =>
+    * canonical content address, `utils.py:42-61`) — the 100 TB shape: the
+    * shuffle key is the 32-byte digest, not the document text. The query
+    * output drops the engine-internal hash column so DuckDB can verify the
+    * values (group-by raw text yields identical survivors — blake2b is
+    * collision-free on any real corpus); HashingSpec pins the digest bytes
+    * themselves against Python hashlib vectors. */
+  val q31HashDedup: Q = q("q31_hash_dedup",
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
     Dedup.exactByHash(Tables.documents(s, d), col("text"), col("doc_id"))
+      .select("doc_id", "dup_count")
       .orderBy("doc_id")
   }
 
@@ -83,11 +90,33 @@ object PipelineQueries {
   }
 
   /** MinHash + LSH banding near-dup: shingle → 128 minhashes → 32 bands →
-    * band-bucket equi-join for candidates → exact Jaccard confirm. Same
-    * answer as q32 at threshold 0.8 w.h.p.; candidate generation is O(docs ×
-    * bands) instead of the inverted index's Σ df². Hash is engine-internal →
-    * rows-only oracle; ScalaTest checks recall vs q32. */
-  val q33MinhashLsh: Q = rowsOnly("q33_minhash_lsh") { (s, d) =>
+    * band-bucket equi-join for candidates → exact Jaccard confirm ≥ 0.8.
+    * Candidate generation is O(docs × bands) instead of the inverted
+    * index's Σ df². The confirm stage makes the output EXACT, so the
+    * oracle is the same inverted-index SQL as q32 at threshold 0.8: a
+    * true pair at j ≥ 0.8 escapes all 32 bands with probability
+    * ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸ (DedupSpec additionally pins recall == exact
+    * on this corpus). */
+  val q33MinhashLsh: Q = q("q33_minhash_lsh",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.minHashLshPairs(Tables.documents(s, d), minJaccard = 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -259,9 +288,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Heuristic language-ID from character n-gram profile (rows-only; the
-    * scoring table is engine-internal). */
-  val q53LangId: Q = rowsOnly("q53_lang_id") { (s, d) =>
+  /** Heuristic language-ID: CJK script gate, then stopword-profile argmax
+    * (tie → lexicographically larger lang, matching the array_max-on-struct
+    * tie-break in [[TextAnalysis.langId]]). The profiles are fixed data, so
+    * the whole heuristic is SQL-expressible and oracle-checked. */
+  val q53LangId: Q = q("q53_lang_id",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |scored AS (
+      |  SELECT doc_id, text, toks,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','value','data','row'))) AS DOUBLE) / len(toks) AS s_en,
+      |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','ein'))) AS DOUBLE) / len(toks) AS s_de,
+      |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','los','las','es','un','una'))) AS DOUBLE) / len(toks) AS s_es,
+      |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une'))) AS DOUBLE) / len(toks) AS s_fr
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |       WHEN greatest(s_en, s_de, s_es, s_fr) > 0 THEN
+      |         CASE WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+      |              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+      |              WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+      |              ELSE 'de' END
+      |       ELSE 'unknown' END AS pred_lang,
+      |  round(greatest(s_en, s_de, s_es, s_fr), 3) AS lang_score,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens_ws,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
     TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")
   }
 
@@ -295,11 +346,60 @@ object PipelineQueries {
   }
 
   /** Full curation pipeline (quality gate → exact dedup → near-dup
-    * removal → per-lang stats). Rows-only: the near-dup stage uses
-    * engine-internal MinHash; CurationSpec proves the invariants
-    * (survivor subset, no near-dup pair among survivors, idempotence). */
-  val q60Curation: Q = rowsOnly("q60_curation") { (s, d) =>
+    * removal → per-lang stats) — oracle-checked end to end: the MinHash-LSH
+    * near-dup stage exact-confirms its candidates at j ≥ 0.8, so the SQL
+    * mirror (inverted-index exact Jaccard, same drop-higher-id rule)
+    * produces identical survivors w.h.p. (miss ≈ 5·10⁻⁸/pair, see q33).
+    * CurationSpec separately proves the invariants (survivor subset, no
+    * surviving near-dup pair, idempotence). */
+  val q60Curation: Q = q("q60_curation",
+    """WITH toksed AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+      |quality AS (
+      |  SELECT doc_id, lang, text FROM toksed
+      |  WHERE len(toks) >= 5
+      |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.05),
+      |exact AS (
+      |  SELECT doc_id, lang, text FROM quality
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM exact),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |survivors AS (
+      |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
     Curation.stats(Curation.curate(Tables.documents(s, d)))
+  }
+
+  /** Spark-builtin cryptographic hash surface with a real value oracle
+    * (DuckDB shares sha256/md5); the reference-parity digests (blake2b,
+    * sha3 — absent from DuckDB) stay in q55 + HashingSpec's hashlib
+    * vectors. */
+  val q56BuiltinHash: Q = q("q56_builtin_hash",
+    """SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        md5(col("text")).as("md5_hex"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(
@@ -308,5 +408,5 @@ object PipelineQueries {
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
     q44AnnIvf,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
-    q55HashFns, q60Curation)
+    q55HashFns, q56BuiltinHash, q60Curation)
 }

@@ -638,10 +638,86 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Real `.pivot()` (long → wide) with pinned pivot values — the inverse
+    * of q26's unpivot; oracle via conditional aggregation. */
+  val q28Pivot: Q = q("q28_pivot",
+    """SELECT o_orderpriority,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS sum_f,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS sum_o,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS sum_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      // pinned pivot values: no extra distinct-values job, stable schema
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("o_orderpriority"), col("F").as("sum_f"),
+              col("O").as("sum_o"), col("P").as("sum_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** MapType battery: JSON → map, map_concat, map_keys, element_at,
+    * transform_values, map_filter. The oracle computes the same values
+    * from the JSON text directly. */
+  val q29MapFns: Q = q("q29_map_fns",
+    """SELECT event_id, 'k,src' AS keys,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  CAST(2 AS BIGINT) AS n_entries,
+      |  upper(event_type) AS src_upper,
+      |  CAST(1 AS BIGINT) AS n_k
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val m = from_json(col("props"), "map<string,string>", Map.empty[String, String])
+    val m2 = map_concat(m, map(lit("src"), col("event_type")))
+    Tables.events(s, d).filter(col("event_id") < 200)
+      .select(col("event_id"),
+        array_join(array_sort(map_keys(m2)), ",").as("keys"),
+        element_at(m, "k").cast("long").as("k_val"),
+        size(m2).cast("long").as("n_entries"),
+        element_at(transform_values(m2, (_, v) => upper(v)), "src").as("src_upper"),
+        size(map_filter(m2, (k, _) => k === "k")).cast("long").as("n_k"))
+      .orderBy("event_id")
+  }
+
+  /** Generator / UDTF surface: posexplode (ordinal-preserving flatten).
+    * DuckDB mirrors with zipped unnests. */
+  val q37Posexplode: Q = q("q37_posexplode",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+      |           FROM documents WHERE doc_id < 50)
+      |SELECT doc_id, CAST(unnest(range(0, len(s))) AS BIGINT) AS pos,
+      |       unnest(s) AS tok
+      |FROM t ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Exact quantiles via ANSI `percentile_disc` — value-returning (no
+    * interpolation), so results are bit-identical across engines; the
+    * interpolating `percentile`/quantile_cont form drifts by an ulp at
+    * round-half boundaries, and the sketch-based approx_percentile path is
+    * engine-specific (tested like q11's HLL). */
+  val q38Quantiles: Q = q("q38_quantiles",
+    """SELECT l_returnflag,
+      |  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25,
+      |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50,
+      |  round(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75,
+      |  round(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p90,
+      |  round(percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    def pd(p: Double) = expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(pd(0.25), 2).as("p25"), round(pd(0.5), 2).as("p50"),
+           round(pd(0.75), 2).as("p75"), round(pd(0.9), 2).as("p90"),
+           round(pd(0.99), 2).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
-    q27TumblingBatch, q08AggDistinct, q09Rollup, q10Cube,
+    q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
+    q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
