@@ -18,7 +18,11 @@ object Bench {
     catch { case _: Throwable => () }
     // Force with a real sink (noop write materializes every column +
     // expression, unlike count() which lets Catalyst prune the plan).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev filter: SPARK_GRAFT_ONLY=q34_simhash,q38_quantiles benches a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query records -1.0 (sentinel), never its partial elapsed
       // time — a broken query must not silently deflate the total.

@@ -45,22 +45,71 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** Deterministic Lloyd's k-means on a driver-side sample — the IVF
+    * coarse-quantizer trainer. Centroid training is inherently a
+    * small-sample problem (faiss-style IVF trains on ~100k vectors even
+    * for billion-vector corpora), so the sample is collected and iterated
+    * locally: zero Spark jobs per iteration, exactly reproducible. Empty
+    * clusters keep their previous center. */
+  private[ops] def localKMeans(points: Array[Array[Double]], k: Int,
+                               iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty training sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.indices.toVector).take(k)
+      .map(points(_).clone).toArray
+    val assign = new Array[Int](points.length)
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var d = 0d; var j = 0
+          while (j < dim) { val t = points(p)(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      p = 0
+      while (p < points.length) {
+        val c = assign(p); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    centers
+  }
+
   /** IVF (inverted-file) approximate NN: a coarse k-means quantizer
     * partitions the corpus into `nlist` cells; each query probes its
     * `nprobe` nearest cells and ranks exact cosine within them. The
-    * cluster-scale shape: corpus-side cost is one assignment projection +
-    * a shuffle on cell id; probe cost is |queries| × nprobe cells.
-    * KMeans seed is fixed → deterministic cells. */
+    * cluster-scale shape: quantizer training is a bounded driver-side
+    * sample ([[localKMeans]]); corpus-side cost is one assignment
+    * projection + a shuffle on cell id; probe cost is |queries| × nprobe
+    * cells. Fixed seed + sorted sample → deterministic cells. */
   def annIvf(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
-             corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // quantizer trained on a sample — IVF centroids don't need the full
-    // corpus (at 100 TB you train on a few hundred-k rows, never all)
-    val train = corpus.sample(withReplacement = false, 0.5, seed = 42L)
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
+             corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 3,
+             trainCap: Int = 4096): DataFrame = {
+    // bounded, order-stable sample — at 100 TB prepend .sample(fraction)
+    // sized so ~trainCap rows survive; training never iterates over the
+    // full corpus
+    val sample = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val centers = localKMeans(sample, nlist, iters = 5, seed = 42L)
     val bCenters = spark.sparkContext.broadcast(centers)
     // cell assignment for the corpus; nprobe nearest cells per query
     val cellsOf = udf((v: Seq[Double]) => {
