@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("blake2b_512"),
       new ExpressionInfo(classOf[Blake2bHash].getName, "blake2b_512"),
       (exprs: Seq[Expression]) => Blake2bHash(exprs.head, 512)))
+    e.injectFunction((new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
   }
 }

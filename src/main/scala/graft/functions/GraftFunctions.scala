@@ -60,6 +60,8 @@ object GraftFunctions {
       exprs => Blake2bHash(exprs.head, 256))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "blake2b_512",
       exprs => Blake2bHash(exprs.head, 512))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_dot",
+      exprs => DotProduct(exprs.head, exprs(1)))
     spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))
   }
 }

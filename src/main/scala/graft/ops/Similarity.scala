@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two array columns (sequential fold —
-    * deterministic, matches DuckDB's list_dot_product accumulation). */
-  def dot(a: Column, b: Column): Column =
+  /** Double-precision dot product of two array columns — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (one fused
+    * primitive loop; left-to-right accumulation, bit-identical to the
+    * `aggregate(zip_with(...))` higher-order form and to DuckDB's
+    * list_dot_product — VectorExprSpec pins the equivalence). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** The composable higher-order formulation of [[dot]] (kept as the
+    * reference semantics + used by the equivalence spec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

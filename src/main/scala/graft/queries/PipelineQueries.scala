@@ -222,7 +222,7 @@ object PipelineQueries {
     val e = col("embedding").cast("array<double>")
     Tables.embeddings(s, d)
       .select(col("label"),
-        sqrt(aggregate(zip_with(e, e, (x, y) => x * y), lit(0d), (acc, x) => acc + x)).as("norm"),
+        Similarity.norm(e).as("norm"),
         size(col("embedding")).cast("long").as("dim"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),

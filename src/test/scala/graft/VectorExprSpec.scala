@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, VectorFunctions}
+import graft.ops.Similarity
+
+/** Native DotProduct expression: equivalence with the higher-order
+  * formulation, null/edge semantics, codegen span, SQL registration. */
+class VectorExprSpec extends SparkSpec {
+
+  test("vec_dot == aggregate(zip_with) on real embeddings, bit-for-bit") {
+    val e = col("embedding").cast("array<double>")
+    val rows = Tables.embeddings(spark, SparkSpec.sf0001)
+      .select(VectorFunctions.vecDot(e, e).as("native"),
+              Similarity.dotHof(e, e).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("vec_dot edge semantics: empty → 0.0, length mismatch → null, null → null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),   // 11.0
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])), // 0.0
+      (Some(Seq(1.0)), Some(Seq(1.0, 2.0))),        // mismatch → null
+      (None, Some(Seq(1.0)))                        // null → null
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.vecDot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) === 11.0)
+    assert(got(1).getDouble(0) === 0.0)
+    assert(got(2).isNullAt(0))
+    assert(got(3).isNullAt(0))
+  }
+
+  test("vec_dot rejects non-array-of-double input at analysis time") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("x", 1)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.vecDot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array"), ex.getMessage)
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    val e = col("embedding").cast("array<double>")
+    val df = Tables.embeddings(spark, SparkSpec.sf0001)
+      .select(VectorFunctions.vecDot(e, e).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(1000))
+    assert(p.contains("vec_dot"), p.take(1000))
+  }
+
+  test("SQL registration: vec_dot callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got === 32.0)
+  }
+}
