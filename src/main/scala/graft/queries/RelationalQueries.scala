@@ -723,10 +723,63 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // -------------------------------------------------------------- subqueries
+
+  /** Scalar subquery: Catalyst plans the aggregate once and broadcasts the
+    * scalar into the filter (no per-row re-evaluation). */
+  val q45ScalarSubquery: Q = q("q45_scalar_subquery",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders_sq
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_sq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS subquery — the SQL-planner path (rewritten to a
+    * left-semi join); q04 covers the same semantics via the DataFrame API. */
+  val q46ExistsSubquery: Q = q("q46_exists_subquery",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE c_acctbal > 9000 AND EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq2")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer_sq c
+        |WHERE c_acctbal > 9000 AND EXISTS (
+        |  SELECT 1 FROM orders_sq2 o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** IN subquery (rewritten to semi join on the inner distinct). */
+  val q47InSubquery: Q = q("q47_in_subquery",
+    """SELECT p_partkey, p_brand
+      |FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part_sq")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+    s.sql(
+      """SELECT p_partkey, p_brand
+        |FROM part_sq
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem_sq WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
     q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
+    q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
     q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
