@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.GraftSqlBridge
+
+/** Static helper for [[ShingleHashes]] — kept as plain JVM methods so the
+  * generated code calls straight into primitive loops. */
+object ShingleHash {
+
+  /** 64-bit hash of the word n-gram starting at each position, distinct,
+    * first-occurrence order. A shingle's hash folds the FNV-1a hashes of
+    * its n tokens through splitmix64 with a position-independent seed, so
+    * equal shingle strings always collide and distinct ones don't w.h.p.
+    * (the same 2⁻⁶⁴ argument as the xxhash64 inverted-index join keys). */
+  def hashesOf(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // per-token base hashes, one UTF8String byte pass each
+    val base = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b = tokens.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      base(i) = h
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
+    var k = 0
+    i = 0
+    while (i <= m - n) {
+      var acc = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { acc = graft.ops.Dedup.mix64(acc ^ base(i + j)); j += 1 }
+      if (seen.add(acc)) { out(k) = acc; k += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** Distinct hashed word n-gram shingles of a token array — the native
+  * form of `array_distinct(zip_with-join-concat_ws(...))` that the
+  * near-dup operators previously composed from built-ins: that chain
+  * allocates every shingle as a UTF8String and dedups with string
+  * comparisons; this expression is one fused primitive loop (per-token
+  * FNV-1a, splitmix64 fold per shingle, long-hash dedup) with zero string
+  * construction. Downstream consumers (inverted-index join, MinHash
+  * bands, SimHash) only ever need a stable shingle identity, never the
+  * shingle text, so the 64-bit hash IS the shingle (SURVEY.md §2.3).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"shingle_hashes_$n"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.hashesOf(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.hashesOf($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+  /** Column API: distinct 64-bit shingle hashes of a token array. */
+  def shingleHashes(tokens: Column, n: Int = 3): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(tokens), n))
+}

@@ -47,7 +47,12 @@ object Dedup {
     * inside a lambda re-evaluate per element, so the element_at form
     * re-runs the regex `split` O(tokens²) times per row (measured 10×
     * slower on the sf0.1 corpus). The slice/zip form evaluates `split`
-    * O(n) times per row. */
+    * O(n) times per row.
+    *
+    * This string form is the reference semantics (used by the group
+    * MinHash aggregator and the specs); the near-dup pipelines below use
+    * [[hashedShingles]] — a native expression producing the 64-bit shingle
+    * identities directly with zero string construction. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
     val m = greatest(size(toks) - (n - 1), lit(0))
@@ -56,6 +61,15 @@ object Dedup {
     }
     array_distinct(joined)
   }
+
+  /** Distinct 64-bit shingle hashes (native codegen'd
+    * [[graft.functions.ShingleHashes]] expression). Downstream operators
+    * only need a stable shingle identity — set sizes, intersections, and
+    * join keys are unchanged w.h.p. vs the string form (2⁻⁶⁴ per-pair
+    * collision odds), which keeps the DuckDB string-shingle oracles
+    * valid. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleFunctions.shingleHashes(split(text, " "), n)
 
   /** Exact dedup keyed on the blake2b-256 content hash: one hash projection,
     * one hash-groupBy. Output: surviving `doc_id` (min id per content),
@@ -72,13 +86,13 @@ object Dedup {
     * over shingles — bounded and shuffle-friendly; at extreme corpus sizes
     * swap candidate generation for [[minHashLshPairs]]. */
   def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+    // shingle identity = 64-bit hash (native expression): the shuffle
+    // carries 8-byte keys instead of shingle strings; counts and set sizes
+    // are unchanged w.h.p. (a cross-doc collision needs ~2^32 distinct
+    // shingles per pair)
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-    // join key = xxhash64(shingle): the shuffle carries 8-byte keys instead
-    // of shingle strings; shared counts are unchanged w.h.p. (a cross-doc
-    // 64-bit collision would need ~2^32 distinct shingles per pair)
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg0"))
-      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -98,11 +112,12 @@ object Dedup {
   val Bands     = 32
   private val RowsPerBand = MinHashes / Bands
 
-  /** Band signature keys for a shingle set: minhash under `MinHashes` seeded
-    * splitmix64 families, folded into one 64-bit key per band. */
-  private[ops] def bandKeys(shingleArr: Seq[String]): Seq[Long] = {
-    if (shingleArr == null || shingleArr.isEmpty) return Seq.empty
-    val base = shingleArr.map(fnv1a64).toArray
+  /** Band signature keys for a pre-hashed shingle set: minhash under
+    * `MinHashes` seeded splitmix64 families, folded into one 64-bit key
+    * per band. */
+  private[ops] def bandKeys(hashed: Seq[Long]): Seq[Long] = {
+    if (hashed == null || hashed.isEmpty) return Seq.empty
+    val base = hashed.toArray
     val mins = new Array[Long](MinHashes)
     var i = 0
     while (i < MinHashes) {
@@ -127,14 +142,14 @@ object Dedup {
     }
   }
 
-  private val bandKeysUdf = udf((s: Seq[String]) => bandKeys(s))
+  private val bandKeysUdf = udf((hs: Seq[Long]) => bandKeys(hs))
 
   /** MinHash-LSH near-dup pairs: band signatures → equi-self-join on band
     * key (candidate pairs, no cross join) → exact Jaccard confirm ≥
     * `minJaccard`. Output matches [[jaccardNearDupPairs]]: (doc_a, doc_b,
     * jaccard). */
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val banded = sh.select(col("doc_id"), explode(bandKeysUdf(col("s"))).as("band"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -156,11 +171,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 3).as("jaccard"))
   }
 
-  /** 64-bit SimHash over shingles. */
-  private[ops] def simHash64(shingleArr: Seq[String]): Long = {
+  /** 64-bit SimHash over pre-hashed shingles. */
+  private[ops] def simHash64(hashes: Seq[Long]): Long = {
     val acc = new Array[Int](64)
-    shingleArr.foreach { sg =>
-      val h = fnv1a64(sg)
+    hashes.foreach { h =>
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -173,11 +187,11 @@ object Dedup {
     out
   }
 
-  private val simHashUdf = udf((s: Seq[String]) => simHash64(s))
+  private val simHashUdf = udf((hs: Seq[Long]) => simHash64(hs))
 
   /** Per-document SimHash fingerprint (hex) + shingle count. */
   def simHash(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+    docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
       .select(col("doc_id"), lpad(hex(simHashUdf(col("s"))), 16, "0").as("simhash"),
         size(col("s")).cast("long").as("n_shingles"))
 
@@ -188,7 +202,7 @@ object Dedup {
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 bands of 16 bits guarantee candidate completeness only for hamming <= 3")
-    val fp = docs.select(col("doc_id"), shingles(col("text"), n).as("s"))
+    val fp = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
       .select(col("doc_id"), simHashUdf(col("s")).as("h"))
     val banded = fp.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(b =>
