@@ -723,6 +723,22 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered string aggregation (listagg/string_agg — SQL:2023). */
+  val q39StringAgg: Q = q("q39_string_agg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    Tables.nation(s, d).createOrReplaceTempView("nation_sa")
+    Tables.region(s, d).createOrReplaceTempView("region_sa")
+    s.sql(
+      """SELECT r_name,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation_sa JOIN region_sa ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
   // -------------------------------------------------------------- subqueries
 
   /** Scalar subquery: Catalyst plans the aggregate once and broadcasts the
@@ -779,7 +795,7 @@ object RelationalQueries {
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
     q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
-    q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
+    q39StringAgg, q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
     q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,

@@ -39,6 +39,37 @@ class StreamingJoinSpec extends SparkSpec {
     assert(got === Seq(1L))
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded row after watermark closes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "user").withWatermark("c_ts", "5 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "5 minutes")
+    val joined = c.join(b,
+      col("user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(0), 2L))
+      buys.addData((ts(5), 1L))        // u1 matched; u2 pending
+      q.processAllAvailable()
+      // advance both watermarks far past u2's join window so the state
+      // store can finalize the unmatched row as (u2, null)
+      clicks.addData((ts(50), 9L))
+      buys.addData((ts(50), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("SELECT user, b_user FROM ssleft WHERE user IN (1, 2)")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got === Set((1L, 1L), (2L, -1L)))
+  }
+
   test("flatMapGroupsWithState: zero-or-more outputs per group and batch") {
     val s = spark
     import s.implicits._
