@@ -77,9 +77,75 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Static helper for [[LshSignatures]] — the sign-LSH inner loops as plain
+  * JVM methods so generated code calls straight into primitive arithmetic. */
+object SignLsh {
+
+  /** Deterministic random-hyperplane component: plane (t, p) dimension i,
+    * mapped to (-1, 1) via splitmix64 — adequate for sign-LSH. */
+  def planeCoef(table: Int, plane: Int, i: Int): Double = {
+    val h = graft.ops.Dedup.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ i.toLong)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Per-table `planes`-bit sign signatures of `v`, keyed (table<<32|sig). */
+  def signaturesOf(v: ArrayData, planes: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0d
+        var i = 0
+        while (i < dim) { s += v.getDouble(i) * planeCoef(t, p, i); i += 1 }
+        if (s >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Sign-LSH bucket keys of an `array<double>` embedding — native form of
+  * the per-row signature UDF: no Seq[Double] boxing round-trip, stays in
+  * the whole-stage span. Same (table, plane, dim) hash family as the
+  * original, so bucket assignments are identical. */
+case class LshSignatures(child: Expression, planes: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes >= 1 && planes <= 32 && tables >= 1, "1<=planes<=32, tables>=1")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = s"lsh_sig_${tables}x$planes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignLsh.signaturesOf(input.asInstanceOf[ArrayData], planes, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLsh.signaturesOf($c, $planes, $tables)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignatures =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API for [[LshSignatures]]. */
+  def lshSignatures(v: Column, planes: Int, tables: Int): Column =
+    GraftSqlBridge.column(LshSignatures(GraftSqlBridge.expression(v), planes, tables))
 }

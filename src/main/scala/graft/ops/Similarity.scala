@@ -164,39 +164,16 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
-  /** Deterministic random-hyperplane component: plane (t, p) dimension i. */
-  private def planeCoef(table: Int, plane: Int, i: Int): Double = {
-    val h = Dedup.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ i.toLong)
-    // map 64-bit hash to (-1, 1) uniformly — adequate for sign-LSH
-    h.toDouble / Long.MaxValue.toDouble
-  }
-
-  /** Sign-LSH signatures: for each of `tables` hash tables, a `planes`-bit
-    * signature (bit = sign of dot(v, random plane)), returned as
-    * (table<<32 | signature) keys. */
-  private[ops] def signatures(v: Seq[Double], planes: Int, tables: Int): Seq[Long] = {
-    if (v == null || v.isEmpty) return Seq.empty
-    (0 until tables).map { t =>
-      var sig = 0L
-      var p = 0
-      while (p < planes) {
-        var s = 0d
-        var i = 0
-        while (i < v.length) { s += v(i) * planeCoef(t, p, i); i += 1 }
-        if (s >= 0) sig |= (1L << p)
-        p += 1
-      }
-      (t.toLong << 32) | sig
-    }
-  }
-
   /** Approximate NN via sign-LSH buckets: candidates share a (table,
     * signature) bucket; exact cosine + top-k on candidates only. Output
     * shape matches [[cosineTopK]] (ranks may be sparse if < k candidates).
-    * `planes` trades recall vs bucket size; `tables` boosts recall. */
+    * `planes` trades recall vs bucket size; `tables` boosts recall.
+    * Signatures come from the native codegen'd
+    * [[graft.functions.LshSignatures]] expression (same hash family as the
+    * previous UDF — identical buckets, no boxing round-trip). */
   def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
              planes: Int = 6, tables: Int = 8): DataFrame = {
-    val sigUdf = udf((v: Seq[Double]) => signatures(v, planes, tables))
+    def sigs(c: Column) = graft.functions.VectorFunctions.lshSignatures(c, planes, tables)
     val q = queries.select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("qe"))
       .withColumn("qn", norm(col("qe")))
@@ -205,8 +182,8 @@ object Similarity {
       .withColumn("cn", norm(col("ce")))
     // candidate id pairs first (the distinct shuffles 16 bytes per pair,
     // not the embedding arrays); vectors re-attached after dedup
-    val qb = q.select(col("q_id"), explode(sigUdf(col("qe"))).as("bucket"))
-    val cb = c.select(col("c_id"), explode(sigUdf(col("ce"))).as("bucket"))
+    val qb = q.select(col("q_id"), explode(sigs(col("qe"))).as("bucket"))
+    val cb = c.select(col("c_id"), explode(sigs(col("ce"))).as("bucket"))
     val candIds = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id")

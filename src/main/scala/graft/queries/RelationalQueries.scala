@@ -723,6 +723,33 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Window frame battery: bounded ROWS frames (moving average,
+    * centered window), nth_value / last_value over an explicit frame —
+    * the frame variants q13's running battery doesn't touch. */
+  val q48WindowFrames: Q = q("q48_window_frames",
+    """SELECT event_id, user_id,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS centered3,
+      |  round(nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_value,
+      |  round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS final_value
+      |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d).filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"),
+        round(avg("value").over(base.rowsBetween(-2, 0)), 4).as("mavg3"),
+        round(sum("value").over(base.rowsBetween(-1, 1)), 2).as("centered3"),
+        round(nth_value(col("value"), 2)
+          .over(base.rowsBetween(Window.unboundedPreceding, 0)), 2).as("second_value"),
+        round(last("value").over(
+          base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2)
+          .as("final_value"))
+      .orderBy("event_id")
+  }
+
   /** Ordered string aggregation (listagg/string_agg — SQL:2023). */
   val q39StringAgg: Q = q("q39_string_agg",
     """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -795,7 +822,7 @@ object RelationalQueries {
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
     q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
-    q39StringAgg, q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
+    q39StringAgg, q48WindowFrames, q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
     q08AggDistinct, q09Rollup, q10Cube,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
