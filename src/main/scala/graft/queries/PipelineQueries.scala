@@ -402,11 +402,42 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sketch heavy hitters — count-min candidates + exact confirm, so the
+    * output is EXACT (the sketch only over-approximates the candidate set)
+    * and oracle-checkable: tokens with ≥ 1% of all token occurrences. */
+  val q57HeavyHitters: Q = q("q57_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT CAST(floor(0.01 * count(*)) AS BIGINT) AS thr FROM tok)
+      |SELECT tok, count(*) AS n FROM tok GROUP BY tok
+      |HAVING count(*) >= (SELECT thr FROM tot)
+      |ORDER BY n DESC, tok""".stripMargin) { (s, d) =>
+    TextAnalysis.heavyHitters(Tables.documents(s, d), minShare = 0.01)
+  }
+
+  /** Incremental dedup of a "new batch" (doc_id ≥ 400) against an existing
+    * "corpus" (doc_id < 400): broadcast Bloom prefilter + exact anti-join
+    * on the blake2b content hash — exact, so the oracle is a plain
+    * NOT EXISTS on raw text. The 100 TB shape: definitely-new rows pass
+    * with no join at all. */
+  val q58IncrementalDedup: Q = q("q58_incremental_dedup",
+    """SELECT n.doc_id FROM documents n
+      |WHERE n.doc_id >= 400 AND NOT EXISTS (
+      |  SELECT 1 FROM documents c WHERE c.doc_id < 400 AND c.text = n.text)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpusHashes = docs.filter(col("doc_id") < 400)
+      .select(GraftFunctions.blake2b_256(col("text")).as("content_hash"))
+    Dedup.dedupAgainstCorpus(docs.filter(col("doc_id") >= 400), corpusHashes,
+        expectedItems = 400)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
     q44AnnIvf,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
-    q55HashFns, q56BuiltinHash, q60Curation)
+    q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation)
 }
