@@ -332,6 +332,30 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Boolean / bitwise / regression aggregate battery. */
+  val q49StatAggs: Q = q("q49_stat_aggs",
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      |  bit_and(o_custkey) AS key_and,
+      |  bit_or(o_custkey) AS key_or,
+      |  bit_xor(o_custkey) AS key_xor,
+      |  round(regr_slope(o_totalprice, o_custkey), 4) AS slope,
+      |  round(regr_intercept(o_totalprice, o_custkey), 2) AS icept,
+      |  round(covar_samp(o_totalprice, o_custkey), 2) AS cov
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+           bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+           bit_and(col("o_custkey")).as("key_and"),
+           bit_or(col("o_custkey")).as("key_or"),
+           bit_xor(col("o_custkey")).as("key_xor"),
+           round(regr_slope(col("o_totalprice"), col("o_custkey")), 4).as("slope"),
+           round(regr_intercept(col("o_totalprice"), col("o_custkey")), 2).as("icept"),
+           round(covar_samp("o_totalprice", "o_custkey"), 2).as("cov"))
+      .orderBy("o_orderstatus")
+  }
+
   // ----------------------------------------------------------------- windows
 
   /** Ranking window: top-3 orders per customer (deterministic tie-break). */
@@ -823,7 +847,7 @@ object RelationalQueries {
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
     q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
     q39StringAgg, q48WindowFrames, q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
-    q08AggDistinct, q09Rollup, q10Cube,
+    q08AggDistinct, q09Rollup, q10Cube, q49StatAggs,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
