@@ -85,4 +85,19 @@ class QueriesSpec extends SparkSpec {
     // two HashAggregate levels around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
+
+  test("q45: scalar subquery is planned once (Subquery), not re-evaluated per row") {
+    val p = plan(run("q45_scalar_subquery"))
+    assert(p.toLowerCase.contains("subquery"), p.take(2000))
+  }
+
+  test("q46/q47: SQL subqueries rewrite to semi joins") {
+    assert(plan(run("q46_exists_subquery")).toLowerCase.contains("leftsemi"))
+    assert(plan(run("q47_in_subquery")).toLowerCase.contains("leftsemi"))
+  }
+
+  test("native expressions appear in plans (codegen path, not UDF)") {
+    assert(plan(run("q40_cosine_topk")).contains("vec_dot"))
+    assert(plan(run("q32_jaccard_neardup")).contains("shingle_hashes"))
+  }
 }
