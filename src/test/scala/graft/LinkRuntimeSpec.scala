@@ -144,4 +144,43 @@ class LinkRuntimeSpec extends SparkSpec {
     assert(aCalls.isEmpty) // self-skip on both sends
     assert(b.dispatched === 2)
   }
+
+  test("RPC: a fresh dispatcher does not replay pre-birth history (opt-in via replayHistory)") {
+    val reg = freshRegistry()
+    val sender = new Rpc(spark, reg, "Sender", Map.empty)
+    sender.notify("ping", Seq("old"), to = "Receiver") // sent before any receiver exists
+    Thread.sleep(5) // strictly older than the receivers' birth timestamps
+
+    val fresh = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val replay = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val r1 = new Rpc(spark, reg, "Receiver",
+      Map("ping" -> (args => fresh.add(args.mkString(",")))))
+    val r2 = new Rpc(spark, reg, "Receiver",
+      Map("ping" -> (args => replay.add(args.mkString(",")))), replayHistory = true)
+    sender.notify("ping", Seq("new"), to = "Receiver") // after both births
+    r1.start().awaitTermination()
+    r2.start().awaitTermination()
+
+    assert(fresh.toArray.toSeq === Seq("new"))              // history skipped
+    assert(replay.toArray.toSet === Set("old", "new"))      // opt-in replay
+  }
+
+  test("RPC: stable uid resumes the dispatcher checkpoint across restarts") {
+    val reg = freshRegistry()
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sender = new Rpc(spark, reg, "Sender", Map.empty)
+    def mkReceiver() = new Rpc(spark, reg, "Stable",
+      Map("ping" -> (args => calls.add(args.mkString(",")))),
+      stableUid = Some("fixeduid42"), replayHistory = true)
+
+    val gen1 = mkReceiver()
+    sender.notify("ping", Seq("one"), to = "Stable")
+    gen1.start().awaitTermination()
+    // "restart": new instance, same uid → same checkpoint → no re-dispatch
+    val gen2 = mkReceiver()
+    sender.notify("ping", Seq("two"), to = "Stable")
+    gen2.start().awaitTermination()
+
+    assert(calls.toArray.toSeq === Seq("one", "two")) // "one" exactly once
+  }
 }

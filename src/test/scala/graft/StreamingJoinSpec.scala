@@ -70,6 +70,25 @@ class StreamingJoinSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (2L, -1L)))
   }
 
+  test("stream-static join: streaming facts enriched against a broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val joined = mem.toDF().toDF("ts", "user")
+      .join(broadcast(dim), Seq("user"), "left")
+    val q = joined.writeStream.format("memory").queryName("ssdim")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(0), 1L), (ts(1), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("SELECT user, tier FROM ssdim").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "none" else r.getString(1))).toSet
+    assert(got === Set((1L, "gold"), (3L, "none")))
+  }
+
   test("flatMapGroupsWithState: zero-or-more outputs per group and batch") {
     val s = spark
     import s.implicits._
