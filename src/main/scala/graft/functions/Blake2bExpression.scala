@@ -60,5 +60,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, intArg(exprs, 1, 3))))
   }
+
+  /** Literal-int argument for SQL builders (e.g. shingle_hashes(arr, 3)),
+    * with a default when the argument is omitted. */
+  private def intArg(exprs: Seq[Expression], i: Int, dflt: Int): Int =
+    if (exprs.length <= i) dflt
+    else exprs(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an INT literal, got $other")
+    }
 }

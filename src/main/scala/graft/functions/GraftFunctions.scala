@@ -62,6 +62,14 @@ object GraftFunctions {
       exprs => Blake2bHash(exprs.head, 512))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_dot",
       exprs => DotProduct(exprs.head, exprs(1)))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs.lift(1) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case None => 3
+          case Some(other) => throw new IllegalArgumentException(
+            s"shingle_hashes: n must be an INT literal, got $other")
+        }))
     spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))
   }
 }

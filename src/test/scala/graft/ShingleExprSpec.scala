@@ -41,6 +41,35 @@ class ShingleExprSpec extends SparkSpec {
     assert(got(1) === got(2))
   }
 
+  test("SQL registration: shingle_hashes callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT size(shingle_hashes(array('a','b','c','d'), 3)) AS n, " +
+      "size(shingle_hashes(split('a b c d', ' '))) AS dflt")
+      .collect()(0)
+    assert(got.getInt(0) === 2)
+    assert(got.getInt(1) === 2) // default n = 3
+  }
+
+  test("property: hash-set size matches a pure-Scala string-shingle reference on random inputs") {
+    val rnd = new scala.util.Random(7)
+    val s = spark
+    import s.implicits._
+    val texts = (0 until 200).map { _ =>
+      val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "b")
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def refCount(t: String, n: Int): Int = {
+      val toks = t.split(" ", -1)
+      if (toks.length < n) 0
+      else toks.sliding(n).map(_.mkString(" ")).toSet.size
+    }
+    val got = texts.toDF("text")
+      .select(size(Dedup.hashedShingles(col("text"))).as("n"))
+      .collect().map(_.getInt(0))
+    texts.zip(got).foreach { case (t, n) => assert(n === refCount(t, 3), s"text='$t'") }
+  }
+
   test("stays inside whole-stage codegen") {
     val df = Tables.documents(spark, SparkSpec.sf0001)
       .select(Dedup.hashedShingles(col("text")).as("h"))
