@@ -100,4 +100,18 @@ class QueriesSpec extends SparkSpec {
     assert(plan(run("q40_cosine_topk")).contains("vec_dot"))
     assert(plan(run("q32_jaccard_neardup")).contains("shingle_hashes"))
   }
+
+  test("SQL-first surface: registerAll + spark.sql + native fns end to end") {
+    Tables.registerAll(spark, sf0001)
+    graft.functions.GraftFunctions.register(spark)
+    val sqlRows = spark.sql(
+      """SELECT n_name, count(*) AS n, blake2b_256(n_name) AS h
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+    assert(sqlRows.length === 5)
+    assert(sqlRows.forall(_.getString(2).length === 64))
+    // events view gets the nanos→micros ts conversion too
+    val ts = spark.sql("SELECT max(ts) FROM events").collect()(0)
+    assert(!ts.isNullAt(0))
+  }
 }
