@@ -84,15 +84,28 @@ object Dedup {
     * index: explode distinct shingles → equi-self-join on shingle →
     * shared-count per pair → Jaccard ≥ `minJaccard`. Join work is Σ df²
     * over shingles — bounded and shuffle-friendly; at extreme corpus sizes
-    * swap candidate generation for [[minHashLshPairs]]. */
-  def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
+    * swap candidate generation for [[minHashLshPairs]].
+    *
+    * `pruneSingletons` adds a df>1 prefilter on the inverted index: a
+    * shingle in exactly one document can never form a pair, so dropping
+    * singletons shrinks the self-join's input without changing the result
+    * (Jaccard sizes come from the per-doc arrays, not the pruned index).
+    * Worth it when df-skew is real (big corpora, boilerplate shingles);
+    * measured a wash at sf0.1 where the extra aggregation pass costs as
+    * much as the join it saves — hence opt-in. */
+  def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
+                          pruneSingletons: Boolean = false): DataFrame = {
     // shingle identity = 64-bit hash (native expression): the shuffle
     // carries 8-byte keys instead of shingle strings; counts and set sizes
     // are unchanged w.h.p. (a cross-doc collision needs ~2^32 distinct
     // shingles per pair)
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    val ex = if (!pruneSingletons) ex0 else {
+      val hot = ex0.groupBy("sg").count().filter(col("count") > 1).select("sg")
+      ex0.join(broadcast(hot), Seq("sg"), "left_semi")
+    }
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

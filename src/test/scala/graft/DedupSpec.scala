@@ -38,6 +38,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("df>1 pruning changes nothing: pruned == unpruned pair sets and jaccards") {
+    val plain = Dedup.jaccardNearDupPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Dedup.jaccardNearDupPairs(docs, 0.8, pruneSingletons = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.nonEmpty)
+    assert(pruned === plain)
+  }
+
   test("simhash: near-dup pairs are close in hamming distance, random pairs far") {
     val sh = Dedup.simHash(docs).select("doc_id", "simhash")
     val pairs = Dedup.jaccardNearDupPairs(docs, 0.8).select("doc_a", "doc_b")
