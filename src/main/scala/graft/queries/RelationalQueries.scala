@@ -263,6 +263,35 @@ object RelationalQueries {
       .orderBy("bucket_ms")
   }
 
+  /** Time-series gap fill: per-user dense hourly series (sequence +
+    * explode) left-joined against actual counts, zero-filled — hours with
+    * no events appear with n = 0. */
+  val q61GapFill: Q = q("q61_gap_fill",
+    """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+      |            FROM events WHERE user_id < 10),
+      |counts AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n,
+      |           round(sum(value), 2) AS sum_value FROM ev GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+      |dense AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |          FROM spans)
+      |SELECT d.user_id, epoch_ms(d.h) AS hour_ms,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n,
+      |  round(coalesce(sum_value, 0), 2) AS sum_value
+      |FROM dense d LEFT JOIN counts c ON d.user_id = c.user_id AND d.h = c.h
+      |ORDER BY d.user_id, hour_ms""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+    val counts = ev.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val dense = ev.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    dense.join(counts, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_millis(col("h")).as("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("sum_value"), lit(0d)), 2).as("sum_value"))
+      .orderBy("user_id", "hour_ms")
+  }
+
   // ------------------------------------------------------------ aggregations
 
   /** Distinct aggregation: exact count_distinct + plain aggs per status. */
@@ -847,7 +876,7 @@ object RelationalQueries {
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
     q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
     q39StringAgg, q48WindowFrames, q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
-    q08AggDistinct, q09Rollup, q10Cube, q49StatAggs,
+    q61GapFill, q08AggDistinct, q09Rollup, q10Cube, q49StatAggs,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
