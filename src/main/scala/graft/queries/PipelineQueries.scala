@@ -433,11 +433,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Typed-UDAF surface in the registry: group-wise MinHash signature per
+    * (lang, source) — the signature of the shingle UNION of the group
+    * (MinHash is a lattice homomorphism, so partial aggregation merges
+    * map-side and the shuffle carries 128 longs per group, not shingles).
+    * Rows-only: signature values are engine-internal; NativeHashSpec pins
+    * them against a direct union computation. */
+  val q62GroupMinhash: Q = rowsOnly("q62_group_minhash") { (s, d) =>
+    import graft.ops.MinHashSignatureAgg
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), Dedup.shingles(col("text")).as("sh"))
+      .groupBy("lang", "source")
+      .agg(MinHashSignatureAgg.asColumn(Seq(col("sh"))).as("sig"))
+      .select(col("lang"), col("source"),
+        size(col("sig")).cast("long").as("sig_len"),
+        // stable 16-hex fingerprint of the signature for eyeballing
+        lower(hex(xxhash64(concat_ws(",", col("sig"))))).as("sig_hash"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
     q44AnnIvf,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
-    q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation)
+    q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
+    q62GroupMinhash)
 }
