@@ -63,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head, intArg(exprs, 1, 3))))
+    e.injectFunction((new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head,
+        intArg(exprs, 1, 128), intArg(exprs, 2, 32))))
+    e.injectFunction((new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 
   /** Literal-int argument for SQL builders (e.g. shingle_hashes(arr, 3)),

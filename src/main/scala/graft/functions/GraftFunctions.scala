@@ -70,6 +70,10 @@ object GraftFunctions {
           case Some(other) => throw new IllegalArgumentException(
             s"shingle_hashes: n must be an INT literal, got $other")
         }))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "minhash_band_keys",
+      exprs => MinHashBandKeys(exprs.head, 128, 32))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "simhash64",
+      exprs => SimHash64(exprs.head))
     spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))
   }
 }

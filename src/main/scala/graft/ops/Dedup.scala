@@ -128,7 +128,7 @@ object Dedup {
   /** Band signature keys for a pre-hashed shingle set: minhash under
     * `MinHashes` seeded splitmix64 families, folded into one 64-bit key
     * per band. */
-  private[ops] def bandKeys(hashed: Seq[Long]): Seq[Long] = {
+  private[graft] def bandKeys(hashed: Seq[Long]): Seq[Long] = {
     if (hashed == null || hashed.isEmpty) return Seq.empty
     val base = hashed.toArray
     val mins = new Array[Long](MinHashes)
@@ -155,7 +155,11 @@ object Dedup {
     }
   }
 
-  private val bandKeysUdf = udf((hs: Seq[Long]) => bandKeys(hs))
+  /** Band-key column: native codegen'd [[graft.functions.MinHashBandKeys]]
+    * (bit-identical to [[bandKeys]], which stays as the spec's reference
+    * implementation for the parity test and the group-MinHash UDAF). */
+  private def bandKeysCol(hashes: Column): Column =
+    graft.functions.MinHashFunctions.minHashBandKeys(hashes, MinHashes, Bands)
 
   /** MinHash-LSH near-dup pairs: band signatures → equi-self-join on band
     * key (candidate pairs, no cross join) → exact Jaccard confirm ≥
@@ -163,7 +167,7 @@ object Dedup {
     * jaccard). */
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val banded = sh.select(col("doc_id"), explode(bandKeysUdf(col("s"))).as("band"))
+    val banded = sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -185,7 +189,7 @@ object Dedup {
   }
 
   /** 64-bit SimHash over pre-hashed shingles. */
-  private[ops] def simHash64(hashes: Seq[Long]): Long = {
+  private[graft] def simHash64(hashes: Seq[Long]): Long = {
     val acc = new Array[Int](64)
     hashes.foreach { h =>
       var b = 0
@@ -200,12 +204,15 @@ object Dedup {
     out
   }
 
-  private val simHashUdf = udf((hs: Seq[Long]) => simHash64(hs))
+  /** SimHash column: native codegen'd [[graft.functions.SimHash64]]
+    * (bit-identical to [[simHash64]], the reference implementation). */
+  private def simHashCol(hashes: Column): Column =
+    graft.functions.MinHashFunctions.simHash64(hashes)
 
   /** Per-document SimHash fingerprint (hex) + shingle count. */
   def simHash(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-      .select(col("doc_id"), lpad(hex(simHashUdf(col("s"))), 16, "0").as("simhash"),
+      .select(col("doc_id"), lpad(hex(simHashCol(col("s"))), 16, "0").as("simhash"),
         size(col("s")).cast("long").as("n_shingles"))
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
@@ -216,7 +223,7 @@ object Dedup {
     require(maxHamming <= 3,
       "4 bands of 16 bits guarantee candidate completeness only for hamming <= 3")
     val fp = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-      .select(col("doc_id"), simHashUdf(col("s")).as("h"))
+      .select(col("doc_id"), simHashCol(col("s")).as("h"))
     val banded = fp.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

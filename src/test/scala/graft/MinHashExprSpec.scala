@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MinHashFunctions
+import graft.ops.Dedup
+
+/** Native MinHashBandKeys / SimHash64 expressions vs the pure-Scala
+  * reference implementations in [[graft.ops.Dedup]] (bit-parity). */
+class MinHashExprSpec extends SparkSpec {
+
+  test("band keys: bit-parity vs Dedup.bandKeys on real docs") {
+    val rows = Tables.documents(spark, SparkSpec.sf0001)
+      .select(Dedup.hashedShingles(col("text")).as("s"))
+      .select(col("s"),
+        MinHashFunctions.minHashBandKeys(col("s"), Dedup.MinHashes, Dedup.Bands).as("bk"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ref = Dedup.bandKeys(r.getSeq[Long](0))
+      assert(r.getSeq[Long](1) === ref)
+    }
+  }
+
+  test("simhash: bit-parity vs Dedup.simHash64 on real docs") {
+    val rows = Tables.documents(spark, SparkSpec.sf0001)
+      .select(Dedup.hashedShingles(col("text")).as("s"))
+      .select(col("s"), MinHashFunctions.simHash64(col("s")).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === Dedup.simHash64(r.getSeq[Long](0)))
+    }
+  }
+
+  test("edge cases: empty array → empty bands / simhash 0; null → null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Seq.empty[Long]), (2, Seq(42L, -7L))).toDF("id", "s")
+      .union(Seq((3, null.asInstanceOf[Seq[Long]])).toDF("id", "s"))
+    val got = df
+      .select(col("id"),
+        MinHashFunctions.minHashBandKeys(col("s"), 128, 32).as("bk"),
+        MinHashFunctions.simHash64(col("s")).as("h"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Long](1).isEmpty)
+    assert(got(0).getLong(2) === 0L)
+    assert(got(1).getSeq[Long](1).length === 32)
+    assert(got(1).getLong(2) === Dedup.simHash64(Seq(42L, -7L)))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+  }
+
+  test("SQL registration: minhash_band_keys / simhash64 callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT size(minhash_band_keys(shingle_hashes(split('a b c d e', ' '), 3))) AS nb, " +
+      "simhash64(shingle_hashes(split('a b c d e', ' '), 3)) AS h").collect()(0)
+    assert(got.getInt(0) === 32)
+    val refHashes = Tables.documents(spark, SparkSpec.sf0001).sparkSession
+      .sql("SELECT shingle_hashes(split('a b c d e', ' '), 3) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(got.getLong(1) === Dedup.simHash64(refHashes))
+  }
+
+  test("stays inside whole-stage codegen") {
+    val df = Tables.documents(spark, SparkSpec.sf0001)
+      .select(Dedup.hashedShingles(col("text")).as("s"))
+      .select(MinHashFunctions.minHashBandKeys(col("s"), 128, 32).as("bk"),
+        MinHashFunctions.simHash64(col("s")).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(1000))
+    assert(p.contains("minhash_band_keys"), p.take(1000))
+    assert(p.contains("simhash64"), p.take(1000))
+  }
+
+  test("invalid input type fails analysis, not runtime") {
+    val err = intercept[Exception] {
+      Tables.documents(spark, SparkSpec.sf0001)
+        .select(MinHashFunctions.simHash64(col("text")))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"), err.getMessage)
+  }
+}
