@@ -12,7 +12,9 @@ import graft.functions.GraftFunctions
   *
   * Semantics preserved:
   *  - envelope `{method, context{group,uid}, args}` (`catenae.py:381-389`);
-  *  - addressing: a link name, or `broadcast` (`catenae.py:124-127`);
+  *  - addressing: a link name, a specific instance uid (the reference's
+  *    per-uid topic, `catenae.py:133-134`, topic scheme `catenae.py:380`),
+  *    or `broadcast` (`catenae.py:124-127`);
   *  - every instance sees every call — the dispatcher checkpoints under
   *    the instance uid, not the group (`catenae.py:480`);
   *  - self-skip (`catenae.py:490-491`);
@@ -33,39 +35,47 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
   val uid: String = stableUid.getOrElse(GraftFunctions.getUid())
   val ControlStream = "catenae_rpc"
 
-  /** A fresh dispatcher starts at the *current end* of the control stream:
-    * calls sent before this instance existed are not re-executed (a
-    * side-effect-replay hazard otherwise — every restart under a new uid
-    * would replay the full RPC history). Set `replayHistory=true` to opt
-    * back into full-history dispatch. */
-  private val bornAtMs: Long = System.currentTimeMillis()
-
   private val envelopeSchema = StructType(Seq(
     StructField("to", StringType), StructField("method", StringType),
     StructField("args", ArrayType(StringType)),
     StructField("from_uid", StringType), StructField("from_group", StringType),
-    StructField("sent_at_ms", LongType)))
+    StructField("sent_at_ms", LongType), StructField("seq", LongType)))
 
   registry.declare(ControlStream, envelopeSchema)
 
-  /** Invoke `method` on `to` (a link name or "broadcast") — append the
-    * envelope to the control stream (reference `rpc_notify`). */
+  /** A fresh dispatcher starts at the *current end* of the control stream:
+    * calls sent before this instance existed are not re-executed (a
+    * side-effect-replay hazard otherwise — every restart under a new uid
+    * would replay the full RPC history). The fence is the control stream's
+    * monotonic sequence (log position), NOT a wall clock: clocks skew
+    * across hosts, so a timestamp fence can wrongly skip a just-sent call
+    * from a slow-clock sender or replay an old one from a fast-clock
+    * sender. Set `replayHistory=true` to opt back into full-history
+    * dispatch. */
+  private val bornSeq: Long = registry.peekSeq(ControlStream)
+
+  /** Invoke `method` on `to` (a link name, an instance uid, or
+    * "broadcast") — append the envelope to the control stream (reference
+    * `rpc_notify`). `sent_at_ms` is observability metadata only; ordering
+    * and replay fencing use the registry-allocated `seq`. */
   def notify(method: String, args: Seq[String], to: String = "broadcast"): Unit = {
     val df = spark.createDataFrame(
       java.util.List.of(Row(to, method, args, uid, linkName,
-        java.lang.Long.valueOf(System.currentTimeMillis()))), envelopeSchema)
+        java.lang.Long.valueOf(System.currentTimeMillis()),
+        java.lang.Long.valueOf(registry.nextSeq(ControlStream)))), envelopeSchema)
     registry.write(df, ControlStream)
   }
 
   /** Number of calls dispatched (for observability/tests). */
   @volatile var dispatched: Long = 0L
 
-  /** Start the dispatcher: filters to us, skips our own calls, whitelists
-    * methods, and executes serially per microbatch. */
+  /** Start the dispatcher: filters to us (group name, instance uid, or
+    * broadcast), skips our own calls, whitelists methods, and executes
+    * serially per microbatch. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     registry.readStream(ControlStream)
-      .filter(col("to").isin(linkName, "broadcast"))
-      .filter(if (replayHistory) lit(true) else col("sent_at_ms") >= bornAtMs)
+      .filter(col("to").isin(linkName, uid, "broadcast"))
+      .filter(if (replayHistory) lit(true) else col("seq") > bornSeq)
       .writeStream
       .option("checkpointLocation", registry.checkpointDir(s"rpc_$uid", ControlStream))
       .trigger(trigger)

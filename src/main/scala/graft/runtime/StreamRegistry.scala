@@ -115,4 +115,50 @@ class StreamRegistry(spark: SparkSession, val root: String,
     if (!exists(name)) persistSchema(name, schema)
     Files.createDirectories(Paths.get(streamDir(name)))
   }
+
+  // ------------------------------------------------------- sequence counter
+
+  private def seqPath(name: String): Path = Paths.get(s"$root/seq/$name.seq")
+
+  /** Allocate the next value of a monotonic per-stream sequence. Writers
+    * stamp it on control-plane envelopes so consumers can order/fence by
+    * log position instead of wall clocks (which skew across hosts). The
+    * counter is guarded by an OS file lock, so it is monotonic across
+    * processes sharing the registry root; a JVM-wide mutex avoids the
+    * same-JVM `OverlappingFileLockException`. Control-plane rate only —
+    * not for data-path use. */
+  def nextSeq(name: String): Long = withSeqLock(name) { (ch, cur) =>
+    val next = cur + 1
+    ch.truncate(0)
+    ch.write(java.nio.ByteBuffer.wrap(next.toString.getBytes(StandardCharsets.UTF_8)), 0)
+    next
+  }
+
+  /** Read the sequence's current high-water mark without advancing it
+    * (0 if nothing was ever allocated). */
+  def peekSeq(name: String): Long = withSeqLock(name) { (_, cur) => cur }
+
+  private def withSeqLock[A](name: String)(
+      f: (java.nio.channels.FileChannel, Long) => A): A =
+    StreamRegistry.seqMutex.synchronized {
+      import java.nio.file.StandardOpenOption._
+      val p = seqPath(name)
+      Files.createDirectories(p.getParent)
+      val ch = java.nio.channels.FileChannel.open(p, CREATE, READ, WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val buf = java.nio.ByteBuffer.allocate(32)
+          val n = ch.read(buf, 0)
+          val cur =
+            if (n <= 0) 0L
+            else new String(buf.array(), 0, n, StandardCharsets.UTF_8).trim.toLong
+          f(ch, cur)
+        } finally lock.release()
+      } finally ch.close()
+    }
+}
+
+object StreamRegistry {
+  private val seqMutex = new Object
 }

@@ -183,4 +183,47 @@ class LinkRuntimeSpec extends SparkSpec {
 
     assert(calls.toArray.toSeq === Seq("one", "two")) // "one" exactly once
   }
+
+  test("RPC: per-uid addressing targets one instance of a same-named group (catenae.py:133-134)") {
+    val reg = freshRegistry()
+    val c1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val c2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sender = new Rpc(spark, reg, "Sender", Map.empty)
+    // two replicas of the SAME group, distinct instance uids
+    val twin1 = new Rpc(spark, reg, "Twin",
+      Map("ping" -> (args => c1.add(args.mkString(",")))), stableUid = Some("twin-uid-1"))
+    val twin2 = new Rpc(spark, reg, "Twin",
+      Map("ping" -> (args => c2.add(args.mkString(",")))), stableUid = Some("twin-uid-2"))
+
+    sender.notify("ping", Seq("both"), to = "Twin")       // group: both replicas
+    sender.notify("ping", Seq("only1"), to = "twin-uid-1") // instance: only twin1
+    twin1.start().awaitTermination()
+    twin2.start().awaitTermination()
+
+    assert(c1.toArray.toSet === Set("both", "only1"))
+    assert(c2.toArray.toSeq === Seq("both")) // same-named sibling ignores the uid call
+  }
+
+  test("RPC: replay fence is the log sequence, immune to sender clock skew") {
+    val reg = freshRegistry()
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sender = new Rpc(spark, reg, "Sender", Map.empty)
+    sender.notify("ping", Seq("pre-birth"), to = "Receiver") // before the receiver exists
+
+    val receiver = new Rpc(spark, reg, "Receiver",
+      Map("ping" -> (args => calls.add(args.mkString(",")))))
+    // A sender whose wall clock runs an hour SLOW: the envelope's
+    // sent_at_ms predates the receiver's birth, but its seq is post-birth.
+    // A timestamp fence would wrongly skip this just-sent call.
+    val skewedMs = java.lang.Long.valueOf(System.currentTimeMillis() - 3600L * 1000)
+    val schema = reg.schemaOf("catenae_rpc")
+    reg.write(spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("Receiver", "ping", Seq("skewed"),
+        "slow-clock-sender", "Sender", skewedMs,
+        java.lang.Long.valueOf(reg.nextSeq("catenae_rpc")))), schema), "catenae_rpc")
+    receiver.start().awaitTermination()
+
+    assert(calls.toArray.toSeq === Seq("skewed")) // dispatched despite old timestamp;
+                                                  // pre-birth call still fenced out
+  }
 }
