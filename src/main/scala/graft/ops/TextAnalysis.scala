@@ -61,8 +61,11 @@ object TextAnalysis {
                    eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
     import org.apache.spark.sql.functions.{count => fcount}
     val toksDf = docs.select(explode(tokens(col("text"))).as("tok"))
-    val total = toksDf.count()
+    // ONE pass builds the sketch; the stream length falls out of it for
+    // free (CountMinSketch tracks totalCount of added items) — no separate
+    // count() scan over the exploded tokens.
     val sketch = toksDf.stat.countMinSketch("tok", eps, confidence, seed = 42)
+    val total = sketch.totalCount()
     val threshold = (total * minShare).toLong
     val spark = docs.sparkSession
     val bSketch = spark.sparkContext.broadcast(sketch)
