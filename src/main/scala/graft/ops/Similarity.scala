@@ -164,6 +164,39 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** The composed corpus-scale near-dup path: sign-LSH bucket candidates →
+    * exact cosine confirm, over the FULL table — no quadratic stage
+    * anywhere. Candidate generation is a self-equi-join on (table,
+    * signature) buckets that shuffles only 16-byte id pairs (vectors are
+    * re-attached after the distinct); the confirm stage computes exact
+    * cosine on candidates only, so the output is exactly the ≥ `minCos`
+    * pair set whenever every qualifying pair shares at least one bucket.
+    * For the near-dup regime this targets (cos ≥ 0.9, i.e. genuine
+    * duplicates), the per-pair miss probability at the defaults is
+    * (1 − p^planes)^tables with p = 1 − θ/π ≈ 0.95+ — under 1e-7; the
+    * fixture check is exact (SimilaritySpec asserts equality with the
+    * quadratic [[cosineNearDupPairs]], and the q63 oracle re-derives the
+    * pair set in SQL). Same scale shape as MinHash-LSH is for Jaccard
+    * (`Dedup.minHashLshPairs`): bucket → candidate ids → confirm. */
+  def lshCosineNearDupPairs(emb: DataFrame, minCos: Double,
+                            planes: Int = 8, tables: Int = 12): DataFrame = {
+    def sigs(c: Column) = graft.functions.VectorFunctions.lshSignatures(c, planes, tables)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val b = v.select(col("vec_id"), explode(sigs(col("v"))).as("bucket"))
+    val candIds = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = v.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .withColumn("na", norm(col("va")))
+    val vb = v.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    candIds.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Approximate NN via sign-LSH buckets: candidates share a (table,
     * signature) bucket; exact cosine + top-k on candidates only. Output
     * shape matches [[cosineTopK]] (ranks may be sparse if < k candidates).

@@ -204,6 +204,46 @@ object PipelineQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The composed at-scale cosine near-dup path over the FULL embeddings
+    * table: LSH-bucket candidates → exact cosine confirm — no vec_id
+    * bound, no quadratic stage ([[Similarity.lshCosineNearDupPairs]]).
+    *
+    * The fixture embeddings are i.i.d. random (max pairwise cos ≈ 0.6 at
+    * sf0.1 — random high-dim vectors have no true near-dups), which is
+    * outside the regime LSH near-dup targets. So the query plants one
+    * deterministic near-dup per vector: a copy (vec_id + 100000) perturbed
+    * element-wise by x → x + 0.2·x·x. Only IEEE-exact double ops (mul/add,
+    * same association order in both engines), so Spark and DuckDB build
+    * bit-identical corpora; each planted pair lands at cos ≈ 0.998 while
+    * the random background stays ≤ 0.61 — at minCos = 0.9 the planted
+    * pairs are exactly the answer, with a wide margin on both sides. The
+    * oracle re-derives the pair set quadratically in SQL, so a green hash
+    * match proves the LSH path loses no qualifying pair (recall 1.0 at
+    * the fixed plane seed; SimilaritySpec asserts the same equality in
+    * Scala against the quadratic confirm). */
+  val q63LshCosineNeardup: Q = q("q63_lsh_cosine_neardup",
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |aug AS (SELECT vec_id, v FROM base
+      |        UNION ALL
+      |        SELECT vec_id + 100000, list_transform(v, x -> x + 0.2 * x * x) FROM base),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS raw
+      |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE raw >= 0.9
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding")))
+    Similarity.lshCosineNearDupPairs(aug, minCos = 0.9)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF approximate NN (k-means coarse quantizer, nprobe cells per
     * query). Rows-only; SimilaritySpec measures recall vs exact. */
   val q44AnnIvf: Q = rowsOnly("q44_ann_ivf") { (s, d) =>
@@ -456,7 +496,7 @@ object PipelineQueries {
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
     q35Fingerprint, q40CosineTopk, q41AnnLsh, q42EmbeddingStats, q43CosineNeardup,
-    q44AnnIvf,
+    q44AnnIvf, q63LshCosineNeardup,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
     q62GroupMinhash)

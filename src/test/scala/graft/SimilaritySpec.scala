@@ -52,6 +52,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("lshCosineNearDupPairs == quadratic confirm on planted near-dups (recall 1.0)") {
+    // Same augmentation as q63: one perturbed copy per vector plants a
+    // cos≈0.998 near-dup pair; background random pairs stay ≤0.61. The
+    // LSH-bucketed path must recover EXACTLY the quadratic answer — a
+    // lost bucket collision would show up as a missing pair here.
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(aug, minCos = 0.9))
+    val lsh = pairs(Similarity.lshCosineNearDupPairs(aug, minCos = 0.9))
+    assert(exact.nonEmpty, "augmentation must plant qualifying pairs")
+    assert(lsh === exact)
+  }
+
+  test("lshCosineNearDupPairs plan has no cartesian/broadcast-NLJ stage") {
+    val base = Tables.embeddings(spark, sf0001)
+    val plan = Similarity.lshCosineNearDupPairs(base, minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("ann candidates are a subset of real corpus ids, no self-matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val ann = Similarity.annLsh(emb.filter(col("vec_id") < 5), emb, k = 5)
