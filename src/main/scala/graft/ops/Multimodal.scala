@@ -8,19 +8,27 @@ import org.apache.spark.sql.functions._
   * a real decoder would be initialized once per partition (executor-local),
   * not once per row.
   *
-  * The container ships no image/audio libs, so `decodeStub` derives
-  * deterministic fake features from the bytes — clearly marked STUB. The
-  * Spark-side contract (schema, batch shape, partition-scoped init,
-  * encoder-based Dataset plumbing) is the real, tested part; swapping the
-  * stub body for e.g. a JNI JPEG decoder changes no plan shape.
+  * `decode` REALLY parses image payloads: width/height/channels/format come
+  * from the public container headers (PNG IHDR, BMP BITMAPINFOHEADER, GIF
+  * logical screen descriptor, JPEG SOFn) via [[ImageHeaders]] — pure JVM,
+  * no dependencies, O(header) bytes inspected per row, which is exactly the
+  * metadata pass you want at 100 TB (no pixel decode to answer "what sizes
+  * are in this corpus"). Payloads that are not a recognized image fall back
+  * to deterministic pseudo-features derived from the byte stream (clearly
+  * marked; the fixture corpora carry text payloads), so pipelines remain
+  * total and reproducible. Full pixel decode (e.g. a JNI JPEG library)
+  * would slot into the same per-partition init point without changing the
+  * plan shape.
   */
 object Multimodal {
 
-  /** Typed metadata row produced by the decode stage. */
+  /** Typed metadata row produced by the decode stage. For recognized image
+    * payloads the dimension fields are parsed from the real container
+    * header ([[ImageHeaders.parse]]); otherwise they are deterministic
+    * pseudo-features (see [[decode]]). */
   case class MediaFeature(
       doc_id: Long,
       n_bytes: Long,
-      // STUB-decoded fields (deterministic fakes; see decodeStub):
       width: Int,
       height: Int,
       channels: Int,
@@ -32,14 +40,22 @@ object Multimodal {
   def withBinaryPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
-  /** STUB media decode: a real implementation would decode image/audio
-    * bytes here (`??? decode library not available in this container`);
-    * the fake derives width/height/format deterministically from the
-    * payload so tests can pin exact outputs. Partition-scoped "decoder"
-    * init mimics per-executor native-lib setup. */
-  def decodeStub(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
+  /** Media decode: real image-header parsing where the payload is a
+    * recognized format (PNG/BMP/GIF/JPEG — [[ImageHeaders.parse]]), else
+    * deterministic pseudo-features derived from the byte stream (the
+    * pre-header-parser fallback, kept bit-identical so text-payload
+    * pipelines are stable across versions). Partition-scoped "decoder"
+    * init point mimics per-executor native-lib setup; pixel-level decode
+    * would plug in there. */
+  def decode(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] =
+    decodePayloads(spark, withBinaryPayload(docs))
+
+  /** [[decode]] over a frame that already carries the media blob in a
+    * `payload` binary column (the real ingestion shape — blobs land as
+    * binary, not text). */
+  def decodePayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
-    withBinaryPayload(docs)
+    docs
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -48,17 +64,26 @@ object Multimodal {
           var cs = 0xcbf29ce484222325L
           var i = 0
           while (i < bytes.length) { cs ^= (bytes(i) & 0xffL); cs *= 0x100000001b3L; i += 1 }
-          MediaFeature(
-            doc_id = id,
-            n_bytes = bytes.length.toLong,
-            width = 64 + (((cs % 960) + 960) % 960).toInt,
-            height = 64 + ((((cs >>> 17) % 960) + 960) % 960).toInt,
-            channels = 1 + ((((cs >>> 31) % 3) + 3) % 3).toInt,
-            format = if ((cs & 1L) == 0L) "png" else "jpeg",
-            checksum = cs)
+          ImageHeaders.parse(bytes) match {
+            case Some(h) => MediaFeature(id, bytes.length.toLong,
+              h.width, h.height, h.channels, h.format, cs)
+            case None => MediaFeature( // deterministic fallback (non-image payload)
+              doc_id = id,
+              n_bytes = bytes.length.toLong,
+              width = 64 + (((cs % 960) + 960) % 960).toInt,
+              height = 64 + ((((cs >>> 17) % 960) + 960) % 960).toInt,
+              channels = 1 + ((((cs >>> 31) % 3) + 3) % 3).toInt,
+              format = if ((cs & 1L) == 0L) "png" else "jpeg",
+              checksum = cs)
+          }
         }
       }
   }
+
+  /** Pre-round-4 name for [[decode]] (when all formats were stubbed). */
+  @deprecated("use decode — header parsing is real now", "0.4")
+  def decodeStub(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] =
+    decode(spark, docs)
 
   /** Resize stub: maps decoded media features to target dimensions
     * preserving aspect ratio (longest side = `maxSide`). The arithmetic is

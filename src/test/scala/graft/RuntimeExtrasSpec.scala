@@ -82,10 +82,47 @@ class RuntimeExtrasSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty)
   }
 
-  test("multimodal stub: deterministic features, real schema/partition plumbing") {
+  test("multimodal decode: real PNG/BMP/GIF/JPEG header parsing (ImageIO cross-check)") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val out = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"ImageIO lacks $fmt writer")
+      out.toByteArray
+    }
+    for ((fmt, w, h) <- Seq(("png", 640, 360), ("bmp", 33, 47),
+                            ("gif", 12, 5), ("jpeg", 100, 64))) {
+      val meta = graft.ops.ImageHeaders.parse(encoded(fmt, w, h))
+      assert(meta.isDefined, s"$fmt not recognized")
+      assert(meta.get.format === fmt)
+      assert((meta.get.width, meta.get.height) === ((w, h)), fmt)
+      assert(meta.get.channels === 3, fmt)
+    }
+  }
+
+  test("multimodal decode: pinned 1x1 RGBA PNG byte literal through the Spark path") {
+    // the canonical 1×1 transparent PNG (colour type 6 → RGBA)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val direct = graft.ops.ImageHeaders.parse(png)
+    assert(direct === Some(graft.ops.ImageHeaders.ImageMeta(1, 1, 4, "png")))
+    // and end-to-end as a binary payload column through decodePayloads
+    val df = spark.createDataFrame(Seq((7L, png))).toDF("doc_id", "payload")
+    val m = Multimodal.decodePayloads(spark, df).collect()
+    assert(m.length === 1)
+    assert(m.head === Multimodal.MediaFeature(7L, png.length.toLong, 1, 1, 4, "png",
+      m.head.checksum))
+    // truncated header → not recognized → deterministic fallback, no throw
+    val trunc = spark.createDataFrame(Seq((8L, png.take(20)))).toDF("doc_id", "payload")
+    val t = Multimodal.decodePayloads(spark, trunc).collect().head
+    assert(t.n_bytes === 20L && t.width >= 64)
+  }
+
+  test("multimodal decode: deterministic fallback features, real schema/partition plumbing") {
     val docs = Tables.documents(spark, SparkSpec.sf0001).limit(50)
-    val f1 = Multimodal.decodeStub(spark, docs).collect().sortBy(_.doc_id)
-    val f2 = Multimodal.decodeStub(spark, docs).collect().sortBy(_.doc_id)
+    val f1 = Multimodal.decode(spark, docs).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decode(spark, docs).collect().sortBy(_.doc_id)
     assert(f1.toSeq === f2.toSeq) // stub is deterministic
     assert(f1.forall(m => m.width >= 64 && m.height >= 64 && m.channels >= 1))
     assert(f1.forall(m => m.format == "png" || m.format == "jpeg"))
@@ -99,7 +136,7 @@ class RuntimeExtrasSpec extends SparkSpec {
   test("multimodal resize stub preserves aspect ratio, caps longest side") {
     implicit val s: SparkSession = spark
     val docs = Tables.documents(spark, SparkSpec.sf0001).limit(30)
-    val feats = Multimodal.decodeStub(spark, docs)
+    val feats = Multimodal.decode(spark, docs)
     val resized = Multimodal.resizeStub(feats, maxSide = 128).collect()
     resized.foreach { m =>
       assert(math.max(m.width, m.height) <= 128 && m.width >= 1 && m.height >= 1)
