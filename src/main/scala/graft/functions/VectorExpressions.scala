@@ -139,6 +139,83 @@ case class LshSignatures(child: Expression, planes: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** Static helper for [[NearestCells]] — the IVF coarse-quantizer
+  * assignment loop as a plain JVM method so generated code calls straight
+  * into primitive arithmetic. */
+object IvfCells {
+
+  /** Indices of the `nprobe` nearest centroids to `v` (squared-L2),
+    * ordered nearest-first, ties broken by lower index — bit-identical to
+    * a stable sort over (index, distance). `flat` is row-major
+    * nlist × dim. */
+  def nearestCells(v: ArrayData, flat: Array[Double], nprobe: Int): ArrayData = {
+    val dim = v.numElements()
+    val nlist = if (dim == 0) 0 else flat.length / dim
+    val d = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var s = 0d
+      var j = 0
+      val off = c * dim
+      while (j < dim) { val t = v.getDouble(j) - flat(off + j); s += t * t; j += 1 }
+      d(c) = s
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nlist)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < nlist) {
+        if (!used(i) && d(i) < bestD) { bestD = d(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** IVF cell assignment of an `array<double>` embedding against a fixed
+  * centroid set — native form of the per-row `cellsOf` UDF (the last
+  * interpreted loop on the ANN path): no Seq[Double] boxing round-trip,
+  * stays in the whole-stage span. The centroids ride along as a plan
+  * reference object (nlist × dim doubles — control-plane sized), so no
+  * broadcast variable is needed. */
+case class NearestCells(child: Expression, centers: Seq[Double], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nprobe >= 1, "nprobe >= 1")
+
+  private lazy val flat: Array[Double] = centers.toArray
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def prettyName: String = s"ivf_cells_$nprobe"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    IvfCells.nearestCells(input.asInstanceOf[ArrayData], flat, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centersRef = ctx.addReferenceObj("ivfCenters", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfCells.nearestCells($c, $centersRef, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -148,4 +225,9 @@ object VectorFunctions {
   /** Column API for [[LshSignatures]]. */
   def lshSignatures(v: Column, planes: Int, tables: Int): Column =
     GraftSqlBridge.column(LshSignatures(GraftSqlBridge.expression(v), planes, tables))
+
+  /** Column API for [[NearestCells]]; `centers` is row-major nlist × dim. */
+  def nearestCells(v: Column, centers: Array[Array[Double]], nprobe: Int): Column =
+    GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(v),
+      centers.flatten.toSeq, nprobe))
 }

@@ -117,16 +117,11 @@ object Similarity {
       .orderBy("vec_id").limit(trainCap)
       .collect().map(_.getSeq[Double](1).toArray)
     val centers = localKMeans(sample, nlist, iters = 5, seed = 42L)
-    val bCenters = spark.sparkContext.broadcast(centers)
-    // cell assignment for the corpus; nprobe nearest cells per query
-    val cellsOf = udf((v: Seq[Double]) => {
-      val cs = bCenters.value
-      cs.indices.map { i =>
-        var d = 0d; var j = 0
-        while (j < v.length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    })
+    // cell assignment: native codegen'd expression; the centroid matrix
+    // rides along as a plan reference object (nlist × dim doubles), so no
+    // broadcast variable or interpreted UDF on the corpus-scan hot path
+    def cellsOf(v: Column) =
+      graft.functions.VectorFunctions.nearestCells(v, centers, nprobe)
     val c = corpus.select(col("vec_id").as("c_id"), col("label"),
         col("embedding").cast("array<double>").as("ce"))
       .withColumn("cn", norm(col("ce")))

@@ -18,6 +18,26 @@ class VectorExprSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("ivf_cells == stable-sort reference on random vectors (native expr parity)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val nlist = 8; val nprobe = 3
+    val centers = Array.fill(nlist)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = Seq.fill(200)(Seq.fill(dim)(rnd.nextGaussian()))
+    // the pre-native reference semantics: stable sortBy squared distance
+    def reference(v: Seq[Double]): Seq[Int] =
+      centers.indices.map { i =>
+        var d = 0d; var j = 0
+        while (j < v.length) { val t = v(j) - centers(i)(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    val s = spark
+    import s.implicits._
+    val got = vecs.toDF("v")
+      .select(VectorFunctions.nearestCells(col("v"), centers, nprobe).as("cells"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    got.zip(vecs.map(reference)).foreach { case (g, r) => assert(g === r) }
+  }
+
   test("vec_dot edge semantics: empty → 0.0, length mismatch → null, null → null") {
     val s = spark
     import s.implicits._
