@@ -41,6 +41,55 @@ object Curation {
     survivorsExact.join(dropList, Seq("doc_id"), "left_anti")
   }
 
+  /** Deterministic train/val/test assignment by content hash — the
+    * leakage-safe split: a document lands in the same split on any
+    * engine, any run, any shard order, because the key is md5(text), not
+    * row position or RNG state (re-sharding a 100 TB corpus must not
+    * reshuffle the eval set). Pure projection — zero shuffle. Buckets
+    * are the first md5 byte (0–255): [0, trainUpper) → train,
+    * [trainUpper, valUpper) → val, rest → test; the defaults give the
+    * classic ~80/10/10. */
+  def hashSplit(docs: DataFrame, trainUpper: Int = 205, valUpper: Int = 230): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int")
+    docs.withColumn("split",
+      when(bucket < trainUpper, "train")
+        .when(bucket < valUpper, "val")
+        .otherwise("test"))
+  }
+
+  /** C4/Gopher-style per-document quality gates. Thresholds follow the
+    * published filters (Gopher: 50–100k words, mean word length 3–10;
+    * the unique-word and top-word-dominance gates are the repetition
+    * family), scaled to the short synthetic fixtures by `minTokens`.
+    * Every metric is a per-row higher-order expression — pure projection,
+    * zero shuffle, embarrassingly parallel at any corpus size. */
+  final case class GateConfig(
+      minTokens: Int = 20,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minUniqRatio: Double = 0.35,
+      maxTopWordShare: Double = 0.15)
+
+  /** Adds one boolean column per gate plus `passes` (the conjunction). */
+  def qualityGates(docs: DataFrame, cfg: GateConfig = GateConfig()): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nt = size(toks)
+    // chars-per-word over the separator-free length: len(text) - (nt - 1)
+    val meanWordLen = (length(col("text")) - nt + 1).cast("double") / nt
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nt
+    val topWordShare = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w)))).cast("double") / nt
+    docs
+      .withColumn("gate_len", nt.between(cfg.minTokens, cfg.maxTokens))
+      .withColumn("gate_word_len",
+        meanWordLen.between(cfg.minMeanWordLen, cfg.maxMeanWordLen))
+      .withColumn("gate_uniq", uniqRatio >= cfg.minUniqRatio)
+      .withColumn("gate_rep", topWordShare <= cfg.maxTopWordShare)
+      .withColumn("passes",
+        col("gate_len") && col("gate_word_len") && col("gate_uniq") && col("gate_rep"))
+  }
+
   /** Curated corpus stats per language (rows-only oracle: upstream uses
     * engine-internal MinHash). */
   def stats(curated: DataFrame): DataFrame =

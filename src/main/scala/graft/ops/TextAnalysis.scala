@@ -51,6 +51,25 @@ object TextAnalysis {
       bpeishTokenCount(col("text")).as("n_tokens_bpe"))
   }
 
+  /** Gopher-style repetition score: the share of all word bigrams taken
+    * by the single most frequent bigram (high → templated/spammy text).
+    * Computed entirely per row with higher-order expressions — no
+    * explode, no shuffle: the bigram list, its distinct set, and the max
+    * occurrence count stay inside one projection, so the operator is a
+    * map-only pass at any corpus size (per-doc cost is O(distinct·len),
+    * bounded by document length, not corpus size). */
+  def topBigramShare(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        size(bg).cast("long").as("n_bigrams"),
+        round(array_max(transform(array_distinct(bg),
+            w => size(filter(bg, x => x === w)))).cast("double") / size(bg), 4)
+          .as("top_bigram_share"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

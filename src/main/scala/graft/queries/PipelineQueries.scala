@@ -492,6 +492,73 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** Deterministic hash split ([[Curation.hashSplit]]): the oracle
+    * recomputes the md5-bucket assignment independently, so a green hash
+    * match proves the split is engine- and run-stable — the property that
+    * makes it leakage-safe. */
+  val q64HashSplit: Q = q("q64_hash_split",
+    """WITH s AS (
+      |  SELECT text, CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT text, ('0x' || substr(md5(text), 1, 2))::INTEGER AS b
+      |        FROM documents))
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    Curation.hashSplit(Tables.documents(s, d))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy("split")
+  }
+
+  /** C4/Gopher quality-gate summary ([[Curation.qualityGates]]): per
+    * source, how many docs fail each gate and how many pass all. The
+    * oracle recomputes every metric from scratch in SQL. */
+  val q65QualityGates: Q = q("q65_quality_gates",
+    """WITH t AS (SELECT source, text, string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT source, len(toks) AS nt,
+      |  ((length(text) - len(toks) + 1))::DOUBLE / len(toks) AS mwl,
+      |  len(list_distinct(toks))::DOUBLE / len(toks) AS uniq,
+      |  list_max(list_transform(list_distinct(toks),
+      |    w -> len(list_filter(toks, x -> x = w))))::DOUBLE / len(toks) AS topshare
+      |  FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE nt < 20 OR nt > 100000) AS BIGINT) AS fail_len,
+      |  CAST(count(*) FILTER (WHERE mwl < 3.0 OR mwl > 10.0) AS BIGINT) AS fail_word_len,
+      |  CAST(count(*) FILTER (WHERE uniq < 0.35) AS BIGINT) AS fail_uniq,
+      |  CAST(count(*) FILTER (WHERE topshare > 0.15) AS BIGINT) AS fail_rep,
+      |  CAST(count(*) FILTER (WHERE nt BETWEEN 20 AND 100000
+      |    AND mwl BETWEEN 3.0 AND 10.0 AND uniq >= 0.35
+      |    AND topshare <= 0.15) AS BIGINT) AS n_pass
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Curation.qualityGates(Tables.documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(!col("gate_len")).as("fail_len"),
+        count_if(!col("gate_word_len")).as("fail_word_len"),
+        count_if(!col("gate_uniq")).as("fail_uniq"),
+        count_if(!col("gate_rep")).as("fail_rep"),
+        count_if(col("passes")).as("n_pass"))
+      .orderBy("source")
+  }
+
+  /** Gopher repetition score per document ([[TextAnalysis.topBigramShare]]):
+    * top-bigram dominance, computed with zero shuffle (per-row
+    * higher-order fns). Oracle recomputes the bigram lists in SQL. */
+  val q66Repetition: Q = q("q66_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+      |  FROM t WHERE len(toks) >= 2)
+      |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  round(list_max(list_transform(list_distinct(bg),
+      |    w -> len(list_filter(bg, x -> x = w))))::DOUBLE / len(bg), 4)
+      |    AS top_bigram_share
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.topBigramShare(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -499,5 +566,5 @@ object PipelineQueries {
     q44AnnIvf, q63LshCosineNeardup,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
-    q62GroupMinhash)
+    q62GroupMinhash, q64HashSplit, q65QualityGates, q66Repetition)
 }

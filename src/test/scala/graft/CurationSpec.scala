@@ -93,4 +93,55 @@ class CurationSpec extends SparkSpec {
     val texts = s.sql("SELECT text FROM sdedup").collect().map(_.getString(0)).sorted
     assert(texts.toSeq === Seq("doc one", "doc two"))
   }
+
+  test("hashSplit: deterministic, content-keyed, covers every doc exactly once") {
+    val s1 = Curation.hashSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Curation.hashSplit(docs.repartition(7)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2) // split survives re-sharding: keyed on content, not position
+    assert(s1.size.toLong === docs.count())
+    val bySplit = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // ~80/10/10 over 500 docs: train must dominate, all three present
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0))
+    // duplicate texts land in the same split (leakage-safety)
+    val leaks = Curation.hashSplit(docs)
+      .groupBy("text").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1)
+    assert(leaks.isEmpty)
+  }
+
+  test("qualityGates: pinned verdicts on hand-built docs; passes == conjunction") {
+    val s = spark
+    import s.implicits._
+    val hand = Seq(
+      (1L, Array.fill(30)("alpha beta gamma delta epsilon zeta").mkString(" ")), // repetitive
+      (2L, (1 to 30).map(i => s"word$i").mkString(" ")),  // unique words, passes all
+      (3L, "too short"),                               // fails length gate
+      (4L, (1 to 30).map(_ => "aa").mkString(" ")))    // one word repeated: uniq+rep fail
+    val g = Curation.qualityGates(hand.toDF("doc_id", "text"))
+      .select("doc_id", "gate_len", "gate_word_len", "gate_uniq", "gate_rep", "passes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(g(2L) === ((true, true, true, true, true)))
+    assert(g(3L)._1 === false && g(3L)._5 === false)
+    assert(g(4L)._3 === false && g(4L)._4 === false && g(4L)._5 === false)
+    g.values.foreach { case (a, b, c, d, p) => assert(p === (a && b && c && d)) }
+  }
+
+  test("topBigramShare: exact score on a known repetition; singleton doc dropped") {
+    val s = spark
+    import s.implicits._
+    // "x y" appears 3 times among 6 bigrams -> 0.5
+    val hand = Seq((1L, "x y z x y z x y"), (2L, "loner")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.topBigramShare(hand).collect()
+    assert(got.length === 1) // the 1-token doc has no bigrams
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 7L)
+    // bigrams: x y, y z, z x, x y, y z, z x, x y -> top "x y" 3/7
+    assert(r.getDouble(2) === math.round(3.0 / 7 * 10000) / 10000.0)
+  }
 }
