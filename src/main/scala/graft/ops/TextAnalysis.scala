@@ -53,21 +53,25 @@ object TextAnalysis {
 
   /** Gopher-style repetition score: the share of all word bigrams taken
     * by the single most frequent bigram (high → templated/spammy text).
-    * Computed entirely per row with higher-order expressions — no
-    * explode, no shuffle: the bigram list, its distinct set, and the max
-    * occurrence count stay inside one projection, so the operator is a
-    * map-only pass at any corpus size (per-doc cost is O(distinct·len),
-    * bounded by document length, not corpus size). */
+    * Shape: explode → per-(doc, bigram) count → per-doc max/sum — the
+    * wordcount pattern, so the first aggregate is map-side combined and
+    * both aggregates shuffle doc-keyed counts, never text. (A per-row
+    * nested higher-order form — `transform(array_distinct(bg), w ->
+    * size(filter(bg, ...)))` — looks shuffle-free but is quadratic per
+    * document AND re-evaluates the bigram-construction subtree inside
+    * every lambda call, which measured >100× slower at sf0.1; the
+    * exploded wordcount is the scale shape.) */
   def topBigramShare(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val bg = transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
     docs.filter(size(toks) >= 2)
-      .select(col("doc_id"),
-        size(bg).cast("long").as("n_bigrams"),
-        round(array_max(transform(array_distinct(bg),
-            w => size(filter(bg, x => x === w)))).cast("double") / size(bg), 4)
-          .as("top_bigram_share"))
+      .select(col("doc_id"), explode(bg).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top").cast("double") / col("n_bigrams"), 4).as("top_bigram_share"))
   }
 
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token

@@ -544,18 +544,17 @@ object PipelineQueries {
   }
 
   /** Gopher repetition score per document ([[TextAnalysis.topBigramShare]]):
-    * top-bigram dominance, computed with zero shuffle (per-row
-    * higher-order fns). Oracle recomputes the bigram lists in SQL. */
+    * top-bigram dominance via the exploded wordcount shape (map-side
+    * combined). Oracle mirrors the same two-level aggregation in SQL. */
   val q66Repetition: Q = q("q66_repetition",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |b AS (SELECT doc_id,
-      |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
-      |  FROM t WHERE len(toks) >= 2)
-      |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
-      |  round(list_max(list_transform(list_distinct(bg),
-      |    w -> len(list_filter(bg, x -> x = w))))::DOUBLE / len(bg), 4)
-      |    AS top_bigram_share
-      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |e AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, bg, count(*) AS c FROM e GROUP BY doc_id, bg)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  round(max(c)::DOUBLE / CAST(sum(c) AS BIGINT), 4) AS top_bigram_share
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     TextAnalysis.topBigramShare(Tables.documents(s, d)).orderBy("doc_id")
   }
 
