@@ -60,14 +60,21 @@ object TextAnalysis {
     * size(filter(bg, ...)))` — looks shuffle-free but is quadratic per
     * document AND re-evaluates the bigram-construction subtree inside
     * every lambda call, which measured >100× slower at sf0.1; the
-    * exploded wordcount is the scale shape.) */
+    * exploded wordcount is the scale shape.)
+    *
+    * Bigram identity is `xxhash64(tok_i, tok_i+1)` — the shuffle carries
+    * 8-byte longs, never bigram strings (the shingle-hash trick from the
+    * near-dup family). Counts are exact modulo 64-bit collisions *within
+    * one document* (~n²/2⁶⁵ per doc — the standard hash-identity
+    * argument, and the oracle's string-keyed recount confirms it on the
+    * fixtures). */
   def topBigramShare(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val bg = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      i => xxhash64(element_at(toks, i), element_at(toks, i + 1)))
     docs.filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(bg).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), explode(bg).as("bgh"))
+      .groupBy("doc_id", "bgh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"), max("c").as("top"))
       .select(col("doc_id"), col("n_bigrams"),
