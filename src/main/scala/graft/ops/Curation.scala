@@ -90,6 +90,26 @@ object Curation {
         col("gate_len") && col("gate_word_len") && col("gate_uniq") && col("gate_rep"))
   }
 
+  /** Concat-and-chunk sequence packing: per language stream, documents
+    * are laid out in deterministic doc_id order and cut into fixed
+    * `binTokens`-token training windows; a document's bin is
+    * floor(tokens_before / binTokens) — the standard "concatenate then
+    * chunk" pretraining layout. The window cumsum partitions by lang, so
+    * each stream packs independently (shuffle key = lang; within a
+    * partition the pass is a linear scan), and the assignment is a pure
+    * function of (order, token counts) — no RNG, engine- and
+    * re-run-stable. */
+  def packSequences(docs: DataFrame, binTokens: Int = 512): DataFrame = {
+    val nt = size(split(col("text"), " ")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("lang"), nt.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")).cast("double") / binTokens).cast("long"))
+  }
+
   /** Curated corpus stats per language (rows-only oracle: upstream uses
     * engine-internal MinHash). */
   def stats(curated: DataFrame): DataFrame =

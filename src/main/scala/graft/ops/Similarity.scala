@@ -141,6 +141,25 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5) (explicit
+    * half-up floor — identical in every engine, unlike round-half-even
+    * ties). 4× smaller vectors for ANN candidate stages at corpus scale;
+    * the per-vector scale rides along for dequantization. Also emits the
+    * max absolute dequantization error as a per-row audit column. Pure
+    * projection — zero shuffle. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), v.as("v"))
+      .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        transform(col("v"), x => floor(x * col("scale") + 0.5).cast("int")).as("q"),
+        round(array_max(zip_with(col("v"),
+            transform(col("v"), x => floor(x * col("scale") + 0.5)),
+            (x, qi) => abs(x - qi / col("scale")))), 6).as("max_abs_err"))
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ `minCos`.
     * Exact within the given frame — quadratic, so callers bound the input
     * (dedup verification stage) or pre-bucket with [[annLsh]]-style

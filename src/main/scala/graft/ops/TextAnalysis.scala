@@ -81,6 +81,26 @@ object TextAnalysis {
         round(col("top").cast("double") / col("n_bigrams"), 4).as("top_bigram_share"))
   }
 
+  /** CCNet-style unigram LM quality score: mean ln p(token) under the
+    * corpus unigram distribution (low → out-of-distribution / junk
+    * text). The frequency model is one map-side-combined wordcount over
+    * `corpus`; scoring joins the exploded tokens of `docs` to the
+    * frequency table — vocabulary-sized, hence broadcast, so the doc
+    * side never shuffles for the join. Tokens absent from the corpus are
+    * dropped (smoothing is a modeling choice left to callers); with
+    * `corpus = docs` every token is present. */
+  def unigramLogProb(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val docToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = corpus.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("tot"))
+    docToks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("tot"))), 4).as("avg_logprob"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

@@ -558,6 +558,59 @@ object PipelineQueries {
     TextAnalysis.topBigramShare(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Sequence packing ([[Curation.packSequences]]): per-(lang, bin)
+    * document and token counts of the concat-and-chunk layout. */
+  val q67SeqPack: Q = q("q67_seq_pack",
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT lang, CAST(floor((cum - n_tokens)::DOUBLE / 512) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin) { (s, d) =>
+    Curation.packSequences(Tables.documents(s, d), binTokens = 512)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]): scale,
+    * quantized vector, and max dequantization error per vector — every
+    * arithmetic step (abs/max/mul/floor/div) is IEEE-exact and
+    * association-order-matched, so the oracle rebuilds the quantized
+    * vectors bit-identically in SQL. */
+  val q68EmbedQuant: Q = q("q68_embed_quant",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+      |qv AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale, q,
+      |  round(list_max(list_transform(range(1, len(v) + 1),
+      |    i -> abs(v[i] - floor(v[i] * scale + 0.5) / scale))), 6) AS max_abs_err
+      |FROM qv ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  /** Unigram LM quality score ([[TextAnalysis.unigramLogProb]]) — the
+    * corpus is its own language model here; ln parity at 4-decimal
+    * rounding is established by q20. */
+  val q69UnigramLogprob: Q = q("q69_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(avg(ln(c::DOUBLE / tot)), 4) AS avg_logprob
+      |FROM tok JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.unigramLogProb(docs, docs).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -565,5 +618,6 @@ object PipelineQueries {
     q44AnnIvf, q63LshCosineNeardup,
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
-    q62GroupMinhash, q64HashSplit, q65QualityGates, q66Repetition)
+    q62GroupMinhash, q64HashSplit, q65QualityGates, q66Repetition,
+    q67SeqPack, q68EmbedQuant, q69UnigramLogprob)
 }

@@ -132,6 +132,40 @@ class CurationSpec extends SparkSpec {
     g.values.foreach { case (a, b, c, d, p) => assert(p === (a && b && c && d)) }
   }
 
+  test("packSequences: deterministic layout, contiguous bins, boundary invariant") {
+    val p1 = Curation.packSequences(docs, binTokens = 512)
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = Curation.packSequences(docs.repartition(5), binTokens = 512)
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 === p2) // layout is a pure function of (lang, doc_id order, counts)
+    val rows = Curation.packSequences(docs, binTokens = 512)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum"), r.getAs[Long]("bin")))
+    rows.groupBy(_._1).foreach { case (_, stream) =>
+      val sorted = stream.sortBy(_._2)
+      // bins start at 0 and never skip
+      val bins = sorted.map(_._5)
+      assert(bins.head === 0L)
+      bins.sliding(2).foreach { case Array(a, b) => assert(b - a <= 1 && b >= a)
+                                case _ => () }
+      // a doc's bin is exactly tokens-before / 512
+      sorted.foreach { case (_, _, nt, cum, bin) => assert(bin === (cum - nt) / 512) }
+    }
+  }
+
+  test("unigramLogProb: pinned score on a hand corpus; fixture scores are negative") {
+    val s = spark
+    import s.implicits._
+    val hand = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.unigramLogProb(hand, hand).collect().head
+    assert(got.getAs[Long]("n_tokens") === 4L)
+    val expected = (3 * math.log(3.0 / 4) + math.log(1.0 / 4)) / 4
+    assert(got.getAs[Double]("avg_logprob") === math.round(expected * 10000) / 10000.0)
+    val fixture = graft.ops.TextAnalysis.unigramLogProb(docs, docs)
+    assert(fixture.filter(col("avg_logprob") >= 0).isEmpty) // p(w) < 1 everywhere
+    assert(fixture.count() === docs.count())
+  }
+
   test("topBigramShare: exact score on a known repetition; singleton doc dropped") {
     val s = spark
     import s.implicits._

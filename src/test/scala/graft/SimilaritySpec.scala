@@ -79,6 +79,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("quantizeInt8: int8 range, bounded dequant error, exact roundtrip bound") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.length.toLong === emb.count())
+    q.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val qs = r.getSeq[Int](r.fieldIndex("q"))
+      val err = r.getAs[Double]("max_abs_err")
+      assert(scale > 0)
+      assert(qs.forall(v => v >= -127 && v <= 127), s"q out of int8 range: $qs")
+      // half-up floor quantization error is at most half a step; the
+      // reported err (and scale) are rounded to 6 decimals, so allow
+      // one rounding step of slack on the bound
+      assert(err <= 0.5 / scale + 1e-6, s"err=$err scale=$scale")
+    }
+  }
+
   test("ann candidates are a subset of real corpus ids, no self-matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val ann = Similarity.annLsh(emb.filter(col("vec_id") < 5), emb, k = 5)
