@@ -99,12 +99,13 @@ object Curation {
     * partition the pass is a linear scan), and the assignment is a pure
     * function of (order, token counts) — no RNG, engine- and
     * re-run-stable. */
-  def packSequences(docs: DataFrame, binTokens: Int = 512): DataFrame = {
+  def packSequences(docs: DataFrame, binTokens: Int = 512,
+                    streamCols: Seq[String] = Seq("lang")): DataFrame = {
     val nt = size(split(col("text"), " ")).cast("long")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
+      .partitionBy(streamCols.map(col): _*).orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"), col("lang"), nt.as("n_tokens"))
+    docs.select(col("doc_id") +: streamCols.map(col) :+ nt.as("n_tokens"): _*)
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("bin",
         floor((col("cum") - col("n_tokens")).cast("double") / binTokens).cast("long"))

@@ -611,6 +611,69 @@ object PipelineQueries {
     TextAnalysis.unigramLogProb(docs, docs).orderBy("doc_id")
   }
 
+  /** The capstone composition — the full prepare-training-data flow as
+    * one DataFrame program: curate (quality gate → exact dedup →
+    * near-dup removal) → leakage-safe hash split → per-(split, lang)
+    * sequence packing; output is the per-stream packing summary. The
+    * oracle mirrors every stage in SQL: q60's curation chain (exact
+    * Jaccard == the MinHash confirm at ≥0.8) + q64's md5-bucket split +
+    * q67's window cumsum. */
+  val q70PrepareCorpus: Q = q("q70_prepare_corpus",
+    """WITH toksed AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+      |quality AS (
+      |  SELECT doc_id, lang, text FROM toksed
+      |  WHERE len(toks) >= 5
+      |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.05),
+      |exact AS (
+      |  SELECT doc_id, lang, text FROM quality
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM exact),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |survivors AS (
+      |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      |splits AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substr(md5(text), 1, 2))::INTEGER AS b
+      |        FROM survivors)),
+      |packed AS (
+      |  SELECT split, lang, n_tokens,
+      |    CAST(floor((cum - n_tokens)::DOUBLE / 512) AS BIGINT) AS bin
+      |  FROM (SELECT split, lang, len(string_split(text, ' ')) AS n_tokens,
+      |          sum(len(string_split(text, ' '))) OVER (
+      |            PARTITION BY split, lang ORDER BY doc_id
+      |            ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM splits))
+      |SELECT split, lang, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM packed GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+    val prepared = Curation.packSequences(
+      Curation.hashSplit(Curation.curate(Tables.documents(s, d))),
+      binTokens = 512, streamCols = Seq("split", "lang"))
+    prepared.groupBy("split", "lang")
+      .agg(countDistinct("bin").as("n_bins"), count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("split", "lang")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -619,5 +682,5 @@ object PipelineQueries {
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
     q62GroupMinhash, q64HashSplit, q65QualityGates, q66Repetition,
-    q67SeqPack, q68EmbedQuant, q69UnigramLogprob)
+    q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus)
 }

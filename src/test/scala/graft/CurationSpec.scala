@@ -166,6 +166,19 @@ class CurationSpec extends SparkSpec {
     assert(fixture.count() === docs.count())
   }
 
+  test("prepare-corpus composition: split+pack conserves the curated corpus") {
+    val prepared = Curation.packSequences(
+      Curation.hashSplit(curated), binTokens = 512, streamCols = Seq("split", "lang"))
+    // every curated doc lands in exactly one (split, lang, bin)
+    assert(prepared.count() === curated.count())
+    assert(prepared.select("doc_id").distinct().count() === curated.count())
+    // token mass is conserved through the composition
+    val massIn = curated.select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    val massOut = prepared.select(sum("n_tokens")).collect().head.getLong(0)
+    assert(massIn === massOut)
+  }
+
   test("topBigramShare: exact score on a known repetition; singleton doc dropped") {
     val s = spark
     import s.implicits._
