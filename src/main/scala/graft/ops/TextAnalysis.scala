@@ -74,6 +74,11 @@ object TextAnalysis {
       i => xxhash64(element_at(toks, i), element_at(toks, i + 1)))
     docs.filter(size(toks) >= 2)
       .select(col("doc_id"), explode(bg).as("bgh"))
+      // one shuffle, not two: hash-partitioning on doc_id alone satisfies
+      // BOTH aggregates' clustering (same-key rows co-locate), and the
+      // partial-agg pass it replaces was pure overhead here — per-doc
+      // bigrams are nearly all distinct, so map-side combine merged ~0
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "bgh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"), max("c").as("top"))
