@@ -160,6 +160,31 @@ object Similarity {
             (x, qi) => abs(x - qi / col("scale")))), 6).as("max_abs_err"))
   }
 
+  /** Cosine top-k over int8-quantized vectors ([[quantizeInt8]]): the
+    * 4×-smaller-footprint ANN path. Per-vector scales cancel in cosine
+    * (q ≈ scale·x), so ranking quantized vectors approximates ranking
+    * the originals with no dequantization; dot products run on exact
+    * small integers (cast to double for the native [[DotProduct]] loop —
+    * every int8 value is exactly representable, so results are
+    * bit-deterministic and oracle-mirrorable). Same broadcast shape as
+    * [[cosineTopK]]. */
+  def quantizedCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = quantizeInt8(queries)
+      .select(col("vec_id").as("q_id"), col("q").cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val c = quantizeInt8(corpus)
+      .select(col("vec_id").as("c_id"), col("q").cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("c_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cos_q")
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ `minCos`.
     * Exact within the given frame — quadratic, so callers bound the input
     * (dedup verification stage) or pre-bucket with [[annLsh]]-style

@@ -611,6 +611,36 @@ object PipelineQueries {
     TextAnalysis.unigramLogProb(docs, docs).orderBy("doc_id")
   }
 
+  /** Quantized cosine top-k ([[Similarity.quantizedCosineTopK]]): the
+    * int8 ANN ranking; the oracle rebuilds the quantization and ranks
+    * the same integer dot products in SQL (int8 values are exact in
+    * doubles, so the chain is bit-deterministic). SimilaritySpec pins
+    * recall vs the full-precision ranking. */
+  val q71QuantTopk: Q = q("q71_quant_topk",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+      |qv AS (SELECT vec_id,
+      |  list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM s),
+      |qn AS (SELECT vec_id AS q_id, q AS qe,
+      |       sqrt(list_dot_product(q, q)) AS qnorm FROM qv WHERE vec_id < 10),
+      |cn AS (SELECT vec_id AS c_id, q AS ce,
+      |       sqrt(list_dot_product(q, q)) AS cnorm FROM qv),
+      |sims AS (
+      |  SELECT q_id, c_id,
+      |    round(list_dot_product(qe, ce) / (qnorm * cnorm), 4) AS cos_q
+      |  FROM cn CROSS JOIN qn WHERE q_id <> c_id)
+      |SELECT q_id, rnk, c_id, cos_q FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_q DESC, c_id) AS BIGINT) AS rnk
+      |  FROM sims)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedCosineTopK(
+        queries = emb.filter(col("vec_id") < 10), corpus = emb, k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
   /** The capstone composition — the full prepare-training-data flow as
     * one DataFrame program: curate (quality gate → exact dedup →
     * near-dup removal) → leakage-safe hash split → per-(split, lang)
@@ -682,5 +712,6 @@ object PipelineQueries {
     q50TokenCounts, q51LangStats, q52DocQuality, q53LangId, q54BinaryMeta,
     q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
     q62GroupMinhash, q64HashSplit, q65QualityGates, q66Repetition,
-    q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus)
+    q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus,
+    q71QuantTopk)
 }

@@ -96,6 +96,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedCosineTopK: high recall vs full-precision ranking") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedCosineTopK(queries, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // int8 on 64-dim vectors perturbs cosine by ~1e-3 — rank flips only
+    // among near-ties, so recall stays high
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("ann candidates are a subset of real corpus ids, no self-matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val ann = Similarity.annLsh(emb.filter(col("vec_id") < 5), emb, k = 5)
