@@ -73,6 +73,36 @@ class CurationSpec extends SparkSpec {
       Seq("good doc one", "good doc three", "good doc two"))
   }
 
+  test("streaming hash-split router: docs fan out to per-split streams, batch-stable") {
+    val s = spark
+    import s.implicits._
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-split").toString)
+    object SplitRouter extends graft.runtime.RouterLink {
+      val inputs = Seq("docs_raw")
+      // route on the same md5-bucket rule as Curation.hashSplit: the
+      // assignment is content-keyed, so re-delivery or re-sharding
+      // cannot move a doc across the train/eval boundary mid-stream
+      def route(df: org.apache.spark.sql.DataFrame) =
+        Curation.hashSplit(df)
+          .withColumn("_stream", concat(lit("docs_"), col("split"))).drop("split")
+    }
+    val texts = (1 to 40).map(i => s"document number $i with some words")
+    reg.write(texts.toDF("text"), "docs_raw")
+    SplitRouter.start(spark, reg).awaitTermination()
+    val bySplit = Seq("train", "val", "test").map { sp =>
+      sp -> (try reg.read(s"docs_$sp").collect().map(_.getString(0)).toSet
+             catch { case _: Exception => Set.empty[String] })
+    }.toMap
+    // every doc lands in exactly one split stream
+    assert(bySplit.values.map(_.size).sum === texts.length)
+    assert(bySplit.values.reduce(_ union _) === texts.toSet)
+    // and the streamed assignment agrees with the batch operator
+    val batch = Curation.hashSplit(texts.toDF("text"))
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[String]("split")).toMap
+    bySplit.foreach { case (sp, docs) => docs.foreach(d => assert(batch(d) === sp)) }
+  }
+
   test("streaming dedup: content hash + dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
