@@ -94,11 +94,17 @@ object Curation {
     * are laid out in deterministic doc_id order and cut into fixed
     * `binTokens`-token training windows; a document's bin is
     * floor(tokens_before / binTokens) — the standard "concatenate then
-    * chunk" pretraining layout. The window cumsum partitions by lang, so
-    * each stream packs independently (shuffle key = lang; within a
-    * partition the pass is a linear scan), and the assignment is a pure
-    * function of (order, token counts) — no RNG, engine- and
-    * re-run-stable. */
+    * chunk" pretraining layout. The window cumsum partitions by
+    * `streamCols`, so each stream packs independently (one linear scan
+    * per stream), and the assignment is a pure function of (order, token
+    * counts) — no RNG, engine- and re-run-stable.
+    *
+    * Parallelism = number of streams: partitioning by lang alone means
+    * one task per language, which does NOT scale to 100 TB. At corpus
+    * scale add a deterministic shard to the stream key — e.g.
+    * `withColumn("shard", pmod(xxhash64($"doc_id"), lit(N)))` then
+    * `streamCols = Seq("lang", "shard")` — real pipelines pack per
+    * shard/file anyway, and the layout stays deterministic. */
   def packSequences(docs: DataFrame, binTokens: Int = 512,
                     streamCols: Seq[String] = Seq("lang")): DataFrame = {
     val nt = size(split(col("text"), " ")).cast("long")
