@@ -241,27 +241,44 @@ object Dedup {
   }
 
   /** Incremental dedup of a new batch against an existing (huge) corpus:
-    * a Bloom filter over the corpus content hashes is broadcast and
-    * prefilters the batch — rows the filter says are definitely-new pass
-    * with NO join at all; only possible-dups (corpus-hit or false
-    * positive) go through the exact anti-join. At 100 TB this turns
-    * "anti-join every new batch against the corpus" into "broadcast a
-    * few-GB bitset + anti-join a tiny suspect set". Result is exact
-    * (false positives are resolved by the anti-join). */
+    * a Bloom filter over the corpus content hashes prefilters the
+    * batch — rows the filter says are definitely-new pass with NO join at
+    * all; only possible-dups (corpus-hit or false positive) go through
+    * the exact anti-join. At 100 TB this turns "anti-join every new batch
+    * against the corpus" into "ship a few-GB bitset + anti-join a tiny
+    * suspect set". Result is exact (false positives are resolved by the
+    * anti-join). Sized past Spark's runtime-filter defaults, raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `.maxNumBits`
+    * (the native aggregate enforces them at analysis). */
   def dedupAgainstCorpus(newDocs: DataFrame, corpusHashes: DataFrame,
                          expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    if (corpusHashes.isEmpty) { // Spark's bloomFilter NPEs on an empty frame
-      return newDocs.withColumn("content_hash",
-        GraftFunctions.blake2b_256(col("text")))
-    }
-    val bloom = corpusHashes.stat.bloomFilter("content_hash", expectedItems, fpp)
-    val spark = newDocs.sparkSession
-    val bBloom = spark.sparkContext.broadcast(bloom)
-    val mightBeDup = udf((h: String) => bBloom.value.mightContain(h))
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    // Build the filter with the native BloomFilterAggregate (partial
+    // sketches merge executor-side, exactly like a map-side combine), and
+    // probe with the codegen'd BloomFilterMightContain over xxhash64 of
+    // the content hash — the same expression pair Spark's own runtime
+    // row-level filtering uses, with no UDF serde on the probe's hot path.
+    val xxOf = (c: Column) =>
+      new XxHash64(Seq(GraftSqlBridge.expression(c)))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val blobRow = corpusHashes.select(GraftSqlBridge.column(
+      new BloomFilterAggregate(xxOf(col("content_hash")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    ).as("bf")).head
     val hashed = newDocs.withColumn("content_hash",
       GraftFunctions.blake2b_256(col("text")))
-    val definitelyNew = hashed.filter(!mightBeDup(col("content_hash")))
-    val suspects = hashed.filter(mightBeDup(col("content_hash")))
+    // Null blob = empty corpus (the aggregate yields null when no bit was
+    // ever set) — everything in the batch is definitely new.
+    if (blobRow.isNullAt(0)) return hashed
+    val blob = blobRow.getAs[Array[Byte]](0)
+    val mightBeDup = GraftSqlBridge.column(new BloomFilterMightContain(
+      Literal(blob, BinaryType), xxOf(col("content_hash"))))
+    val definitelyNew = hashed.filter(!mightBeDup)
+    val suspects = hashed.filter(mightBeDup)
       .join(corpusHashes, Seq("content_hash"), "left_anti")
     definitelyNew.unionByName(suspects)
   }
