@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the composition the
@@ -115,6 +115,72 @@ object Curation {
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("bin",
         floor((col("cum") - col("n_tokens")).cast("double") / binTokens).cast("long"))
+  }
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with the (small) evaluation set — the standard guard
+    * against test-set leakage into pretraining data (GPT-3 appendix C /
+    * PaLM-style 13-gram overlap, here parameterized). Eval shingles are
+    * a broadcast-able distinct set (benchmarks are tiny next to a 100 TB
+    * corpus), so the scan over training data is embarrassingly parallel:
+    * explode distinct shingle hashes, hash-join the broadcast eval set,
+    * count matches per doc. Shingle identity is the native 64-bit
+    * [[graft.functions.ShingleHashes]] — the shuffle carries 8-byte keys,
+    * and set equality vs string n-grams holds w.h.p. (same argument as
+    * [[Dedup.hashedShingles]]). Output: (doc_id, n_shared) for
+    * contaminated training docs only. */
+  def contaminationFlags(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(Dedup.hashedShingles(col("text"), n)).as("sh"))
+    val evalSet = shingled(eval).select("sh").distinct()
+    shingled(train)
+      .join(broadcast(evalSet), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingle hashes are pre-distinct per doc
+  }
+
+  /** PII patterns, deliberately inside the common subset of Java regex
+    * (Spark) and RE2 (DuckDB oracle, Hyperscan-class engines at scale):
+    * no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9]+(-[0-9]+)+"
+
+  /** Masks emails, IPv4 addresses and dash-formatted phone numbers with
+    * typed placeholder tokens. Order matters: emails first (an address
+    * can embed digit runs), then IPs (dots), then phones (dashes) — the
+    * three patterns are disjoint after each rewrite. Pure per-row
+    * projection, whole-stage codegen, zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Temperature-style language rebalancing (the multilingual-mix recipe
+    * of XLM-R/mT5): downsample over-represented languages so the kept
+    * corpus flattens toward the rare ones, with keep-rate
+    * r_lang = sqrt(count_min / count_lang) (temperature α = 0.5) — the
+    * smallest language keeps 100%, a 100× bigger one keeps 10%. The
+    * keep decision is the md5-bucket trick of [[hashSplit]] (first 24
+    * bits of md5(text) < r·2²⁴): engine- and re-shard-stable, no RNG.
+    * sqrt (not pow) on purpose: IEEE 754 requires sqrt to be correctly
+    * rounded, so any engine computes the identical threshold — pow is
+    * only ulp-accurate and could flip a boundary document between
+    * engines. Adds (n_lang, keep_rate, kept); the per-lang rates join
+    * back via broadcast — no corpus shuffle. */
+  def temperatureResample(docs: DataFrame, langCol: String = "lang"): DataFrame = {
+    val counts = docs.groupBy(langCol).agg(count(lit(1)).as("n_lang"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+      .select(col(langCol),
+        col("n_lang"),
+        sqrt(col("n_min").cast("double") / col("n_lang")).as("keep_rate"))
+    docs.join(broadcast(rates), langCol)
+      .withColumn("kept",
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") <
+          col("keep_rate") * (1 << 24))
   }
 
   /** Curated corpus stats per language (rows-only oracle: upstream uses

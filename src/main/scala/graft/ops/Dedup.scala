@@ -291,4 +291,118 @@ object Dedup {
     * grouping). UDF because `conv(hex,16,10)` renders unsigned decimal
     * strings that overflow a signed BIGINT cast. */
   def hammingHex(a: Column, b: Column): Column = hammingUdf(a, b).cast("long")
+
+  /** Connected components over an undirected edge list — the step a
+    * near-dup pipeline needs between "confirmed pairs" and actual dedup:
+    * pairs (a,b) and (b,c) must collapse into ONE cluster so exactly one
+    * canonical document survives per group, not one per pair. Implements
+    * the alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * is two aggregate+join passes over the edge list and converges in
+    * O(log n) rounds regardless of component diameter — the property that
+    * makes it the 100 TB path (naive min-label propagation needs
+    * diameter-many rounds, and near-dup graphs form long chains).
+    * Per-round `localCheckpoint` truncates the growing lineage; the
+    * convergence probe is a (count, sum, xor) signature over
+    * xxhash64(edge) — one cheap aggregate instead of a set-difference
+    * shuffle. Output: one row per node that appears in `pairs`, labelled
+    * `cluster_id` = the smallest node id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val a = col(pairs.columns(0)).cast("long")
+    val b = col(pairs.columns(1)).cast("long")
+    def canon(df: DataFrame, x: Column, y: Column): DataFrame =
+      df.select(least(x, y).as("u"), greatest(x, y).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // (count, xor of two independently-salted edge hashes): a set
+    // signature — edges are kept distinct, and ANSI mode forbids the
+    // wrapping sum() variant (long overflow).
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(lit(0x5bd1e995), col("v"), col("u")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var edges = canon(pairs, a, b).localCheckpoint()
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: hook every neighbor v > u onto min(N(u) ∪ {u})
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      val large = canon(
+        sym.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("x"), least(col("mn"), col("u")).as("y")),
+        col("x"), col("y"))
+      // small-star: hook u and every smaller neighbor onto their min
+      val sym2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val smaller = sym2.filter(col("v") < col("u"))
+      val mins2 = smaller.groupBy("u").agg(min("v").as("mn"))
+      val next = canon(
+        smaller.join(mins2, "u").select(col("v").as("x"), col("mn").as("y"))
+          .union(mins2.select(col("u").as("x"), col("mn").as("y"))),
+        col("x"), col("y")).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // Fixpoint edges form stars (leaf ↔ component-min center): each
+    // node's label is the min over itself and its neighbors.
+    edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("cluster_id"))
+  }
+
+  /** Near-dup cluster assignment over the full MinHash-LSH + exact-confirm
+    * pair set: `(doc_id, cluster_id)` for every document in some near-dup
+    * group, `cluster_id` = smallest doc_id of the group (the canonical
+    * survivor a dedup pass would keep). */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.8): DataFrame =
+    connectedComponents(minHashLshPairs(docs, minJaccard)
+        .select("doc_a", "doc_b"))
+      .withColumnRenamed("node", "doc_id")
+
+  /** Chunk-granular exact dedup with reassembly (the "paragraph dedup" of
+    * Dolma/RefinedWeb, over an arbitrary `parts` array column): across the
+    * whole corpus, only the globally-first occurrence of each distinct
+    * part survives — first = smallest (doc_id, position) — and each
+    * document is reassembled from its surviving parts in original order.
+    * One groupBy on the part text (partial aggregation collapses repeats
+    * map-side before the shuffle; `min(struct(doc_id, pos))` IS the
+    * first-occurrence rule, no window over the whole corpus needed) plus
+    * one groupBy doc_id to reassemble. Documents whose every part was
+    * seen earlier disappear entirely — the contract dedup needs.
+    */
+  def chunkDedup(docs: DataFrame, parts: Column): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      posexplode(parts).as(Seq("pos", "part")))
+    val firsts = exploded
+      .groupBy("part")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("part"))
+    firsts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("part")))),
+          s => s.getField("part")), " ").as("dedup_text"))
+  }
+
+  /** Fixed-size word windows for [[chunkDedup]]: chunk i = words
+    * [i*size, (i+1)*size), last chunk ragged. */
+  def wordChunks(text: Column, size: Int): Column = {
+    val words = split(text, " ")
+    transform(
+      sequence(lit(0),
+        ceil(org.apache.spark.sql.functions.size(words).cast("double") / size)
+          .cast("int") - 1),
+      i => array_join(slice(words, i * size + 1, lit(size)), " "))
+  }
 }

@@ -704,6 +704,161 @@ object PipelineQueries {
       .orderBy("split", "lang")
   }
 
+  /** Near-dup cluster canonicalization ([[Dedup.nearDupClusters]]):
+    * confirmed MinHash-LSH pairs collapsed into connected components via
+    * alternating star contraction (O(log n) rounds at any diameter), each
+    * doc labelled with its cluster's smallest id — the step between "pair
+    * list" and "one survivor per group". The oracle recomputes the exact
+    * pair set (same inverted-index SQL as q33) and closes it with a
+    * recursive CTE: min reachable label == component min. */
+  val q72DedupClusters: Q = q("q72_dedup_clusters",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |cc(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node)
+      |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.nearDupClusters(Tables.documents(s, d), 0.8).orderBy("doc_id")
+  }
+
+  /** Chunk-granular dedup with reassembly ([[Dedup.chunkDedup]] over
+    * 10-word windows) — Dolma/RefinedWeb "paragraph dedup": only the
+    * globally-first occurrence of each chunk survives, documents are
+    * rebuilt from their surviving chunks, fully-duplicated documents
+    * vanish. */
+  val q73ChunkDedup: Q = q("q73_chunk_dedup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, unnest(range(0, CAST(ceil(len(words) / 10.0) AS INT))) AS pos,
+      |         words
+      |  FROM w),
+      |parts AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(list_slice(words, pos * 10 + 1, pos * 10 + 10), ' ') AS part
+      |  FROM chunks),
+      |firsts AS (
+      |  SELECT doc_id, pos, part FROM (
+      |    SELECT doc_id, pos, part,
+      |      row_number() OVER (PARTITION BY part ORDER BY doc_id, pos) AS rk
+      |    FROM parts) WHERE rk = 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(part, ' ' ORDER BY pos) AS dedup_text
+      |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.chunkDedup(Tables.documents(s, d), Dedup.wordChunks(col("text"), 10))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination ([[Curation.contaminationFlags]]): training
+    * docs (doc_id % 17 ≠ 0) sharing any 5-gram with the eval slice
+    * (doc_id % 17 = 0), with the shared-shingle count. Spark joins on
+    * native 64-bit shingle hashes against a broadcast eval set; the
+    * oracle re-derives the overlap from raw string 5-grams (identical
+    * w.h.p. — the q32/q33 hash-identity argument). */
+  val q74Decontaminate: Q = q("q74_decontaminate",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(wd) - 3),
+      |    i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' ' || wd[i+3]
+      |         || ' ' || wd[i+4])) AS s
+      |  FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |ev AS (SELECT DISTINCT sg FROM ex WHERE doc_id % 17 = 0)
+      |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM ex e JOIN ev USING (sg)
+      |WHERE e.doc_id % 17 <> 0
+      |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.contaminationFlags(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0), n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction ([[Curation.redactPii]]): the fixture corpus is
+    * PII-free, so the query deterministically plants an email, a
+    * dash-phone and an IPv4 per document (a function of doc_id, mirrored
+    * in the oracle), then masks them and counts matches per kind. */
+  val q75PiiRedact: Q = q("q75_pii_redact",
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |      || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' from host ' || CAST(doc_id % 254 + 1 AS VARCHAR) || '.0.113.7'
+      |      AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      |    '\+?[0-9]+(-[0-9]+)+', '<PHONE>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\+?[0-9]+(-[0-9]+)+')) AS BIGINT) AS n_phones
+      |FROM planted ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from host "),
+        (pmod(col("doc_id"), lit(254)) + 1).cast("string"), lit(".0.113.7"))
+        .as("text"))
+    planted.select(col("doc_id"),
+      Curation.redactPii(col("text")).as("redacted"),
+      regexp_count(col("text"), lit(Curation.EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Curation.Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(Curation.PhoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature resampling summary ([[Curation.temperatureResample]]):
+    * per-language keep-rate sqrt(n_min/n_lang) with the md5-bucket keep
+    * decision; sqrt because IEEE requires it correctly rounded, so the
+    * oracle's threshold is bit-identical. */
+  val q76TemperatureMix: Q = q("q76_temperature_mix",
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |m AS (SELECT min(n_lang) AS n_min FROM c),
+      |r AS (SELECT lang, n_lang,
+      |        sqrt(CAST(n_min AS DOUBLE) / n_lang) AS keep_rate FROM c, m),
+      |k AS (SELECT d.lang, r.n_lang, r.keep_rate,
+      |        CASE WHEN ('0x' || substr(md5(d.text), 1, 6))::BIGINT
+      |               < r.keep_rate * 16777216
+      |             THEN 1 ELSE 0 END AS kept
+      |      FROM documents d JOIN r USING (lang))
+      |SELECT lang, CAST(max(n_lang) AS BIGINT) AS n_in,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  round(max(keep_rate), 6) AS keep_rate
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Curation.temperatureResample(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(max("n_lang").as("n_in"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        round(max("keep_rate"), 6).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -713,5 +868,7 @@ object PipelineQueries {
     q55HashFns, q56BuiltinHash, q57HeavyHitters, q58IncrementalDedup, q60Curation,
     q62GroupMinhash, q64HashSplit, q65QualityGates, q66Repetition,
     q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus,
-    q71QuantTopk)
+    q71QuantTopk,
+    q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
+    q76TemperatureMix)
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup}
+
+/** Cluster canonicalization, chunk dedup, decontamination, PII redaction
+  * and temperature resampling semantics. */
+class ClusterDedupSpec extends SparkSpec {
+  import SparkSpec.sf0001
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  /** Reference union-find over an edge list. */
+  private def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = spark.createDataFrame(edges).toDF("a", "b")
+    Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccOf(edges) === ufClusters(edges), s"trial $trial")
+    }
+  }
+
+  test("connectedComponents collapses a long chain (diameter >> rounds)") {
+    // a 200-node path: min-label propagation would need ~200 rounds;
+    // star contraction must finish within the default maxIter
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got.size === 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents handles empty input and singleton-free output") {
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+    // self-loops contribute nothing
+    val selfy = spark.createDataFrame(Seq((3L, 3L), (1L, 2L))).toDF("a", "b")
+    assert(Dedup.connectedComponents(selfy).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
+  test("nearDupClusters: every confirmed pair lands in one cluster") {
+    val pairs = Dedup.minHashLshPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val cl = Dedup.nearDupClusters(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(cl(a) === cl(b)) }
+    // canonical id is the min of its cluster and a member of it
+    cl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+  }
+
+  test("chunkDedup keeps exactly the first occurrence of each chunk") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"), // chunk "a b" already seen in doc 1
+      (3L, "c d x y") // both chunks seen
+    )).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(df, Dedup.wordChunks(col("text"), 2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got === Array((1L, 2L, "a b c d"), (2L, 1L, "x y")))
+  }
+
+  test("chunkDedup is idempotent") {
+    val chunked = Dedup.chunkDedup(docs, Dedup.wordChunks(col("text"), 10))
+    val again = Dedup.chunkDedup(
+      chunked.select(col("doc_id"), col("dedup_text").as("text")),
+      Dedup.wordChunks(col("text"), 10))
+    val a = chunked.select("doc_id", "dedup_text")
+    val b = again.select("doc_id", "dedup_text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("contaminationFlags matches brute-force string n-gram overlap") {
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+    def grams(t: String, n: Int): Set[String] =
+      t.split(" ").sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+    val evalGrams = eval.select("text").collect()
+      .flatMap(r => grams(r.getString(0), 5)).toSet
+    val expected = train.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1), 5).count(evalGrams).toLong)
+      .filter(_._2 > 0).toMap
+    val got = Curation.contaminationFlags(train, eval, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("redactPii masks emails, IPs and dash-phones, leaves clean text alone") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "write to jane.doe+x@mail.example.org today"),
+      (2L, "server 10.0.113.7 port open"),
+      (3L, "call +1-555-0142 or 555-9000"),
+      (4L, "nothing sensitive here v1.2 x@y"))).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Curation.redactPii(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "write to <EMAIL> today")
+    assert(got(2L) === "server <IP> port open")
+    assert(got(3L) === "call <PHONE> or <PHONE>")
+    assert(got(4L) === "nothing sensitive here v1.2 x@y")
+  }
+
+  test("temperatureResample: rarest language fully kept, rates in (0,1]") {
+    val out = Curation.temperatureResample(docs)
+    val rates = out.select("lang", "n_lang", "keep_rate").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rates.forall { case (_, _, r) => r > 0.0 && r <= 1.0 })
+    val nMin = rates.map(_._2).min
+    rates.filter(_._2 == nMin).foreach { case (_, _, r) => assert(r === 1.0) }
+    // the rarest language keeps everything
+    val kept = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("kept").cast("long")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rarest = rates.filter(_._2 == nMin).map(_._1)
+    rarest.foreach(l => assert(kept(l)._1 === kept(l)._2))
+    // deterministic: same result on rerun
+    val again = Curation.temperatureResample(docs).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("kept").cast("long")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept === again)
+  }
+}
