@@ -303,12 +303,23 @@ object Dedup {
     * makes it the 100 TB path (naive min-label propagation needs
     * diameter-many rounds, and near-dup graphs form long chains).
     * Per-round `localCheckpoint` truncates the growing lineage; the
-    * convergence probe is a (count, sum, xor) signature over
+    * convergence probe is a (count, xor, xor) signature over
     * xxhash64(edge) — one cheap aggregate instead of a set-difference
     * shuffle. Output: one row per node that appears in `pairs`, labelled
     * `cluster_id` = the smallest node id of its component.
+    *
+    * Edge sets at or below `driverCutoff` (default 2²⁰ edges ≈ 16 MB)
+    * short-circuit to a driver-side union-find — identical output, none
+    * of the per-round job latency. Same bounded-driver stance as the IVF
+    * quantizer's training sample: near-dup pair sets are collapse-lists,
+    * typically orders of magnitude smaller than the corpus, so even a
+    * 100 TB run usually lands in this branch; the contraction loop is
+    * the unbounded fallback. Pass `driverCutoff = 0` to force the
+    * distributed path.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+                          driverCutoff: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
     val a = col(pairs.columns(0)).cast("long")
     val b = col(pairs.columns(1)).cast("long")
     def canon(df: DataFrame, x: Column, y: Column): DataFrame =
@@ -326,6 +337,22 @@ object Dedup {
     }
     var edges = canon(pairs, a, b).localCheckpoint()
     var sig = signature(edges)
+    if (sig._1 <= driverCutoff) {
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      collected.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val nodes = collected.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      return spark.createDataFrame(nodes.map(n => (n, find(n))))
+        .toDF("node", "cluster_id")
+    }
     var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIter) {

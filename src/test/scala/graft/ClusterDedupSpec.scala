@@ -24,19 +24,21 @@ class ClusterDedupSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def ccOf(edges: Seq[(Long, Long)], cutoff: Long): Map[Long, Long] = {
     val df = spark.createDataFrame(edges).toDF("a", "b")
-    Dedup.connectedComponents(df).collect()
+    Dedup.connectedComponents(df, driverCutoff = cutoff).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("connectedComponents matches union-find on random graphs") {
+  test("connectedComponents matches union-find on random graphs (both paths)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {
       val n = 40 + trial * 30
       val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      assert(ccOf(edges) === ufClusters(edges), s"trial $trial")
+      val expected = ufClusters(edges)
+      assert(ccOf(edges, cutoff = 0) === expected, s"distributed, trial $trial")
+      assert(ccOf(edges, cutoff = 1L << 20) === expected, s"driver, trial $trial")
     }
   }
 
@@ -44,13 +46,14 @@ class ClusterDedupSpec extends SparkSpec {
     // a 200-node path: min-label propagation would need ~200 rounds;
     // star contraction must finish within the default maxIter
     val chain = (0L until 199L).map(i => (i, i + 1))
-    val got = ccOf(chain)
+    val got = ccOf(chain, cutoff = 0)
     assert(got.size === 200 && got.values.forall(_ == 0L))
   }
 
   test("connectedComponents handles empty input and singleton-free output") {
     val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("a", "b")
     assert(Dedup.connectedComponents(empty).isEmpty)
+    assert(Dedup.connectedComponents(empty, driverCutoff = 0).isEmpty)
     // self-loops contribute nothing
     val selfy = spark.createDataFrame(Seq((3L, 3L), (1L, 2L))).toDF("a", "b")
     assert(Dedup.connectedComponents(selfy).collect().map(_.getLong(0)).toSet
