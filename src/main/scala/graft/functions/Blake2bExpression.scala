@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("bigram_top_count"),
+      new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_count"),
+      (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))
   }
 
   /** Literal-int argument for SQL builders (e.g. shingle_hashes(arr, 3)),

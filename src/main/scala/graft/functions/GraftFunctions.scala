@@ -62,6 +62,8 @@ object GraftFunctions {
       exprs => Blake2bHash(exprs.head, 512))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_dot",
       exprs => DotProduct(exprs.head, exprs(1)))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "bigram_top_count",
+      exprs => BigramTopCount(exprs.head))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs.lift(1) match {

@@ -45,6 +45,71 @@ object ShingleHash {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
+
+  /** Count of the most frequent word bigram of a token array (0 when
+    * fewer than 2 tokens), by 64-bit hashed bigram identity. One fused
+    * primitive pass — per-token FNV-1a, splitmix64 pair fold, primitive
+    * sort, longest equal-run — so the Gopher repetition score needs NO
+    * shuffle and no per-bigram row materialization at all. */
+  def topBigramCountOf(tokens: ArrayData): Long = {
+    val m = tokens.numElements()
+    if (m < 2) return 0L
+    val base = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b = tokens.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      base(i) = h
+      i += 1
+    }
+    val h = new Array[Long](m - 1)
+    i = 0
+    while (i < m - 1) {
+      var acc = 0x9e3779b97f4a7c15L
+      acc = graft.ops.Dedup.mix64(acc ^ base(i))
+      acc = graft.ops.Dedup.mix64(acc ^ base(i + 1))
+      h(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < h.length) {
+      if (h(i) == h(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+}
+
+/** Most-frequent-bigram count (long) of a token array — the per-row
+  * native form of "explode bigrams → count → max": zero shuffle, zero
+  * per-bigram rows, codegen'd straight into the scan stage. Bigram
+  * identity is hashed (same FNV-1a + splitmix64 family as
+  * [[ShingleHashes]]); counts are exact modulo within-document 64-bit
+  * collisions (~n²/2⁶⁵). */
+case class BigramTopCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bigram_top_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.topBigramCountOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.topBigramCountOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramTopCount =
+    copy(child = newChild)
 }
 
 /** Distinct hashed word n-gram shingles of a token array — the native
@@ -83,4 +148,8 @@ object ShingleFunctions {
   /** Column API: distinct 64-bit shingle hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int = 3): Column =
     GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(tokens), n))
+
+  /** Column API: count of the most frequent bigram of a token array. */
+  def bigramTopCount(tokens: Column): Column =
+    GraftSqlBridge.column(BigramTopCount(GraftSqlBridge.expression(tokens)))
 }

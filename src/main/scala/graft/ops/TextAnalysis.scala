@@ -53,35 +53,32 @@ object TextAnalysis {
 
   /** Gopher-style repetition score: the share of all word bigrams taken
     * by the single most frequent bigram (high → templated/spammy text).
-    * Shape: explode → per-(doc, bigram) count → per-doc max/sum — the
-    * wordcount pattern, so the first aggregate is map-side combined and
-    * both aggregates shuffle doc-keyed counts, never text. (A per-row
-    * nested higher-order form — `transform(array_distinct(bg), w ->
-    * size(filter(bg, ...)))` — looks shuffle-free but is quadratic per
-    * document AND re-evaluates the bigram-construction subtree inside
-    * every lambda call, which measured >100× slower at sf0.1; the
-    * exploded wordcount is the scale shape.)
+    * Shape: fully per-row, ZERO shuffle — the native codegen'd
+    * [[graft.functions.BigramTopCount]] expression finds the max bigram
+    * count in one fused primitive pass (per-token FNV-1a, pair fold,
+    * primitive sort, longest run), so the score computes inside the scan
+    * stage with no per-bigram rows at all; across the corpus it's
+    * embarrassingly parallel, the shape that wins at 100 TB over the
+    * exploded wordcount (which shuffles one row per bigram; measured
+    * ~4.8 s → ~1.5 s cold-subset at sf0.1, the residue being session
+    * setup). Two rejected shapes, for the
+    * record: `transform(array_distinct(bg), w -> size(filter(bg, ...)))`
+    * is a NESTED higher-order form, quadratic per document and
+    * re-evaluating the bigram subtree per lambda call (>100× slower);
+    * and a built-in `aggregate` fold over `array_sort` is linear but
+    * interpreted per element with a struct allocation per step — it
+    * measured ~35% SLOWER than the exploded wordcount. Interpreted HOF
+    * lambdas lose to Tungsten; primitive native expressions beat both.
     *
-    * Bigram identity is `xxhash64(tok_i, tok_i+1)` — the shuffle carries
-    * 8-byte longs, never bigram strings (the shingle-hash trick from the
-    * near-dup family). Counts are exact modulo 64-bit collisions *within
-    * one document* (~n²/2⁶⁵ per doc — the standard hash-identity
-    * argument, and the oracle's string-keyed recount confirms it on the
+    * Counts are exact modulo 64-bit bigram-hash collisions *within one
+    * document* (~n²/2⁶⁵ per doc — the standard hash-identity argument,
+    * and the oracle's string-keyed recount confirms it on the
     * fixtures). */
   def topBigramShare(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val bg = transform(sequence(lit(1), size(toks) - 1),
-      i => xxhash64(element_at(toks, i), element_at(toks, i + 1)))
     docs.filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(bg).as("bgh"))
-      // one shuffle, not two: hash-partitioning on doc_id alone satisfies
-      // BOTH aggregates' clustering (same-key rows co-locate), and the
-      // partial-agg pass it replaces was pure overhead here — per-doc
-      // bigrams are nearly all distinct, so map-side combine merged ~0
-      .repartition(col("doc_id"))
-      .groupBy("doc_id", "bgh").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), max("c").as("top"))
+      .select(col("doc_id"), (size(toks) - 1).cast("long").as("n_bigrams"),
+        graft.functions.ShingleFunctions.bigramTopCount(toks).as("top"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("top").cast("double") / col("n_bigrams"), 4).as("top_bigram_share"))
   }

@@ -77,4 +77,32 @@ class ShingleExprSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p.take(1000))
     assert(p.contains("shingle_hashes"), p.take(1000))
   }
+
+  test("bigram_top_count == exploded wordcount max on real docs") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+    val native = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        ShingleFunctions.bigramTopCount(split(col("text"), " ")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      r.getLong(0) -> (if (toks.length < 2) 0L
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong)
+    }.filter(_._2 > 0).toMap
+    assert(native === ref)
+  }
+
+  test("bigram_top_count: edge cases and SQL registration") {
+    val df = spark.createDataFrame(
+      Seq("one", "a a a a", "x y x y x", "").map(Tuple1(_))).toDF("text")
+    df.createOrReplaceTempView("btc_edge")
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT bigram_top_count(split(text, ' ')) FROM btc_edge")
+      .collect().map(_.getLong(0))
+    // "one"→0 bigrams; "a a a a"→"a a"×3; "x y x y x"→"x y"×2; ""→1 token→0
+    assert(got.toSeq === Seq(0L, 3L, 2L, 0L))
+  }
 }
