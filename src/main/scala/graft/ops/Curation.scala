@@ -183,6 +183,22 @@ object Curation {
           col("keep_rate") * (1 << 24))
   }
 
+  /** Per-domain document cap (the RefinedWeb/C4 guard against one domain
+    * flooding the corpus): keep at most `cap` documents per `domain`,
+    * preferring higher `quality` (ties broken by doc_id, so the keep set
+    * is deterministic and engine-stable). One window over the domain
+    * partitioning — the shuffle key is the domain, and partitions hold
+    * one domain's rows each; a boilerplate mega-domain is exactly the
+    * skew AQE's skew-join/partition splitting exists for, and `cap`
+    * bounds what survives regardless. Adds `domain_rank` (1 = best). */
+  def domainCap(docs: DataFrame, domain: Column, quality: Column,
+                cap: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domain).orderBy(quality.desc, col("doc_id").asc)
+    docs.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= cap)
+  }
+
   /** Curated corpus stats per language (rows-only oracle: upstream uses
     * engine-internal MinHash). */
   def stats(curated: DataFrame): DataFrame =

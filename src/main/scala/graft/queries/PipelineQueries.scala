@@ -859,6 +859,35 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Per-source document cap ([[Curation.domainCap]]): top-5 docs per
+    * source by unique-token ratio (doc_id tiebreak) — the anti-flooding
+    * quota of RefinedWeb/C4 pipelines. Oracle: the same row_number
+    * window in SQL. The ratio is a ratio of two integers, identically
+    * rounded in both engines, and the tiebreak makes the keep set
+    * deterministic. */
+  val q77DomainCap: Q = q("q77_domain_cap",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS uniq_ratio
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, round(uniq_ratio, 4) AS uniq_ratio,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY uniq_ratio DESC, doc_id ASC) AS INTEGER) AS domain_rank
+      |  FROM scored)
+      |SELECT doc_id, source, uniq_ratio, domain_rank
+      |FROM ranked WHERE domain_rank <= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val uniqRatio =
+      size(array_distinct(toks)).cast("double") / size(toks)
+    Curation.domainCap(
+      Tables.documents(s, d).withColumn("uniq_ratio", uniqRatio),
+      domain = col("source"), quality = col("uniq_ratio"), cap = 5)
+      .select(col("doc_id"), col("source"),
+        round(col("uniq_ratio"), 4).as("uniq_ratio"), col("domain_rank"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -870,5 +899,5 @@ object PipelineQueries {
     q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus,
     q71QuantTopk,
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
-    q76TemperatureMix)
+    q76TemperatureMix, q77DomainCap)
 }

@@ -125,6 +125,24 @@ class ClusterDedupSpec extends SparkSpec {
     assert(got(4L) === "nothing sensitive here v1.2 x@y")
   }
 
+  test("domainCap: at most k per domain, best-first, deterministic tiebreak") {
+    val uniq = size(array_distinct(split(col("text"), " "))).cast("double") /
+      size(split(col("text"), " "))
+    val capped = Curation.domainCap(
+      docs.withColumn("q", uniq), col("source"), col("q"), cap = 3)
+    val bySrc = capped.groupBy("source").agg(count(lit(1)).as("n"),
+        max("domain_rank").as("mx"), min("domain_rank").as("mn"))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (n, mx, mn) =>
+      assert(n <= 3 && mn === 1 && mx === n.toInt) // contiguous 1..n
+    }
+    // rerun → identical keep set (deterministic tiebreak)
+    val again = Curation.domainCap(
+      docs.withColumn("q", uniq), col("source"), col("q"), cap = 3)
+    assert(capped.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
+
   test("temperatureResample: rarest language fully kept, rates in (0,1]") {
     val out = Curation.temperatureResample(docs)
     val rates = out.select("lang", "n_lang", "keep_rate").distinct().collect()

@@ -73,6 +73,26 @@ class CurationSpec extends SparkSpec {
       Seq("good doc one", "good doc three", "good doc two"))
   }
 
+  test("streaming PII scrub link: redaction is a pure projection over the registry") {
+    val s = spark
+    import s.implicits._
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-pii").toString)
+    object ScrubLink extends graft.runtime.Link {
+      val inputs = Seq("pii_in"); val output = Some("pii_clean")
+      override def transform(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("text", graft.ops.Curation.redactPii(col("text")))
+    }
+    reg.write(Seq(
+      "mail me at a.b@example.com now",
+      "server 10.0.113.9 and line +1-555-0100 ok").toDF("text"), "pii_in")
+    new graft.runtime.Pipeline(Seq(ScrubLink)).runOnce(spark, reg)
+    val got = reg.read("pii_clean").collect().map(_.getString(0)).sorted.toSeq
+    assert(got === Seq(
+      "mail me at <EMAIL> now",
+      "server <IP> and line <PHONE> ok"))
+  }
+
   test("streaming hash-split router: docs fan out to per-split streams, batch-stable") {
     val s = spark
     import s.implicits._

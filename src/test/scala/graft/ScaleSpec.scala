@@ -54,4 +54,32 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("runtime bloom-filter injection prunes the fact side of a selective join") {
+    // Spark's InjectRuntimeFilter: a selective dim-side predicate becomes a
+    // bloom might_contain on the fact scan — the same big-join pruning a
+    // 100 TB deployment leans on; this pins that our plans are eligible
+    // (equi-join keys, no UDF in the join condition) rather than
+    // accidentally disabling it.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 500000) // selective build side
+        .select("o_orderkey")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized.take(2000))
+      assert(joined.count() >= 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
