@@ -42,13 +42,18 @@ object TextAnalysis {
         lit(lang).as("l"))
     }: _*))
     val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
-    docs.select(col("doc_id"),
-      when(hasCjk, lit("zh"))
-        .when(best.getField("s") > 0, best.getField("l"))
-        .otherwise(lit("unknown")).as("pred_lang"),
-      round(best.getField("s"), 3).as("lang_score"),
-      size(toks).cast("long").as("n_tokens_ws"),
-      bpeishTokenCount(col("text")).as("n_tokens_bpe"))
+    // `best` is referenced three times below, partly inside when-branches
+    // where codegen subexpression elimination cannot reach — materialize
+    // it in its own projection so the 4-profile scan runs ONCE per row
+    // (CollapseProject keeps multi-referenced expensive aliases intact).
+    docs.withColumn("graft_best", best)
+      .select(col("doc_id"),
+        when(hasCjk, lit("zh"))
+          .when(col("graft_best.s") > 0, col("graft_best.l"))
+          .otherwise(lit("unknown")).as("pred_lang"),
+        round(col("graft_best.s"), 3).as("lang_score"),
+        size(toks).cast("long").as("n_tokens_ws"),
+        bpeishTokenCount(col("text")).as("n_tokens_bpe"))
   }
 
   /** Gopher-style repetition score: the share of all word bigrams taken
