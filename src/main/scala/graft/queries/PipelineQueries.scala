@@ -888,6 +888,51 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Cluster-canonical dedup survivors — the endpoint the clusters exist
+    * for: every document except non-canonical members of a near-dup
+    * cluster. This is NOT the same as dropping the larger side of each
+    * pair (q60/q70's rule): with pairs (1,9) and (5,9), pair-dropping
+    * keeps {1,5} while the cluster {1,5,9} keeps only 1 — cluster
+    * semantics dedups transitively even when the pair set skips an
+    * edge. */
+  val q78ClusterSurvivors: Q = q("q78_cluster_survivors",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |cc(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node),
+      |drops AS (
+      |  SELECT node FROM cc GROUP BY node HAVING node <> min(lbl))
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (SELECT node FROM drops)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val drops = Dedup.nearDupClusters(docs, 0.8)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -899,5 +944,5 @@ object PipelineQueries {
     q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus,
     q71QuantTopk,
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
-    q76TemperatureMix, q77DomainCap)
+    q76TemperatureMix, q77DomainCap, q78ClusterSurvivors)
 }
