@@ -124,11 +124,13 @@ object TextAnalysis {
     val sketch = toksDf.stat.countMinSketch("tok", eps, confidence, seed = 42)
     val total = sketch.totalCount()
     val threshold = (total * minShare).toLong
-    val spark = docs.sparkSession
-    val bSketch = spark.sparkContext.broadcast(sketch)
-    val estimate = udf((t: String) => bSketch.value.estimateCount(t))
-    // candidate set from the sketch (over-approximation), then exact count
-    toksDf.filter(estimate(col("tok")) >= threshold)
+    // candidate set from the sketch (over-approximation), then exact
+    // count. The probe is the native CountMinEstimate expression — the
+    // sketch ships as a plan reference object and the filter runs inside
+    // whole-stage codegen, no ScalaUDF serde on the full token stream.
+    val estimate =
+      graft.functions.SketchFunctions.countMinEstimate(sketch, col("tok"))
+    toksDf.filter(estimate >= threshold)
       .groupBy("tok").agg(fcount(lit(1)).as("n"))
       .filter(col("n") >= threshold)
       .orderBy(col("n").desc, col("tok"))

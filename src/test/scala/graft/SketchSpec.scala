@@ -43,6 +43,14 @@ class SketchSpec extends SparkSpec {
     assert(got.nonEmpty) // 31-word vocab → plenty of heavy tokens
   }
 
+  test("heavyHitters probe is the native expression, not a ScalaUDF") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = TextAnalysis.heavyHitters(docs, minShare = 0.03)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("count_min_estimate"), p.take(1500))
+    assert(!p.contains("UDF"), p.take(1500))
+  }
+
   test("approxQuantile within declared relative error") {
     val orders = Tables.orders(spark, sf0001)
     val Array(p50) = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.01)
