@@ -42,6 +42,18 @@ class ClusterDedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents on adversarial shapes (distributed path)") {
+    // two cliques joined by one bridge edge; a star; disjoint pairs —
+    // the shapes where pairwise reasoning and contraction rounds differ
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val bridge = Seq((4L, 10L))
+    val star = (101L to 108L).map(i => (100L, i))
+    val pairs = Seq((200L, 201L), (202L, 203L), (204L, 205L))
+    val edges = cliqueA ++ cliqueB ++ bridge ++ star ++ pairs
+    assert(ccOf(edges, cutoff = 0) === ufClusters(edges))
+  }
+
   test("connectedComponents collapses a long chain (diameter >> rounds)") {
     // a 200-node path: min-label propagation would need ~200 rounds;
     // star contraction must finish within the default maxIter
