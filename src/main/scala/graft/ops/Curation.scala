@@ -24,21 +24,34 @@ object Curation {
       minUniqRatio: Double = 0.05,
       nearDupJaccard: Double = 0.8)
 
-  /** Surviving documents (all original columns) after the three gates. */
+  /** Surviving documents (all original columns) after the three gates.
+    *
+    * Exact dedup and near-dup removal are ONE pass here: an exact
+    * duplicate is a Jaccard-1.0 pair, and MinHash-LSH catches identical
+    * documents with certainty (identical signatures always share every
+    * band), so dropping the higher-id side of every confirmed pair over
+    * the gated corpus removes exactly the non-minimal member of each
+    * content group AND the near-dups. The result is provably identical
+    * to the staged gate → exact-dedup → near-dup chain: a doc x that is
+    * the minimum of its content group is dropped by the staged form iff
+    * some exact-survivor y < x confirms at j ≥ threshold; any
+    * non-survivor witness y' < x has an identical-text group minimum
+    * min(y') ≤ y' < x with the same Jaccard, so the one-pass form drops
+    * the same x (CurationSpec pins survivor equality with the staged
+    * chain, and the q60/q70 oracles mirror the staged SQL). Collapsing
+    * the stages removes a blake2b groupBy + semi-join and one full
+    * recompute of the survivor branch — at 100 TB that's one fewer
+    * corpus-wide shuffle and one fewer scan. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val toks = split(col("text"), " ")
     // 1. quality gate — pure projection/filter, no shuffle
     val quality = docs.filter(
       size(toks) >= cfg.minTokens &&
         (size(array_distinct(toks)).cast("double") / size(toks)) >= cfg.minUniqRatio)
-    // 2. exact dedup — keep min doc_id per content hash
-    val survivorsExact = quality.join(
-      Dedup.exactByHash(quality, col("text"), col("doc_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    // 3. near-dup removal — drop the higher-id side of each confirmed pair
-    val dropList = Dedup.minHashLshPairs(survivorsExact, cfg.nearDupJaccard)
+    // 2.+3. exact + near-dup removal in one pair-drop pass
+    val dropList = Dedup.minHashLshPairs(quality, cfg.nearDupJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    survivorsExact.join(dropList, Seq("doc_id"), "left_anti")
+    quality.join(dropList, Seq("doc_id"), "left_anti")
   }
 
   /** Deterministic train/val/test assignment by content hash — the

@@ -26,6 +26,23 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.jaccardNearDupPairs(curated, 0.8).isEmpty)
   }
 
+  test("one-pass curate equals the staged gate → exact-dedup → near-dup chain") {
+    val cfg = Curation.Config()
+    val toks = split(col("text"), " ")
+    val quality = docs.filter(
+      size(toks) >= cfg.minTokens &&
+        (size(array_distinct(toks)).cast("double") / size(toks)) >= cfg.minUniqRatio)
+    val survivorsExact = quality.join(
+      Dedup.exactByHash(quality, col("text"), col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val dropList = Dedup.minHashLshPairs(survivorsExact, cfg.nearDupJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val staged = survivorsExact.join(dropList, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val onePass = curated.select("doc_id")
+    assert(onePass.exceptAll(staged).isEmpty && staged.exceptAll(onePass).isEmpty)
+  }
+
   test("curation is idempotent") {
     val twice = Curation.curate(curated)
     assert(twice.count() === curated.count())
