@@ -98,6 +98,31 @@ class ClusterDedupSpec extends SparkSpec {
     assert(got === Array((1L, 2L, "a b c d"), (2L, 1L, "x y")))
   }
 
+  test("chunkDedup matches a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val corpus = (0L until 30L).map { id =>
+        // tiny vocab + short docs → many cross-doc and within-doc repeats
+        id -> Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val chunk = 2
+      // sequential reference: walk docs in id order, keep first-seen chunks
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = corpus.flatMap { case (id, text) =>
+        val parts = text.split(" ", -1).grouped(chunk).map(_.mkString(" ")).toSeq
+        val kept = parts.filter(seen.add)
+        if (kept.isEmpty) None
+        else Some((id, kept.size.toLong, kept.mkString(" ")))
+      }
+      val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val got = Dedup.chunkDedup(df, Dedup.wordChunks(col("text"), chunk))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq === expected, s"trial $trial")
+    }
+  }
+
   test("chunkDedup is idempotent") {
     val chunked = Dedup.chunkDedup(docs, Dedup.wordChunks(col("text"), 10))
     val again = Dedup.chunkDedup(
