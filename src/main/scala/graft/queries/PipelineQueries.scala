@@ -933,6 +933,42 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Semantic dedup clusters (SemDeDup-style, Abbas et al. 2023):
+    * embedding-space near-dup pairs from the LSH-bucketed cosine path
+    * (q63's machinery, planted perturbed copies) collapsed into
+    * connected components — each group of semantically-identical vectors
+    * gets one canonical id, the unit a semantic-dedup pass keeps.
+    * Oracle: the exact quadratic pair SQL closed with a recursive CTE. */
+  val q79SemanticClusters: Q = q("q79_semantic_clusters",
+    """WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |aug AS (SELECT vec_id, v FROM base
+      |        UNION ALL
+      |        SELECT vec_id + 100000, list_transform(v, x -> x + 0.2 * x * x) FROM base),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9),
+      |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+      |          UNION SELECT vec_b, vec_a FROM pairs),
+      |cc(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node)
+      |SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM cc GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding")))
+    Dedup.connectedComponents(
+        Similarity.lshCosineNearDupPairs(aug, minCos = 0.9)
+          .select("vec_a", "vec_b"))
+      .withColumnRenamed("node", "vec_id")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -944,5 +980,6 @@ object PipelineQueries {
     q67SeqPack, q68EmbedQuant, q69UnigramLogprob, q70PrepareCorpus,
     q71QuantTopk,
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
-    q76TemperatureMix, q77DomainCap, q78ClusterSurvivors)
+    q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
+    q79SemanticClusters)
 }
