@@ -422,6 +422,38 @@ object Dedup {
           s => s.getField("part")), " ").as("dedup_text"))
   }
 
+  /** Query-by-document text similarity search: top-`k` most Jaccard-similar
+    * corpus documents for each query doc, via the shingle inverted index —
+    * the search-shaped twin of [[jaccardNearDupPairs]]. The query side of
+    * the index join is the (small) query set, so join work is
+    * Σ_{query shingles} df, not Σ df² over the corpus; ranking windows
+    * only over per-query candidate lists (never the corpus), ordered by
+    * raw Jaccard with a doc_id tiebreak so the top-k set is
+    * deterministic. */
+  def jaccardTopK(docs: DataFrame, queryIds: Seq[Long], k: Int,
+                  n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val sizes = sh.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("s")).as("nsh"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    val qx = ex.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("sg"))
+    val shared = qx.join(ex, "sg")
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("shared"))
+    val scored = shared
+      .join(sizes.select(col("doc_id").as("q_id"), col("nsh").as("nq")), "q_id")
+      .join(sizes, "doc_id")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("nq") + col("nsh") - col("shared")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("jaccard").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), round(col("jaccard"), 4).as("jaccard"),
+        col("rnk"))
+  }
+
   /** Fixed-size word windows for [[chunkDedup]]: chunk i = words
     * [i*size, (i+1)*size), last chunk ragged. */
   def wordChunks(text: Column, size: Int): Column = {

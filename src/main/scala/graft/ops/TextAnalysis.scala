@@ -108,6 +108,39 @@ object TextAnalysis {
         round(avg(log(col("c").cast("double") / col("tot"))), 4).as("avg_logprob"))
   }
 
+  /** CCNet-style bigram LM quality score: mean conditional log-probability
+    * ln p(w2|w1) = ln(c(w1,w2) / c_prefix(w1)) under the corpus bigram
+    * model — the next step up from [[unigramLogProb]] (real CCNet ships a
+    * 5-gram KenLM; the plumbing — frequency model broadcast, doc side
+    * never shuffles — is identical at any order). Both model tables are
+    * vocabulary²-bounded, hence broadcast; bigrams absent from the corpus
+    * are dropped like q69's unknown tokens (smoothing left to callers). */
+  def bigramLogProb(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    // Materialize the token array before zipping: a lambda capturing the
+    // raw split() would re-run it per element (the q66 O(n²) trap); the
+    // slice/arrays_zip pair needs no lambda at all — one linear pass.
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val freq = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // c_prefix(w1) = Σ_w2 c(w1,w2): fold the vocab²-sized freq table
+    // instead of re-scanning the corpus bigram stream a second time, then
+    // fold the conditional log-prob into it so the (big) doc side pays a
+    // single broadcast join against one finished model table.
+    val prefix = freq.groupBy("w1").agg(sum("c").as("cp"))
+    val model = freq.join(prefix, "w1").select(col("w1"), col("w2"),
+      log(col("c").cast("double") / col("cp")).as("lp"))
+    bigrams(docs)
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

@@ -969,6 +969,62 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Bigram LM quality score ([[TextAnalysis.bigramLogProb]]): mean
+    * conditional ln p(w2|w1) under the corpus bigram model — q69's
+    * plumbing one model order up. ln-parity per the q69/q20 precedent. */
+  val q80BigramLogprob: Q = q("q80_bigram_logprob",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |  unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM t WHERE len(w) >= 2),
+      |freq AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |prefix AS (SELECT w1, count(*) AS cp FROM bg GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln(c::DOUBLE / cp)), 4) AS avg_logprob
+      |FROM bg JOIN freq USING (w1, w2) JOIN prefix USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.bigramLogProb(docs, docs).orderBy("doc_id")
+  }
+
+  /** Query-by-document text similarity search ([[Dedup.jaccardTopK]]):
+    * top-3 most similar corpus docs per query doc (doc_id < 8) via the
+    * shingle inverted index — search-shaped, never all-pairs. Determinism:
+    * Jaccard from integer arithmetic is engine-identical, ties break on
+    * doc_id. */
+  val q81TextSearch: Q = q("q81_text_search",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |qx AS (SELECT doc_id AS q_id, sg FROM ex WHERE doc_id < 8),
+      |sc AS (
+      |  SELECT q.q_id, e.doc_id, count(*) AS shared
+      |  FROM qx q JOIN ex e USING (sg)
+      |  WHERE e.doc_id <> q.q_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT sc.q_id, sc.doc_id,
+      |    CAST(sc.shared AS DOUBLE) / (sq.n + sd.n - sc.shared) AS j
+      |  FROM sc
+      |  JOIN sizes sq ON sc.q_id = sq.doc_id
+      |  JOIN sizes sd ON sc.doc_id = sd.doc_id),
+      |ranked AS (SELECT q_id, doc_id, round(j, 4) AS jaccard,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY j DESC, doc_id)
+      |    AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT q_id, doc_id, jaccard, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    Dedup.jaccardTopK(Tables.documents(s, d), queryIds = (0L until 8L).toSeq,
+        k = 3)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -981,5 +1037,5 @@ object PipelineQueries {
     q71QuantTopk,
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
-    q79SemanticClusters)
+    q79SemanticClusters, q80BigramLogprob, q81TextSearch)
 }

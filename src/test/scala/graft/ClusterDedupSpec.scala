@@ -180,6 +180,29 @@ class ClusterDedupSpec extends SparkSpec {
     assert(capped.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
 
+  test("bigramLogProb: pinned score on a hand corpus") {
+    val hand = spark.createDataFrame(Seq((1L, "a b a b a c")))
+      .toDF("doc_id", "text")
+    // bigrams: ab ba ab ba ac → freq ab=2 ba=2 ac=1; prefixes a=3 b=2
+    // avg = (2·ln(2/3) + 2·ln(2/2) + ln(1/3)) / 5
+    val expected = BigDecimal((2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.ops.TextAnalysis.bigramLogProb(hand, hand).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 5L)
+    assert(got(0).getDouble(2) === expected)
+  }
+
+  test("jaccardTopK: a planted exact duplicate ranks first with jaccard 1.0") {
+    val donor = docs.filter(col("doc_id") === 0).select("text")
+      .collect().head.getString(0)
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      spark.createDataFrame(Seq((9999L, donor))).toDF("doc_id", "text"))
+    val top = Dedup.jaccardTopK(planted, Seq(9999L), k = 1).collect()
+    assert(top.length === 1)
+    assert(top(0).getLong(1) === 0L && top(0).getDouble(2) === 1.0)
+  }
+
   test("temperatureResample: rarest language fully kept, rates in (0,1]") {
     val out = Curation.temperatureResample(docs)
     val rates = out.select("lang", "n_lang", "keep_rate").distinct().collect()
