@@ -46,6 +46,35 @@ object ShingleHash {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
 
+  /** Positional variant of [[hashesOf]]: the hash of the n-gram starting
+    * at EVERY position, in document order, duplicates kept — index i of
+    * the result is the gram at token offset i, which is exactly what
+    * duplicate-span detection needs (dedup would erase the positions). */
+  def posHashesOf(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val base = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b = tokens.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      base(i) = h
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var acc = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { acc = graft.ops.Dedup.mix64(acc ^ base(i + j)); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Count of the most frequent word bigram of a token array (0 when
     * fewer than 2 tokens), by 64-bit hashed bigram identity. One fused
     * primitive pass — per-token FNV-1a, splitmix64 pair fold, primitive
@@ -144,7 +173,38 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional (non-distinct, document-order) hashed n-grams: element i is
+  * the 64-bit hash of the gram at token offset i. Same hash family and
+  * fused-primitive-loop shape as [[ShingleHashes]]; kept separate because
+  * the set-shaped consumers (Jaccard, MinHash) must NOT pay for position
+  * bookkeeping and the span-shaped consumer must not lose it. */
+case class ShinglePosHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"shingle_pos_hashes_$n"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.posHashesOf(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.posHashesOf($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePosHashes =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
+  /** Column API: positional 64-bit n-gram hashes of a token array. */
+  def shinglePosHashes(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(ShinglePosHashes(GraftSqlBridge.expression(tokens), n))
+
   /** Column API: distinct 64-bit shingle hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int = 3): Column =
     GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(tokens), n))

@@ -454,6 +454,49 @@ object Dedup {
         col("rnk"))
   }
 
+  /** Exact duplicate-span detection (the suffix-dedup idea of "remove
+    * repeated substrings" recast as a bucketed join): every token position
+    * whose k-gram occurs ≥2 times anywhere in the corpus is marked, and
+    * per-doc overlapping marks merge (gaps-and-islands) into maximal
+    * half-open token spans [span_start, span_end). Span semantics: a span
+    * covers text that also exists verbatim elsewhere (or again in the same
+    * doc); removal policy — drop all, keep one canonical occurrence — is a
+    * caller choice over this table.
+    *
+    * Scale shape: positional gram hashes are one fused native pass per row
+    * ([[graft.functions.ShinglePosHashes]]); the duplicate-gram filter is
+    * a groupBy + semi-join on 8-byte hashes (never gram strings); the
+    * merge window partitions by doc_id — no corpus-wide window, no
+    * all-pairs stage anywhere. Gram identity is the 64-bit hash (same
+    * 2⁻⁶⁴ argument as the inverted-index joins, so the string-gram DuckDB
+    * oracle stays valid). */
+  def duplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("doc_id"),
+      posexplode(graft.functions.ShingleFunctions
+        .shinglePosHashes(split(col("text"), " "), k)).as(Seq("pos", "h")))
+    // dup grams via groupBy + semi-join rather than count-over-window:
+    // both shuffle the gram stream once on h, but the window adds a full
+    // per-partition sort where the aggregate is hash-based (measured
+    // equal-or-faster, and partial aggregation shrinks the second
+    // exchange to the distinct grams).
+    val dup = g.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val marks = g.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + k).cast("long").as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marks
+      .withColumn("f", when(col("pos") > coalesce(prevMaxEnd, lit(-1L)), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum("f").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
   /** Fixed-size word windows for [[chunkDedup]]: chunk i = words
     * [i*size, (i+1)*size), last chunk ragged. */
   def wordChunks(text: Column, size: Int): Column = {

@@ -141,6 +141,29 @@ object TextAnalysis {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** TF-IDF keyword extraction: the `topK` highest tf·idf terms per doc,
+    * idf = ln(N / df). Both model tables are vocabulary-bounded
+    * (broadcast); the ranking window partitions per doc over its own
+    * vocabulary only. The score is a short IEEE chain (long counts →
+    * one division, one ln, one multiply), so ranks are engine-identical
+    * (the q20/q69 ln-parity precedent); exact ties break on the term. */
+  def tfIdfTopK(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"), col("rnk"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

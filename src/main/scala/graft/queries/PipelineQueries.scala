@@ -1025,6 +1025,59 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Exact duplicate-span detection ([[Dedup.duplicateSpans]]): maximal
+    * merged token spans whose 5-grams occur ≥2 times corpus-wide —
+    * suffix-dedup semantics as a bucketed join + per-doc islands merge.
+    * Oracle re-derives spans from string 5-grams (hash-identity
+    * argument, as q74). */
+  val q82DupSpans: Q = q("q82_dup_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |  unnest(range(0, len(w) - 4)) AS pos,
+      |  unnest(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' '))) AS gram
+      |  FROM t WHERE len(w) >= 5),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, pos, pos + 5 AS e FROM g
+      |  WHERE gram IN (SELECT gram FROM dup)),
+      |fl AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |  THEN 1 ELSE 0 END AS f FROM m),
+      |isl AS (SELECT doc_id, pos, e,
+      |  sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM fl)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(e) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_grams
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    Dedup.duplicateSpans(Tables.documents(s, d), k = 5)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** TF-IDF keyword extraction ([[TextAnalysis.tfIdfTopK]]): top-3 terms
+    * per doc by tf·ln(N/df), term-asc tiebreak. The rank cut is
+    * engine-stable because the score chain is the same correctly-rounded
+    * IEEE ops on both sides. */
+  val q83TfidfTopk: Q = q("q83_tfidf_topk",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
+      |  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df) AS tfidf
+      |  FROM tf JOIN dfx USING (tok) CROSS JOIN n),
+      |rk AS (SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, tok) AS INTEGER) AS rnk
+      |  FROM sc)
+      |SELECT doc_id, tok, tf, df, tfidf, rnk FROM rk WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    TextAnalysis.tfIdfTopK(Tables.documents(s, d), topK = 3)
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1037,5 +1090,6 @@ object PipelineQueries {
     q71QuantTopk,
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
-    q79SemanticClusters, q80BigramLogprob, q81TextSearch)
+    q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
+    q83TfidfTopk)
 }

@@ -203,6 +203,46 @@ class ClusterDedupSpec extends SparkSpec {
     assert(top(0).getLong(1) === 0L && top(0).getDouble(2) === 1.0)
   }
 
+  test("duplicateSpans: planted repeated phrase yields one merged span per doc") {
+    // the 8-word phrase is shared across docs 1 and 2; doc 3 has no k-gram
+    // repeated anywhere → no rows. k=5 marks 4 overlapping grams per
+    // occurrence (positions p..p+3), merging to one span of length 8.
+    val phrase = "the quick brown fox jumps over the lazy"
+    val hand = spark.createDataFrame(Seq(
+      (1L, s"alpha beta $phrase gamma delta"),
+      (2L, s"one two three four $phrase"),
+      (3L, "completely unrelated words with no overlap here at all")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(hand, k = 5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: phrase at word offset 2 → span [2, 10); doc 2: offset 4 → [4, 12)
+    assert(got.toSeq === Seq((1L, 2L, 10L, 4L), (2L, 4L, 12L, 4L)))
+  }
+
+  test("duplicateSpans: within-doc repetition is caught and overlaps merge") {
+    val hand = spark.createDataFrame(Seq(
+      (1L, "a b c d e x y a b c d e"))).toDF("doc_id", "text")
+    // "a b c d e" at offsets 0 and 7; spans [0,5) and [7,12) do not touch
+    val got = Dedup.duplicateSpans(hand, k = 5).orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 5L), (7L, 12L)))
+  }
+
+  test("tfIdfTopK: corpus-wide terms score zero, distinctive terms rank first") {
+    val hand = spark.createDataFrame(Seq(
+      (1L, "shared shared apple apple apple"),
+      (2L, "shared banana"),
+      (3L, "shared cherry cherry"))).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.tfIdfTopK(hand, topK = 1).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    val ln3 = math.log(3.0)
+    def r4(d: Double) = BigDecimal(d).setScale(4,
+      BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(got(1L)._1 === "apple" && got(1L)._2 === r4(3 * ln3))
+    assert(got(2L)._1 === "banana" && got(2L)._2 === r4(ln3))
+    assert(got(3L)._1 === "cherry" && got(3L)._2 === r4(2 * ln3))
+  }
+
   test("temperatureResample: rarest language fully kept, rates in (0,1]") {
     val out = Curation.temperatureResample(docs)
     val rates = out.select("lang", "n_lang", "keep_rate").distinct().collect()
