@@ -470,21 +470,27 @@ object Dedup {
     * all-pairs stage anywhere. Gram identity is the 64-bit hash (same
     * 2⁻⁶⁴ argument as the inverted-index joins, so the string-gram DuckDB
     * oracle stays valid). */
-  def duplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Token offsets whose k-gram occurs ≥2 times corpus-wide — the shared
+    * candidate stage of [[duplicateSpans]] / [[removeDuplicateSpans]].
+    * Dup grams via groupBy + semi-join rather than count-over-window:
+    * both shuffle the gram stream once on h, but the window adds a full
+    * per-partition sort where the aggregate is hash-based (measured
+    * equal-or-faster, and partial aggregation shrinks the second
+    * exchange to the distinct grams). */
+  private def dupGramStarts(docs: DataFrame, k: Int): DataFrame = {
     val g = docs.select(col("doc_id"),
       posexplode(graft.functions.ShingleFunctions
         .shinglePosHashes(split(col("text"), " "), k)).as(Seq("pos", "h")))
-    // dup grams via groupBy + semi-join rather than count-over-window:
-    // both shuffle the gram stream once on h, but the window adds a full
-    // per-partition sort where the aggregate is hash-based (measured
-    // equal-or-faster, and partial aggregation shrinks the second
-    // exchange to the distinct grams).
     val dup = g.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
-    val marks = g.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        (col("pos") + k).cast("long").as("e"))
+    g.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+  }
+
+  def duplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val marks = dupGramStarts(docs, k)
+      .withColumn("e", col("pos") + k)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     marks
@@ -495,6 +501,31 @@ object Dedup {
       .agg(min("pos").as("span_start"), max("e").as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** Cut every [[duplicateSpans]] span out of its document and reassemble
+    * the remaining tokens in order ("drop-all" policy: a span whose text
+    * exists verbatim elsewhere is removed from every occurrence; docs
+    * left with zero tokens drop out entirely). Removal needs no island
+    * merge at all: the cut set is just the union of covered positions —
+    * each duplicated gram start explodes to its k offsets, distinct'd,
+    * and the cut is a pure equi anti-join on (doc_id, pos); reassembly is
+    * the same sort-free collect_list/array_sort shape as [[chunkDedup]].
+    * Nothing here ever windows, range-joins, or joins corpus-wide. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val cut = dupGramStarts(docs, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
   }
 
   /** Fixed-size word windows for [[chunkDedup]]: chunk i = words

@@ -1054,6 +1054,39 @@ object PipelineQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Span removal ([[Dedup.removeDuplicateSpans]]): q82's spans cut from
+    * every doc, survivors reassembled in token order (drop-all policy;
+    * fully-duplicated docs vanish). Oracle re-derives the spans from
+    * string 5-grams and cuts with a NOT EXISTS range predicate. */
+  val q84SpanClean: Q = q("q84_span_clean",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |  unnest(range(0, len(w) - 4)) AS pos,
+      |  unnest(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' '))) AS gram
+      |  FROM t WHERE len(w) >= 5),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, pos, pos + 5 AS e FROM g
+      |  WHERE gram IN (SELECT gram FROM dup)),
+      |fl AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |  THEN 1 ELSE 0 END AS f FROM m),
+      |isl AS (SELECT doc_id, pos, e,
+      |  sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM fl),
+      |sp AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+      |  FROM isl GROUP BY doc_id, island),
+      |tokpos AS (SELECT doc_id, unnest(range(0, len(w))) AS pos,
+      |  unnest(w) AS tok FROM t),
+      |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id
+      |    AND tp.pos >= sp.span_start AND tp.pos < sp.span_end))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.removeDuplicateSpans(Tables.documents(s, d), k = 5).orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction ([[TextAnalysis.tfIdfTopK]]): top-3 terms
     * per doc by tf·ln(N/df), term-asc tiebreak. The rank cut is
     * engine-stable because the score chain is the same correctly-rounded
@@ -1091,5 +1124,5 @@ object PipelineQueries {
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
-    q83TfidfTopk)
+    q83TfidfTopk, q84SpanClean)
 }

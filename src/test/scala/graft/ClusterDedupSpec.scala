@@ -123,6 +123,46 @@ class ClusterDedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 3
+    for (trial <- 1 to 3) {
+      val corpus = (0L until 25L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      // brute force: count string k-grams globally, mark positions whose
+      // gram repeats, merge overlapping [p, p+k) intervals per doc
+      val counts = scala.collection.mutable.Map[String, Int]()
+        .withDefaultValue(0)
+      val posOf = corpus.map { case (id, text) =>
+        val grams = text.split(" ", -1).sliding(k).filter(_.size == k)
+          .map(_.mkString(" ")).toSeq
+        grams.foreach(g => counts(g) += 1)
+        id -> grams
+      }
+      val expected = posOf.flatMap { case (id, grams) =>
+        val marked = grams.zipWithIndex.collect {
+          case (g, p) if counts(g) >= 2 => p
+        }
+        val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        marked.foreach { p =>
+          spans.lastOption match {
+            case Some((s, e, n)) if p <= e =>
+              spans(spans.size - 1) = (s, math.max(e, p + k), n + 1)
+            case _ => spans += ((p.toLong, (p + k).toLong, 1L))
+          }
+        }
+        spans.map { case (s, e, n) => (id, s, e, n) }
+      }
+      val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, k).orderBy("doc_id", "span_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === expected, s"trial $trial")
+    }
+  }
+
   test("chunkDedup is idempotent") {
     val chunked = Dedup.chunkDedup(docs, Dedup.wordChunks(col("text"), 10))
     val again = Dedup.chunkDedup(
@@ -226,6 +266,27 @@ class ClusterDedupSpec extends SparkSpec {
     val got = Dedup.duplicateSpans(hand, k = 5).orderBy("span_start").collect()
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((0L, 5L), (7L, 12L)))
+  }
+
+  test("removeDuplicateSpans cuts the shared phrase from all occurrences") {
+    val phrase = "the quick brown fox jumps over the lazy"
+    val hand = spark.createDataFrame(Seq(
+      (1L, s"alpha beta $phrase gamma delta"),
+      (2L, s"one two three four $phrase"),
+      (3L, "completely unrelated words with no overlap here at all")))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(hand, k = 5).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, "alpha beta gamma delta"),
+      (2L, 4L, "one two three four"),
+      (3L, 9L, "completely unrelated words with no overlap here at all")))
+  }
+
+  test("removeDuplicateSpans drops a fully-duplicated doc") {
+    val hand = spark.createDataFrame(Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"))).toDF("doc_id", "text")
+    assert(Dedup.removeDuplicateSpans(hand, k = 5).count() === 0L)
   }
 
   test("tfIdfTopK: corpus-wide terms score zero, distinctive terms rank first") {
