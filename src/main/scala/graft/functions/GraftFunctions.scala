@@ -72,6 +72,14 @@ object GraftFunctions {
           case Some(other) => throw new IllegalArgumentException(
             s"shingle_hashes: n must be an INT literal, got $other")
         }))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "shingle_pos_hashes",
+      exprs => ShinglePosHashes(exprs.head,
+        exprs.lift(1) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case None => 3
+          case Some(other) => throw new IllegalArgumentException(
+            s"shingle_pos_hashes: n must be an INT literal, got $other")
+        }))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "minhash_band_keys",
       exprs => MinHashBandKeys(exprs.head, 128, 32))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "simhash64",

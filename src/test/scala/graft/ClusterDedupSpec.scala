@@ -304,6 +304,36 @@ class ClusterDedupSpec extends SparkSpec {
     assert(got(3L)._1 === "cherry" && got(3L)._2 === r4(2 * ln3))
   }
 
+  test("jaccardTopK matches brute-force Jaccard ranking on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 20L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    def sh(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val queryIds = Seq(0L, 1L, 2L)
+    val k = 3
+    val expected = queryIds.flatMap { qid =>
+      val qs = sh(corpus(qid.toInt)._2)
+      corpus.filter(_._1 != qid).map { case (did, t) =>
+        val ds = sh(t)
+        val inter = (qs & ds).size
+        (qid, did, if (inter == 0) 0.0
+          else inter.toDouble / (qs.size + ds.size - inter))
+      }.filter(_._3 > 0)
+        .sortBy { case (_, did, j) => (-j, did) }.take(k)
+        .zipWithIndex.map { case ((q, d, j), i) =>
+          (q, d, BigDecimal(j).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
+    }
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Dedup.jaccardTopK(df, queryIds, k).orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === expected)
+  }
+
   test("temperatureResample: rarest language fully kept, rates in (0,1]") {
     val out = Curation.temperatureResample(docs)
     val rates = out.select("lang", "n_lang", "keep_rate").distinct().collect()

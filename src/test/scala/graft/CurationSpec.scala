@@ -90,6 +90,36 @@ class CurationSpec extends SparkSpec {
       Seq("good doc one", "good doc three", "good doc two"))
   }
 
+  test("streaming chunk-dedup link: first-seen chunks survive across batches") {
+    val s = spark
+    import s.implicits._
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-cd").toString)
+    // the streaming form of Dedup.chunkDedup's first-occurrence rule:
+    // explode fixed-size chunks, key state on the chunk text. State is
+    // the link's checkpoint; on unbounded streams swap in
+    // dropDuplicatesWithinWatermark to bound it (SCALE.md, Streaming).
+    object ChunkDedupLink extends graft.runtime.Link {
+      val inputs = Seq("cd_in"); val output = Some("cd_out")
+      override def transform(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          posexplode(graft.ops.Dedup.wordChunks(col("text"), 2))
+            .as(Seq("pos", "part")))
+          .dropDuplicates("part")
+    }
+    val pipe = new graft.runtime.Pipeline(Seq(ChunkDedupLink))
+    reg.write(Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text"),
+      "cd_in")
+    pipe.runOnce(spark, reg)
+    assert(reg.read("cd_out").select("part").collect().map(_.getString(0))
+      .sorted.toSeq === Seq("a b", "c d", "x y"))
+    // batch 2: "c d" was seen in batch 1 and must be suppressed by state
+    reg.write(Seq((3L, "c d z z")).toDF("doc_id", "text"), "cd_in")
+    pipe.runOnce(spark, reg)
+    assert(reg.read("cd_out").select("part").collect().map(_.getString(0))
+      .sorted.toSeq === Seq("a b", "c d", "x y", "z z"))
+  }
+
   test("streaming PII scrub link: redaction is a pure projection over the registry") {
     val s = spark
     import s.implicits._

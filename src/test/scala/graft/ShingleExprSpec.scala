@@ -70,6 +70,26 @@ class ShingleExprSpec extends SparkSpec {
     texts.zip(got).foreach { case (t, n) => assert(n === refCount(t, 3), s"text='$t'") }
   }
 
+  test("shingle_pos_hashes: positional count, distinct-set parity, SQL call") {
+    graft.functions.GraftFunctions.register(spark)
+    // n tokens → n-k+1 positional grams, and their distinct set must equal
+    // the ShingleHashes set (same hash family, dedup is the only delta)
+    val rows = Tables.documents(spark, SparkSpec.sf0001)
+      .select(size(split(col("text"), " ")).as("ntok"),
+        ShingleFunctions.shinglePosHashes(split(col("text"), " "), 3).as("p"),
+        Dedup.hashedShingles(col("text")).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).size === math.max(r.getInt(0) - 2, 0))
+      assert(r.getSeq[Long](1).distinct === r.getSeq[Long](2))
+    }
+    val sql = spark.sql(
+      "SELECT shingle_pos_hashes(array('a','b','a','b'), 2) AS p").collect()(0)
+      .getSeq[Long](0)
+    assert(sql.size === 3 && sql(0) === sql(2) && sql(0) != sql(1))
+  }
+
   test("stays inside whole-stage codegen") {
     val df = Tables.documents(spark, SparkSpec.sf0001)
       .select(Dedup.hashedShingles(col("text")).as("h"))
