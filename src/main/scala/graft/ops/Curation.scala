@@ -196,6 +196,33 @@ object Curation {
           col("keep_rate") * (1 << 24))
   }
 
+  /** Deterministic fixed-ratio corpus mixing (the "30% code, 70% web"
+    * recipe): downsample each source so kept counts sit in the target
+    * proportions, at the largest total the data allows — T = min_s
+    * (n_s / w_s) and keep-rate r_s = w_s·T / n_s, so the binding source
+    * keeps 100% and no source is oversampled. Weights are relative
+    * (scaling all w_s leaves every rate unchanged), so they need not sum
+    * to 1; sources absent from `weights` are dropped. The keep decision
+    * is the same engine- and re-shard-stable md5-bucket rule as
+    * [[temperatureResample]]; per-source rates broadcast back, the
+    * corpus never shuffles. */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+                keyCol: String = "lang"): DataFrame = {
+    val shares = docs.sparkSession.createDataFrame(weights.toSeq)
+      .toDF(keyCol, "target_share")
+    val counts = docs.groupBy(keyCol).agg(count(lit(1)).as("n_in"))
+      .join(broadcast(shares), keyCol)
+    val tMax = counts
+      .agg(min(col("n_in") / col("target_share")).as("t_max"))
+    val rates = counts.crossJoin(broadcast(tMax))
+      .select(col(keyCol), col("n_in"), col("target_share"),
+        (col("target_share") * col("t_max") / col("n_in")).as("keep_rate"))
+    docs.join(broadcast(rates), keyCol)
+      .withColumn("kept",
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") <
+          col("keep_rate") * (1 << 24))
+  }
+
   /** Per-domain document cap (the RefinedWeb/C4 guard against one domain
     * flooding the corpus): keep at most `cap` documents per `domain`,
     * preferring higher `quality` (ties broken by doc_id, so the keep set

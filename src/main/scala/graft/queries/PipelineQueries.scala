@@ -1111,6 +1111,40 @@ object PipelineQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Fixed-ratio corpus mixing ([[Curation.mixCorpus]]): per-language
+    * keep-rates hitting 50/20/15/10/5 target shares at the largest total
+    * the data allows. Oracle recomputes T = min(n/w), the rates, and the
+    * md5-bucket keeps independently (q76's determinism arguments: the
+    * rate chain is the same IEEE op sequence in both engines, and the
+    * bucket rule is the shared md5 prefix). */
+  val q85CorpusMix: Q = q("q85_corpus_mix",
+    """WITH wts(lang, target_share) AS (VALUES
+      |  ('en', 0.50), ('zh', 0.20), ('es', 0.15), ('de', 0.10), ('fr', 0.05)),
+      |c AS (SELECT d.lang, count(*) AS n_in,
+      |        CAST(max(w.target_share) AS DOUBLE) AS target_share
+      |      FROM documents d JOIN wts w USING (lang) GROUP BY d.lang),
+      |t AS (SELECT min(CAST(n_in AS DOUBLE) / target_share) AS t_max FROM c),
+      |r AS (SELECT lang, n_in, target_share,
+      |        target_share * t_max / n_in AS keep_rate FROM c, t),
+      |k AS (SELECT d.lang, r.n_in, r.keep_rate,
+      |        CASE WHEN ('0x' || substr(md5(d.text), 1, 6))::BIGINT
+      |               < r.keep_rate * 16777216
+      |             THEN 1 ELSE 0 END AS kept
+      |      FROM documents d JOIN r USING (lang))
+      |SELECT lang, CAST(max(n_in) AS BIGINT) AS n_in,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  round(max(keep_rate), 6) AS keep_rate
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Curation.mixCorpus(Tables.documents(s, d),
+        Map("en" -> 0.50, "zh" -> 0.20, "es" -> 0.15, "de" -> 0.10,
+          "fr" -> 0.05))
+      .groupBy("lang")
+      .agg(max("n_in").as("n_in"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        round(max("keep_rate"), 6).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1124,5 +1158,5 @@ object PipelineQueries {
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
-    q83TfidfTopk, q84SpanClean)
+    q83TfidfTopk, q84SpanClean, q85CorpusMix)
 }

@@ -334,6 +334,26 @@ class ClusterDedupSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("mixCorpus: binding source keeps 100%, rates scale-invariant in the weights") {
+    val w = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    val out = Curation.mixCorpus(docs, w)
+    val rates = out.select("lang", "n_in", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates.keySet === w.keySet)
+    // T = min(n/w); the arg-min source's rate is exactly 1, others in (0,1]
+    val t = rates.map { case (l, (n, _)) => n / w(l) }.min
+    rates.foreach { case (l, (n, r)) =>
+      assert(r === w(l) * t / n && r > 0.0 && r <= 1.0, l)
+    }
+    assert(rates.values.count(_._2 === 1.0) >= 1)
+    // relative weights: scaling every weight by 7 keeps the same docs
+    // (rates agree to rounding; compare decisions, not double bit patterns)
+    val scaled = Curation.mixCorpus(docs, w.map { case (k, v) => k -> v * 7 })
+    val a = out.select("doc_id", "kept")
+    val b = scaled.select("doc_id", "kept")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("temperatureResample: rarest language fully kept, rates in (0,1]") {
     val out = Curation.temperatureResample(docs)
     val rates = out.select("lang", "n_lang", "keep_rate").distinct().collect()
