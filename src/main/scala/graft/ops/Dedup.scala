@@ -454,6 +454,42 @@ object Dedup {
         col("rnk"))
   }
 
+  /** Incremental near-dup screening: MinHash-LSH candidates BETWEEN an
+    * existing corpus and an incoming batch (the near-dup twin of
+    * [[dedupAgainstCorpus]]'s exact check). Band keys join across the two
+    * sides only — never corpus×corpus — so per-batch work is
+    * Σ_{incoming bands} (corpus band df): proportional to the batch, not
+    * the corpus. At 100 TB the corpus band table is computed once and
+    * persisted (it is a pure projection of the corpus, bucketable by
+    * band); each arriving batch then pays one equi-join against it plus
+    * confirm joins bounded by its own candidates. Confirm = exact
+    * Jaccard on hashed shingles, same as [[minHashLshPairs]]. */
+  def minHashLshAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                              minJaccard: Double, n: Int = 3): DataFrame = {
+    val shC = corpus.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val shI = incoming.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    def bands(sh: DataFrame) =
+      sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
+    val cands = bands(shI).as("i").join(bands(shC).as("c"),
+        col("i.band") === col("c.band"))
+      .select(col("i.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
+      .distinct()
+    val shCc = shC.join(cands.select(col("doc_corpus").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val shIc = shI.join(cands.select(col("doc_new").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    cands
+      .join(shIc.select(col("doc_id").as("doc_new"), col("s").as("si")), "doc_new")
+      .join(shCc.select(col("doc_id").as("doc_corpus"), col("s").as("sc")),
+        "doc_corpus")
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("si"), col("sc"))).cast("double") /
+          size(array_union(col("si"), col("sc"))))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("doc_new"), col("doc_corpus"),
+        round(col("jaccard_raw"), 3).as("jaccard"))
+  }
+
   /** Exact duplicate-span detection (the suffix-dedup idea of "remove
     * repeated substrings" recast as a bucketed join): every token position
     * whose k-gram occurs ≥2 times anywhere in the corpus is marked, and

@@ -1111,6 +1111,41 @@ object PipelineQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Incremental near-dup screening ([[Dedup.minHashLshAgainstCorpus]]):
+    * even doc_ids play the indexed corpus, odd ids the arriving batch;
+    * LSH bands join only ACROSS the two sides. Oracle = the cross-side
+    * inverted-index SQL at j≥0.8 (the q33 exact-confirm trick: band
+    * recall is 1.0 at this threshold, so the confirmed output is
+    * SQL-recomputable). */
+  val q86IncrementalNeardup: Q = q("q86_incremental_neardup",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |cx AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 2 = 0),
+      |ix AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 2 = 1),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT i.doc_id AS doc_new, c.doc_id AS doc_corpus, count(*) AS shared
+      |  FROM ix i JOIN cx c ON i.sg = c.sg
+      |  GROUP BY 1, 2)
+      |SELECT doc_new, doc_corpus,
+      |  round(CAST(shared AS DOUBLE) / (ni.n + nc.n - shared), 3) AS jaccard
+      |FROM pairs
+      |JOIN sizes ni ON doc_new = ni.doc_id
+      |JOIN sizes nc ON doc_corpus = nc.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= 0.8
+      |ORDER BY doc_new, doc_corpus""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.minHashLshAgainstCorpus(
+        corpus = docs.filter(col("doc_id") % 2 === 0),
+        incoming = docs.filter(col("doc_id") % 2 === 1),
+        minJaccard = 0.8)
+      .orderBy("doc_new", "doc_corpus")
+  }
+
   /** Fixed-ratio corpus mixing ([[Curation.mixCorpus]]): per-language
     * keep-rates hitting 50/20/15/10/5 target shares at the largest total
     * the data allows. Oracle recomputes T = min(n/w), the rates, and the
@@ -1158,5 +1193,5 @@ object PipelineQueries {
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
-    q83TfidfTopk, q84SpanClean, q85CorpusMix)
+    q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup)
 }

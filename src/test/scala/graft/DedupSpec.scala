@@ -38,6 +38,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental LSH screening == the cross-side subset of the self-join path") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.minHashLshAgainstCorpus(even, odd, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: all-pairs run, restricted to one-even-one-odd pairs,
+    // reoriented as (odd, even)
+    val ref = Dedup.minHashLshPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(ref.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(inc === ref)
+  }
+
   test("df>1 pruning changes nothing: pruned == unpruned pair sets and jaccards") {
     val plain = Dedup.jaccardNearDupPairs(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
