@@ -13,6 +13,29 @@ import org.apache.spark.sql.GraftSqlBridge
   * generated code calls straight into primitive loops. */
 object ShingleHash {
 
+  /** Per-token FNV-1a base hashes, one UTF8String byte pass each — the
+    * shared first stage of every loop below (one definition so the token
+    * hash can never drift between the distinct/positional/bigram forms).
+    * A null element (reachable through the SQL-registered functions with
+    * an arbitrary array<string> argument) hashes like the empty string
+    * instead of throwing, preserving positional alignment. */
+  private def baseHashes(tokens: ArrayData): Array[Long] = {
+    val m = tokens.numElements()
+    val base = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      if (!tokens.isNullAt(i)) {
+        val b = tokens.getUTF8String(i).getBytes
+        var j = 0
+        while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      }
+      base(i) = h
+      i += 1
+    }
+    base
+  }
+
   /** 64-bit hash of the word n-gram starting at each position, distinct,
     * first-occurrence order. A shingle's hash folds the FNV-1a hashes of
     * its n tokens through splitmix64 with a position-independent seed, so
@@ -21,21 +44,11 @@ object ShingleHash {
   def hashesOf(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    // per-token base hashes, one UTF8String byte pass each
-    val base = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val b = tokens.getUTF8String(i).getBytes
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-      base(i) = h
-      i += 1
-    }
+    val base = baseHashes(tokens)
     val out = new Array[Long](m - n + 1)
     val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
     var k = 0
-    i = 0
+    var i = 0
     while (i <= m - n) {
       var acc = 0x9e3779b97f4a7c15L
       var j = 0
@@ -53,18 +66,9 @@ object ShingleHash {
   def posHashesOf(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val base = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val b = tokens.getUTF8String(i).getBytes
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-      base(i) = h
-      i += 1
-    }
+    val base = baseHashes(tokens)
     val out = new Array[Long](m - n + 1)
-    i = 0
+    var i = 0
     while (i <= m - n) {
       var acc = 0x9e3779b97f4a7c15L
       var j = 0
@@ -83,18 +87,9 @@ object ShingleHash {
   def topBigramCountOf(tokens: ArrayData): Long = {
     val m = tokens.numElements()
     if (m < 2) return 0L
-    val base = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val b = tokens.getUTF8String(i).getBytes
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-      base(i) = h
-      i += 1
-    }
+    val base = baseHashes(tokens)
     val h = new Array[Long](m - 1)
-    i = 0
+    var i = 0
     while (i < m - 1) {
       var acc = 0x9e3779b97f4a7c15L
       acc = graft.ops.Dedup.mix64(acc ^ base(i))

@@ -191,10 +191,16 @@ object Curation {
         col("n_lang"),
         sqrt(col("n_min").cast("double") / col("n_lang")).as("keep_rate"))
     docs.join(broadcast(rates), langCol)
-      .withColumn("kept",
-        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") <
-          col("keep_rate") * (1 << 24))
+      .withColumn("kept", keptByMd5Bucket(col("text"), col("keep_rate")))
   }
+
+  /** The engine- and re-shard-stable keep decision shared by
+    * [[temperatureResample]] and [[mixCorpus]]: first 24 bits of
+    * md5(text) < rate·2²⁴ (one definition so the two resamplers can
+    * never drift; [[hashSplit]] keeps its coarser 8-bit variant for
+    * split-boundary reasons documented there). */
+  private def keptByMd5Bucket(text: Column, rate: Column): Column =
+    conv(substring(md5(text), 1, 6), 16, 10).cast("long") < rate * (1 << 24)
 
   /** Deterministic fixed-ratio corpus mixing (the "30% code, 70% web"
     * recipe): downsample each source so kept counts sit in the target
@@ -208,6 +214,9 @@ object Curation {
     * corpus never shuffles. */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
                 keyCol: String = "lang"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mixCorpus weights must be positive (got $weights): a zero/negative " +
+        "weight would silently empty the corpus via a negative/NaN rate")
     val shares = docs.sparkSession.createDataFrame(weights.toSeq)
       .toDF(keyCol, "target_share")
     val counts = docs.groupBy(keyCol).agg(count(lit(1)).as("n_in"))
@@ -218,9 +227,7 @@ object Curation {
       .select(col(keyCol), col("n_in"), col("target_share"),
         (col("target_share") * col("t_max") / col("n_in")).as("keep_rate"))
     docs.join(broadcast(rates), keyCol)
-      .withColumn("kept",
-        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") <
-          col("keep_rate") * (1 << 24))
+      .withColumn("kept", keptByMd5Bucket(col("text"), col("keep_rate")))
   }
 
   /** Per-domain document cap (the RefinedWeb/C4 guard against one domain

@@ -463,7 +463,12 @@ object Dedup {
     * persisted (it is a pure projection of the corpus, bucketable by
     * band); each arriving batch then pays one equi-join against it plus
     * confirm joins bounded by its own candidates. Confirm = exact
-    * Jaccard on hashed shingles, same as [[minHashLshPairs]]. */
+    * Jaccard on hashed shingles, same as [[minHashLshPairs]].
+    *
+    * doc_ids are assumed globally unique across both sides (the same
+    * id-space contract as [[dedupAgainstCorpus]]): identity pairs are
+    * filtered, so replaying a batch already merged into the corpus does
+    * not flood the output with each doc matching itself at 1.0. */
   def minHashLshAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
                               minJaccard: Double, n: Int = 3): DataFrame = {
     val shC = corpus.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
@@ -471,7 +476,7 @@ object Dedup {
     def bands(sh: DataFrame) =
       sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
     val cands = bands(shI).as("i").join(bands(shC).as("c"),
-        col("i.band") === col("c.band"))
+        col("i.band") === col("c.band") && col("i.doc_id") =!= col("c.doc_id"))
       .select(col("i.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
       .distinct()
     val shCc = shC.join(cands.select(col("doc_corpus").as("doc_id")),
@@ -490,22 +495,6 @@ object Dedup {
         round(col("jaccard_raw"), 3).as("jaccard"))
   }
 
-  /** Exact duplicate-span detection (the suffix-dedup idea of "remove
-    * repeated substrings" recast as a bucketed join): every token position
-    * whose k-gram occurs ≥2 times anywhere in the corpus is marked, and
-    * per-doc overlapping marks merge (gaps-and-islands) into maximal
-    * half-open token spans [span_start, span_end). Span semantics: a span
-    * covers text that also exists verbatim elsewhere (or again in the same
-    * doc); removal policy — drop all, keep one canonical occurrence — is a
-    * caller choice over this table.
-    *
-    * Scale shape: positional gram hashes are one fused native pass per row
-    * ([[graft.functions.ShinglePosHashes]]); the duplicate-gram filter is
-    * a groupBy + semi-join on 8-byte hashes (never gram strings); the
-    * merge window partitions by doc_id — no corpus-wide window, no
-    * all-pairs stage anywhere. Gram identity is the 64-bit hash (same
-    * 2⁻⁶⁴ argument as the inverted-index joins, so the string-gram DuckDB
-    * oracle stays valid). */
   /** Token offsets whose k-gram occurs ≥2 times corpus-wide — the shared
     * candidate stage of [[duplicateSpans]] / [[removeDuplicateSpans]].
     * Dup grams via groupBy + semi-join rather than count-over-window:
@@ -523,6 +512,22 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
   }
 
+  /** Exact duplicate-span detection (the suffix-dedup idea of "remove
+    * repeated substrings" recast as a bucketed join): every token position
+    * whose k-gram occurs ≥2 times anywhere in the corpus is marked, and
+    * per-doc overlapping marks merge (gaps-and-islands) into maximal
+    * half-open token spans [span_start, span_end). Span semantics: a span
+    * covers text that also exists verbatim elsewhere (or again in the same
+    * doc); removal policy — drop all, keep one canonical occurrence — is a
+    * caller choice over this table.
+    *
+    * Scale shape: positional gram hashes are one fused native pass per row
+    * ([[graft.functions.ShinglePosHashes]]); the duplicate-gram filter is
+    * a groupBy + semi-join on 8-byte hashes (never gram strings); the
+    * merge window partitions by doc_id — no corpus-wide window, no
+    * all-pairs stage anywhere. Gram identity is the 64-bit hash (same
+    * 2⁻⁶⁴ argument as the inverted-index joins, so the string-gram DuckDB
+    * oracle stays valid). */
   def duplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val marks = dupGramStarts(docs, k)

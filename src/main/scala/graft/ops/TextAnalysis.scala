@@ -112,9 +112,13 @@ object TextAnalysis {
     * ln p(w2|w1) = ln(c(w1,w2) / c_prefix(w1)) under the corpus bigram
     * model — the next step up from [[unigramLogProb]] (real CCNet ships a
     * 5-gram KenLM; the plumbing — frequency model broadcast, doc side
-    * never shuffles — is identical at any order). Both model tables are
-    * vocabulary²-bounded, hence broadcast; bigrams absent from the corpus
-    * are dropped like q69's unknown tokens (smoothing left to callers). */
+    * never shuffles — is identical at any order). Unlike the unigram
+    * table (genuinely vocabulary-bounded), the distinct-bigram table
+    * grows with corpus size (Heaps-law tail), so the broadcast hint fits
+    * curated model corpora; for a web-scale corpus-as-model drop the
+    * hint and let AQE pick a shuffled join — semantics unchanged
+    * (SCALE.md, Curation). Bigrams absent from the corpus are dropped
+    * like q69's unknown tokens (smoothing left to callers). */
   def bigramLogProb(docs: DataFrame, corpus: DataFrame): DataFrame = {
     // Materialize the token array before zipping: a lambda capturing the
     // raw split() would re-run it per element (the q66 O(n²) trap); the

@@ -340,12 +340,18 @@ class ClusterDedupSpec extends SparkSpec {
     val rates = out.select("lang", "n_in", "keep_rate").distinct().collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(rates.keySet === w.keySet)
-    // T = min(n/w); the arg-min source's rate is exactly 1, others in (0,1]
+    // T = min(n/w); rates follow the closed form (rounding aside) and the
+    // arg-min (binding) source keeps every document — asserted on the
+    // kept decisions, not on rate == 1.0 bit patterns (the three-op IEEE
+    // chain n/w → ·w → /n need not round-trip to exactly 1.0)
     val t = rates.map { case (l, (n, _)) => n / w(l) }.min
     rates.foreach { case (l, (n, r)) =>
-      assert(r === w(l) * t / n && r > 0.0 && r <= 1.0, l)
+      assert(math.abs(r - w(l) * t / n) < 1e-12 && r > 0.0 && r <= 1.0 + 1e-12, l)
     }
-    assert(rates.values.count(_._2 === 1.0) >= 1)
+    val binding = rates.minBy { case (l, (n, _)) => n / w(l) }._1
+    val bindingRows = out.filter(col("lang") === binding)
+    assert(bindingRows.filter(!col("kept")).count() === 0L &&
+      bindingRows.count() > 0L)
     // relative weights: scaling every weight by 7 keeps the same docs
     // (rates agree to rounding; compare decisions, not double bit patterns)
     val scaled = Curation.mixCorpus(docs, w.map { case (k, v) => k -> v * 7 })

@@ -90,6 +90,19 @@ class ShingleExprSpec extends SparkSpec {
     assert(sql.size === 3 && sql(0) === sql(2) && sql(0) != sql(1))
   }
 
+  test("SQL-reachable null array elements hash like empty strings, no NPE") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT shingle_pos_hashes(array('a', NULL, 'b'), 2) AS p, " +
+      "shingle_hashes(array('a', NULL, 'b'), 2) AS h, " +
+      "shingle_pos_hashes(array('a', '', 'b'), 2) AS pe, " +
+      "bigram_top_count(array('x', NULL, 'x', NULL)) AS btc").collect()(0)
+    assert(r.getSeq[Long](0).size === 2)
+    assert(r.getSeq[Long](0) === r.getSeq[Long](2)) // null ≡ "" by design
+    assert(r.getSeq[Long](1) === r.getSeq[Long](0).distinct)
+    assert(r.getLong(3) === 2L) // "x NULL" twice
+  }
+
   test("stays inside whole-stage codegen") {
     val df = Tables.documents(spark, SparkSpec.sf0001)
       .select(Dedup.hashedShingles(col("text")).as("h"))
