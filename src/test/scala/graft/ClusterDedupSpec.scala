@@ -163,6 +163,84 @@ class ClusterDedupSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicateSpans matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 3
+    for (trial <- 1 to 3) {
+      val corpus = (0L until 20L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val counts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      val gramsOf = corpus.map { case (id, text) =>
+        val g = text.split(" ", -1).sliding(k).filter(_.size == k)
+          .map(_.mkString(" ")).toSeq
+        g.foreach(x => counts(x) += 1)
+        id -> (text.split(" ", -1).toSeq, g)
+      }
+      val expected = gramsOf.flatMap { case (id, (toks, grams)) =>
+        val covered = grams.zipWithIndex.collect {
+          case (g, p) if counts(g) >= 2 => (p until p + k)
+        }.flatten.toSet
+        val kept = toks.zipWithIndex.filterNot { case (_, p) => covered(p) }
+        if (kept.isEmpty) None
+        else Some((id, kept.size.toLong, kept.map(_._1).mkString(" ")))
+      }
+      val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val got = Dedup.removeDuplicateSpans(df, k).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq === expected, s"trial $trial")
+    }
+  }
+
+  test("bigramLogProb matches a driver-side reference on a random corpus") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (0L until 30L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val bg = corpus.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(2).filter(_.size == 2)
+        .map(p => (id, p(0), p(1))).toSeq
+    }
+    val freq = bg.groupBy(p => (p._2, p._3)).map { case (key, v) => key -> v.size }
+    val prefix = bg.groupBy(_._2).map { case (w1, v) => w1 -> v.size }
+    val expected = bg.groupBy(_._1).toSeq.map { case (id, rows) =>
+      val lps = rows.map { case (_, w1, w2) =>
+        math.log(freq((w1, w2)).toDouble / prefix(w1))
+      }
+      (id, rows.size.toLong, BigDecimal(lps.sum / lps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bigramLogProb(df, df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq === expected.map(x => (x._1, x._2)))
+    // averages: same multiset summed in different orders — compare to 1e-9,
+    // then the rounded values exactly (round only disagrees within 5e-13 of
+    // a .00005 boundary, which the generator cannot hit)
+    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) < 1e-9)
+    }
+  }
+
+  test("mixCorpus keep decisions match an independent md5 reference") {
+    val w = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15)
+    val out = Curation.mixCorpus(docs, w)
+      .select("doc_id", "text", "keep_rate", "kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, text, rate, kept) =>
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val bucket = java.lang.Long.parseLong(hex, 16)
+      assert(kept === (bucket < rate * (1 << 24)), s"doc $id")
+    }
+  }
+
   test("chunkDedup is idempotent") {
     val chunked = Dedup.chunkDedup(docs, Dedup.wordChunks(col("text"), 10))
     val again = Dedup.chunkDedup(
