@@ -1180,6 +1180,33 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Per-label centroid outliers ([[Similarity.centroidOutliers]]):
+    * top-5 vectors per label by cosine distance to the label centroid.
+    * Oracle recomputes centroids (dim-wise avg, list ordered by dim) and
+    * the identical 1 − dot/(‖v‖·‖c‖) chain; ranking margins dwarf the
+    * centroid means' summation-order noise (~1 ulp). */
+  val q87CentroidOutliers: Q = q("q87_centroid_outliers",
+    """WITH ex AS (SELECT label,
+      |  unnest(range(1, len(embedding) + 1)) AS dim,
+      |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+      |cd AS (SELECT label, dim, avg(v) AS c FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cd
+      |  GROUP BY label),
+      |sc AS (SELECT e.vec_id, e.label,
+      |  1.0 - list_dot_product(e.embedding::DOUBLE[], c.cvec) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(c.cvec, c.cvec))) AS dist
+      |  FROM embeddings e JOIN cent c USING (label)),
+      |rk AS (SELECT vec_id, label, round(dist, 4) AS centroid_dist,
+      |  CAST(row_number() OVER (PARTITION BY label
+      |    ORDER BY dist DESC, vec_id) AS INTEGER) AS rnk
+      |  FROM sc)
+      |SELECT vec_id, label, centroid_dist, rnk FROM rk WHERE rnk <= 5
+      |ORDER BY label, rnk""".stripMargin) { (s, d) =>
+    Similarity.centroidOutliers(Tables.embeddings(s, d), topK = 5)
+      .orderBy("label", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1193,5 +1220,6 @@ object PipelineQueries {
     q72DedupClusters, q73ChunkDedup, q74Decontaminate, q75PiiRedact,
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
-    q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup)
+    q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
+    q87CentroidOutliers)
 }

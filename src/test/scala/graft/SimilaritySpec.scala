@@ -8,6 +8,25 @@ import graft.ops.Similarity
 class SimilaritySpec extends SparkSpec {
   import SparkSpec.sf0001
 
+  test("centroidOutliers: hand-computed distances on known 2D groups") {
+    // group 0: (1,0), (0,1), (1,1) → centroid (2/3, 2/3); the symmetric
+    // pair (1,0)/(0,1) are the joint farthest, (1,1) is exactly aligned
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0), (2L, Array(1f, 1f), 0),
+      (3L, Array(4f, 0f), 1), (4L, Array(5f, 0f), 1)) // colinear group
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(df, topK = 3)
+      .orderBy("label", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(x => (x._1, x._2, x._4)).toSeq === Seq(
+      (0L, 0, 1), (1L, 0, 2), (2L, 0, 3), (3L, 1, 1), (4L, 1, 2)))
+    got.foreach { case (id, _, dist, _) =>
+      // output is round(dist, 4): compare to the rounded hand value
+      val exp = if (id <= 1L) 0.2929 else 0.0 // 1 − 1/√2 = 0.29289…
+      assert(math.abs(dist - exp) < 1e-9, s"vec $id")
+    }
+  }
+
   test("cosineTopK ranks by cosine with id tie-break on known vectors") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0),    // query
