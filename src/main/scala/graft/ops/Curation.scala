@@ -208,8 +208,11 @@ object Curation {
     * (n_s / w_s) and keep-rate r_s = w_s·T / n_s, so the binding source
     * keeps 100% and no source is oversampled. Weights are relative
     * (scaling all w_s leaves every rate unchanged), so they need not sum
-    * to 1; sources absent from `weights` are dropped. The keep decision
-    * is the same engine- and re-shard-stable md5-bucket rule as
+    * to 1; sources absent from `weights` are dropped. A WEIGHTED source
+    * absent from the corpus raises at execution (lazily — no extra scan):
+    * silently renormalizing over the present sources would hand back a
+    * mix that violates the requested ratios. The keep decision is the
+    * same engine- and re-shard-stable md5-bucket rule as
     * [[temperatureResample]]; per-source rates broadcast back, the
     * corpus never shuffles. */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
@@ -219,8 +222,12 @@ object Curation {
         "weight would silently empty the corpus via a negative/NaN rate")
     val shares = docs.sparkSession.createDataFrame(weights.toSeq)
       .toDF(keyCol, "target_share")
-    val counts = docs.groupBy(keyCol).agg(count(lit(1)).as("n_in"))
-      .join(broadcast(shares), keyCol)
+    val counts = shares
+      .join(broadcast(docs.groupBy(keyCol).agg(count(lit(1)).as("n_in"))),
+        Seq(keyCol), "left")
+      .withColumn("n_in", when(col("n_in").isNull,
+        raise_error(concat(lit("mixCorpus: weighted source absent from corpus: "),
+          col(keyCol)))).otherwise(col("n_in")))
     val tMax = counts
       .agg(min(col("n_in") / col("target_share")).as("t_max"))
     val rates = counts.crossJoin(broadcast(tMax))

@@ -161,6 +161,27 @@ object Dedup {
   private def bandKeysCol(hashes: Column): Column =
     graft.functions.MinHashFunctions.minHashBandKeys(hashes, MinHashes, Bands)
 
+  /** Shared exact-Jaccard confirm stage of [[minHashLshPairs]] /
+    * [[minHashLshAgainstCorpus]]: attach each side's shingle set to the
+    * candidate pairs and keep pairs with Jaccard ≥ `minJaccard` (one
+    * definition so the confirm semantics — intersection math, threshold
+    * comparison, 3-decimal rounding — can never drift between the
+    * self-join and incremental paths). `shLeft`/`shRight` must already
+    * be pruned to the candidate docs: pruning is the caller's
+    * scale-critical step, not an implementation detail here. */
+  private def confirmJaccard(cands: DataFrame, shLeft: DataFrame,
+                             shRight: DataFrame, leftCol: String,
+                             rightCol: String, minJaccard: Double): DataFrame =
+    cands
+      .join(shLeft.select(col("doc_id").as(leftCol), col("s").as("sa")), leftCol)
+      .join(shRight.select(col("doc_id").as(rightCol), col("s").as("sb")), rightCol)
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col(leftCol), col(rightCol),
+        round(col("jaccard_raw"), 3).as("jaccard"))
+
   /** MinHash-LSH near-dup pairs: band signatures → equi-self-join on band
     * key (candidate pairs, no cross join) → exact Jaccard confirm ≥
     * `minJaccard`. Output matches [[jaccardNearDupPairs]]: (doc_a, doc_b,
@@ -178,14 +199,7 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    cands
-      .join(shCand.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(shCand.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .withColumn("jaccard_raw",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))))
-      .filter(col("jaccard_raw") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 3).as("jaccard"))
+    confirmJaccard(cands, shCand, shCand, "doc_a", "doc_b", minJaccard)
   }
 
   /** 64-bit SimHash over pre-hashed shingles. */
@@ -483,16 +497,7 @@ object Dedup {
       Seq("doc_id"), "left_semi")
     val shIc = shI.join(cands.select(col("doc_new").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    cands
-      .join(shIc.select(col("doc_id").as("doc_new"), col("s").as("si")), "doc_new")
-      .join(shCc.select(col("doc_id").as("doc_corpus"), col("s").as("sc")),
-        "doc_corpus")
-      .withColumn("jaccard_raw",
-        size(array_intersect(col("si"), col("sc"))).cast("double") /
-          size(array_union(col("si"), col("sc"))))
-      .filter(col("jaccard_raw") >= minJaccard)
-      .select(col("doc_new"), col("doc_corpus"),
-        round(col("jaccard_raw"), 3).as("jaccard"))
+    confirmJaccard(cands, shIc, shCc, "doc_new", "doc_corpus", minJaccard)
   }
 
   /** Token offsets whose k-gram occurs ≥2 times corpus-wide — the shared

@@ -148,38 +148,6 @@ object Similarity {
     * the per-vector scale rides along for dequantization. Also emits the
     * max absolute dequantization error as a per-row audit column. Pure
     * projection — zero shuffle. */
-  /** Per-group centroid outlier ranking (the SemDeDup/DataComp prune
-    * signal: vectors far from their cluster centroid are likely
-    * mislabeled/noisy and pruned first): dimension-wise mean per
-    * `groupCol`, then each vector's cosine distance 1 − cos(v, centroid)
-    * to its OWN group's centroid, top-`topK` per group (vec_id
-    * tiebreak). The centroid table is (groups × dims)-bounded →
-    * broadcast; the corpus pays one broadcast join and a per-group
-    * ranking window — its vectors never shuffle. Dot products are the
-    * native left-to-right [[dot]] (pinned equal to DuckDB's
-    * list_dot_product), so scores are engine-identical up to the
-    * centroid means' summation order (~1 ulp, far below rank margins). */
-  def centroidOutliers(emb: DataFrame, topK: Int = 5,
-                       groupCol: String = "label"): DataFrame = {
-    val e = col("embedding").cast("array<double>")
-    val cent = emb.select(col(groupCol), posexplode(e).as(Seq("dim", "v")))
-      .groupBy(col(groupCol), col("dim")).agg(avg("v").as("c"))
-      .groupBy(groupCol)
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("cvec"))
-    val w = Window.partitionBy(groupCol)
-      .orderBy(col("dist").desc, col("vec_id").asc)
-    emb.join(broadcast(cent), groupCol)
-      .withColumn("ed", e)
-      .withColumn("dist",
-        lit(1.0) - dot(col("ed"), col("cvec")) /
-          (norm(col("ed")) * norm(col("cvec"))))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("vec_id"), col(groupCol),
-        round(col("dist"), 4).as("centroid_dist"), col("rnk"))
-  }
-
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     emb.select(col("vec_id"), v.as("v"))
@@ -190,6 +158,46 @@ object Similarity {
         round(array_max(zip_with(col("v"),
             transform(col("v"), x => floor(x * col("scale") + 0.5)),
             (x, qi) => abs(x - qi / col("scale")))), 6).as("max_abs_err"))
+  }
+
+  /** Per-group centroid outlier ranking (the SemDeDup/DataComp prune
+    * signal: vectors far from their cluster centroid are likely
+    * mislabeled/noisy and pruned first): dimension-wise mean per
+    * `groupCol`, then each vector's cosine distance 1 − cos(v, centroid)
+    * to its OWN group's centroid, top-`topK` per group (vec_id
+    * tiebreak). The centroid table is (groups × dims)-bounded →
+    * broadcast; the corpus pays one broadcast join and a per-group
+    * ranking window — its vectors never shuffle (the per-group-constant
+    * centroid norm is precomputed in the broadcast table, so the hot
+    * path pays one O(dims) dot per row, not three). Dot products are the
+    * native left-to-right [[dot]] (pinned equal to DuckDB's
+    * list_dot_product), so scores are engine-identical up to the
+    * centroid means' summation order (~1 ulp, far below rank margins).
+    * A zero vector (or zero centroid) has no direction; its cosine is
+    * undefined, so the distance pins to the maximum 2.0 — deliberately
+    * first in the prune ranking, as an explicit number instead of the
+    * NaN that 0/0 would rank first silently. */
+  def centroidOutliers(emb: DataFrame, topK: Int = 5,
+                       groupCol: String = "label"): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val cent = emb.select(col(groupCol), posexplode(e).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim")).agg(avg("v").as("c"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    emb.join(broadcast(cent), groupCol)
+      .withColumn("ed", e)
+      .withColumn("nprod", norm(col("ed")) * col("cnorm"))
+      .withColumn("dist",
+        when(col("nprod") === 0d, lit(2.0))
+          .otherwise(lit(1.0) - dot(col("ed"), col("cvec")) / col("nprod")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("vec_id"), col(groupCol),
+        round(col("dist"), 4).as("centroid_dist"), col("rnk"))
   }
 
   /** Cosine top-k over int8-quantized vectors ([[quantizeInt8]]): the

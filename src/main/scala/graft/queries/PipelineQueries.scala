@@ -1192,11 +1192,14 @@ object PipelineQueries {
       |cd AS (SELECT label, dim, avg(v) AS c FROM ex GROUP BY 1, 2),
       |cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cd
       |  GROUP BY label),
-      |sc AS (SELECT e.vec_id, e.label,
-      |  1.0 - list_dot_product(e.embedding::DOUBLE[], c.cvec) /
-      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-      |     * sqrt(list_dot_product(c.cvec, c.cvec))) AS dist
+      |np AS (SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS ev, c.cvec,
+      |  sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |    * sqrt(list_dot_product(c.cvec, c.cvec)) AS nprod
       |  FROM embeddings e JOIN cent c USING (label)),
+      |sc AS (SELECT vec_id, label,
+      |  CASE WHEN nprod = 0 THEN 2.0
+      |       ELSE 1.0 - list_dot_product(ev, cvec) / nprod END AS dist
+      |  FROM np),
       |rk AS (SELECT vec_id, label, round(dist, 4) AS centroid_dist,
       |  CAST(row_number() OVER (PARTITION BY label
       |    ORDER BY dist DESC, vec_id) AS INTEGER) AS rnk

@@ -226,6 +226,13 @@ class ClusterDedupSpec extends SparkSpec {
     }
   }
 
+  test("mixCorpus raises on a weighted source absent from the corpus") {
+    val bad = Curation.mixCorpus(docs, Map("en" -> 0.5, "klingon" -> 0.5))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("absent from corpus") ||
+      Option(e.getCause).exists(_.getMessage.contains("absent from corpus")))
+  }
+
   test("mixCorpus keep decisions match an independent md5 reference") {
     val w = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15)
     val out = Curation.mixCorpus(docs, w)

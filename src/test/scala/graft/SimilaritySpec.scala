@@ -27,6 +27,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidOutliers: a zero vector pins to distance 2.0, rank 1 — not NaN") {
+    val rows = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0.5f), 0))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(df, topK = 3).orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(got.head === ((0L, 2.0, 1)))
+    assert(got.forall(x => !x._2.isNaN))
+  }
+
   test("cosineTopK ranks by cosine with id tie-break on known vectors") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0),    // query
