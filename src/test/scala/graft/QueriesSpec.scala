@@ -119,6 +119,32 @@ class QueriesSpec extends SparkSpec {
     assert(plan(run("q47_in_subquery")).toLowerCase.contains("leftsemi"))
   }
 
+  test("q82/q84: span family plans — native positional hashes, semi-join dup filter, no window in removal") {
+    val p82 = plan(run("q82_dup_spans"))
+    assert(p82.contains("shingle_pos_hashes"), p82.take(1500))
+    assert(p82.toLowerCase.contains("leftsemi"), p82.take(1500))
+    val p84 = plan(run("q84_span_clean"))
+    // removal is the covered-position equi anti-join: no Window operator
+    // and no range join anywhere in the plan
+    assert(p84.toLowerCase.contains("leftanti"), p84.take(1500))
+    assert(!p84.contains("Window"), p84.take(1500))
+  }
+
+  test("q86: incremental screening joins bands across sides, never corpus×corpus") {
+    val p = plan(run("q86_incremental_neardup"))
+    assert(p.contains("minhash_band_keys"), p.take(1500))
+    // both parquet scans carry their side's doc_id % 2 filter — the
+    // pushed-filter line proves candidates can only pair across sides
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty, p.take(1500))
+  }
+
+  test("q87: centroid table is broadcast; corpus side has no shuffle before scoring") {
+    val p = plan(run("q87_centroid_outliers"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("vec_dot"), p.take(1500))
+  }
+
   test("native expressions appear in plans (codegen path, not UDF)") {
     assert(plan(run("q40_cosine_topk")).contains("vec_dot"))
     assert(plan(run("q32_jaccard_neardup")).contains("shingle_hashes"))
