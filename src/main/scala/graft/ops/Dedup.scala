@@ -119,6 +119,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 3).as("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs: candidates from the
+    * shingle inverted index (pairs sharing ≥ `minSharedShingles` distinct
+    * n-gram shingles — the [[jaccardNearDupPairs]] machinery, never
+    * all-pairs), confirmed by exact Levenshtein ≤ `maxDist` on the
+    * candidate texts only. The confirm uses Spark's bounded
+    * `levenshtein(l, r, threshold)` — O(len·maxDist) banded DP instead of
+    * O(len²), returning −1 past the bound, so the per-pair confirm cost
+    * stays linear in the text. Character-level edit distance catches
+    * small in-place edits (typo/number swaps) that shingle Jaccard
+    * under-scores; the candidate gate makes the operator's semantics
+    * "among shingle-sharing candidates", which the oracle mirrors
+    * exactly. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, n: Int = 3,
+                        minSharedShingles: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minSharedShingles)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Number of MinHash permutations / LSH bands (4 rows per band →
     * threshold ≈ (1/32)^(1/4) ≈ 0.42; candidates then exact-verified). */
   val MinHashes = 128

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-profiling operators: per-column table statistics and key-skew
+  * diagnostics — the `ANALYZE TABLE` surface an engine needs before
+  * planning 100 TB jobs (choosing broadcast sides, spotting skewed join
+  * keys, sizing shuffle partitions).
+  *
+  * The reference has no profiling surface (its data path is per-message,
+  * `/root/reference/src/catenae/catenae.py:456-461`); this is engine-own
+  * functionality, built as declarative single-pass aggregates.
+  */
+object Profile {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Canonical string form for min/max of non-numeric columns: timestamps
+    * are formatted explicitly (engine CAST-to-string forms differ in
+    * fractional-second handling); strings/dates pass through their ISO
+    * forms, which all engines agree on. */
+  private def asText(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _                                => c.cast("string")
+  }
+
+  /** Per-column profile of any DataFrame: non-null count, exact distinct
+    * count, and min/max (numerics as double in `min_num`/`max_num`,
+    * everything else canonically stringified in `min_text`/`max_text`).
+    *
+    * ONE aggregation job over the table: all 4·|columns| aggregates live
+    * in a single `agg` (Spark plans the multi-column exact
+    * count-distincts via one Expand — a single scan + shuffle, not a
+    * pass per column), and the resulting one-row frame is unpivoted
+    * driver-free with `explode` over per-column structs. At extreme
+    * scale swap `count_distinct` for `approx_count_distinct` — the HLL
+    * sketch kills the Expand multiplication; exact distincts are kept
+    * here because the oracle verifies them. Min/max/count are raw values
+    * (no arithmetic), so they are engine-exact as-is. */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def n(f: StructField)   = s"${f.name}__n"
+    def d(f: StructField)   = s"${f.name}__d"
+    def mn(f: StructField)  = s"${f.name}__mn"
+    def mx(f: StructField)  = s"${f.name}__mx"
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(n(f)), count_distinct(c).as(d(f)),
+        min(c).as(mn(f)), max(c).as(mx(f)))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(fields.map { f =>
+      val (minNum, maxNum) =
+        if (isNumeric(f.dataType))
+          (col(mn(f)).cast("double"), col(mx(f)).cast("double"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      val (minText, maxText) =
+        if (isNumeric(f.dataType))
+          (lit(null).cast("string"), lit(null).cast("string"))
+        else (asText(col(mn(f)), f.dataType), asText(col(mx(f)), f.dataType))
+      struct(lit(f.name).as("col_name"), lit(f.dataType.simpleString).as("dtype"),
+        col(n(f)).as("n_nonnull"), col(d(f)).as("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minText.as("min_text"), maxText.as("max_text"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+  }
+
+  /** Key-skew histogram: the top-`topN` heaviest values of `key` with
+    * each key's share of all rows and its skew factor vs the mean key
+    * load (n · n_keys / total — the number a skew-join mitigation
+    * decision reads). One groupBy over the keys; the (total, n_keys)
+    * scalar is a one-row aggregate of the (already tiny) per-key counts,
+    * broadcast back — the table itself is scanned once. Keys are
+    * canonically stringified so the diagnostic works over any key type.
+    *
+    * The skew factor is emitted in floor'd milli-units (`skew_x1000`):
+    * n·n_keys/total routinely lands EXACTLY on a .5 rounding tie (small
+    * integer ratios), where round() diverges across engines (decimal
+    * half-up vs binary half-even) — floor of a correctly-rounded double
+    * is tie-free and engine-exact while the product stays < 2⁵³. */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 4).as("share"),
+        floor(col("n").cast("double") * col("n_keys").cast("double") * lit(1000.0) /
+          col("total").cast("double")).cast("long").as("skew_x1000"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+  }
+}

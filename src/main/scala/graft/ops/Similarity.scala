@@ -276,6 +276,37 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Block-partitioned k-nearest-neighbor graph: each vector's exact
+    * top-`k` cosine neighbors WITHIN its block (`blockCol`). The join is a
+    * plain equi-join on the block id — no cartesian stage — and the
+    * ranking window partitions per vector, so work is Σ|block|² instead
+    * of |corpus|²: this is the IVF-cell shape (at 100 TB the block id
+    * comes from [[annIvf]]'s coarse quantizer or an LSH bucket; here the
+    * fixture `label` plays that role). Ranking orders on the RAW cosine
+    * (an IEEE-identical dot/sqrt/divide chain, left-to-right [[dot]]
+    * pinned equal to DuckDB's list_dot_product) with vec_id tie-break, so
+    * the graph is engine-deterministic; the emitted cos_sim is rounded
+    * for display. kNN graphs feed semantic-dedup clustering
+    * ([[lshCosineNearDupPairs]] + connected components) and
+    * graph-based pruning signals ([[centroidOutliers]]). */
+  def knnGraphBlocked(emb: DataFrame, k: Int, blockCol: String = "label"): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nn", norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_id"), col("block"),
+      col("v").as("va"), col("nn").as("na"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("block"),
+      col("v").as("vb"), col("nn").as("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("raw").desc, col("neighbor_id").asc)
+    a.join(b, Seq("block"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("block").as(blockCol), col("neighbor_id"),
+        round(col("raw"), 4).as("cos_sim"), col("rnk"))
+  }
+
   /** Approximate NN via sign-LSH buckets: candidates share a (table,
     * signature) bucket; exact cosine + top-k on candidates only. Output
     * shape matches [[cosineTopK]] (ranks may be sparse if < k candidates).

@@ -168,6 +168,59 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"), col("rnk"))
   }
 
+  /** BM25 (Okapi) ranked retrieval: score each corpus document against
+    * each query document's distinct terms, return the top-`topK` docs per
+    * query. Fixed k1 = 1.2, b = 0.75 (the standard defaults).
+    *
+    * Scale shape: the corpus side is a term-frequency inverted index
+    * (one shuffle, by token); the query term list and the df/idf model
+    * table are vocabulary-bounded → broadcast, and the corpus-wide
+    * (n_docs, avgdl) scalar rides along as a one-row broadcast. The
+    * corpus index shuffles once and joins everything else in place —
+    * the same shape as [[tfIdfTopK]] and [[unigramLogProb]].
+    *
+    * Determinism: the per-(query, doc) score is a SUM of per-term
+    * contributions, and float summation order differs between engines —
+    * so each term's contribution (a pure mul/div/ln chain, IEEE-identical
+    * per the q20/q69 ln-parity precedent) is scaled to integer micros
+    * first and summed as a long: exact, order-free, oracle-mirrorable.
+    * avgdl is exact (integer-valued double partial sums ≪ 2⁵³). */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusToks = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // dl rides along as a grouping column (constant per doc), so the index
+    // needs no corpus-wide doc-length join afterwards — ONE shuffle builds it
+    val tf = corpusToks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val stats = corpusToks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks")).cast("long")).as("avgdl"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col("doc_id").as("query_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    val contrib = tf
+      .join(broadcast(qTerms), Seq("tok"))
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfNorm * lit(1000000.0), 0).cast("long").as("micros"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum("micros").as("score_micros"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score_micros").cast("double") / lit(1000000.0), 4).as("score"),
+        col("n_terms"), col("rnk"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

@@ -1210,6 +1210,103 @@ object PipelineQueries {
       .orderBy("label", "rnk")
   }
 
+  /** BM25 ranked retrieval ([[TextAnalysis.bm25TopK]]): the first 5 docs
+    * query the rest of the corpus; top-5 hits per query. Scores sum
+    * per-term contributions as integer micros (exact, order-free — see
+    * the op's scaladoc), so the oracle mirrors the whole chain: each
+    * per-term idf·tfnorm is one IEEE mul/div/ln sequence written with
+    * identical association in both engines (q20/q69 ln-parity
+    * precedent), then scaled, rounded, and summed as BIGINT. */
+  val q88Bm25Topk: Q = q("q88_bm25_topk",
+    """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |               FROM documents WHERE doc_id >= 5),
+      |tf AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM corpus),
+      |tfc AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+      |qt AS (SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split(text, ' '))) AS tok
+      |       FROM documents WHERE doc_id < 5),
+      |contrib AS (
+      |  SELECT qt.query_id, t.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+      |               / (CAST(f.df AS DOUBLE) + 0.5))
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2) /
+      |         (CAST(t.tf AS DOUBLE)
+      |          + 1.2 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE) / s.avgdl))))
+      |      * 1000000.0, 0) AS BIGINT) AS micros
+      |  FROM tfc t JOIN qt ON t.tok = qt.tok
+      |  JOIN dfreq f ON t.tok = f.tok CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id, sum(micros) AS score_micros,
+      |             count(*) AS n_terms
+      |           FROM contrib GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id,
+      |         round(CAST(score_micros AS DOUBLE) / 1000000.0, 4) AS score,
+      |         n_terms,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score_micros DESC, doc_id) AS rnk
+      |       FROM scored)
+      |SELECT query_id, doc_id, score, n_terms, rnk FROM rk WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.bm25TopK(
+        queries = docs.filter(col("doc_id") < 5),
+        corpus = docs.filter(col("doc_id") >= 5), topK = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Edit-distance near-dup ([[Dedup.editDistancePairs]]): shingle-sharing
+    * candidates (≥3 shared 3-grams), confirmed Levenshtein ≤ 20. On the
+    * fixtures the margin is wide — true near-dups sit at distance ≤ 8,
+    * the nearest non-dup candidate at > 60 — so the threshold isn't
+    * load-bearing. The oracle mirrors the candidate gate exactly (the
+    * operator's semantics are candidate-bounded, like q32). */
+  val q89EditDistance: Q = q("q89_edit_distance",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, levenshtein(da.text, db.text) AS dist
+      |FROM pairs
+      |JOIN documents da ON doc_a = da.doc_id
+      |JOIN documents db ON doc_b = db.doc_id
+      |WHERE shared >= 3 AND levenshtein(da.text, db.text) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.editDistancePairs(Tables.documents(s, d), maxDist = 20,
+        minSharedShingles = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Block-partitioned kNN graph ([[Similarity.knnGraphBlocked]]): each
+    * vector's exact top-3 cosine neighbors within its label block (the
+    * IVF-cell shape — an equi-join on the block id, never a cartesian).
+    * The oracle re-derives the within-block quadratic ranking; the rank
+    * order uses the RAW cosine chain, identical IEEE ops both sides. */
+  val q90KnnGraph: Q = q("q90_knn_graph",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS raw
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |rk AS (SELECT vec_id, label, neighbor_id, round(raw, 4) AS cos_sim,
+      |         row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY raw DESC, neighbor_id) AS rnk
+      |       FROM pairs)
+      |SELECT vec_id, label, neighbor_id, cos_sim, rnk FROM rk WHERE rnk <= 3
+      |ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
+    Similarity.knnGraphBlocked(Tables.embeddings(s, d), k = 3)
+      .orderBy("vec_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1224,5 +1321,5 @@ object PipelineQueries {
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
     q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
-    q87CentroidOutliers)
+    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph)
 }

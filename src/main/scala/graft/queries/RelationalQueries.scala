@@ -871,6 +871,48 @@ object RelationalQueries {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Table profiler ([[graft.ops.Profile.profile]]): per-column non-null
+    * count, exact distinct count, and min/max over every lineitem column —
+    * the ANALYZE surface. ONE Spark aggregation job (multi-column exact
+    * distincts plan through a single Expand); the oracle recomputes each
+    * column's stats independently. Min/max/counts are raw values, no
+    * arithmetic → engine-exact. */
+  val q91TableProfile: Q = q("q91_table_profile",
+    """SELECT 'l_orderkey' AS col_name, 'bigint' AS dtype, count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text FROM lineitem
+      |UNION ALL SELECT 'l_partkey', 'bigint', count(l_partkey), count(DISTINCT l_partkey), CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_suppkey', 'bigint', count(l_suppkey), count(DISTINCT l_suppkey), CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_linenumber', 'int', count(l_linenumber), count(DISTINCT l_linenumber), CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_quantity', 'double', count(l_quantity), count(DISTINCT l_quantity), min(l_quantity), max(l_quantity), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_extendedprice', 'double', count(l_extendedprice), count(DISTINCT l_extendedprice), min(l_extendedprice), max(l_extendedprice), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_discount', 'double', count(l_discount), count(DISTINCT l_discount), min(l_discount), max(l_discount), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_tax', 'double', count(l_tax), count(DISTINCT l_tax), min(l_tax), max(l_tax), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_returnflag', 'string', count(l_returnflag), count(DISTINCT l_returnflag), NULL, NULL, min(l_returnflag), max(l_returnflag) FROM lineitem
+      |UNION ALL SELECT 'l_linestatus', 'string', count(l_linestatus), count(DISTINCT l_linestatus), NULL, NULL, min(l_linestatus), max(l_linestatus) FROM lineitem
+      |UNION ALL SELECT 'l_shipdate', 'timestamp_ntz', count(l_shipdate), count(DISTINCT l_shipdate), NULL, NULL, strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'), strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    graft.ops.Profile.profile(Tables.lineitem(s, d)).orderBy("col_name")
+  }
+
+  /** Key-skew histogram ([[graft.ops.Profile.keyHistogram]]): the 20
+    * heaviest `user_id` keys in events with share-of-total and skew
+    * factor vs the mean key load — the diagnostic a skew-join / salting
+    * decision reads. Keys are stringified (generic over key type); the
+    * (total, n_keys) scalar is a one-row broadcast. The skew factor is
+    * floor'd milli-units — round() would sit exactly on .5 ties here
+    * (see the op's scaladoc). */
+  val q92KeySkew: Q = q("q92_key_skew",
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+      |SELECT key, n,
+      |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+      |  CAST(floor(CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE) * 1000.0
+      |        / CAST(total AS DOUBLE)) AS BIGINT) AS skew_x1000
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, key LIMIT 20""".stripMargin) { (s, d) =>
+    graft.ops.Profile.keyHistogram(Tables.events(s, d), "user_id", topN = 20)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -879,5 +921,6 @@ object RelationalQueries {
     q61GapFill, q08AggDistinct, q09Rollup, q10Cube, q49StatAggs,
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
-    q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg)
+    q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
+    q91TableProfile, q92KeySkew)
 }

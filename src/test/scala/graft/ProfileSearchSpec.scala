@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Profile, Similarity, TextAnalysis}
+
+/** Specs for the retrieval/diagnostics batch: BM25 ranking, edit-distance
+  * near-dup, blocked kNN graph, table profiling, key-skew histogram. */
+class ProfileSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ bm25
+
+  test("bm25TopK: pinned hand-computed scores and ranks on a tiny corpus") {
+    // corpus d1="a b a" d2="b c" d3="c c c"; query (doc 0) = "a c".
+    // N=3, avgdl=8/3; idf(a)=ln(1+2.5/1.5), idf(c)=ln(1+1.5/2.5);
+    // micros: d1=1302837, d3=719310, d2=523548 (python-mirrored chain).
+    val corpus = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c")).toDF("doc_id", "text")
+    val queries = Seq((0L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(queries, corpus, topK = 5)
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 1.3028, 1L, 1L),
+      (0L, 3L, 0.7193, 1L, 2L),
+      (0L, 2L, 0.5235, 1L, 3L)))
+  }
+
+  test("bm25TopK: a term unique to one doc ranks that doc first") {
+    val corpus = Seq((1L, "x x common"), (2L, "common word here"),
+      (3L, "word here again")).toDF("doc_id", "text")
+    val queries = Seq((0L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(queries, corpus, topK = 3).collect()
+    assert(got.length === 1) // only d1 contains 'x'
+    assert(got.head.getLong(1) === 1L)
+  }
+
+  // --------------------------------------------------------- edit distance
+
+  private def localLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def shingleSet(text: String, n: Int = 3): Set[String] =
+    text.split(" ").sliding(n).map(_.mkString(" ")).toSet
+
+  test("editDistancePairs equals the brute-force reference on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(15 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant: exact copy (dist 0) and single-char mutations (small dist)
+    val planted = Seq(
+      (100L, base(3)._2),
+      (101L, base(5)._2.replaceFirst("a", "o")),
+      (102L, base(8)._2 + " pi"))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 20, minSharedShingles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = base ++ planted
+    val expected = (for {
+      a <- all; b <- all if a._1 < b._1
+      if (shingleSet(a._2) & shingleSet(b._2)).size >= 3
+      d = localLev(a._2, b._2) if d <= 20
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty && expected.size >= 3) // the plant actually fired
+    assert(expected.exists(_._3 == 0L)) // exact copy confirmed at distance 0
+  }
+
+  test("editDistancePairs plans no cartesian product") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val p = Dedup.editDistancePairs(docs, maxDist = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  // ------------------------------------------------------------ kNN graph
+
+  test("knnGraphBlocked equals per-block brute force on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()), i % 4)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnGraphBlocked(df, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vecs = rows.map { case (id, e, l) => (id, e.map(_.toDouble), l) }
+    val expected = vecs.flatMap { case (id, v, l) =>
+      val sims = vecs.filter(o => o._3 == l && o._1 != id)
+        .map { case (oid, ov, _) =>
+          (oid, dot(v, ov) / (math.sqrt(dot(v, v)) * math.sqrt(dot(ov, ov))))
+        }
+        .sortBy { case (oid, raw) => (-raw, oid) }
+        .take(3)
+      sims.zipWithIndex.map { case ((oid, raw), i) =>
+        (id, l, oid, BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          (i + 1).toLong)
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("knnGraphBlocked plans an equi-join — no cartesian/NLJ stage") {
+    val df = Seq((0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.knnGraphBlocked(df, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  // -------------------------------------------------------------- profile
+
+  test("profile: exact per-column stats incl. nulls on a hand-built frame") {
+    val df = Seq(
+      (Some(1L), Some("x"), Some(1.5)),
+      (Some(2L), Some("y"), Some(2.5)),
+      (Some(2L), None, Some(1.5)),
+      (None, Some("x"), None))
+      .toDF("id", "name", "score")
+    val got = Profile.profile(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+    assert(got.toSeq === Seq(
+      ("id", "bigint", 3L, 2L, Some(1.0), Some(2.0), None, None),
+      ("name", "string", 3L, 2L, None, None, Some("x"), Some("y")),
+      ("score", "double", 3L, 2L, Some(1.5), Some(2.5), None, None)))
+  }
+
+  test("keyHistogram: shares and floor'd skew on hand counts") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val got = Profile.keyHistogram(df, "k", topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // total=10, n_keys=3: a → share .5, skew 5*3*1000/10 = 1500
+    assert(got.toSeq === Seq(("a", 5L, 0.5, 1500L), ("b", 3L, 0.3, 900L)))
+  }
+}
