@@ -913,6 +913,62 @@ object RelationalQueries {
     graft.ops.Profile.keyHistogram(Tables.events(s, d), "user_id", topN = 20)
   }
 
+  /** Z-order (Morton) encoding ([[graft.ops.Layout.zvalue2]]): the
+    * space-filling-curve key behind multi-dimensional data-skipping
+    * layout (`Layout.zorderBy`; LayoutSpec quantifies the pruning win).
+    * Pure integer shift/mask arithmetic — the oracle mirrors every
+    * mask-doubling step, so a green hash proves the encoding bit-exact.
+    * Top-100 by z keeps the output bounded; (orderkey, linenumber) is a
+    * unique tiebreak. */
+  val q93Zorder: Q = q("q93_zorder",
+    """WITH b AS (SELECT l_orderkey, l_linenumber,
+      |             l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+      |s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS xa,
+      |               (y | (y << 8)) & 16711935 AS ya FROM b),
+      |s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+      |               (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      |s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+      |               (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      |s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+      |               (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+      |SELECT l_orderkey, l_linenumber, xd | (yd << 1) AS zvalue
+      |FROM s4 ORDER BY zvalue, l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, d) =>
+    import graft.ops.Layout
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zvalue2(col("l_partkey").bitwiseAND(lit(65535L)),
+          col("l_suppkey").bitwiseAND(lit(65535L))).as("zvalue"))
+      .orderBy(col("zvalue"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** Time-range sliding window: per-user rolling 1-hour sum/count over
+    * events (RANGE frame on epoch seconds — the time-based analog of
+    * q48's row frames). The rolling sum is computed over integer micros
+    * (exact, order-free — window-sum float accumulation differs across
+    * engines) and divided back once. */
+  val q94TimeWindow: Q = q("q94_time_window",
+    """WITH e AS (SELECT event_id, user_id,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |             CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_micros
+      |           FROM events)
+      |SELECT event_id, user_id,
+      |  round(CAST(sum(v_micros) OVER w AS DOUBLE) / 1000000.0, 4) AS rolling_sum,
+      |  count(*) OVER w AS n_window
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_sec"),
+      round(col("value") * lit(1000000.0), 0).cast("long").as("v_micros"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    e.select(col("event_id"), col("user_id"),
+        round(sum("v_micros").over(w).cast("double") / lit(1000000.0), 4).as("rolling_sum"),
+        count(lit(1)).over(w).as("n_window"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -922,5 +978,5 @@ object RelationalQueries {
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
-    q91TableProfile, q92KeySkew)
+    q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow)
 }
