@@ -66,6 +66,32 @@ object Profile {
     arms.reduce(_ unionAll _)
   }
 
+  /** Equal-width numeric histogram: `bins` buckets over [min, max] of
+    * `column`, with per-bin counts and bounds. Two passes: a one-row
+    * (min, max) aggregate broadcasts back, then one groupBy on the
+    * computed bin — both scans prune to the single column. The bin
+    * arithmetic is one shared IEEE chain (width = (mx−mn)/bins;
+    * bin = ⌊(x−mn)/width⌋ clamped to bins−1 so x = max lands in the last
+    * bucket) — floor is tie-free, so bin assignment is engine-exact.
+    * Requires a non-constant column (width > 0). */
+  def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    val mm = df.agg(min(col(column)).cast("double").as("mn"),
+      max(col(column)).cast("double").as("mx"))
+    df.select(col(column).cast("double").as("x"))
+      .crossJoin(broadcast(mm))
+      .withColumn("width", (col("mx") - col("mn")) / lit(bins.toDouble))
+      .withColumn("bin",
+        least(floor((col("x") - col("mn")) / col("width")), lit(bins - 1).cast("long"))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(max("mn").as("mn"), max("width").as("width"), count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(col("mn") + col("bin").cast("double") * col("width"), 4).as("bin_lo"),
+        round(col("mn") + (col("bin") + lit(1)).cast("double") * col("width"), 4).as("bin_hi"),
+        col("n"))
+      .orderBy("bin")
+  }
+
   /** Key-skew histogram: the top-`topN` heaviest values of `key` with
     * each key's share of all rows and its skew factor vs the mean key
     * load (n · n_keys / total — the number a skew-join mitigation

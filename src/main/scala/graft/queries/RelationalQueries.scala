@@ -969,6 +969,64 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Ordered funnel ([[graft.ops.Funnel.funnelTimes]]): per-user earliest
+    * view → first click strictly after it → first purchase after that.
+    * LEFT-join stages keep drop-off users (nulls from the first missed
+    * step). Raw timestamp output — the strongest possible check. */
+  val q95Funnel: Q = q("q95_funnel",
+    """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT t1.user_id, t1.ts1, min(e.ts) AS ts2
+      |       FROM t1 LEFT JOIN events e
+      |         ON e.user_id = t1.user_id AND e.event_type = 'click'
+      |            AND e.ts > t1.ts1
+      |       GROUP BY 1, 2),
+      |t3 AS (SELECT t2.user_id, t2.ts1, t2.ts2, min(e.ts) AS ts3
+      |       FROM t2 LEFT JOIN events e
+      |         ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+      |            AND e.ts > t2.ts2
+      |       GROUP BY 1, 2, 3)
+      |SELECT user_id, ts1, ts2, ts3 FROM t3 ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.ops.Funnel.funnelTimes(Tables.events(s, d),
+        steps = Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention ([[graft.ops.Funnel.cohortRetention]]):
+    * users cohorted by Monday-aligned first-event week; n_users active
+    * per (cohort, week offset). Integer counts + date arithmetic only. */
+  val q96Retention: Q = q("q96_retention",
+    """WITH f AS (SELECT user_id,
+      |             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id,
+      |        CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+      |SELECT cohort_week,
+      |  CAST(datediff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.ops.Funnel.cohortRetention(Tables.events(s, d))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Equal-width histogram ([[graft.ops.Profile.histogram]]): 20 bins
+    * over l_extendedprice. The bin chain (shared width, floor, clamp) is
+    * the same IEEE op sequence in both engines — floor is tie-free. */
+  val q97Histogram: Q = q("q97_histogram",
+    """WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+      |              CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem),
+      |b AS (SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+      |               / ((mx - mn) / 20.0)), 19) AS INTEGER) AS bin,
+      |             mn, (mx - mn) / 20.0 AS width
+      |      FROM lineitem CROSS JOIN mm)
+      |SELECT bin, round(mn + CAST(bin AS DOUBLE) * width, 4) AS bin_lo,
+      |       round(mn + CAST(bin + 1 AS DOUBLE) * width, 4) AS bin_hi,
+      |       count(*) AS n
+      |FROM b GROUP BY bin, mn, width ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.ops.Profile.histogram(Tables.lineitem(s, d), "l_extendedprice", bins = 20)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -978,5 +1036,6 @@ object RelationalQueries {
     q11ApproxDistinct, q12WindowTopk, q13WindowRunning, q14Sessionize,
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
-    q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow)
+    q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow,
+    q95Funnel, q96Retention, q97Histogram)
 }

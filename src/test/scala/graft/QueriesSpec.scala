@@ -80,7 +80,8 @@ class QueriesSpec extends SparkSpec {
     val allowedNlj = Set("q06_theta_join", "q24_range_join", "q40_cosine_topk",
       "q43_cosine_neardup", "q61_gap_fill", "q63_lsh_cosine_neardup",
       "q69_unigram_logprob", "q71_quant_topk", "q76_temperature_mix",
-      "q83_tfidf_topk", "q85_corpus_mix", "q88_bm25_topk", "q92_key_skew")
+      "q83_tfidf_topk", "q85_corpus_mix", "q88_bm25_topk", "q92_key_skew",
+      "q97_histogram")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
