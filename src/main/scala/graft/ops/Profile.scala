@@ -66,6 +66,29 @@ object Profile {
     arms.reduce(_ unionAll _)
   }
 
+  /** Median absolute deviation per group — the robust spread statistic
+    * (outlier-resistant where stddev is not): MAD = median(|x − median|).
+    * Exact discrete medians via the q38 sorted-array convention
+    * (percentile_disc(0.5) = the ⌈n/2⌉-th sorted element — an element of
+    * the data, engine-exact); the per-group median table broadcasts back
+    * for the deviation pass. Exact medians buffer each group's values
+    * (like q38) — at extreme group cardinality switch the inner median
+    * to approx_percentile. */
+  def medianAbsDeviation(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    def pd(arr: Column) =
+      element_at(arr, ceil(lit(0.5) * size(arr)).cast("int"))
+    val med = df.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(valueCol))).as("arr"))
+      .select(col(groupCol), pd(col("arr")).as("med"))
+    df.join(broadcast(med), groupCol)
+      .withColumn("ad", abs(col(valueCol) - col("med")))
+      .groupBy(col(groupCol))
+      .agg(max("med").as("med"), sort_array(collect_list(col("ad"))).as("adarr"))
+      .select(col(groupCol), round(col("med"), 4).as("median_value"),
+        round(pd(col("adarr")), 4).as("mad"))
+  }
+
   /** Equal-width numeric histogram: `bins` buckets over [min, max] of
     * `column`, with per-bin counts and bounds. Two passes: a one-row
     * (min, max) aggregate broadcasts back, then one groupBy on the

@@ -12,36 +12,56 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** As-of join: for each left row, the latest right row with the same key
-    * and `rightTs` ≤ `leftTs`. Implemented Spark-first as union +
-    * forward-fill window — one shuffle on `key`, linear in |left|+|right|,
-    * no per-row lookup join (the pattern a native engine implements as a
-    * sorted merge; SURVEY.md §2.2 joins row).
+  /** As-of join (pandas `merge_asof` parity): for each left row, the
+    * nearest right row with the same key — the latest with
+    * `rightTs` ≤ `leftTs` (`direction = "backward"`, default) or the
+    * earliest with `rightTs` ≥ `leftTs` (`"forward"`), optionally within
+    * `tolerance` time units. Implemented Spark-first as union +
+    * directional fill window — one shuffle on `key`, linear in
+    * |left|+|right|, no per-row lookup join (the pattern a native engine
+    * implements as a sorted merge; SURVEY.md §2.2 joins row).
     *
     * `rightCols` are the right-side columns carried into the result
-    * (null when no right row precedes the left row). Both inputs need
-    * `key`; timestamps must be numeric/orderable (use `unix_millis`).
-    * Right rows at the same timestamp as a left row DO match (≤). */
+    * (null when no right row qualifies). Both inputs need `key`;
+    * timestamps must be numeric/orderable (use `unix_millis`). Right
+    * rows at the same timestamp as a left row DO match (≤ / ≥).
+    * Deterministic when (key, rightTs) is unique on the right —
+    * duplicate right timestamps leave the winner unspecified (as does
+    * pandas). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
-               leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               leftTs: String, rightTs: String, rightCols: Seq[String],
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     // a NULL of the matching struct type (the struct itself null, not a
     // struct of nulls — `last(ignoreNulls)` must skip these rows)
+    val rFields = rightCols.map(right.schema(_)) :+
+      right.schema(rightTs).copy(name = "_rts")
+    val nullR = lit(null).cast(org.apache.spark.sql.types.StructType(rFields))
     def nullStruct(src: DataFrame, cols: Seq[String]): Column =
       lit(null).cast(org.apache.spark.sql.types.StructType(cols.map(src.schema(_))))
     val l = left.select(
       key.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_tag") :+
         struct(left.columns.toIndexedSeq.map(col): _*).as("_l") :+
-        nullStruct(right, rightCols).as("_r"): _*)
+        nullR.as("_r"): _*)
     val r = right.select(
       key.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_tag") :+
         nullStruct(left, left.columns.toIndexedSeq).as("_l") :+
-        struct(rightCols.map(col): _*).as("_r"): _*)
-    // right rows sort before left rows at equal ts (tag 0 < 1) → "≤" match
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_ts"), col("_tag"))
+        struct(rightCols.map(col) :+ col(rightTs).as("_rts"): _*).as("_r"): _*)
+    // right rows sort before left rows at equal ts (tag 0 < 1) → ≤/≥ match;
+    // forward scans the timeline in reverse, so "last preceding" becomes
+    // "nearest following"
+    val ord = if (direction == "backward") col("_ts").asc else col("_ts").desc
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ord, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val withinTol = tolerance match {
+      case None      => lit(true)
+      case Some(tol) => abs(col("_ts") - col("_rff._rts")) <= tol
+    }
     l.unionByName(r)
       .withColumn("_rff", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_rff", when(withinTol, col("_rff"))) // else typed null
       .filter(col("_tag") === 1)
       .select(col("_l.*") +: rightCols.map(c => col(s"_rff.$c").as(c)): _*)
   }

@@ -1027,6 +1027,83 @@ object RelationalQueries {
     graft.ops.Profile.histogram(Tables.lineitem(s, d), "l_extendedprice", bins = 20)
   }
 
+  /** Forward as-of join with tolerance ([[graft.ops.Relational.asOfJoin]]
+    * `merge_asof` parity): each view event picks the FIRST purchase by
+    * the same user within the next 10 minutes (null past tolerance).
+    * The oracle re-derives it with a min-aggregate over a bounded range
+    * join + payload re-attach; (user, ts) is unique on the purchase side
+    * so both formulations are deterministic. */
+  val q98AsofTolerance: Q = q("q98_asof_tolerance",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts, value FROM events
+      |      WHERE event_type = 'purchase'),
+      |m AS (SELECT v.event_id, v.user_id, v.ts, min(p.ts) AS p_ts
+      |      FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts
+      |                        AND p.ts <= v.ts + INTERVAL 10 MINUTE
+      |      GROUP BY 1, 2, 3)
+      |SELECT m.event_id, m.user_id, m.ts, m.p_ts, p.value AS p_value
+      |FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.p_ts
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.ops.Relational
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    Relational.asOfJoin(v, p, Seq("user_id"), "ts_us", "p_us",
+        Seq("p_ts", "p_value"), direction = "forward",
+        tolerance = Some(600000000L)) // 10 min in micros
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_ts"), col("p_value"))
+      .orderBy("event_id")
+  }
+
+  /** Event-transition matrix (sequence mining): per-user next-event via
+    * lead, transition counts and per-source probabilities. One window
+    * pass + one aggregate. */
+  val q99Transitions: Q = q("q99_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+      |             lead(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS next_type
+      |           FROM events),
+      |c AS (SELECT event_type, next_type, count(*) AS n FROM o
+      |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |  round(CAST(n AS DOUBLE)
+      |        / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p
+      |FROM c ORDER BY event_type, next_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wt).cast("double"), 4))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** Median absolute deviation per event type
+    * ([[graft.ops.Profile.medianAbsDeviation]]): robust spread where
+    * q49's stddev is outlier-sensitive. Exact discrete medians (q38's
+    * percentile_disc convention) — engine-exact element picks. */
+  val q100Mad: Q = q("q100_mad",
+    """WITH med AS (SELECT event_type,
+      |               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |             FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      |      FROM events e JOIN med m USING (event_type))
+      |SELECT event_type, round(max(med), 4) AS median_value,
+      |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad), 4) AS mad
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.ops.Profile.medianAbsDeviation(Tables.events(s, d), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -1037,5 +1114,6 @@ object RelationalQueries {
     q15SortLimit, q16SetOps, q17StringFns, q18DateTrunc, q19DateScalar,
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
     q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow,
-    q95Funnel, q96Retention, q97Histogram)
+    q95Funnel, q96Retention, q97Histogram, q98AsofTolerance,
+    q99Transitions, q100Mad)
 }

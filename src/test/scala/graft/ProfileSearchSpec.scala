@@ -143,6 +143,16 @@ class ProfileSearchSpec extends SparkSpec {
       ("score", "double", 3L, 2L, Some(1.5), Some(2.5), None, None)))
   }
 
+  test("medianAbsDeviation: outlier-resistant on hand values") {
+    // [1, 2, 4, 100]: median = 2nd sorted = 2; |x−2| sorted = [0,1,2,98]
+    // → MAD = 1. The 100-outlier moves stddev to ~49 but MAD stays 1.
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 4.0), ("g", 100.0))
+      .toDF("k", "v")
+    val got = Profile.medianAbsDeviation(df, "k", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("g", 2.0, 1.0)))
+  }
+
   test("keyHistogram: shares and floor'd skew on hand counts") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("k")
     val got = Profile.keyHistogram(df, "k", topN = 2).collect()

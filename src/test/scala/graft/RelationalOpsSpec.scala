@@ -24,6 +24,36 @@ class RelationalOpsSpec extends SparkSpec {
       (4L, null)))  // key never seen on right
   }
 
+  test("asOfJoin forward: earliest right ≥ left; equal-ts matches") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "u", 200L))
+      .toDF("id", "k", "t")
+    val quotes = Seq(("u", 60L, "q60"), ("u", 100L, "q100"), ("u", 150L, "q150"))
+      .toDF("k", "qt", "quote")
+    val got = Relational.asOfJoin(probes, quotes, Seq("k"), "t", "qt",
+        Seq("quote"), direction = "forward")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, "q100"), // equal timestamp matches (≥)
+      (2L, "q60"),  // earliest following
+      (3L, null)))  // nothing after 200
+  }
+
+  test("asOfJoin tolerance: matches past the bound null out (both directions)") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("id", "k", "t")
+    val quotes = Seq(("u", 90L, "q90")).toDF("k", "qt", "quote")
+    def run(dir: String) = Relational.asOfJoin(probes, quotes, Seq("k"),
+        "t", "qt", Seq("quote"), direction = dir, tolerance = Some(50L))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getString(3)))
+    assert(run("backward").toSeq === Seq((1L, "q90"), (2L, null))) // 410 > 50
+    assert(run("forward").toSeq === Seq((1L, null), (2L, null)))   // q90 < both
+  }
+
   test("sessionize: splits on gap, 1-based ids per partition") {
     val s = spark
     import s.implicits._
