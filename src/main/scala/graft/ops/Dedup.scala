@@ -148,6 +148,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Content-defined chunking (CDC): chunk boundaries fall where the
+    * hash of the trailing `window`-token n-gram satisfies
+    * `bucket % modulus == 0` — boundaries depend only on LOCAL content,
+    * so inserting or deleting a prefix shifts every token position yet
+    * reproduces the SAME chunks after the edit region (the
+    * rsync/LBFS/FastCDC property; fixed-size chunking loses all
+    * alignment). This is the shift-resistant complement to
+    * [[wordChunks]]: chunk-granular dedup over near-identical documents
+    * keeps working when edits move content around.
+    *
+    * The boundary hash is the engine-portable md5-bucket rule shared
+    * with `Curation.hashSplit` (first 24 md5 bits), NOT an internal
+    * 64-bit hash — so the full chunking is SQL-mirrorable and
+    * oracle-checked (q102). Shape: one explode (a row per token), one
+    * per-doc cumsum window, one (doc, chunk) groupBy — nothing
+    * corpus-wide. Output: doc_id, chunk_idx, start_pos, n_toks,
+    * chunk_text. */
+  def cdcChunks(docs: DataFrame, window: Int = 5, modulus: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val bucket = (s: Column) => conv(substring(md5(s), 1, 6), 16, 10).cast("long")
+    val entries = transform(sequence(lit(1), size(toks)), j => struct(
+      j.as("j"), element_at(toks, j).as("tok"),
+      ((j > lit(window)) &&
+        bucket(concat_ws(" ",
+          slice(toks, greatest(j - lit(window), lit(1)), lit(window)))) % modulus === 0)
+        .cast("int").as("nc")))
+    val ex = docs.select(col("doc_id"), explode(entries).as("e"))
+      .select(col("doc_id"), col("e.j").as("j"), col("e.tok").as("tok"),
+        col("e.nc").as("nc"))
+    val w = Window.partitionBy("doc_id").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ex.withColumn("chunk_idx", (sum("nc").over(w) + 1).cast("long"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min("j").as("start_pos"), count(lit(1)).as("n_toks"),
+        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk_text"))
+  }
+
   /** Number of MinHash permutations / LSH bands (4 rows per band →
     * threshold ≈ (1/32)^(1/4) ≈ 0.42; candidates then exact-verified). */
   val MinHashes = 128

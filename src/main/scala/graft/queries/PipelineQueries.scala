@@ -1307,6 +1307,35 @@ object PipelineQueries {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Content-defined chunking ([[Dedup.cdcChunks]]): boundaries where the
+    * trailing 5-gram's md5 bucket ≡ 0 (mod 16) — shift-resistant chunks
+    * (ClusterDedupSpec proves prefix-edit alignment survives). The
+    * boundary rule is the shared engine-portable md5-bucket, so the
+    * oracle re-derives the whole chunking: same windows, same buckets,
+    * same cumsum chunk ids, same reassembled chunk texts. */
+  val q102CdcChunks: Q = q("q102_cdc_chunks",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM tk),
+      |fl AS (SELECT doc_id, j, toks[j] AS tok,
+      |         CASE WHEN j > 5 AND
+      |           ('0x' || substr(md5(array_to_string(toks[j-5:j-1], ' ')), 1, 6))::BIGINT
+      |             % 16 = 0
+      |         THEN 1 ELSE 0 END AS nc
+      |       FROM pos),
+      |ch AS (SELECT doc_id, j, tok,
+      |         CAST(sum(nc) OVER (PARTITION BY doc_id ORDER BY j
+      |           ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS chunk_idx
+      |       FROM fl)
+      |SELECT doc_id, chunk_idx, CAST(min(j) AS BIGINT) AS start_pos,
+      |  count(*) AS n_toks, string_agg(tok, ' ' ORDER BY j) AS chunk_text
+      |FROM ch GROUP BY doc_id, chunk_idx
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Dedup.cdcChunks(Tables.documents(s, d), window = 5, modulus = 16)
+      .withColumn("start_pos", col("start_pos").cast("long"))
+      .select("doc_id", "chunk_idx", "start_pos", "n_toks", "chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1321,5 +1350,5 @@ object PipelineQueries {
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
     q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
-    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph)
+    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks)
 }

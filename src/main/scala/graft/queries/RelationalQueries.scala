@@ -1104,6 +1104,30 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Distribution-rank battery: ntile deciles, dense_rank, percent_rank,
+    * cume_dist per event type — the rank family q12/q48 don't touch.
+    * percent_rank/cume_dist are emitted RAW: each is a single exact
+    * integer division, deterministic in both engines with no rounding
+    * step at all. (value, event_id) gives ties a total order. */
+  val q101RankBattery: Q = q("q101_rank_battery",
+    """SELECT event_id, event_type,
+      |  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        ntile(10).over(w).as("decile"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -1115,5 +1139,5 @@ object RelationalQueries {
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
     q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow,
     q95Funnel, q96Retention, q97Histogram, q98AsofTolerance,
-    q99Transitions, q100Mad)
+    q99Transitions, q100Mad, q101RankBattery)
 }

@@ -86,6 +86,32 @@ class ClusterDedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: chunks reassemble to the original text, boundaries content-defined") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho", "sig", "tau",
+      "ups", "phi", "chi")
+    val a = Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val b = "zz yy xx " + a // shifted copy: every position moves by 3
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df).orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val ca = got.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val cb = got.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    // reassembly is lossless
+    assert(ca.mkString(" ") === a)
+    assert(cb.mkString(" ") === b)
+    // shift-resistance (the CDC property): boundaries depend only on the
+    // local 5-gram, so every chunk of A after its first boundary recurs
+    // verbatim in the prefixed copy — fixed-size chunking would lose all
+    // alignment after the 3-token shift
+    assert(ca.size >= 3, s"want multiple chunks, got ${ca.size}")
+    assert(ca.drop(1).forall(cb.toSet.contains),
+      s"interior chunks must survive the prefix shift: $ca vs $cb")
+  }
+
   test("chunkDedup keeps exactly the first occurrence of each chunk") {
     val df = spark.createDataFrame(Seq(
       (1L, "a b c d"),
