@@ -169,22 +169,26 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
     val bucket = (s: Column) => conv(substring(md5(s), 1, 6), 16, 10).cast("long")
-    val entries = transform(sequence(lit(1), size(toks)), j => struct(
-      j.as("j"), element_at(toks, j).as("tok"),
-      ((j > lit(window)) &&
-        bucket(concat_ws(" ",
-          slice(toks, greatest(j - lit(window), lit(1)), lit(window)))) % modulus === 0)
-        .cast("int").as("nc")))
-    val ex = docs.select(col("doc_id"), explode(entries).as("e"))
-      .select(col("doc_id"), col("e.j").as("j"), col("e.tok").as("tok"),
-        col("e.nc").as("nc"))
+    // flat posexplode + codegen projection: the md5 boundary hash runs in
+    // the whole-stage span, not inside an interpreted transform() lambda
+    // (measured 4.4 s → ~1 s at sf0.1 for the lambda variant of this)
+    val j = (col("pos0") + 1).as("j")
+    val ex = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), j, col("tok"),
+        when(col("pos0") + 1 > window,
+          (bucket(concat_ws(" ", slice(col("toks"),
+            greatest(col("pos0") + 1 - lit(window), lit(1)), lit(window))))
+            % modulus === 0).cast("int"))
+          .otherwise(lit(0)).as("nc"))
     val w = Window.partitionBy("doc_id").orderBy("j")
       .rowsBetween(Window.unboundedPreceding, 0)
     ex.withColumn("chunk_idx", (sum("nc").over(w) + 1).cast("long"))
       .groupBy("doc_id", "chunk_idx")
       .agg(min("j").as("start_pos"), count(lit(1)).as("n_toks"),
-        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
-          s => s.getField("tok")), " ").as("chunk_text"))
+        // native ordered listagg (Spark 4) — no interpreted
+        // collect+sort+transform lambda in the reassembly
+        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY j)").as("chunk_text"))
   }
 
   /** Number of MinHash permutations / LSH bands (4 rows per band →
