@@ -221,6 +221,67 @@ object TextAnalysis {
         col("n_terms"), col("rnk"))
   }
 
+  /** BPE-style merge learning over the word stream ("word-pair
+    * encoding"): `nMerges` rounds, each picking the corpus's most
+    * frequent adjacent token pair (count desc, then lexicographic —
+    * fully deterministic) and fusing it into a single token for the next
+    * round, exactly the BPE training loop with words as the base
+    * alphabet. Merged tokens join with U+0001 so spaces stay the
+    * separator.
+    *
+    * Shape per round: one distributed pair-count aggregate (map-side
+    * combined) + a ONE-ROW argmax collect (control-plane sized, like the
+    * IVF trainer's bounded sample) + one codegen regexp projection that
+    * applies the merge left-to-right non-overlapping — the same greedy
+    * order BPE uses. Rounds are driver-coordinated but never move data
+    * to the driver; cost is nMerges corpus passes, the textbook BPE
+    * trainer cost. Returns (merge_rank, left, right, n). */
+  def learnWpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    var cur = docs.select(col("doc_id"), col("text"))
+    // each round's state persists, or round k would re-evaluate the whole
+    // k-deep regexp lineage from the raw scan (O(rounds²) corpus passes;
+    // measured 6.0 s → 2.6 s at sf0.1 for 8 rounds). At real corpus scale
+    // the same role is played by materializing trainer state to storage.
+    var prev: Option[DataFrame] = None
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val toks = split(col("text"), " ")
+      val top = cur.select(
+          explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect() // exactly one row per round — control plane
+      // the count above materialized cur's cache — the previous round's
+      // state is no longer reachable and can release now (not earlier:
+      // unpersisting before cur materializes would re-expose the full
+      // k-deep regexp lineage)
+      prev.foreach(_.unpersist(blocking = false))
+      if (cur ne docs) prev = Some(cur)
+      if (top.nonEmpty) {
+        val Row(l: String, r: String, n: Long) = top(0)
+        learned += ((rank, l, r, n))
+        val pat = "(?<![^ ])" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + "(?![^ ])"
+        val rep = java.util.regex.Matcher.quoteReplacement(l + "\u0001" + r)
+        cur = cur.select(col("doc_id"),
+          regexp_replace(col("text"), pat, rep).as("text")).persist()
+      }
+    }
+    prev.foreach(_.unpersist(blocking = false))
+    if ((cur ne docs) && !prev.contains(cur)) cur.unpersist(blocking = false)
+    import spark.implicits._
+    learned.result().toDF("merge_rank", "left", "right", "n")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        // report merges in the user's vocabulary: U+0001 joiners from
+        // earlier rounds render as spaces inside the fused token
+        regexp_replace(col("left"), "\u0001", " ").as("left"),
+        regexp_replace(col("right"), "\u0001", " ").as("right"), col("n"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

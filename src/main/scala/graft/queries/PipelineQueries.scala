@@ -1336,6 +1336,16 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Tokenizer-vocabulary learning ([[TextAnalysis.learnWpeMerges]]):
+    * 8 BPE merge rounds over the corpus word stream. Rows-only — the
+    * loop is iterative (each round's counts depend on the previous
+    * merge), not single-statement SQL; ClusterDedupSpec pins the full
+    * merge table against a sequential local reference implementation. */
+  val q103WpeMerges: Q = rowsOnly("q103_wpe_merges") { (s, d) =>
+    TextAnalysis.learnWpeMerges(Tables.documents(s, d), nMerges = 8)
+      .orderBy("merge_rank")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1350,5 +1360,5 @@ object PipelineQueries {
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
     q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
-    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks)
+    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges)
 }

@@ -112,6 +112,55 @@ class ClusterDedupSpec extends SparkSpec {
       s"interior chunks must survive the prefix shift: $ca vs $cb")
   }
 
+  /** Sequential reference for WPE/BPE merge learning: exact greedy
+    * left-to-right merging, global (count desc, pair asc) argmax. */
+  private def localWpe(texts: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
+    var docs = texts.map(_.split(" ").toVector)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      docs.foreach(t => t.indices.dropRight(1).foreach { i =>
+        counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + 1
+      })
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank.toLong, l.replace('\u0001', ' '), r.replace('\u0001', ' '), c))
+        docs = docs.map { t =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+              b += t(i) + "\u0001" + t(i + 1); i += 2
+            } else { b += t(i); i += 1 }
+          }
+          b.result()
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("learnWpeMerges matches the sequential BPE reference on a random corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    // planted dominant trigram: round 1 fuses one of its pairs, a later
+    // round must fuse the FUSED token with the third word (compound merge)
+    val texts = Seq.fill(30)(
+      Seq.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq.fill(10)(Seq.fill(6)("aa bb cc").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.learnWpeMerges(df, nMerges = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === localWpe(texts, 6))
+    // later merges must be able to build on earlier fused tokens
+    assert(got.exists(m => m._2.contains(" ") || m._3.contains(" ")),
+      s"no compound merge in $got — corpus too sparse for the test's intent")
+  }
+
   test("chunkDedup keeps exactly the first occurrence of each chunk") {
     val df = spark.createDataFrame(Seq(
       (1L, "a b c d"),

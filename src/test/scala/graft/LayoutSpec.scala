@@ -19,6 +19,26 @@ class LayoutSpec extends SparkSpec {
     assert(got === Seq(0L, 1L, 2L, 3L, 39L, 4294967295L))
   }
 
+  test("zvalue2 roundtrip: deinterleaving recovers both coordinates") {
+    def compact(z: Long): Long = { // inverse of spread16 (standard sequence)
+      var x = z & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFFL
+      x
+    }
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue2(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    zs.foreach { case (x, y, z) =>
+      assert(compact(z) === x, s"x from z($x,$y)=$z")
+      assert(compact(z >> 1) === y, s"y from z($x,$y)=$z")
+    }
+  }
+
   test("zvalue2 is monotone in each coordinate along the curve diagonal") {
     // interleaving preserves per-coordinate order when the other is fixed
     val xs = (0L until 64L).toDF("x")

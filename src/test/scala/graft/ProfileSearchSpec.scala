@@ -35,6 +35,63 @@ class ProfileSearchSpec extends SparkSpec {
     assert(got.head.getLong(1) === 1L)
   }
 
+  test("bm25TopK equals a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (10 until 40).map(i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val queries = (0 until 3).map(i =>
+      (i.toLong, Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val got = TextAnalysis.bm25TopK(queries.toDF("doc_id", "text"),
+        corpus.toDF("doc_id", "text"), topK = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // sequential mirror of the op's exact chain (incl. micros rounding)
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.split(" ").length.toLong).sum.toDouble / corpus.size
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = queries.flatMap { case (qid, qt) =>
+      val scored = corpus.flatMap { case (did, _) =>
+        val ts = toks(did)
+        val contribs = qt.split(" ").distinct.toSeq.flatMap { term =>
+          val tf = ts.count(_ == term)
+          if (tf == 0) None else {
+            val df = dfm(term)
+            val idf = math.log(1.0 + ((n.toLong - df).toDouble + 0.5) / (df.toDouble + 0.5))
+            val tfn = (tf.toDouble * 2.2) /
+              (tf.toDouble + 1.2 * (0.25 + 0.75 * (ts.length.toDouble / avgdl)))
+            Some(math.round(idf * tfn * 1000000.0))
+          }
+        }
+        if (contribs.isEmpty) None
+        else Some((did, contribs.sum, contribs.size.toLong))
+      }
+      scored.sortBy { case (did, m, _) => (-m, did) }.take(4).zipWithIndex.map {
+        case ((did, m, nt), i) =>
+          (qid, did,
+            BigDecimal(m.toDouble / 1000000.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            nt, (i + 1).toLong)
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("histogram conserves mass and tiles the range") {
+    val rnd = new scala.util.Random(31)
+    val df = Seq.fill(500)(rnd.nextDouble() * 100 - 50).toDF("x")
+    val got = Profile.histogram(df, "x", bins = 13).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._4).sum === 500L)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    got.sliding(2).foreach {
+      case Array((b0, _, hi, _), (b1, lo, _, _)) if b1 == b0 + 1 =>
+        assert(math.abs(hi - lo) < 1e-9, s"bins $b0/$b1 must tile")
+      case _ => ()
+    }
+  }
+
   // --------------------------------------------------------- edit distance
 
   private def localLev(a: String, b: String): Int = {
