@@ -29,6 +29,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  /** Nullable even when both children are non-null: a length mismatch
+    * yields null. Without this override, non-nullable inputs make
+    * Catalyst emit `ev.isNull` as a literal and the generated
+    * `isNull = true` assignment fails janino compilation — silently
+    * dropping every projection containing vec_dot to interpreter mode. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true

@@ -183,8 +183,13 @@ object Similarity {
     val cent = emb.select(col(groupCol), posexplode(e).as(Seq("dim", "v")))
       .groupBy(col(groupCol), col("dim")).agg(avg("v").as("c"))
       .groupBy(groupCol)
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("cvec"))
+      // sort_array + direct array-of-struct field extraction
+      // (GetArrayStructFields): both codegen inside UnsafeProjection.
+      // The previous array_sort(...)+transform(...) form used lambda
+      // comparators/extractors that tripped a janino codegen bug
+      // ("isNull_x is not an rvalue") → interpreter fallback per batch.
+      .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+        .getField("c").as("cvec"))
       .withColumn("cnorm", norm(col("cvec")))
     val w = Window.partitionBy(groupCol)
       .orderBy(col("dist").desc, col("vec_id").asc)
