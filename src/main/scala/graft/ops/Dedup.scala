@@ -185,7 +185,7 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, 0)
     ex.withColumn("chunk_idx", (sum("nc").over(w) + 1).cast("long"))
       .groupBy("doc_id", "chunk_idx")
-      .agg(min("j").as("start_pos"), count(lit(1)).as("n_toks"),
+      .agg(min("j").cast("long").as("start_pos"), count(lit(1)).as("n_toks"),
         // native ordered listagg (Spark 4) — no interpreted
         // collect+sort+transform lambda in the reassembly
         expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY j)").as("chunk_text"))

@@ -161,6 +161,30 @@ class ClusterDedupSpec extends SparkSpec {
       s"no compound merge in $got — corpus too sparse for the test's intent")
   }
 
+  test("cdcChunks: lossless reassembly and determinism on random corpora") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+      val texts = (0 until 25).map(i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val df = texts.toDF("doc_id", "text")
+      val chunks = Dedup.cdcChunks(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      // reassembly: chunks in chunk_idx order concatenate to the text
+      val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4).mkString(" "))
+      texts.foreach { case (id, t) => assert(byDoc(id) === t, s"seed $seed doc $id") }
+      // start positions are consistent with chunk lengths
+      chunks.groupBy(_._1).values.foreach { cs =>
+        val sorted = cs.sortBy(_._2)
+        sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+          assert(b._3 === a._3 + a._4.split(" ").length, s"seed $seed contiguity")
+        }
+      }
+    }
+  }
+
   test("chunkDedup keeps exactly the first occurrence of each chunk") {
     val df = spark.createDataFrame(Seq(
       (1L, "a b c d"),

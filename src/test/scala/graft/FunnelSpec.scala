@@ -25,6 +25,78 @@ class FunnelSpec extends SparkSpec {
       (4L, Some(10L), None, None)))
   }
 
+  test("funnelTimes matches a sequential reference on random event logs") {
+    val types = Seq("view", "click", "purchase", "noise", "error")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val ev = Seq.fill(300)((rnd.nextInt(20).toLong,
+        types(rnd.nextInt(types.size)), rnd.nextInt(1000).toLong))
+      val got = Funnel.funnelTimes(ev.toDF("user_id", "event_type", "ts"),
+          Seq("view", "click", "purchase"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+      val byUser = ev.groupBy(_._1)
+      val expected = byUser.flatMap { case (u, es) =>
+        def minAfter(typ: String, after: Option[Long]): Option[Long] = after.flatMap { a =>
+          val c = es.filter(e => e._2 == typ && e._3 > a).map(_._3)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t1 = { val v = es.filter(_._2 == "view").map(_._3); if (v.isEmpty) None else Some(v.min) }
+        t1.map { _ =>
+          val t2 = minAfter("click", t1)
+          val t3 = minAfter("purchase", t2)
+          (u, t1, t2, t3)
+        }
+      }.toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("streamingFunnelTimes over batches equals the batch funnel on in-order logs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val types = Seq("view", "click", "purchase", "noise")
+    val rnd = new scala.util.Random(23)
+    // in-order per-user log: generate sorted by ts, split into 3 batches
+    val ev = Seq.tabulate(240)(i =>
+      (rnd.nextInt(12).toLong, types(rnd.nextInt(types.size)), i.toLong))
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = graft.ops.Funnel.streamingFunnelTimes(mem.toDS(),
+        Seq("view", "click", "purchase"))
+      .map { case (u, ts) => (u, ts(0), ts(1), ts(2)) }
+      .toDF("user_id", "ts1", "ts2", "ts3")
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ev.grouped(80).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // update mode appends one row per (user, batch); state is monotone, so
+    // the final state per user is the row with the most set fields (ties
+    // are identical rows)
+    val got = s.sql("SELECT * FROM sfunnel").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .groupBy(_._1)
+      .map { case (_, rows) => rows.maxBy(r => Seq(r._2, r._3, r._4).count(_.nonEmpty)) }
+      .filter(_._2.nonEmpty) // batch path emits only users who reached step 1
+      .toSet
+    val batch = Funnel.funnelTimes(ev.toDF("user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got === batch)
+  }
+
   test("cohortRetention: Monday-aligned weekly cohorts and offsets") {
     // 2024-01-01 is a Monday: W0 = 01-01, W1 = 01-08
     val ev = Seq(
