@@ -66,6 +66,43 @@ object Profile {
     arms.reduce(_ unionAll _)
   }
 
+  /** The extreme-scale variant of [[profile]], as real code rather than
+    * scaladoc prose: `approx_count_distinct` (HLL++, `rsd` relative
+    * error) replaces the exact distincts, which removes the reason the
+    * exact profiler splits into per-column arms — ALL columns aggregate
+    * in ONE pass with no Expand and no union (plan-asserted in
+    * ProfileSearchSpec). Same output shape as [[profile]]; distinct
+    * counts are estimates (engine-specific), so queries over it are
+    * rows-only checked with an error-bound test instead of an oracle. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def n(f: StructField)  = s"${f.name}__n"
+    def d(f: StructField)  = s"${f.name}__d"
+    def mn(f: StructField) = s"${f.name}__mn"
+    def mx(f: StructField) = s"${f.name}__mx"
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(n(f)), approx_count_distinct(c, rsd).as(d(f)),
+        min(c).as(mn(f)), max(c).as(mx(f)))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(fields.map { f =>
+      val (minNum, maxNum) =
+        if (isNumeric(f.dataType))
+          (col(mn(f)).cast("double"), col(mx(f)).cast("double"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      val (minText, maxText) =
+        if (isNumeric(f.dataType))
+          (lit(null).cast("string"), lit(null).cast("string"))
+        else (asText(col(mn(f)), f.dataType), asText(col(mx(f)), f.dataType))
+      struct(lit(f.name).as("col_name"), lit(f.dataType.simpleString).as("dtype"),
+        col(n(f)).as("n_nonnull"), col(d(f)).as("n_distinct_approx"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minText.as("min_text"), maxText.as("max_text"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+  }
+
   /** Median absolute deviation per group — the robust spread statistic
     * (outlier-resistant where stddev is not): MAD = median(|x − median|).
     * Exact discrete medians via the q38 sorted-array convention

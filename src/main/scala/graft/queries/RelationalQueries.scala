@@ -1128,6 +1128,14 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** One-pass approximate profile ([[graft.ops.Profile.profileApprox]]):
+    * the extreme-scale ANALYZE — HLL distincts, single scan, no Expand.
+    * Rows-only (estimates are engine-specific); ProfileSearchSpec bounds
+    * the error vs the exact profiler. */
+  val q104ProfileApprox: Q = rowsOnly("q104_profile_approx") { (s, d) =>
+    graft.ops.Profile.profileApprox(Tables.lineitem(s, d)).orderBy("col_name")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -1139,5 +1147,5 @@ object RelationalQueries {
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
     q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow,
     q95Funnel, q96Retention, q97Histogram, q98AsofTolerance,
-    q99Transitions, q100Mad, q101RankBattery)
+    q99Transitions, q100Mad, q101RankBattery, q104ProfileApprox)
 }

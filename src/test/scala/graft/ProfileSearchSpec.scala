@@ -200,6 +200,22 @@ class ProfileSearchSpec extends SparkSpec {
       ("score", "double", 3L, 2L, Some(1.5), Some(2.5), None, None)))
   }
 
+  test("profileApprox: one pass (no Expand/Union), estimates within HLL bounds") {
+    val df = Tables.lineitem(spark, SparkSpec.sf0001)
+    val approx = Profile.profileApprox(df, rsd = 0.05)
+    val p = approx.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(!p.contains("Union"), p.take(1500))
+    val exact = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.collect().foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(3))
+      val ex = exact(c).toDouble
+      assert(math.abs(est - ex) <= math.max(4, 4 * 0.05 * ex),
+        s"$c: approx $est vs exact ${exact(c)}")
+    }
+  }
+
   test("medianAbsDeviation: outlier-resistant on hand values") {
     // [1, 2, 4, 100]: median = 2nd sorted = 2; |x−2| sorted = [0,1,2,98]
     // → MAD = 1. The 100-outlier moves stddev to ~49 but MAD stays 1.
