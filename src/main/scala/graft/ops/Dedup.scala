@@ -93,23 +93,34 @@ object Dedup {
     * Worth it when df-skew is real (big corpora, boilerplate shingles);
     * measured a wash at sf0.1 where the extra aggregation pass costs as
     * much as the join it saves — hence opt-in. */
-  def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
-                          pruneSingletons: Boolean = false): DataFrame = {
-    // shingle identity = 64-bit hash (native expression): the shuffle
-    // carries 8-byte keys instead of shingle strings; counts and set sizes
-    // are unchanged w.h.p. (a cross-doc collision needs ~2^32 distinct
-    // shingles per pair)
+  /** Shared candidate stage of the shingle-index family: (doc_a, doc_b,
+    * shared) counts for every pair sharing ≥1 distinct n-gram shingle —
+    * the explode → equi-self-join → count pipeline used by
+    * [[jaccardNearDupPairs]] and [[editDistancePairs]]. Shingle identity
+    * is the 64-bit native hash: the shuffle carries 8-byte keys instead
+    * of shingle strings; counts and set sizes are unchanged w.h.p. (a
+    * cross-doc collision needs ~2³² distinct shingles per pair).
+    * `pruneSingletons` pre-drops df=1 shingles (can never form a pair) —
+    * lossless; worth it under df-skew, a measured wash on the fixtures. */
+  private[graft] def sharedShinglePairs(docs: DataFrame, n: Int,
+                                        pruneSingletons: Boolean): DataFrame = {
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
     val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
     val ex = if (!pruneSingletons) ex0 else {
       val hot = ex0.groupBy("sg").count().filter(col("count") > 1).select("sg")
       ex0.join(broadcast(hot), Seq("sg"), "left_semi")
     }
-    val pairs = ex.as("a").join(ex.as("b"),
+    ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
+                          pruneSingletons: Boolean = false): DataFrame = {
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    val pairs = sharedShinglePairs(docs, n, pruneSingletons)
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -132,13 +143,9 @@ object Dedup {
     * "among shingle-sharing candidates", which the oracle mirrors
     * exactly. */
   def editDistancePairs(docs: DataFrame, maxDist: Int, n: Int = 3,
-                        minSharedShingles: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-    val cand = ex.as("a").join(ex.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+                        minSharedShingles: Int = 3,
+                        pruneSingletons: Boolean = false): DataFrame = {
+    val cand = sharedShinglePairs(docs, n, pruneSingletons)
       .filter(col("shared") >= minSharedShingles)
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))

@@ -59,10 +59,14 @@ object Funnel {
       (uid: Long, evs: Iterator[(Long, String, Long)], state: GroupState[Array[Long]]) =>
         val cur = state.getOption.getOrElse(Array.fill(steps.size)(Unset))
         evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, typ, t) =>
-          val i = steps.indexOf(typ)
-          if (i >= 0 && cur(i) == Unset &&
-              (i == 0 || (cur(i - 1) != Unset && t > cur(i - 1))))
-            cur(i) = t
+          // first OPEN step this event can satisfy — not indexOf(typ),
+          // which would pin repeated step types (view → view → buy) to
+          // their first occurrence and never fill the later stage
+          val i = steps.indices.find { i =>
+            steps(i) == typ && cur(i) == Unset &&
+              (i == 0 || (cur(i - 1) != Unset && t > cur(i - 1)))
+          }
+          i.foreach(cur(_) = t)
         }
         state.update(cur)
         (uid, cur.toSeq.map(v => if (v == Unset) None else Some(v)))

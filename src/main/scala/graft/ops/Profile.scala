@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Column reference by raw name — backtick-quoted so names containing
+    * dots (or backticks) resolve as columns, not nested-field paths. */
+  private[ops] def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case _              => false
@@ -48,7 +54,7 @@ object Profile {
     * engine-exact as-is. */
   def profile(df: DataFrame): DataFrame = {
     val arms = df.schema.fields.toSeq.map { f =>
-      val c = col(f.name)
+      val c = qcol(f.name)
       val (minNum, maxNum) =
         if (isNumeric(f.dataType)) (min(c).cast("double"), max(c).cast("double"))
         else (lit(null).cast("double"), lit(null).cast("double"))
@@ -71,9 +77,12 @@ object Profile {
     * error) replaces the exact distincts, which removes the reason the
     * exact profiler splits into per-column arms — ALL columns aggregate
     * in ONE pass with no Expand and no union (plan-asserted in
-    * ProfileSearchSpec). Same output shape as [[profile]]; distinct
-    * counts are estimates (engine-specific), so queries over it are
-    * rows-only checked with an error-bound test instead of an oracle. */
+    * ProfileSearchSpec). Output matches [[profile]] except the distinct
+    * column is named `n_distinct_approx` — deliberately NOT a silent
+    * drop-in: the counts are estimates (engine-specific), so queries
+    * over it are rows-only checked with an error-bound test instead of
+    * an oracle, and consumers must opt into the approximate column by
+    * name. */
   def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
     val fields = df.schema.fields.toSeq
     def n(f: StructField)  = s"${f.name}__n"
@@ -81,7 +90,7 @@ object Profile {
     def mn(f: StructField) = s"${f.name}__mn"
     def mx(f: StructField) = s"${f.name}__mx"
     val aggs: Seq[Column] = fields.flatMap { f =>
-      val c = col(f.name)
+      val c = qcol(f.name)
       Seq(count(c).as(n(f)), approx_count_distinct(c, rsd).as(d(f)),
         min(c).as(mn(f)), max(c).as(mx(f)))
     }
@@ -115,14 +124,14 @@ object Profile {
                          valueCol: String): DataFrame = {
     def pd(arr: Column) =
       element_at(arr, ceil(lit(0.5) * size(arr)).cast("int"))
-    val med = df.groupBy(col(groupCol))
-      .agg(sort_array(collect_list(col(valueCol))).as("arr"))
-      .select(col(groupCol), pd(col("arr")).as("med"))
+    val med = df.groupBy(qcol(groupCol))
+      .agg(sort_array(collect_list(qcol(valueCol))).as("arr"))
+      .select(qcol(groupCol), pd(col("arr")).as("med"))
     df.join(broadcast(med), groupCol)
-      .withColumn("ad", abs(col(valueCol) - col("med")))
-      .groupBy(col(groupCol))
+      .withColumn("ad", abs(qcol(valueCol) - col("med")))
+      .groupBy(qcol(groupCol))
       .agg(max("med").as("med"), sort_array(collect_list(col("ad"))).as("adarr"))
-      .select(col(groupCol), round(col("med"), 4).as("median_value"),
+      .select(qcol(groupCol), round(col("med"), 4).as("median_value"),
         round(pd(col("adarr")), 4).as("mad"))
   }
 
@@ -133,15 +142,18 @@ object Profile {
     * arithmetic is one shared IEEE chain (width = (mx−mn)/bins;
     * bin = ⌊(x−mn)/width⌋ clamped to bins−1 so x = max lands in the last
     * bucket) — floor is tie-free, so bin assignment is engine-exact.
-    * Requires a non-constant column (width > 0). */
+    * A constant column (width = 0) degenerates to a single bin 0 with
+    * bin_lo = bin_hi = the value, rather than silent NaN propagation. */
   def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
-    val mm = df.agg(min(col(column)).cast("double").as("mn"),
-      max(col(column)).cast("double").as("mx"))
-    df.select(col(column).cast("double").as("x"))
+    val mm = df.agg(min(qcol(column)).cast("double").as("mn"),
+      max(qcol(column)).cast("double").as("mx"))
+    df.select(qcol(column).cast("double").as("x"))
       .crossJoin(broadcast(mm))
       .withColumn("width", (col("mx") - col("mn")) / lit(bins.toDouble))
       .withColumn("bin",
-        least(floor((col("x") - col("mn")) / col("width")), lit(bins - 1).cast("long"))
+        when(col("width") === 0d, lit(0))
+          .otherwise(least(floor((col("x") - col("mn")) / col("width")),
+            lit(bins - 1).cast("long")))
           .cast("int"))
       .groupBy("bin")
       .agg(max("mn").as("mn"), max("width").as("width"), count(lit(1)).as("n"))
@@ -166,7 +178,7 @@ object Profile {
     * half-up vs binary half-even) — floor of a correctly-rounded double
     * is tie-free and engine-exact while the product stays < 2⁵³. */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
-    val counts = df.groupBy(col(key).cast("string").as("key"))
+    val counts = df.groupBy(qcol(key).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum("n").as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))

@@ -873,10 +873,12 @@ object RelationalQueries {
 
   /** Table profiler ([[graft.ops.Profile.profile]]): per-column non-null
     * count, exact distinct count, and min/max over every lineitem column —
-    * the ANALYZE surface. ONE Spark aggregation job (multi-column exact
-    * distincts plan through a single Expand); the oracle recomputes each
-    * column's stats independently. Min/max/counts are raw values, no
-    * arithmetic → engine-exact. */
+    * the ANALYZE surface. A union of column-pruned single-column
+    * aggregate arms (same total bytes as one scan on a columnar source;
+    * the one-agg Expand alternative measured 27 s vs 1.5 s — see the
+    * op's scaladoc); the oracle recomputes each column's stats
+    * independently. Min/max/counts are raw values, no arithmetic →
+    * engine-exact. */
   val q91TableProfile: Q = q("q91_table_profile",
     """SELECT 'l_orderkey' AS col_name, 'bigint' AS dtype, count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text FROM lineitem
       |UNION ALL SELECT 'l_partkey', 'bigint', count(l_partkey), count(DISTINCT l_partkey), CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE), NULL, NULL FROM lineitem

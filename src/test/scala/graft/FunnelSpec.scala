@@ -97,6 +97,45 @@ class FunnelSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streamingFunnelTimes handles repeated step types (view → view → purchase)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = graft.ops.Funnel.streamingFunnelTimes(mem.toDS(),
+        Seq("view", "view", "purchase"))
+      .map { case (u, ts) => (u, ts(0), ts(1), ts(2)) }
+      .toDF("user_id", "ts1", "ts2", "ts3")
+    val q = out.writeStream.format("memory").queryName("sfunnel_rep")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, "view", 10L), (1L, "view", 20L), (1L, "purchase", 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = s.sql("SELECT * FROM sfunnel_rep").collect().last
+    // indexOf-based matching would pin both views to slot 0 → (10, null, null)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((10L, 20L, 30L)))
+  }
+
+  test("profile ops accept column names containing dots") {
+    val df = Seq((1L, 2.0), (2L, 4.0), (2L, 6.0)).toDF("a.b", "x.y")
+    val prof = Profile.profile(df).orderBy("col_name").collect()
+    assert(prof.map(_.getString(0)).toSeq === Seq("a.b", "x.y"))
+    assert(prof.head.getLong(3) === 2L) // a.b distinct
+    assert(Profile.histogram(df, "x.y", 2).count() === 2)
+    assert(Profile.keyHistogram(df, "a.b").count() === 2)
+    assert(Profile.medianAbsDeviation(df, "a.b", "x.y").count() === 2)
+  }
+
+  test("histogram on a constant column degrades to one bin, not NaN") {
+    val df = Seq.fill(5)(7.5).toDF("x")
+    val got = Profile.histogram(df, "x", bins = 4).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0, 7.5, 7.5, 5L)))
+  }
+
   test("cohortRetention: Monday-aligned weekly cohorts and offsets") {
     // 2024-01-01 is a Monday: W0 = 01-01, W1 = 01-08
     val ev = Seq(
