@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head, intArg(exprs, 1, 3))))
+    e.injectFunction((new FunctionIdentifier("shingle_pos_hashes"),
+      new ExpressionInfo(classOf[ShinglePosHashes].getName, "shingle_pos_hashes"),
+      (exprs: Seq[Expression]) => ShinglePosHashes(exprs.head, intArg(exprs, 1, 3))))
     e.injectFunction((new FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
       (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head,
@@ -73,6 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("bigram_top_count"),
       new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_count"),
       (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("token_top_count"),
+      new ExpressionInfo(classOf[TokenTopCount].getName, "token_top_count"),
+      (exprs: Seq[Expression]) => TokenTopCount(exprs.head)))
   }
 
   /** Literal-int argument for SQL builders (e.g. shingle_hashes(arr, 3)),

@@ -64,6 +64,8 @@ object GraftFunctions {
       exprs => DotProduct(exprs.head, exprs(1)))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "bigram_top_count",
       exprs => BigramTopCount(exprs.head))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "token_top_count",
+      exprs => TokenTopCount(exprs.head))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs.lift(1) match {
@@ -80,8 +82,20 @@ object GraftFunctions {
           case Some(other) => throw new IllegalArgumentException(
             s"shingle_pos_hashes: n must be an INT literal, got $other")
         }))
+    def intLit(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+               i: Int, dflt: Int, fn: String): Int =
+      if (exprs.length <= i) dflt
+      else exprs(i) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be an INT literal, got $other")
+      }
+    // parse the optional (minHashes, bands) literals — silently pinning
+    // (128, 32) would return different LSH buckets than the user asked for
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "minhash_band_keys",
-      exprs => MinHashBandKeys(exprs.head, 128, 32))
+      exprs => MinHashBandKeys(exprs.head,
+        intLit(exprs, 1, 128, "minhash_band_keys"),
+        intLit(exprs, 2, 32, "minhash_band_keys")))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "simhash64",
       exprs => SimHash64(exprs.head))
     spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))

@@ -108,6 +108,27 @@ object ShingleHash {
     }
     best
   }
+
+  /** Count of the most frequent TOKEN of a token array (0 when empty) —
+    * the unigram twin of [[topBigramCountOf]]: hash, primitive sort,
+    * longest equal run. Replaces the nested
+    * `array_max(transform(array_distinct, w => size(filter(…))))` HOF
+    * form, which is O(distinct·n) per row with interpreted lambdas. */
+  def topTokenCountOf(tokens: ArrayData): Long = {
+    val m = tokens.numElements()
+    if (m == 0) return 0L
+    val h = baseHashes(tokens)
+    java.util.Arrays.sort(h)
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < h.length) {
+      if (h(i) == h(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
 }
 
 /** Most-frequent-bigram count (long) of a token array — the per-row
@@ -133,6 +154,30 @@ case class BigramTopCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.topBigramCountOf($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BigramTopCount =
+    copy(child = newChild)
+}
+
+/** Most-frequent-token count (long) of a token array — unigram twin of
+  * [[BigramTopCount]] (same hashed-identity argument); powers the
+  * Gopher top-word-dominance gate with one fused primitive pass in the
+  * scan stage instead of a quadratic interpreted HOF chain. */
+case class TokenTopCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_top_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.topTokenCountOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.topTokenCountOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTopCount =
     copy(child = newChild)
 }
 
@@ -207,4 +252,7 @@ object ShingleFunctions {
   /** Column API: count of the most frequent bigram of a token array. */
   def bigramTopCount(tokens: Column): Column =
     GraftSqlBridge.column(BigramTopCount(GraftSqlBridge.expression(tokens)))
+
+  def tokenTopCount(tokens: Column): Column =
+    GraftSqlBridge.column(TokenTopCount(GraftSqlBridge.expression(tokens)))
 }

@@ -177,7 +177,12 @@ object IvfCells {
       var bestD = Double.PositiveInfinity
       var i = 0
       while (i < nlist) {
-        if (!used(i) && d(i) < bestD) { bestD = d(i); best = i }
+        // NaN distances (dirty embedding) rank as +∞ with a first-unused
+        // fallback — the raw `d(i) < bestD` comparison is always false
+        // under NaN, leaving best = -1 and crashing the job; the UDF this
+        // replaced degraded gracefully via total-order sort
+        val dv = if (java.lang.Double.isNaN(d(i))) Double.PositiveInfinity else d(i)
+        if (!used(i) && (dv < bestD || best == -1)) { bestD = dv; best = i }
         i += 1
       }
       used(best) = true

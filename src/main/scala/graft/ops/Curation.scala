@@ -43,6 +43,13 @@ object Curation {
     * recompute of the survivor branch — at 100 TB that's one fewer
     * corpus-wide shuffle and one fewer scan. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // the one-pass identity with the staged chain needs every gated doc
+    // to carry ≥1 shingle: a <3-token doc has an EMPTY 3-gram set, gets
+    // no band keys, and exact duplicates of it would silently survive
+    // the pair-drop that replaced the explicit exactByHash stage
+    require(cfg.minTokens >= 3,
+      s"curate: minTokens must be >= 3 (shingle width) so the collapsed " +
+        s"exact+near-dup pair-drop sees every gated document; got ${cfg.minTokens}")
     val toks = split(col("text"), " ")
     // 1. quality gate — pure projection/filter, no shuffle
     val quality = docs.filter(
@@ -91,8 +98,11 @@ object Curation {
     // chars-per-word over the separator-free length: len(text) - (nt - 1)
     val meanWordLen = (length(col("text")) - nt + 1).cast("double") / nt
     val uniqRatio = size(array_distinct(toks)).cast("double") / nt
-    val topWordShare = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, x => x === w)))).cast("double") / nt
+    // native one-pass top-token count (hashed identity, q66 precedent) —
+    // the nested array_max(transform(array_distinct, filter)) HOF form is
+    // O(distinct*n) per row with interpreted lambdas
+    val topWordShare =
+      graft.functions.ShingleFunctions.tokenTopCount(toks).cast("double") / nt
     docs
       .withColumn("gate_len", nt.between(cfg.minTokens, cfg.maxTokens))
       .withColumn("gate_word_len",

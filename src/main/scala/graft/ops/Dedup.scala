@@ -340,9 +340,13 @@ object Dedup {
     * the exact anti-join. At 100 TB this turns "anti-join every new batch
     * against the corpus" into "ship a few-GB bitset + anti-join a tiny
     * suspect set". Result is exact (false positives are resolved by the
-    * anti-join). Sized past Spark's runtime-filter defaults, raise
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `.maxNumBits`
-    * (the native aggregate enforces them at analysis). */
+    * anti-join). Sizes are clamped to Spark's runtime-filter caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`.maxNumBits`,
+    * which the native aggregate enforces at ANALYSIS time): a clamp only
+    * raises the false-positive rate — more suspects through the exact
+    * anti-join, never a wrong result — where an unclamped literal would
+    * fail the whole job; raise the confs to regain the configured fpp at
+    * corpus scale. */
   def dedupAgainstCorpus(newDocs: DataFrame, corpusHashes: DataFrame,
                          expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
@@ -356,11 +360,17 @@ object Dedup {
     // row-level filtering uses, with no UDF serde on the probe's hot path.
     val xxOf = (c: Column) =>
       new XxHash64(Seq(GraftSqlBridge.expression(c)))
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
+    val conf = newDocs.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val items = math.min(expectedItems, maxItems)
+    val numBits = math.min(maxBits, org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(items, fpp))
     val blobRow = corpusHashes.select(GraftSqlBridge.column(
       new BloomFilterAggregate(xxOf(col("content_hash")),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+        Literal(items), Literal(numBits)).toAggregateExpression()
     ).as("bf")).head
     val hashed = newDocs.withColumn("content_hash",
       GraftFunctions.blake2b_256(col("text")))
@@ -434,9 +444,15 @@ object Dedup {
       val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
+      // iterative find + path compression: a recursive find overflows the
+      // stack on long parent chains (components arrive in arbitrary
+      // collect() order, so chain depth can reach the edge count)
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       collected.foreach { case (x, y) =>
         val (rx, ry) = (find(x), find(y))

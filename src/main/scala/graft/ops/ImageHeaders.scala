@@ -65,7 +65,10 @@ object ImageHeaders {
     else if (le32(b, 14) < 40) None // only BITMAPINFOHEADER-family DIBs
     else {
       val w = le32(b, 18)
-      val h = math.abs(le32(b, 22)) // negative = top-down row order
+      val rawH = le32(b, 22) // negative = top-down row order
+      // math.abs(Int.MinValue) stays negative — treat it as malformed
+      if (rawH == Int.MinValue) return None
+      val h = math.abs(rawH)
       val bpp = le16(b, 28)
       if (w <= 0 || h == 0 || bpp <= 0) None
       else Some(ImageMeta(w, h, math.max(1, bpp / 8), "bmp"))

@@ -255,12 +255,16 @@ object Similarity {
     * re-attached after the distinct); the confirm stage computes exact
     * cosine on candidates only, so the output is exactly the ≥ `minCos`
     * pair set whenever every qualifying pair shares at least one bucket.
-    * For the near-dup regime this targets (cos ≥ 0.9, i.e. genuine
-    * duplicates), the per-pair miss probability at the defaults is
-    * (1 − p^planes)^tables with p = 1 − θ/π ≈ 0.95+ — under 1e-7; the
-    * fixture check is exact (SimilaritySpec asserts equality with the
-    * quadratic [[cosineNearDupPairs]], and the q63 oracle re-derives the
-    * pair set in SQL). Same scale shape as MinHash-LSH is for Jaccard
+    * Per-pair miss probability at the defaults is
+    * (1 − p^planes)^tables with p = 1 − θ/π: ~1e-10 at cos = 0.998 (the
+    * genuine-duplicate regime this targets — the fixture plants pairs
+    * there), ~2e-5 at cos = 0.98, but rising to ~1.7% for pairs sitting
+    * exactly AT a 0.9 threshold. When boundary-regime recall matters,
+    * raise `tables` (miss decays geometrically in it — 28 tables pushes
+    * the 0.9 boundary under 1e-4) or lower `planes`. The fixture check
+    * is exact (SimilaritySpec asserts equality with the quadratic
+    * [[cosineNearDupPairs]], and the q63 oracle re-derives the pair set
+    * in SQL). Same scale shape as MinHash-LSH is for Jaccard
     * (`Dedup.minHashLshPairs`): bucket → candidate ids → confirm. */
   def lshCosineNearDupPairs(emb: DataFrame, minCos: Double,
                             planes: Int = 8, tables: Int = 12): DataFrame = {

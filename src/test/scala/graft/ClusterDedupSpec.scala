@@ -161,6 +161,16 @@ class ClusterDedupSpec extends SparkSpec {
       s"no compound merge in $got — corpus too sparse for the test's intent")
   }
 
+  test("connectedComponents driver path survives a deep descending chain") {
+    // edges arrive worst-case ordered (each union hangs the new root under
+    // a long chain); a recursive find() overflowed the stack here
+    val n = 30000L
+    val edges = (n - 1 to 1L by -1).map(i => (i, i + 1))
+    val got = ccOf(edges, cutoff = 1L << 20)
+    assert(got.values.toSet === Set(1L))
+    assert(got.size === n.toInt)
+  }
+
   test("cdcChunks: lossless reassembly and determinism on random corpora") {
     val s = spark
     import s.implicits._

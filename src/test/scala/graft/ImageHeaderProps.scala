@@ -31,6 +31,18 @@ object ImageHeaderProps extends Properties("ImageHeaders") {
       }
     }
 
+  property("BMP height Int.MinValue (abs-proof negative) parses as None") = {
+    // 'B','M', DIB size 40 at offset 14, width 10 at 18, height 0x80000000
+    // at 22, bpp 24 at 28 — math.abs(Int.MinValue) stays negative, so the
+    // old code emitted a negative-height ImageMeta for this header
+    val b = new Array[Byte](32)
+    b(0) = 'B'; b(1) = 'M'
+    b(14) = 40; b(18) = 10
+    b(25) = 0x80.toByte // LE int at 22 = 0x80000000 = Int.MinValue
+    b(28) = 24
+    ImageHeaders.parse(b).isEmpty
+  }
+
   property("total on magic-prefixed garbage (truncated/corrupt headers)") =
     forAll(magicPrefixed) { b =>
       ImageHeaders.parse(b) match {

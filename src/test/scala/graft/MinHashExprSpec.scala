@@ -61,6 +61,19 @@ class MinHashExprSpec extends SparkSpec {
     assert(got.getLong(1) === Dedup.simHash64(refHashes))
   }
 
+  test("SQL registration honors explicit (minHashes, bands) arguments") {
+    graft.functions.GraftFunctions.register(spark)
+    // silently pinning (128, 32) here would return 32 bands regardless
+    val got = spark.sql(
+      "SELECT size(minhash_band_keys(shingle_hashes(split('a b c d e', ' '), 3), 64, 16)) AS nb")
+      .collect()(0)
+    assert(got.getInt(0) === 16)
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_band_keys(array(1L), 'x', 16)").collect()
+    }
+    assert(err.getMessage.contains("INT literal"))
+  }
+
   test("stays inside whole-stage codegen") {
     val df = Tables.documents(spark, SparkSpec.sf0001)
       .select(Dedup.hashedShingles(col("text")).as("s"))

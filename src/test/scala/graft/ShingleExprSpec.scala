@@ -111,6 +111,27 @@ class ShingleExprSpec extends SparkSpec {
     assert(p.contains("shingle_hashes"), p.take(1000))
   }
 
+  test("token_top_count == exact top token count on real docs and random arrays") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, SparkSpec.sf0001).limit(200)
+    val native = docs.select(col("doc_id"),
+        graft.functions.ShingleFunctions.tokenTopCount(split(col("text"), " ")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = docs.collect().map { r =>
+      val toks = r.getAs[String]("text").split(" ")
+      r.getAs[Long]("doc_id") ->
+        toks.groupBy(identity).values.map(_.length.toLong).max
+    }.toMap
+    assert(native === exact)
+    // SQL registration + empty edge
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.sql(
+      "SELECT token_top_count(split('a b a a', ' ')) AS c1, " +
+      "token_top_count(CAST(array() AS ARRAY<STRING>)) AS c0").collect()(0)
+    assert(e.getLong(0) === 3L && e.getLong(1) === 0L)
+  }
+
   test("bigram_top_count == exploded wordcount max on real docs") {
     val docs = Tables.documents(spark, SparkSpec.sf0001)
     val native = docs

@@ -21,6 +21,21 @@ class SketchSpec extends SparkSpec {
     assert(got.select("doc_id").exceptAll(expected.select("doc_id")).isEmpty)
   }
 
+  test("dedupAgainstCorpus clamps oversized expectedItems to the session caps") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpusHashes = docs.filter(col("doc_id") < 100)
+      .select(graft.functions.GraftFunctions.blake2b_256(col("text")).as("content_hash"))
+    // far above spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4M):
+    // unclamped this fails BloomFilterAggregate's analysis check; clamped
+    // it only raises fpp, and the exact anti-join confirm keeps the
+    // result identical
+    val got = Dedup.dedupAgainstCorpus(docs, corpusHashes, expectedItems = 100000000L)
+    val expected = docs
+      .withColumn("content_hash", graft.functions.GraftFunctions.blake2b_256(col("text")))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+    assert(got.count() === expected.count())
+  }
+
   test("dedupAgainstCorpus with empty corpus keeps everything") {
     val docs = Tables.documents(spark, sf0001)
     val empty = docs.filter(lit(false))

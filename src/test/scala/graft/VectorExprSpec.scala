@@ -38,6 +38,17 @@ class VectorExprSpec extends SparkSpec {
     got.zip(vecs.map(reference)).foreach { case (g, r) => assert(g === r) }
   }
 
+  test("nearestCells degrades NaN distances instead of crashing the row") {
+    val s = spark
+    import s.implicits._
+    val centers = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val got = Seq(Seq(Double.NaN, 0.5), Seq(0.9, 0.9)).toDF("v")
+      .select(VectorFunctions.nearestCells(col("v"), centers, 1).as("cells"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(got(0).length === 1) // all-NaN distances: first cell, no AIOOBE
+    assert(got(1) === Seq(1))   // clean row unaffected
+  }
+
   test("vec_dot edge semantics: empty → 0.0, length mismatch → null, null → null") {
     val s = spark
     import s.implicits._
