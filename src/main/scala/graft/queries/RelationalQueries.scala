@@ -776,6 +776,35 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Interpolated quantiles — ANSI percentile_cont, the continuous
+    * sibling of q38's percentile_disc: h = 1 + p·(n−1) over the sorted
+    * values, result = a[⌊h⌋] + (h−⌊h⌋)·(a[⌊h⌋+1] − a[⌊h⌋]). The chain is
+    * bit-identical to DuckDB's native percentile_cont (probed exact on
+    * the fixtures before registering); one sorted-array aggregate serves
+    * all four quantiles, like q38. */
+  val q105PercentileCont: Q = q("q105_percentile_cont",
+    """SELECT l_returnflag,
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+      |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+      |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
+      |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    def pc(p: Double) = {
+      val arr = col("arr")
+      val h = lit(1.0) + lit(p) * (size(arr) - 1).cast("double")
+      val lo = element_at(arr, floor(h).cast("int"))
+      val hi = element_at(arr, least(floor(h) + 1, size(arr).cast("long")).cast("int"))
+      lo + (h - floor(h)) * (hi - lo)
+    }
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("arr"))
+      .select(col("l_returnflag"),
+        round(pc(0.25), 4).as("p25"), round(pc(0.5), 4).as("p50"),
+        round(pc(0.75), 4).as("p75"), round(pc(0.95), 4).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   /** Window frame battery: bounded ROWS frames (moving average,
     * centered window), nth_value / last_value over an explicit frame —
     * the frame variants q13's running battery doesn't touch. */
@@ -1149,5 +1178,5 @@ object RelationalQueries {
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
     q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow,
     q95Funnel, q96Retention, q97Histogram, q98AsofTolerance,
-    q99Transitions, q100Mad, q101RankBattery, q104ProfileApprox)
+    q99Transitions, q100Mad, q101RankBattery, q104ProfileApprox, q105PercentileCont)
 }

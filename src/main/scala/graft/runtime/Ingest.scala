@@ -24,23 +24,48 @@ class Ingest(spark: SparkSession, registry: StreamRegistry, port: Int = 0) {
   val schema: StructType = StructType(Seq(
     StructField("value", StringType), StructField("ingest_ms", LongType)))
 
+  /** Stream names come from an UNTRUSTED URL path: restrict to a safe
+    * token alphabet — "../x" or "a/b" would otherwise become registry
+    * paths escaping the root (path traversal via registry.write). */
+  private val SafeStream = "[A-Za-z0-9._-]+".r
+  private def validStream(s: String): Boolean = s match {
+    case SafeStream() => !s.startsWith(".") // no dot-files / "..", "."
+    case _            => false
+  }
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/ingest/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val stream = ex.getRequestURI.getPath.stripPrefix("/ingest/")
-        if (ex.getRequestMethod == "POST" && stream.nonEmpty) {
-          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          val df = spark.createDataFrame(
-            java.util.List.of(Row(body, System.currentTimeMillis())), schema)
-          registry.write(df, stream)
-          val resp = """{"status": "accepted"}""".getBytes(StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(202, resp.length)
-          ex.getResponseBody.write(resp)
-        } else {
-          ex.sendResponseHeaders(405, -1)
-        }
-        ex.close()
+        try {
+          val stream = ex.getRequestURI.getPath.stripPrefix("/ingest/")
+          if (ex.getRequestMethod != "POST") {
+            ex.sendResponseHeaders(405, -1)
+          } else if (!validStream(stream)) {
+            val resp = """{"error": "invalid stream name"}"""
+              .getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(400, resp.length)
+            ex.getResponseBody.write(resp)
+          } else {
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val df = spark.createDataFrame(
+              java.util.List.of(Row(body, System.currentTimeMillis())), schema)
+            registry.write(df, stream)
+            val resp = """{"status": "accepted"}""".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(202, resp.length)
+            ex.getResponseBody.write(resp)
+          }
+        } catch {
+          // a failed append (schema mismatch, IO error) must still answer —
+          // otherwise the client hangs to its own timeout with no status
+          case e: Exception =>
+            System.err.println(s"[ingest] append failed: $e")
+            try {
+              val resp = """{"error": "append failed"}""".getBytes(StandardCharsets.UTF_8)
+              ex.sendResponseHeaders(500, resp.length)
+              ex.getResponseBody.write(resp)
+            } catch { case _: Exception => () } // headers already sent
+        } finally ex.close()
       }
     })
     server.start()

@@ -42,17 +42,28 @@ trait GeneratorLink {
   * always-on chain. */
 class Pipeline(links: Seq[Link]) {
 
+  /** Queries started by THIS pipeline (tracked so stopAll cannot touch
+    * unrelated queries in the session). */
+  @volatile private var started: Seq[StreamingQuery] = Nil
+
   /** Start every link continuously; returns the queries (caller owns
     * await/stop — `embedded=True` semantics, `catenae.py:311`). */
   def start(spark: SparkSession, registry: StreamRegistry,
-            trigger: Trigger): Seq[StreamingQuery] =
-    links.map(_.start(spark, registry, trigger))
+            trigger: Trigger): Seq[StreamingQuery] = {
+    val qs = links.map(_.start(spark, registry, trigger))
+    started = started ++ qs
+    qs
+  }
 
   /** Drain currently-available data through the chain once (upstream
     * first), blocking until quiescent. */
   def runOnce(spark: SparkSession, registry: StreamRegistry): Unit =
     links.foreach(_.start(spark, registry, Trigger.AvailableNow()).awaitTermination())
 
-  def stopAll(spark: SparkSession): Unit =
-    spark.streams.active.foreach(_.stop())
+  /** Stop the queries THIS pipeline started — not every active query in
+    * the session (an Rpc dispatcher or a sibling pipeline must survive). */
+  def stopAll(spark: SparkSession): Unit = {
+    started.filter(_.isActive).foreach(_.stop())
+    started = Nil
+  }
 }

@@ -23,7 +23,10 @@ trait RouterLink {
 
   def start(spark: SparkSession, registry: StreamRegistry,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val in = inputs.map(registry.readStream).reduce(_ unionByName _)
+    // lenient union like Link's multi-input merge: streams drift columns
+    // independently in a schemaless-style pipeline, missing ones null-fill
+    val in = inputs.map(registry.readStream)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     route(in).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, "router"))
       .trigger(trigger)

@@ -50,9 +50,22 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
     * monotonic sequence (log position), NOT a wall clock: clocks skew
     * across hosts, so a timestamp fence can wrongly skip a just-sent call
     * from a slow-clock sender or replay an old one from a fast-clock
-    * sender. Set `replayHistory=true` to opt back into full-history
-    * dispatch. */
-  private val bornSeq: Long = registry.peekSeq(ControlStream)
+    * sender. The fence value PERSISTS beside the checkpoint: a stable-uid
+    * dispatcher restart keeps its ORIGINAL birth fence, so calls sent
+    * while it was down are still dispatched on resume (re-fencing at the
+    * current end would silently drop them; already-processed files are
+    * deduped by the checkpoint, not the fence). Set `replayHistory=true`
+    * to opt back into full-history dispatch. */
+  private val bornSeq: Long = {
+    val fencePath = s"${registry.checkpointDir(s"rpc_$uid", ControlStream)}.born_seq"
+    registry.readTextIfExists(fencePath) match {
+      case Some(v) => v.trim.toLong
+      case None =>
+        val seq = registry.peekSeq(ControlStream)
+        registry.writeText(fencePath, seq.toString)
+        seq
+    }
+  }
 
   /** Invoke `method` on `to` (a link name, an instance uid, or
     * "broadcast") — append the envelope to the control stream (reference
@@ -68,6 +81,8 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
 
   /** Number of calls dispatched (for observability/tests). */
   @volatile var dispatched: Long = 0L
+  /** Number of calls whose handler threw (isolated, not replayed). */
+  @volatile var failed: Long = 0L
 
   /** Start the dispatcher: filters to us (group name, instance uid, or
     * broadcast), skips our own calls, whitelists methods, and executes
@@ -86,8 +101,16 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
           if (fromUid != uid) {           // self-skip (catenae.py:490-491)
             handlers.get(method) match {  // whitelist (catenae.py:512-514)
               case Some(h) =>
-                h(row.getAs[scala.collection.Seq[String]]("args").toSeq)
-                dispatched += 1
+                // per-call isolation (reference catches per-dispatch,
+                // catenae.py:515-521): a throwing handler must not kill
+                // the dispatcher query — that would replay the whole
+                // micro-batch on restart (re-running handlers that
+                // already succeeded) and then crash-loop on the bad call
+                try { h(row.getAs[scala.collection.Seq[String]]("args").toSeq)
+                      dispatched += 1 }
+                catch { case e: Exception =>
+                  failed += 1
+                  System.err.println(s"[rpc:$linkName] handler $method failed: $e") }
               case None => () // unregistered method: ignored, like a failed
                               // whitelist check in the reference
             }

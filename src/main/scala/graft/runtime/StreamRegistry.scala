@@ -25,21 +25,55 @@ class StreamRegistry(spark: SparkSession, val root: String,
                      val format: String = "parquet") {
 
   private def streamDir(name: String): String = s"$root/streams/$name"
-  private def schemaPath(name: String): Path = Paths.get(s"$root/schemas/$name.json")
+  private def schemaPath(name: String): String = s"$root/schemas/$name.json"
+  private def partitionsPath(name: String): String = s"$root/schemas/$name.partitions"
   def checkpointDir(link: String, target: String): String =
     s"$root/checkpoints/$link/$target"
 
-  def exists(name: String): Boolean = Files.exists(schemaPath(name))
-
-  def schemaOf(name: String): StructType = {
-    if (!exists(name)) throw new StreamNotFoundError(name)
-    DataType.fromJson(new String(Files.readAllBytes(schemaPath(name)),
-      StandardCharsets.UTF_8)).asInstanceOf[StructType]
+  // ------- metadata IO goes through the Hadoop FileSystem API, like the
+  // data path: a registry root on HDFS/S3A resolves schemas from every
+  // host (java.nio would silently resolve "hdfs://…" as a LOCAL relative
+  // path and report existing streams as missing from any other machine)
+  private def fsFor(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+  private[runtime] def readTextIfExists(path: String): Option[String] = {
+    val (p, fs) = fsFor(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+  private[runtime] def writeText(path: String, text: String): Unit = {
+    val (p, fs) = fsFor(path)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  private def persistSchema(name: String, schema: StructType): Unit = {
-    Files.createDirectories(schemaPath(name).getParent)
-    Files.write(schemaPath(name), schema.json.getBytes(StandardCharsets.UTF_8))
+  def exists(name: String): Boolean = {
+    val (p, fs) = fsFor(schemaPath(name)); fs.exists(p)
+  }
+
+  def schemaOf(name: String): StructType =
+    readTextIfExists(schemaPath(name)) match {
+      case Some(json) => DataType.fromJson(json).asInstanceOf[StructType]
+      case None       => throw new StreamNotFoundError(name)
+    }
+
+  /** Partition columns the stream was laid out with (empty = flat). */
+  def partitionsOf(name: String): Seq[String] =
+    readTextIfExists(partitionsPath(name))
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def persistSchema(name: String, schema: StructType,
+                            partitionBy: Seq[String]): Unit = {
+    writeText(schemaPath(name), schema.json)
+    if (partitionBy.nonEmpty) writeText(partitionsPath(name), partitionBy.mkString(","))
   }
 
   /** Batch append — the `send` analog (reference `catenae.py:319-324`);
@@ -47,7 +81,7 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * `partitionBy` lays the stream out hive-partitioned — at 100 TB a
     * stream is a partitioned dataset so consumers prune by partition. */
   def write(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
-    if (!exists(name)) persistSchema(name, df.schema)
+    if (!exists(name)) persistSchema(name, df.schema, partitionBy)
     val w = df.write.mode("append").format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(streamDir(name))
@@ -68,10 +102,15 @@ class StreamRegistry(spark: SparkSession, val root: String,
 
   /** Compact a stream's many small appended files into `numFiles`
     * (maintenance analog of a table OPTIMIZE). Run in a maintenance
-    * window: streaming consumers tailing the directory must be stopped,
-    * and their checkpoints reset, since file identities change — this is
-    * batch housekeeping for downstream BATCH readers of a stream at scale,
-    * where thousands of micro-appends otherwise dominate scan planning.
+    * window: streaming consumers tailing the directory must be stopped
+    * (checkpoints reset, since file identities change) AND producers must
+    * be paused — an append racing the directory swap can land in the
+    * rotated-out copy and be deleted with it. This is batch housekeeping
+    * for downstream BATCH readers of a stream at scale, where thousands
+    * of micro-appends otherwise dominate scan planning. A
+    * hive-partitioned stream is rewritten with its recorded partition
+    * columns ([[partitionsOf]]), so the layout — and partition pruning —
+    * survives compaction.
     *
     * The swap uses the Hadoop `FileSystem` API so the same code works on
     * HDFS (atomic dir rename) and local FS. NOTE the two renames are not
@@ -86,7 +125,9 @@ class StreamRegistry(spark: SparkSession, val root: String,
     val dir = new HPath(streamDir(name))
     val tmp = new HPath(s"${streamDir(name)}.compacting")
     val old = new HPath(s"${streamDir(name)}.old")
-    read(name).repartition(numFiles).write.format(format).save(tmp.toString)
+    val parts = partitionsOf(name)
+    val w = read(name).repartition(numFiles).write.format(format)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).save(tmp.toString)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.rename(dir, old)) throw new java.io.IOException(s"cannot rotate $dir")
     if (!fs.rename(tmp, dir)) {
@@ -97,7 +138,11 @@ class StreamRegistry(spark: SparkSession, val root: String,
   }
 
   /** Recover from a crash mid-[[compact]]: if `<dir>.old` exists and the
-    * stream dir is gone, roll the original back; a leftover `.compacting`
+    * stream dir is gone, roll the original back; if BOTH exist the swap
+    * completed and `.old` is the stale pre-compaction copy — deleted, or
+    * it would leak a full copy and block every future compact's rotate
+    * (valid because compact requires producers paused: nothing else can
+    * have recreated the stream dir mid-swap). A leftover `.compacting`
     * dir is incomplete output and is dropped. */
   def recover(name: String): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -105,15 +150,20 @@ class StreamRegistry(spark: SparkSession, val root: String,
     val old = new HPath(s"${streamDir(name)}.old")
     val tmp = new HPath(s"${streamDir(name)}.compacting")
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(old) && !fs.exists(dir)) { fs.rename(old, dir); () }
+    if (fs.exists(old)) {
+      if (!fs.exists(dir)) fs.rename(old, dir) else fs.delete(old, true)
+      ()
+    }
     if (fs.exists(tmp)) { fs.delete(tmp, true); () }
   }
 
   /** Declare a stream's schema up front (optional — first write also
     * registers it); lets a consumer start before any producer ran. */
-  def declare(name: String, schema: StructType): Unit = {
-    if (!exists(name)) persistSchema(name, schema)
-    Files.createDirectories(Paths.get(streamDir(name)))
+  def declare(name: String, schema: StructType,
+              partitionBy: Seq[String] = Nil): Unit = {
+    if (!exists(name)) persistSchema(name, schema, partitionBy)
+    val (p, fs) = fsFor(streamDir(name))
+    fs.mkdirs(p); ()
   }
 
   // ------------------------------------------------------- sequence counter
@@ -126,7 +176,10 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * counter is guarded by an OS file lock, so it is monotonic across
     * processes sharing the registry root; a JVM-wide mutex avoids the
     * same-JVM `OverlappingFileLockException`. Control-plane rate only —
-    * not for data-path use. */
+    * not for data-path use. LOCAL/NFS roots only: HDFS/object stores have
+    * no file locks, so a distributed deployment must back this one
+    * counter with a real coordination service (ZK/DynamoDB-style) — the
+    * data path and schema registry above work on any Hadoop FS. */
   def nextSeq(name: String): Long = withSeqLock(name) { (ch, cur) =>
     val next = cur + 1
     ch.truncate(0)

@@ -184,6 +184,43 @@ class LinkRuntimeSpec extends SparkSpec {
     assert(calls.toArray.toSeq === Seq("one", "two")) // "one" exactly once
   }
 
+  test("RPC: stable uid dispatches calls sent while the instance was DOWN") {
+    val reg = freshRegistry()
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sender = new Rpc(spark, reg, "Sender", Map.empty)
+    def mkReceiver() = new Rpc(spark, reg, "Gapped",
+      Map("ping" -> (args => calls.add(args.mkString(",")))),
+      stableUid = Some("gap-uid-7")) // replayHistory = false: the fence
+                                     // must persist, not re-derive
+    val gen1 = mkReceiver()
+    sender.notify("ping", Seq("while-up"), to = "Gapped")
+    gen1.start().awaitTermination()
+    // instance down; calls keep arriving
+    sender.notify("ping", Seq("while-down"), to = "Gapped")
+    // restart: a re-derived birth fence (current end) would drop
+    // "while-down" forever — the persisted fence must let it through
+    val gen2 = mkReceiver()
+    gen2.start().awaitTermination()
+    assert(calls.toArray.toSeq === Seq("while-up", "while-down"))
+  }
+
+  test("RPC: a throwing handler is isolated — later calls still dispatch") {
+    val reg = freshRegistry()
+    val ok = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sender = new Rpc(spark, reg, "Sender", Map.empty)
+    val receiver = new Rpc(spark, reg, "Fallible",
+      Map("ping" -> { args =>
+        if (args.headOption.contains("bad")) sys.error("boom")
+        ok.add(args.mkString(","))
+        ()
+      }))
+    sender.notify("ping", Seq("bad"), to = "Fallible")
+    sender.notify("ping", Seq("good"), to = "Fallible")
+    receiver.start().awaitTermination() // must not die mid-batch
+    assert(ok.toArray.toSeq === Seq("good"))
+    assert(receiver.failed === 1L && receiver.dispatched === 1L)
+  }
+
   test("RPC: per-uid addressing targets one instance of a same-named group (catenae.py:133-134)") {
     val reg = freshRegistry()
     val c1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -82,6 +82,28 @@ class RuntimeExtrasSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("pipeline stopAll is scoped: an unrelated query survives (O9)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-scope").toString)
+    object Pass extends Link {
+      val inputs = Seq("s0"); val output = Some("s1")
+      override def transform(df: DataFrame) = df
+    }
+    reg.write(Seq("x").toDF("value"), "s0")
+    // an unrelated continuous query in the same session
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val other = mem.toDS().writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      val p = new Pipeline(Seq(Pass))
+      p.start(spark, reg, Trigger.ProcessingTime("1 second"))
+      p.stopAll(spark) // must stop ONLY the pipeline's query
+      assert(other.isActive, "unrelated query must survive a pipeline stopAll")
+    } finally other.stop()
+  }
+
   test("multimodal decode: real PNG/BMP/GIF/JPEG header parsing (ImageIO cross-check)") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
@@ -191,6 +213,15 @@ class RuntimeExtrasSpec extends SparkSpec {
         HttpRequest.newBuilder(new URI(s"http://localhost:$port/ingest/api_in"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() === 405)
+      // path traversal / unsafe stream names rejected, nothing written
+      Seq("..%2F..%2Ftmp%2Fevil", "..", ".hidden", "a%2Fb").foreach { evil =>
+        val r = client.send(
+          HttpRequest.newBuilder(new URI(s"http://localhost:$port/ingest/$evil"))
+            .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() === 400, s"$evil must be rejected")
+      }
+      assert(!new java.io.File(s"${reg.root}/../tmp").exists())
     } finally ingest.stop()
   }
 

@@ -63,6 +63,37 @@ class SourcesSinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(month"), scan.take(1500))
   }
 
+  test("compaction preserves a hive-partitioned layout (and its pruning)") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-cpart").toString)
+    reg.write(df3, "cp", partitionBy = Seq("month"))
+    reg.compact("cp")
+    // partition dirs survive the rewrite
+    val dirs = new java.io.File(s"${reg.root}/streams/cp").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("month=2024-01", "month=2024-02"))
+    // a post-compaction partitioned append still composes + prunes
+    reg.write(df3, "cp", partitionBy = Seq("month"))
+    val q = reg.read("cp").filter(col("month") === "2024-01")
+    assert(q.count() === 4)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(month"))
+  }
+
+  test("recover deletes a stale .old left by a crash AFTER the swap") {
+    val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-rec").toString)
+    val s = spark
+    import s.implicits._
+    reg.write(Seq((1L, "keep")).toDF("id", "v"), "r")
+    // simulate: swap completed (dir = compacted), delete(old) never ran
+    val stale = new java.io.File(s"${reg.root}/streams/r.old")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(stale.toPath.resolve("junk"), "stale")
+    assert(reg.read("r").count() === 1) // read triggers recover
+    assert(!stale.exists, ".old must be cleaned, not leaked")
+    reg.compact("r") // and the next compact's rotate works again
+    assert(reg.read("r").collect().map(_.getString(1)).toSeq === Seq("keep"))
+  }
+
   test("stream compaction: many appends collapse to one file, data intact") {
     val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-compact").toString)
     (1 to 5).foreach { i =>
