@@ -48,46 +48,40 @@ case class Blake2bHash(child: Expression, bits: Int) extends UnaryExpression {
 
 /** SparkSessionExtensions hook — registers the native hash functions for
   * SQL use: `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Shares
+  * [[SqlArgs]] with `GraftFunctions.register`, so the two SQL surfaces
+  * accept exactly the same calls (same arity errors, same literal
+  * parsing). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((new FunctionIdentifier("blake2b_256"),
-      new ExpressionInfo(classOf[Blake2bHash].getName, "blake2b_256"),
-      (exprs: Seq[Expression]) => Blake2bHash(exprs.head, 256)))
-    e.injectFunction((new FunctionIdentifier("blake2b_512"),
-      new ExpressionInfo(classOf[Blake2bHash].getName, "blake2b_512"),
-      (exprs: Seq[Expression]) => Blake2bHash(exprs.head, 512)))
-    e.injectFunction((new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
-    e.injectFunction((new FunctionIdentifier("shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, intArg(exprs, 1, 3))))
-    e.injectFunction((new FunctionIdentifier("shingle_pos_hashes"),
-      new ExpressionInfo(classOf[ShinglePosHashes].getName, "shingle_pos_hashes"),
-      (exprs: Seq[Expression]) => ShinglePosHashes(exprs.head, intArg(exprs, 1, 3))))
-    e.injectFunction((new FunctionIdentifier("minhash_band_keys"),
-      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
-      (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head,
-        intArg(exprs, 1, 128), intArg(exprs, 2, 32))))
-    e.injectFunction((new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    e.injectFunction((new FunctionIdentifier("bigram_top_count"),
-      new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_count"),
-      (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))
-    e.injectFunction((new FunctionIdentifier("token_top_count"),
-      new ExpressionInfo(classOf[TokenTopCount].getName, "token_top_count"),
-      (exprs: Seq[Expression]) => TokenTopCount(exprs.head)))
-  }
+  import SqlArgs.{arity, intArg}
 
-  /** Literal-int argument for SQL builders (e.g. shingle_hashes(arr, 3)),
-    * with a default when the argument is omitted. */
-  private def intArg(exprs: Seq[Expression], i: Int, dflt: Int): Int =
-    if (exprs.length <= i) dflt
-    else exprs(i) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"argument ${i + 1} must be an INT literal, got $other")
-    }
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_])(
+        builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject("blake2b_256", classOf[Blake2bHash])(exprs =>
+      Blake2bHash(arity(exprs, 1, 1, "blake2b_256").head, 256))
+    inject("blake2b_512", classOf[Blake2bHash])(exprs =>
+      Blake2bHash(arity(exprs, 1, 1, "blake2b_512").head, 512))
+    inject("vec_dot", classOf[DotProduct])(exprs => { arity(exprs, 2, 2, "vec_dot")
+      DotProduct(exprs.head, exprs(1)) })
+    inject("shingle_hashes", classOf[ShingleHashes])(exprs => {
+      arity(exprs, 1, 2, "shingle_hashes")
+      ShingleHashes(exprs.head, intArg(exprs, 1, 3, "shingle_hashes")) })
+    inject("shingle_pos_hashes", classOf[ShinglePosHashes])(exprs => {
+      arity(exprs, 1, 2, "shingle_pos_hashes")
+      ShinglePosHashes(exprs.head, intArg(exprs, 1, 3, "shingle_pos_hashes")) })
+    inject("minhash_band_keys", classOf[MinHashBandKeys])(exprs => {
+      arity(exprs, 1, 3, "minhash_band_keys")
+      MinHashBandKeys(exprs.head,
+        intArg(exprs, 1, 128, "minhash_band_keys"),
+        intArg(exprs, 2, 32, "minhash_band_keys")) })
+    inject("simhash64", classOf[SimHash64])(exprs =>
+      SimHash64(arity(exprs, 1, 1, "simhash64").head))
+    inject("bigram_top_count", classOf[BigramTopCount])(exprs =>
+      BigramTopCount(arity(exprs, 1, 1, "bigram_top_count").head))
+    inject("token_top_count", classOf[TokenTopCount])(exprs =>
+      TokenTopCount(arity(exprs, 1, 1, "token_top_count").head))
+  }
 }

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *  - JSON serde (reference `utils.py:19-39`) → Spark built-ins
   *    `to_json` / `from_json` / `get_json_object` (no port needed).
   *
-  * SHA3-512 uses the JDK 17 built-in MessageDigest provider; BLAKE2b is the
-  * from-spec impl in [[Blake2b]]. Both are plain Scala UDFs — they sit outside
-  * whole-stage codegen, so queries should compute them once per row and not
-  * in a hot inner loop; for the dedup path the hash is computed in a single
-  * projection before the shuffle, which is the dominant-cost-correct shape.
+  * blake2b_256/512 are the native codegen'd [[Blake2bHash]] Catalyst
+  * expression (RFC 7693 core in [[Blake2b]]) — they run inside the
+  * whole-stage span like any built-in. Only SHA3-512 (JDK MessageDigest
+  * provider) remains a plain Scala UDF outside codegen; compute it once
+  * per row in a projection, not in a hot inner loop.
   */
 object GraftFunctions {
 
@@ -25,7 +25,9 @@ object GraftFunctions {
     Blake2b.toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
-  private val sha3_512Udf = udf((s: String) => if (s == null) null else sha3_512Hex(s))
+  private val sha3_512Fn: String => String =
+    s => if (s == null) null else sha3_512Hex(s)
+  private val sha3_512Udf = udf(sha3_512Fn)
 
   private def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.GraftSqlBridge.column(e)
@@ -54,50 +56,61 @@ object GraftFunctions {
 
   /** Register SQL-callable names so `spark.sql` queries can use them too
     * (blake2b as the native codegen'd expression; for cluster deployments
-    * prefer `spark.sql.extensions=graft.functions.GraftExtensions`). */
+    * prefer `spark.sql.extensions=graft.functions.GraftExtensions` —
+    * [[GraftExtensions]] and this method share [[SqlArgs]], so the two
+    * SQL surfaces cannot drift). */
   def register(spark: SparkSession): Unit = {
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "blake2b_256",
-      exprs => Blake2bHash(exprs.head, 256))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "blake2b_512",
-      exprs => Blake2bHash(exprs.head, 512))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_dot",
-      exprs => DotProduct(exprs.head, exprs(1)))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "bigram_top_count",
-      exprs => BigramTopCount(exprs.head))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "token_top_count",
-      exprs => TokenTopCount(exprs.head))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "shingle_hashes",
-      exprs => ShingleHashes(exprs.head,
-        exprs.lift(1) match {
-          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case None => 3
-          case Some(other) => throw new IllegalArgumentException(
-            s"shingle_hashes: n must be an INT literal, got $other")
-        }))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "shingle_pos_hashes",
-      exprs => ShinglePosHashes(exprs.head,
-        exprs.lift(1) match {
-          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case None => 3
-          case Some(other) => throw new IllegalArgumentException(
-            s"shingle_pos_hashes: n must be an INT literal, got $other")
-        }))
-    def intLit(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-               i: Int, dflt: Int, fn: String): Int =
-      if (exprs.length <= i) dflt
-      else exprs(i) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"$fn: argument ${i + 1} must be an INT literal, got $other")
-      }
-    // parse the optional (minHashes, bands) literals — silently pinning
-    // (128, 32) would return different LSH buckets than the user asked for
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "minhash_band_keys",
-      exprs => MinHashBandKeys(exprs.head,
-        intLit(exprs, 1, 128, "minhash_band_keys"),
-        intLit(exprs, 2, 32, "minhash_band_keys")))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "simhash64",
-      exprs => SimHash64(exprs.head))
-    spark.udf.register("sha3_512", (s: String) => if (s == null) null else sha3_512Hex(s))
+    import SqlArgs.{arity, intArg}
+    def reg(name: String)(
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, name, builder)
+    reg("blake2b_256")(exprs => Blake2bHash(arity(exprs, 1, 1, "blake2b_256").head, 256))
+    reg("blake2b_512")(exprs => Blake2bHash(arity(exprs, 1, 1, "blake2b_512").head, 512))
+    reg("vec_dot")(exprs => { arity(exprs, 2, 2, "vec_dot")
+      DotProduct(exprs.head, exprs(1)) })
+    reg("bigram_top_count")(exprs =>
+      BigramTopCount(arity(exprs, 1, 1, "bigram_top_count").head))
+    reg("token_top_count")(exprs =>
+      TokenTopCount(arity(exprs, 1, 1, "token_top_count").head))
+    reg("shingle_hashes")(exprs => { arity(exprs, 1, 2, "shingle_hashes")
+      ShingleHashes(exprs.head, intArg(exprs, 1, 3, "shingle_hashes")) })
+    reg("shingle_pos_hashes")(exprs => { arity(exprs, 1, 2, "shingle_pos_hashes")
+      ShinglePosHashes(exprs.head, intArg(exprs, 1, 3, "shingle_pos_hashes")) })
+    reg("minhash_band_keys")(exprs => { arity(exprs, 1, 3, "minhash_band_keys")
+      MinHashBandKeys(exprs.head,
+        intArg(exprs, 1, 128, "minhash_band_keys"),
+        intArg(exprs, 2, 32, "minhash_band_keys")) })
+    reg("simhash64")(exprs => SimHash64(arity(exprs, 1, 1, "simhash64").head))
+    spark.udf.register("sha3_512", sha3_512Fn)
   }
+}
+
+/** Shared argument handling for the two SQL registration surfaces
+  * (`GraftFunctions.register` and [[GraftExtensions]]): one definition of
+  * literal parsing and arity checking, so a session-registered function
+  * and an extensions-injected one accept exactly the same calls. */
+private[functions] object SqlArgs {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  /** Reject wrong arity loudly at analysis — silently dropping extra
+    * arguments (e.g. `blake2b_256(s, 512)`) computes something the user
+    * did not ask for. */
+  def arity(exprs: Seq[Expression], min: Int, max: Int,
+            fn: String): Seq[Expression] = {
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $min${if (max > min) s"..$max" else ""} argument(s), " +
+          s"got ${exprs.length}")
+    exprs
+  }
+
+  /** Optional INT-literal argument with a default. */
+  def intArg(exprs: Seq[Expression], i: Int, dflt: Int, fn: String): Int =
+    if (exprs.length <= i) dflt
+    else exprs(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INT literal, got $other")
+    }
 }

@@ -36,6 +36,31 @@ object ShingleHash {
     base
   }
 
+  /** The single definition of a gram's hash — fold the n token hashes
+    * starting at `i` through splitmix64 ([[hashesOf]], [[posHashesOf]],
+    * and the top-count scans must never drift apart on hash identity). */
+  @inline private def gramHash(base: Array[Long], i: Int, n: Int): Long = {
+    var acc = 0x9e3779b97f4a7c15L
+    var j = 0
+    while (j < n) { acc = graft.ops.Dedup.mix64(acc ^ base(i + j)); j += 1 }
+    acc
+  }
+
+  /** Longest equal run of a SORTED long array (0 for empty) — the shared
+    * count scan behind [[topBigramCountOf]] / [[topTokenCountOf]]. */
+  private def longestRun(h: Array[Long]): Long = {
+    if (h.length == 0) return 0L
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < h.length) {
+      if (h(i) == h(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+
   /** 64-bit hash of the word n-gram starting at each position, distinct,
     * first-occurrence order. A shingle's hash folds the FNV-1a hashes of
     * its n tokens through splitmix64 with a position-independent seed, so
@@ -50,9 +75,7 @@ object ShingleHash {
     var k = 0
     var i = 0
     while (i <= m - n) {
-      var acc = 0x9e3779b97f4a7c15L
-      var j = 0
-      while (j < n) { acc = graft.ops.Dedup.mix64(acc ^ base(i + j)); j += 1 }
+      val acc = gramHash(base, i, n)
       if (seen.add(acc)) { out(k) = acc; k += 1 }
       i += 1
     }
@@ -69,13 +92,7 @@ object ShingleHash {
     val base = baseHashes(tokens)
     val out = new Array[Long](m - n + 1)
     var i = 0
-    while (i <= m - n) {
-      var acc = 0x9e3779b97f4a7c15L
-      var j = 0
-      while (j < n) { acc = graft.ops.Dedup.mix64(acc ^ base(i + j)); j += 1 }
-      out(i) = acc
-      i += 1
-    }
+    while (i <= m - n) { out(i) = gramHash(base, i, n); i += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -90,23 +107,9 @@ object ShingleHash {
     val base = baseHashes(tokens)
     val h = new Array[Long](m - 1)
     var i = 0
-    while (i < m - 1) {
-      var acc = 0x9e3779b97f4a7c15L
-      acc = graft.ops.Dedup.mix64(acc ^ base(i))
-      acc = graft.ops.Dedup.mix64(acc ^ base(i + 1))
-      h(i) = acc
-      i += 1
-    }
+    while (i < m - 1) { h(i) = gramHash(base, i, 2); i += 1 }
     java.util.Arrays.sort(h)
-    var best = 1L
-    var run = 1L
-    i = 1
-    while (i < h.length) {
-      if (h(i) == h(i - 1)) { run += 1; if (run > best) best = run }
-      else run = 1
-      i += 1
-    }
-    best
+    longestRun(h)
   }
 
   /** Count of the most frequent TOKEN of a token array (0 when empty) —
@@ -119,15 +122,7 @@ object ShingleHash {
     if (m == 0) return 0L
     val h = baseHashes(tokens)
     java.util.Arrays.sort(h)
-    var best = 1L
-    var run = 1L
-    var i = 1
-    while (i < h.length) {
-      if (h(i) == h(i - 1)) { run += 1; if (run > best) best = run }
-      else run = 1
-      i += 1
-    }
-    best
+    longestRun(h)
   }
 }
 

@@ -55,7 +55,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       var acc = 0d
       var i = 0
       val n = x.numElements()
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        // null element → null result, matching the zip_with/aggregate
+        // HOF semantics this expression claims parity with (reading the
+        // slot would silently yield 0.0); the bitmap test is ~free on
+        // the all-non-null hot path
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       acc
     }
   }
@@ -72,9 +80,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -95,19 +104,45 @@ object SignLsh {
     h.toDouble / Long.MaxValue.toDouble
   }
 
+  /** Hyperplane coefficients are pure functions of (tables, planes, dim):
+    * memoize the flat row-major matrix per shape so the scan's inner loop
+    * is a fused multiply-add over a double[], not tables·planes·dim mix64
+    * mixes + divisions PER ROW (~3-5× the dot-product cost recomputed
+    * row after row). One small array per distinct shape per executor. */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def coefs(planes: Int, tables: Int, dim: Int): Array[Double] =
+    coefCache.computeIfAbsent((planes, tables, dim), { _ =>
+      val flat = new Array[Double](tables * planes * dim)
+      var t = 0; var k = 0
+      while (t < tables) {
+        var p = 0
+        while (p < planes) {
+          var i = 0
+          while (i < dim) { flat(k) = planeCoef(t, p, i); i += 1; k += 1 }
+          p += 1
+        }
+        t += 1
+      }
+      flat
+    })
+
   /** Per-table `planes`-bit sign signatures of `v`, keyed (table<<32|sig). */
   def signaturesOf(v: ArrayData, planes: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
+    val cf = coefs(planes, tables, dim)
     val out = new Array[Long](tables)
     var t = 0
+    var off = 0
     while (t < tables) {
       var sig = 0L
       var p = 0
       while (p < planes) {
         var s = 0d
         var i = 0
-        while (i < dim) { s += v.getDouble(i) * planeCoef(t, p, i); i += 1 }
+        while (i < dim) { s += v.getDouble(i) * cf(off + i); i += 1 }
         if (s >= 0) sig |= (1L << p)
+        off += dim
         p += 1
       }
       out(t) = (t.toLong << 32) | sig
@@ -154,10 +189,16 @@ object IvfCells {
   /** Indices of the `nprobe` nearest centroids to `v` (squared-L2),
     * ordered nearest-first, ties broken by lower index — bit-identical to
     * a stable sort over (index, distance). `flat` is row-major
-    * nlist × dim. */
+    * nlist × dim. A vector whose dimension does not divide the centroid
+    * matrix (truncated/dirty row) gets NO cells — a silent misaligned
+    * floor-division here would score every centroid against garbage
+    * slices and hand the row a wrong-but-plausible cell id. */
   def nearestCells(v: ArrayData, flat: Array[Double], nprobe: Int): ArrayData = {
     val dim = v.numElements()
-    val nlist = if (dim == 0) 0 else flat.length / dim
+    if (dim == 0 || flat.length % dim != 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray)
+    val nlist = flat.length / dim
     val d = new Array[Double](nlist)
     var c = 0
     while (c < nlist) {

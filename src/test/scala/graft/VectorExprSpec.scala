@@ -38,6 +38,39 @@ class VectorExprSpec extends SparkSpec {
     got.zip(vecs.map(reference)).foreach { case (g, r) => assert(g === r) }
   }
 
+  test("vec_dot: a null ELEMENT yields null, matching the HOF semantics") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d)) AS d")
+      .collect()(0)
+    assert(r.isNullAt(0), "null element must not silently read as 0.0")
+  }
+
+  test("SQL builders reject wrong arity loudly") {
+    graft.functions.GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT blake2b_256('a', 512)").collect() // extra arg ≠ blake2b_512!
+    }
+    assert(e1.getMessage.contains("argument"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d))").collect()
+    }
+    assert(e2.getMessage.contains("argument"))
+  }
+
+  test("nearestCells: a dimension-mismatched vector gets NO cells, not garbage") {
+    val s = spark
+    import s.implicits._
+    val centers = Array(Array(0.0, 0.0), Array(1.0, 1.0)) // dim 2
+    val got = Seq(Seq(0.9, 0.9, 0.9), Seq(0.9, 0.9)).toDF("v") // dim 3 vs 2
+      .select(VectorFunctions.nearestCells(col("v"), centers, 1).as("cells"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(got(0) === Seq())  // misaligned row drops from all cells
+    assert(got(1) === Seq(1)) // clean row unaffected
+  }
+
   test("nearestCells degrades NaN distances instead of crashing the row") {
     val s = spark
     import s.implicits._
