@@ -73,6 +73,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // emit the per-element null test only when the TYPES say elements
+      // can be null — provably non-null arrays keep the pure fused
+      // multiply-add loop
+      def cn(e: Expression) = e.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _                          => true
+      }
+      val nullCheck =
+        if (cn(left) || cn(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -80,7 +91,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $nullCheck
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
