@@ -112,6 +112,20 @@ object Profile {
     one.select(explode(rows).as("p")).select(col("p.*"))
   }
 
+  /** Deterministic content-keyed sampling: keep a row iff the first 24
+    * md5 bits of `keyCol` fall under `rate`·2²⁴ — the library form of
+    * the md5-bucket rule used across the curation ops
+    * (`Curation.hashSplit`/`mixCorpus`). Unlike `df.sample`, the
+    * decision is a pure function of the KEY: engine-stable,
+    * re-shard-stable, re-run-stable, and consistent across tables
+    * sharing the key (sampling joins stay joinable). Pure projection —
+    * zero shuffle, no RNG state. */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(conv(substring(md5(qcol(keyCol).cast("string")), 1, 6), 16, 10)
+      .cast("long") < rate * (1 << 24))
+  }
+
   /** Median absolute deviation per group — the robust spread statistic
     * (outlier-resistant where stddev is not): MAD = median(|x − median|).
     * Exact discrete medians via the q38 sorted-array convention

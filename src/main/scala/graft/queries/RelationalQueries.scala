@@ -1167,6 +1167,34 @@ object RelationalQueries {
     graft.ops.Profile.profileApprox(Tables.lineitem(s, d)).orderBy("col_name")
   }
 
+  /** Deterministic hash sampling ([[graft.ops.Profile.sampleByHash]]):
+    * ~10% of orders by content-keyed md5 bucket — engine- and
+    * re-shard-stable, no RNG (the library form of the q64/q76/q85
+    * bucket rule). The oracle recomputes the identical keep rule. */
+  val q106HashSample: Q = q("q106_hash_sample",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+      |      < 0.1 * 16777216
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    graft.ops.Profile.sampleByHash(Tables.orders(s, d), "o_orderkey", rate = 0.1)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Mergeable-sketch quantiles (approx_percentile) per return flag —
+    * rows-only: the sketch estimator is engine-specific (DuckDB has no
+    * GK/KLL twin); SketchSpec bounds the error against exact quantiles.
+    * The at-scale complement to q38/q105's exact forms: the sketch
+    * merges associatively map-side, no per-group value buffering. */
+  val q107ApproxQuantiles: Q = rowsOnly("q107_approx_quantiles") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_quartiles"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
@@ -1178,5 +1206,5 @@ object RelationalQueries {
     q20MathFns, q21JsonFns, q22ArrayFns, q23ConditionalAgg,
     q91TableProfile, q92KeySkew, q93Zorder, q94TimeWindow,
     q95Funnel, q96Retention, q97Histogram, q98AsofTolerance,
-    q99Transitions, q100Mad, q101RankBattery, q104ProfileApprox, q105PercentileCont)
+    q99Transitions, q100Mad, q101RankBattery, q104ProfileApprox, q105PercentileCont, q106HashSample, q107ApproxQuantiles)
 }

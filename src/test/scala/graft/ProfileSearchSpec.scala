@@ -216,6 +216,21 @@ class ProfileSearchSpec extends SparkSpec {
     }
   }
 
+  test("sampleByHash: deterministic, rate-monotone, consistent across tables") {
+    val df = (0 until 2000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val s10 = Profile.sampleByHash(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val s10b = Profile.sampleByHash(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(s10 === s10b) // no RNG state
+    assert(math.abs(s10.size - 200) < 60, s"~10% expected, got ${s10.size}")
+    // monotone: a higher rate keeps a superset (same-key joins survive)
+    val s30 = Profile.sampleByHash(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30))
+    // consistent across tables sharing the key
+    val other = (0 until 2000).map(i => (i.toLong, i * 2)).toDF("id", "x")
+    val o10 = Profile.sampleByHash(other, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(o10 === s10)
+  }
+
   test("medianAbsDeviation: outlier-resistant on hand values") {
     // [1, 2, 4, 100]: median = 2nd sorted = 2; |x−2| sorted = [0,1,2,98]
     // → MAD = 1. The 100-outlier moves stddev to ~49 but MAD stays 1.
