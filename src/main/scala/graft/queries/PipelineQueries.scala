@@ -29,6 +29,20 @@ object PipelineQueries {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The planted-near-dup embedding corpus shared by q63 and q79: each
+    * vector plus a perturbed copy (vec_id + 100000, x → x + 0.2·x·x —
+    * only IEEE-exact mul/add in an association order both engines
+    * reproduce, so Spark and the oracles build BIT-IDENTICAL corpora).
+    * One definition: the formula, association, and id offset are
+    * load-bearing for both queries' oracles and SimilaritySpec. */
+  private def plantedNearDupEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding")))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   /** Exact dedup: group-by content, keep first doc id. At scale the group
@@ -235,11 +249,7 @@ object PipelineQueries {
       |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE raw >= 0.9
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val aug = base.unionAll(base.select(
-      (col("vec_id") + 100000L).as("vec_id"),
-      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding")))
+    val aug = plantedNearDupEmbeddings(s, d)
     Similarity.lshCosineNearDupPairs(aug, minCos = 0.9)
       .orderBy("vec_a", "vec_b")
   }
@@ -957,11 +967,7 @@ object PipelineQueries {
       |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node)
       |SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
       |FROM cc GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val aug = base.unionAll(base.select(
-      (col("vec_id") + 100000L).as("vec_id"),
-      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding")))
+    val aug = plantedNearDupEmbeddings(s, d)
     Dedup.connectedComponents(
         Similarity.lshCosineNearDupPairs(aug, minCos = 0.9)
           .select("vec_a", "vec_b"))
@@ -1331,8 +1337,6 @@ object PipelineQueries {
       |FROM ch GROUP BY doc_id, chunk_idx
       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
     Dedup.cdcChunks(Tables.documents(s, d), window = 5, modulus = 16)
-      .withColumn("start_pos", col("start_pos").cast("long"))
-      .select("doc_id", "chunk_idx", "start_pos", "n_toks", "chunk_text")
       .orderBy("doc_id", "chunk_idx")
   }
 

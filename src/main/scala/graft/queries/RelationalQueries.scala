@@ -183,14 +183,20 @@ object RelationalQueries {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
+    // join at MICROsecond precision like the oracle's ASOF (p.ts >= c.ts
+    // compares full timestamps — a millisecond-truncated join key would
+    // admit a same-millisecond click the oracle rejects); only the OUTPUT
+    // is milliseconds
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("purchase_ms"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
-      .withColumn("last_click_ms", col("ms"))
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("last_click_us", col("c_us"))
     graft.ops.Relational.asOfJoin(purchases, clicks, key = Seq("user_id"),
-        leftTs = "purchase_ms", rightTs = "ms", rightCols = Seq("last_click_ms"))
-      .select("event_id", "user_id", "purchase_ms", "last_click_ms")
+        leftTs = "p_us", rightTs = "c_us", rightCols = Seq("last_click_us"))
+      .select(col("event_id"), col("user_id"),
+        expr("p_us div 1000").as("purchase_ms"),
+        expr("last_click_us div 1000").as("last_click_ms"))
       .orderBy("event_id")
   }
 
@@ -447,8 +453,8 @@ object RelationalQueries {
     """WITH flagged AS (
       |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
       |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
-      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events WHERE user_id < 40),
       |sessions AS (
@@ -530,9 +536,12 @@ object RelationalQueries {
         length(col("c_name")).cast("long").as("name_len"),
         substring(col("c_name"), 1, 8).as("name_prefix"),
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
-        regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
+        // literal replace / split_part (not regex / element_at): exact
+        // parity with the oracle's literal semantics — regex metachars in
+        // the needle and absent delimiters ('' vs NULL) diverge otherwise
+        expr("replace(c_name, 'Customer', 'C')").as("short_name"),
         lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
-        element_at(split(col("c_name"), "#"), 2).as("name_num"),
+        expr("split_part(c_name, '#', 2)").as("name_num"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
         col("c_name").startsWith("Customer").as("is_customer"),
         trim(reverse(col("c_name"))).as("rev_name"),
@@ -855,13 +864,17 @@ object RelationalQueries {
   val q45ScalarSubquery: Q = q("q45_scalar_subquery",
     """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
       |FROM orders
-      |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+      |WHERE o_totalprice > 1.8 * (SELECT round(avg(o_totalprice), 2) FROM orders)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // the avg is rounded BEFORE the threshold compare: partial-agg
+    // summation order differs across engines by last ulps, and 60k raw
+    // row-membership tests against an unrounded scalar would ride on
+    // that drift (every other float oracle masks drift the same way)
     Tables.orders(s, d).createOrReplaceTempView("orders_sq")
     s.sql(
       """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
         |FROM orders_sq
-        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_sq)
+        |WHERE o_totalprice > 1.8 * (SELECT round(avg(o_totalprice), 2) FROM orders_sq)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
