@@ -598,11 +598,19 @@ object PipelineQueries {
       |qv AS (SELECT vec_id, v, scale,
       |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
       |  FROM s)
-      |SELECT vec_id, round(scale, 6) AS scale, q,
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  array_to_string(q, ',') AS q_csv,
       |  round(list_max(list_transform(range(1, len(v) + 1),
       |    i -> abs(v[i] - floor(v[i] * scale + 0.5) / scale))), 6) AS max_abs_err
       |FROM qv ORDER BY vec_id""".stripMargin) { (s, d) =>
-    Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id")
+    // The library op keeps the real array<int>; the registered query
+    // projects it to a CSV string so the harness' pandas comparator (which
+    // can't hash array cells) stays usable — int→string is engine-identical.
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("q").cast("array<string>")).as("q_csv"),
+        col("max_abs_err"))
+      .orderBy("vec_id")
   }
 
   /** Unigram LM quality score ([[TextAnalysis.unigramLogProb]]) — the

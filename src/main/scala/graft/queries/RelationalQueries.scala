@@ -1201,11 +1201,16 @@ object RelationalQueries {
     * The at-scale complement to q38/q105's exact forms: the sketch
     * merges associatively map-side, no per-group value buffering. */
   val q107ApproxQuantiles: Q = rowsOnly("q107_approx_quantiles") { (s, d) =>
+    // Quartiles exploded to (flag, p, value) rows: scalar columns only, so
+    // the harness' row comparator can hash the output (arrays can't be).
+    val ps = array(lit(0.25), lit(0.5), lit(0.75))
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_quartiles"))
-      .orderBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "value")))
+      .select(col("l_returnflag"),
+        element_at(ps, col("i") + 1).as("p"), col("value"))
+      .orderBy("l_returnflag", "p")
   }
 
   val all: Seq[Q] = Seq(
