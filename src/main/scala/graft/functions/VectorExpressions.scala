@@ -119,10 +119,18 @@ object SignLsh {
     * memoize the flat row-major matrix per shape so the scan's inner loop
     * is a fused multiply-add over a double[], not tables·planes·dim mix64
     * mixes + divisions PER ROW (~3-5× the dot-product cost recomputed
-    * row after row). One small array per distinct shape per executor. */
+    * row after row). One small array per distinct shape per executor.
+    * Bounded: legitimate use has one embedding dim, so a corpus with
+    * heterogeneous/corrupt vector lengths must not grow a matrix per
+    * distinct length forever — past [[MaxCachedShapes]] shapes the cache
+    * is cleared and rebuilt (a rare, cheap recompute, not a leak). */
+  private val MaxCachedShapes = 8
   private val coefCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
-  private def coefs(planes: Int, tables: Int, dim: Int): Array[Double] =
+  private def coefs(planes: Int, tables: Int, dim: Int): Array[Double] = {
+    val hit = coefCache.get((planes, tables, dim))
+    if (hit != null) return hit
+    if (coefCache.size >= MaxCachedShapes) coefCache.clear()
     coefCache.computeIfAbsent((planes, tables, dim), { _ =>
       val flat = new Array[Double](tables * planes * dim)
       var t = 0; var k = 0
@@ -137,6 +145,7 @@ object SignLsh {
       }
       flat
     })
+  }
 
   /** Per-table `planes`-bit sign signatures of `v`, keyed (table<<32|sig). */
   def signaturesOf(v: ArrayData, planes: Int, tables: Int): ArrayData = {

@@ -155,9 +155,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
   }
 
-  /** Content-defined chunking (CDC): chunk boundaries fall where the
-    * hash of the trailing `window`-token n-gram satisfies
-    * `bucket % modulus == 0` — boundaries depend only on LOCAL content,
+  /** Content-defined chunking (CDC): a chunk boundary is placed BEFORE
+    * token j when the `window`-token n-gram ENDING AT TOKEN j−1 (the
+    * window of tokens immediately preceding j) satisfies
+    * `bucket % modulus == 0` — i.e. a qualifying window closes the
+    * current chunk and the next token starts a new one. Boundaries
+    * depend only on LOCAL content,
     * so inserting or deleting a prefix shifts every token position yet
     * reproduces the SAME chunks after the edit region (the
     * rsync/LBFS/FastCDC property; fixed-size chunking loses all
@@ -386,14 +389,19 @@ object Dedup {
     definitelyNew.unionByName(suspects)
   }
 
-  private val hammingUdf = udf((a: String, b: String) =>
-    java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
-      java.lang.Long.parseUnsignedLong(b, 16)))
-
   /** Hamming distance between two 64-bit hex simhashes (for near-dup
-    * grouping). UDF because `conv(hex,16,10)` renders unsigned decimal
-    * strings that overflow a signed BIGINT cast. */
-  def hammingHex(a: Column, b: Column): Column = hammingUdf(a, b).cast("long")
+    * grouping). Pure codegen'd builtins — no UDF serde: a whole 16-digit
+    * hex value can't round-trip through `conv(…,16,10)`+CAST (unsigned
+    * decimal overflows signed BIGINT), but each 8-digit HALF is ≤ 32 bits
+    * and converts safely, and popcount distributes over the halves:
+    * bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b). Inputs shorter than 16
+    * digits are left-padded (same value `parseUnsignedLong` would see). */
+  def hammingHex(a: Column, b: Column): Column = {
+    def half(c: Column, start: Int): Column =
+      conv(substring(lpad(c, 16, "0"), start, 8), 16, 10).cast("long")
+    (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
+      bit_count(half(a, 9).bitwiseXOR(half(b, 9)))).cast("long")
+  }
 
   /** Connected components over an undirected edge list — the step a
     * near-dup pipeline needs between "confirmed pairs" and actual dedup:
@@ -439,8 +447,12 @@ object Dedup {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var edges = canon(pairs, a, b).localCheckpoint()
-    var sig = signature(edges)
-    if (sig._1 <= driverCutoff) {
+    // The branch decision needs only the edge count; the xor signature is
+    // computed lazily below, only if the distributed loop actually runs —
+    // the common (driver-cutoff) path pays one count + one collect over
+    // the checkpointed blocks, nothing else.
+    val nEdges = edges.count()
+    if (nEdges <= driverCutoff) {
       val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -462,7 +474,8 @@ object Dedup {
       return spark.createDataFrame(nodes.map(n => (n, find(n))))
         .toDF("node", "cluster_id")
     }
-    var converged = edges.isEmpty
+    var sig = signature(edges)
+    var converged = nEdges == 0L
     var it = 0
     while (!converged && it < maxIter) {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))

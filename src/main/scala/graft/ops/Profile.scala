@@ -95,17 +95,20 @@ object Profile {
         min(c).as(mn(f)), max(c).as(mx(f)))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // re-read the intermediate aliases backtick-quoted: a source column
+    // with a dot (the case qcol exists for) otherwise makes bare col()
+    // parse "<a.b>__mn" as a nested-field path and fail analysis
     val rows = array(fields.map { f =>
       val (minNum, maxNum) =
         if (isNumeric(f.dataType))
-          (col(mn(f)).cast("double"), col(mx(f)).cast("double"))
+          (qcol(mn(f)).cast("double"), qcol(mx(f)).cast("double"))
         else (lit(null).cast("double"), lit(null).cast("double"))
       val (minText, maxText) =
         if (isNumeric(f.dataType))
           (lit(null).cast("string"), lit(null).cast("string"))
-        else (asText(col(mn(f)), f.dataType), asText(col(mx(f)), f.dataType))
+        else (asText(qcol(mn(f)), f.dataType), asText(qcol(mx(f)), f.dataType))
       struct(lit(f.name).as("col_name"), lit(f.dataType.simpleString).as("dtype"),
-        col(n(f)).as("n_nonnull"), col(d(f)).as("n_distinct_approx"),
+        qcol(n(f)).as("n_nonnull"), qcol(d(f)).as("n_distinct_approx"),
         minNum.as("min_num"), maxNum.as("max_num"),
         minText.as("min_text"), maxText.as("max_text"))
     }: _*)

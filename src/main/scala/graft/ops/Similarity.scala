@@ -109,14 +109,51 @@ object Similarity {
     * cells. Fixed seed + sorted sample → deterministic cells. */
   def annIvf(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
              corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 3,
-             trainCap: Int = 4096): DataFrame = {
-    // bounded, order-stable sample — at 100 TB prepend .sample(fraction)
-    // sized so ~trainCap rows survive; training never iterates over the
-    // full corpus
+             trainCap: Int = 4096): DataFrame =
+    annIvfWith(queries, corpus,
+      trainIvfCenters(corpus, nlist, trainCap), k, nprobe)
+
+  /** Train the IVF coarse quantizer and return its centroid matrix —
+    * separated from [[annIvf]] so a 100 TB deployment trains ONCE and
+    * reuses the centers across every subsequent search batch (faiss
+    * train/add/search shape) via [[annIvfWith]], persisting them with
+    * [[saveIvfCenters]]/[[loadIvfCenters]]. Bounded, order-stable
+    * sample — at 100 TB prepend .sample(fraction) sized so ~trainCap rows
+    * survive; training never iterates over the full corpus. */
+  def trainIvfCenters(corpus: DataFrame, nlist: Int = 16,
+                      trainCap: Int = 4096, iters: Int = 5,
+                      seed: Long = 42L): Array[Array[Double]] = {
     val sample = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy("vec_id").limit(trainCap)
       .collect().map(_.getSeq[Double](1).toArray)
-    val centers = localKMeans(sample, nlist, iters = 5, seed = 42L)
+    localKMeans(sample, nlist, iters, seed)
+  }
+
+  /** Persist a trained quantizer as a registry stream (`cell`,
+    * `center`) — the artifact a scheduled 100 TB ingest loads instead of
+    * retraining. One quantizer per stream name (the registry is
+    * append-only; version by name). */
+  def saveIvfCenters(spark: org.apache.spark.sql.SparkSession,
+                     reg: graft.runtime.StreamRegistry, name: String,
+                     centers: Array[Array[Double]]): Unit = {
+    require(!reg.exists(name), s"quantizer stream '$name' already exists")
+    import spark.implicits._
+    reg.write(centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center"), name)
+  }
+
+  /** Load a quantizer saved by [[saveIvfCenters]] (cell order restored). */
+  def loadIvfCenters(reg: graft.runtime.StreamRegistry,
+                     name: String): Array[Array[Double]] =
+    reg.read(name).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** IVF search against a pre-trained quantizer ([[trainIvfCenters]]):
+    * the recurring-batch form of [[annIvf]] — no training jobs, the
+    * centroid matrix is a plan literal. */
+  def annIvfWith(queries: DataFrame, corpus: DataFrame,
+                 centers: Array[Array[Double]], k: Int,
+                 nprobe: Int = 3): DataFrame = {
     // cell assignment: native codegen'd expression; the centroid matrix
     // rides along as a plan reference object (nlist × dim doubles), so no
     // broadcast variable or interpreted UDF on the corpus-scan hot path

@@ -63,6 +63,32 @@ class DedupSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("hammingHex matches parseUnsignedLong popcount and stays codegen'd") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val hexes = Seq.fill(40)(f"${rnd.nextLong()}%016x") ++
+      Seq("0", "f", "ffffffffffffffff", "8000000000000000", "00000000000000ff")
+    val pairs = for (a <- hexes; b <- hexes) yield (a, b)
+    val df = pairs.toDF("ha", "hb")
+    val got = df.select(col("ha"), col("hb"),
+        Dedup.hammingHex(col("ha"), col("hb")).as("d"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      val want = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+      assert(got((a, b)) === want.toLong, s"hamming($a,$b)")
+    }
+    // pure builtins: over a parquet-backed scan (literals would fold to a
+    // LocalTableScan) the projection must sit inside a whole-stage-codegen
+    // span with no ScalaUDF interpreter fallback
+    val p = Dedup.simHash(docs)
+      .select(Dedup.hammingHex(col("simhash"), reverse(col("simhash"))).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(800))
+    assert(!p.contains("UDF"), p.take(800))
+  }
+
   test("simhash: near-dup pairs are close in hamming distance, random pairs far") {
     val sh = Dedup.simHash(docs).select("doc_id", "simhash")
     val pairs = Dedup.jaccardNearDupPairs(docs, 0.8).select("doc_a", "doc_b")

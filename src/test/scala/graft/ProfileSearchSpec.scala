@@ -216,6 +216,19 @@ class ProfileSearchSpec extends SparkSpec {
     }
   }
 
+  test("profile and profileApprox survive a dotted column name") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("the.id", "the.name") // dots: bare col() would parse a path
+    val ex = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ex === Map("the.id" -> 2L, "the.name" -> 2L))
+    val ap = Profile.profileApprox(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ap === Map("the.id" -> 2L, "the.name" -> 2L))
+  }
+
   test("sampleByHash: deterministic, rate-monotone, consistent across tables") {
     val df = (0 until 2000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
     val s10 = Profile.sampleByHash(df, "id", 0.1).collect().map(_.getLong(0)).toSet

@@ -81,6 +81,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("IVF quantizer round-trips through the registry; search output unchanged") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val centers = Similarity.trainIvfCenters(emb)
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivf").toString)
+    Similarity.saveIvfCenters(spark, reg, "ivf_q", centers)
+    val loaded = Similarity.loadIvfCenters(reg, "ivf_q")
+    assert(loaded.length === centers.length)
+    centers.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // search with the loaded artifact == the train-inline path (same
+    // default nlist/trainCap/seed), proving train-once/search-many works
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = res(Similarity.annIvf(spark, queries, emb, k = 5)
+      .select("q_id", "rnk", "c_id"))
+    val reused = res(Similarity.annIvfWith(queries, emb, loaded, k = 5)
+      .select("q_id", "rnk", "c_id"))
+    assert(reused === fresh)
+    // one artifact per name: a second save must be refused, not appended
+    intercept[IllegalArgumentException] {
+      Similarity.saveIvfCenters(spark, reg, "ivf_q", centers)
+    }
+  }
+
   test("lshCosineNearDupPairs == quadratic confirm on planted near-dups (recall 1.0)") {
     // Same augmentation as q63: one perturbed copy per vector plants a
     // cos≈0.998 near-dup pair; background random pairs stay ≤0.61. The
