@@ -20,6 +20,15 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
 fails = []
+# Verify writes the list of queries it ATTEMPTED; any attempted query with
+# no output dir failed at dump time — flag it instead of silently shrinking
+# the pass denominator.
+manifest_path = f"{out_dir}/manifest.txt"
+if os.path.exists(manifest_path):
+    attempted = [l for l in open(manifest_path).read().splitlines() if l]
+    for missing in sorted(set(attempted) - set(names)):
+        fails.append((missing, "no output written (failed at dump time)"))
+        print(f"{missing:24s} MISSING OUTPUT (failed at dump time)")
 for name in names:
     got = con.execute(
         f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
@@ -75,5 +84,6 @@ for name in names:
         note = f"  (dtype diff: {dtypes_differ})" if dtypes_differ else ""
         print(f"{name:24s} OK {len(got)} rows{note}")
 
-print(f"\n{len(names) - len(fails)}/{len(names)} pass")
+total = len(names) + sum(1 for f in fails if f[1] == "no output written (failed at dump time)")
+print(f"\n{total - len(fails)}/{total} pass")
 sys.exit(1 if fails else 0)

@@ -12,15 +12,44 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev filter: SPARK_GRAFT_ONLY=q88_bm25_topk,... dumps a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    selected.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // The harness' pandas row comparator can't hash array/map/struct
+        // cells (it crashed on exactly this twice) — refuse at dump time
+        // so a non-scalar output column fails this query (stderr + missing
+        // output, flagged via the manifest below), not a silent
+        // scoreboard ERROR later.
+        val nonScalar = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(nonScalar.isEmpty,
+          s"$name emits non-scalar column(s) the driver compare can't hash: " +
+            nonScalar.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+            " — project to scalars (CSV/fingerprint/explode) first")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale output from a previous run into the same outDir must
+        // not let a now-failing query keep comparing green
+        val staleDir = Paths.get(s"$outDir/$name")
+        if (Files.exists(staleDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(staleDir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
     }
+    // Manifest of every query ATTEMPTED: lets the local gate flag a query
+    // that failed at dump time (missing dir) instead of silently shrinking
+    // the "N/N pass" denominator. Extra file — the driver ignores it.
+    Files.writeString(Paths.get(s"$outDir/manifest.txt"),
+      selected.keys.toSeq.sorted.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -130,7 +130,12 @@ object SignLsh {
   private def coefs(planes: Int, tables: Int, dim: Int): Array[Double] = {
     val hit = coefCache.get((planes, tables, dim))
     if (hit != null) return hit
-    if (coefCache.size >= MaxCachedShapes) coefCache.clear()
+    if (coefCache.size >= MaxCachedShapes) {
+      // evict ONE arbitrary entry, not clear(): with 9+ interleaved shapes
+      // a full clear would rebuild every hot shape's matrix near-per-row
+      val it = coefCache.keys()
+      if (it.hasMoreElements) coefCache.remove(it.nextElement())
+    }
     coefCache.computeIfAbsent((planes, tables, dim), { _ =>
       val flat = new Array[Double](tables * planes * dim)
       var t = 0; var k = 0

@@ -395,10 +395,18 @@ object Dedup {
     * decimal overflows signed BIGINT), but each 8-digit HALF is ≤ 32 bits
     * and converts safely, and popcount distributes over the halves:
     * bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b). Inputs shorter than 16
-    * digits are left-padded (same value `parseUnsignedLong` would see). */
+    * digits are left-padded (same value `parseUnsignedLong` would see);
+    * longer or non-hex inputs raise (lpad would silently TRUNCATE to the
+    * first 16 chars and conv parses garbage as 0 — a malformed
+    * fingerprint must fail loudly, as the former UDF's parse did, not
+    * mis-cluster with a plausible distance). */
   def hammingHex(a: Column, b: Column): Column = {
+    def checked(c: Column): Column =
+      when(length(c) > 16 || c.rlike("[^0-9a-fA-F]"),
+        raise_error(concat(lit("hammingHex: not a 64-bit hex string: "), c)))
+        .otherwise(c)
     def half(c: Column, start: Int): Column =
-      conv(substring(lpad(c, 16, "0"), start, 8), 16, 10).cast("long")
+      conv(substring(lpad(checked(c), 16, "0"), start, 8), 16, 10).cast("long")
     (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
       bit_count(half(a, 9).bitwiseXOR(half(b, 9)))).cast("long")
   }

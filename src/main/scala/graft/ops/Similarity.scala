@@ -107,6 +107,8 @@ object Similarity {
     * sample ([[localKMeans]]); corpus-side cost is one assignment
     * projection + a shuffle on cell id; probe cost is |queries| × nprobe
     * cells. Fixed seed + sorted sample → deterministic cells. */
+  // `spark` is retained for source compatibility only — train+search now
+  // derive everything from the DataFrames (see trainIvfCenters/annIvfWith)
   def annIvf(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
              corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 3,
              trainCap: Int = 4096): DataFrame =
@@ -136,10 +138,18 @@ object Similarity {
   def saveIvfCenters(spark: org.apache.spark.sql.SparkSession,
                      reg: graft.runtime.StreamRegistry, name: String,
                      centers: Array[Array[Double]]): Unit = {
-    require(!reg.exists(name), s"quantizer stream '$name' already exists")
     import spark.implicits._
-    reg.write(centers.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center"), name)
+    val df = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
+    // create-exclusive claim: a concurrent/duplicate save of the same name
+    // must fail, not append a second centroid matrix onto the first
+    try reg.createExclusive(name, df.schema)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"quantizer stream '$name' already exists (one artifact per name)", e)
+    }
+    reg.write(df, name)
   }
 
   /** Load a quantizer saved by [[saveIvfCenters]] (cell order restored). */

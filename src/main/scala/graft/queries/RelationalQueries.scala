@@ -1207,7 +1207,9 @@ object RelationalQueries {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("qs"))
-      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "value")))
+      // _outer: a group whose values are all null keeps its (null) row
+      // instead of vanishing from the output
+      .select(col("l_returnflag"), posexplode_outer(col("qs")).as(Seq("i", "value")))
       .select(col("l_returnflag"),
         element_at(ps, col("i") + 1).as("p"), col("value"))
       .orderBy("l_returnflag", "p")

@@ -157,6 +157,22 @@ class StreamRegistry(spark: SparkSession, val root: String,
     if (fs.exists(tmp)) { fs.delete(tmp, true); () }
   }
 
+  /** Atomically claim a stream name: create-exclusive write of the schema
+    * file, so exactly ONE caller across processes succeeds and every
+    * other racer gets `FileAlreadyExistsException` — the fence for
+    * publish-once artifacts (e.g. a trained model/quantizer) where an
+    * exists()+write check-then-act would let two producers both append.
+    * (Atomic on HDFS/local; object stores without atomic create-exclusive
+    * need their conditional-put equivalent.) */
+  def createExclusive(name: String, schema: StructType,
+                      partitionBy: Seq[String] = Nil): Unit = {
+    val (p, fs) = fsFor(schemaPath(name))
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false) // throws if the schema file exists
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (partitionBy.nonEmpty) writeText(partitionsPath(name), partitionBy.mkString(","))
+  }
+
   /** Declare a stream's schema up front (optional — first write also
     * registers it); lets a consumer start before any producer ran. */
   def declare(name: String, schema: StructType,

@@ -79,6 +79,15 @@ class DedupSpec extends SparkSpec {
         java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
       assert(got((a, b)) === want.toLong, s"hamming($a,$b)")
     }
+    // malformed fingerprints fail loudly (as the former UDF's parse did):
+    // >16 digits would otherwise silently truncate, non-hex parse as 0
+    for (badHex <- Seq("0123456789abcdef0", "zz00000000000000")) {
+      val e = intercept[Exception] {
+        Seq((badHex, "0")).toDF("ha", "hb")
+          .select(Dedup.hammingHex(col("ha"), col("hb"))).collect()
+      }
+      assert(e.getMessage.contains("hammingHex"), e.getMessage)
+    }
     // pure builtins: over a parquet-backed scan (literals would fold to a
     // LocalTableScan) the projection must sit inside a whole-stage-codegen
     // span with no ScalaUDF interpreter fallback
