@@ -282,6 +282,48 @@ object TextAnalysis {
         regexp_replace(col("right"), "\u0001", " ").as("right"), col("n"))
   }
 
+  /** The ENCODE half of the tokenizer loop: apply a learned merge table
+    * ([[learnWpeMerges]] output — merge_rank, left, right) to documents,
+    * yielding one row per post-merge token: (doc_id, pos, token).
+    * Semantics are trainer-identical by construction: merges apply in
+    * rank order, each as ONE global leftmost non-overlapping pass (the
+    * same lookaround regexp the trainer's corpus-state update uses), so
+    * encoding a corpus with its own learned merges reproduces the
+    * trainer's final segmentation exactly — the property a tokenizer
+    * must have for train/apply consistency (pinned in TextAnalysisSpec
+    * against a sequential reference implementation). Note this is
+    * sequential-by-rank application, NOT the pair-rank-priority-queue
+    * BPE encoder: priority encoding can re-visit earlier ranks on pairs
+    * created by later merges and would DIVERGE from this trainer.
+    *
+    * Merged tokens render their joiners as spaces (a merged unit reads
+    * "deep learning"), matching the trainer's reported vocabulary;
+    * re-joining the output tokens with single spaces reproduces the
+    * original text byte-for-byte (merges regroup, never rewrite).
+    *
+    * Scale shape: the merge table is control-plane sized (one row per
+    * merge) and collapses into a single chained-regexp projection —
+    * |merges| codegen'd regex passes per row, zero joins, zero shuffles;
+    * the explode is the only row-count change. */
+  def applyWpeMerges(docs: DataFrame, merges: DataFrame): DataFrame = {
+    import java.util.regex.{Matcher, Pattern}
+    val ms = merges.select(col("merge_rank").cast("long").as("rk"),
+        col("left"), col("right"))
+      .orderBy("rk").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val encoded = ms.foldLeft(col("text")) { case (c, (l0, r0)) =>
+      // reported merges render earlier joiners as spaces — re-join for
+      // pattern building so second-order merges match the internal state
+      val l = l0.replace(' ', '\u0001'); val r = r0.replace(' ', '\u0001')
+      val pat = "(?<![^ ])" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?![^ ])"
+      regexp_replace(c, pat, Matcher.quoteReplacement(l + "\u0001" + r))
+    }
+    docs.select(col("doc_id"), encoded.as("enc"))
+      .select(col("doc_id"), posexplode(split(col("enc"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        regexp_replace(col("tok"), "\u0001", " ").as("token"))
+  }
+
   /** Sketch-based heavy hitters: a count-min sketch over the exploded token
     * stream estimates per-token frequency without carrying exact per-token
     * state; candidates above `minShare` of total are then exact-counted.

@@ -1358,6 +1358,53 @@ object PipelineQueries {
       .orderBy("merge_rank")
   }
 
+  /** Tokenizer ENCODE ([[TextAnalysis.applyWpeMerges]]): apply a fixed
+    * 6-merge vocabulary (incl. one second-order merge, "table hash"+agg)
+    * to every document and fingerprint the resulting segmentation. The
+    * oracle re-implements sequential-by-rank global leftmost merging as
+    * a recursive CTE: RE2 has no lookarounds, so each rank iterates a
+    * padded capture-group replace to its fixpoint — equivalent to the
+    * engine's single lookaround pass for merges with left ≠ right
+    * (competing self-pair chains are the one divergent case, excluded
+    * here and covered by TextAnalysisSpec instead). The md5 is over the
+    * token sequence joined with unit separators (joiners rendered as
+    * spaces), so a single token regrouped differently flips the hash. */
+  val q108WpeEncode: Q = q("q108_wpe_encode",
+    """WITH RECURSIVE m(rank, l, r) AS (
+      |  SELECT * FROM (VALUES
+      |    (1, 'table', 'hash'), (2, 'part', 'filter'), (3, 'customer', 'join'),
+      |    (4, 'table' || chr(1) || 'hash', 'agg'), (5, 'merge', 'group'),
+      |    (6, 'slow', 'key')) v(rank, l, r)),
+      |enc(doc_id, rank, txt) AS (
+      |  SELECT doc_id, 1, ' ' || text || ' ' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN nxt = txt THEN rank + 1 ELSE rank END, nxt
+      |  FROM (SELECT e.doc_id, e.rank, e.txt,
+      |          regexp_replace(e.txt, '( )' || m.l || ' ' || m.r || '( )',
+      |            '\1' || m.l || chr(1) || m.r || '\2', 'g') AS nxt
+      |        FROM enc e JOIN m ON m.rank = e.rank) s),
+      |fin AS (SELECT doc_id, substr(txt, 2, length(txt) - 2) AS t
+      |        FROM enc WHERE rank = 7)
+      |SELECT doc_id,
+      |  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(t, ' '),
+      |    x -> contains(x, chr(1)))) AS BIGINT) AS n_merged,
+      |  md5(replace(replace(t, ' ', chr(31)), chr(1), ' ')) AS enc_md5
+      |FROM fin ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val merges = Seq(
+      (1L, "table", "hash"), (2L, "part", "filter"), (3L, "customer", "join"),
+      (4L, "table hash", "agg"), (5L, "merge", "group"), (6L, "slow", "key"))
+      .toDF("merge_rank", "left", "right")
+    TextAnalysis.applyWpeMerges(Tables.documents(s, d), merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token").contains(" "), 1L).otherwise(0L)).as("n_merged"),
+        md5(expr("listagg(token, '\u001f') WITHIN GROUP (ORDER BY pos)")
+          .cast("binary")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1372,5 +1419,6 @@ object PipelineQueries {
     q76TemperatureMix, q77DomainCap, q78ClusterSurvivors,
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
     q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
-    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges)
+    q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
+    q108WpeEncode)
 }

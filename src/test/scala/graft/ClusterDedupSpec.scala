@@ -161,6 +161,58 @@ class ClusterDedupSpec extends SparkSpec {
       s"no compound merge in $got — corpus too sparse for the test's intent")
   }
 
+  test("applyWpeMerges: train/apply consistency, round-trip, self-pair chains") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val texts = Seq.fill(30)(
+      Seq.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq.fill(10)(Seq.fill(6)("aa bb cc").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val learned = graft.ops.TextAnalysis.learnWpeMerges(df, nMerges = 6)
+    // sequential reference: apply each reported merge (internal joiner
+    // form) greedy leftmost non-overlapping, rank order — localWpe's
+    // own application step
+    def applyOne(t: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+          b += t(i) + "\u0001" + t(i + 1); i += 2
+        } else { b += t(i); i += 1 }
+      }
+      b.result()
+    }
+    val ms = learned.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1).replace(' ', '\u0001'),
+        r.getString(2).replace(' ', '\u0001')))
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val toks = ms.foldLeft(t.split(" ").toVector) {
+        case (acc, (l, r)) => applyOne(acc, l, r)
+      }
+      i.toLong -> toks.map(_.replace('\u0001', ' '))
+    }.toMap
+    val got = graft.ops.TextAnalysis.applyWpeMerges(df, learned)
+      .orderBy("doc_id", "pos").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toVector }
+    assert(got === want)
+    // round-trip: merges regroup, never rewrite — rejoining the tokens
+    // with single spaces reproduces every original text byte-for-byte
+    got.foreach { case (id, toks) =>
+      assert(toks.mkString(" ") === texts(id.toInt), s"doc $id")
+    }
+    // competing self-pair chains take the greedy leftmost pairing
+    val chain = Seq((0L, "a a a a a")).toDF("doc_id", "text")
+    val selfMerge = Seq((1L, "a", "a")).toDF("merge_rank", "left", "right")
+    val chainToks = graft.ops.TextAnalysis.applyWpeMerges(chain, selfMerge)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(chainToks === Seq("a a", "a a", "a"))
+  }
+
   test("connectedComponents driver path survives a deep descending chain") {
     // edges arrive worst-case ordered (each union hangs the new root under
     // a long chain); a recursive find() overflowed the stack here
