@@ -264,9 +264,7 @@ object TextAnalysis {
       if (top.nonEmpty) {
         val Row(l: String, r: String, n: Long) = top(0)
         learned += ((rank, l, r, n))
-        val pat = "(?<![^ ])" + java.util.regex.Pattern.quote(l) + " " +
-          java.util.regex.Pattern.quote(r) + "(?![^ ])"
-        val rep = java.util.regex.Matcher.quoteReplacement(l + "\u0001" + r)
+        val (pat, rep) = mergeRegex(l, r)
         cur = cur.select(col("doc_id"),
           regexp_replace(col("text"), pat, rep).as("text")).persist()
       }
@@ -282,6 +280,16 @@ object TextAnalysis {
         regexp_replace(col("right"), "\u0001", " ").as("right"), col("n"))
   }
 
+  /** The ONE construction of a merge's regex: global leftmost
+    * non-overlapping fuse of adjacent tokens (l, r) — boundary
+    * lookarounds, joiner U+0001. Shared by the trainer's corpus-state
+    * update and [[applyWpeMerges]], so train/apply semantics cannot
+    * drift. `l`/`r` are in INTERNAL form (joiners, not spaces). */
+  private def mergeRegex(l: String, r: String): (String, String) = (
+    "(?<![^ ])" + java.util.regex.Pattern.quote(l) + " " +
+      java.util.regex.Pattern.quote(r) + "(?![^ ])",
+    java.util.regex.Matcher.quoteReplacement(l + "\u0001" + r))
+
   /** The ENCODE half of the tokenizer loop: apply a learned merge table
     * ([[learnWpeMerges]] output — merge_rank, left, right) to documents,
     * yielding one row per post-merge token: (doc_id, pos, token).
@@ -290,7 +298,7 @@ object TextAnalysis {
     * same lookaround regexp the trainer's corpus-state update uses), so
     * encoding a corpus with its own learned merges reproduces the
     * trainer's final segmentation exactly — the property a tokenizer
-    * must have for train/apply consistency (pinned in TextAnalysisSpec
+    * must have for train/apply consistency (pinned in ClusterDedupSpec
     * against a sequential reference implementation). Note this is
     * sequential-by-rank application, NOT the pair-rank-priority-queue
     * BPE encoder: priority encoding can re-visit earlier ranks on pairs
@@ -306,7 +314,6 @@ object TextAnalysis {
     * |merges| codegen'd regex passes per row, zero joins, zero shuffles;
     * the explode is the only row-count change. */
   def applyWpeMerges(docs: DataFrame, merges: DataFrame): DataFrame = {
-    import java.util.regex.{Matcher, Pattern}
     val ms = merges.select(col("merge_rank").cast("long").as("rk"),
         col("left"), col("right"))
       .orderBy("rk").collect()
@@ -314,9 +321,8 @@ object TextAnalysis {
     val encoded = ms.foldLeft(col("text")) { case (c, (l0, r0)) =>
       // reported merges render earlier joiners as spaces — re-join for
       // pattern building so second-order merges match the internal state
-      val l = l0.replace(' ', '\u0001'); val r = r0.replace(' ', '\u0001')
-      val pat = "(?<![^ ])" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?![^ ])"
-      regexp_replace(c, pat, Matcher.quoteReplacement(l + "\u0001" + r))
+      val (pat, rep) = mergeRegex(l0.replace(' ', '\u0001'), r0.replace(' ', '\u0001'))
+      regexp_replace(c, pat, rep)
     }
     docs.select(col("doc_id"), encoded.as("enc"))
       .select(col("doc_id"), posexplode(split(col("enc"), " ")).as(Seq("pos0", "tok")))

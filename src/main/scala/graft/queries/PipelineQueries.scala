@@ -1366,7 +1366,7 @@ object PipelineQueries {
     * padded capture-group replace to its fixpoint — equivalent to the
     * engine's single lookaround pass for merges with left ≠ right
     * (competing self-pair chains are the one divergent case, excluded
-    * here and covered by TextAnalysisSpec instead). The md5 is over the
+    * here and covered by ClusterDedupSpec instead). The md5 is over the
     * token sequence joined with unit separators (joiners rendered as
     * spaces), so a single token regrouped differently flips the hash. */
   val q108WpeEncode: Q = q("q108_wpe_encode",

@@ -112,6 +112,20 @@ class ClusterDedupSpec extends SparkSpec {
       s"interior chunks must survive the prefix shift: $ca vs $cb")
   }
 
+  /** Greedy leftmost non-overlapping application of one merge (internal
+    * joiner form) — the reference application step shared by the trainer
+    * and encoder tests. */
+  private def applyOne(t: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < t.length) {
+      if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+        b += t(i) + "\u0001" + t(i + 1); i += 2
+      } else { b += t(i); i += 1 }
+    }
+    b.result()
+  }
+
   /** Sequential reference for WPE/BPE merge learning: exact greedy
     * left-to-right merging, global (count desc, pair asc) argmax. */
   private def localWpe(texts: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
@@ -125,16 +139,7 @@ class ClusterDedupSpec extends SparkSpec {
       if (counts.nonEmpty) {
         val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
         out += ((rank.toLong, l.replace('\u0001', ' '), r.replace('\u0001', ' '), c))
-        docs = docs.map { t =>
-          val b = Vector.newBuilder[String]
-          var i = 0
-          while (i < t.length) {
-            if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
-              b += t(i) + "\u0001" + t(i + 1); i += 2
-            } else { b += t(i); i += 1 }
-          }
-          b.result()
-        }
+        docs = docs.map(applyOne(_, l, r))
       }
     }
     out.result()
@@ -173,19 +178,6 @@ class ClusterDedupSpec extends SparkSpec {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val learned = graft.ops.TextAnalysis.learnWpeMerges(df, nMerges = 6)
-    // sequential reference: apply each reported merge (internal joiner
-    // form) greedy leftmost non-overlapping, rank order — localWpe's
-    // own application step
-    def applyOne(t: Vector[String], l: String, r: String): Vector[String] = {
-      val b = Vector.newBuilder[String]
-      var i = 0
-      while (i < t.length) {
-        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
-          b += t(i) + "\u0001" + t(i + 1); i += 2
-        } else { b += t(i); i += 1 }
-      }
-      b.result()
-    }
     val ms = learned.orderBy("merge_rank").collect()
       .map(r => (r.getString(1).replace(' ', '\u0001'),
         r.getString(2).replace(' ', '\u0001')))

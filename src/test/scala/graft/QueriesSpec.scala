@@ -105,6 +105,17 @@ class QueriesSpec extends SparkSpec {
       !readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
   }
 
+  test("q108: merge chain is one codegen projection — no join, no extra shuffle") {
+    val p = plan(run("q108_wpe_encode"))
+    // the 6-merge chain folds into the scan-side projection; the only
+    // exchange is the per-doc groupBy (plus the final orderBy's range
+    // partitioning), and the merge table never becomes a join
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+    // the 6 merges fuse into ONE nested-regexp projection over the scan
+    assert("regexp_replace\\(regexp_replace".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan(run("q50_token_counts"))
     // two HashAggregate levels around the exchange = partial + final
