@@ -29,6 +29,12 @@ if os.path.exists(manifest_path):
     for missing in sorted(set(attempted) - set(names)):
         fails.append((missing, "no output written (failed at dump time)"))
         print(f"{missing:24s} MISSING OUTPUT (failed at dump time)")
+    # stale dirs from a previous run into the same outDir (renamed/removed
+    # queries, or a prior full run before a SPARK_GRAFT_ONLY subset) are
+    # not part of this run — exclude them rather than inflate the count
+    for extra in sorted(set(names) - set(attempted)):
+        print(f"{extra:24s} skipped: not in this run's manifest (stale dir)")
+    names = [n for n in names if n in set(attempted)]
 for name in names:
     got = con.execute(
         f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()

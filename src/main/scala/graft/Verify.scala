@@ -36,12 +36,19 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale output from a previous run into the same outDir must
-        // not let a now-failing query keep comparing green
-        val staleDir = Paths.get(s"$outDir/$name")
-        if (Files.exists(staleDir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(staleDir).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
+        // not let a now-failing query keep comparing green; cleanup is
+        // best-effort — its own failure must not abort the whole dump
+        try {
+          val staleDir = Paths.get(s"$outDir/$name")
+          if (Files.exists(staleDir)) {
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(staleDir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally walk.close()
+          }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup failed: ${c.getMessage}")
         }
       }
     }

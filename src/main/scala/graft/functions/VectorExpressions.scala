@@ -122,8 +122,9 @@ object SignLsh {
     * row after row). One small array per distinct shape per executor.
     * Bounded: legitimate use has one embedding dim, so a corpus with
     * heterogeneous/corrupt vector lengths must not grow a matrix per
-    * distinct length forever — past [[MaxCachedShapes]] shapes the cache
-    * is cleared and rebuilt (a rare, cheap recompute, not a leak). */
+    * distinct length forever — at [[MaxCachedShapes]] shapes ONE
+    * arbitrary entry is evicted per insert (a rare, cheap recompute for
+    * the evicted shape only, not a leak and not a full-cache rebuild). */
   private val MaxCachedShapes = 8
   private val coefCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()

@@ -396,13 +396,14 @@ object Dedup {
     * and converts safely, and popcount distributes over the halves:
     * bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b). Inputs shorter than 16
     * digits are left-padded (same value `parseUnsignedLong` would see);
-    * longer or non-hex inputs raise (lpad would silently TRUNCATE to the
-    * first 16 chars and conv parses garbage as 0 — a malformed
-    * fingerprint must fail loudly, as the former UDF's parse did, not
-    * mis-cluster with a plausible distance). */
+    * longer, EMPTY, or non-hex inputs raise (lpad would silently
+    * TRUNCATE >16 chars, pad "" to all-zeros — distance 0 to a zero
+    * hash — and conv parses garbage as 0: a malformed fingerprint must
+    * fail loudly, as the former UDF's parse did, not mis-cluster with a
+    * plausible distance). NULL in → NULL out (SQL convention). */
   def hammingHex(a: Column, b: Column): Column = {
     def checked(c: Column): Column =
-      when(length(c) > 16 || c.rlike("[^0-9a-fA-F]"),
+      when(length(c) > 16 || length(c) === 0 || c.rlike("[^0-9a-fA-F]"),
         raise_error(concat(lit("hammingHex: not a 64-bit hex string: "), c)))
         .otherwise(c)
     def half(c: Column, start: Int): Column =

@@ -149,14 +149,25 @@ object Similarity {
         throw new IllegalArgumentException(
           s"quantizer stream '$name' already exists (one artifact per name)", e)
     }
-    reg.write(df, name)
+    // a data-write failure must not leave the name claimed-but-empty
+    // (retries would see "already exists" forever and loads would return
+    // a 0-center quantizer) — best-effort unclaim, then rethrow
+    try reg.write(df, name)
+    catch { case e: Throwable =>
+      try reg.delete(name) catch { case _: Throwable => () }
+      throw e
+    }
   }
 
   /** Load a quantizer saved by [[saveIvfCenters]] (cell order restored). */
   def loadIvfCenters(reg: graft.runtime.StreamRegistry,
-                     name: String): Array[Array[Double]] =
-    reg.read(name).orderBy("cell")
+                     name: String): Array[Array[Double]] = {
+    val centers = reg.read(name).orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
+    require(centers.nonEmpty,
+      s"quantizer stream '$name' has no centers (half-published artifact?)")
+    centers
+  }
 
   /** IVF search against a pre-trained quantizer ([[trainIvfCenters]]):
     * the recurring-batch form of [[annIvf]] — no training jobs, the

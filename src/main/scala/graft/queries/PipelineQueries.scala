@@ -1377,6 +1377,7 @@ object PipelineQueries {
       |    (6, 'slow', 'key')) v(rank, l, r)),
       |enc(doc_id, rank, txt) AS (
       |  SELECT doc_id, 1, ' ' || text || ' ' FROM documents
+      |  WHERE text IS NOT NULL
       |  UNION ALL
       |  SELECT doc_id, CASE WHEN nxt = txt THEN rank + 1 ELSE rank END, nxt
       |  FROM (SELECT e.doc_id, e.rank, e.txt,

@@ -162,15 +162,42 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * other racer gets `FileAlreadyExistsException` — the fence for
     * publish-once artifacts (e.g. a trained model/quantizer) where an
     * exists()+write check-then-act would let two producers both append.
-    * (Atomic on HDFS/local; object stores without atomic create-exclusive
-    * need their conditional-put equivalent.) */
+    * (Atomic on HDFS via create-exclusive and on the local FS via NIO
+    * O_EXCL; object stores without atomic create-exclusive need their
+    * conditional-put equivalent.) */
   def createExclusive(name: String, schema: StructType,
                       partitionBy: Seq[String] = Nil): Unit = {
     val (p, fs) = fsFor(schemaPath(name))
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, false) // throws if the schema file exists
-    try out.write(schema.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // Hadoop's local create(overwrite=false) is exists()-then-create,
+        // NOT O_EXCL — two same-host racers can both pass. NIO createFile
+        // IS O_EXCL, so the claim is genuinely atomic locally too.
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        try Files.createFile(nio)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString) }
+        Files.write(nio, schema.json.getBytes(StandardCharsets.UTF_8)); ()
+      case _ =>
+        val out = fs.create(p, false) // throws if the schema file exists
+        try out.write(schema.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
     if (partitionBy.nonEmpty) writeText(partitionsPath(name), partitionBy.mkString(","))
+  }
+
+  /** Delete a stream: data directory, schema, and partition metadata.
+    * The inverse of the implicit create — used by publishers to unclaim
+    * a name after a failed publish, and by maintenance to drop retired
+    * streams. Consumers must be stopped first (their checkpoints are NOT
+    * removed — a re-created stream resumes from them by design). */
+  def delete(name: String): Unit = {
+    Seq(streamDir(name), s"${streamDir(name)}.old", s"${streamDir(name)}.compacting",
+        schemaPath(name), partitionsPath(name)).foreach { raw =>
+      val (p, fs) = fsFor(raw)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
   }
 
   /** Declare a stream's schema up front (optional — first write also

@@ -81,7 +81,7 @@ class DedupSpec extends SparkSpec {
     }
     // malformed fingerprints fail loudly (as the former UDF's parse did):
     // >16 digits would otherwise silently truncate, non-hex parse as 0
-    for (badHex <- Seq("0123456789abcdef0", "zz00000000000000")) {
+    for (badHex <- Seq("0123456789abcdef0", "zz00000000000000", "")) {
       val e = intercept[Exception] {
         Seq((badHex, "0")).toDF("ha", "hb")
           .select(Dedup.hammingHex(col("ha"), col("hb"))).collect()

@@ -104,6 +104,10 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.saveIvfCenters(spark, reg, "ivf_q", centers)
     }
+    // delete unclaims the name: a fresh save then succeeds and loads whole
+    reg.delete("ivf_q")
+    Similarity.saveIvfCenters(spark, reg, "ivf_q", centers)
+    assert(Similarity.loadIvfCenters(reg, "ivf_q").length === centers.length)
   }
 
   test("lshCosineNearDupPairs == quadratic confirm on planted near-dups (recall 1.0)") {
