@@ -205,6 +205,42 @@ class ClusterDedupSpec extends SparkSpec {
     assert(chainToks === Seq("a a", "a a", "a"))
   }
 
+  test("applyWpeMerges == sequential reference on random merge tables (adversarial)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(101)
+    val vocab = Vector("a", "b", "c", "dd", "ee")
+    for (trial <- 1 to 12) {
+      val texts = Seq.fill(12)(
+        Seq.fill(3 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // random merges: self-pairs, repeats, and pairs that never occur all
+      // allowed; compound lefts reference possibly-nonexistent fusions
+      val nm = 1 + rnd.nextInt(5)
+      val merges = (1 to nm).map { k =>
+        val l = if (k > 1 && rnd.nextBoolean())
+          vocab(rnd.nextInt(vocab.size)) + " " + vocab(rnd.nextInt(vocab.size))
+        else vocab(rnd.nextInt(vocab.size))
+        (k.toLong, l, vocab(rnd.nextInt(vocab.size)))
+      }
+      val got = graft.ops.TextAnalysis
+        .applyWpeMerges(df, merges.toDF("merge_rank", "left", "right"))
+        .orderBy("doc_id", "pos").collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toVector }
+      val ms = merges.map { case (_, l, r) =>
+        (l.replace(' ', '\u0001'), r.replace(' ', '\u0001')) }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val want = ms.foldLeft(t.split(" ").toVector) {
+          case (acc, (l, r)) => applyOne(acc, l, r)
+        }.map(_.replace('\u0001', ' '))
+        assert(got(i.toLong) === want, s"trial $trial doc $i merges=$merges")
+        assert(got(i.toLong).mkString(" ") === t, s"round-trip trial $trial doc $i")
+      }
+    }
+  }
+
   test("connectedComponents driver path survives a deep descending chain") {
     // edges arrive worst-case ordered (each union hangs the new root under
     // a long chain); a recursive find() overflowed the stack here
