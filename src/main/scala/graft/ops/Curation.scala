@@ -263,6 +263,75 @@ object Curation {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** CCNet-style perplexity bucketing: score every document under the
+    * corpus unigram LM ([[TextAnalysis.unigramLogProb]] — real CCNet uses
+    * a 5-gram KenLM; the bucketing logic is order-agnostic) and cut the
+    * corpus into `buckets` equal-size quality tiers by descending
+    * log-probability — bucket 1 is CCNet's "head" (most in-distribution),
+    * the last is "tail". The tier decision is ntile over the ROUNDED
+    * score with a doc_id tiebreak, so the assignment is engine- and
+    * rerun-stable (q69 pins that the rounded scores themselves are
+    * engine-identical).
+    *
+    * Scale shape: scoring is the q69 broadcast-model join (the document
+    * side never shuffles); only the (doc_id, score) PROJECTION — two
+    * columns per document, not the corpus — passes through the global
+    * ntile sort. At true 100 TB-corpus cardinality replace the exact
+    * ntile with fixed thresholds from `approxQuantile` over the score
+    * column (what CCNet itself does: thresholds come from a sample, then
+    * bucketing is a pure per-row comparison). */
+  def perplexityBuckets(docs: DataFrame, corpus: DataFrame,
+                        buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"perplexityBuckets needs >= 2 buckets, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+    TextAnalysis.unigramLogProb(docs, corpus)
+      .withColumn("bucket", ntile(buckets).over(w))
+  }
+
+  /** DSIR-style importance log-ratio (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each pool
+    * document by how much more likely its tokens are under a TARGET
+    * domain's unigram distribution than under the raw pool's — the
+    * published method hashes n-gram features into buckets; unigram
+    * identity features are the same estimator with the hash collision
+    * rate at zero. Both models use add-one smoothing over the POOL
+    * vocabulary V (the target is usually small, so unsmoothed target
+    * probabilities would send every unseen-token document to -∞):
+    *
+    *   p_t(w) = (c_t(w)+1)/(T_t+|V|),  p_r(w) = (c_r(w)+1)/(T_r+|V|)
+    *   score(doc) = mean over tokens of [ln((c_t+1)/(c_r+1)) + ln((T_r+|V|)/(T_t+|V|))]
+    *
+    * The two-ln form (not one ln of the product) is load-bearing: both
+    * engines evaluate the identical per-token IEEE chain, so the rounded
+    * mean is engine-identical (q69 precedent). Resampling is then a
+    * per-row keep decision against the score — compose with
+    * [[perplexityBuckets]]-style tiers or an md5-bucket rate.
+    *
+    * Scale shape: model tables are pool-vocabulary-bounded (broadcast);
+    * totals are a one-row cross join; the pool side explodes tokens but
+    * never shuffles text — per-doc aggregation is the only shuffle and it
+    * carries (doc_id, two doubles). Pool tokens absent from the target
+    * still score (smoothing covers them); by construction no pool token
+    * is absent from the pool model. */
+  def dsirLogRatio(docs: DataFrame, target: DataFrame): DataFrame = {
+    val toksOf = (df: DataFrame) =>
+      df.select(explode(split(col("text"), " ")).as("tok"))
+    val rawCnt = toksOf(docs).groupBy("tok").agg(count(lit(1)).as("cr"))
+    val tgtCnt = toksOf(target).groupBy("tok").agg(count(lit(1)).as("ct"))
+    val model = rawCnt.join(tgtCnt, Seq("tok"), "left").na.fill(0L, Seq("ct"))
+    val totals = model.agg(sum("cr").as("tr"), sum("ct").as("tt"),
+      count(lit(1)).as("v"))
+    val llr = log((col("ct") + 1).cast("double") / (col("cr") + 1)) +
+      log((col("tr") + col("v")).cast("double") / (col("tt") + col("v")))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(model), Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(llr), 4).as("avg_logratio"))
+  }
+
   /** Curated corpus stats per language (rows-only oracle: upstream uses
     * engine-internal MinHash). */
   def stats(curated: DataFrame): DataFrame =

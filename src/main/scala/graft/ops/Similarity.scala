@@ -199,6 +199,60 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** Hard cluster assignment against a fixed centroid matrix: nearest
+    * center by squared-L2, ties to the lower index (the
+    * [[graft.functions.IvfCells]] rule — bit-identical to a stable sort,
+    * and exactly mirrorable in oracle SQL). The centers ride as a plan
+    * reference object inside a codegen'd expression, so the corpus-side
+    * cost is one embarrassingly-parallel projection — no broadcast
+    * variable, no UDF serde, no shuffle. */
+  def kmeansAssign(corpus: DataFrame,
+                   centers: Array[Array[Double]]): DataFrame = {
+    require(centers.nonEmpty, "kmeansAssign needs at least one center")
+    val v = col("embedding").cast("array<double>").as("v")
+    corpus.select(col("vec_id"), v)
+      .withColumn("cluster",
+        element_at(graft.functions.VectorFunctions.nearestCells(
+          col("v"), centers, 1), 1).cast("long"))
+  }
+
+  /** Distributed Lloyd's k-means over the FULL corpus — the companion to
+    * [[trainIvfCenters]] (which trains on a bounded driver sample, the
+    * faiss default) for when the quantizer must see every vector: each
+    * iteration is one [[kmeansAssign]] projection plus one
+    * posexplode→groupBy(cluster, dim) partial-aggregated mean; only the
+    * k×dim centroid matrix ever reaches the driver (control-plane
+    * sized), so per-iteration cost is two corpus passes and a k·dim
+    * shuffle regardless of corpus size. Initial centers are the k
+    * lowest-vec_id vectors (deterministic, rerun-stable — same rationale
+    * as trainIvfCenters' sorted sample); an emptied cluster keeps its
+    * previous center, matching [[localKMeans]]. Centroid means are
+    * distributed sums, so they match a sequential reference only to
+    * summation-order noise — SimilaritySpec bounds the drift and pins
+    * assignment equality. */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var centers = vecs.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(centers.length == k,
+      s"corpus has only ${centers.length} vectors for k=$k initial centers")
+    for (_ <- 0 until iters) {
+      val dims = kmeansAssign(corpus, centers)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect() // k × dim rows — control-plane sized by construction
+      val next = centers.map(_.clone)
+      dims.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          r.getDouble(2) / r.getLong(3)
+      }
+      centers = next
+    }
+    centers
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5) (explicit
     * half-up floor — identical in every engine, unlike round-half-even

@@ -358,6 +358,46 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** Frequency-ranked token vocabulary: the `vocabSize` most frequent
+    * corpus tokens, id 0 = most frequent, ties broken lexicographically
+    * (so the id assignment is engine- and rerun-stable — a vocabulary
+    * whose ids shuffle between builds poisons every checkpoint trained
+    * against it). The ranking window is global but runs over the
+    * DISTINCT-TOKEN table (vocabulary-bounded, the q69/q83 model-table
+    * argument), not the corpus; the wordcount under it is map-side
+    * combined. */
+  def buildVocab(corpus: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize >= 1, got $vocabSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    corpus.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("token_id") < vocabSize)
+      .select("tok", "token_id")
+  }
+
+  /** Tokenizer encode to id sequences: map each document's tokens to
+    * vocabulary ids ([[buildVocab]] or a loaded vocab table), truncate to
+    * `maxLen` positions, out-of-vocabulary tokens → `unkId` (callers pass
+    * the vocab size, the conventional UNK slot). Output is the EXPLODED
+    * (doc_id, pos, token_id) form — the shape downstream packers consume
+    * and the only driver-comparable one (raw array columns are
+    * unhashable in the harness, the q68 lesson). Scale shape: the vocab
+    * is broadcast, the document side never shuffles; truncation is a
+    * pushed filter on the position BEFORE the join, so over-length tails
+    * never pay the lookup. */
+  def encodeToIds(docs: DataFrame, vocab: DataFrame, maxLen: Int,
+                  unkId: Long): DataFrame = {
+    require(maxLen >= 1, s"maxLen >= 1, got $maxLen")
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("pos") < maxLen)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(unkId)).as("token_id"))
+  }
+
   /** Quality-feature battery (mirrors q52 but reusable as a library op). */
   def qualityFeatures(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

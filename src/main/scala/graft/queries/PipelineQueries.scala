@@ -1406,6 +1406,112 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing ([[Curation.perplexityBuckets]]):
+    * q69's unigram LM score cut into head/middle/tail thirds by ntile
+    * over (rounded score desc, doc_id) — deterministic because q69
+    * already pins the rounded scores engine-identical and the tiebreak
+    * totalizes the order. */
+  val q109PplBuckets: Q = q("q109_ppl_buckets",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(avg(ln(c::DOUBLE / tot)), 4) AS avg_logprob
+      |  FROM tok JOIN freq USING (tok) CROSS JOIN tot
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, avg_logprob,
+      |  CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER)
+      |    AS bucket
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.perplexityBuckets(docs, docs, buckets = 3).orderBy("doc_id")
+  }
+
+  /** DSIR importance log-ratio ([[Curation.dsirLogRatio]]): target = the
+    * English slice, pool = the whole corpus; add-one smoothing over the
+    * pool vocabulary. The oracle recomputes both smoothed models and the
+    * identical two-ln per-token chain (ln-parity per the q69/q20
+    * precedent). */
+  val q110DsirWeights: Q = q("q110_dsir_weights",
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |raw AS (SELECT tok, count(*) AS cr FROM t GROUP BY tok),
+      |tgt AS (SELECT tok, count(*) AS ct FROM t WHERE lang = 'en' GROUP BY tok),
+      |model AS (SELECT r.tok, r.cr, coalesce(g.ct, 0) AS ct
+      |          FROM raw r LEFT JOIN tgt g USING (tok)),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+      |               CAST(sum(ct) AS BIGINT) AS tt,
+      |               CAST(count(*) AS BIGINT) AS v FROM model)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(avg(ln((ct + 1)::DOUBLE / (cr + 1))
+      |          + ln((tr + v)::DOUBLE / (tt + v))), 4) AS avg_logratio
+      |FROM t JOIN model USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.dsirLogRatio(docs, docs.filter(col("lang") === "en"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer encode to ids ([[TextAnalysis.buildVocab]] +
+    * [[TextAnalysis.encodeToIds]]): top-64 frequency vocabulary
+    * (count desc, token asc — a total order, so ids are engine-stable),
+    * documents truncated to 16 positions, OOV → id 64. Exploded
+    * (doc_id, pos, token_id) output — the packer-input shape. */
+  val q111EncodeIds: Q = q("q111_encode_ids",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(range(0, len(w))) AS pos,
+      |               unnest(w) AS tok FROM t),
+      |vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |vocab AS (SELECT tok, token_id FROM (
+      |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT)
+      |    AS token_id FROM vc) WHERE token_id < 64)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  coalesce(v.token_id, 64) AS token_id
+      |FROM tok LEFT JOIN vocab v USING (tok)
+      |WHERE pos < 16
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = TextAnalysis.buildVocab(docs, vocabSize = 64)
+    TextAnalysis.encodeToIds(docs, vocab, maxLen = 16, unkId = 64L)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** K-means hard assignment ([[Similarity.kmeansAssign]]) against the
+    * deterministic initial centroids (the 8 lowest-vec_id vectors —
+    * [[Similarity.kmeansFit]]'s init): per-cluster membership counts.
+    * Squared-L2 argmin with a lower-index tiebreak, exactly the
+    * [[graft.functions.IvfCells]] rule; assignment margins on the random
+    * fixture vectors dwarf summation-order noise (q87/q90 precedent).
+    * The iterative [[Similarity.kmeansFit]] trainer is pinned against a
+    * sequential reference in SimilaritySpec (driver loops are not
+    * single-statement SQL — the q103 argument). */
+  val q113KmeansAssign: Q = q("q113_kmeans_assign",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |      FROM e ORDER BY vec_id LIMIT 8),
+      |d AS (SELECT e.vec_id, c.cid,
+      |        list_sum(list_transform(range(1, len(e.v) + 1),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+      |      FROM e CROSS JOIN c),
+      |a AS (SELECT vec_id, cid,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |      FROM d)
+      |SELECT CAST(cid AS BIGINT) AS cluster,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  min(vec_id) AS first_member
+      |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centers = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Double](1).toArray)
+    Similarity.kmeansAssign(emb, centers)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), min("vec_id").as("first_member"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1421,5 +1527,6 @@ object PipelineQueries {
     q79SemanticClusters, q80BigramLogprob, q81TextSearch, q82DupSpans,
     q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
     q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
-    q108WpeEncode)
+    q108WpeEncode,
+    q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign)
 }

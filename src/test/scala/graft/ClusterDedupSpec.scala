@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup}
+import graft.ops.{Curation, Dedup, TextAnalysis}
 
 /** Cluster canonicalization, chunk dedup, decontamination, PII redaction
   * and temperature resampling semantics. */
@@ -652,5 +652,47 @@ class ClusterDedupSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("kept").cast("long")).as("k"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(kept === again)
+  }
+
+  test("buildVocab: frequency-ranked ids with lexicographic ties, capped size") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq((0L, "b b b a a c"), (1L, "a d")).toDF("doc_id", "text")
+    // counts: b:3 a:3 c:1 d:1 → ties break lexicographically: a=0 b=1 c=2 d=3
+    val full = TextAnalysis.buildVocab(corpus, vocabSize = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    val capped = TextAnalysis.buildVocab(corpus, vocabSize = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("encodeToIds: vocab lookup, OOV → unk id, truncation at maxLen") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq((0L, "b b b a a c"), (1L, "a d")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(corpus, vocabSize = 2) // a=0 b=1
+    val enc = TextAnalysis.encodeToIds(corpus, vocab, maxLen = 4, unkId = 2L)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq === Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 0L), // truncated at 4
+      (1L, 0L, 0L), (1L, 1L, 2L)))                            // d is OOV
+  }
+
+  test("encodeToIds round-trips with the vocab: in-vocab tokens decode back") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val vocab = TextAnalysis.buildVocab(docs, vocabSize = 500)
+    val enc = TextAnalysis.encodeToIds(docs, vocab, maxLen = 1000, unkId = 500L)
+    // decode via the inverted vocab and compare against the raw tokens
+    val decoded = enc.join(vocab.withColumnRenamed("tok", "back"),
+        Seq("token_id"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("back"), lit("<unk>")).as("tok"))
+    val raw = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val mismatches = decoded.join(raw, Seq("doc_id", "pos"))
+      .filter(decoded("tok") =!= raw("tok") && decoded("tok") =!= "<unk>")
+    assert(mismatches.isEmpty)
   }
 }

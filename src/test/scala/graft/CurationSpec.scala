@@ -276,6 +276,52 @@ class CurationSpec extends SparkSpec {
     assert(massIn === massOut)
   }
 
+  test("perplexityBuckets: balanced tiers, ordered by score, stable assignment") {
+    val b = Curation.perplexityBuckets(docs, docs, buckets = 3).cache()
+    try {
+      val n = b.count()
+      assert(n === docs.count())
+      val sizes = b.groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet === Set(1, 2, 3))
+      // ntile balance: tier sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // tiers are ordered: the worst doc of tier k scores no lower than
+      // the best doc of tier k+1 (equality allowed — doc_id splits ties)
+      val stats = b.groupBy("bucket")
+        .agg(min("avg_logprob").as("mn"), max("avg_logprob").as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      stats.sliding(2).foreach {
+        case Array((_, mn1, _), (_, _, mx2)) => assert(mn1 >= mx2)
+        case _ => ()
+      }
+    } finally b.unpersist()
+  }
+
+  test("dsirLogRatio: hand-computed smoothed log-ratios on a two-doc pool") {
+    val s = spark
+    import s.implicits._
+    val pool = Seq((0L, "a a b", "en"), (1L, "b c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    // pool: a:2 b:2 c:1, Tr=5, V=3; target(en): a:2 b:1 c:0, Tt=3
+    val const = math.log(8.0 / 6.0)
+    def llr(ct: Long, cr: Long) = math.log((ct + 1).toDouble / (cr + 1)) + const
+    val exp0 = (llr(2, 2) + llr(2, 2) + llr(1, 2)) / 3
+    val exp1 = (llr(1, 2) + llr(0, 1)) / 2
+    val got = Curation.dsirLogRatio(pool, pool.filter($"lang" === "en"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, math.round(exp0 * 10000) / 10000.0),
+      (1L, 2L, math.round(exp1 * 10000) / 10000.0)))
+  }
+
+  test("dsirLogRatio: target == pool scores exactly zero everywhere") {
+    val z = Curation.dsirLogRatio(docs, docs)
+    assert(z.filter(col("avg_logratio") =!= 0.0).isEmpty)
+  }
+
   test("topBigramShare: exact score on a known repetition; singleton doc dropped") {
     val s = spark
     import s.implicits._

@@ -172,4 +172,57 @@ class SimilaritySpec extends SparkSpec {
     val ann = Similarity.annLsh(emb.filter(col("vec_id") < 5), emb, k = 5)
     assert(ann.filter(col("q_id") === col("c_id")).isEmpty)
   }
+
+  test("kmeansAssign: equidistant point takes the lower center index") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((0L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val centers = Array(Array(1.0, 0.0), Array(-1.0, 0.0), Array(0.0, 1.0))
+    val got = Similarity.kmeansAssign(one, centers).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("cluster") === 0L)
+  }
+
+  test("kmeansFit: distributed Lloyd's matches a sequential reference " +
+      "from the same deterministic init") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val k = 6; val iters = 4
+    val pts = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    // sequential reference: identical init (first k by vec_id), argmin
+    // squared-L2 with lower-index ties (minBy keeps the first minimum),
+    // empty clusters keep their center
+    var ref = pts.take(k).map(_.clone)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val assign = pts.map(p => ref.indices.minBy(c => d2(p, ref(c))))
+      ref = ref.indices.toArray.map { c =>
+        val members = pts.indices.filter(assign(_) == c)
+        if (members.isEmpty) ref(c)
+        else {
+          val m = new Array[Double](pts.head.length)
+          members.foreach { i =>
+            var j = 0; while (j < m.length) { m(j) += pts(i)(j); j += 1 }
+          }
+          m.map(_ / members.size)
+        }
+      }
+    }
+    val got = Similarity.kmeansFit(emb, k, iters)
+    assert(got.length === k)
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), c) =>
+      g.zip(r).foreach { case (gv, rv) =>
+        assert(math.abs(gv - rv) < 1e-9, s"center $c drifted: $gv vs $rv")
+      }
+    }
+    // and the resulting hard assignments agree exactly
+    val refAssign = pts.map(p => ref.indices.minBy(c => d2(p, ref(c))).toLong)
+    val gotAssign = Similarity.kmeansAssign(emb, got)
+      .orderBy("vec_id").collect().map(_.getAs[Long]("cluster"))
+    assert(gotAssign.toSeq === refAssign.toSeq)
+  }
 }
