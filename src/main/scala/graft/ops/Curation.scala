@@ -319,7 +319,12 @@ object Curation {
       df.select(explode(split(col("text"), " ")).as("tok"))
     val rawCnt = toksOf(docs).groupBy("tok").agg(count(lit(1)).as("cr"))
     val tgtCnt = toksOf(target).groupBy("tok").agg(count(lit(1)).as("ct"))
+    // lineage cut: the model feeds both the totals aggregate and the
+    // doc-side join — without it the two corpus-wide wordcounts run once
+    // per consumer (two extra full passes at scale; the table itself is
+    // pool-vocabulary-bounded, so the materialization is small)
     val model = rawCnt.join(tgtCnt, Seq("tok"), "left").na.fill(0L, Seq("ct"))
+      .localCheckpoint(false)
     val totals = model.agg(sum("cr").as("tr"), sum("ct").as("tt"),
       count(lit(1)).as("v"))
     val llr = log((col("ct") + 1).cast("double") / (col("cr") + 1)) +
