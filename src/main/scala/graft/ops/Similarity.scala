@@ -253,6 +253,73 @@ object Similarity {
     centers
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` documents maximizing
+    * λ·cos(v, query) − (1−λ)·max_{s∈selected} cos(v, s) — the standard
+    * diverse-subset recipe for retrieval contexts and training-data
+    * selection (high relevance, low redundancy; λ=1 degenerates to plain
+    * top-k). Inherently sequential (each pick changes the next round's
+    * penalty), so the shape is the q103/WPE one: k driver-coordinated
+    * rounds, each one distributed scoring pass over the candidates plus
+    * a ONE-ROW argmax collect — control-plane traffic only. Per-round
+    * cost: |corpus|·|selected| native dot products via a broadcast
+    * (≤ k × dim) selected table — O(k²·n·dim) total, fine for the k ≪ n
+    * regime MMR exists for. Relevance and norms are computed once into a
+    * lazy checkpoint (k rounds re-scan the materialization, not the
+    * lineage). Non-finite relevance rows (zero-norm/dirty vectors) are
+    * dropped up front — Spark's ordering ranks NaN above every double,
+    * so one dirty vector would otherwise win every round. Ties break on
+    * vec_id; scores are raw doubles (callers round for display). */
+  def mmrSelect(corpus: DataFrame, queryVec: Array[Double], k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val qlit = typedLit(queryVec.toSeq)
+    val scored = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", norm(col("v")))
+      .withColumn("rel", dot(col("v"), qlit) / (col("vn") * norm(qlit)))
+      .filter(col("rel").isNotNull && !isnan(col("rel")))
+      .localCheckpoint(false)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Double)]()
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val pick =
+        if (selected.isEmpty)
+          scored
+            .select(col("vec_id"), col("v"),
+              (lit(lambda) * col("rel")).as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+            .collect().headOption
+        else {
+          val selDf = spark.createDataFrame(
+              selected.toSeq.map { case (id, v, _) => (id, v) })
+            .toDF("sid", "sv")
+            .withColumn("sn", norm(col("sv")))
+          scored
+            .filter(!col("vec_id").isin(selected.map(_._1).toSeq: _*))
+            .crossJoin(broadcast(selDf))
+            .withColumn("sim", dot(col("v"), col("sv")) / (col("vn") * col("sn")))
+            .groupBy("vec_id")
+            .agg(first("v").as("v"), first("rel").as("rel"),
+              max("sim").as("msim"))
+            .select(col("vec_id"), col("v"),
+              (lit(lambda) * col("rel") - lit(1 - lambda) * col("msim")).as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+            .collect().headOption
+        }
+      pick match {
+        case Some(r) =>
+          selected += ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        case None => exhausted = true
+      }
+    }
+    spark.createDataFrame(selected.toSeq.zipWithIndex.map {
+      case ((id, _, s), i) => (i + 1L, id, s)
+    }).toDF("rank", "vec_id", "mmr_score")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5) (explicit
     * half-up floor — identical in every engine, unlike round-half-even

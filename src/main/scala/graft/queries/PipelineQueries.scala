@@ -1512,6 +1512,22 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
+  /** MMR diverse selection ([[Similarity.mmrSelect]]): top-10 by maximal
+    * marginal relevance against vec 0's embedding — the greedy
+    * relevance-vs-redundancy pick is a sequential driver loop (the q103
+    * argument), so rows-only; SimilaritySpec pins exact equality with a
+    * sequential greedy reference and the diversity behavior on a planted
+    * near-duplicate. */
+  val q114MmrSelect: Q = rowsOnly("q114_mmr_select") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    Similarity.mmrSelect(emb, qv, k = 10, lambda = 0.7)
+      .withColumn("mmr_score", round(col("mmr_score"), 4))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1528,5 +1544,6 @@ object PipelineQueries {
     q83TfidfTopk, q84SpanClean, q85CorpusMix, q86IncrementalNeardup,
     q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
     q108WpeEncode,
-    q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign)
+    q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
+    q114MmrSelect)
 }

@@ -182,6 +182,55 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length === 1 && got.head.getAs[Long]("cluster") === 0L)
   }
 
+  test("mmrSelect matches a sequential greedy reference exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = vecs.find(_._1 == 0L).get._2
+    val k = 8; val lam = 0.7; val om = 1 - lam
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotv(a, b) / (math.sqrt(dotv(a, a)) * math.sqrt(dotv(b, b)))
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val selVecs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    while (ref.size < k) {
+      val best = vecs.filter(v => !ref.exists(_._1 == v._1))
+        .map { case (id, v) =>
+          val rel = cos(v, q)
+          val score = if (selVecs.isEmpty) lam * rel
+            else lam * rel - om * selVecs.map(s => cos(v, s)).max
+          (id, score)
+        }
+        .minBy { case (id, s) => (-s, id) }
+      ref += best
+      selVecs += vecs.find(_._1 == best._1).get._2
+    }
+    val got = Similarity.mmrSelect(emb, q, k, lam)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === ref.toSeq)
+  }
+
+  test("mmrSelect: a redundant near-duplicate is deferred for diversity") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Seq(
+      (1L, Seq(0.9, 0.1)),   // most relevant to the query
+      (2L, Seq(0.9, 0.11)),  // near-duplicate of 1 (plain top-2 takes it)
+      (3L, Seq(0.5, 0.5))    // less relevant but diverse
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0)
+    val diverse = Similarity.mmrSelect(emb, q, k = 2, lambda = 0.3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(diverse.toSeq === Seq(1L, 3L))
+    val plain = Similarity.mmrSelect(emb, q, k = 2, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(plain.toSeq === Seq(1L, 2L))
+  }
+
   test("kmeansFit: distributed Lloyd's matches a sequential reference " +
       "from the same deterministic init") {
     val emb = Tables.embeddings(spark, sf0001)
