@@ -337,6 +337,26 @@ object Curation {
         round(avg(llr), 4).as("avg_logratio"))
   }
 
+  /** Deterministic Gumbel-top-k resampling — the draw DSIR pairs with
+    * its importance weights: sampling k documents without replacement
+    * with probability ∝ exp(score) is exactly keeping the top k by
+    * score + Gumbel noise (the Gumbel-max trick). The noise is derived
+    * from md5(text), not an RNG — u = (first-24-md5-bits + 0.5)/2²⁴
+    * ∈ (0,1), g = −ln(−ln u) — so the draw is engine- and
+    * re-shard-stable like every sampler in this file (+0.5 keeps u off
+    * both endpoints, where g diverges; all steps are exact-dyadic or
+    * correctly-rounded, the q76 determinism argument). The selection is
+    * a distributed top-k (TakeOrderedAndProject — per-partition heads,
+    * no global sort); ties break on doc_id. */
+  def gumbelTopK(docs: DataFrame, score: Column, k: Int): DataFrame = {
+    require(k >= 1, s"gumbelTopK needs k >= 1, got $k")
+    val u = (conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double")
+      + lit(0.5d)) / lit((1 << 24).toDouble)
+    docs.withColumn("gumbel_key", score - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Curated corpus stats per language (rows-only oracle: upstream uses
     * engine-internal MinHash). */
   def stats(curated: DataFrame): DataFrame =

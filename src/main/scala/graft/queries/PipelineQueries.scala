@@ -1512,6 +1512,43 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
+  /** DSIR resampling step ([[Curation.gumbelTopK]] over
+    * [[Curation.dsirLogRatio]] scores): top-50 by importance score plus
+    * deterministic md5-derived Gumbel noise — the Gumbel-max trick makes
+    * this an exp(score)-weighted draw without replacement. The oracle
+    * recomputes the identical score chain (q110) and the identical
+    * noise arithmetic; the k-boundary is decided by the RAW key in both
+    * engines, rounding is display-only. */
+  val q115GumbelSample: Q = q("q115_gumbel_sample",
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |raw AS (SELECT tok, count(*) AS cr FROM t GROUP BY tok),
+      |tgt AS (SELECT tok, count(*) AS ct FROM t WHERE lang = 'en' GROUP BY tok),
+      |model AS (SELECT r.tok, r.cr, coalesce(g.ct, 0) AS ct
+      |          FROM raw r LEFT JOIN tgt g USING (tok)),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+      |               CAST(sum(ct) AS BIGINT) AS tt,
+      |               CAST(count(*) AS BIGINT) AS v FROM model),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(avg(ln((ct + 1)::DOUBLE / (cr + 1))
+      |          + ln((tr + v)::DOUBLE / (tt + v))), 4) AS avg_logratio
+      |  FROM t JOIN model USING (tok) CROSS JOIN tot GROUP BY doc_id),
+      |g AS (SELECT d.doc_id, sc.n_tokens, sc.avg_logratio,
+      |        sc.avg_logratio - ln(-ln(
+      |          (('0x' || substr(md5(d.text), 1, 6))::BIGINT + 0.5)
+      |            / 16777216.0)) AS gk
+      |      FROM documents d JOIN sc USING (doc_id))
+      |SELECT doc_id, n_tokens, avg_logratio, round(gk, 4) AS gumbel_key
+      |FROM g ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("doc_id"), col("text"))
+      .join(Curation.dsirLogRatio(docs, docs.filter(col("lang") === "en")),
+        "doc_id")
+    Curation.gumbelTopK(scored, col("avg_logratio"), k = 50)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logratio"),
+        round(col("gumbel_key"), 4).as("gumbel_key"))
+  }
+
   /** MMR diverse selection ([[Similarity.mmrSelect]]): top-10 by maximal
     * marginal relevance against vec 0's embedding — the greedy
     * relevance-vs-redundancy pick is a sequential driver loop (the q103
@@ -1545,5 +1582,5 @@ object PipelineQueries {
     q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
-    q114MmrSelect)
+    q114MmrSelect, q115GumbelSample)
 }

@@ -322,6 +322,35 @@ class CurationSpec extends SparkSpec {
     assert(z.filter(col("avg_logratio") =!= 0.0).isEmpty)
   }
 
+  test("gumbelTopK: md5-derived key matches a hand recompute; dominant score wins") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "alpha", 0.0), (1L, "beta", 0.0), (2L, "gamma", 100.0))
+      .toDF("doc_id", "text", "score")
+    def key(text: String, score: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      val u = (b + 0.5) / (1 << 24).toDouble
+      score - math.log(-math.log(u))
+    }
+    val texts = Seq("alpha", "beta", "gamma")
+    val got = Curation.gumbelTopK(df, col("score"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("gumbel_key")))
+    assert(got.length === 3)
+    got.foreach { case (id, gk) =>
+      val sc = if (id == 2L) 100.0 else 0.0
+      assert(gk === key(texts(id.toInt), sc), s"key mismatch for doc $id")
+    }
+    // keys are sorted descending in the output and the dominant score leads
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    assert(got.head._1 === 2L)
+    // deterministic: the same draw on rerun
+    val again = Curation.gumbelTopK(df, col("score"), k = 2)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq === got.map(_._1).take(2).toSeq)
+  }
+
   test("topBigramShare: exact score on a known repetition; singleton doc dropped") {
     val s = spark
     import s.implicits._

@@ -74,15 +74,17 @@ class QueriesSpec extends SparkSpec {
     // SMALL, bounded side (each documented in its query scaladoc): q06/q24
     // pure theta/range conditions, q40/q43/q63 broadcast a bounded query/
     // candidate set against the corpus, q61 broadcasts a generated spine,
-    // and q69/q71/q76/q83/q85/q88/q92/q97 crossJoin a broadcast ONE-ROW
-    // aggregate scalar (corpus total / quantization range / min language
-    // count / doc count / mix total / BM25 corpus stats / key totals /
-    // histogram min-max).
+    // and q69/q71/q76/q83/q85/q88/q92/q97 plus the LM-selection family
+    // q109/q110/q115 crossJoin a broadcast ONE-ROW aggregate scalar
+    // (corpus total / quantization range / min language count / doc
+    // count / mix total / BM25 corpus stats / key totals / histogram
+    // min-max / smoothing totals).
     val allowedNlj = Set("q06_theta_join", "q24_range_join", "q40_cosine_topk",
       "q43_cosine_neardup", "q61_gap_fill", "q63_lsh_cosine_neardup",
       "q69_unigram_logprob", "q71_quant_topk", "q76_temperature_mix",
       "q83_tfidf_topk", "q85_corpus_mix", "q88_bm25_topk", "q92_key_skew",
-      "q97_histogram")
+      "q97_histogram", "q109_ppl_buckets", "q110_dsir_weights",
+      "q115_gumbel_sample")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
