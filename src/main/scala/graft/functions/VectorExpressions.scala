@@ -215,13 +215,14 @@ object IvfCells {
   /** Indices of the `nprobe` nearest centroids to `v` (squared-L2),
     * ordered nearest-first, ties broken by lower index — bit-identical to
     * a stable sort over (index, distance). `flat` is row-major
-    * nlist × dim. A vector whose dimension does not divide the centroid
-    * matrix (truncated/dirty row) gets NO cells — a silent misaligned
-    * floor-division here would score every centroid against garbage
-    * slices and hand the row a wrong-but-plausible cell id. */
-  def nearestCells(v: ArrayData, flat: Array[Double], nprobe: Int): ArrayData = {
-    val dim = v.numElements()
-    if (dim == 0 || flat.length % dim != 0)
+    * nlist × `dim`, with `dim` the CENTROID dimension passed explicitly:
+    * a vector of any other length (truncated/dirty row) gets NO cells.
+    * The old divides-the-matrix check missed dirty dims that happen to
+    * divide nlist·dim (a 1-dim vector against 2×2 centroids scored four
+    * garbage "centroids" and got a wrong-but-plausible cell id). */
+  def nearestCells(v: ArrayData, flat: Array[Double], dim: Int,
+                   nprobe: Int): ArrayData = {
+    if (dim == 0 || v.numElements() != dim)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array.emptyIntArray)
     val nlist = flat.length / dim
@@ -266,9 +267,12 @@ object IvfCells {
   * stays in the whole-stage span. The centroids ride along as a plan
   * reference object (nlist × dim doubles — control-plane sized), so no
   * broadcast variable is needed. */
-case class NearestCells(child: Expression, centers: Seq[Double], nprobe: Int)
+case class NearestCells(child: Expression, centers: Seq[Double], dim: Int,
+                        nprobe: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(nprobe >= 1, "nprobe >= 1")
+  require(dim >= 1 && centers.size % dim == 0,
+    s"centers (${centers.size} values) must be row-major nlist x dim=$dim")
 
   private lazy val flat: Array[Double] = centers.toArray
 
@@ -283,12 +287,12 @@ case class NearestCells(child: Expression, centers: Seq[Double], nprobe: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    IvfCells.nearestCells(input.asInstanceOf[ArrayData], flat, nprobe)
+    IvfCells.nearestCells(input.asInstanceOf[ArrayData], flat, dim, nprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centersRef = ctx.addReferenceObj("ivfCenters", flat, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.IvfCells.nearestCells($c, $centersRef, $nprobe)")
+      s"graft.functions.IvfCells.nearestCells($c, $centersRef, $dim, $nprobe)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
@@ -305,8 +309,13 @@ object VectorFunctions {
   def lshSignatures(v: Column, planes: Int, tables: Int): Column =
     GraftSqlBridge.column(LshSignatures(GraftSqlBridge.expression(v), planes, tables))
 
-  /** Column API for [[NearestCells]]; `centers` is row-major nlist × dim. */
-  def nearestCells(v: Column, centers: Array[Array[Double]], nprobe: Int): Column =
+  /** Column API for [[NearestCells]]; `centers` is row-major nlist × dim
+    * (the centroid dim rides along so dirty input rows of ANY other
+    * length get no cells, not a misaligned score). */
+  def nearestCells(v: Column, centers: Array[Array[Double]], nprobe: Int): Column = {
+    require(centers.nonEmpty && centers.head.nonEmpty,
+      "nearestCells needs a non-empty centroid matrix")
     GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(v),
-      centers.flatten.toSeq, nprobe))
+      centers.flatten.toSeq, centers.head.length, nprobe))
+  }
 }

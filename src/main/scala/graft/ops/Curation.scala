@@ -210,7 +210,15 @@ object Curation {
     * never drift; [[hashSplit]] keeps its coarser 8-bit variant for
     * split-boundary reasons documented there). */
   private def keptByMd5Bucket(text: Column, rate: Column): Column =
-    conv(substring(md5(text), 1, 6), 16, 10).cast("long") < rate * (1 << 24)
+    md5Bucket24(text) < rate * (1 << 24)
+
+  /** First 24 bits of md5(text) as a long in [0, 2²⁴) — the ONE uniform
+    * content-hash primitive behind the deterministic samplers here
+    * ([[keptByMd5Bucket]], [[gumbelTopK]]). Shared so the engine/
+    * re-shard determinism argument cannot drift between copies; edits
+    * here change every sampler's draw at once, deliberately. */
+  private def md5Bucket24(text: Column): Column =
+    conv(substring(md5(text), 1, 6), 16, 10).cast("long")
 
   /** Deterministic fixed-ratio corpus mixing (the "30% code, 70% web"
     * recipe): downsample each source so kept counts sit in the target
@@ -273,6 +281,14 @@ object Curation {
     * rerun-stable (q69 pins that the rounded scores themselves are
     * engine-identical).
     *
+    * Every document of `docs` gets a bucket: when `corpus` is a separate
+    * reference LM (the real CCNet setup), a document with NO in-corpus
+    * tokens has no defined score — unigramLogProb emits no row — but it
+    * is exactly the out-of-distribution material the tail tier exists
+    * for, so it re-enters via a left join with a null score and sorts
+    * below every scored document (nulls-last, doc_id tiebreak) into the
+    * last tier. Its n_tokens (in-vocab token count) is 0.
+    *
     * Scale shape: scoring is the q69 broadcast-model join (the document
     * side never shuffles); only the (doc_id, score) PROJECTION — two
     * columns per document, not the corpus — passes through the global
@@ -284,8 +300,10 @@ object Curation {
                         buckets: Int = 3): DataFrame = {
     require(buckets >= 2, s"perplexityBuckets needs >= 2 buckets, got $buckets")
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("avg_logprob").desc, col("doc_id").asc)
-    TextAnalysis.unigramLogProb(docs, corpus)
+      .orderBy(col("avg_logprob").desc_nulls_last, col("doc_id").asc)
+    docs.select(col("doc_id"))
+      .join(TextAnalysis.unigramLogProb(docs, corpus), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens"))
       .withColumn("bucket", ntile(buckets).over(w))
   }
 
@@ -301,6 +319,12 @@ object Curation {
     *
     *   p_t(w) = (c_t(w)+1)/(T_t+|V|),  p_r(w) = (c_r(w)+1)/(T_r+|V|)
     *   score(doc) = mean over tokens of [ln((c_t+1)/(c_r+1)) + ln((T_r+|V|)/(T_t+|V|))]
+    *
+    * T_t is the FULL target token count (not just target tokens inside
+    * the pool vocabulary), so the normalizer is unbiased when the target
+    * carries out-of-pool jargon; target-only tokens still contribute no
+    * per-token evidence — pool documents cannot contain them by
+    * definition, so only the totals see them.
     *
     * The two-ln form (not one ln of the product) is load-bearing: both
     * engines evaluate the identical per-token IEEE chain, so the rounded
@@ -318,15 +342,16 @@ object Curation {
     val toksOf = (df: DataFrame) =>
       df.select(explode(split(col("text"), " ")).as("tok"))
     val rawCnt = toksOf(docs).groupBy("tok").agg(count(lit(1)).as("cr"))
+    // both wordcounts feed two consumers (model join + a totals
+    // aggregate); persist computes each once while staying lazy and
+    // recomputable (see unigramLogProb for why not localCheckpoint) —
+    // the tables are vocabulary-bounded, so the materialization is small
     val tgtCnt = toksOf(target).groupBy("tok").agg(count(lit(1)).as("ct"))
-    // lineage cut: the model feeds both the totals aggregate and the
-    // doc-side join — without it the two corpus-wide wordcounts run once
-    // per consumer (two extra full passes at scale; the table itself is
-    // pool-vocabulary-bounded, so the materialization is small)
+      .persist()
     val model = rawCnt.join(tgtCnt, Seq("tok"), "left").na.fill(0L, Seq("ct"))
-      .localCheckpoint(false)
-    val totals = model.agg(sum("cr").as("tr"), sum("ct").as("tt"),
-      count(lit(1)).as("v"))
+      .persist()
+    val totals = model.agg(sum("cr").as("tr"), count(lit(1)).as("v"))
+      .crossJoin(tgtCnt.agg(sum("ct").as("tt")))
     val llr = log((col("ct") + 1).cast("double") / (col("cr") + 1)) +
       log((col("tr") + col("v")).cast("double") / (col("tt") + col("v")))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -350,7 +375,7 @@ object Curation {
     * no global sort); ties break on doc_id. */
   def gumbelTopK(docs: DataFrame, score: Column, k: Int): DataFrame = {
     require(k >= 1, s"gumbelTopK needs k >= 1, got $k")
-    val u = (conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double")
+    val u = (md5Bucket24(col("text")).cast("double")
       + lit(0.5d)) / lit((1 << 24).toDouble)
     docs.withColumn("gumbel_key", score - log(-log(u)))
       .orderBy(col("gumbel_key").desc, col("doc_id").asc)

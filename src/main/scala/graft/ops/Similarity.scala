@@ -183,7 +183,10 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), col("label"),
         col("embedding").cast("array<double>").as("ce"))
       .withColumn("cn", norm(col("ce")))
-      .withColumn("cell", element_at(cellsOf(col("ce")), 1))
+      // get() not element_at: a dirty corpus vector has NO cells, and
+      // ANSI element_at would fail the scan; a null cell joins nothing,
+      // matching the query side where explode() drops the empty array
+      .withColumn("cell", get(cellsOf(col("ce")), lit(0)))
     val q = queries.select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("qe"))
       .withColumn("qn", norm(col("qe")))
@@ -210,10 +213,14 @@ object Similarity {
                    centers: Array[Array[Double]]): DataFrame = {
     require(centers.nonEmpty, "kmeansAssign needs at least one center")
     val v = col("embedding").cast("array<double>").as("v")
+    // get() (0-based), not element_at: a dim-mismatched vector gets an
+    // EMPTY cells array from nearestCells, and under ANSI mode (the
+    // Spark 4 default) element_at on it throws instead of yielding the
+    // null this op documents for dirty rows
     corpus.select(col("vec_id"), v)
       .withColumn("cluster",
-        element_at(graft.functions.VectorFunctions.nearestCells(
-          col("v"), centers, 1), 1).cast("long"))
+        get(graft.functions.VectorFunctions.nearestCells(
+          col("v"), centers, 1), lit(0)).cast("long"))
   }
 
   /** Distributed Lloyd's k-means over the FULL corpus — the companion to
@@ -239,6 +246,10 @@ object Similarity {
       s"corpus has only ${centers.length} vectors for k=$k initial centers")
     for (_ <- 0 until iters) {
       val dims = kmeansAssign(corpus, centers)
+        // a dim-mismatched/dirty vector gets NO cell from nearestCells
+        // (cluster null) — drop it from the update instead of letting a
+        // null key reach the primitive getLong below
+        .filter(col("cluster").isNotNull)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("n"))

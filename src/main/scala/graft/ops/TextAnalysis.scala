@@ -99,13 +99,15 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, corpus: DataFrame): DataFrame = {
     val docToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     // The freq table feeds BOTH the totals aggregate and the doc-side
-    // join; without a lineage cut Catalyst evaluates the corpus-wide
+    // join; without marking it, Catalyst evaluates the corpus-wide
     // wordcount subtree once per consumer — an extra full-corpus pass at
-    // scale. The cut materializes the vocabulary-bounded table once
-    // (lazy: no job until the query runs).
+    // scale. persist() computes it once and stays lazy AND recomputable
+    // (localCheckpoint materializes eagerly under AQE — plan-building
+    // alone would run the wordcount — and truncates lineage, so an
+    // executor loss becomes a job failure).
     val freq = corpus.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .persist()
     val total = freq.agg(sum("c").as("tot"))
     docToks.join(broadcast(freq), Seq("tok"))
       .crossJoin(broadcast(total))
@@ -136,11 +138,11 @@ object TextAnalysis {
           slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
           slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    // the lineage cut keeps the corpus-wide bigram count from being
-    // re-evaluated by its two consumers (prefix fold + model join) —
-    // same rationale as unigramLogProb's freq
+    // persist keeps the corpus-wide bigram count from being re-evaluated
+    // by its two consumers (prefix fold + model join) — same rationale
+    // (and same lazy/recoverable trade) as unigramLogProb's freq
     val freq = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .persist()
     // c_prefix(w1) = Σ_w2 c(w1,w2): fold the vocab²-sized freq table
     // instead of re-scanning the corpus bigram stream a second time, then
     // fold the conditional log-prob into it so the (big) doc side pays a

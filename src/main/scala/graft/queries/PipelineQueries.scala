@@ -1441,12 +1441,12 @@ object PipelineQueries {
       |model AS (SELECT r.tok, r.cr, coalesce(g.ct, 0) AS ct
       |          FROM raw r LEFT JOIN tgt g USING (tok)),
       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-      |               CAST(sum(ct) AS BIGINT) AS tt,
-      |               CAST(count(*) AS BIGINT) AS v FROM model)
+      |               CAST(count(*) AS BIGINT) AS v FROM model),
+      |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |  round(avg(ln((ct + 1)::DOUBLE / (cr + 1))
       |          + ln((tr + v)::DOUBLE / (tt + v))), 4) AS avg_logratio
-      |FROM t JOIN model USING (tok) CROSS JOIN tot
+      |FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     Curation.dsirLogRatio(docs, docs.filter(col("lang") === "en"))
@@ -1527,12 +1527,13 @@ object PipelineQueries {
       |model AS (SELECT r.tok, r.cr, coalesce(g.ct, 0) AS ct
       |          FROM raw r LEFT JOIN tgt g USING (tok)),
       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-      |               CAST(sum(ct) AS BIGINT) AS tt,
       |               CAST(count(*) AS BIGINT) AS v FROM model),
+      |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |  round(avg(ln((ct + 1)::DOUBLE / (cr + 1))
       |          + ln((tr + v)::DOUBLE / (tt + v))), 4) AS avg_logratio
-      |  FROM t JOIN model USING (tok) CROSS JOIN tot GROUP BY doc_id),
+      |  FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
+      |  GROUP BY doc_id),
       |g AS (SELECT d.doc_id, sc.n_tokens, sc.avg_logratio,
       |        sc.avg_logratio - ln(-ln(
       |          (('0x' || substr(md5(d.text), 1, 6))::BIGINT + 0.5)

@@ -299,6 +299,23 @@ class CurationSpec extends SparkSpec {
     } finally b.unpersist()
   }
 
+  test("perplexityBuckets: zero-in-vocab docs land in the tail bucket, not dropped") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((100L, "aa bb cc dd")).toDF("doc_id", "text")
+    val pool = Seq((1L, "aa bb"), (2L, "aa zz"), (3L, "qq zz"))
+      .toDF("doc_id", "text")
+    val b = Curation.perplexityBuckets(pool, corpus, buckets = 2)
+      .orderBy("doc_id").collect()
+    assert(b.length === 3)
+    val byId = b.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.isNullAt(2), r.getInt(3)))).toMap
+    // doc 3 shares no token with the LM corpus: null score, 0 in-vocab
+    // tokens, and the LAST bucket — out-of-distribution is tail by design
+    assert(byId(3L) === ((0L, true, 2)))
+    assert(byId(1L)._3 === 1 && byId(2L)._3 === 1)
+  }
+
   test("dsirLogRatio: hand-computed smoothed log-ratios on a two-doc pool") {
     val s = spark
     import s.implicits._

@@ -231,6 +231,19 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.toSeq === Seq(1L, 2L))
   }
 
+  test("kmeans: a dim-mismatched vector gets a null cluster; fit survives it") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)),
+      (2L, Seq(0.1)), (3L, Seq(0.9, 1.1))).toDF("vec_id", "embedding")
+    val centers = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val assigned = Similarity.kmeansAssign(emb, centers).orderBy("vec_id").collect()
+    assert(assigned(2).isNullAt(assigned(2).fieldIndex("cluster")))
+    assert(assigned(3).getAs[Long]("cluster") === 1L)
+    val fit = Similarity.kmeansFit(emb, k = 2, iters = 2)
+    assert(fit.length === 2 && fit.forall(_.length === 2))
+  }
+
   test("kmeansFit: distributed Lloyd's matches a sequential reference " +
       "from the same deterministic init") {
     val emb = Tables.embeddings(spark, sf0001)
