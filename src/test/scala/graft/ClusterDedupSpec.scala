@@ -680,6 +680,32 @@ class ClusterDedupSpec extends SparkSpec {
       (1L, 0L, 0L), (1L, 1L, 2L)))                            // d is OOV
   }
 
+  test("buildVocab+encodeToIds match a sequential reference on random corpora") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12) + 1)(words(rnd.nextInt(words.size))).mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    val vocabSize = 5; val maxLen = 6
+    val counts = corpus.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (t, ts) => t -> ts.size }
+    val refVocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize).zipWithIndex
+      .map { case ((t, _), i) => t -> i.toLong }.toMap
+    val expected = corpus.flatMap { case (id, text) =>
+      text.split(" ").take(maxLen).zipWithIndex.map { case (t, p) =>
+        (id, p.toLong, refVocab.getOrElse(t, vocabSize.toLong))
+      }
+    }
+    val got = TextAnalysis.encodeToIds(df,
+        TextAnalysis.buildVocab(df, vocabSize), maxLen, vocabSize.toLong)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected.sortBy(e => (e._1, e._2)))
+  }
+
   test("encodeToIds round-trips with the vocab: in-vocab tokens decode back") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val vocab = TextAnalysis.buildVocab(docs, vocabSize = 500)

@@ -384,6 +384,26 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === got.map(_._1).take(2).toSeq)
   }
 
+  test("gumbelTopK: equals a full reference sort on random scores") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i =>
+      (i, s"doc $i ${rnd.nextInt(1000)}", rnd.nextDouble() * 4 - 2))
+    val df = rows.toDF("doc_id", "text", "score")
+    def key(text: String, score: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      score - math.log(-math.log((b + 0.5) / (1 << 24).toDouble))
+    }
+    val expIds = rows.map { case (id, t, sc) => (id, key(t, sc)) }
+      .sortBy { case (id, k2) => (-k2, id) }.take(10).map(_._1)
+    val got = Curation.gumbelTopK(df, col("score"), k = 10)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === expIds)
+  }
+
   test("topBigramShare: exact score on a known repetition; singleton doc dropped") {
     val s = spark
     import s.implicits._

@@ -107,6 +107,19 @@ class QueriesSpec extends SparkSpec {
       !readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
   }
 
+  test("q111: encode is one broadcast vocab probe with truncation below the join") {
+    val p = plan(run("q111_encode_ids"))
+    // the doc side must not shuffle for the lookup, and the pos < maxLen
+    // truncation must run in the scan-side stage (before the join), so
+    // over-length tails never pay the probe
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q115: gumbel selection is a distributed top-k, not a global sort") {
+    assert(plan(run("q115_gumbel_sample")).contains("TakeOrderedAndProject"))
+  }
+
   test("q108: merge chain is one codegen projection — no join, no extra shuffle") {
     val p = plan(run("q108_wpe_encode"))
     // the 6-merge chain folds into the scan-side projection; the only
