@@ -233,6 +233,37 @@ object TextAnalysis {
         col("n_terms"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009): combine
+    * several per-query rankings — each a (q_id, doc_id, rnk) DataFrame,
+    * e.g. [[bm25TopK]] lexical plus [[Dedup.jaccardTopK]] or a cosine
+    * ANN list — into one, scoring each (q_id, doc_id) as
+    * Σ_lists 1/(k + rnk). Rank-based, so no score calibration across
+    * heterogeneous retrievers is needed — the hybrid-search default.
+    *
+    * Determinism: each contribution is one correctly-rounded division of
+    * exact small integers, and with two lists the per-doc sum is a
+    * single IEEE addition (commutative) — engine-identical; beyond two
+    * lists summation order matters only within a (q_id, doc_id) group of
+    * near-tied doubles, and the doc_id tiebreak absorbs it. Scale shape:
+    * the inputs are already topK-bounded (|queries|·topK rows per list);
+    * fusion shuffles only those id/rank triples and windows per query —
+    * the corpus is never touched. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 5): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && topK >= 1, s"need k >= 1 and topK >= 1; got k=$k topK=$topK")
+    val contribs = rankings.map(_.select(col("q_id"), col("doc_id"),
+      (lit(1.0) / (lit(k.toDouble) + col("rnk").cast("double"))).as("contrib")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf_score").desc, col("doc_id").asc)
+    contribs.reduce(_ unionAll _)
+      .groupBy("q_id", "doc_id")
+      .agg(sum("contrib").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("doc_id"),
+        round(col("rrf_score"), 6).as("rrf_score"), col("n_lists"), col("rnk"))
+  }
+
   /** BPE-style merge learning over the word stream ("word-pair
     * encoding"): `nMerges` rounds, each picking the corpus's most
     * frequent adjacent token pair (count desc, then lexicographic —

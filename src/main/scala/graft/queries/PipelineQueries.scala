@@ -1566,6 +1566,89 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[TextAnalysis.rrfFuse]]): the q88 BM25 list and the q81 Jaccard
+    * list (both widened to top-10, queries doc_id < 5) fused as
+    * Σ 1/(60+rnk), final top-5 per query. The oracle re-derives BOTH
+    * input rankings with their own queries' exact chains and fuses with
+    * the identical arithmetic (each contribution is one exact-operand
+    * division; two-term sums are order-free). */
+  val q116RrfFusion: Q = q("q116_rrf_fusion",
+    """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |               FROM documents WHERE doc_id >= 5),
+      |tf AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM corpus),
+      |tfc AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM corpus),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+      |qt AS (SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split(text, ' '))) AS tok
+      |       FROM documents WHERE doc_id < 5),
+      |contrib AS (
+      |  SELECT qt.query_id, t.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+      |               / (CAST(f.df AS DOUBLE) + 0.5))
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2) /
+      |         (CAST(t.tf AS DOUBLE)
+      |          + 1.2 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE) / s.avgdl))))
+      |      * 1000000.0, 0) AS BIGINT) AS micros
+      |  FROM tfc t JOIN qt ON t.tok = qt.tok
+      |  JOIN dfreq f ON t.tok = f.tok CROSS JOIN stats s),
+      |bmscore AS (SELECT query_id, doc_id, sum(micros) AS score_micros
+      |            FROM contrib GROUP BY 1, 2),
+      |bm AS (SELECT q_id, doc_id, rnk FROM (
+      |  SELECT query_id AS q_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_micros DESC, doc_id) AS rnk
+      |  FROM bmscore) WHERE rnk <= 10),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |qx AS (SELECT doc_id AS q_id, sg FROM ex WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.q_id, e.doc_id, count(*) AS shared
+      |  FROM qx q JOIN ex e USING (sg)
+      |  WHERE e.doc_id <> q.q_id
+      |  GROUP BY 1, 2),
+      |jscored AS (
+      |  SELECT sc.q_id, sc.doc_id,
+      |    CAST(sc.shared AS DOUBLE) / (sq.n + sd.n - sc.shared) AS j
+      |  FROM sc
+      |  JOIN sizes sq ON sc.q_id = sq.doc_id
+      |  JOIN sizes sd ON sc.doc_id = sd.doc_id),
+      |jc AS (SELECT q_id, doc_id, rnk FROM (
+      |  SELECT q_id, doc_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY j DESC, doc_id) AS rnk
+      |  FROM jscored) WHERE rnk <= 10),
+      |uni AS (SELECT q_id, doc_id, 1.0 / (60 + rnk) AS contrib FROM bm
+      |        UNION ALL
+      |        SELECT q_id, doc_id, 1.0 / (60 + rnk) FROM jc),
+      |fus AS (SELECT q_id, doc_id, sum(contrib) AS rrf,
+      |          CAST(count(*) AS BIGINT) AS n_lists
+      |        FROM uni GROUP BY 1, 2),
+      |fr AS (SELECT q_id, doc_id, rrf, n_lists,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id)
+      |           AS rnk
+      |       FROM fus)
+      |SELECT q_id, doc_id, round(rrf, 6) AS rrf_score, n_lists,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM fr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bm = TextAnalysis.bm25TopK(
+        queries = docs.filter(col("doc_id") < 5),
+        corpus = docs.filter(col("doc_id") >= 5), topK = 10)
+      .select(col("query_id").as("q_id"), col("doc_id"), col("rnk"))
+    val jc = Dedup.jaccardTopK(docs, queryIds = (0L until 5L).toSeq, k = 10)
+      .select(col("q_id"), col("doc_id"), col("rnk"))
+    TextAnalysis.rrfFuse(Seq(bm, jc), k = 60, topK = 5)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1583,5 +1666,5 @@ object PipelineQueries {
     q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
-    q114MmrSelect, q115GumbelSample)
+    q114MmrSelect, q115GumbelSample, q116RrfFusion)
 }

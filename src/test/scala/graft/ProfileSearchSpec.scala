@@ -261,4 +261,28 @@ class ProfileSearchSpec extends SparkSpec {
     // total=10, n_keys=3: a → share .5, skew 5*3*1000/10 = 1500
     assert(got.toSeq === Seq(("a", 5L, 0.5, 1500L), ("b", 3L, 0.3, 900L)))
   }
+
+  // ------------------------------------------------------------------- rrf
+
+  test("rrfFuse: hand-computed fusion of two overlapping rankings") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val got = TextAnalysis.rrfFuse(Seq(a, b), k = 60, topK = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc 11 appears in both lists (ranks 2 and 1); 10 and 12 in one each
+    assert(got.toSeq === Seq(
+      (11L, r6(1.0 / 62 + 1.0 / 61), 2L, 1L),
+      (10L, r6(1.0 / 61), 1L, 2L),
+      (12L, r6(1.0 / 62), 1L, 3L)))
+  }
+
+  test("rrfFuse: a doc ranked by every list beats single-list docs at equal ranks") {
+    val lists = (0 until 3).map { i =>
+      Seq((1L, 100L, 1L), (1L, 200L + i, 2L)).toDF("q_id", "doc_id", "rnk")
+    }
+    val top = TextAnalysis.rrfFuse(lists, k = 60, topK = 1).collect().head
+    assert(top.getLong(1) === 100L && top.getLong(3) === 3L)
+  }
 }
