@@ -84,7 +84,10 @@ class QueriesSpec extends SparkSpec {
       "q69_unigram_logprob", "q71_quant_topk", "q76_temperature_mix",
       "q83_tfidf_topk", "q85_corpus_mix", "q88_bm25_topk", "q92_key_skew",
       "q97_histogram", "q109_ppl_buckets", "q110_dsir_weights",
-      "q115_gumbel_sample")
+      "q115_gumbel_sample",
+      // q116 embeds the q88 BM25 chain, inheriting its one-row corpus
+      // stats crossJoin; the fusion stage itself adds no NLJ
+      "q116_rrf_fusion")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
