@@ -264,6 +264,135 @@ object Similarity {
     centers
   }
 
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
+    * control-plane half of [[pcaFit]] (dim×dim, e.g. 64×64 for the
+    * fixture embeddings; runs in microseconds on the driver).
+    * Deterministic: fixed sweep order, fixed convergence threshold.
+    * Returns (eigenvalues, eigenvectors as rows), unsorted. */
+  private[ops] def jacobiEigen(a0: Array[Array[Double]],
+                               sweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // t = sign(θ)/(|θ|+√(θ²+1)) with sign(0) := 1, the standard
+            // smaller-angle choice (θ=0 rotates by π/4)
+            val st = if (theta >= 0) 1.0 else -1.0
+            val t = st / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = Array.tabulate(n)(i => a(i)(i))
+    val vecs = Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j))) // rows
+    (eig, vecs)
+  }
+
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            explainedVariance: Array[Double])
+
+  /** Distributed PCA with the one-pass-covariance shape that scales:
+    * pass 1 computes the dim-wise mean, pass 2 accumulates the centered
+    * outer-product sums (dim² partial sums, map-side combined — the
+    * shuffle carries dim² doubles per partition regardless of corpus
+    * size), and the dim×dim eigenproblem solves on the driver with a
+    * deterministic cyclic [[jacobiEigen]] — the control-plane split of
+    * [[kmeansFit]]/[[trainIvfCenters]] again. NO per-iteration corpus
+    * passes (power iteration would pay k·iters of them). Components are
+    * sorted by eigenvalue descending with a deterministic sign
+    * convention (largest-|coordinate| entry made positive, lowest index
+    * on ties), so refits reproduce bit-comparable models. Covariance is
+    * the unbiased (n−1) estimator; rows whose dimension differs from
+    * the first row's are rejected up front (a silent mixed-dim fit
+    * would corrupt every component). */
+  def pcaFit(corpus: DataFrame, k: Int): PcaModel = {
+    require(k >= 1, s"k >= 1, got $k")
+    val vecs = corpus.select(col("embedding").cast("array<double>").as("v"))
+    val meanRows = vecs.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(meanRows.nonEmpty, "pcaFit needs a non-empty corpus")
+    val dim = meanRows.length
+    val n = meanRows.map(_.getLong(2)).max
+    require(meanRows.forall(_.getLong(2) == n),
+      s"pcaFit: mixed embedding dimensions in corpus (expected $dim everywhere)")
+    require(k <= dim, s"k=$k exceeds embedding dim $dim")
+    require(n >= 2, s"pcaFit needs >= 2 vectors, got $n")
+    val mean = new Array[Double](dim)
+    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
+    val meanLit = typedLit(mean.toSeq)
+    // centered outer products: per row a dim²-element array, summed per
+    // flattened (i,j) position — ONE pass, map-side combined
+    val centered = zip_with(col("v"), meanLit, (x, m) => x - m)
+    val outer = flatten(transform(centered, x => transform(centered, y => x * y)))
+    val covRows = vecs.select(posexplode(outer).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("s"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val p = r.getInt(0); cov(p / dim)(p % dim) = r.getDouble(1) / (n - 1)
+    }
+    val (eig, vecsAll) = jacobiEigen(cov)
+    val order = eig.indices.sortBy(i => (-eig(i), i)).take(k)
+    val comps = order.map { i =>
+      val w = vecsAll(i).clone
+      // sign convention: the largest-|coordinate| (lowest index on ties)
+      // entry is positive — eigenvectors are sign-ambiguous otherwise
+      val j = w.indices.maxBy(jj => (math.abs(w(jj)), -jj))
+      if (w(j) < 0) { var t = 0; while (t < w.length) { w(t) = -w(t); t += 1 } }
+      w
+    }.toArray
+    PcaModel(mean, comps, order.map(eig(_)).toArray)
+  }
+
+  /** Project an embedding column onto a fitted [[PcaModel]]: adds
+    * `pc1..pck` columns, each one native dot product against a plan
+    * literal — pure projection, zero shuffle, whole-stage codegen (the
+    * [[kmeansAssign]] shape). The projection is of the CENTERED vector,
+    * the standard convention. */
+  def pcaProject(corpus: DataFrame, model: PcaModel): DataFrame = {
+    val meanLit = typedLit(model.mean.toSeq)
+    val centered = zip_with(col("embedding").cast("array<double>"), meanLit,
+      (x, m) => x - m)
+    model.components.zipWithIndex.foldLeft(corpus) { case (df, (pc, i)) =>
+      df.withColumn(s"pc${i + 1}", dot(centered, typedLit(pc.toSeq)))
+    }
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * greedily pick `k` documents maximizing
     * λ·cos(v, query) − (1−λ)·max_{s∈selected} cos(v, s) — the standard

@@ -1649,6 +1649,22 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** PCA projection ([[Similarity.pcaFit]] + [[Similarity.pcaProject]]):
+    * top-2 principal components of the embedding corpus (one-pass
+    * covariance, driver-side Jacobi eigensolve — control-plane sized),
+    * per-vector projections of the centered embeddings. Rows-only: the
+    * eigensolve is an iterative driver computation (the q103/q113
+    * argument); SimilaritySpec pins a hand-derived 2D fixture,
+    * orthonormality, and eigenvalue/variance agreement. */
+  val q117PcaProject: Q = rowsOnly("q117_pca_project") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pcaFit(emb, k = 2)
+    Similarity.pcaProject(emb, model)
+      .select(col("vec_id"), col("label"),
+        round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1666,5 +1682,5 @@ object PipelineQueries {
     q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
-    q114MmrSelect, q115GumbelSample, q116RrfFusion)
+    q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject)
 }

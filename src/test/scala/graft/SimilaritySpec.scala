@@ -173,6 +173,60 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.filter(col("q_id") === col("c_id")).isEmpty)
   }
 
+  test("pcaFit: recovers the planted principal axis on a 2D fixture") {
+    val s2 = spark
+    import s2.implicits._
+    // symmetric cloud stretched along (1,1): mean 0, cov known in closed
+    // form — PC1 = (1,1)/√2 (sign convention: both positive), PC2 ⊥ it
+    val pts = Seq((1.0, 1.0), (-1.0, -1.0), (2.0, 2.0), (-2.0, -2.0),
+      (0.1, -0.1), (-0.1, 0.1))
+    val df = pts.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, Seq(x, y)) }
+      .toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, k = 2)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(m.mean.forall(v => math.abs(v) < 1e-12))
+    m.components(0).zip(Array(r2, r2)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"PC1 ${m.components(0).toSeq}")
+    }
+    // cov eigenvalues: (Σx²±Σxy)/(n-1) = (10.02±9.98)/5
+    assert(math.abs(m.explainedVariance(0) - 4.0) < 1e-9)
+    assert(math.abs(m.explainedVariance(1) - 0.008) < 1e-9)
+    // projections: pc1 = (x+y)/√2 on the centered (= raw, mean 0) points
+    val proj = Similarity.pcaProject(df, m).orderBy("vec_id")
+      .collect().map(r => (r.getAs[Double]("pc1"), r.getAs[Double]("pc2")))
+    pts.zip(proj).foreach { case ((x, y), (p1, _)) =>
+      assert(math.abs(p1 - (x + y) * r2) < 1e-9)
+    }
+  }
+
+  test("pcaFit: orthonormal components, descending variance, variance == eigenvalue") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m = Similarity.pcaFit(emb, k = 3)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val d = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"<pc$i, pc$j> = $d")
+    }
+    assert(m.explainedVariance.sliding(2).forall(p => p(0) >= p(1)))
+    // the variance of the pc1 projection IS the top eigenvalue
+    val p1 = Similarity.pcaProject(emb, m).select("pc1")
+      .collect().map(_.getDouble(0))
+    val mean = p1.sum / p1.length
+    val v = p1.map(x => (x - mean) * (x - mean)).sum / (p1.length - 1)
+    assert(math.abs(v - m.explainedVariance(0)) / m.explainedVariance(0) < 1e-6,
+      s"var $v vs eig ${m.explainedVariance(0)}")
+  }
+
+  test("pcaFit rejects a mixed-dimension corpus instead of corrupting the fit") {
+    val s2 = spark
+    import s2.implicits._
+    val bad = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.pcaFit(bad, k = 1))
+    assert(e.getMessage.contains("dimension"))
+  }
+
   test("kmeansAssign: equidistant point takes the lower center index") {
     val s = spark
     import s.implicits._
