@@ -315,6 +315,12 @@ object VectorFunctions {
   def nearestCells(v: Column, centers: Array[Array[Double]], nprobe: Int): Column = {
     require(centers.nonEmpty && centers.head.nonEmpty,
       "nearestCells needs a non-empty centroid matrix")
+    // a ragged matrix whose flattened length happens to divide
+    // centers.head.length would silently misalign every centroid — the
+    // exact wrong-but-plausible scoring this expression exists to refuse
+    require(centers.forall(_.length == centers.head.length),
+      s"nearestCells centroid matrix must be rectangular; got row lengths " +
+        centers.map(_.length).distinct.mkString("/"))
     GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(v),
       centers.flatten.toSeq, centers.head.length, nprobe))
   }

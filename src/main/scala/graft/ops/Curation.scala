@@ -381,8 +381,11 @@ object Curation {
       .persist()
     val model = rawCnt.join(tgtCnt, Seq("tok"), "left").na.fill(0L, Seq("ct"))
       .persist()
+    // coalesce: an EMPTY target (no docs matched the target filter)
+    // sums to NULL, which would null every score; tt=0 keeps the
+    // smoothed estimator finite (every token backs off to 1/(T_r+V))
     val totals = model.agg(sum("cr").as("tr"), count(lit(1)).as("v"))
-      .crossJoin(tgtCnt.agg(sum("ct").as("tt")))
+      .crossJoin(tgtCnt.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
     val llr = log((col("ct") + 1).cast("double") / (col("cr") + 1)) +
       log((col("tr") + col("v")).cast("double") / (col("tt") + col("v")))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

@@ -244,6 +244,13 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     require(centers.length == k,
       s"corpus has only ${centers.length} vectors for k=$k initial centers")
+    // a dirty vector among the k lowest ids would seed a ragged centroid
+    // matrix — nearestCells refuses those, but failing here names the
+    // actual culprit instead of a flatten-shape mismatch downstream
+    require(centers.forall(_.length == centers.head.length),
+      s"kmeansFit: initial centers (k lowest vec_ids) have mixed dimensions " +
+        centers.map(_.length).distinct.mkString("/") +
+        " — filter dirty embeddings before fitting")
     for (_ <- 0 until iters) {
       val dims = kmeansAssign(corpus, centers)
         // a dim-mismatched/dirty vector gets NO cell from nearestCells
@@ -336,9 +343,13 @@ object Similarity {
     * sorted by eigenvalue descending with a deterministic sign
     * convention (largest-|coordinate| entry made positive, lowest index
     * on ties), so refits reproduce bit-comparable models. Covariance is
-    * the unbiased (n−1) estimator; rows whose dimension differs from
-    * the first row's are rejected up front (a silent mixed-dim fit
-    * would corrupt every component). */
+    * the unbiased (n−1) estimator, accumulated over the UPPER TRIANGLE
+    * only (dim·(dim+1)/2 positions — symmetry halves the dominant
+    * pass) and mirrored on the driver. A corpus mixing two non-zero
+    * dimensions is rejected up front (a silent mixed-dim fit would
+    * corrupt every component); empty/null embeddings emit no positions,
+    * so they are excluded from the fit (and from n) rather than
+    * rejected — posexplode cannot see them. */
   def pcaFit(corpus: DataFrame, k: Int): PcaModel = {
     require(k >= 1, s"k >= 1, got $k")
     val vecs = corpus.select(col("embedding").cast("array<double>").as("v"))
@@ -355,16 +366,23 @@ object Similarity {
     val mean = new Array[Double](dim)
     meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
     val meanLit = typedLit(mean.toSeq)
-    // centered outer products: per row a dim²-element array, summed per
-    // flattened (i,j) position — ONE pass, map-side combined
+    // centered outer products, upper triangle only: per row
+    // dim·(dim+1)/2 elements in i-major order, summed per flattened
+    // position — ONE pass, map-side combined, mirrored after collect
     val centered = zip_with(col("v"), meanLit, (x, m) => x - m)
-    val outer = flatten(transform(centered, x => transform(centered, y => x * y)))
-    val covRows = vecs.select(posexplode(outer).as(Seq("pos", "x")))
+    val upper = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        element_at(centered, i) * element_at(centered, j))))
+    val covRows = vecs.select(posexplode(upper).as(Seq("pos", "x")))
       .groupBy("pos").agg(sum("x").as("s"))
       .collect()
+    // flattened upper-triangle position → (i, j), same i-major order
+    val posToIj = (for { i <- 0 until dim; j <- i until dim } yield (i, j)).toArray
     val cov = Array.ofDim[Double](dim, dim)
     covRows.foreach { r =>
-      val p = r.getInt(0); cov(p / dim)(p % dim) = r.getDouble(1) / (n - 1)
+      val (i, j) = posToIj(r.getInt(0))
+      val v = r.getDouble(1) / (n - 1)
+      cov(i)(j) = v; cov(j)(i) = v
     }
     val (eig, vecsAll) = jacobiEigen(cov)
     val order = eig.indices.sortBy(i => (-eig(i), i)).take(k)
