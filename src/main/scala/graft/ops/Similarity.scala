@@ -368,12 +368,19 @@ object Similarity {
     val meanLit = typedLit(mean.toSeq)
     // centered outer products, upper triangle only: per row
     // dim·(dim+1)/2 elements in i-major order, summed per flattened
-    // position — ONE pass, map-side combined, mirrored after collect
-    val centered = zip_with(col("v"), meanLit, (x, m) => x - m)
+    // position — ONE pass, map-side combined, mirrored after collect.
+    // The centered array MUST be materialized behind its own projection:
+    // referencing the zip_with expression directly from every (i,j)
+    // lambda plants dim² copies of it in one expression tree — O(dim³)
+    // per row (measured 8× slower end-to-end at dim=64). Behind the
+    // projection boundary element_at reads an attribute, and
+    // CollapseProject refuses to inline a non-cheap expr used twice+.
+    val centeredVecs = vecs.select(
+      zip_with(col("v"), meanLit, (x, m) => x - m).as("c"))
     val upper = flatten(transform(sequence(lit(1), lit(dim)), i =>
       transform(sequence(i, lit(dim)), j =>
-        element_at(centered, i) * element_at(centered, j))))
-    val covRows = vecs.select(posexplode(upper).as(Seq("pos", "x")))
+        element_at(col("c"), i) * element_at(col("c"), j))))
+    val covRows = centeredVecs.select(posexplode(upper).as(Seq("pos", "x")))
       .groupBy("pos").agg(sum("x").as("s"))
       .collect()
     // flattened upper-triangle position → (i, j), same i-major order
