@@ -271,6 +271,101 @@ object Similarity {
     centers
   }
 
+  /** Product-quantization codebooks: `m` subspaces of `dsub` dims each,
+    * with `codebooks(s)(c)` = centroid `c` of subspace `s` — the
+    * compression half of an IVF-PQ index ([[trainIvfCenters]] prunes the
+    * search space; PQ shrinks each resident vector to `m` small codes so
+    * a 100 TB corpus's index fits in cluster RAM). */
+  final case class PqModel(dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** Train PQ codebooks: an independent [[kmeansFit]] per subspace over
+    * the sliced corpus (`dim` must split evenly into `m` subspaces).
+    * Inherits kmeansFit's deterministic k-lowest-vec_id init, so
+    * `iters = 0` is the rerun-stable untrained quantizer the q118/q119
+    * oracles mirror in SQL. Cost: m · iters · 2 corpus passes, each an
+    * embarrassingly-parallel projection plus a ksub×dsub control-plane
+    * collect; like faiss, train on a bounded sample (pass a sampled
+    * corpus) when m · iters full passes is too much scan. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 5): PqModel = {
+    require(m >= 1 && ksub >= 1, s"need m >= 1, ksub >= 1; got m=$m ksub=$ksub")
+    val dim = corpus.orderBy("vec_id").limit(1)
+      .select(size(col("embedding"))).collect().head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), s * dsub + 1, dsub)
+          .as("embedding"))
+      kmeansFit(sub, ksub, iters)
+    }.toArray
+    PqModel(dsub, books)
+  }
+
+  /** Encode each vector to its `m` sub-centroid codes: squared-L2 argmin
+    * per subspace slice — the [[graft.functions.IvfCells]] rule (ties to
+    * the lower index), one codegen'd [[graft.functions.NearestCells]]
+    * per subspace with the codebook riding as a plan reference object.
+    * One embarrassingly-parallel projection, no shuffle. The dimension
+    * guard is on the FULL vector, not the slices: a truncated row's
+    * leading slices and an over-long row's prefix both LOOK well-formed
+    * subspace-by-subspace and would silently encode — the misaligned
+    * scoring NearestCells itself exists to refuse — so any row whose
+    * length differs from model.dim gets all-null codes, which every
+    * consumer here filters rather than mis-scores. */
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val codes = model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
+      when(size(v) === model.dim,
+        get(graft.functions.VectorFunctions.nearestCells(
+          slice(v, s * model.dsub + 1, model.dsub), cb, 1), lit(0)))
+    }
+    corpus.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's m×ksub
+    * distance table is computed on the driver (control-plane sized) and
+    * rides into codegen as ONE literal array, so the per-row cost is m
+    * lookups + adds over the codes — the embedding column is never read,
+    * which is the point: at 100 TB the scan touches m codes per vector,
+    * not dim floats. Ascending approximate squared-L2, ties to the lower
+    * vec_id, top-k via TakeOrderedAndProject (no full sort). Code
+    * collisions sum bit-identical table entries in one fixed order, so
+    * equal-code rows tie EXACTLY and fall to the vec_id break; dirty
+    * rows (null codes) null-propagate through the lookup sum and are
+    * filtered. */
+  def pqAdcTopK(encoded: DataFrame, model: PqModel, queryVec: Array[Double],
+                k: Int): DataFrame = {
+    require(queryVec.length == model.dim,
+      s"query dim ${queryVec.length} != model dim ${model.dim}")
+    require(k >= 1, s"k >= 1, got $k")
+    val ksub = model.ksub
+    val table = new Array[Double](model.m * ksub)
+    for (s <- 0 until model.m; c <- 0 until ksub) {
+      val cb = model.codebooks(s)(c)
+      var acc = 0d
+      var j = 0
+      while (j < model.dsub) {
+        val t = queryVec(s * model.dsub + j) - cb(j); acc += t * t; j += 1
+      }
+      table(s * ksub + c) = acc
+    }
+    val tLit = typedLit(table.toSeq)
+    val dist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+        (c, s) => element_at(tLit, s * lit(ksub) + c + 1)),
+      lit(0d), (acc, x) => acc + x)
+    encoded.select(col("vec_id"), dist.as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
     * control-plane half of [[pcaFit]] (dim×dim, e.g. 64×64 for the
     * fixture embeddings; runs in microseconds on the driver).

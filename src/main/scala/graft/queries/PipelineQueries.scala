@@ -1665,6 +1665,91 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization encode ([[Similarity.pqTrain]] iters=0 +
+    * [[Similarity.pqEncode]]): 64-dim embeddings split into m=4
+    * subspaces of 16 dims, ksub=8 codebook entries per subspace — the
+    * deterministic untrained quantizer (codebook s = the 16-dim slices
+    * of the 8 lowest-vec_id vectors, kmeansFit's init; the q113
+    * argument: the iterative trainer is SimilaritySpec-pinned, the
+    * assignment rule is the SQL-mirrorable part). Per-subspace argmin is
+    * squared-L2 with lower-index ties (the IvfCells rule); codes emitted
+    * as four scalar BIGINT columns — the driver comparator cannot hash
+    * array cells (q68 lesson). */
+  val q118PqEncode: Q = q("q118_pq_encode",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |       FROM e ORDER BY vec_id LIMIT 8),
+      |sub AS (SELECT unnest(range(0, 4)) AS sid),
+      |d AS (SELECT e.vec_id, sub.sid, cb.cid,
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> (e.v[sub.sid * 16 + i] - cb.cv[sub.sid * 16 + i])
+      |             * (e.v[sub.sid * 16 + i] - cb.cv[sub.sid * 16 + i]))) AS dist
+      |      FROM e CROSS JOIN sub CROSS JOIN cb),
+      |a AS (SELECT vec_id, sid, cid,
+      |        row_number() OVER (PARTITION BY vec_id, sid
+      |                           ORDER BY dist, cid) AS rn
+      |      FROM d)
+      |SELECT vec_id,
+      |  CAST(max(CASE WHEN sid = 0 THEN cid END) AS BIGINT) AS c0,
+      |  CAST(max(CASE WHEN sid = 1 THEN cid END) AS BIGINT) AS c1,
+      |  CAST(max(CASE WHEN sid = 2 THEN cid END) AS BIGINT) AS c2,
+      |  CAST(max(CASE WHEN sid = 3 THEN cid END) AS BIGINT) AS c3
+      |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 0)
+    Similarity.pqEncode(emb, model)
+      .select(col("vec_id"),
+        get(col("codes"), lit(0)).cast("long").as("c0"),
+        get(col("codes"), lit(1)).cast("long").as("c1"),
+        get(col("codes"), lit(2)).cast("long").as("c2"),
+        get(col("codes"), lit(3)).cast("long").as("c3"))
+      .orderBy("vec_id")
+  }
+
+  /** PQ asymmetric-distance top-k ([[Similarity.pqAdcTopK]] over the
+    * q118 quantizer): vec 0's embedding as the query, distance table on
+    * the driver, per-row cost = 4 lookups + adds over the codes — the
+    * embedding column is never scanned. Distances surface as micros
+    * (round(d·10⁶) BIGINT, the q116 pattern) so both engines hash an
+    * integer; the top-20 boundary is decided by the raw 4-term sum in
+    * both engines — code-colliding rows tie exactly (same table entries,
+    * argmin-stable codes) and fall to the vec_id break, distinct codes
+    * differ by margins that dwarf summation-order noise (q87/q90
+    * precedent). */
+  val q119PqAdcTopk: Q = q("q119_pq_adc_topk",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |       FROM e ORDER BY vec_id LIMIT 8),
+      |sub AS (SELECT unnest(range(0, 4)) AS sid),
+      |d AS (SELECT e.vec_id, sub.sid, cb.cid,
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> (e.v[sub.sid * 16 + i] - cb.cv[sub.sid * 16 + i])
+      |             * (e.v[sub.sid * 16 + i] - cb.cv[sub.sid * 16 + i]))) AS dist
+      |      FROM e CROSS JOIN sub CROSS JOIN cb),
+      |a AS (SELECT vec_id, sid, cid,
+      |        row_number() OVER (PARTITION BY vec_id, sid
+      |                           ORDER BY dist, cid) AS rn
+      |      FROM d),
+      |qd AS (SELECT sid, cid, dist FROM d WHERE vec_id = 0),
+      |adc AS (SELECT a.vec_id, sum(qd.dist) AS dist
+      |        FROM a JOIN qd ON a.sid = qd.sid AND a.cid = qd.cid
+      |        WHERE a.rn = 1 GROUP BY a.vec_id),
+      |r AS (SELECT vec_id, dist,
+      |        row_number() OVER (ORDER BY dist, vec_id) AS rnk FROM adc)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id,
+      |  CAST(round(dist * 1000000, 0) AS BIGINT) AS adc_micros
+      |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 0)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    Similarity.pqAdcTopK(Similarity.pqEncode(emb, model), model, qv, k = 20)
+      .select(col("rnk"), col("vec_id"),
+        round(col("adc_dist") * 1000000, 0).cast("long").as("adc_micros"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1682,5 +1767,6 @@ object PipelineQueries {
     q87CentroidOutliers, q88Bm25Topk, q89EditDistance, q90KnnGraph, q102CdcChunks, q103WpeMerges,
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
-    q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject)
+    q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
+    q118PqEncode, q119PqAdcTopk)
 }

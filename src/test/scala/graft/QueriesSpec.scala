@@ -123,6 +123,15 @@ class QueriesSpec extends SparkSpec {
     assert(plan(run("q115_gumbel_sample")).contains("TakeOrderedAndProject"))
   }
 
+  test("q118/q119: PQ encode is a join-free projection; ADC top-k avoids " +
+      "a full sort") {
+    val enc = plan(run("q118_pq_encode"))
+    // codebooks ride as plan reference objects inside the codegen'd
+    // NearestCells expressions — encoding must not plan ANY join
+    assert(!enc.toLowerCase.contains("join"), enc.take(2000))
+    assert(plan(run("q119_pq_adc_topk")).contains("TakeOrderedAndProject"))
+  }
+
   test("q108: merge chain is one codegen projection — no join, no extra shuffle") {
     val p = plan(run("q108_wpe_encode"))
     // the 6-merge chain folds into the scan-side projection; the only

@@ -341,4 +341,143 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect().map(_.getAs[Long]("cluster"))
     assert(gotAssign.toSeq === refAssign.toSeq)
   }
+
+  test("pqEncode: hand-computed codes, lower-index ties, per-subspace argmin") {
+    val s2 = spark
+    import s2.implicits._
+    // dim 4 = 2 subspaces × 2 dims; codebooks chosen so each subspace
+    // has an unambiguous nearest entry except the planted tie row
+    val model = Similarity.PqModel(dsub = 2, codebooks = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 1.0), Array(1.0, 0.0))))
+    val emb = Seq(
+      (0L, Seq(0.1, 0.0, 0.0, 0.9)),  // sub0 → entry 0, sub1 → entry 0
+      (1L, Seq(0.9, 1.1, 0.9, 0.1)),  // sub0 → entry 1, sub1 → entry 1
+      (2L, Seq(0.5, 0.5, 0.5, 0.5)))  // equidistant both → lower index 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(emb, model).orderBy("vec_id").collect()
+      .map(_.getSeq[Int](1).toSeq)
+    assert(got.toSeq === Seq(Seq(0, 0), Seq(1, 1), Seq(0, 0)))
+  }
+
+  test("pqAdcTopK: every ADC distance equals the driver table-lookup sum; " +
+      "full ranking matches the reference order") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
+    val pts = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv = pts(0L)
+    def subDist(s: Int, c: Int): Double = {
+      val cb = model.codebooks(s)(c)
+      var acc = 0d; var j = 0
+      while (j < model.dsub) {
+        val t = qv(s * model.dsub + j) - cb(j); acc += t * t; j += 1
+      }
+      acc
+    }
+    val codes = Similarity.pqEncode(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    // reference: same left-to-right subspace accumulation as the op
+    val refDist = codes.map { case (id, cs) =>
+      id -> cs.zipWithIndex.map { case (c, s) => subDist(s, c) }.sum
+    }
+    val got = Similarity.pqAdcTopK(
+      Similarity.pqEncode(emb, model), model, qv, k = 500).collect()
+    assert(got.length === 500)
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Double]("adc_dist") === refDist(id),
+        s"ADC drift for vec $id")
+    }
+    val refOrder = refDist.toSeq.sortBy { case (id, d) => (d, id) }.map(_._1)
+    assert(got.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+      === refOrder)
+  }
+
+  test("pq: training reduces reconstruction error; ADC ranking finds real " +
+      "neighbors on the labeled fixture") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pts = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def mse(model: Similarity.PqModel): Double = {
+      val codes = Similarity.pqEncode(emb, model).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray)
+      codes.map { case (id, cs) =>
+        val v = pts(id)
+        cs.zipWithIndex.map { case (c, s) =>
+          val cb = model.codebooks(s)(c)
+          var acc = 0d; var j = 0
+          while (j < model.dsub) {
+            val t = v(s * model.dsub + j) - cb(j); acc += t * t; j += 1
+          }
+          acc
+        }.sum
+      }.sum / codes.length
+    }
+    // m=8 × ksub=16 (8-dim subspaces): the fidelity a recall bound can
+    // lean on — the q118 m=4/ksub=8 setting is deliberately coarser
+    // because its oracle only needs the argmin rule, not good recall
+    val untrained = mse(Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 0))
+    val trained = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    assert(mse(trained) < untrained,
+      s"Lloyd's should cut quantization error: ${mse(trained)} vs $untrained")
+    // geometry sanity, two tiers. The fixture embeddings are near-
+    // ISOTROPIC (measured: NN d² ≈ 1.33 vs rank-50 d² ≈ 1.66, labels
+    // uncorrelated with distance), where PQ recall@10 is inherently
+    // modest — so (a) plant true near-dups (the q63 perturbation) and
+    // demand ADC surfaces them, (b) keep only a well-above-the-2%-
+    // chance-floor bound on the isotropic corpus itself.
+    val qv = pts(0L)
+    val planted = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.2) * x * x).as("embedding"))
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding")).union(planted)
+    val pModel = Similarity.pqTrain(corpus, m = 8, ksub = 16, iters = 3)
+    val top = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, pModel), pModel, qv, k = 10)
+      .orderBy("rnk").collect().map(_.getAs[Long]("vec_id"))
+    assert(top.toSet.contains(0L) && top.toSet.contains(100000L),
+      s"ADC top-10 misses the query or its planted near-dup: ${top.toSeq}")
+    assert(top.head == 0L || top.head == 100000L,
+      s"ADC rank 1 should be the query or its near-dup, got ${top.head}")
+    def d2(a: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { val t = a(i) - qv(i); s += t * t; i += 1 }
+      s
+    }
+    val exact = pts.toSeq.sortBy { case (id, v) => (d2(v), id) }
+      .take(10).map(_._1).toSet
+    val adc = Similarity.pqAdcTopK(
+        Similarity.pqEncode(emb, trained), trained, qv, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & adc).size / 10.0
+    assert(recall >= 0.1, s"ADC recall@10 below the isotropic floor: $recall")
+  }
+
+  test("pq: a dim-mismatched row gets all-null codes and is excluded " +
+      "from ADC; indivisible dim is rejected") {
+    val s2 = spark
+    import s2.implicits._
+    val model = Similarity.PqModel(dsub = 1, codebooks = Array(
+      Array(Array(0.0), Array(1.0)), Array(Array(0.0), Array(1.0))))
+    // vec 1 is truncated (its FIRST slice alone looks well-formed),
+    // vec 3 is over-long (every slice of its prefix looks well-formed) —
+    // both must refuse to encode, not score the part that happens to fit
+    val emb = Seq((0L, Seq(0.9, 0.1)), (1L, Seq(0.2)), (2L, Seq(0.1, 0.8)),
+      (3L, Seq(0.9, 0.1, 0.5)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, model).orderBy("vec_id").collect()
+    assert(codes(1).getSeq[Any](1) === Seq(null, null))
+    assert(codes(3).getSeq[Any](1) === Seq(null, null))
+    val top = Similarity.pqAdcTopK(Similarity.pqEncode(emb, model), model,
+      Array(1.0, 0.0), k = 4).collect().map(_.getAs[Long]("vec_id"))
+    assert(top.toSeq === Seq(0L, 2L)) // dirty 1 and 3 filtered, not mis-scored
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb.filter(col("vec_id") =!= 1L), m = 3, ksub = 1))
+    assert(e.getMessage.contains("not divisible"))
+  }
 }
