@@ -326,6 +326,30 @@ object Similarity {
     corpus.select(col("vec_id"), array(codes: _*).as("codes"))
   }
 
+  /** Reconstruct approximate embeddings from PQ codes: concatenate the
+    * `m` codebook entries the codes name — the inverse of [[pqEncode]]
+    * up to quantization error. One join-free codegen projection (the
+    * codebooks ride as ONE flattened plan literal; each output element
+    * is an element_at against it), so every existing vector op —
+    * [[cosineTopK]], [[annIvfWith]], [[centroidOutliers]] — composes
+    * with a PQ-compressed corpus by decoding inline instead of storing
+    * dim floats per vector. A dirty row's all-null codes null-propagate
+    * to a null vector, the same refuse-don't-mis-score contract as
+    * encode. */
+  def pqDecode(encoded: DataFrame, model: PqModel): DataFrame = {
+    val flat = model.codebooks.flatten.flatten.toSeq // s-major, then c, then j
+    val fLit = typedLit(flat)
+    val dsub = model.dsub
+    val ksub = model.ksub
+    val recon = flatten(transform(
+      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+        (c, s) => (s * lit(ksub) + c) * lit(dsub)),
+      off => transform(sequence(lit(1), lit(dsub)),
+        j => element_at(fLit, off + j))))
+    encoded.select(col("vec_id"),
+      when(!exists(col("codes"), c => c.isNull), recon).as("embedding"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query's m×ksub
     * distance table is computed on the driver (control-plane sized) and
     * rides into codegen as ONE literal array, so the per-row cost is m

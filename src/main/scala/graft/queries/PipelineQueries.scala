@@ -1750,6 +1750,52 @@ object PipelineQueries {
       .orderBy("rnk")
   }
 
+  /** PQ reconstruction-error profile ([[Similarity.pqEncode]] →
+    * [[Similarity.pqDecode]] → per-label squared-L2 error): how much
+    * fidelity the q118 quantizer costs, by label. The oracle needs no
+    * reconstruct at all — the error of a decoded vector IS the sum of
+    * its winning per-subspace argmin distances, already computed in the
+    * assignment chain. Spark genuinely decodes (codebook-literal
+    * element_at lookups) and differences against the original, so the
+    * parity check covers the decode path end-to-end; per-vector sums
+    * associate differently (per-subspace vs positional) and per-label
+    * avgs in engine order, all ~8 orders below the micros grain. */
+  val q120PqReconError: Q = q("q120_pq_recon_error",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      |sub AS (SELECT unnest(range(0, 4)) AS sid),
+      |d AS (SELECT e.vec_id, sub.sid, cb.cid,
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> (e.v[sub.sid * 16 + i] - cb.cv[sub.sid * 16 + i])
+      |             * (e.v[sub.sid * 16 + i] - cb.cv[sub.sid * 16 + i]))) AS dist
+      |      FROM e CROSS JOIN sub CROSS JOIN cb),
+      |a AS (SELECT vec_id, sid, cid, dist,
+      |        row_number() OVER (PARTITION BY vec_id, sid
+      |                           ORDER BY dist, cid) AS rn
+      |      FROM d),
+      |err AS (SELECT vec_id, sum(dist) AS err FROM a WHERE rn = 1
+      |        GROUP BY vec_id)
+      |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(round(avg(err.err) * 1000000, 0) AS BIGINT) AS avg_err_micros
+      |FROM err JOIN e USING (vec_id)
+      |GROUP BY e.label ORDER BY e.label""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 0)
+    val dec = Similarity.pqDecode(Similarity.pqEncode(emb, model), model)
+      .withColumnRenamed("embedding", "recon")
+    emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(dec, "vec_id")
+      .select(col("label"), aggregate(
+        zip_with(col("v"), col("recon"), (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, x) => acc + x).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("err") * 1000000, 0).cast("long").as("avg_err_micros"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1768,5 +1814,5 @@ object PipelineQueries {
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
-    q118PqEncode, q119PqAdcTopk)
+    q118PqEncode, q119PqAdcTopk, q120PqReconError)
 }

@@ -458,6 +458,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"ADC recall@10 below the isotropic floor: $recall")
   }
 
+  test("pqDecode: reconstruction concatenates the named codebook entries; " +
+      "ADC distance IS the distance to the reconstruction") {
+    val s2 = spark
+    import s2.implicits._
+    val model = Similarity.PqModel(dsub = 2, codebooks = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 1.0), Array(1.0, 0.0))))
+    val emb = Seq(
+      (0L, Seq(0.1, 0.0, 0.0, 0.9)), (1L, Seq(0.9, 1.1, 0.9, 0.1)),
+      (2L, Seq(0.5, 0.5)))  // dirty: wrong dim
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(emb, model)
+    val dec = Similarity.pqDecode(enc, model).orderBy("vec_id").collect()
+    assert(dec(0).getSeq[Double](1) === Seq(0.0, 0.0, 0.0, 1.0))
+    assert(dec(1).getSeq[Double](1) === Seq(1.0, 1.0, 1.0, 0.0))
+    assert(dec(2).isNullAt(1), "dirty row must decode to a NULL vector")
+    // the ADC identity on the real fixture: adc_dist(q, v) equals the
+    // exact squared-L2 from q to pqDecode(pqEncode(v)) — per-subspace vs
+    // positional association differ, so ulp-tolerance, not bit equality
+    val fix = Tables.embeddings(spark, sf0001)
+    val m2 = Similarity.pqTrain(fix, m = 4, ksub = 8, iters = 1)
+    val qv = fix.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val recon = Similarity.pqDecode(Similarity.pqEncode(fix, m2), m2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    Similarity.pqAdcTopK(Similarity.pqEncode(fix, m2), m2, qv, k = 500)
+      .collect().foreach { r =>
+        val v = recon(r.getAs[Long]("vec_id"))
+        var d = 0d; var i = 0
+        while (i < v.length) { val t = qv(i) - v(i); d += t * t; i += 1 }
+        assert(math.abs(r.getAs[Double]("adc_dist") - d) < 1e-9 * (1 + d),
+          s"ADC != reconstruction distance for vec ${r.getAs[Long]("vec_id")}")
+      }
+  }
+
   test("pq: a dim-mismatched row gets all-null codes and is excluded " +
       "from ADC; indivisible dim is rejected") {
     val s2 = spark
