@@ -292,8 +292,19 @@ object Similarity {
     * corpus) when m · iters full passes is too much scan. */
   def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 5): PqModel = {
     require(m >= 1 && ksub >= 1, s"need m >= 1, ksub >= 1; got m=$m ksub=$ksub")
-    val dim = corpus.orderBy("vec_id").limit(1)
-      .select(size(col("embedding"))).collect().head.getInt(0)
+    // dim by consensus, not by sniffing one row: a truncated lowest-id
+    // vector would silently retarget the whole model to the wrong dim
+    // (every slice of every row still LOOKS uniform after slicing, so
+    // kmeansFit's ragged-init guard never fires) and the encode-side
+    // full-dim guard would then null out every CLEAN row. One cheap
+    // map-side-distinct pass over a single int column, amortized by the
+    // m·iters training passes that follow.
+    val dims = corpus.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).distinct().collect().map(_.getInt(0)).sorted
+    require(dims.length == 1,
+      s"pqTrain: corpus mixes embedding dimensions ${dims.mkString("/")} — " +
+        "filter dirty embeddings before fitting")
+    val dim = dims.head
     require(dim % m == 0, s"embedding dim $dim not divisible into m=$m subspaces")
     val dsub = dim / m
     val books = (0 until m).map { s =>
@@ -346,8 +357,13 @@ object Similarity {
         (c, s) => (s * lit(ksub) + c) * lit(dsub)),
       off => transform(sequence(lit(1), lit(dsub)),
         j => element_at(fLit, off + j))))
+    // the refuse guard needs BOTH checks: a shorter-than-m codes array
+    // (different-model leftover, empty array) has no null elements, but
+    // zip_with would pad the missing positions and reconstruct a
+    // non-null vector CONTAINING nulls — a malformed row downstream
     encoded.select(col("vec_id"),
-      when(!exists(col("codes"), c => c.isNull), recon).as("embedding"))
+      when(size(col("codes")) === model.m &&
+        !exists(col("codes"), c => c.isNull), recon).as("embedding"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query's m×ksub

@@ -1711,11 +1711,12 @@ object PipelineQueries {
     * the driver, per-row cost = 4 lookups + adds over the codes — the
     * embedding column is never scanned. Distances surface as micros
     * (round(d·10⁶) BIGINT, the q116 pattern) so both engines hash an
-    * integer; the top-20 boundary is decided by the raw 4-term sum in
-    * both engines — code-colliding rows tie exactly (same table entries,
-    * argmin-stable codes) and fall to the vec_id break, distinct codes
-    * differ by margins that dwarf summation-order noise (q87/q90
-    * precedent). */
+    * integer; the oracle's per-row sum is ORDERED (`ORDER BY sid`, the
+    * same s=0..3 left-to-right accumulation as the op), so code-
+    * colliding rows tie bit-exactly in BOTH engines and fall to the
+    * vec_id break — without the ordering, DuckDB's per-group
+    * accumulation order is undefined and a colliding pair near the
+    * boundary could flip nondeterministically. */
   val q119PqAdcTopk: Q = q("q119_pq_adc_topk",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -1731,7 +1732,7 @@ object PipelineQueries {
       |                           ORDER BY dist, cid) AS rn
       |      FROM d),
       |qd AS (SELECT sid, cid, dist FROM d WHERE vec_id = 0),
-      |adc AS (SELECT a.vec_id, sum(qd.dist) AS dist
+      |adc AS (SELECT a.vec_id, sum(qd.dist ORDER BY qd.sid) AS dist
       |        FROM a JOIN qd ON a.sid = qd.sid AND a.cid = qd.cid
       |        WHERE a.rn = 1 GROUP BY a.vec_id),
       |r AS (SELECT vec_id, dist,
@@ -1757,9 +1758,11 @@ object PipelineQueries {
     * its winning per-subspace argmin distances, already computed in the
     * assignment chain. Spark genuinely decodes (codebook-literal
     * element_at lookups) and differences against the original, so the
-    * parity check covers the decode path end-to-end; per-vector sums
-    * associate differently (per-subspace vs positional) and per-label
-    * avgs in engine order, all ~8 orders below the micros grain. */
+    * parity check covers the decode path end-to-end; the oracle's
+    * per-vector sum is ORDERED (`ORDER BY sid` — deterministic
+    * run-to-run), but still associates per-subspace where Spark sums
+    * positionally, and per-label avgs accumulate in engine order —
+    * both ~8 orders below the micros grain. */
   val q120PqReconError: Q = q("q120_pq_recon_error",
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -1774,8 +1777,8 @@ object PipelineQueries {
       |        row_number() OVER (PARTITION BY vec_id, sid
       |                           ORDER BY dist, cid) AS rn
       |      FROM d),
-      |err AS (SELECT vec_id, sum(dist) AS err FROM a WHERE rn = 1
-      |        GROUP BY vec_id)
+      |err AS (SELECT vec_id, sum(dist ORDER BY sid) AS err FROM a
+      |        WHERE rn = 1 GROUP BY vec_id)
       |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
       |  CAST(round(avg(err.err) * 1000000, 0) AS BIGINT) AS avg_err_micros
       |FROM err JOIN e USING (vec_id)

@@ -513,7 +513,29 @@ class SimilaritySpec extends SparkSpec {
       Array(1.0, 0.0), k = 4).collect().map(_.getAs[Long]("vec_id"))
     assert(top.toSeq === Seq(0L, 2L)) // dirty 1 and 3 filtered, not mis-scored
     val e = intercept[IllegalArgumentException](
-      Similarity.pqTrain(emb.filter(col("vec_id") =!= 1L), m = 3, ksub = 1))
+      Similarity.pqTrain(emb.filter(col("vec_id") =!= 1L)
+        .filter(col("vec_id") =!= 3L), m = 3, ksub = 1))
     assert(e.getMessage.contains("not divisible"))
+    // a mixed-dim corpus must fail LOUDLY at train time, naming the dims:
+    // sniffing dim from one row would silently retarget the model and
+    // the encode guard would then null out every clean row
+    val mixed = intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb, m = 1, ksub = 1))
+    assert(mixed.getMessage.contains("mixes embedding dimensions") &&
+      mixed.getMessage.contains("1/2/3"), mixed.getMessage)
+  }
+
+  test("pqDecode: a shorter-than-m codes array decodes to NULL, never a " +
+      "padded vector with null elements") {
+    val s2 = spark
+    import s2.implicits._
+    val model = Similarity.PqModel(dsub = 1, codebooks = Array(
+      Array(Array(0.0), Array(1.0)), Array(Array(0.0), Array(1.0))))
+    val enc = Seq((0L, Seq(1, 0)), (1L, Seq(1)), (2L, Seq.empty[Int]))
+      .toDF("vec_id", "codes")
+    val got = Similarity.pqDecode(enc, model).orderBy("vec_id").collect()
+    assert(got(0).getSeq[Double](1) === Seq(1.0, 0.0))
+    assert(got(1).isNullAt(1), "short codes must refuse, not zip_with-pad")
+    assert(got(2).isNullAt(1), "empty codes must refuse, not zip_with-pad")
   }
 }
