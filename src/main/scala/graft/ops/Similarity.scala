@@ -316,6 +316,36 @@ object Similarity {
     PqModel(dsub, books)
   }
 
+  /** [[pqTrain]]'s bounded-sample companion — the [[trainIvfCenters]]
+    * shape: ONE order-stable collect of ≤ trainCap vectors, then
+    * [[localKMeans]] per subspace slice entirely on the driver. This is
+    * the recurring-deployment trainer (faiss trains PQ on a sample for
+    * the same reason): zero per-subspace corpus passes, so training
+    * cost is independent of both corpus size and m. At 100 TB prepend
+    * .sample(fraction) sized so ~trainCap rows survive. */
+  def pqTrainSampled(corpus: DataFrame, m: Int, ksub: Int,
+                     trainCap: Int = 4096, iters: Int = 5,
+                     seed: Long = 42L): PqModel = {
+    require(m >= 1 && ksub >= 1, s"need m >= 1, ksub >= 1; got m=$m ksub=$ksub")
+    val sample = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTrainSampled needs a non-empty corpus")
+    val dims = sample.map(_.length).distinct.sorted
+    require(dims.length == 1,
+      s"pqTrainSampled: sample mixes embedding dimensions " +
+        s"${dims.mkString("/")} — filter dirty embeddings before fitting")
+    val dim = dims.head
+    require(dim % m == 0, s"embedding dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      localKMeans(sample.map(v => java.util.Arrays.copyOfRange(
+        v, s * dsub, (s + 1) * dsub)), ksub, iters, seed)
+    }.toArray
+    PqModel(dsub, books)
+  }
+
   /** Encode each vector to its `m` sub-centroid codes: squared-L2 argmin
     * per subspace slice — the [[graft.functions.IvfCells]] rule (ties to
     * the lower index), one codegen'd [[graft.functions.NearestCells]]
@@ -327,14 +357,18 @@ object Similarity {
     * scoring NearestCells itself exists to refuse — so any row whose
     * length differs from model.dim gets all-null codes, which every
     * consumer here filters rather than mis-scores. */
-  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame =
+    corpus.select(col("vec_id"), pqCodesExpr(model).as("codes"))
+
+  /** The [[pqEncode]] codes expression against an `embedding` column —
+    * shared with [[pqIndex]] so index building is ONE projection. */
+  private def pqCodesExpr(model: PqModel): Column = {
     val v = col("embedding").cast("array<double>")
-    val codes = model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
+    array(model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
       when(size(v) === model.dim,
         get(graft.functions.VectorFunctions.nearestCells(
           slice(v, s * model.dsub + 1, model.dsub), cb, 1), lit(0)))
-    }
-    corpus.select(col("vec_id"), array(codes: _*).as("codes"))
+    }: _*)
   }
 
   /** Reconstruct approximate embeddings from PQ codes: concatenate the
@@ -347,9 +381,17 @@ object Similarity {
     * dim floats per vector. A dirty row's all-null codes null-propagate
     * to a null vector, the same refuse-don't-mis-score contract as
     * encode. */
-  def pqDecode(encoded: DataFrame, model: PqModel): DataFrame = {
-    val flat = model.codebooks.flatten.flatten.toSeq // s-major, then c, then j
-    val fLit = typedLit(flat)
+  def pqDecode(encoded: DataFrame, model: PqModel): DataFrame =
+    encoded.select(col("vec_id"), pqReconExpr(model).as("embedding"))
+
+  /** The [[pqDecode]] reconstruction expression against a `codes`
+    * column — shared with [[annIvfPq]]'s candidate scoring. The refuse
+    * guard needs BOTH checks: a shorter-than-m codes array
+    * (different-model leftover, empty array) has no null elements, but
+    * zip_with would pad the missing positions and reconstruct a
+    * non-null vector CONTAINING nulls — a malformed row downstream. */
+  private def pqReconExpr(model: PqModel): Column = {
+    val fLit = typedLit(model.codebooks.flatten.flatten.toSeq) // s, c, j major
     val dsub = model.dsub
     val ksub = model.ksub
     val recon = flatten(transform(
@@ -357,13 +399,8 @@ object Similarity {
         (c, s) => (s * lit(ksub) + c) * lit(dsub)),
       off => transform(sequence(lit(1), lit(dsub)),
         j => element_at(fLit, off + j))))
-    // the refuse guard needs BOTH checks: a shorter-than-m codes array
-    // (different-model leftover, empty array) has no null elements, but
-    // zip_with would pad the missing positions and reconstruct a
-    // non-null vector CONTAINING nulls — a malformed row downstream
-    encoded.select(col("vec_id"),
-      when(size(col("codes")) === model.m &&
-        !exists(col("codes"), c => c.isNull), recon).as("embedding"))
+    when(size(col("codes")) === model.m &&
+      !exists(col("codes"), c => c.isNull), recon)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query's m×ksub
@@ -404,6 +441,57 @@ object Similarity {
       .limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+  }
+
+  /** Build the compressed IVF-PQ index in ONE projection:
+    * (vec_id, cell, codes) — the coarse cell from the IVF quantizer plus
+    * the [[pqEncode]] codes. This is the artifact a 100 TB deployment
+    * persists and scans INSTEAD of the float vectors: one int + m small
+    * codes per vector (64-dim float32 → ~50× smaller). Dirty rows keep
+    * the refuse contract of both halves: null cell, all-null codes. */
+  def pqIndex(corpus: DataFrame, ivfCenters: Array[Array[Double]],
+              model: PqModel): DataFrame =
+    corpus.select(col("vec_id"),
+      get(graft.functions.VectorFunctions.nearestCells(
+        col("embedding").cast("array<double>"), ivfCenters, 1), lit(0))
+        .as("cell"),
+      pqCodesExpr(model).as("codes"))
+
+  /** IVF-PQ batch search: [[annIvfWith]]'s cell pruning over a
+    * [[pqIndex]] — candidates come from each query's nprobe cells via a
+    * broadcast equi-join, and scoring DECODES the candidate from its
+    * codes (codebook plan literal) to take exact cosine against the
+    * query, so the corpus float vectors are never read at search time.
+    * Decode costs dim mults (vs m lookups for the single-query
+    * [[pqAdcTopK]]) — the price of a whole bounded query batch in one
+    * join — and sits BELOW the join, once per index row per batch, the
+    * cheaper side whenever the batch's probed cells cover most of the
+    * corpus (per-pair decode would pay |Q|·nprobe/nlist times that).
+    * Same output shape as [[annIvfWith]] minus `label` (the index
+    * deliberately carries no payload columns). */
+  def annIvfPq(queries: DataFrame, index: DataFrame,
+               ivfCenters: Array[Array[Double]], model: PqModel, k: Int,
+               nprobe: Int = 3): DataFrame = {
+    val c = index.select(col("vec_id").as("c_id"), col("cell"),
+        pqReconExpr(model).as("ce"))
+      .filter(col("ce").isNotNull)
+      .withColumn("cn", norm(col("ce")))
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("cell", explode(
+        graft.functions.VectorFunctions.nearestCells(col("qe"), ivfCenters,
+          nprobe)))
+    val sims = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+          .as("cos_sim"))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cos_sim")
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the

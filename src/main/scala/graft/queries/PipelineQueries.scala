@@ -1799,6 +1799,27 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  /** IVF-PQ batch search ([[Similarity.pqIndex]] +
+    * [[Similarity.annIvfPq]]): the composed 100 TB ANN path — coarse
+    * cells prune candidates, PQ codes replace the float vectors at scan
+    * time, scoring decodes per index row below the broadcast cell join.
+    * Both trainers are the bounded-sample driver-side kind
+    * ([[Similarity.trainIvfCenters]] / [[Similarity.pqTrainSampled]] —
+    * the recurring-deployment shape: the only distributed jobs are the
+    * index projection and the search join). Rows-only (iterative
+    * trainers — the q44/q103 argument); SimilaritySpec pins
+    * planted-near-dup retrieval, candidate containment, and the
+    * dirty-row refuse contract. */
+  val q121IvfpqSearch: Q = rowsOnly("q121_ivfpq_search") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centers = Similarity.trainIvfCenters(emb, nlist = 16)
+    val model = Similarity.pqTrainSampled(emb, m = 8, ksub = 16, iters = 2)
+    val index = Similarity.pqIndex(emb, centers, model)
+    Similarity.annIvfPq(emb.filter(col("vec_id") < 10), index, centers,
+        model, k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1817,5 +1838,5 @@ object PipelineQueries {
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
-    q118PqEncode, q119PqAdcTopk, q120PqReconError)
+    q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch)
 }

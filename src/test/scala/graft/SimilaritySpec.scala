@@ -523,6 +523,51 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTrain(emb, m = 1, ksub = 1))
     assert(mixed.getMessage.contains("mixes embedding dimensions") &&
       mixed.getMessage.contains("1/2/3"), mixed.getMessage)
+    val mixedSampled = intercept[IllegalArgumentException](
+      Similarity.pqTrainSampled(emb, m = 1, ksub = 1))
+    assert(mixedSampled.getMessage.contains("mixes embedding dimensions"),
+      mixedSampled.getMessage)
+  }
+
+  test("annIvfPq: planted near-dups retrieved at rank 1 from the " +
+      "compressed index; candidates real, no self-matches, dirty rows out") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // the q63 perturbation: a near-parallel copy of vecs 0/1/2 — under
+    // cosine its nearest non-self neighbor is its original
+    val planted = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding"))
+    val corpus = base.union(planted)
+    val centers = Similarity.trainIvfCenters(corpus, nlist = 8)
+    // the sampled driver-side trainer — the same pairing q121 runs
+    val model = Similarity.pqTrainSampled(corpus, m = 8, ksub = 16, iters = 2)
+    val index = Similarity.pqIndex(corpus, centers, model)
+    val got = Similarity.annIvfPq(planted, index, centers, model, k = 5)
+      .collect()
+    val ids = base.select("vec_id").collect().map(_.getLong(0)).toSet ++
+      Set(100000L, 100001L, 100002L)
+    got.foreach { r =>
+      assert(ids.contains(r.getAs[Long]("c_id")))
+      assert(r.getAs[Long]("q_id") !== r.getAs[Long]("c_id"))
+    }
+    (0 until 3).foreach { i =>
+      val rank1 = got.filter(r => r.getAs[Long]("q_id") == 100000L + i &&
+        r.getAs[Long]("rnk") == 1L)
+      assert(rank1.nonEmpty, s"query ${100000 + i} returned nothing")
+      assert(rank1.head.getAs[Long]("c_id") === i.toLong,
+        s"query ${100000 + i} should retrieve its original at rank 1")
+    }
+    // a dirty corpus row can never surface as a candidate
+    val dirty = corpus.union(Seq((999999L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding"))
+    val got2 = Similarity.annIvfPq(planted,
+      Similarity.pqIndex(dirty, centers, model), centers, model, k = 5)
+      .collect()
+    assert(!got2.exists(_.getAs[Long]("c_id") == 999999L))
   }
 
   test("pqDecode: a shorter-than-m codes array decodes to NULL, never a " +
