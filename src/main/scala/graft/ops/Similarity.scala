@@ -346,6 +346,62 @@ object Similarity {
     PqModel(dsub, books)
   }
 
+  /** Persist a PQ model as a registry stream (`subspace`, `cid`,
+    * `center`) — the [[saveIvfCenters]] contract: create-exclusive
+    * claim (one artifact per name, version by name), best-effort
+    * unclaim if the data write fails so retries don't see a
+    * claimed-but-empty stream forever. */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession,
+                  reg: graft.runtime.StreamRegistry, name: String,
+                  model: PqModel): Unit = {
+    import spark.implicits._
+    val df = (for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c).toSeq))
+      .toDF("subspace", "cid", "center")
+    try reg.createExclusive(name, df.schema)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"PQ model stream '$name' already exists (one artifact per name)", e)
+    }
+    try reg.write(df, name)
+    catch { case e: Throwable =>
+      try reg.delete(name) catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
+  /** Load a model saved by [[savePqModel]], shape-revalidated: a
+    * half-published, truncated, or hand-edited stream must fail loudly
+    * here — every consumer indexes codebooks by (subspace, cid), so a
+    * silently missing subspace or ragged centroid would mis-score
+    * everything downstream. */
+  def loadPqModel(reg: graft.runtime.StreamRegistry,
+                  name: String): PqModel = {
+    val rows = reg.read(name).orderBy("subspace", "cid")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty,
+      s"PQ model stream '$name' has no centers (half-published artifact?)")
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    require(books.map(_._1) == (0 until books.length),
+      s"PQ model stream '$name' has non-contiguous subspace ids " +
+        books.map(_._1).mkString("/"))
+    val mats = books.map { case (s, rs) =>
+      require(rs.map(_._2).sorted.toSeq == (0 until rs.length),
+        s"PQ model stream '$name' subspace $s has non-contiguous cids")
+      rs.sortBy(_._2).map(_._3)
+    }
+    val ksubs = mats.map(_.length).distinct
+    val dsubs = mats.flatMap(_.map(_.length)).distinct
+    require(ksubs.length == 1 && dsubs.length == 1 && dsubs.head > 0,
+      s"PQ model stream '$name' is ragged: ksub ${ksubs.mkString("/")}, " +
+        s"dsub ${dsubs.mkString("/")}")
+    PqModel(dsubs.head, mats.map(_.toArray).toArray)
+  }
+
   /** Encode each vector to its `m` sub-centroid codes: squared-L2 argmin
     * per subspace slice — the [[graft.functions.IvfCells]] rule (ties to
     * the lower index), one codegen'd [[graft.functions.NearestCells]]

@@ -570,6 +570,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!got2.exists(_.getAs[Long]("c_id") == 999999L))
   }
 
+  test("PQ model round-trips through the registry; encode output unchanged; " +
+      "shape damage fails loudly") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Similarity.pqTrainSampled(emb, m = 4, ksub = 8, iters = 2)
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-pq").toString)
+    Similarity.savePqModel(spark, reg, "pq_q", model)
+    val loaded = Similarity.loadPqModel(reg, "pq_q")
+    assert(loaded.dsub === model.dsub && loaded.m === model.m &&
+      loaded.ksub === model.ksub)
+    for (s <- 0 until model.m; c <- 0 until model.ksub)
+      assert(loaded.codebooks(s)(c).toSeq === model.codebooks(s)(c).toSeq)
+    // the loaded artifact encodes bit-identically to the in-memory model
+    val a = Similarity.pqEncode(emb, model).orderBy("vec_id").collect()
+      .map(_.getSeq[Int](1).toSeq)
+    val b = Similarity.pqEncode(emb, loaded).orderBy("vec_id").collect()
+      .map(_.getSeq[Int](1).toSeq)
+    assert(a.toSeq === b.toSeq)
+    // one artifact per name; delete unclaims
+    intercept[IllegalArgumentException] {
+      Similarity.savePqModel(spark, reg, "pq_q", model)
+    }
+    reg.delete("pq_q")
+    Similarity.savePqModel(spark, reg, "pq_q", model)
+    assert(Similarity.loadPqModel(reg, "pq_q").m === model.m)
+    // a missing subspace must fail loudly, not shrink the model
+    val damaged = (for {
+      s <- 0 until model.m; c <- 0 until model.ksub; if s != 1
+    } yield (s, c, model.codebooks(s)(c).toSeq))
+      .toDF("subspace", "cid", "center")
+    reg.createExclusive("pq_damaged", damaged.schema)
+    reg.write(damaged, "pq_damaged")
+    val e = intercept[IllegalArgumentException](
+      Similarity.loadPqModel(reg, "pq_damaged"))
+    assert(e.getMessage.contains("non-contiguous subspace ids"), e.getMessage)
+  }
+
   test("pqDecode: a shorter-than-m codes array decodes to NULL, never a " +
       "padded vector with null elements") {
     val s2 = spark
