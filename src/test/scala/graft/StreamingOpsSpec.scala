@@ -134,4 +134,43 @@ class StreamingOpsSpec extends SparkSpec {
     val last = s.sql("SELECT max(total) FROM state1 WHERE key='a'").collect()(0).getInt(0)
     assert(last === 7) // 1+2 from batch 1, +4 in batch 2 — state persisted
   }
+
+  test("pqIndex builds incrementally from a stream: stateless projection, " +
+      "codes identical to the batch path") {
+    // the SCALE.md lifecycle claim — train once, index CONTINUOUSLY:
+    // cell+codes assignment is a stateless projection, so it must run
+    // unchanged as a streaming transform, and each micro-batch's rows
+    // must encode exactly as the batch op would
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val centers = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val model = graft.ops.Similarity.PqModel(dsub = 1, codebooks = Array(
+      Array(Array(0.0), Array(1.0)), Array(Array(0.0), Array(1.0))))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val indexed = graft.ops.Similarity.pqIndex(
+      mem.toDF().toDF("vec_id", "embedding"), centers, model)
+    val q = indexed.writeStream.format("memory").queryName("pq_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((0L, Seq(0.1, 0.2)), (1L, Seq(0.9, 0.8)))
+      q.processAllAvailable()
+      mem.addData((2L, Seq(0.1, 0.9)), (3L, Seq(0.5))) // batch 2 + dirty row
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("SELECT vec_id, cell, codes FROM pq_stream ORDER BY vec_id")
+      .collect()
+    val batch = graft.ops.Similarity.pqIndex(
+      Seq((0L, Seq(0.1, 0.2)), (1L, Seq(0.9, 0.8)), (2L, Seq(0.1, 0.9)),
+        (3L, Seq(0.5))).toDF("vec_id", "embedding"), centers, model)
+      .orderBy("vec_id").collect()
+    assert(got.length === 4)
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getLong(0) === b.getLong(0))
+      assert(g.get(1) === b.get(1), s"cell drift for vec ${g.getLong(0)}")
+      assert(g.getSeq[Any](2) === b.getSeq[Any](2),
+        s"codes drift for vec ${g.getLong(0)}")
+    }
+    assert(got(3).getSeq[Any](2) === Seq(null, null), "dirty row refused")
+  }
 }
