@@ -550,6 +550,66 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "cos_sim")
   }
 
+  /** IVF-PQ batch search, pure-ADC scoring — the faiss IndexIVFPQ
+    * shape and the arithmetic-minimal path: every query's m×ksub
+    * distance table is built on the driver and ALL of them ship as ONE
+    * flat plan literal (|Q|·m·ksub doubles — bounded query set, same
+    * contract as [[cosineTopK]]), so scoring a candidate pair costs m
+    * array lookups + adds against its codes. Versus [[annIvfPq]]'s
+    * decode-then-cosine (dim mults per pair), that is a ~dim/m cut in
+    * join-side arithmetic; the trade is the metric — ADC approximates
+    * squared-L2, ascending, not cosine. Ties to the lower c_id; a
+    * dirty QUERY vector fails loudly up front (its table cannot be
+    * built), dirty index rows null-propagate out as everywhere. */
+  def annIvfPqAdc(queries: DataFrame, index: DataFrame,
+                  ivfCenters: Array[Array[Double]], model: PqModel, k: Int,
+                  nprobe: Int = 3): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val qRows = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "annIvfPqAdc needs a non-empty query set")
+    val dirtyQ = qRows.filter(_._2.length != model.dim).map(_._1)
+    require(dirtyQ.isEmpty,
+      s"annIvfPqAdc: query vectors ${dirtyQ.mkString(",")} have dim != " +
+        s"${model.dim} — filter dirty queries before searching")
+    val m = model.m; val ksub = model.ksub; val dsub = model.dsub
+    val stride = m * ksub
+    val flatTables = new Array[Double](qRows.length * stride)
+    for (((_, qv), qi) <- qRows.zipWithIndex; s <- 0 until m;
+         c <- 0 until ksub) {
+      val cb = model.codebooks(s)(c)
+      var acc = 0d; var j = 0
+      while (j < dsub) { val t = qv(s * dsub + j) - cb(j); acc += t * t; j += 1 }
+      flatTables(qi * stride + s * ksub + c) = acc
+    }
+    val tLit = typedLit(flatTables.toSeq)
+    // the query side re-enters the plan as a tiny driver-built DF so the
+    // nprobe cells come from the SAME native NearestCells rule the index
+    // was built with — no hand-rolled driver argmin to drift from it
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = qRows.zipWithIndex
+      .map { case ((id, qv), qi) => (id, qi, qv.toSeq) }.toSeq
+      .toDF("q_id", "qi", "qe")
+      .withColumn("cell", explode(graft.functions.VectorFunctions
+        .nearestCells(col("qe"), ivfCenters, nprobe)))
+      .select("q_id", "qi", "cell")
+    val scored = index.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_dist", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(tLit,
+            col("qi") * stride + s * lit(ksub) + c + 1)),
+        lit(0d), (acc, x) => acc + x))
+      .filter(col("adc_dist").isNotNull)
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"),
+        col("adc_dist"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
     * control-plane half of [[pcaFit]] (dim×dim, e.g. 64×64 for the
     * fixture embeddings; runs in microseconds on the driver).

@@ -1820,6 +1820,24 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF-PQ pure-ADC batch search ([[Similarity.annIvfPqAdc]]): the
+    * faiss IndexIVFPQ shape — all query distance tables driver-built
+    * into ONE plan literal, scoring = m lookups + adds per candidate
+    * pair (vs q121's decode-then-cosine at dim mults), metric
+    * approximate squared-L2 ascending. Rows-only (iterative trainers);
+    * SimilaritySpec pins per-pair ADC == driver table sums, planted
+    * near-dup rank-1 retrieval, and the loud dirty-query failure. */
+  val q122IvfpqAdc: Q = rowsOnly("q122_ivfpq_adc") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centers = Similarity.trainIvfCenters(emb, nlist = 16)
+    val model = Similarity.pqTrainSampled(emb, m = 8, ksub = 16, iters = 2)
+    val index = Similarity.pqIndex(emb, centers, model)
+    Similarity.annIvfPqAdc(emb.filter(col("vec_id") < 10), index, centers,
+        model, k = 5)
+      .withColumn("adc_dist", round(col("adc_dist"), 4))
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1838,5 +1856,6 @@ object PipelineQueries {
     q108WpeEncode,
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
-    q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch)
+    q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
+    q122IvfpqAdc)
 }

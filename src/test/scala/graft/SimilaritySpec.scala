@@ -609,6 +609,56 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("non-contiguous subspace ids"), e.getMessage)
   }
 
+  test("annIvfPqAdc: per-pair ADC equals the driver table sum; planted " +
+      "near-dups at rank 1; dirty query fails loudly") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding"))
+    val corpus = base.union(planted)
+    val centers = Similarity.trainIvfCenters(corpus, nlist = 8)
+    val model = Similarity.pqTrainSampled(corpus, m = 8, ksub = 16, iters = 2)
+    val index = Similarity.pqIndex(corpus, centers, model)
+    val got = Similarity.annIvfPqAdc(planted, index, centers, model, k = 5)
+      .collect()
+    // ADC(q, c) must equal the driver-recomputed table lookup sum for
+    // every returned pair — same per-subspace left-to-right accumulation
+    val pts = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = Similarity.pqEncode(corpus, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    got.foreach { r =>
+      val qv = pts(r.getAs[Long]("q_id"))
+      val ref = codes(r.getAs[Long]("c_id")).zipWithIndex.map { case (c, s) =>
+        val cb = model.codebooks(s)(c)
+        var acc = 0d; var j = 0
+        while (j < model.dsub) {
+          val t = qv(s * model.dsub + j) - cb(j); acc += t * t; j += 1
+        }
+        acc
+      }.sum
+      assert(r.getAs[Double]("adc_dist") === ref,
+        s"ADC drift for pair (${r.getAs[Long]("q_id")}, ${r.getAs[Long]("c_id")})")
+    }
+    // a perturbed copy's nearest non-self neighbor by L2 is its original
+    (0 until 3).foreach { i =>
+      val rank1 = got.filter(r => r.getAs[Long]("q_id") == 100000L + i &&
+        r.getAs[Long]("rnk") == 1L)
+      assert(rank1.nonEmpty && rank1.head.getAs[Long]("c_id") === i.toLong,
+        s"query ${100000 + i} should retrieve its original at rank 1")
+    }
+    // dirty query vectors cannot have tables built — loud, named failure
+    val dirtyQ = Seq((7L, Seq(0.1, 0.2))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.annIvfPqAdc(dirtyQ, index, centers, model, k = 1))
+    assert(e.getMessage.contains("7") && e.getMessage.contains("dim"),
+      e.getMessage)
+  }
+
   test("pqDecode: a shorter-than-m codes array decodes to NULL, never a " +
       "padded vector with null elements") {
     val s2 = spark
