@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cosine that refuses degenerate inputs instead of crashing the job:
+    * under ANSI mode (the Spark 4 default) 0/0 is a runtime
+    * DIVIDE_BY_ZERO error, so ONE all-zero embedding row in a 100 TB
+    * corpus would kill every cosine op that scores it. The guarded form
+    * yields NULL for a zero-norm (or NaN — `NaN > 0` is false) side;
+    * every ranking here filters the NULLs or lets them sort last,
+    * and non-degenerate rows compute the identical IEEE chain. */
+  private def cosOrNull(num: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, num / (n1 * n2))
+
   /** Double-precision dot product of two array columns — the native
     * codegen'd [[graft.functions.DotProduct]] expression (one fused
     * primitive loop; left-to-right accumulation, bit-identical to the
@@ -45,7 +55,9 @@ object Similarity {
     val sims = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("label"),
-        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+        round(cosOrNull(dot(col("qe"), col("ce")), col("qn"), col("cn")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -141,17 +153,25 @@ object Similarity {
     import spark.implicits._
     val df = centers.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
-    // create-exclusive claim: a concurrent/duplicate save of the same name
-    // must fail, not append a second centroid matrix onto the first
+    saveRegistryArtifact(reg, name, df, "quantizer")
+  }
+
+  /** The model-artifact publish protocol shared by [[saveIvfCenters]]
+    * and [[savePqModel]]: create-exclusive claim (a concurrent or
+    * duplicate save of the same name must FAIL, not append a second
+    * matrix onto the first), and a data-write failure must not leave
+    * the name claimed-but-empty (retries would see "already exists"
+    * forever and loads would return an empty artifact) — best-effort
+    * unclaim, then rethrow. */
+  private def saveRegistryArtifact(reg: graft.runtime.StreamRegistry,
+                                   name: String, df: DataFrame,
+                                   kind: String): Unit = {
     try reg.createExclusive(name, df.schema)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new IllegalArgumentException(
-          s"quantizer stream '$name' already exists (one artifact per name)", e)
+          s"$kind stream '$name' already exists (one artifact per name)", e)
     }
-    // a data-write failure must not leave the name claimed-but-empty
-    // (retries would see "already exists" forever and loads would return
-    // a 0-center quantizer) — best-effort unclaim, then rethrow
     try reg.write(df, name)
     catch { case e: Throwable =>
       try reg.delete(name) catch { case _: Throwable => () }
@@ -194,7 +214,11 @@ object Similarity {
     val sims = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("label"),
-        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+        round(cosOrNull(dot(col("qe"), col("ce")), col("qn"), col("cn")), 4)
+          .as("cos_sim"))
+      // a zero-norm vector on either side has no cosine: drop the NULL
+      // rather than crash (ANSI 0/0) or rank garbage
+      .filter(col("cos_sim").isNotNull)
       .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
@@ -327,8 +351,12 @@ object Similarity {
                      trainCap: Int = 4096, iters: Int = 5,
                      seed: Long = 42L): PqModel = {
     require(m >= 1 && ksub >= 1, s"need m >= 1, ksub >= 1; got m=$m ksub=$ksub")
+    // null embeddings are excluded from the sample (pqTrain's tolerance:
+    // its dim-consensus pass filters nulls the same way) — without the
+    // filter, getSeq(...).toArray NPEs with no message
     val sample = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>"))
+        col("embedding").cast("array<double>").as("e"))
+      .filter(col("e").isNotNull)
       .orderBy("vec_id").limit(trainCap)
       .collect().map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "pqTrainSampled needs a non-empty corpus")
@@ -360,17 +388,7 @@ object Similarity {
       c <- model.codebooks(s).indices
     } yield (s, c, model.codebooks(s)(c).toSeq))
       .toDF("subspace", "cid", "center")
-    try reg.createExclusive(name, df.schema)
-    catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(
-          s"PQ model stream '$name' already exists (one artifact per name)", e)
-    }
-    try reg.write(df, name)
-    catch { case e: Throwable =>
-      try reg.delete(name) catch { case _: Throwable => () }
-      throw e
-    }
+    saveRegistryArtifact(reg, name, df, "PQ model")
   }
 
   /** Load a model saved by [[savePqModel]], shape-revalidated: a
@@ -541,8 +559,11 @@ object Similarity {
     val sims = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+        round(cosOrNull(dot(col("qe"), col("ce")), col("qn"), col("cn")), 4)
           .as("cos_sim"))
+      // zero-norm query or zero-decoded candidate has no cosine: drop
+      // the NULL rather than crash (ANSI 0/0) or rank garbage
+      .filter(col("cos_sim").isNotNull)
       .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
@@ -565,14 +586,18 @@ object Similarity {
                   ivfCenters: Array[Array[Double]], model: PqModel, k: Int,
                   nprobe: Int = 3): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
-    val qRows = queries
+    // null embeddings join the wrong-dim vectors in the LOUD failure —
+    // a bare getSeq.toArray would NPE before the named require fires
+    val qRaw = queries
       .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(qRows.nonEmpty, "annIvfPqAdc needs a non-empty query set")
-    val dirtyQ = qRows.filter(_._2.length != model.dim).map(_._1)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[Double](1)).map(_.toArray)))
+    require(qRaw.nonEmpty, "annIvfPqAdc needs a non-empty query set")
+    val dirtyQ = qRaw.filter(!_._2.exists(_.length == model.dim)).map(_._1)
     require(dirtyQ.isEmpty,
-      s"annIvfPqAdc: query vectors ${dirtyQ.mkString(",")} have dim != " +
-        s"${model.dim} — filter dirty queries before searching")
+      s"annIvfPqAdc: query vectors ${dirtyQ.mkString(",")} are null or have " +
+        s"dim != ${model.dim} — filter dirty queries before searching")
+    val qRows = qRaw.map { case (id, v) => (id, v.get) }
     val m = model.m; val ksub = model.ksub; val dsub = model.dsub
     val stride = m * ksub
     val flatTables = new Array[Double](qRows.length * stride)
@@ -603,6 +628,9 @@ object Similarity {
             col("qi") * stride + s * lit(ksub) + c + 1)),
         lit(0d), (acc, x) => acc + x))
       .filter(col("adc_dist").isNotNull)
+      // the sibling defense (annIvfWith/annIvfPq): duplicate index ids
+      // must not consume top-k slots as repeated (q_id, c_id) pairs
+      .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -783,7 +811,7 @@ object Similarity {
     val scored = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("vn", norm(col("v")))
-      .withColumn("rel", dot(col("v"), qlit) / (col("vn") * norm(qlit)))
+      .withColumn("rel", cosOrNull(dot(col("v"), qlit), col("vn"), norm(qlit)))
       .filter(col("rel").isNotNull && !isnan(col("rel")))
       .localCheckpoint(false)
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Double)]()
@@ -804,7 +832,8 @@ object Similarity {
           scored
             .filter(!col("vec_id").isin(selected.map(_._1).toSeq: _*))
             .crossJoin(broadcast(selDf))
-            .withColumn("sim", dot(col("v"), col("sv")) / (col("vn") * col("sn")))
+            .withColumn("sim",
+              cosOrNull(dot(col("v"), col("sv")), col("vn"), col("sn")))
             .groupBy("vec_id")
             .agg(first("v").as("v"), first("rel").as("rel"),
               max("sim").as("msim"))
@@ -906,7 +935,9 @@ object Similarity {
     val sims = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_q"))
+        round(cosOrNull(dot(col("qe"), col("ce")), col("qn"), col("cn")), 4)
+          .as("cos_q"))
+      .filter(col("cos_q").isNotNull)
     val w = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("c_id"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -926,7 +957,9 @@ object Similarity {
       col("embedding").cast("array<double>").as("vb"))
       .withColumn("nb", norm(col("vb")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // NULL (zero-norm side) fails the >= threshold and drops out
+      .withColumn("cos_raw",
+        cosOrNull(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_raw") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
@@ -963,7 +996,9 @@ object Similarity {
     val vb = v.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       .withColumn("nb", norm(col("vb")))
     candIds.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // NULL (zero-norm side) fails the >= threshold and drops out
+      .withColumn("cos_raw",
+        cosOrNull(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_raw") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
@@ -992,7 +1027,9 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(col("raw").desc, col("neighbor_id").asc)
     a.join(b, Seq("block"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("raw", cosOrNull(dot(col("va"), col("vb")),
+        col("na"), col("nb")))
+      .filter(col("raw").isNotNull)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("block").as(blockCol), col("neighbor_id"),
@@ -1027,7 +1064,9 @@ object Similarity {
       .join(broadcast(q), Seq("q_id"))
       .join(c, Seq("c_id"))
       .select(col("q_id"), col("c_id"), col("label"),
-        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos_sim"))
+        round(cosOrNull(dot(col("qe"), col("ce")), col("qn"), col("cn")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

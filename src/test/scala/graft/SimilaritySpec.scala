@@ -527,6 +527,12 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTrainSampled(emb, m = 1, ksub = 1))
     assert(mixedSampled.getMessage.contains("mixes embedding dimensions"),
       mixedSampled.getMessage)
+    // a null embedding is excluded from the sample (pqTrain's dim-
+    // consensus tolerance), not an anonymous NPE
+    val withNull = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)),
+      (2L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding")
+    val m2 = Similarity.pqTrainSampled(withNull, m = 2, ksub = 2, iters = 1)
+    assert(m2.m === 2 && m2.dsub === 1)
   }
 
   test("annIvfPq: planted near-dups retrieved at rank 1 from the " +
@@ -568,6 +574,18 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqIndex(dirty, centers, model), centers, model, k = 5)
       .collect()
     assert(!got2.exists(_.getAs[Long]("c_id") == 999999L))
+    // a zero-norm QUERY makes every cosine 0/0 = NaN, which Spark ranks
+    // above every real double — the filter must drop those pairs (the
+    // query returns nothing) instead of returning an all-NaN top-k
+    val zeroQ = planted.union(Seq((999998L, Seq.fill(64)(0.0)))
+      .toDF("vec_id", "embedding"))
+    val got3 = Similarity.annIvfPq(zeroQ, index, centers, model, k = 5)
+      .collect()
+    assert(!got3.exists(_.getAs[Long]("q_id") == 999998L),
+      "NaN cosine pairs must be dropped, not ranked")
+    assert(got3.forall(r => !r.getAs[Double]("cos_sim").isNaN))
+    assert(got3.exists(_.getAs[Long]("q_id") == 100000L),
+      "clean queries must be unaffected by the degenerate one")
   }
 
   test("PQ model round-trips through the registry; encode output unchanged; " +
@@ -652,11 +670,27 @@ class SimilaritySpec extends SparkSpec {
         s"query ${100000 + i} should retrieve its original at rank 1")
     }
     // dirty query vectors cannot have tables built — loud, named failure
+    // for BOTH the wrong-dim and the null case (a bare NPE would fire
+    // before the require otherwise)
     val dirtyQ = Seq((7L, Seq(0.1, 0.2))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](
       Similarity.annIvfPqAdc(dirtyQ, index, centers, model, k = 1))
     assert(e.getMessage.contains("7") && e.getMessage.contains("dim"),
       e.getMessage)
+    val nullQ = Seq((8L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.annIvfPqAdc(nullQ, index, centers, model, k = 1))
+    assert(e2.getMessage.contains("8") && e2.getMessage.contains("null"),
+      e2.getMessage)
+    // duplicate index ids must not consume top-k slots as repeated pairs
+    val dupTop = Similarity.annIvfPqAdc(planted, index.union(index), centers,
+      model, k = 5).collect()
+    val pairs = dupTop.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    assert(pairs.distinct.length === pairs.length,
+      "duplicate index rows leaked into the top-k")
+    assert(dupTop.filter(r => r.getAs[Long]("q_id") == 100000L &&
+      r.getAs[Long]("rnk") == 1L).head.getAs[Long]("c_id") === 0L)
   }
 
   test("pqDecode: a shorter-than-m codes array decodes to NULL, never a " +
