@@ -101,26 +101,67 @@ object Dedup {
     * of shingle strings; counts and set sizes are unchanged w.h.p. (a
     * cross-doc collision needs ~2³² distinct shingles per pair).
     * `pruneSingletons` pre-drops df=1 shingles (can never form a pair) —
-    * lossless; worth it under df-skew, a measured wash on the fixtures. */
+    * lossless; worth it under df-skew, a measured wash on the fixtures.
+    * `maxShingleDf` > 0 additionally drops shingles whose document
+    * frequency EXCEEDS the cap ("stop-shingles"): a boilerplate shingle
+    * in d documents contributes d·(d−1)/2 candidate pairs by itself, so
+    * one hot shingle at crawl scale is a quadratic bomb — measured 125×
+    * runtime at 10× corpus size under heavy duplication, vs ~6× with the
+    * collapse/cap defenses. Unlike singleton pruning this is LOSSY (a
+    * pair whose every shared shingle is boilerplate is never
+    * considered); callers own the semantic shift and their oracles
+    * mirror the same df filter. */
   private[graft] def sharedShinglePairs(docs: DataFrame, n: Int,
-                                        pruneSingletons: Boolean): DataFrame = {
+                                        pruneSingletons: Boolean,
+                                        maxShingleDf: Int = 0): DataFrame = {
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-    val ex = if (!pruneSingletons) ex0 else {
-      val hot = ex0.groupBy("sg").count().filter(col("count") > 1).select("sg")
-      ex0.join(broadcast(hot), Seq("sg"), "left_semi")
-    }
+    // the df-dependent filters broadcast the SMALL side of each rule:
+    // stop-shingles (df > cap) are few by construction → anti-join;
+    // repeated shingles (df > 1) are the minority of a natural-text
+    // vocabulary → semi-join. Broadcasting the keep set (df ≤ cap ≈ the
+    // whole vocabulary) would OOM the driver at crawl scale.
+    lazy val dfs = ex0.groupBy("sg").count()
+    val afterCap =
+      if (maxShingleDf <= 0) ex0
+      else ex0.join(broadcast(
+          dfs.filter(col("count") > maxShingleDf).select("sg")),
+        Seq("sg"), "left_anti")
+    val ex =
+      if (!pruneSingletons) afterCap
+      else afterCap.join(broadcast(
+          dfs.filter(col("count") > 1).select("sg")),
+        Seq("sg"), "left_semi")
     ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** `maxShingleDf` > 0 switches the semantics to "Jaccard over
+    * non-boilerplate shingles": stop-shingles (df > cap) are removed
+    * from BOTH the candidate index and the per-doc set sizes, so the
+    * reported coefficient is exact over the kept shingle sets. Singleton
+    * pruning stays lossless (sizes keep df=1 shingles, which belong to
+    * exactly one side and never intersect — dropping them from sizes
+    * would inflate Jaccard). At fixture scale the cap is exercised with
+    * tiny values; a real crawl deployment caps in the thousands. */
   def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
-                          pruneSingletons: Boolean = false): DataFrame = {
+                          pruneSingletons: Boolean = false,
+                          maxShingleDf: Int = 0): DataFrame = {
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-    val pairs = sharedShinglePairs(docs, n, pruneSingletons)
+    val sizes =
+      if (maxShingleDf <= 0) sh.select(col("doc_id"), size(col("s")).as("n"))
+      else {
+        // sizes must count the KEPT shingles; the filter broadcasts the
+        // small stop set (df > cap), never the vocabulary-sized keep set
+        val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+        val stop = ex0.groupBy("sg").count()
+          .filter(col("count") > maxShingleDf).select("sg")
+        ex0.join(broadcast(stop), Seq("sg"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      }
+    val pairs = sharedShinglePairs(docs, n, pruneSingletons, maxShingleDf)
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -527,6 +568,39 @@ object Dedup {
     connectedComponents(minHashLshPairs(docs, minJaccard)
         .select("doc_a", "doc_b"))
       .withColumnRenamed("node", "doc_id")
+
+  /** [[nearDupClusters]] with an exact-duplicate collapse in front — the
+    * defense a duplication-heavy crawl needs. Identical texts are first
+    * collapsed to one representative (min doc_id per blake2b-256 content
+    * hash — the [[exactByHash]] key, so the collapse shuffle carries
+    * 32-byte hashes, not document text), the quadratic candidate stage
+    * runs over REPRESENTATIVES only, and members rejoin their rep
+    * through linear star edges before connected components. A document
+    * duplicated d times costs the candidate join d² work per shared
+    * shingle bucket in the uncollapsed path (measured: 10× corpus of
+    * exact copies → 125× runtime) but only d star edges here.
+    *
+    * Semantics: identical to [[nearDupClusters]] whenever every text has
+    * at least one shingle, because identical texts have Jaccard 1 and
+    * always pair anyway. The one deliberate difference: identical
+    * shingle-LESS texts (shorter than the shingle width) cluster here —
+    * exact duplicates are near-duplicates by definition — while the
+    * uncollapsed path never sees them (no shingle, no candidate). */
+  def nearDupClustersCollapsed(docs: DataFrame,
+                               minJaccard: Double = 0.8): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      GraftFunctions.blake2b_256(col("text")).as("k"))
+    val reps = keyed.groupBy("k").agg(min("doc_id").as("rep"))
+    val repDocs = docs.join(
+      reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repPairs = minHashLshPairs(repDocs, minJaccard)
+      .select("doc_a", "doc_b")
+    val star = keyed.join(reps, Seq("k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    connectedComponents(repPairs.union(star))
+      .withColumnRenamed("node", "doc_id")
+  }
 
   /** Chunk-granular exact dedup with reassembly (the "paragraph dedup" of
     * Dolma/RefinedWeb, over an arbitrary `parts` array column): across the

@@ -1003,6 +1003,42 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Semantic-dedup clusters with an exact-duplicate collapse in front:
+    * bit-identical embeddings are collapsed to one representative (min
+    * vec_id per embedding value — grouping on the raw array, exact bit
+    * equality, no float formatting involved), the LSH-bucketed pair
+    * stage ([[lshCosineNearDupPairs]]) runs over REPRESENTATIVES only,
+    * and members rejoin their rep through linear star edges before
+    * connected components. This is the embeddings twin of
+    * [[Dedup.nearDupClustersCollapsed]]: a vector duplicated d times
+    * costs d² candidate pairs per LSH bucket uncollapsed (and identical
+    * vectors share EVERY bucket, so the blow-up is certain, measured 50×
+    * at 10× corpus) but only d star edges here.
+    *
+    * Semantics: identical vectors have cosine exactly 1 ≥ `minCos`, so
+    * the output matches the uncollapsed pairs + components for any
+    * non-degenerate corpus; the one deliberate difference is that
+    * identical ZERO vectors (cosine undefined, dropped by the pair
+    * stage) still cluster here — exact duplicates are near-duplicates by
+    * definition. Output: (vec_id, cluster_id), cluster_id = smallest
+    * member id. */
+  def semanticClustersCollapsed(emb: DataFrame, minCos: Double,
+                                planes: Int = 8,
+                                tables: Int = 12): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val reps = v.groupBy("v").agg(min("vec_id").as("rep"))
+    val repVecs = v.join(reps.select(col("rep").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("v").as("embedding"))
+    val repPairs = lshCosineNearDupPairs(repVecs, minCos, planes, tables)
+      .select("vec_a", "vec_b")
+    val star = v.join(reps, Seq("v"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+    Dedup.connectedComponents(repPairs.union(star))
+      .withColumnRenamed("node", "vec_id")
+  }
+
   /** Block-partitioned k-nearest-neighbor graph: each vector's exact
     * top-`k` cosine neighbors WITHIN its block (`blockCol`). The join is a
     * plain equi-join on the block id — no cartesian stage — and the

@@ -1838,6 +1838,133 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** q32's inverted index with the stop-shingle cap
+    * ([[Dedup.jaccardNearDupPairs]] `maxShingleDf`): shingles in more
+    * than `2` documents are boilerplate and excluded from BOTH the
+    * candidate index and the per-doc set sizes — "Jaccard over
+    * non-boilerplate shingles", the quadratic-bomb defense a crawl
+    * corpus needs (one hot shingle in d docs is d²/2 candidate pairs).
+    * The cap is tiny here so the fixture actually exercises it (max df
+    * at sf0.01 is 7; a real deployment caps in the thousands). */
+  val q123JaccardStopshingles: Q = q("q123_jaccard_stopshingles",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |dfs AS (SELECT sg, count(*) AS df FROM ex0 GROUP BY sg),
+      |ex AS (SELECT doc_id, sg FROM ex0 JOIN dfs USING (sg) WHERE df <= 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.jaccardNearDupPairs(Tables.documents(s, d), minJaccard = 0.6,
+        maxShingleDf = 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q72's near-dup clustering with the exact-duplicate collapse in
+    * front ([[Dedup.nearDupClustersCollapsed]]): identical texts
+    * collapse to one representative before the quadratic candidate
+    * stage, members rejoin via linear star edges — a doc duplicated d
+    * times costs d edges instead of d² candidate pairs (measured 125×
+    * runtime at 10× corpus of exact copies without the collapse). Same
+    * output as q72 on this corpus (identical texts pair at Jaccard 1
+    * anyway); the oracle derives it independently through the collapsed
+    * route. */
+  val q124CollapsedClusters: Q = q("q124_collapsed_clusters",
+    """WITH RECURSIVE reps AS (
+      |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+      |rd AS (SELECT d.doc_id, d.text FROM documents d
+      |       JOIN reps r ON d.doc_id = r.rep),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM rd),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |star AS (
+      |  SELECT r.rep AS a, d.doc_id AS b FROM documents d
+      |  JOIN reps r ON d.text = r.text AND d.doc_id <> r.rep),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs
+      |          UNION SELECT a, b FROM star
+      |          UNION SELECT b, a FROM star),
+      |cc(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node)
+      |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.nearDupClustersCollapsed(Tables.documents(s, d), 0.8)
+      .orderBy("doc_id")
+  }
+
+  /** q79's semantic dedup with the exact-duplicate collapse in front
+    * ([[Similarity.semanticClustersCollapsed]]): bit-identical
+    * embeddings (planted exact copies at vec_id+200000, alongside q79's
+    * perturbed copies at +100000) collapse to one representative before
+    * the LSH pair stage — identical vectors share EVERY LSH bucket, so
+    * uncollapsed they are a guaranteed quadratic blow-up (measured 50×
+    * at 10× corpus). Members rejoin via star edges; the oracle derives
+    * the same clusters through the collapsed route with quadratic
+    * rep-pair SQL closed by a recursive CTE. */
+  val q125SemanticCollapsed: Q = q("q125_semantic_collapsed",
+    """WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |aug AS (SELECT vec_id, v FROM base
+      |        UNION ALL
+      |        SELECT vec_id + 100000, list_transform(v, x -> x + 0.2 * x * x) FROM base
+      |        UNION ALL
+      |        SELECT vec_id + 200000, v FROM base),
+      |reps AS (SELECT v, min(vec_id) AS rep FROM aug GROUP BY v),
+      |rv AS (SELECT rep AS vec_id, v FROM reps),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM rv a JOIN rv b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9),
+      |star AS (
+      |  SELECT r.rep AS a, g.vec_id AS b FROM aug g
+      |  JOIN reps r ON g.v = r.v AND g.vec_id <> r.rep),
+      |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+      |          UNION SELECT vec_b, vec_a FROM pairs
+      |          UNION SELECT a, b FROM star
+      |          UNION SELECT b, a FROM star),
+      |cc(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node)
+      |SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM cc GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = plantedNearDupEmbeddings(s, d).unionAll(base.select(
+      (col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    Similarity.semanticClustersCollapsed(aug, minCos = 0.9)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1857,5 +1984,6 @@ object PipelineQueries {
     q109PplBuckets, q110DsirWeights, q111EncodeIds, q113KmeansAssign,
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
-    q122IvfpqAdc)
+    q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
+    q125SemanticCollapsed)
 }

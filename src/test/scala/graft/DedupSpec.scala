@@ -135,4 +135,71 @@ class DedupSpec extends SparkSpec {
     val hashes = (1 to 1000).map(i => Dedup.mix64(i.toLong))
     assert(hashes.distinct.size === 1000)
   }
+
+  test("stop-shingle cap: boilerplate-only pairs vanish, kept-set jaccard " +
+    "is exact, huge caps reproduce the uncapped result") {
+    import spark.implicits._
+    // docs 1-4 share ONLY the boilerplate shingle "the same footer";
+    // docs 5,6 additionally share two rare shingles
+    val corpus = Seq(
+      (1L, "alpha beta gamma the same footer"),
+      (2L, "delta epsilon zeta the same footer"),
+      (3L, "eta theta iota the same footer"),
+      (4L, "kappa lambda mu the same footer"),
+      (5L, "red green blue sky the same footer"),
+      (6L, "red green blue sea the same footer")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardNearDupPairs(corpus, minJaccard = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate links every pair of the 6 docs
+    assert(uncapped.size === 15)
+    val capped = Dedup.jaccardNearDupPairs(corpus, minJaccard = 0.01,
+      maxShingleDf = 3)
+    val got = capped.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // only 5-6 survive: their rare shared shingles ("red green blue",
+    // "green blue sky|sea"-adjacent grams). Kept sets after dropping the
+    // df=6 boilerplate grams: doc5/doc6 keep their non-boilerplate
+    // shingles; shared kept = {"red green blue"} plus any other df≤3 gram
+    assert(got.keySet === Set((5L, 6L)))
+    // exact kept-set jaccard: compute from first principles
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = corpus.collect().map(r => r.getLong(0) -> sh(r.getString(1))).toMap
+    val df_ = all.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val kept = all.map { case (id, s) => id -> s.filter(g => df_(g) <= 3) }
+    val inter = (kept(5L) & kept(6L)).size.toDouble
+    val expected = inter / (kept(5L).size + kept(6L).size - inter)
+    assert(math.abs(got((5L, 6L)) - expected) < 5e-4)
+    // a cap nothing exceeds is a no-op: pair set == uncapped (jaccard
+    // values too — sizes fall back to the full sets)
+    val loose = Dedup.jaccardNearDupPairs(corpus, minJaccard = 0.01,
+        maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === uncapped)
+    // composes with singleton pruning (lossless on the same cap)
+    val both = Dedup.jaccardNearDupPairs(corpus, minJaccard = 0.01,
+        maxShingleDf = 3, pruneSingletons = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(both === got)
+  }
+
+  test("collapsed clustering == uncollapsed on the fixture; exact copies " +
+    "of shingle-less texts still cluster; star edges never elect a fake " +
+    "canonical") {
+    val full = Dedup.nearDupClusters(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val collapsed = Dedup.nearDupClustersCollapsed(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty && collapsed === full)
+    // shingle-less exact dupes: invisible to the shingle path, clustered
+    // by the collapse (exact duplicates are near-duplicates by definition)
+    import spark.implicits._
+    val shorts = Seq((10L, "too short"), (11L, "too short"),
+      (12L, "also tiny")).toDF("doc_id", "text")
+    val fullShort = Dedup.nearDupClusters(shorts, 0.8).collect()
+    assert(fullShort.isEmpty)
+    val colShort = Dedup.nearDupClustersCollapsed(shorts, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(colShort === Set((10L, 10L), (11L, 10L)))
+  }
 }

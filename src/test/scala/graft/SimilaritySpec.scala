@@ -706,4 +706,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1).isNullAt(1), "short codes must refuse, not zip_with-pad")
     assert(got(2).isNullAt(1), "empty codes must refuse, not zip_with-pad")
   }
+
+  test("semanticClustersCollapsed == uncollapsed pairs + CC when copies " +
+      "are planted; identical zero vectors still cluster") {
+    val s2 = spark
+    import s2.implicits._
+    val base = Tables.embeddings(spark, SparkSpec.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // exact copies: the collapse's whole reason to exist
+    val aug = base.unionAll(base.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding")))
+    val full = graft.ops.Dedup.connectedComponents(
+        Similarity.lshCosineNearDupPairs(aug, minCos = 0.9)
+          .select("vec_a", "vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val collapsed = Similarity.semanticClustersCollapsed(aug, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty && collapsed === full)
+    // identical zero vectors: cosine is undefined (the pair stage drops
+    // them) but exact duplicates are near-duplicates by definition
+    val zeros = Seq((5L, Seq(0.0, 0.0)), (6L, Seq(0.0, 0.0)),
+      (7L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val zc = Similarity.semanticClustersCollapsed(zeros, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zc === Set((5L, 5L), (6L, 5L)))
+  }
 }
