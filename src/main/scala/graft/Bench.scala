@@ -37,7 +37,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failures (-1) excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver keeps only a bounded tail of stdout, which truncated
+    // half the per-query numbers in past rounds — persist the full JSON
+    // to a file too so regression analysis always has every query.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: $e")
+    }
     spark.stop()
   }
 }

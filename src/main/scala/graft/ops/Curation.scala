@@ -358,10 +358,15 @@ object Curation {
     * definition, so only the totals see them.
     *
     * The two-ln form (not one ln of the product) is load-bearing: both
-    * engines evaluate the identical per-token IEEE chain, so the rounded
-    * mean is engine-identical (q69 precedent). Resampling is then a
-    * per-row keep decision against the score — compose with
-    * [[perplexityBuckets]]-style tiers or an md5-bucket rate.
+    * engines evaluate the identical per-token IEEE chain (q69
+    * precedent). Determinism: the per-doc score is a SUM over tokens,
+    * and distributed double summation is order-dependent — so each
+    * token's contribution is rounded to integer micros and summed as a
+    * long (exact, order-free, oracle-mirrorable: the q88 BM25
+    * convention); the mean divides the long total once at the end.
+    * Resampling is then a per-row keep decision against the score —
+    * compose with [[perplexityBuckets]]-style tiers or an md5-bucket
+    * rate.
     *
     * Scale shape: model tables are pool-vocabulary-bounded (broadcast);
     * totals are a one-row cross join; the pool side explodes tokens but
@@ -388,12 +393,18 @@ object Curation {
       .crossJoin(tgtCnt.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
     val llr = log((col("ct") + 1).cast("double") / (col("cr") + 1)) +
       log((col("tr") + col("v")).cast("double") / (col("tt") + col("v")))
+    // integer-micros per-token scoring: long sums commute, so the score
+    // is identical across partitionings, engines, and re-runs (ln inputs
+    // are irrational, so the half-micro rounding boundary is never hit)
+    val llrMicros = round(llr * lit(1000000.0), 0).cast("long")
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(model), Seq("tok"))
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(llr), 4).as("avg_logratio"))
+      .agg(count(lit(1)).as("n_tokens"), sum(llrMicros).as("sum_micros"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_micros").cast("double") / lit(1000000.0)
+          / col("n_tokens").cast("double"), 4).as("avg_logratio"))
   }
 
   /** Deterministic Gumbel-top-k resampling — the draw DSIR pairs with

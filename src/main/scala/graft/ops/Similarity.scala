@@ -1053,9 +1053,16 @@ object Similarity {
     * ([[lshCosineNearDupPairs]] + connected components) and
     * graph-based pruning signals ([[centroidOutliers]]). */
   def knnGraphBlocked(emb: DataFrame, k: Int, blockCol: String = "label"): DataFrame = {
+    // Degenerate (zero/NaN-norm) vectors are excluded ONCE PER VECTOR
+    // here, not per pair: a `raw IS NOT NULL` filter after the scoring
+    // projection gets alias-inlined by predicate pushdown, re-running
+    // the dim-length dot product on every pair row (the round-6 q90
+    // 2× regression). Semantics are identical — a zero-norm vector
+    // scores NULL against everything, so it emitted no rows either way.
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nn", norm(col("v")))
+      .filter(col("nn") > 0)
     val a = e.select(col("vec_id").as("vec_id"), col("block"),
       col("v").as("va"), col("nn").as("na"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("block"),
@@ -1063,9 +1070,11 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(col("raw").desc, col("neighbor_id").asc)
     a.join(b, Seq("block"))
       .filter(col("vec_id") =!= col("neighbor_id"))
+      // cosOrNull stays as underflow paranoia (na*nb could round to 0
+      // for denormal norms); a NULL would sort last under desc, never
+      // entering the top-k — no per-pair filter needed
       .withColumn("raw", cosOrNull(dot(col("va"), col("vb")),
         col("na"), col("nb")))
-      .filter(col("raw").isNotNull)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("block").as(blockCol), col("neighbor_id"),

@@ -1432,7 +1432,8 @@ object PipelineQueries {
     * English slice, pool = the whole corpus; add-one smoothing over the
     * pool vocabulary. The oracle recomputes both smoothed models and the
     * identical two-ln per-token chain (ln-parity per the q69/q20
-    * precedent). */
+    * precedent), rounded to integer micros per token and summed as
+    * BIGINT — order-free on both engines (the q88 convention). */
   val q110DsirWeights: Q = q("q110_dsir_weights",
     """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       |           FROM documents),
@@ -1444,8 +1445,9 @@ object PipelineQueries {
       |               CAST(count(*) AS BIGINT) AS v FROM model),
       |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(avg(ln((ct + 1)::DOUBLE / (cr + 1))
-      |          + ln((tr + v)::DOUBLE / (tt + v))), 4) AS avg_logratio
+      |  round(sum(CAST(round((ln((ct + 1)::DOUBLE / (cr + 1))
+      |          + ln((tr + v)::DOUBLE / (tt + v))) * 1000000.0, 0) AS BIGINT)
+      |    )::DOUBLE / 1000000.0 / count(*), 4) AS avg_logratio
       |FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -1530,8 +1532,9 @@ object PipelineQueries {
       |               CAST(count(*) AS BIGINT) AS v FROM model),
       |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(avg(ln((ct + 1)::DOUBLE / (cr + 1))
-      |          + ln((tr + v)::DOUBLE / (tt + v))), 4) AS avg_logratio
+      |  round(sum(CAST(round((ln((ct + 1)::DOUBLE / (cr + 1))
+      |          + ln((tr + v)::DOUBLE / (tt + v))) * 1000000.0, 0) AS BIGINT)
+      |    )::DOUBLE / 1000000.0 / count(*), 4) AS avg_logratio
       |  FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
       |  GROUP BY doc_id),
       |g AS (SELECT d.doc_id, sc.n_tokens, sc.avg_logratio,

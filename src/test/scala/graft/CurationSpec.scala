@@ -340,14 +340,31 @@ class CurationSpec extends SparkSpec {
     // pool: a:2 b:2 c:1, Tr=5, V=3; target(en): a:2 b:1 c:0, Tt=3
     val const = math.log(8.0 / 6.0)
     def llr(ct: Long, cr: Long) = math.log((ct + 1).toDouble / (cr + 1)) + const
-    val exp0 = (llr(2, 2) + llr(2, 2) + llr(1, 2)) / 3
-    val exp1 = (llr(1, 2) + llr(0, 1)) / 2
+    // mirror the operator's order-free integer-micros scoring
+    def micros(ct: Long, cr: Long) = math.round(llr(ct, cr) * 1e6)
+    val exp0 = (micros(2, 2) + micros(2, 2) + micros(1, 2)).toDouble / 1e6 / 3
+    val exp1 = (micros(1, 2) + micros(0, 1)).toDouble / 1e6 / 2
     val got = Curation.dsirLogRatio(pool, pool.filter($"lang" === "en"))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq(
       (0L, 3L, math.round(exp0 * 10000) / 10000.0),
       (1L, 2L, math.round(exp1 * 10000) / 10000.0)))
+  }
+
+  test("dsirLogRatio: score is partitioning-invariant (order-free micros sum)") {
+    val en = docs.filter(col("lang") === "en")
+    val base = Curation.dsirLogRatio(docs, en)
+      .orderBy("doc_id").collect().toSeq
+    // re-run with the pool re-sharded both ways: a different partition
+    // count and a hash re-shard change the double-summation order, which
+    // flipped the 4th decimal before the integer-micros fix (round-6
+    // driver flake on q110)
+    Seq(docs.repartition(7), docs.repartition(3, col("doc_id"))).foreach { re =>
+      val again = Curation.dsirLogRatio(re, en.repartition(5))
+        .orderBy("doc_id").collect().toSeq
+      assert(again === base)
+    }
   }
 
   test("dsirLogRatio: target == pool scores exactly zero everywhere") {
