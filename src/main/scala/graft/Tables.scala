@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Parquet table loaders over a scale-factor directory (TESTDATA.md).
   *
@@ -22,14 +23,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and convert to a microsecond
-    * timestamp (integer `div` → floor, matching DuckDB's ns→us
-    * truncation so oracle comparisons agree). */
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, hence the `nanosAsLong` conf and
+    * the ns→us floor-`div` (matching DuckDB's truncation so oracle
+    * comparisons agree) — or plain TIMESTAMP(MICROS), which arrives as
+    * TIMESTAMP_NTZ. Dispatch on the read schema and normalize both to a
+    * session-zone (UTC) TimestampType so downstream date functions see
+    * one type regardless of which file generation is on disk. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
