@@ -305,17 +305,51 @@ object Dedup {
       .select(col(leftCol), col(rightCol),
         round(col("jaccard_raw"), 3).as("jaccard"))
 
-  /** MinHash-LSH near-dup pairs: band signatures → equi-self-join on band
-    * key (candidate pairs, no cross join) → exact Jaccard confirm ≥
-    * `minJaccard`. Output matches [[jaccardNearDupPairs]]: (doc_a, doc_b,
-    * jaccard). */
-  def minHashLshPairs(docs: DataFrame, minJaccard: Double, n: Int = 3): DataFrame = {
+  /** Drops every row of `banded` whose band key is shared by MORE than
+    * `maxBandSize` docs. A band bucket of d docs emits d·(d−1)/2
+    * candidate pairs by itself, so one hot bucket — boilerplate text,
+    * near-empty docs, a degenerate shingle distribution — is the same
+    * quadratic bomb [[sharedShinglePairs]]'s `maxShingleDf` defuses for
+    * the shingle index. Capping is standard LSH practice: a full bucket
+    * carries almost no discriminative signal (its members collide on a
+    * band by construction, i.e. they are boilerplate-alike), and the cap
+    * bounds candidate growth to maxBandSize·|bands| instead of Σ d².
+    * LOSSY like the shingle cap: a pair whose every colliding band is
+    * hot is never considered. The hot-band set (df > cap) is small by
+    * construction → broadcast anti-join, same shape as the stop-shingle
+    * filter. */
+  private def capBands(banded: DataFrame, maxBandSize: Int): DataFrame =
+    if (maxBandSize <= 0) banded
+    else banded.join(broadcast(
+        banded.groupBy("band").count()
+          .filter(col("count") > maxBandSize).select("band")),
+      Seq("band"), "left_anti")
+
+  /** Candidate stage of [[minHashLshPairs]]: distinct (doc_a, doc_b)
+    * pairs colliding on ≥1 kept band. Exposed for the DedupSpec
+    * duplication-blowup measurement. */
+  private[graft] def minHashBandCandidates(docs: DataFrame, n: Int,
+                                           maxBandSize: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val banded = sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
-    val cands = banded.as("a").join(banded.as("b"),
+    val banded = capBands(
+      sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band")),
+      maxBandSize)
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs: band signatures → equi-self-join on band
+    * key (candidate pairs, no cross join) → exact Jaccard confirm ≥
+    * `minJaccard`. Output matches [[jaccardNearDupPairs]]: (doc_a, doc_b,
+    * jaccard). `maxBandSize` > 0 drops hot band buckets before the
+    * self-join (see [[capBands]]) — lossy, off by default; a crawl-scale
+    * deployment caps in the hundreds. */
+  def minHashLshPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
+                      maxBandSize: Int = 0): DataFrame = {
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val cands = minHashBandCandidates(docs, n, maxBandSize)
     // prune the corpus-sized shingle frame to candidate docs BEFORE the
     // confirm joins — at scale |candidates| << |corpus|, so the two joins
     // below shuffle only the near-dup suspects' shingles
@@ -673,14 +707,22 @@ object Dedup {
     * doc_ids are assumed globally unique across both sides (the same
     * id-space contract as [[dedupAgainstCorpus]]): identity pairs are
     * filtered, so replaying a batch already merged into the corpus does
-    * not flood the output with each doc matching itself at 1.0. */
+    * not flood the output with each doc matching itself at 1.0.
+    *
+    * `maxBandSize` > 0 caps the CORPUS side's band buckets (see
+    * [[capBands]]): per-batch candidate work is Σ over incoming bands of
+    * the corpus band df, so a hot corpus bucket makes every future batch
+    * pay for it — the cap bounds each batch at maxBandSize candidates
+    * per incoming band row. The incoming side is batch-sized and needs
+    * no cap. */
   def minHashLshAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
-                              minJaccard: Double, n: Int = 3): DataFrame = {
+                              minJaccard: Double, n: Int = 3,
+                              maxBandSize: Int = 0): DataFrame = {
     val shC = corpus.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val shI = incoming.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     def bands(sh: DataFrame) =
       sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
-    val cands = bands(shI).as("i").join(bands(shC).as("c"),
+    val cands = bands(shI).as("i").join(capBands(bands(shC), maxBandSize).as("c"),
         col("i.band") === col("c.band") && col("i.doc_id") =!= col("c.doc_id"))
       .select(col("i.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
       .distinct()

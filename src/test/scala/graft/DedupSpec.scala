@@ -183,6 +183,41 @@ class DedupSpec extends SparkSpec {
     assert(both === got)
   }
 
+  test("maxBandSize bounds LSH candidate growth under 10x duplication; " +
+    "a cap nothing exceeds is a no-op") {
+    import spark.implicits._
+    val base = docs.limit(30).collect().map(r => (r.getLong(0), r.getString(1)))
+    def dupN(times: Int) = spark.createDataFrame(
+      (0 until times).flatMap(k =>
+        base.map { case (id, t) => (id * 1000 + k, t) })).toDF("doc_id", "text")
+    val tenOff = Dedup.minHashBandCandidates(dupN(10), 3, 0).count()
+    val tenOn = Dedup.minHashBandCandidates(dupN(10), 3, 5).count()
+    // uncapped: each base doc's 10 exact copies collide on EVERY band →
+    // ≥ C(10,2)=45 candidate pairs per base doc. The quadratic bomb.
+    assert(tenOff >= 45L * base.length)
+    // capped at 5: every copy-group bucket has df=10 > cap and is dropped,
+    // so candidate volume collapses instead of growing quadratically. (The
+    // pairs lost here are exact duplicates — the documented defense pairing
+    // is exact-collapse first [nearDupClustersCollapsed], cap second.)
+    assert(tenOn < tenOff / 10,
+      s"cap should kill the blowup: capped=$tenOn uncapped=$tenOff")
+    // a cap nothing exceeds is a no-op on pair set AND jaccard values
+    val plain = Dedup.minHashLshPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val loose = Dedup.minHashLshPairs(docs, 0.8, maxBandSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.nonEmpty && loose === plain)
+    // incremental path: loose corpus-side cap is likewise a no-op
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val incPlain = Dedup.minHashLshAgainstCorpus(even, odd, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incLoose = Dedup.minHashLshAgainstCorpus(even, odd, 0.8,
+        maxBandSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incLoose === incPlain)
+  }
+
   test("collapsed clustering == uncollapsed on the fixture; exact copies " +
     "of shingle-less texts still cluster; star edges never elect a fake " +
     "canonical") {
