@@ -318,7 +318,15 @@ object Curation {
     * MEMBERSHIP is deterministic given the thresholds, and a re-run on
     * the same data reproduces both (the sketch is deterministic for a
     * fixed partitioning). Unscored documents (no in-corpus tokens) land
-    * in the last bucket, as in the exact form. */
+    * in the last bucket, as in the exact form.
+    *
+    * Deliberately TWO scoring passes (sketch, then assignment at
+    * consumption) and no cache: the scored frame is CORPUS-cardinality,
+    * so persisting it to save the second pass would hold corpus-sized
+    * blocks until LRU eviction across every invocation — the wrong
+    * trade at 100 TB (the vocab-bounded LM model table underneath IS
+    * persisted, so the second pass re-runs only the doc-side join, not
+    * the corpus wordcount). */
   def perplexityBucketsApprox(docs: DataFrame, corpus: DataFrame,
                               buckets: Int = 3,
                               relErr: Double = 0.001): DataFrame = {
@@ -326,7 +334,6 @@ object Curation {
     val scored = docs.select(col("doc_id"))
       .join(TextAnalysis.unigramLogProb(docs, corpus), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_tokens"))
-      .persist() // scored twice: threshold sketch + assignment
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
     // thresholds on the ASCENDING score; bucket 1 (head) is the top tail
     val cuts = scored.filter(!isnan(col("avg_logprob")))
@@ -380,7 +387,8 @@ object Curation {
     val rawCnt = toksOf(docs).groupBy("tok").agg(count(lit(1)).as("cr"))
     // both wordcounts feed two consumers (model join + a totals
     // aggregate); persist computes each once while staying lazy and
-    // recomputable (see unigramLogProb for why not localCheckpoint) —
+    // recomputable (see unigramLogProb for why not localCheckpoint, and
+    // for the until-clearCache cache lifecycle these tables share) —
     // the tables are vocabulary-bounded, so the materialization is small
     val tgtCnt = toksOf(target).groupBy("tok").agg(count(lit(1)).as("ct"))
       .persist()

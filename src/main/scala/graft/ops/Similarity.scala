@@ -264,7 +264,10 @@ object Similarity {
   def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
     val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var centers = vecs.orderBy("vec_id").limit(k)
+    // a NULL embedding among the k lowest vec_ids would NPE the getSeq
+    // below with no useful message — skip nulls here, the same guard
+    // pqTrainSampled applies to its sample collect
+    var centers = vecs.filter(col("v").isNotNull).orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     require(centers.length == k,
       s"corpus has only ${centers.length} vectors for k=$k initial centers")
@@ -1025,7 +1028,12 @@ object Similarity {
   def semanticClustersCollapsed(emb: DataFrame, minCos: Double,
                                 planes: Int = 8,
                                 tables: Int = 12): DataFrame = {
+    // NULL embeddings would form ONE groupBy group below and so collapse
+    // into a fake "exact duplicate" cluster via star edges, where the
+    // uncollapsed pair path simply drops dirty rows — drop them here too
+    // so collapsed == uncollapsed on every input, not just clean ones
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
     val reps = v.groupBy("v").agg(min("vec_id").as("rep"))
     val repVecs = v.join(reps.select(col("rep").as("vec_id")),
         Seq("vec_id"), "left_semi")

@@ -104,7 +104,11 @@ object TextAnalysis {
     // scale. persist() computes it once and stays lazy AND recomputable
     // (localCheckpoint materializes eagerly under AQE — plan-building
     // alone would run the wordcount — and truncates lineage, so an
-    // executor loss becomes a job failure).
+    // executor loss becomes a job failure). Lifecycle: the cached table
+    // is vocabulary-bounded (small by construction) and has no safe
+    // unpersist point inside a lazy builder — blocks stay until LRU
+    // eviction or spark.catalog.clearCache(); deliberate, same for the
+    // bigram and DSIR model tables.
     val freq = corpus.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .persist()

@@ -296,6 +296,12 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(3).getAs[Long]("cluster") === 1L)
     val fit = Similarity.kmeansFit(emb, k = 2, iters = 2)
     assert(fit.length === 2 && fit.forall(_.length === 2))
+    // a NULL embedding at the LOWEST vec_id must not NPE the init
+    // collect — it's skipped, the next k clean vectors seed the centers
+    val withNull = Seq((-1L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "embedding").unionAll(emb)
+    val fit2 = Similarity.kmeansFit(withNull, k = 2, iters = 1)
+    assert(fit2.length === 2 && fit2.forall(_.length === 2))
   }
 
   test("kmeansFit: distributed Lloyd's matches a sequential reference " +
@@ -730,5 +736,15 @@ class SimilaritySpec extends SparkSpec {
     val zc = Similarity.semanticClustersCollapsed(zeros, minCos = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(zc === Set((5L, 5L), (6L, 5L)))
+    // NULL embeddings are DROPPED, not clustered: two nulls must not
+    // collapse into a fake "exact duplicate" cluster (nulls form one
+    // groupBy group; the uncollapsed pair path drops dirty rows)
+    val dirty = Seq((8L, Option.empty[Seq[Double]]),
+      (9L, Option.empty[Seq[Double]]), (10L, Some(Seq(1.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val dc = Similarity.semanticClustersCollapsed(dirty, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dc.forall(p => p._1 != 8L && p._1 != 9L),
+      s"null embeddings must not cluster: $dc")
   }
 }
