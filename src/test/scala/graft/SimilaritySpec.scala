@@ -594,6 +594,37 @@ class SimilaritySpec extends SparkSpec {
       "clean queries must be unaffected by the degenerate one")
   }
 
+  test("IVF-PQ corpus-level recall floor vs exact top-k (both search paths)") {
+    // The q121/q122 queries are rows-only (iterative trainers preclude a
+    // SQL oracle), so THIS is their quality gate: fixed-seed recall@5
+    // against exact cosineTopK over the whole fixture corpus — the
+    // annLsh-spec pattern. Floors are half the measured values on the
+    // near-random fixture (the PQ worst case: distortion is uncorrelated
+    // with distance, and nprobe=3/nlist=16 scans ~19% of the corpus);
+    // real clustered embedding spaces sit far above them.
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centers = Similarity.trainIvfCenters(emb)
+    val model = Similarity.pqTrainSampled(emb, m = 8, ksub = 16, iters = 2)
+    val index = Similarity.pqIndex(emb, centers, model)
+    val pq = Similarity.annIvfPq(queries, index, centers, model, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact intersect pq).size.toDouble / exact.size
+    info(s"annIvfPq recall@5 = $pqRecall")
+    assert(pqRecall >= 0.1, s"annIvfPq recall@5 = $pqRecall") // measured 0.2
+    val adc = Similarity.annIvfPqAdc(queries, index, centers, model, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (exact intersect adc).size.toDouble / adc.size
+    info(s"annIvfPqAdc recall@5 = $adcRecall")
+    assert(adcRecall >= 0.1, s"annIvfPqAdc recall@5 = $adcRecall") // measured 0.2
+    // determinism: same fixed-seed trainers + index → identical result set
+    val pq2 = Similarity.annIvfPq(queries, index, centers, model, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq2 === pq)
+  }
+
   test("PQ model round-trips through the registry; encode output unchanged; " +
       "shape damage fails loudly") {
     val s2 = spark
