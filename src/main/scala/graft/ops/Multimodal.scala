@@ -80,6 +80,54 @@ object Multimodal {
       }
   }
 
+  /** Typed metadata row for the audio/video decode stage ([[decodeAv]]):
+    * image payloads report their [[ImageHeaders]] fields (kind=image),
+    * WAV/MP4 payloads their [[AvHeaders]] fields (kind=audio/video),
+    * anything else the deterministic fallback (kind=unknown). */
+  case class AvFeature(
+      doc_id: Long,
+      n_bytes: Long,
+      kind: String,
+      format: String,
+      channels: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** Media decode across ALL sniffed container families — the superset of
+    * [[decodePayloads]]: images via [[ImageHeaders]], audio/video via
+    * [[AvHeaders]] (WAV fmt/data chunks, MP4 ftyp/mvhd/tkhd boxes), same
+    * per-partition decoder-init shape, same O(header) bytes per row.
+    * Unrecognized payloads fall back to kind=unknown with the byte-stream
+    * checksum only (no fake dimensions here — the q54 fallback predates
+    * the parsers and keeps its shape for compatibility). */
+  def decodeAvPayloads(spark: SparkSession, docs: DataFrame): Dataset[AvFeature] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (native lib handle etc.)
+        it.map { case (id, bytes) =>
+          var cs = 0xcbf29ce484222325L
+          var i = 0
+          while (i < bytes.length) { cs ^= (bytes(i) & 0xffL); cs *= 0x100000001b3L; i += 1 }
+          ImageHeaders.parse(bytes) match {
+            case Some(h) => AvFeature(id, bytes.length.toLong, "image", h.format,
+              h.channels, 0, 0L, h.width, h.height, cs)
+            case None => AvHeaders.parse(bytes) match {
+              case Some(a) => AvFeature(id, bytes.length.toLong, a.kind, a.format,
+                a.channels, a.sampleRate, a.durationMs, a.width, a.height, cs)
+              case None => AvFeature(id, bytes.length.toLong, "unknown", "unknown",
+                0, 0, 0L, 0, 0, cs)
+            }
+          }
+        }
+      }
+  }
+
   /** Pre-round-4 name for [[decode]] (when all formats were stubbed). */
   @deprecated("use decode — header parsing is real now", "0.4")
   def decodeStub(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] =

@@ -1968,6 +1968,56 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Little-endian hex rendering of a 16/32-bit value — builds binary
+    * container fields via unhex (q126's WAV synthesis). */
+  private def leHex16(c: Column): Column = {
+    val h = lpad(hex(c.cast("long")), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def leHex32(c: Column): Column = {
+    val h = lpad(hex(c.cast("long")), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Audio-container metadata ([[graft.ops.Multimodal.decodeAvPayloads]] /
+    * [[graft.ops.AvHeaders]]): each doc gets a complete synthesized PCM
+    * WAV payload (RIFF/WAVE/fmt/data, parameters varied per doc_id) built
+    * byte-for-byte via hex → unhex, and the REAL header parser reads the
+    * metadata back. The oracle computes the same metadata from the
+    * construction arithmetic directly — so a parser that misreads any
+    * little-endian offset, chunk bound, or the floor-division duration
+    * diverges. (The JDK AudioSystem cross-check lives in
+    * RuntimeExtrasSpec, the ImageIO analog.) */
+  val q126WavMeta: Q = q("q126_wav_meta",
+    """WITH p AS (SELECT doc_id,
+      |  doc_id % 2 + 1 AS ch,
+      |  8000 + (doc_id % 5) * 1000 AS rate,
+      |  (doc_id % 50 + 10) * (doc_id % 2 + 1) * 2 AS data_size
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, CAST(44 + data_size AS BIGINT) AS n_bytes,
+      |  'audio' AS kind, 'wav' AS format,
+      |  CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate,
+      |  CAST((data_size * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ch = col("doc_id") % 2 + 1
+    val rate = lit(8000) + (col("doc_id") % 5) * 1000
+    val blockAlign = ch * 2
+    val dataSize = (col("doc_id") % 50 + 10) * blockAlign
+    val wavHex = concat(
+      lit("52494646"), leHex32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), leHex32(lit(16)), leHex16(lit(1)),       // fmt_ 16 PCM
+      leHex16(ch), leHex32(rate), leHex32(rate * blockAlign),
+      leHex16(blockAlign), leHex16(lit(16)),
+      lit("64617461"), leHex32(dataSize),                       // data size
+      expr("repeat('00', int((doc_id % 50 + 10) * (doc_id % 2 + 1) * 2))"))
+    val payloads = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), unhex(wavHex).as("payload"))
+    graft.ops.Multimodal.decodeAvPayloads(s, payloads).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("kind"), col("format"),
+        col("channels"), col("sample_rate"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -1988,5 +2038,5 @@ object PipelineQueries {
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
-    q125SemanticCollapsed)
+    q125SemanticCollapsed, q126WavMeta)
 }

@@ -123,6 +123,54 @@ class RuntimeExtrasSpec extends SparkSpec {
     }
   }
 
+  test("multimodal decode: WAV header parsing (JDK AudioSystem cross-check) " +
+      "and MP4 box walking (hand-built ISO-BMFF literal)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // WAV: synthesize with the JDK's own RIFF writer — the AudioSystem
+    // cross-check is the ImageIO analog for audio
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val nFrames = 1600
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](nFrames * fmt.getFrameSize)),
+      fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val wav = graft.ops.AvHeaders.parse(out.toByteArray)
+    assert(wav.isDefined, "JDK-written WAV not recognized")
+    assert(wav.get === graft.ops.AvHeaders.AvMeta("wav", "audio", 2, 16000, 16,
+      100L, 0, 0)) // 1600 frames @ 16 kHz = 100 ms, floor division
+    // MP4: minimal ftyp + moov(mvhd v0 + trak/tkhd v0) per the public
+    // ISO-BMFF layout; dims are 16.16 fixed-point
+    val bb = java.nio.ByteBuffer.allocate(16 + 216) // big-endian by default
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("ISO-8859-1"))
+    }
+    box(16, "ftyp"); bb.put("isom".getBytes("ISO-8859-1")); bb.putInt(0)
+    box(216, "moov")
+    box(108, "mvhd"); bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0)     // ctime, mtime
+    bb.putInt(1000)                // timescale
+    bb.putInt(2500)                // duration → 2500 ms
+    bb.position(bb.position() + 108 - 8 - 20) // rest of mvhd zero-filled
+    box(100, "trak")
+    box(92, "tkhd"); bb.position(bb.position() + 84 - 8)
+    bb.putInt(640 << 16); bb.putInt(360 << 16) // width, height @ data+76
+    val mp4 = graft.ops.AvHeaders.parse(bb.array())
+    assert(mp4 === Some(graft.ops.AvHeaders.AvMeta("mp4/isom", "video", 0, 0, 0,
+      2500L, 640, 360)))
+    // end-to-end through decodeAvPayloads: wav, mp4, and unknown fallback
+    val df = spark.createDataFrame(Seq(
+      (1L, out.toByteArray), (2L, bb.array()),
+      (3L, "not a container".getBytes("UTF-8")))).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAvPayloads(spark, df).collect().sortBy(_.doc_id)
+    assert(got.map(m => (m.doc_id, m.kind, m.format)).toSeq === Seq(
+      (1L, "audio", "wav"), (2L, "video", "mp4/isom"), (3L, "unknown", "unknown")))
+    assert(got(0).sample_rate === 16000 && got(0).duration_ms === 100L)
+    assert(got(1).width === 640 && got(1).height === 360)
+    // truncated WAV header → None, never a throw
+    assert(graft.ops.AvHeaders.parse(out.toByteArray.take(30)).isEmpty)
+  }
+
   test("multimodal decode: pinned 1x1 RGBA PNG byte literal through the Spark path") {
     // the canonical 1×1 transparent PNG (colour type 6 → RGBA)
     val png = java.util.Base64.getDecoder.decode(
