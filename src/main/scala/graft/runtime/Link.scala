@@ -19,7 +19,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    restart resumes exactly where it left off, upgrading the broker's
   *    at-least-once commit (`catenae.py:469-470`) to exactly-once;
   *  - scale-out replicas of a receiver group → partition parallelism of
-  *    the single query (no process replication to manage).
+  *    the single query (no process replication to manage);
+  *  - manual batch-ack mode (`progress_without_commit` + explicit
+  *    `commit()`, `catenae.py:424-427,453-454`) has NO separate API here
+  *    by design: Structured Streaming checkpoints commit per micro-batch
+  *    exactly-once, which strictly dominates the reference's opt-out of
+  *    its at-least-once commit; batch-granular side-effect control, the
+  *    one thing manual ack bought, is `foreachBatch` (SURVEY §2.1 O5).
   */
 trait Link {
   /** Link name ≈ receiver group (reference defaults it to the class name,
