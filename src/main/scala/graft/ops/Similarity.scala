@@ -984,27 +984,59 @@ object Similarity {
     * is exact (SimilaritySpec asserts equality with the quadratic
     * [[cosineNearDupPairs]], and the q63 oracle re-derives the pair set
     * in SQL). Same scale shape as MinHash-LSH is for Jaccard
-    * (`Dedup.minHashLshPairs`): bucket → candidate ids → confirm. */
+    * (`Dedup.minHashLshPairs`): bucket → candidate ids → confirm.
+    *
+    * `maxBucketSize` > 0 drops sign-LSH buckets shared by more than that
+    * many vectors before the self-join — the cosine twin of the MinHash
+    * band cap (`Dedup.capBands`): a bucket of d vectors emits d·(d−1)/2
+    * candidates by itself, and identical vectors share EVERY bucket, so
+    * a hot bucket (mass-duplicated embeddings, a degenerate all-zeros
+    * region) is a guaranteed quadratic bomb. LOSSY and off by default;
+    * the preferred defense for exact duplicates is the collapse in
+    * [[semanticClustersCollapsed]] (cap first when duplication is
+    * unknown, collapse when it is the known cause). The hot-bucket set
+    * is small by construction → broadcast anti-join. */
   def lshCosineNearDupPairs(emb: DataFrame, minCos: Double,
-                            planes: Int = 8, tables: Int = 12): DataFrame = {
-    def sigs(c: Column) = graft.functions.VectorFunctions.lshSignatures(c, planes, tables)
+                            planes: Int = 8, tables: Int = 12,
+                            maxBucketSize: Int = 0): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val b = v.select(col("vec_id"), explode(sigs(col("v"))).as("bucket"))
-    val candIds = b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val candIds = lshCosineCandidates(v, planes, tables, maxBucketSize)
     val va = v.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .withColumn("na", norm(col("va")))
     val vb = v.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       .withColumn("nb", norm(col("vb")))
+    lshCosineConfirm(candIds, va, vb, minCos)
+  }
+
+  /** Candidate stage of [[lshCosineNearDupPairs]]: distinct (vec_a,
+    * vec_b) pairs colliding on ≥1 kept sign-LSH bucket. Exposed for the
+    * SimilaritySpec duplication-blowup measurement. `v` carries
+    * (vec_id, v). */
+  private[graft] def lshCosineCandidates(v: DataFrame, planes: Int,
+                                         tables: Int,
+                                         maxBucketSize: Int): DataFrame = {
+    def sigs(c: Column) = graft.functions.VectorFunctions.lshSignatures(c, planes, tables)
+    val b0 = v.select(col("vec_id"), explode(sigs(col("v"))).as("bucket"))
+    val b = if (maxBucketSize <= 0) b0
+      else b0.join(broadcast(
+          b0.groupBy("bucket").count()
+            .filter(col("count") > maxBucketSize).select("bucket")),
+        Seq("bucket"), "left_anti")
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Exact-cosine confirm shared by the [[lshCosineNearDupPairs]] exit. */
+  private def lshCosineConfirm(candIds: DataFrame, va: DataFrame,
+                               vb: DataFrame, minCos: Double): DataFrame =
     candIds.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       // NULL (zero-norm side) fails the >= threshold and drops out
       .withColumn("cos_raw",
         cosOrNull(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_raw") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
-  }
 
   /** Semantic-dedup clusters with an exact-duplicate collapse in front:
     * bit-identical embeddings are collapsed to one representative (min

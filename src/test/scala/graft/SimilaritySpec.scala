@@ -594,6 +594,34 @@ class SimilaritySpec extends SparkSpec {
       "clean queries must be unaffected by the degenerate one")
   }
 
+  test("maxBucketSize bounds sign-LSH candidate growth under 10x " +
+    "duplication; a cap nothing exceeds is a no-op") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 30)
+    def dupN(times: Int) = (0 until times).map(k =>
+      base.select((col("vec_id") * 1000 + k).as("vec_id"), col("v")))
+      .reduce(_ unionAll _)
+    val tenOff = Similarity.lshCosineCandidates(dupN(10), 8, 12, 0).count()
+    val tenOn = Similarity.lshCosineCandidates(dupN(10), 8, 12, 5).count()
+    // identical vectors share EVERY bucket: ≥ C(10,2)=45 pairs per base
+    // vector uncapped — the certain quadratic bomb
+    assert(tenOff >= 45L * 30)
+    // capped at 5: every copy-group bucket has df=10 > cap and is dropped
+    // (the lost pairs are exact duplicates — the documented defense
+    // pairing is collapse first [semanticClustersCollapsed], cap second)
+    assert(tenOn < tenOff / 10,
+      s"cap should kill the blowup: capped=$tenOn uncapped=$tenOff")
+    // a cap nothing exceeds reproduces the uncapped pair set + cosines
+    val emb = Tables.embeddings(spark, sf0001)
+    val plain = Similarity.lshCosineNearDupPairs(emb, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val loose = Similarity.lshCosineNearDupPairs(emb, minCos = 0.9,
+        maxBucketSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loose === plain)
+  }
+
   test("IVF-PQ corpus-level recall floor vs exact top-k (both search paths)") {
     // The q121/q122 queries are rows-only (iterative trainers preclude a
     // SQL oracle), so THIS is their quality gate: fixed-seed recall@5
