@@ -2018,6 +2018,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Video-container metadata — q126's MP4 sibling: a minimal ISO-BMFF
+    * file per doc (ftyp + moov/mvhd/trak/tkhd, all sizes/fields
+    * big-endian so plain `hex` renders them) with per-doc timescale,
+    * duration, and 16.16 fixed-point track dims; [[graft.ops.AvHeaders]]
+    * walks the real box tree to read them back while the oracle
+    * recomputes the construction arithmetic (including the floor-divided
+    * ms duration). */
+  val q127Mp4Meta: Q = q("q127_mp4_meta",
+    """WITH p AS (SELECT doc_id,
+      |  600 + (doc_id % 4) * 200 AS ts,
+      |  (doc_id % 500 + 50) * 10 AS dur,
+      |  320 + (doc_id % 8) * 160 AS w,
+      |  240 + (doc_id % 6) * 120 AS h
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, CAST(232 AS BIGINT) AS n_bytes, 'video' AS kind,
+      |  'mp4/isom' AS format, CAST((dur * 1000) // ts AS BIGINT) AS duration_ms,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def beHex32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+    def fixed1616(c: Column): Column = concat(lpad(hex(c.cast("long")), 4, "0"), lit("0000"))
+    val ts = lit(600) + (col("doc_id") % 4) * 200
+    val dur = (col("doc_id") % 500 + 50) * 10
+    val w = lit(320) + (col("doc_id") % 8) * 160
+    val h = lit(240) + (col("doc_id") % 6) * 120
+    val zeros = (n: Int) => lit("00" * n)
+    val mp4Hex = concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"), // ftyp isom
+      lit("000000D8"), lit("6D6F6F76"),                                   // moov
+      lit("0000006C"), lit("6D766864"), zeros(12),                        // mvhd v0
+      beHex32(ts), beHex32(dur), zeros(80),
+      lit("00000064"), lit("7472616B"),                                   // trak
+      lit("0000005C"), lit("746B6864"), zeros(12),                        // tkhd v0
+      lit("00000001"), zeros(4), beHex32(dur), zeros(16), zeros(36),
+      fixed1616(w), fixed1616(h))
+    val payloads = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), unhex(mp4Hex).as("payload"))
+    graft.ops.Multimodal.decodeAvPayloads(s, payloads).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("kind"), col("format"),
+        col("duration_ms"), col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2038,5 +2080,5 @@ object PipelineQueries {
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
-    q125SemanticCollapsed, q126WavMeta)
+    q125SemanticCollapsed, q126WavMeta, q127Mp4Meta)
 }
