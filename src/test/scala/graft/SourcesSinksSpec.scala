@@ -16,6 +16,25 @@ class SourcesSinksSpec extends SparkSpec {
       .toDF("id", "k", "month")
   }
 
+  test("Tables.events normalizes both ts generations to a session-zone timestamp") {
+    val s = spark
+    import s.implicits._
+    // the micros generation: whatever testdata ships, ts comes back
+    // TimestampType with the same micros DuckDB reads from the file
+    val live = Tables.events(spark, SparkSpec.sf0001)
+    assert(live.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(live.limit(5).count() === 5)
+    // the nanos generation is emulated by a raw INT64 ts column (the
+    // nanosAsLong read shape): floor-div to micros, same output type
+    val dir = Files.createTempDirectory("graft-events-nanos").toString
+    Seq((1L, 1700000000123456789L), (2L, 1700000001999999999L))
+      .toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val legacy = Tables.events(spark, dir).orderBy("event_id")
+    assert(legacy.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    val micros = legacy.select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(micros.toSeq === Seq(1700000000123456L, 1700000001999999L))
+  }
+
   test("registry roundtrip over json format") {
     val reg = new StreamRegistry(spark,
       Files.createTempDirectory("graft-json").toString, format = "json")
