@@ -158,6 +158,20 @@ class RuntimeExtrasSpec extends SparkSpec {
     val mp4 = graft.ops.AvHeaders.parse(bb.array())
     assert(mp4 === Some(graft.ops.AvHeaders.AvMeta("mp4/isom", "video", 0, 0, 0,
       2500L, 640, 360)))
+    // mvhd version 1 (64-bit times) and NO video track → kind=audio, the
+    // m4a shape; duration floor-divides against the v1 timescale offset
+    val a = java.nio.ByteBuffer.allocate(16 + 8 + 120)
+    a.putInt(16); a.put("ftyp".getBytes("ISO-8859-1"))
+    a.put("M4A ".getBytes("ISO-8859-1")); a.putInt(0)
+    a.putInt(128); a.put("moov".getBytes("ISO-8859-1"))
+    a.putInt(120); a.put("mvhd".getBytes("ISO-8859-1"))
+    a.putInt(0x01000000)           // version 1 + flags
+    a.putLong(0L); a.putLong(0L)   // 64-bit ctime, mtime
+    a.putInt(48000)                // timescale
+    a.putLong(96000L)              // 64-bit duration → 2000 ms
+    val m4a = graft.ops.AvHeaders.parse(a.array())
+    assert(m4a === Some(graft.ops.AvHeaders.AvMeta("mp4/M4A", "audio", 0, 0, 0,
+      2000L, 0, 0)))
     // end-to-end through decodeAvPayloads: wav, mp4, and unknown fallback
     val df = spark.createDataFrame(Seq(
       (1L, out.toByteArray), (2L, bb.array()),
