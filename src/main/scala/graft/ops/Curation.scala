@@ -410,9 +410,10 @@ object Curation {
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(llrMicros).as("sum_micros"))
+      // integer-domain final rounding (see TextAnalysis.microAvg4: the
+      // double-division round is tie-prone for micro-summed rationals)
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_micros").cast("double") / lit(1000000.0)
-          / col("n_tokens").cast("double"), 4).as("avg_logratio"))
+        TextAnalysis.microAvg4("sum_micros", "n_tokens").as("avg_logratio"))
   }
 
   /** Deterministic Gumbel-top-k resampling — the draw DSIR pairs with

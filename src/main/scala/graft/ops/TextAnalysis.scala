@@ -113,12 +113,36 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .persist()
     val total = freq.agg(sum("c").as("tot"))
+    // integer-micros per-token scoring (the q88/q110 convention): long
+    // sums commute, so the score is identical across partitionings,
+    // engines, and re-runs — round(avg(double)) here was the same
+    // order-dependent summation class that flaked q110 (ln inputs are
+    // irrational, so the half-micro rounding boundary is never hit)
+    val lpMicros = round(
+      log(col("c").cast("double") / col("tot")) * lit(1000000.0), 0).cast("long")
     docToks.join(broadcast(freq), Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("c").cast("double") / col("tot"))), 4).as("avg_logprob"))
+      .agg(count(lit(1)).as("n_tokens"), sum(lpMicros).as("sum_micros"))
+      .select(col("doc_id"), col("n_tokens"),
+        microAvg4("sum_micros", "n_tokens").as("avg_logprob"))
   }
+
+  /** round(sum_micros / 1e6 / n, 4) computed ENTIRELY in integer
+    * arithmetic — half-away-from-zero on the exact rational via floor
+    * division of nonnegative longs — then one exact int→double division
+    * by 1e4, identical IEEE in any engine. The double-division form
+    * (`round(sum/1e6/n, 4)`) is tie-PRONE for micro-summed rationals:
+    * sum/(100·n) lands on an exact .00005 boundary with probability
+    * ~1/(200·n) per group, where Spark's BigDecimal HALF_UP and
+    * DuckDB's scaled std::round can disagree on the nearest double
+    * (measured: one 5000-doc sf0.1 bigram row flipped at the 4th
+    * decimal). Oracle SQL mirrors the same CASE + `//` chain. Shared by
+    * the unigram/bigram/DSIR score family and q42's avg_norm. */
+  private[graft] def microAvg4(sumCol: String, nCol: String): Column =
+    expr(s"CASE WHEN $sumCol >= 0 THEN (2*$sumCol + 100*$nCol) DIV (200*$nCol) " +
+         s"ELSE -((-2*$sumCol + 100*$nCol) DIV (200*$nCol)) END")
+      .cast("double") / lit(10000.0)
 
   /** CCNet-style bigram LM quality score: mean conditional log-probability
     * ln p(w2|w1) = ln(c(w1,w2) / c_prefix(w1)) under the corpus bigram
@@ -157,8 +181,12 @@ object TextAnalysis {
     bigrams(docs)
       .join(broadcast(model), Seq("w1", "w2"))
       .groupBy("doc_id")
+      // integer-micros per-bigram scoring — order-free long sum, see
+      // unigramLogProb for the q110-class rationale
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("lp")), 4).as("avg_logprob"))
+        sum(round(col("lp") * lit(1000000.0), 0).cast("long")).as("sum_micros"))
+      .select(col("doc_id"), col("n_bigrams"),
+        microAvg4("sum_micros", "n_bigrams").as("avg_logprob"))
   }
 
   /** TF-IDF keyword extraction: the `topK` highest tf·idf terms per doc,

@@ -263,20 +263,31 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
-  /** Per-label embedding stats (norms via higher-order fns, no UDF). */
+  /** Per-label embedding stats (norms via higher-order fns, no UDF).
+    * avg_norm sums per-row integer micros (order-free — the q110-class
+    * fix; avg_dim is an exact integer sum, so plain avg is already
+    * order-free there). */
   val q42EmbeddingStats: Q = q("q42_embedding_stats",
-    """SELECT label, count(*) AS n,
-      |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+    """WITH g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |    * 1000000.0, 0) AS BIGINT)) AS sm,
       |  round(avg(len(embedding)), 2) AS avg_dim
-      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      |  FROM embeddings GROUP BY label)
+      |SELECT label, n,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n) // (200*n)
+      |        ELSE -((-2*sm + 100*n) // (200*n)) END) / 10000.0 AS avg_norm,
+      |  avg_dim
+      |FROM g ORDER BY label""".stripMargin) { (s, d) =>
     val e = col("embedding").cast("array<double>")
     Tables.embeddings(s, d)
       .select(col("label"),
-        Similarity.norm(e).as("norm"),
+        round(Similarity.norm(e) * lit(1000000.0), 0).cast("long").as("norm_micros"),
         size(col("embedding")).cast("long").as("dim"))
       .groupBy("label")
-      .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
-           round(avg("dim"), 2).as("avg_dim"))
+      .agg(count(lit(1)).as("n"), sum("norm_micros").as("sum_micros"),
+        round(avg("dim"), 2).as("avg_dim"))
+      .select(col("label"), col("n"),
+        TextAnalysis.microAvg4("sum_micros", "n").as("avg_norm"), col("avg_dim"))
       .orderBy("label")
   }
 
@@ -620,11 +631,15 @@ object PipelineQueries {
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |             FROM documents),
       |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(avg(ln(c::DOUBLE / tot)), 4) AS avg_logprob
-      |FROM tok JOIN freq USING (tok) CROSS JOIN tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  sum(CAST(round(ln(c::DOUBLE / tot) * 1000000.0, 0) AS BIGINT)) AS sm
+      |  FROM tok JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n_tokens) // (200*n_tokens)
+      |        ELSE -((-2*sm + 100*n_tokens) // (200*n_tokens)) END) / 10000.0
+      |    AS avg_logprob
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     TextAnalysis.unigramLogProb(docs, docs).orderBy("doc_id")
   }
@@ -993,11 +1008,16 @@ object PipelineQueries {
       |  unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
       |  FROM t WHERE len(w) >= 2),
       |freq AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
-      |prefix AS (SELECT w1, count(*) AS cp FROM bg GROUP BY 1)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  round(avg(ln(c::DOUBLE / cp)), 4) AS avg_logprob
-      |FROM bg JOIN freq USING (w1, w2) JOIN prefix USING (w1)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |prefix AS (SELECT w1, count(*) AS cp FROM bg GROUP BY 1),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  sum(CAST(round(ln(c::DOUBLE / cp) * 1000000.0, 0) AS BIGINT)) AS sm
+      |  FROM bg JOIN freq USING (w1, w2) JOIN prefix USING (w1)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n_bigrams) // (200*n_bigrams)
+      |        ELSE -((-2*sm + 100*n_bigrams) // (200*n_bigrams)) END) / 10000.0
+      |    AS avg_logprob
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     TextAnalysis.bigramLogProb(docs, docs).orderBy("doc_id")
   }
@@ -1416,10 +1436,15 @@ object PipelineQueries {
       |             FROM documents),
       |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq),
-      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(avg(ln(c::DOUBLE / tot)), 4) AS avg_logprob
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  sum(CAST(round(ln(c::DOUBLE / tot) * 1000000.0, 0) AS BIGINT)) AS sm
       |  FROM tok JOIN freq USING (tok) CROSS JOIN tot
-      |  GROUP BY doc_id)
+      |  GROUP BY doc_id),
+      |sc AS (SELECT doc_id, n_tokens,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n_tokens) // (200*n_tokens)
+      |        ELSE -((-2*sm + 100*n_tokens) // (200*n_tokens)) END) / 10000.0
+      |    AS avg_logprob
+      |  FROM g)
       |SELECT doc_id, n_tokens, avg_logprob,
       |  CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER)
       |    AS bucket
@@ -1443,13 +1468,17 @@ object PipelineQueries {
       |          FROM raw r LEFT JOIN tgt g USING (tok)),
       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
       |               CAST(count(*) AS BIGINT) AS v FROM model),
-      |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(sum(CAST(round((ln((ct + 1)::DOUBLE / (cr + 1))
-      |          + ln((tr + v)::DOUBLE / (tt + v))) * 1000000.0, 0) AS BIGINT)
-      |    )::DOUBLE / 1000000.0 / count(*), 4) AS avg_logratio
-      |FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  sum(CAST(round((ln((ct + 1)::DOUBLE / (cr + 1))
+      |          + ln((tr + v)::DOUBLE / (tt + v))) * 1000000.0, 0) AS BIGINT)) AS sm
+      |  FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n_tokens) // (200*n_tokens)
+      |        ELSE -((-2*sm + 100*n_tokens) // (200*n_tokens)) END) / 10000.0
+      |    AS avg_logratio
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     Curation.dsirLogRatio(docs, docs.filter(col("lang") === "en"))
       .orderBy("doc_id")
@@ -1531,12 +1560,16 @@ object PipelineQueries {
       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
       |               CAST(count(*) AS BIGINT) AS v FROM model),
       |tgt_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
-      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(sum(CAST(round((ln((ct + 1)::DOUBLE / (cr + 1))
-      |          + ln((tr + v)::DOUBLE / (tt + v))) * 1000000.0, 0) AS BIGINT)
-      |    )::DOUBLE / 1000000.0 / count(*), 4) AS avg_logratio
+      |sc0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  sum(CAST(round((ln((ct + 1)::DOUBLE / (cr + 1))
+      |          + ln((tr + v)::DOUBLE / (tt + v))) * 1000000.0, 0) AS BIGINT)) AS sm
       |  FROM t JOIN model USING (tok) CROSS JOIN tot CROSS JOIN tgt_tot
       |  GROUP BY doc_id),
+      |sc AS (SELECT doc_id, n_tokens,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n_tokens) // (200*n_tokens)
+      |        ELSE -((-2*sm + 100*n_tokens) // (200*n_tokens)) END) / 10000.0
+      |    AS avg_logratio
+      |  FROM sc0),
       |g AS (SELECT d.doc_id, sc.n_tokens, sc.avg_logratio,
       |        sc.avg_logratio - ln(-ln(
       |          (('0x' || substr(md5(d.text), 1, 6))::BIGINT + 0.5)

@@ -397,22 +397,18 @@ class ClusterDedupSpec extends SparkSpec {
     val freq = bg.groupBy(p => (p._2, p._3)).map { case (key, v) => key -> v.size }
     val prefix = bg.groupBy(_._2).map { case (w1, v) => w1 -> v.size }
     val expected = bg.groupBy(_._1).toSeq.map { case (id, rows) =>
-      val lps = rows.map { case (_, w1, w2) =>
-        math.log(freq((w1, w2)).toDouble / prefix(w1))
-      }
-      (id, rows.size.toLong, BigDecimal(lps.sum / lps.size)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // the integer-micros convention: per-bigram lp rounds to micros,
+      // long sum (exact, order-free), divide once — so the reference
+      // matches the distributed result EXACTLY, not to a tolerance
+      val sumMicros = rows.map { case (_, w1, w2) =>
+        math.round(math.log(freq((w1, w2)).toDouble / prefix(w1)) * 1e6)
+      }.sum
+      (id, rows.size.toLong, SparkSpec.microAvg4(sumMicros, rows.size))
     }.sortBy(_._1)
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis.bigramLogProb(df, df).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.map(x => (x._1, x._2)).toSeq === expected.map(x => (x._1, x._2)))
-    // averages: same multiset summed in different orders — compare to 1e-9,
-    // then the rounded values exactly (round only disagrees within 5e-13 of
-    // a .00005 boundary, which the generator cannot hit)
-    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
-      assert(math.abs(g - e) < 1e-9)
-    }
+    assert(got.toSeq === expected)
   }
 
   test("mixCorpus raises on a weighted source absent from the corpus") {
@@ -498,9 +494,11 @@ class ClusterDedupSpec extends SparkSpec {
     val hand = spark.createDataFrame(Seq((1L, "a b a b a c")))
       .toDF("doc_id", "text")
     // bigrams: ab ba ab ba ac → freq ab=2 ba=2 ac=1; prefixes a=3 b=2
-    // avg = (2·ln(2/3) + 2·ln(2/2) + ln(1/3)) / 5
-    val expected = BigDecimal((2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 5)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // avg = (2·ln(2/3) + 2·ln(2/2) + ln(1/3)) / 5, per-bigram micros +
+    // integer-domain 4-decimal rounding
+    val sumMicros = 2 * math.round(math.log(2.0 / 3) * 1e6) +
+      2 * math.round(math.log(1.0) * 1e6) + math.round(math.log(1.0 / 3) * 1e6)
+    val expected = SparkSpec.microAvg4(sumMicros, 5)
     val got = graft.ops.TextAnalysis.bigramLogProb(hand, hand).collect()
     assert(got.length === 1)
     assert(got(0).getLong(1) === 5L)

@@ -256,8 +256,12 @@ class CurationSpec extends SparkSpec {
     val hand = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis.unigramLogProb(hand, hand).collect().head
     assert(got.getAs[Long]("n_tokens") === 4L)
-    val expected = (3 * math.log(3.0 / 4) + math.log(1.0 / 4)) / 4
-    assert(got.getAs[Double]("avg_logprob") === math.round(expected * 10000) / 10000.0)
+    // the integer-micros convention: per-token lp rounds to micros, long
+    // sum, then the 4-decimal rounding happens in INTEGER arithmetic
+    // (TextAnalysis.microAvg4 — order-free AND tie-free)
+    val sumMicros = 3 * math.round(math.log(3.0 / 4) * 1e6) +
+      math.round(math.log(1.0 / 4) * 1e6)
+    assert(got.getAs[Double]("avg_logprob") === SparkSpec.microAvg4(sumMicros, 4))
     val fixture = graft.ops.TextAnalysis.unigramLogProb(docs, docs)
     assert(fixture.filter(col("avg_logprob") >= 0).isEmpty) // p(w) < 1 everywhere
     assert(fixture.count() === docs.count())

@@ -18,6 +18,17 @@ object SparkSpec {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Driver-side reference for `TextAnalysis.microAvg4`: 4-decimal
+    * rounding of sum_micros/1e6/n in pure integer arithmetic (half away
+    * from zero), divided once at the end — matches the engine EXACTLY,
+    * no float tolerance needed. */
+  def microAvg4(sumMicros: Long, n: Long): Double = {
+    val a =
+      if (sumMicros >= 0) (2 * sumMicros + 100 * n) / (200 * n)
+      else -((-2 * sumMicros + 100 * n) / (200 * n))
+    a / 10000.0
+  }
   val sf001  = "/root/testdata/sf0.01"
 }
 
