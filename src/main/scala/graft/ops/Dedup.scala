@@ -80,6 +80,25 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count", "content_hash")
 
+  /** Text canonicalization for normalize-then-dedup (the C4/RefinedWeb
+    * recipe): lowercase, strip everything but letters/digits/whitespace,
+    * collapse whitespace runs, trim. Two trivially-different crawls of
+    * the same page ("Hello, World!" vs "hello world") collapse to one
+    * key, catching the near-dup mass that exact hashing misses WITHOUT
+    * any pair stage — a pure projection, so it composes with
+    * [[exactByHash]]/[[dedupAgainstCorpus]] unchanged. The character
+    * classes are the RE2∩Java regex subset (`\p{L}\p{N}`), so the chain
+    * is oracle-mirrorable — the q75 redactPii discipline. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
+  /** [[exactByHash]] over the [[normalizeForDedup]] canonical form:
+    * survivors keyed on the normalized content (min doc_id), with the
+    * normalized key's hash. Same 32-byte-key shuffle shape. */
+  def exactDedupNormalized(df: DataFrame, text: Column, id: Column): DataFrame =
+    exactByHash(df, normalizeForDedup(text), id)
+
   /** Near-dup pairs by exact shingle Jaccard, candidates from an inverted
     * index: explode distinct shingles → equi-self-join on shingle →
     * shared-count per pair → Jaccard ≥ `minJaccard`. Join work is Σ df²

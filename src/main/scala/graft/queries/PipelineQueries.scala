@@ -2093,6 +2093,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Normalize-then-dedup ([[Dedup.exactDedupNormalized]]): the
+    * C4/RefinedWeb canonicalization (lowercase → strip non-alnum →
+    * collapse whitespace → trim) in front of exact dedup, catching
+    * trivially-reformatted duplicates without a pair stage. The oracle
+    * groups by the identical RE2∩Java regex chain; like q31, the
+    * blake2b key column is dropped from the compare (DuckDB lacks it —
+    * the hash↔text keying equivalence is q31's established check,
+    * plus the planted-variant DedupSpec test). */
+  val q128NormalizedDedup: Q = q("q128_normalized_dedup",
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents
+      |GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+      |  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.exactDedupNormalized(Tables.documents(s, d), col("text"), col("doc_id"))
+      .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2113,5 +2132,5 @@ object PipelineQueries {
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
-    q125SemanticCollapsed, q126WavMeta, q127Mp4Meta)
+    q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup)
 }

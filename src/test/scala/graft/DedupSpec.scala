@@ -183,6 +183,32 @@ class DedupSpec extends SparkSpec {
     assert(both === got)
   }
 
+  test("normalize-then-dedup collapses reformatted variants exact dedup misses") {
+    val s2 = spark
+    import s2.implicits._
+    val variants = Seq(
+      (1L, "Hello, World! This is   a Test."),
+      (2L, "hello world this is a test"),     // same after normalization
+      (3L, "HELLO WORLD — this is a test!!"), // em-dash strips, ws collapses
+      (4L, "a genuinely different document"))
+      .toDF("doc_id", "text")
+    // exact dedup sees 4 distinct texts; normalized sees 2
+    assert(Dedup.exactByHash(variants, col("text"), col("doc_id")).count() === 4)
+    val got = Dedup.exactDedupNormalized(variants, col("text"), col("doc_id"))
+      .select("doc_id", "dup_count").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L), (4L, 1L)))
+    // the normalizer itself: RE2-and-Java-common regex chain, idempotent
+    val norm = variants.select(Dedup.normalizeForDedup(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(norm(0) === "hello world this is a test")
+    assert(norm(2) === "hello world this is a test")
+    val renorm = variants.select(
+      Dedup.normalizeForDedup(Dedup.normalizeForDedup(col("text"))).as("n"))
+      .collect().map(_.getString(0))
+    assert(renorm.toSeq === norm.toSeq)
+  }
+
   test("maxBandSize bounds LSH candidate growth under 10x duplication; " +
     "a cap nothing exceeds is a no-op") {
     import spark.implicits._
