@@ -10,9 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * batch duration) for every Link query in the session; records are kept
   * in memory for inspection and can be drained to any sink. */
 class Monitoring(spark: SparkSession, instanceUid: String) {
-
-  final case class Progress(uid: String, queryName: String, batchId: Long,
-                            numInputRows: Long, durationMs: Long)
+  import Monitoring.Progress
 
   private val records = new java.util.concurrent.ConcurrentLinkedQueue[Progress]()
 
@@ -38,4 +36,11 @@ class Monitoring(spark: SparkSession, instanceUid: String) {
     while (it.hasNext) buf += it.next()
     buf.toSeq
   }
+}
+
+object Monitoring {
+  /** One captured micro-batch progress record (top-level so pattern
+    * matches need no outer-instance check). */
+  final case class Progress(uid: String, queryName: String, batchId: Long,
+                            numInputRows: Long, durationMs: Long)
 }
