@@ -45,7 +45,7 @@ object Bench {
     // to a file too so regression analysis always has every query.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), json + "\n")
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_last.json: $e")
     }
     spark.stop()

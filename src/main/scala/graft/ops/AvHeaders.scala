@@ -131,7 +131,13 @@ object AvHeaders {
     }
     if (brand == null) None
     else {
-      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      // a hostile 64-bit mvhd duration > Long.MaxValue/1000 would wrap
+      // `duration * 1000L` negative — treat it as absent rather than
+      // poisoning downstream duration aggregates with garbage
+      val durMs =
+        if (timescale > 0 && duration >= 0 && duration <= Long.MaxValue / 1000L)
+          duration * 1000L / timescale
+        else 0L
       val kind = if (width > 0) "video" else "audio"
       Some(AvMeta(if (brand.isEmpty) "mp4" else "mp4/" + brand, kind,
         0, 0, 0, durMs, width, height))

@@ -86,12 +86,21 @@ object Dedup {
     * the same page ("Hello, World!" vs "hello world") collapse to one
     * key, catching the near-dup mass that exact hashing misses WITHOUT
     * any pair stage — a pure projection, so it composes with
-    * [[exactByHash]]/[[dedupAgainstCorpus]] unchanged. The character
-    * classes are the RE2∩Java regex subset (`\p{L}\p{N}`), so the chain
-    * is oracle-mirrorable — the q75 redactPii discipline. */
+    * [[exactByHash]]/[[dedupAgainstCorpus]] unchanged. The chain is
+    * engine-identical by construction (the q75 redactPii discipline):
+    * `\p{L}\p{N}` agree between Java and RE2, whitespace is an EXPLICIT
+    * class (Java's `\s` includes vertical tab, RE2's does not — so VT
+    * is left out of the keep-class and stripped identically), and the
+    * Greek final sigma is folded to σ after lowercasing (Java applies
+    * the context-sensitive Σ→ς final-position rule, utf8proc does not —
+    * folding makes both engines emit σ, which is also the right
+    * canonicalization for dedup). */
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+      regexp_replace(
+        regexp_replace(lower(text), "ς", "σ"),
+        "[^\\p{L}\\p{N} \\t\\n\\r\\f]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
 
   /** [[exactByHash]] over the [[normalizeForDedup]] canonical form:
     * survivors keyed on the normalized content (min doc_id), with the
@@ -338,11 +347,21 @@ object Dedup {
     * construction → broadcast anti-join, same shape as the stop-shingle
     * filter. */
   private def capBands(banded: DataFrame, maxBandSize: Int): DataFrame =
-    if (maxBandSize <= 0) banded
-    else banded.join(broadcast(
-        banded.groupBy("band").count()
-          .filter(col("count") > maxBandSize).select("band")),
-      Seq("band"), "left_anti")
+    dropHotKeys(banded, "band", maxBandSize)
+
+  /** The ONE hot-key cap all LSH candidate stages share (MinHash bands
+    * here, sign-LSH buckets in `Similarity.lshCosineCandidates`): drop
+    * every row whose `keyCol` value occurs STRICTLY more than `cap`
+    * times. The hot set is small by construction → broadcast anti-join.
+    * `cap` ≤ 0 disables. Shared so the cap semantics (strict
+    * comparison, broadcast, anti-join) cannot drift between the Jaccard
+    * and cosine paths. */
+  private[graft] def dropHotKeys(df: DataFrame, keyCol: String, cap: Int): DataFrame =
+    if (cap <= 0) df
+    else df.join(broadcast(
+        df.groupBy(keyCol).count()
+          .filter(col("count") > cap).select(keyCol)),
+      Seq(keyCol), "left_anti")
 
   /** Candidate stage of [[minHashLshPairs]]: distinct (doc_a, doc_b)
     * pairs colliding on ≥1 kept band. Exposed for the DedupSpec

@@ -53,6 +53,16 @@ object Multimodal {
   /** [[decode]] over a frame that already carries the media blob in a
     * `payload` binary column (the real ingestion shape — blobs land as
     * binary, not text). */
+  /** FNV-1a 64 over raw payload bytes — the ONE checksum definition both
+    * decode paths share (a drifted copy would silently desynchronize
+    * checksums between them). */
+  private def fnv1a64Bytes(bytes: Array[Byte]): Long = {
+    var cs = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { cs ^= (bytes(i) & 0xffL); cs *= 0x100000001b3L; i += 1 }
+    cs
+  }
+
   def decodePayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     docs
@@ -61,9 +71,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would go here (native lib handle etc.)
         it.map { case (id, bytes) =>
-          var cs = 0xcbf29ce484222325L
-          var i = 0
-          while (i < bytes.length) { cs ^= (bytes(i) & 0xffL); cs *= 0x100000001b3L; i += 1 }
+          val cs = fnv1a64Bytes(bytes)
           ImageHeaders.parse(bytes) match {
             case Some(h) => MediaFeature(id, bytes.length.toLong,
               h.width, h.height, h.channels, h.format, cs)
@@ -111,9 +119,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would go here (native lib handle etc.)
         it.map { case (id, bytes) =>
-          var cs = 0xcbf29ce484222325L
-          var i = 0
-          while (i < bytes.length) { cs ^= (bytes(i) & 0xffL); cs *= 0x100000001b3L; i += 1 }
+          val cs = fnv1a64Bytes(bytes)
           ImageHeaders.parse(bytes) match {
             case Some(h) => AvFeature(id, bytes.length.toLong, "image", h.format,
               h.channels, 0, 0L, h.width, h.height, cs)

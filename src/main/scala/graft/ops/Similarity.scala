@@ -1016,12 +1016,9 @@ object Similarity {
                                          tables: Int,
                                          maxBucketSize: Int): DataFrame = {
     def sigs(c: Column) = graft.functions.VectorFunctions.lshSignatures(c, planes, tables)
-    val b0 = v.select(col("vec_id"), explode(sigs(col("v"))).as("bucket"))
-    val b = if (maxBucketSize <= 0) b0
-      else b0.join(broadcast(
-          b0.groupBy("bucket").count()
-            .filter(col("count") > maxBucketSize).select("bucket")),
-        Seq("bucket"), "left_anti")
+    val b = Dedup.dropHotKeys(
+      v.select(col("vec_id"), explode(sigs(col("v"))).as("bucket")),
+      "bucket", maxBucketSize)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

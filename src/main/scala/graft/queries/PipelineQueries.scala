@@ -2042,7 +2042,7 @@ object PipelineQueries {
       leHex16(ch), leHex32(rate), leHex32(rate * blockAlign),
       leHex16(blockAlign), leHex16(lit(16)),
       lit("64617461"), leHex32(dataSize),                       // data size
-      expr("repeat('00', int((doc_id % 50 + 10) * (doc_id % 2 + 1) * 2))"))
+      repeat(lit("00"), dataSize.cast("int")))                  // ONE size formula
     val payloads = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id"), unhex(wavHex).as("payload"))
     graft.ops.Multimodal.decodeAvPayloads(s, payloads).toDF()
@@ -2104,8 +2104,9 @@ object PipelineQueries {
   val q128NormalizedDedup: Q = q("q128_normalized_dedup",
     """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
       |FROM documents
-      |GROUP BY trim(regexp_replace(regexp_replace(lower(text),
-      |  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))
+      |GROUP BY trim(regexp_replace(regexp_replace(
+      |  regexp_replace(lower(text), 'ς', 'σ', 'g'),
+      |  '[^\p{L}\p{N} \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g'))
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Dedup.exactDedupNormalized(Tables.documents(s, d), col("text"), col("doc_id"))
       .select("doc_id", "dup_count")

@@ -344,16 +344,15 @@ class CurationSpec extends SparkSpec {
     // pool: a:2 b:2 c:1, Tr=5, V=3; target(en): a:2 b:1 c:0, Tt=3
     val const = math.log(8.0 / 6.0)
     def llr(ct: Long, cr: Long) = math.log((ct + 1).toDouble / (cr + 1)) + const
-    // mirror the operator's order-free integer-micros scoring
+    // mirror the operator's order-free integer-micros scoring AND its
+    // integer-domain 4-decimal rounding (microAvg4 — not a double round)
     def micros(ct: Long, cr: Long) = math.round(llr(ct, cr) * 1e6)
-    val exp0 = (micros(2, 2) + micros(2, 2) + micros(1, 2)).toDouble / 1e6 / 3
-    val exp1 = (micros(1, 2) + micros(0, 1)).toDouble / 1e6 / 2
+    val exp0 = SparkSpec.microAvg4(micros(2, 2) + micros(2, 2) + micros(1, 2), 3)
+    val exp1 = SparkSpec.microAvg4(micros(1, 2) + micros(0, 1), 2)
     val got = Curation.dsirLogRatio(pool, pool.filter($"lang" === "en"))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.toSeq === Seq(
-      (0L, 3L, math.round(exp0 * 10000) / 10000.0),
-      (1L, 2L, math.round(exp1 * 10000) / 10000.0)))
+    assert(got.toSeq === Seq((0L, 3L, exp0), (1L, 2L, exp1)))
   }
 
   test("dsirLogRatio: score is partitioning-invariant (order-free micros sum)") {

@@ -207,6 +207,16 @@ class DedupSpec extends SparkSpec {
       Dedup.normalizeForDedup(Dedup.normalizeForDedup(col("text"))).as("n"))
       .collect().map(_.getString(0))
     assert(renorm.toSeq === norm.toSeq)
+    // engine-parity edges: vertical tab is NOT whitespace (stripped, not
+    // collapsed — Java \s vs RE2 \s disagree on it, so the explicit
+    // class leaves it out), and Greek final sigma folds to σ (Java's
+    // contextual Σ→ς lowering vs utf8proc's plain σ)
+    val edges = Seq((10L, "foo\u000bbar"), (11L, "ΟΔΥΣΣΕΥΣ"))
+      .toDF("doc_id", "text")
+      .select(Dedup.normalizeForDedup(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(edges(0) === "foobar")
+    assert(edges(1) === "οδυσσευσ" && !edges(1).contains('ς'))
   }
 
   test("maxBandSize bounds LSH candidate growth under 10x duplication; " +

@@ -644,7 +644,7 @@ class SimilaritySpec extends SparkSpec {
     assert(pqRecall >= 0.1, s"annIvfPq recall@5 = $pqRecall") // measured 0.2
     val adc = Similarity.annIvfPqAdc(queries, index, centers, model, k = 5)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val adcRecall = (exact intersect adc).size.toDouble / adc.size
+    val adcRecall = (exact intersect adc).size.toDouble / exact.size
     info(s"annIvfPqAdc recall@5 = $adcRecall")
     assert(adcRecall >= 0.1, s"annIvfPqAdc recall@5 = $adcRecall") // measured 0.2
     // determinism: same fixed-seed trainers + index → identical result set
