@@ -462,9 +462,15 @@ object Dedup {
     * raises the false-positive rate — more suspects through the exact
     * anti-join, never a wrong result — where an unclamped literal would
     * fail the whole job; raise the confs to regain the configured fpp at
-    * corpus scale. */
+    * corpus scale.
+    *
+    * `textKey` is the content the batch side is hashed on — pass
+    * [[normalizeForDedup]]`(col("text"))` (with a corpus keyed the same
+    * way, e.g. [[exactDedupNormalized]]'s hashes) for incremental
+    * normalize-then-dedup; the default preserves raw-text keying. */
   def dedupAgainstCorpus(newDocs: DataFrame, corpusHashes: DataFrame,
-                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+                         expectedItems: Long, fpp: Double = 0.01,
+                         textKey: Column = col("text")): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -489,7 +495,7 @@ object Dedup {
         Literal(items), Literal(numBits)).toAggregateExpression()
     ).as("bf")).head
     val hashed = newDocs.withColumn("content_hash",
-      GraftFunctions.blake2b_256(col("text")))
+      GraftFunctions.blake2b_256(textKey))
     // Null blob = empty corpus (the aggregate yields null when no bit was
     // ever set) — everything in the batch is definitely new.
     if (blobRow.isNullAt(0)) return hashed

@@ -219,6 +219,31 @@ class DedupSpec extends SparkSpec {
     assert(edges(1) === "οδυσσευσ" && !edges(1).contains('ς'))
   }
 
+  test("incremental dedup composes with normalization: a reformatted " +
+    "corpus duplicate is caught, genuinely-new text passes") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq((1L, "Hello, World! This is   a Test."),
+      (2L, "another corpus document entirely"))
+      .toDF("doc_id", "text")
+    val corpusHashes = Dedup.exactDedupNormalized(
+      corpus, col("text"), col("doc_id")).select("content_hash")
+    val batch = Seq((10L, "hello world this is a test"), // reformatted dup of 1
+      (11L, "a brand new never seen document"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupAgainstCorpus(batch, corpusHashes,
+        expectedItems = 2, textKey = Dedup.normalizeForDedup(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L))
+    // raw-text keying (the default) would have missed the reformatted dup
+    val rawCorpus = Dedup.exactByHash(corpus, col("text"), col("doc_id"))
+      .select("content_hash")
+    val rawSurvivors = Dedup.dedupAgainstCorpus(batch, rawCorpus,
+        expectedItems = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rawSurvivors === Set(10L, 11L))
+  }
+
   test("maxBandSize bounds LSH candidate growth under 10x duplication; " +
     "a cap nothing exceeds is a no-op") {
     import spark.implicits._
