@@ -1,8 +1,52 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** Typed aggregator for [[Similarity.pcaFit]]'s dominant pass: sums the
+  * centered outer products into ONE packed upper-triangle buffer
+  * (dim·(dim+1)/2 doubles, i-major order) per partition, merged
+  * executor-side. Replaces the earlier posexplode formulation, which
+  * emitted dim·(dim+1)/2 ROWS per vector through a groupBy — correct,
+  * but a ~10-50× constant at embedding dims ≥ 512 (dim=768 → ~295k rows
+  * per vector through the shuffle). Here each vector is one tight j>=i
+  * loop into a local array; the shuffle carries one packed triangle per
+  * partition regardless of corpus size (the [[MinHashSignatureAgg]]
+  * mergeable-buffer shape). Rows that are null or not exactly `dim` wide
+  * are skipped — identical to the posexplode path, where empty/null
+  * arrays emitted no positions (the mean pass has already rejected any
+  * *mixed* non-zero dims before this runs). */
+private[ops] final case class CovUpperAgg(mean: Array[Double])
+    extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+  private def dim = mean.length
+  override def zero: Array[Double] = new Array[Double](dim * (dim + 1) / 2)
+  override def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] = {
+    if (v != null && v.length == dim) {
+      val c = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { c(i) = v(i) - mean(i); i += 1 }
+      var pos = 0
+      i = 0
+      while (i < dim) {
+        val ci = c(i)
+        var j = i
+        while (j < dim) { buf(pos) += ci * c(j); pos += 1; j += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def finish(buf: Array[Double]): Array[Double] = buf
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -714,12 +758,14 @@ object Similarity {
     * convention (largest-|coordinate| entry made positive, lowest index
     * on ties), so refits reproduce bit-comparable models. Covariance is
     * the unbiased (n−1) estimator, accumulated over the UPPER TRIANGLE
-    * only (dim·(dim+1)/2 positions — symmetry halves the dominant
-    * pass) and mirrored on the driver. A corpus mixing two non-zero
-    * dimensions is rejected up front (a silent mixed-dim fit would
-    * corrupt every component); empty/null embeddings emit no positions,
+    * only (dim·(dim+1)/2 positions — symmetry halves the dominant pass)
+    * by the typed [[CovUpperAgg]] — one packed buffer per partition
+    * through the shuffle, NOT one row per triangle element per vector —
+    * and mirrored on the driver. A corpus mixing two non-zero dimensions
+    * is rejected up front (a silent mixed-dim fit would corrupt every
+    * component); empty/null embeddings contribute nothing to either pass,
     * so they are excluded from the fit (and from n) rather than
-    * rejected — posexplode cannot see them. */
+    * rejected. */
   def pcaFit(corpus: DataFrame, k: Int): PcaModel = {
     require(k >= 1, s"k >= 1, got $k")
     val vecs = corpus.select(col("embedding").cast("array<double>").as("v"))
@@ -735,31 +781,23 @@ object Similarity {
     require(n >= 2, s"pcaFit needs >= 2 vectors, got $n")
     val mean = new Array[Double](dim)
     meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
-    val meanLit = typedLit(mean.toSeq)
-    // centered outer products, upper triangle only: per row
-    // dim·(dim+1)/2 elements in i-major order, summed per flattened
-    // position — ONE pass, map-side combined, mirrored after collect.
-    // The centered array MUST be materialized behind its own projection:
-    // referencing the zip_with expression directly from every (i,j)
-    // lambda plants dim² copies of it in one expression tree — O(dim³)
-    // per row (measured 8× slower end-to-end at dim=64). Behind the
-    // projection boundary element_at reads an attribute, and
-    // CollapseProject refuses to inline a non-cheap expr used twice+.
-    val centeredVecs = vecs.select(
-      zip_with(col("v"), meanLit, (x, m) => x - m).as("c"))
-    val upper = flatten(transform(sequence(lit(1), lit(dim)), i =>
-      transform(sequence(i, lit(dim)), j =>
-        element_at(col("c"), i) * element_at(col("c"), j))))
-    val covRows = centeredVecs.select(posexplode(upper).as(Seq("pos", "x")))
-      .groupBy("pos").agg(sum("x").as("s"))
-      .collect()
+    // centered outer products, upper triangle only, via [[CovUpperAgg]]:
+    // per vector one tight loop into a packed dim·(dim+1)/2 buffer,
+    // map-side combined — ONE pass, ONE merged triangle on the driver,
+    // mirrored below. (The earlier posexplode formulation shuffled
+    // dim·(dim+1)/2 rows per vector — a 10-50× constant at dim ≥ 512.)
+    val covAgg = udaf(CovUpperAgg(mean), ExpressionEncoder[Seq[Double]]())
+    val packed = vecs.select(covAgg(col("v")).as("tri"))
+      .head.getSeq[Double](0)
     // flattened upper-triangle position → (i, j), same i-major order
     val posToIj = (for { i <- 0 until dim; j <- i until dim } yield (i, j)).toArray
     val cov = Array.ofDim[Double](dim, dim)
-    covRows.foreach { r =>
-      val (i, j) = posToIj(r.getInt(0))
-      val v = r.getDouble(1) / (n - 1)
+    var p = 0
+    while (p < packed.length) {
+      val (i, j) = posToIj(p)
+      val v = packed(p) / (n - 1)
       cov(i)(j) = v; cov(j)(i) = v
+      p += 1
     }
     val (eig, vecsAll) = jacobiEigen(cov)
     val order = eig.indices.sortBy(i => (-eig(i), i)).take(k)

@@ -218,6 +218,39 @@ class SimilaritySpec extends SparkSpec {
       s"var $v vs eig ${m.explainedVariance(0)}")
   }
 
+  test("pcaFit: recovers the planted axis at dim=256 (CovUpperAgg path)") {
+    val s2 = spark
+    import s2.implicits._
+    // The high-dim regime the Gram-matrix aggregator exists for:
+    // dim·(dim+1)/2 = 32,896 packed positions per partition buffer, NOT
+    // per vector. Planted fixture: points a·u + b·w with u ⊥ w
+    // deterministic unit vectors, var(a) ≫ var(b) → PC1 = ±u, PC2 = ±w.
+    val dim = 256
+    val uRaw = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val un = math.sqrt(uRaw.map(x => x * x).sum)
+    val u = uRaw.map(_ / un)
+    val wRaw0 = Array.tabulate(dim)(i => math.cos(3.0 * i + 0.5))
+    val duw = wRaw0.zip(u).map { case (a, b) => a * b }.sum
+    val wRaw = wRaw0.zip(u).map { case (a, b) => a - duw * b } // Gram-Schmidt
+    val wn = math.sqrt(wRaw.map(x => x * x).sum)
+    val w = wRaw.map(_ / wn)
+    val coeffs = Seq((2.0, 0.1), (-2.0, -0.1), (1.0, -0.1), (-1.0, 0.1),
+      (2.0, -0.1), (-2.0, 0.1), (1.0, 0.1), (-1.0, -0.1))
+    val pts = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, u.zip(w).map { case (ui, wi) => a * ui + b * wi }.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, k = 2)
+    assert(m.mean.forall(v => math.abs(v) < 1e-12))
+    val d1 = math.abs(m.components(0).zip(u).map { case (a, b) => a * b }.sum)
+    val d2 = math.abs(m.components(1).zip(w).map { case (a, b) => a * b }.sum)
+    assert(d1 > 1.0 - 1e-9, s"|<pc1, u>| = $d1")
+    assert(d2 > 1.0 - 1e-9, s"|<pc2, w>| = $d2")
+    // eigenvalues = coefficient variances: var(a) = 20/7, var(b) = 0.08/7
+    assert(math.abs(m.explainedVariance(0) - 20.0 / 7) < 1e-9)
+    assert(math.abs(m.explainedVariance(1) - 0.08 / 7) < 1e-9)
+  }
+
   test("pcaFit rejects a mixed-dimension corpus instead of corrupting the fit") {
     val s2 = spark
     import s2.implicits._
