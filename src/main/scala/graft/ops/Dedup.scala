@@ -349,26 +349,54 @@ object Dedup {
   private def capBands(banded: DataFrame, maxBandSize: Int): DataFrame =
     dropHotKeys(banded, "band", maxBandSize)
 
+  /** Default hot-key cap for the CLUSTER-LEVEL dedup entry points
+    * ([[nearDupClusters]], [[nearDupClustersCollapsed]],
+    * `Similarity.semanticClustersCollapsed`). Sizing: for random
+    * non-duplicate text the expected band-bucket size is ~1, and a real
+    * near-dup group the clusterers should preserve is tens of documents,
+    * so 256 is ≥10× any bucket the workload intends while bounding one
+    * pathological bucket (site boilerplate, empty-ish documents) to
+    * ≤ C(256,2) ≈ 33k candidate pairs instead of corpus². A 100 TB run
+    * that hits the cap loses only pairs whose EVERY colliding band is
+    * boilerplate-hot — pass `maxBandSize = 0` to the entry point for the
+    * exact (quadratic-risk) behavior. The raw pair primitives
+    * ([[minHashLshPairs]], `lshCosineNearDupPairs`) stay uncapped by
+    * default: their contract is the exact confirmed pair set. */
+  val DefaultHotKeyCap = 256
+
   /** The ONE hot-key cap all LSH candidate stages share (MinHash bands
     * here, sign-LSH buckets in `Similarity.lshCosineCandidates`): drop
     * every row whose `keyCol` value occurs STRICTLY more than `cap`
-    * times. The hot set is small by construction → broadcast anti-join.
-    * `cap` ≤ 0 disables. Shared so the cap semantics (strict
-    * comparison, broadcast, anti-join) cannot drift between the Jaccard
-    * and cosine paths. */
+    * times. `cap` ≤ 0 disables. Shared so the cap semantics (strict
+    * comparison, anti-join) cannot drift between the Jaccard and cosine
+    * paths. The hot set is small for any sane cap, and AQE turns the
+    * anti-join into a broadcast join at runtime when it measures small —
+    * deliberately NOT a `broadcast()` hint, because a misconfigured tiny
+    * cap (cap=1 on a crawl-scale band frame) makes the hot set
+    * corpus-sized, and a hint there would OOM the driver; un-hinted, the
+    * same mistake degrades to an ordinary shuffle anti-join. */
   private[graft] def dropHotKeys(df: DataFrame, keyCol: String, cap: Int): DataFrame =
     if (cap <= 0) df
-    else df.join(broadcast(
-        df.groupBy(keyCol).count()
-          .filter(col("count") > cap).select(keyCol)),
+    else df.join(
+      df.groupBy(keyCol).count()
+        .filter(col("count") > cap).select(keyCol),
       Seq(keyCol), "left_anti")
 
   /** Candidate stage of [[minHashLshPairs]]: distinct (doc_a, doc_b)
     * pairs colliding on ≥1 kept band. Exposed for the DedupSpec
     * duplication-blowup measurement. */
   private[graft] def minHashBandCandidates(docs: DataFrame, n: Int,
-                                           maxBandSize: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+                                           maxBandSize: Int): DataFrame =
+    bandCandidatesFromShingles(
+      docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s")),
+      maxBandSize)
+
+  /** [[minHashBandCandidates]] over an already-shingled `(doc_id, s)`
+    * frame — lets [[minHashLshPairs]] share ONE shingle projection
+    * between the candidate stage and the confirm joins instead of
+    * re-computing `hashedShingles` per consumer. */
+  private def bandCandidatesFromShingles(sh: DataFrame,
+                                         maxBandSize: Int): DataFrame = {
     val banded = capBands(
       sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band")),
       maxBandSize)
@@ -387,7 +415,7 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
                       maxBandSize: Int = 0): DataFrame = {
     val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val cands = minHashBandCandidates(docs, n, maxBandSize)
+    val cands = bandCandidatesFromShingles(sh, maxBandSize)
     // prune the corpus-sized shingle frame to candidate docs BEFORE the
     // confirm joins — at scale |candidates| << |corpus|, so the two joins
     // below shuffle only the near-dup suspects' shingles
@@ -641,9 +669,17 @@ object Dedup {
   /** Near-dup cluster assignment over the full MinHash-LSH + exact-confirm
     * pair set: `(doc_id, cluster_id)` for every document in some near-dup
     * group, `cluster_id` = smallest doc_id of the group (the canonical
-    * survivor a dedup pass would keep). */
-  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.8): DataFrame =
-    connectedComponents(minHashLshPairs(docs, minJaccard)
+    * survivor a dedup pass would keep).
+    *
+    * The hot-band cap DEFAULTS ON here ([[DefaultHotKeyCap]]) — the
+    * cluster entry points are where a 100 TB crawl meets the quadratic
+    * candidate bomb, and a safety net a deployment must discover by
+    * reading [[minHashLshPairs]]'s optional knob is not a safety net.
+    * `maxBandSize = 0` switches it off for the exact pair semantics. */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.8,
+                      maxBandSize: Int = DefaultHotKeyCap): DataFrame =
+    connectedComponents(minHashLshPairs(docs, minJaccard,
+        maxBandSize = maxBandSize)
         .select("doc_a", "doc_b"))
       .withColumnRenamed("node", "doc_id")
 
@@ -665,13 +701,15 @@ object Dedup {
     * exact duplicates are near-duplicates by definition — while the
     * uncollapsed path never sees them (no shingle, no candidate). */
   def nearDupClustersCollapsed(docs: DataFrame,
-                               minJaccard: Double = 0.8): DataFrame = {
+                               minJaccard: Double = 0.8,
+                               maxBandSize: Int = DefaultHotKeyCap): DataFrame = {
     val keyed = docs.select(col("doc_id"),
       GraftFunctions.blake2b_256(col("text")).as("k"))
     val reps = keyed.groupBy("k").agg(min("doc_id").as("rep"))
     val repDocs = docs.join(
       reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val repPairs = minHashLshPairs(repDocs, minJaccard)
+    val repPairs = minHashLshPairs(repDocs, minJaccard,
+        maxBandSize = maxBandSize)
       .select("doc_a", "doc_b")
     val star = keyed.join(reps, Seq("k"))
       .filter(col("doc_id") =!= col("rep"))

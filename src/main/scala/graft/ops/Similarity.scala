@@ -1091,10 +1091,17 @@ object Similarity {
     * identical ZERO vectors (cosine undefined, dropped by the pair
     * stage) still cluster here — exact duplicates are near-duplicates by
     * definition. Output: (vec_id, cluster_id), cluster_id = smallest
-    * member id. */
+    * member id.
+    *
+    * As the cluster-level entry point, the hot-bucket cap DEFAULTS ON
+    * ([[Dedup.DefaultHotKeyCap]] — see [[Dedup.nearDupClusters]] for the
+    * rationale); the collapse already defuses exact-duplicate bombs, the
+    * cap additionally bounds near-identical (non-bit-equal) floods.
+    * `maxBucketSize = 0` switches it off. */
   def semanticClustersCollapsed(emb: DataFrame, minCos: Double,
                                 planes: Int = 8,
-                                tables: Int = 12): DataFrame = {
+                                tables: Int = 12,
+                                maxBucketSize: Int = Dedup.DefaultHotKeyCap): DataFrame = {
     // NULL embeddings would form ONE groupBy group below and so collapse
     // into a fake "exact duplicate" cluster via star edges, where the
     // uncollapsed pair path simply drops dirty rows — drop them here too
@@ -1105,7 +1112,8 @@ object Similarity {
     val repVecs = v.join(reps.select(col("rep").as("vec_id")),
         Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("v").as("embedding"))
-    val repPairs = lshCosineNearDupPairs(repVecs, minCos, planes, tables)
+    val repPairs = lshCosineNearDupPairs(repVecs, minCos, planes, tables,
+        maxBucketSize = maxBucketSize)
       .select("vec_a", "vec_b")
     val star = v.join(reps, Seq("v"))
       .filter(col("vec_id") =!= col("rep"))

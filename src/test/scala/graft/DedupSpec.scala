@@ -279,6 +279,36 @@ class DedupSpec extends SparkSpec {
     assert(incLoose === incPlain)
   }
 
+  test("cluster entry points cap hot bands BY DEFAULT; the default is a " +
+    "no-op on the fixture corpus") {
+    import spark.implicits._
+    // 300 copies of one text: every copy collides on EVERY band, all
+    // band buckets have df=300 > DefaultHotKeyCap=256
+    val bomb = (0 until 300)
+      .map(i => (i.toLong, "the same boilerplate text repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashBandCandidates(bomb, 3, 0).count()
+    val defCap = Dedup.minHashBandCandidates(bomb, 3, Dedup.DefaultHotKeyCap).count()
+    assert(uncapped === 300L * 299 / 2)
+    assert(defCap === 0L, s"default cap should drop all df=300 buckets, got $defCap")
+    // the DEFAULT entry point (no cap arg) completes without the d² pair
+    // stage — the bomb clusters are lost to the cap (documented lossy;
+    // exact copies are nearDupClustersCollapsed's job, which still finds
+    // them via the collapse, cap notwithstanding)
+    assert(Dedup.nearDupClusters(bomb).isEmpty)
+    val colBomb = Dedup.nearDupClustersCollapsed(bomb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(colBomb.length === 300 && colBomb.forall(_._2 === 0L))
+    // on the real fixture no band bucket is anywhere near 256 deep, so
+    // the default cap changes NOTHING vs explicit off — the property the
+    // oracle queries rely on
+    val defaulted = Dedup.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val off = Dedup.nearDupClusters(docs, 0.8, maxBandSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaulted.nonEmpty && defaulted === off)
+  }
+
   test("collapsed clustering == uncollapsed on the fixture; exact copies " +
     "of shingle-less texts still cluster; star edges never elect a fake " +
     "canonical") {

@@ -655,6 +655,37 @@ class SimilaritySpec extends SparkSpec {
     assert(loose === plain)
   }
 
+  test("semanticClustersCollapsed caps hot buckets BY DEFAULT; the " +
+    "default is a no-op on the fixture corpus") {
+    val s2 = spark
+    import s2.implicits._
+    // 300 NEAR-identical (not bit-equal, so the collapse can't defuse
+    // them) vectors: same direction, tiny length perturbation → cosine
+    // exactly 1 pairwise, every pair shares EVERY sign-LSH bucket
+    val bomb = (0 until 300)
+      .map(i => (i.toLong, Seq(1.0 + i * 1e-9, 0.5, -0.25, 0.125)))
+      .toDF("vec_id", "v")
+    val uncapped = Similarity.lshCosineCandidates(bomb, 8, 12, 0).count()
+    val defCap = Similarity.lshCosineCandidates(bomb, 8, 12,
+      graft.ops.Dedup.DefaultHotKeyCap).count()
+    assert(uncapped === 300L * 299 / 2)
+    assert(defCap === 0L, s"default cap should drop all df=300 buckets, got $defCap")
+    // the DEFAULT entry point (no cap arg) completes without the d² pair
+    // stage; the flood's clusters are lost to the cap (documented lossy —
+    // bit-equal floods still cluster via the exact collapse)
+    val embBomb = bomb.withColumnRenamed("v", "embedding")
+    assert(Similarity.semanticClustersCollapsed(embBomb, minCos = 0.9).isEmpty)
+    // fixture corpus: no bucket anywhere near 256 deep → default ==
+    // explicit off
+    val emb = Tables.embeddings(spark, sf0001)
+    val defaulted = Similarity.semanticClustersCollapsed(emb, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val off = Similarity.semanticClustersCollapsed(emb, minCos = 0.9,
+        maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaulted === off)
+  }
+
   test("IVF-PQ corpus-level recall floor vs exact top-k (both search paths)") {
     // The q121/q122 queries are rows-only (iterative trainers preclude a
     // SQL oracle), so THIS is their quality gate: fixed-seed recall@5
