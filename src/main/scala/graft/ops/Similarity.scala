@@ -421,6 +421,70 @@ object Similarity {
     PqModel(dsub, books)
   }
 
+  /** Driver-side twin of the native `IvfCells` nearest-cell rule
+    * (squared-L2 argmin, ties to the LOWER index) — used only to form
+    * TRAINING residuals in [[pqTrainSampledResidual]], where the sample
+    * already lives on the driver and a Spark job per sample row would be
+    * absurd. Kept next to the training code and pinned equal to the
+    * native rule by SimilaritySpec so the two cannot drift silently. */
+  private[graft] def nearestCellLocal(v: Array[Double],
+                                    centers: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centers.length) {
+      var d = 0d; var j = 0
+      while (j < v.length) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[pqTrainSampled]] on IVF RESIDUALS — the faiss IndexIVFPQ
+    * training recipe (by_residual): codebooks are fit to
+    * `x − center(cell(x))` rather than to `x`, which is what makes
+    * IVF-PQ rank WITHIN a cell. On clustered data the raw-vector
+    * codebooks spend their ksub centroids separating the clusters the
+    * coarse quantizer already separated, so every member of a tight
+    * cluster collapses to one code and ADC degenerates to the vec_id
+    * tie-break; residuals re-center every cell at the origin and the
+    * same ksub centroids resolve within-cell structure instead
+    * (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, §IV). Same bounded-sample contract
+    * as [[pqTrainSampled]]. Use this trainer for [[pqIndex]] +
+    * [[annIvfPq]]/[[annIvfPqAdc]]; the flat-PQ family
+    * ([[pqEncode]]/[[pqDecode]]/[[pqAdcTopK]]) keeps raw-vector
+    * training. */
+  def pqTrainSampledResidual(corpus: DataFrame,
+                             ivfCenters: Array[Array[Double]], m: Int,
+                             ksub: Int, trainCap: Int = 4096,
+                             iters: Int = 5, seed: Long = 42L): PqModel = {
+    require(m >= 1 && ksub >= 1, s"need m >= 1, ksub >= 1; got m=$m ksub=$ksub")
+    val sample = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .filter(col("e").isNotNull)
+      .orderBy("vec_id").limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTrainSampledResidual needs a non-empty corpus")
+    val dims = sample.map(_.length).distinct.sorted
+    require(dims.length == 1,
+      s"pqTrainSampledResidual: sample mixes embedding dimensions " +
+        s"${dims.mkString("/")} — filter dirty embeddings before fitting")
+    val dim = dims.head
+    require(ivfCenters.forall(_.length == dim),
+      s"IVF centers have dim ${ivfCenters.head.length}, corpus has $dim")
+    require(dim % m == 0, s"embedding dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val residuals = sample.map { v =>
+      val c = ivfCenters(nearestCellLocal(v, ivfCenters))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    val books = (0 until m).map { s =>
+      localKMeans(residuals.map(v => java.util.Arrays.copyOfRange(
+        v, s * dsub, (s + 1) * dsub)), ksub, iters, seed)
+    }.toArray
+    PqModel(dsub, books)
+  }
+
   /** Persist a PQ model as a registry stream (`subspace`, `cid`,
     * `center`) — the [[saveIvfCenters]] contract: create-exclusive
     * claim (one artifact per name, version by name), best-effort
@@ -483,14 +547,25 @@ object Similarity {
 
   /** The [[pqEncode]] codes expression against an `embedding` column —
     * shared with [[pqIndex]] so index building is ONE projection. */
-  private def pqCodesExpr(model: PqModel): Column = {
-    val v = col("embedding").cast("array<double>")
+  private def pqCodesExpr(model: PqModel): Column =
+    pqCodesExprOf(model, col("embedding").cast("array<double>"))
+
+  /** [[pqCodesExpr]] against an arbitrary vector expression — lets
+    * [[pqIndex]] encode the IVF RESIDUAL instead of the raw vector. */
+  private def pqCodesExprOf(model: PqModel, v: Column): Column =
     array(model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
       when(size(v) === model.dim,
         get(graft.functions.VectorFunctions.nearestCells(
           slice(v, s * model.dsub + 1, model.dsub), cb, 1), lit(0)))
     }: _*)
-  }
+
+  /** The IVF cell-center vector for a `cell` id column, read out of the
+    * flattened (cell-major) centroid literal `cLit` — shared by the
+    * residual encode ([[pqIndex]]) and decode ([[annIvfPq]]) sides so
+    * the two cannot drift. NULL cell (dirty row) null-propagates. */
+  private def cellCenterExpr(cLit: Column, dim: Int, cell: Column): Column =
+    transform(sequence(lit(1), lit(dim)),
+      j => element_at(cLit, cell * dim + j))
 
   /** Reconstruct approximate embeddings from PQ codes: concatenate the
     * `m` codebook entries the codes name — the inverse of [[pqEncode]]
@@ -564,19 +639,39 @@ object Similarity {
         Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
   }
 
-  /** Build the compressed IVF-PQ index in ONE projection:
-    * (vec_id, cell, codes) — the coarse cell from the IVF quantizer plus
-    * the [[pqEncode]] codes. This is the artifact a 100 TB deployment
-    * persists and scans INSTEAD of the float vectors: one int + m small
-    * codes per vector (64-dim float32 → ~50× smaller). Dirty rows keep
-    * the refuse contract of both halves: null cell, all-null codes. */
+  /** Build the compressed IVF-PQ index in ONE pass:
+    * (vec_id, cell, codes) — the coarse cell from the IVF quantizer,
+    * then PQ codes of the RESIDUAL `x − center(cell)` (faiss IndexIVFPQ
+    * by_residual; train the model with [[pqTrainSampledResidual]]).
+    * Encoding the residual instead of the raw vector is what lets the
+    * fixed code budget rank within a cell — see the trainer's scaladoc.
+    * This is the artifact a 100 TB deployment persists and scans
+    * INSTEAD of the float vectors: one int + m small codes per vector
+    * (64-dim float32 → ~50× smaller). Two chained projections (the cell
+    * id feeds the residual), zero shuffle. Dirty rows keep the refuse
+    * contract of both halves: null cell, all-null codes. */
   def pqIndex(corpus: DataFrame, ivfCenters: Array[Array[Double]],
-              model: PqModel): DataFrame =
-    corpus.select(col("vec_id"),
-      get(graft.functions.VectorFunctions.nearestCells(
-        col("embedding").cast("array<double>"), ivfCenters, 1), lit(0))
-        .as("cell"),
-      pqCodesExpr(model).as("codes"))
+              model: PqModel): DataFrame = {
+    val dim = model.dim
+    require(ivfCenters.forall(_.length == dim),
+      s"IVF centers have dim ${ivfCenters.head.length}, PQ model has $dim")
+    val cLit = typedLit(ivfCenters.flatten.toSeq)
+    corpus
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        get(graft.functions.VectorFunctions.nearestCells(
+          col("embedding").cast("array<double>"), ivfCenters, 1), lit(0))
+          .as("cell"))
+      .select(col("vec_id"), col("cell"),
+        // the explicit guard matters: a NULL cell (dirty/wrong-dim row)
+        // makes cellCenterExpr a non-null array OF nulls, and zip_with
+        // would hand the code argmin an array with null elements —
+        // unsafe getDouble on those is garbage, not an error
+        when(col("cell").isNotNull && size(col("v")) === dim,
+          pqCodesExprOf(model, zip_with(col("v"),
+            cellCenterExpr(cLit, dim, col("cell")),
+            (x, c) => x - c))).as("codes"))
+  }
 
   /** IVF-PQ batch search: [[annIvfWith]]'s cell pruning over a
     * [[pqIndex]] — candidates come from each query's nprobe cells via a
@@ -593,8 +688,17 @@ object Similarity {
   def annIvfPq(queries: DataFrame, index: DataFrame,
                ivfCenters: Array[Array[Double]], model: PqModel, k: Int,
                nprobe: Int = 3): DataFrame = {
-    val c = index.select(col("vec_id").as("c_id"), col("cell"),
-        pqReconExpr(model).as("ce"))
+    val dim = model.dim
+    require(ivfCenters.forall(_.length == dim),
+      s"IVF centers have dim ${ivfCenters.head.length}, PQ model has $dim")
+    val cLit = typedLit(ivfCenters.flatten.toSeq)
+    // decode = center(cell) + reconstructed residual — the inverse of
+    // [[pqIndex]]'s residual encode, sharing cellCenterExpr with it
+    val c = index
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id").as("c_id"), col("cell"),
+        zip_with(pqReconExpr(model), cellCenterExpr(cLit, dim, col("cell")),
+          (r, cc) => r + cc).as("ce"))
       .filter(col("ce").isNotNull)
       .withColumn("cn", norm(col("ce")))
     val q = queries.select(col("vec_id").as("q_id"),
@@ -619,20 +723,26 @@ object Similarity {
   }
 
   /** IVF-PQ batch search, pure-ADC scoring — the faiss IndexIVFPQ
-    * shape and the arithmetic-minimal path: every query's m×ksub
-    * distance table is built on the driver and ALL of them ship as ONE
-    * flat plan literal (|Q|·m·ksub doubles — bounded query set, same
-    * contract as [[cosineTopK]]), so scoring a candidate pair costs m
-    * array lookups + adds against its codes. Versus [[annIvfPq]]'s
-    * decode-then-cosine (dim mults per pair), that is a ~dim/m cut in
-    * join-side arithmetic; the trade is the metric — ADC approximates
-    * squared-L2, ascending, not cosine. Ties to the lower c_id; a
-    * dirty QUERY vector fails loudly up front (its table cannot be
-    * built), dirty index rows null-propagate out as everywhere. */
+    * shape and the arithmetic-minimal path. The index codes are IVF
+    * RESIDUALS ([[pqIndex]]), so the distance table is per (query,
+    * probed cell): entry (s, c) = ||slice_s(q − center(cell)) − cb_s,c||²,
+    * making Σ lookups ≈ ||q − x||² for a candidate x in that cell
+    * (faiss precomputed-tables recipe, Jégou et al. 2011 §IV). ALL
+    * |Q|·nprobe tables ship as ONE flat plan literal
+    * (|Q|·nprobe·m·ksub doubles — bounded query set, same contract as
+    * [[cosineTopK]]), so scoring a candidate pair costs m array lookups
+    * + adds against its codes. Versus [[annIvfPq]]'s decode-then-cosine
+    * (dim mults per pair), that is a ~dim/m cut in join-side
+    * arithmetic; the trade is the metric — ADC approximates squared-L2,
+    * ascending, not cosine. Ties to the lower c_id; a dirty QUERY
+    * vector fails loudly up front (its table cannot be built), dirty
+    * index rows null-propagate out as everywhere. */
   def annIvfPqAdc(queries: DataFrame, index: DataFrame,
                   ivfCenters: Array[Array[Double]], model: PqModel, k: Int,
                   nprobe: Int = 3): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
+    require(ivfCenters.forall(_.length == model.dim),
+      s"IVF centers have dim ${ivfCenters.head.length}, PQ model has ${model.dim}")
     // null embeddings join the wrong-dim vectors in the LOUD failure —
     // a bare getSeq.toArray would NPE before the named require fires
     val qRaw = queries
@@ -647,32 +757,47 @@ object Similarity {
     val qRows = qRaw.map { case (id, v) => (id, v.get) }
     val m = model.m; val ksub = model.ksub; val dsub = model.dsub
     val stride = m * ksub
-    val flatTables = new Array[Double](qRows.length * stride)
-    for (((_, qv), qi) <- qRows.zipWithIndex; s <- 0 until m;
-         c <- 0 until ksub) {
-      val cb = model.codebooks(s)(c)
-      var acc = 0d; var j = 0
-      while (j < dsub) { val t = qv(s * dsub + j) - cb(j); acc += t * t; j += 1 }
-      flatTables(qi * stride + s * ksub + c) = acc
-    }
-    val tLit = typedLit(flatTables.toSeq)
-    // the query side re-enters the plan as a tiny driver-built DF so the
-    // nprobe cells come from the SAME native NearestCells rule the index
-    // was built with — no hand-rolled driver argmin to drift from it
+    // probe lists come from the SAME native NearestCells rule the index
+    // was built with — evaluated in one tiny |Q|-row job rather than a
+    // hand-rolled driver argmin that could drift from it
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = qRows.zipWithIndex
-      .map { case ((id, qv), qi) => (id, qi, qv.toSeq) }.toSeq
-      .toDF("q_id", "qi", "qe")
-      .withColumn("cell", explode(graft.functions.VectorFunctions
-        .nearestCells(col("qe"), ivfCenters, nprobe)))
-      .select("q_id", "qi", "cell")
+    val probeLists = qRows.zipWithIndex
+      .map { case ((_, qv), qi) => (qi, qv.toSeq) }.toSeq
+      .toDF("qi", "qe")
+      .select(col("qi"), graft.functions.VectorFunctions
+        .nearestCells(col("qe"), ivfCenters, nprobe).as("cells"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1).toArray)
+      .toMap
+    val nprobeEff = probeLists.values.head.length
+    val flatTables = new Array[Double](qRows.length * nprobeEff * stride)
+    for (((_, qv), qi) <- qRows.zipWithIndex;
+         (cell, r) <- probeLists(qi).zipWithIndex;
+         s <- 0 until m; c <- 0 until ksub) {
+      val center = ivfCenters(cell)
+      val cb = model.codebooks(s)(c)
+      var acc = 0d; var j = 0
+      while (j < dsub) {
+        val t = (qv(s * dsub + j) - center(s * dsub + j)) - cb(j)
+        acc += t * t; j += 1
+      }
+      flatTables((qi * nprobeEff + r) * stride + s * ksub + c) = acc
+    }
+    val tLit = typedLit(flatTables.toSeq)
+    // the query side re-enters the plan as (q_id, ti, cell) rows — ti
+    // names the (query, probe-rank) table block the scorer reads
+    val q = qRows.zipWithIndex.flatMap { case ((id, _), qi) =>
+      probeLists(qi).zipWithIndex.map { case (cell, r) =>
+        (id, qi * nprobeEff + r, cell)
+      }
+    }.toSeq.toDF("q_id", "ti", "cell")
     val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc_dist", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, s) => element_at(tLit,
-            col("qi") * stride + s * lit(ksub) + c + 1)),
+            col("ti") * stride + s * lit(ksub) + c + 1)),
         lit(0d), (acc, x) => acc + x))
       .filter(col("adc_dist").isNotNull)
       // the sibling defense (annIvfWith/annIvfPq): duplicate index ids

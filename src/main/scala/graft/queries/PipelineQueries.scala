@@ -1840,16 +1840,19 @@ object PipelineQueries {
     * cells prune candidates, PQ codes replace the float vectors at scan
     * time, scoring decodes per index row below the broadcast cell join.
     * Both trainers are the bounded-sample driver-side kind
-    * ([[Similarity.trainIvfCenters]] / [[Similarity.pqTrainSampled]] —
-    * the recurring-deployment shape: the only distributed jobs are the
-    * index projection and the search join). Rows-only (iterative
-    * trainers — the q44/q103 argument); SimilaritySpec pins
-    * planted-near-dup retrieval, candidate containment, and the
-    * dirty-row refuse contract. */
+    * ([[Similarity.trainIvfCenters]] /
+    * [[Similarity.pqTrainSampledResidual]] — codebooks fit on IVF
+    * residuals, the faiss by_residual recipe that preserves within-cell
+    * ranking; the recurring-deployment shape: the only distributed jobs
+    * are the index projection and the search join). Rows-only
+    * (iterative trainers — the q44/q103 argument); SimilaritySpec pins
+    * planted-near-dup retrieval, candidate containment, clustered-blob
+    * recall ≥ 0.6, and the dirty-row refuse contract. */
   val q121IvfpqSearch: Q = rowsOnly("q121_ivfpq_search") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val centers = Similarity.trainIvfCenters(emb, nlist = 16)
-    val model = Similarity.pqTrainSampled(emb, m = 8, ksub = 16, iters = 2)
+    val model = Similarity.pqTrainSampledResidual(emb, centers, m = 8,
+      ksub = 16, iters = 2)
     val index = Similarity.pqIndex(emb, centers, model)
     Similarity.annIvfPq(emb.filter(col("vec_id") < 10), index, centers,
         model, k = 5)
@@ -1866,7 +1869,8 @@ object PipelineQueries {
   val q122IvfpqAdc: Q = rowsOnly("q122_ivfpq_adc") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val centers = Similarity.trainIvfCenters(emb, nlist = 16)
-    val model = Similarity.pqTrainSampled(emb, m = 8, ksub = 16, iters = 2)
+    val model = Similarity.pqTrainSampledResidual(emb, centers, m = 8,
+      ksub = 16, iters = 2)
     val index = Similarity.pqIndex(emb, centers, model)
     Similarity.annIvfPqAdc(emb.filter(col("vec_id") < 10), index, centers,
         model, k = 5)

@@ -171,6 +171,6 @@ class StreamingOpsSpec extends SparkSpec {
       assert(g.getSeq[Any](2) === b.getSeq[Any](2),
         s"codes drift for vec ${g.getLong(0)}")
     }
-    assert(got(3).getSeq[Any](2) === Seq(null, null), "dirty row refused")
+    assert(got(3).isNullAt(2), "dirty row refused (null codes, null cell)")
   }
 }
