@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.runtime.{Link, StreamRegistry}
+import graft.runtime.{Link, NearDupGateLink, StreamRegistry}
 
 /** Capstone integration: the reference's Link microservice surface running
   * the LLM-curation operators as a STREAMING pipeline — the deployment
@@ -68,5 +68,58 @@ class StreamingCurationSpec extends SparkSpec {
     // replaying with no new input emits nothing (exactly-once offsets)
     CurationLink.start(spark, reg).awaitTermination()
     assert(reg.read("docs_clean").count() === 3)
+  }
+
+  test("streaming near-dup gate link: pair parity with the batch " +
+    "incremental path; survivors accumulate into the screening corpus") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val b = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val c = "red orange yellow green blue indigo violet crimson amber teal " +
+      "magenta cyan maroon olive navy coral salmon ivory jade pearl"
+    // +1 trailing word: 18 shared shingles of 19 → jaccard ≈ 0.947 ≥ 0.8
+    val batch1 = Seq(10L -> (a + " uniform"), 11L -> b)
+    val batch2 = Seq(20L -> (b + " extra"), 21L -> c)
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-neardup-stream").toString)
+    reg.write(docs(1L -> a), "nd_corpus") // seed corpus
+    val link = new NearDupGateLink("nd_in", "nd_corpus", "nd_pairs",
+      minJaccard = 0.8)
+    reg.write(docs(batch1: _*), "nd_in")
+    link.start(spark, reg).awaitTermination()
+    reg.write(docs(batch2: _*), "nd_in")
+    link.start(spark, reg).awaitTermination()
+
+    def pairsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_corpus"),
+        r.getAs[Double]("jaccard"))).toSet
+    val streamed = pairsOf(reg.read("nd_pairs"))
+
+    // batch replication of the same incremental protocol over the same
+    // splits: screen, append survivors, repeat
+    var corpus = docs(1L -> a)
+    val expected = scala.collection.mutable.Set[(Long, Long, Double)]()
+    for (batch <- Seq(batch1, batch2)) {
+      val bdf = docs(batch: _*)
+      val p = graft.ops.Dedup.minHashLshAgainstCorpus(corpus, bdf, 0.8)
+      expected ++= pairsOf(p)
+      val survivors = bdf.join(
+        p.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      corpus = corpus.union(survivors)
+    }
+    assert(streamed.nonEmpty && streamed === expected.toSet)
+    // doc 20 must have matched doc 11 — admitted only one batch earlier:
+    // the corpus genuinely accumulates survivors across batches
+    assert(streamed.exists(p => p._1 == 20L && p._2 == 11L))
+    // gate semantics: matched arrivals (10, 20) never entered the corpus
+    assert(reg.read("nd_corpus").collect().map(_.getAs[Long]("doc_id")).sorted
+      === Array(1L, 11L, 21L))
+    // replaying with no new input appends nothing (exactly-once offsets)
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("nd_pairs").count() === streamed.size)
+    assert(reg.read("nd_corpus").count() === 3)
   }
 }
