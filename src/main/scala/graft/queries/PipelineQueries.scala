@@ -2097,6 +2097,106 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Mixed-media dispatch ([[graft.ops.Multimodal.decodeAvPayloads]]):
+    * ONE payload column carrying five container families by doc_id % 5 —
+    * GIF image, PCM WAV, ISO-BMFF MP4 video, raw text (unrecognized),
+    * and FLAC (STREAMINFO bit-packed rate/channels/bits/total-samples,
+    * the [[graft.ops.AvHeaders]] addition this round) — and the
+    * dispatcher must route every row to the right parser and field set.
+    * All payloads are synthesized byte-for-byte in the plan (hex →
+    * unhex, q126/q127 style) and the oracle recomputes each branch's
+    * construction arithmetic, so a misrouted family or a misread
+    * bit-field diverges. */
+  val q129MixedMedia: Q = q("q129_mixed_media",
+    """WITH p AS (SELECT doc_id, text, doc_id % 5 AS m
+      |  FROM documents WHERE doc_id < 250)
+      |SELECT doc_id,
+      |  CAST(CASE m WHEN 0 THEN 10
+      |    WHEN 1 THEN 44 + (doc_id % 50 + 10) * (doc_id % 2 + 1) * 2
+      |    WHEN 2 THEN 232
+      |    WHEN 3 THEN octet_length(encode(text))
+      |    ELSE 42 END AS BIGINT) AS n_bytes,
+      |  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video'
+      |    WHEN 3 THEN 'unknown' ELSE 'audio' END AS kind,
+      |  CASE m WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4/isom'
+      |    WHEN 3 THEN 'unknown' ELSE 'flac' END AS format,
+      |  CAST(CASE WHEN m IN (1, 4) THEN doc_id % 2 + 1
+      |    WHEN m = 0 THEN 3 ELSE 0 END AS INT) AS channels,
+      |  CAST(CASE WHEN m = 1 THEN 8000 + (doc_id % 3) * 4000
+      |    WHEN m = 4 THEN 22050 + (doc_id % 3) * 11025
+      |    ELSE 0 END AS INT) AS sample_rate,
+      |  CAST(CASE
+      |    WHEN m = 1 THEN ((doc_id % 50 + 10) * 1000) // (8000 + (doc_id % 3) * 4000)
+      |    WHEN m = 2 THEN ((doc_id % 500 + 50) * 10 * 1000) // (600 + (doc_id % 4) * 200)
+      |    WHEN m = 4 THEN ((doc_id % 97 + 10) * 1000 * 1000) // (22050 + (doc_id % 3) * 11025)
+      |    ELSE 0 END AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN m = 0 THEN 100 + doc_id % 53
+      |    WHEN m = 2 THEN 320 + (doc_id % 8) * 160 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN m = 0 THEN 80 + doc_id % 41
+      |    WHEN m = 2 THEN 240 + (doc_id % 6) * 120 ELSE 0 END AS INT) AS height
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 5
+    // GIF: signature + little-endian logical screen descriptor
+    val gw = lit(100) + col("doc_id") % 53
+    val gh = lit(80) + col("doc_id") % 41
+    val gifHex = concat(lit("474946383961"), leHex16(gw), leHex16(gh))
+    // WAV: the q126 synthesis with moduli coprime to the branch selector
+    // (doc_id % 5 is constant inside a branch — a % 5 parameter would be
+    // a single value, testing nothing)
+    val ch = col("doc_id") % 2 + 1
+    val rate = lit(8000) + (col("doc_id") % 3) * 4000
+    val blockAlign = ch * 2
+    val dataSize = (col("doc_id") % 50 + 10) * blockAlign
+    val wavHex = concat(
+      lit("52494646"), leHex32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), leHex32(lit(16)), leHex16(lit(1)),
+      leHex16(ch), leHex32(rate), leHex32(rate * blockAlign),
+      leHex16(blockAlign), leHex16(lit(16)),
+      lit("64617461"), leHex32(dataSize),
+      repeat(lit("00"), dataSize.cast("int")))
+    // MP4: the q127 synthesis verbatim
+    def beHex32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+    def fixed1616(c: Column): Column =
+      concat(lpad(hex(c.cast("long")), 4, "0"), lit("0000"))
+    val ts = lit(600) + (col("doc_id") % 4) * 200
+    val dur = (col("doc_id") % 500 + 50) * 10
+    val w = lit(320) + (col("doc_id") % 8) * 160
+    val h = lit(240) + (col("doc_id") % 6) * 120
+    val zeros = (n: Int) => lit("00" * n)
+    val mp4Hex = concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"),
+      lit("000000D8"), lit("6D6F6F76"),
+      lit("0000006C"), lit("6D766864"), zeros(12),
+      beHex32(ts), beHex32(dur), zeros(80),
+      lit("00000064"), lit("7472616B"),
+      lit("0000005C"), lit("746B6864"), zeros(12),
+      lit("00000001"), zeros(4), beHex32(dur), zeros(16), zeros(36),
+      fixed1616(w), fixed1616(h))
+    // FLAC: fLaC + last-block STREAMINFO (type 0, length 34) with the
+    // 64-bit rate(20)|channels-1(3)|bps-1(5)|total(36) field bit-packed
+    val fch = col("doc_id") % 2 + 1
+    val frate = lit(22050) + (col("doc_id") % 3) * 11025
+    val ftotal = (col("doc_id") % 97 + 10) * 1000
+    val packed = shiftleft(frate.cast("long"), 44)
+      .bitwiseOR(shiftleft((fch - 1).cast("long"), 41))
+      .bitwiseOR(lit(15L << 36)) // bits-per-sample 16
+      .bitwiseOR(ftotal.cast("long"))
+    val flacHex = concat(lit("664C6143"), lit("80"), lit("000022"),
+      lit("1000"), lit("1000"), lit("000000"), lit("000000"),
+      lpad(hex(packed), 16, "0"), lit("00" * 16))
+    val payload = when(m === 3, encode(col("text"), "UTF-8"))
+      .otherwise(unhex(
+        when(m === 0, gifHex).when(m === 1, wavHex)
+          .when(m === 2, mp4Hex).otherwise(flacHex)))
+    val payloads = Tables.documents(s, d).filter(col("doc_id") < 250)
+      .select(col("doc_id"), payload.as("payload"))
+    graft.ops.Multimodal.decodeAvPayloads(s, payloads).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("kind"), col("format"),
+        col("channels"), col("sample_rate"), col("duration_ms"),
+        col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
   /** Normalize-then-dedup ([[Dedup.exactDedupNormalized]]): the
     * C4/RefinedWeb canonicalization (lowercase → strip non-alnum →
     * collapse whitespace → trim) in front of exact dedup, catching
@@ -2137,5 +2237,6 @@ object PipelineQueries {
     q114MmrSelect, q115GumbelSample, q116RrfFusion, q117PcaProject,
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
-    q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup)
+    q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
+    q129MixedMedia)
 }

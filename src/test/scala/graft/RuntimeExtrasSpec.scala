@@ -185,6 +185,69 @@ class RuntimeExtrasSpec extends SparkSpec {
     assert(graft.ops.AvHeaders.parse(out.toByteArray.take(30)).isEmpty)
   }
 
+  test("multimodal decode: FLAC STREAMINFO bit-fields, Ogg Vorbis/Opus id " +
+      "headers, and a hostile WAV chunk size ending the scan cleanly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // FLAC: fLaC + last-flag STREAMINFO (type 0, len 34); 44.1 kHz stereo
+    // 16-bit, 441000 total samples → exactly 10 s
+    val fb = ByteBuffer.allocate(42)
+    fb.put("fLaC".getBytes("ISO-8859-1"))
+    fb.put(0x80.toByte); fb.put(0.toByte); fb.put(0.toByte); fb.put(34.toByte)
+    fb.putShort(0x1000.toShort); fb.putShort(0x1000.toShort)
+    fb.put(new Array[Byte](6)) // min/max frame size
+    fb.putLong((44100L << 44) | (1L << 41) | (15L << 36) | 441000L)
+    fb.put(new Array[Byte](16)) // md5
+    assert(graft.ops.AvHeaders.parse(fb.array()) === Some(
+      graft.ops.AvHeaders.AvMeta("flac", "audio", 2, 44100, 16, 10000L, 0, 0)))
+    // rate 0 is invalid per spec → the sniffer refuses the file
+    val f0 = ByteBuffer.allocate(42)
+    f0.put(fb.array())
+    f0.position(18) // the packed field: 4 magic + 4 block header + 10
+    f0.putLong((1L << 41) | (15L << 36))
+    assert(graft.ops.AvHeaders.parse(f0.array()).isEmpty)
+    // Ogg: one first page wrapping a codec id packet
+    def oggPage(packet: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(28 + packet.length)
+      bb.put("OggS".getBytes("ISO-8859-1"))
+      bb.put(0.toByte); bb.put(2.toByte)      // version 0, BOS flag
+      bb.put(new Array[Byte](20))             // granule, serial, seq, crc
+      bb.put(1.toByte); bb.put(packet.length.toByte) // segment table
+      bb.put(packet); bb.array()
+    }
+    val vorbis = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    vorbis.put(1.toByte); vorbis.put("vorbis".getBytes("ISO-8859-1"))
+    vorbis.putInt(0); vorbis.put(2.toByte); vorbis.putInt(44100)
+    assert(graft.ops.AvHeaders.parse(oggPage(vorbis.array())) === Some(
+      graft.ops.AvHeaders.AvMeta("ogg/vorbis", "audio", 2, 44100, 0, 0L, 0, 0)))
+    val opus = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    opus.put("OpusHead".getBytes("ISO-8859-1"))
+    opus.put(1.toByte); opus.put(2.toByte) // version, channels
+    opus.putShort(312.toShort); opus.putInt(48000)
+    assert(graft.ops.AvHeaders.parse(oggPage(opus.array())) === Some(
+      graft.ops.AvHeaders.AvMeta("ogg/opus", "audio", 2, 48000, 0, 0L, 0, 0)))
+    // an unrecognized first packet still identifies the container
+    assert(graft.ops.AvHeaders.parse(
+      oggPage("theoraXX".getBytes("ISO-8859-1"))) === Some(
+      graft.ops.AvHeaders.AvMeta("ogg", "audio", 0, 0, 0, 0L, 0, 0)))
+    // hostile WAV: a declared chunk size near UInt32 max must END the
+    // chunk scan (Long cursor), not wrap the index negative — and with
+    // no fmt/data seen the file is refused
+    val hw = ByteBuffer.allocate(52).order(ByteOrder.LITTLE_ENDIAN)
+    hw.put("RIFF".getBytes("ISO-8859-1")); hw.putInt(44)
+    hw.put("WAVE".getBytes("ISO-8859-1"))
+    hw.put("junk".getBytes("ISO-8859-1")); hw.putInt(0xFFFFFFF0)
+    assert(graft.ops.AvHeaders.parse(hw.array()).isEmpty)
+    // end-to-end dispatch through decodeAvPayloads
+    val df = spark.createDataFrame(Seq(
+      (1L, fb.array()), (2L, oggPage(vorbis.array())),
+      (3L, oggPage(opus.array())))).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAvPayloads(spark, df).collect().sortBy(_.doc_id)
+    assert(got.map(m => (m.doc_id, m.kind, m.format, m.channels, m.sample_rate))
+      .toSeq === Seq((1L, "audio", "flac", 2, 44100),
+        (2L, "audio", "ogg/vorbis", 2, 44100),
+        (3L, "audio", "ogg/opus", 2, 48000)))
+  }
+
   test("multimodal decode: pinned 1x1 RGBA PNG byte literal through the Spark path") {
     // the canonical 1×1 transparent PNG (colour type 6 → RGBA)
     val png = java.util.Base64.getDecoder.decode(
