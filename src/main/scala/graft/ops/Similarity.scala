@@ -678,6 +678,14 @@ object Similarity {
     * broadcast equi-join, and scoring DECODES the candidate from its
     * codes (codebook plan literal) to take exact cosine against the
     * query, so the corpus float vectors are never read at search time.
+    *
+    * `index` must be a MATERIALIZED artifact — a read of the persisted
+    * index stream, a cached/checkpointed frame — per the train/ADD/search
+    * contract. Passing the raw [[pqIndex]] plan composes correctly but
+    * re-expands the encode expression tree into every decode reference
+    * (the size/exists guards and the reconstruction each re-evaluate the
+    * m-way code argmin — measured 14× on the q121 bench); at 100 TB the
+    * index is the thing you persisted instead of the floats anyway.
     * Decode costs dim mults (vs m lookups for the single-query
     * [[pqAdcTopK]]) — the price of a whole bounded query batch in one
     * join — and sits BELOW the join, once per index row per batch, the

@@ -1853,7 +1853,11 @@ object PipelineQueries {
     val centers = Similarity.trainIvfCenters(emb, nlist = 16)
     val model = Similarity.pqTrainSampledResidual(emb, centers, m = 8,
       ksub = 16, iters = 2)
-    val index = Similarity.pqIndex(emb, centers, model)
+    // the index is MATERIALIZED before searching — the add half of the
+    // train/add/search contract (annIvfPq scaladoc: searching the raw
+    // pqIndex plan inline re-expands the encode expressions into every
+    // decode reference, measured 14x on this query)
+    val index = Similarity.pqIndex(emb, centers, model).localCheckpoint()
     Similarity.annIvfPq(emb.filter(col("vec_id") < 10), index, centers,
         model, k = 5)
       .orderBy("q_id", "rnk")
@@ -1871,7 +1875,7 @@ object PipelineQueries {
     val centers = Similarity.trainIvfCenters(emb, nlist = 16)
     val model = Similarity.pqTrainSampledResidual(emb, centers, m = 8,
       ksub = 16, iters = 2)
-    val index = Similarity.pqIndex(emb, centers, model)
+    val index = Similarity.pqIndex(emb, centers, model).localCheckpoint()
     Similarity.annIvfPqAdc(emb.filter(col("vec_id") < 10), index, centers,
         model, k = 5)
       .withColumn("adc_dist", round(col("adc_dist"), 4))
