@@ -77,6 +77,34 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Deterministic shard assignment + within-shard order for training
+    * -data export — the last stage of the pipeline: a trainer wants N
+    * shard files whose membership AND internal order are stable across
+    * engines, runs, and input partitioning (resumable downloads,
+    * reproducible data order). Like [[hashSplit]] the key is a content
+    * -independent md5 over `keyCol`, so re-sharding the input never
+    * moves a document: `shard` is the first 16 md5 bits mod `numShards`,
+    * `shard_pos` is the rank of the full md5 digest (ties broken by the
+    * key itself) inside the shard — i.e. a deterministic global shuffle,
+    * the hash order standing in for an RNG permutation. The window here
+    * is the query-shaped rendering of what the writer actually does at
+    * 100 TB: `repartition(numShards, shard).sortWithinPartitions(key)`
+    * → one shuffle keyed by shard, each task streaming one sorted shard
+    * to disk; no global sort, no driver involvement. */
+  def exportShards(docs: DataFrame, keyCol: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(keyCol.cast("string"))
+    docs
+      .withColumn("graft_shard_key", key)
+      .withColumn("shard",
+        (conv(substring(col("graft_shard_key"), 1, 4), 16, 10).cast("long")
+          % numShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("graft_shard_key"), keyCol)))
+      .drop("graft_shard_key")
+  }
+
   /** C4/Gopher-style per-document quality gates. Thresholds follow the
     * published filters (Gopher: 50–100k words, mean word length 3–10;
     * the unique-word and top-word-dominance gates are the repetition

@@ -521,7 +521,7 @@ object Dedup {
     val blobRow = corpusHashes.select(GraftSqlBridge.column(
       new BloomFilterAggregate(xxOf(col("content_hash")),
         Literal(items), Literal(numBits)).toAggregateExpression()
-    ).as("bf")).head
+    ).as("bf")).head()
     val hashed = newDocs.withColumn("content_hash",
       GraftFunctions.blake2b_256(textKey))
     // Null blob = empty corpus (the aggregate yields null when no bit was
@@ -598,7 +598,7 @@ object Dedup {
     def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
         bit_xor(xxhash64(col("u"), col("v"))),
-        bit_xor(xxhash64(lit(0x5bd1e995), col("v"), col("u")))).head
+        bit_xor(xxhash64(lit(0x5bd1e995), col("v"), col("u")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }

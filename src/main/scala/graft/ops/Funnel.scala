@@ -34,7 +34,7 @@ object Funnel {
         .select(col(userCol).as("graft_u"), col(tsCol).as("graft_t"))
       acc.join(stepEvents,
           col(userCol) === col("graft_u") && col("graft_t") > col(s"ts$i"), "left")
-        .groupBy(acc.columns.map(col): _*)
+        .groupBy(acc.columns.toIndexedSeq.map(col): _*)
         .agg(min(col("graft_t")).as(s"ts${i + 1}"))
     }
   }

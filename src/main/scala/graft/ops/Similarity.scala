@@ -921,7 +921,7 @@ object Similarity {
     // dim·(dim+1)/2 rows per vector — a 10-50× constant at dim ≥ 512.)
     val covAgg = udaf(CovUpperAgg(mean), ExpressionEncoder[Seq[Double]]())
     val packed = vecs.select(covAgg(col("v")).as("tri"))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     // flattened upper-triangle position → (i, j), same i-major order
     val posToIj = (for { i <- 0 until dim; j <- i until dim } yield (i, j)).toArray
     val cov = Array.ofDim[Double](dim, dim)

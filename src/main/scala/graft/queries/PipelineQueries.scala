@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -2221,6 +2221,58 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Link-graph ranking ([[Graph.pageRankMicro]]): 3 power-iteration
+    * rounds of integer-micros PageRank over a directed graph derived
+    * deterministically from lineitem (orderkey-bucket → partkey-bucket
+    * edges, self-loops dropped, deduplicated). Every engine that follows
+    * the documented integer recurrence reproduces the ranks bit-for-bit
+    * — the oracle unrolls the three rounds as chained CTEs with the
+    * same floor divisions, so a contribution mis-join, a missed
+    * dangling-node left join, or any float sum in the loop diverges. */
+  val q130PageRank: Q = q("q130_pagerank",
+    """WITH e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+      |           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+      |s1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS s FROM e
+      |       JOIN r0 ON r0.node = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      |r1 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s1.s, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM n LEFT JOIN s1 ON s1.node = n.node),
+      |s2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS s FROM e
+      |       JOIN r1 ON r1.node = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      |r2 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s2.s, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM n LEFT JOIN s2 ON s2.node = n.node),
+      |s3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS s FROM e
+      |       JOIN r2 ON r2.node = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      |r3 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s3.s, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM n LEFT JOIN s3 ON s3.node = n.node)
+      |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin) { (s, d) =>
+    Graph.pageRankMicro(
+      Tables.lineitem(s, d).select(
+        (col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst")),
+      iters = 3)
+      .orderBy("node")
+  }
+
+  /** Sharded training-data export ([[Curation.exportShards]]): stable
+    * shard membership (first 16 md5 bits mod 16) plus a deterministic
+    * within-shard order (md5-rank — the hash shuffle) for every
+    * document. The oracle recomputes both from the same md5 arithmetic,
+    * so an off-by-one in the hex slice, a different modulus, or an
+    * unstable window order diverges. */
+  val q131ExportShards: Q = q("q131_export_shards",
+    """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+      |s AS (SELECT doc_id, key,
+      |        CAST(('0x' || substr(key, 1, 4))::INTEGER % 16 AS INT) AS shard FROM k)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS INT) AS shard_pos
+      |FROM s ORDER BY shard, shard_pos""".stripMargin) { (s, d) =>
+    Curation.exportShards(Tables.documents(s, d), col("doc_id"), numShards = 16)
+      .select("doc_id", "shard", "shard_pos")
+      .orderBy("shard", "shard_pos")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2242,5 +2294,5 @@ object PipelineQueries {
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
-    q129MixedMedia)
+    q129MixedMedia, q130PageRank, q131ExportShards)
 }

@@ -436,4 +436,34 @@ class CurationSpec extends SparkSpec {
     // bigrams: x y, y z, z x, x y, y z, z x, x y -> top "x y" 3/7
     assert(r.getDouble(2) === math.round(3.0 / 7 * 10000) / 10000.0)
   }
+
+  test("exportShards: shards in range, positions dense from 1 within each shard") {
+    val sharded = Curation.exportShards(docs, col("doc_id"), numShards = 16)
+    assert(sharded.filter(col("shard") < 0 || col("shard") >= 16).isEmpty)
+    // positions per shard are exactly 1..count (dense ranks, no gaps/dupes)
+    val byShard = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"),
+        countDistinct("shard_pos").as("d"))
+    assert(byShard.filter(col("mx") =!= col("n") || col("d") =!= col("n")).isEmpty)
+    assert(sharded.count() === docs.count())
+  }
+
+  test("exportShards: assignment AND order are stable under repartitioning") {
+    val a = Curation.exportShards(docs, col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_pos")
+    val b = Curation.exportShards(docs.repartition(13), col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_pos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("exportShards: a document's shard never moves when the corpus changes") {
+    // the resumability contract: membership is keyed on the document, not
+    // on corpus composition — only within-shard positions may shift
+    val full = Curation.exportShards(docs, col("doc_id"), 8)
+      .select(col("doc_id"), col("shard"))
+    val half = Curation.exportShards(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), 8).select(col("doc_id"), col("shard").as("shard_half"))
+    assert(full.join(half, "doc_id")
+      .filter(col("shard") =!= col("shard_half")).isEmpty)
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Integer-micros PageRank: hand-computed fixtures, a sequential
+  * reference on a derived graph, and the partition-order-independence
+  * the integer recurrence exists to guarantee. */
+class GraphSpec extends SparkSpec {
+  import SparkSpec.sf0001
+  import spark.implicits._
+
+  private def edgesDf(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("src", "dst")
+
+  test("uniform cycle keeps every rank at exactly 1.0 (1,000,000 micros)") {
+    // a→b→c→a: each node receives exactly one full contribution, so
+    // r = 150000 + 850000·10⁶ div 10⁶ = 10⁶ at every round, exactly
+    val r = Graph.pageRankMicro(edgesDf(1L -> 2L, 2L -> 3L, 3L -> 1L), iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("hub of a star outranks the leaves; dangling hub contributes nothing") {
+    // leaves 1..4 each point at hub 0; hub has no out-edges (dangling)
+    val r = Graph.pageRankMicro(edgesDf(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      iters = 3).collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // round 1: leaves get no in-mass → 150000; hub gets 4·10⁶ → 150000+3400000
+    // round 2: hub gets 4·150000 → 150000 + 510000; round 3 the same (leaves fixed)
+    assert(r(0L) === 660000L)
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) === 150000L))
+    assert(r(0L) > r(1L))
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val base = Graph.pageRankMicro(edgesDf(1L -> 2L, 2L -> 3L, 3L -> 1L), iters = 3)
+    val noisy = Graph.pageRankMicro(
+      edgesDf(1L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 2L), iters = 3)
+    assert(base.exceptAll(noisy).isEmpty && noisy.exceptAll(base).isEmpty)
+  }
+
+  /** Sequential reference: the documented integer recurrence, computed
+    * in plain Scala maps. */
+  private def seqPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(n => n -> (150000L + 850000L * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    r
+  }
+
+  test("matches the sequential integer reference on the lineitem-derived graph") {
+    val edges = Tables.lineitem(spark, sf0001).select(
+      (col("l_orderkey") % 37).as("src"), (col("l_partkey") % 37).as("dst"))
+    val got = Graph.pageRankMicro(edges, iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val raw = edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got === seqPageRank(raw, iters = 4))
+  }
+
+  test("ranks are identical under adversarial repartitioning (integer domain)") {
+    val pairs = (1L to 400L).map(i => (i % 53, (i * 7) % 53))
+    val a = Graph.pageRankMicro(edgesDf(pairs: _*), iters = 3)
+    val b = Graph.pageRankMicro(edgesDf(pairs: _*).repartition(17), iters = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
