@@ -73,18 +73,10 @@ object Graph {
     val edgesDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")).persist()
     val nodesP = nodes.persist()
-    val base = lit(1000000L - dampingMicro)
     var ranks = nodesP.withColumn("r", lit(1000000L)).localCheckpoint()
     var i = 0
     while (i < iters) {
-      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      val next = nodesP
-        .join(contrib, nodesP("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (base + expr(s"($dampingMicro * coalesce(s, 0L)) div 1000000")).as("r"))
-        .localCheckpoint()
+      val next = rankRound(edgesDeg, nodesP, ranks, dampingMicro).localCheckpoint()
       ranks.unpersist()
       ranks = next
       i += 1
@@ -92,5 +84,22 @@ object Graph {
     edgesDeg.unpersist()
     nodesP.unpersist()
     ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** One power-iteration round — the plan the loop checkpoints each
+    * pass (exposed for GraphSpec's plan-shape assert): an equi-join of
+    * the rank frame against (src, dst, deg) edges, a map-side-combined
+    * groupBy(dst) sum of floor-divided contributions, and the damped
+    * integral-div update left-joined back onto the node set. */
+  private[graft] def rankRound(edgesDeg: DataFrame, nodes: DataFrame,
+                               ranks: DataFrame, dampingMicro: Long): DataFrame = {
+    val base = lit(1000000L - dampingMicro)
+    val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("s"))
+    nodes
+      .join(contrib, nodes("node") === contrib("dst"), "left")
+      .select(col("node"),
+        (base + expr(s"($dampingMicro * coalesce(s, 0L)) div 1000000")).as("r"))
   }
 }

@@ -189,6 +189,55 @@ object TextAnalysis {
         microAvg4("sum_micros", "n_bigrams").as("avg_logprob"))
   }
 
+  /** Corpus-level collocation mining via pointwise mutual information:
+    * the `topK` adjacent word pairs whose co-occurrence most exceeds
+    * chance — PMI(w₁,w₂) = ln(p(w₁w₂) / (p(w₁)·p(w₂))), computed as
+    * ln((c₁₂·N·N) / (B·c₁·c₂)) from integer counts (N tokens, B
+    * bigrams). Distinct from [[bigramLogProb]]: that scores DOCUMENTS
+    * under a conditional LM; this ranks PAIRS by association strength —
+    * the phrase-detection pass (word2vec-style "new_york" joining,
+    * terminology mining) a curation pipeline runs before tokenization.
+    *
+    * Scale: both count tables are map-side-combined aggregates of one
+    * tokenized corpus projection (persisted so the unigram and bigram
+    * passes share the split); the PMI join touches only the
+    * vocabulary-bounded count tables, never the corpus; `minCount`
+    * prunes the rare-pair tail (PMI's classic noise: a 1-occurrence
+    * pair of two rare words maxes the score) BEFORE the joins; top-k is
+    * a distributed TakeOrderedAndProject, no global sort. Determinism:
+    * one ln on an all-integer-derived ratio (the q20/q69 ln-parity
+    * precedent), emitted in integer micros; ties break on the pair. */
+  def pmiCollocations(corpus: DataFrame, minCount: Long = 5,
+                      topK: Int = 50): DataFrame = {
+    val toked = corpus.select(tokens(col("text")).as("w")).persist()
+    val bg = toked.filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val uni = toked.select(explode(col("w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    // one-row totals, the dsirLogRatio shape: broadcast cross join
+    val totals = toked.agg(
+      sum(size(col("w")).cast("long")).as("n_tok"),
+      sum(greatest(size(col("w")) - 1, lit(0)).cast("long")).as("n_big"))
+    pairs
+      .crossJoin(broadcast(totals))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12").as("pair_count"),
+        // denominator goes double-first: three long factors can pass
+        // 2⁶³ on a large corpus (ANSI overflow), and the identical
+        // double chain on both engines keeps the ln argument bit-equal
+        round(log((col("c12").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_big").cast("double") * col("c1") * col("c2"))) * 1000000.0, 0)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** TF-IDF keyword extraction: the `topK` highest tf·idf terms per doc,
     * idf = ln(N / df). Both model tables are vocabulary-bounded
     * (broadcast); the ranking window partitions per doc over its own

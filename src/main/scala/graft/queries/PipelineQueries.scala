@@ -2273,6 +2273,32 @@ object PipelineQueries {
       .orderBy("shard", "shard_pos")
   }
 
+  /** PMI collocation mining ([[TextAnalysis.pmiCollocations]]): top
+    * word pairs by pointwise mutual information with a min-count prune.
+    * The oracle recomputes the same all-integer count ratio and the one
+    * ln (q20/q69 parity precedent) in integer micros; ties break on the
+    * pair, so the top-k boundary is engine-stable. */
+  val q132PmiCollocations: Q = q("q132_pmi_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |              unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |       FROM t WHERE len(w) >= 2),
+      |uc AS (SELECT unnest(w) AS w FROM t),
+      |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY 1),
+      |f AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+      |      HAVING count(*) >= 5),
+      |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_tok,
+      |               CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_big FROM t)
+      |SELECT w1, w2, c12 AS pair_count,
+      |  CAST(round(ln((c12::DOUBLE * n_tok * n_tok) / (n_big::DOUBLE * u1.c * u2.c))
+      |    * 1000000.0, 0) AS BIGINT) AS pmi_micro
+      |FROM f CROSS JOIN tot
+      |JOIN u u1 ON u1.w = f.w1
+      |JOIN u u2 ON u2.w = f.w2
+      |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+    TextAnalysis.pmiCollocations(Tables.documents(s, d), minCount = 5, topK = 50)
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2294,5 +2320,5 @@ object PipelineQueries {
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
-    q129MixedMedia, q130PageRank, q131ExportShards)
+    q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations)
 }

@@ -63,6 +63,20 @@ class GraphSpec extends SparkSpec {
     assert(got === seqPageRank(raw, iters = 4))
   }
 
+  test("one pageRank round plans equi-joins only — no cartesian/NLJ stage") {
+    // the loop checkpoints each round, so the shape to audit is the
+    // per-round plan, exposed via rankRound
+    val e = edgesDf(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val edgesDeg = e.join(e.groupBy("src").count().withColumnRenamed("count", "deg"), "src")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val ranks = nodes.withColumn("r", lit(1000000L))
+    val plan = Graph.rankRound(edgesDeg, nodes, ranks, 850000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ranks are identical under adversarial repartitioning (integer domain)") {
     val pairs = (1L to 400L).map(i => (i % 53, (i * 7) % 53))
     val a = Graph.pageRankMicro(edgesDf(pairs: _*), iters = 3)

@@ -285,4 +285,37 @@ class ProfileSearchSpec extends SparkSpec {
     val top = TextAnalysis.rrfFuse(lists, k = 60, topK = 1).collect().head
     assert(top.getLong(1) === 100L && top.getLong(3) === 3L)
   }
+
+  // ----------------------------------------------------- pmi collocations
+
+  test("pmiCollocations: hand-computed micros on a tiny corpus") {
+    // d1 = "a b a b", d2 = "a b c d": N=8 tokens, B=6 bigrams;
+    // pairs: (a,b)x3, (b,a)x1, (b,c)x1, (c,d)x1 — only (a,b) >= minCount 2;
+    // c(a)=3, c(b)=3 -> PMI = ln(3*8*8 / (6*3*3)) = ln(32/9)
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(corpus, minCount = 2, topK = 10)
+      .collect()
+    assert(got.length === 1)
+    val exp = BigDecimal(math.log(3.0 * 8 * 8 / (6.0 * 3 * 3)) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert((got.head.getString(0), got.head.getString(1),
+      got.head.getLong(2), got.head.getLong(3)) === ("a", "b", 3L, exp))
+  }
+
+  test("pmiCollocations: an always-together pair outranks independent fillers") {
+    // "neural network" always adjacent; filler words pair up randomly
+    val docs = (1L to 40L).map { i =>
+      (i, s"f${i % 5} neural network f${(i * 3) % 5} f${(i * 7) % 5}")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 5)
+      .collect().head
+    assert((top.getString(0), top.getString(1)) === ("neural", "network"))
+  }
+
+  test("pmiCollocations: micros are identical under repartitioning") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+    val a = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 20)
+    val b = TextAnalysis.pmiCollocations(docs.repartition(11), minCount = 5, topK = 20)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
