@@ -482,6 +482,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** [[heavyHitters]] via a Misra-Gries summary ([[MisraGriesAgg]])
+    * instead of count-min: ONE aggregation pass builds a ≤ k-entry
+    * mergeable sketch (the token count rides along in the same pass),
+    * whose guarantee — every token with share > 1/(k+1) survives any
+    * merge order — makes the candidate set a proven superset of the
+    * heavy hitters whenever `minShare > 1/(k+1)` (required). The exact
+    * confirm over ≤ k candidate literals then makes the OUTPUT exact
+    * and deterministic even though the sketch's below-threshold
+    * survivors are merge-order-dependent. Driver traffic: one row of
+    * ≤ k (token, count) pairs — bounded by construction. */
+  def heavyHittersMG(docs: DataFrame, minShare: Double, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(minShare > 1.0 / (k + 1),
+      s"minShare $minShare is below the sketch guarantee 1/(k+1) = ${1.0 / (k + 1)}" +
+        " — raise k or minShare, or candidates may miss true heavy hitters")
+    val toksDf = docs.select(explode(tokens(col("text"))).as("tok"))
+    val mgAgg = udaf(MisraGriesAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val row = toksDf.agg(mgAgg(col("tok")).as("mg"),
+      fcount(lit(1)).as("total")).head()
+    val total = row.getLong(1)
+    val threshold = (total * minShare).toLong
+    val candidates = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    toksDf.filter(col("tok").isin(candidates: _*))
+      .groupBy("tok").agg(fcount(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   /** Frequency-ranked token vocabulary: the `vocabSize` most frequent
     * corpus tokens, id 0 = most frequent, ties broken lexicographically
     * (so the id assignment is engine- and rerun-stable — a vocabulary

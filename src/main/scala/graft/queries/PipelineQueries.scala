@@ -2299,6 +2299,20 @@ object PipelineQueries {
     TextAnalysis.pmiCollocations(Tables.documents(s, d), minCount = 5, topK = 50)
   }
 
+  /** Misra-Gries heavy hitters ([[TextAnalysis.heavyHittersMG]]): the
+    * bounded-state sketch path with exact confirm. minShare 0.02 >
+    * 1/(k+1) = 1/65, so the sketch's superset guarantee holds and the
+    * confirmed output equals the exact frequency filter — which is
+    * precisely what the oracle computes. */
+  val q133MgHeavyHitters: Q = q("q133_mg_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT CAST(floor(0.02 * count(*)) AS BIGINT) AS thr FROM tok)
+      |SELECT tok, count(*) AS n FROM tok GROUP BY tok
+      |HAVING count(*) >= (SELECT thr FROM tot)
+      |ORDER BY n DESC, tok""".stripMargin) { (s, d) =>
+    TextAnalysis.heavyHittersMG(Tables.documents(s, d), minShare = 0.02, k = 64)
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2320,5 +2334,6 @@ object PipelineQueries {
     q118PqEncode, q119PqAdcTopk, q120PqReconError, q121IvfpqSearch,
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
-    q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations)
+    q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
+    q133MgHeavyHitters)
 }

@@ -66,6 +66,46 @@ class SketchSpec extends SparkSpec {
     assert(!p.contains("UDF"), p.take(1500))
   }
 
+  test("MisraGriesAgg: every token with count > n/(k+1) survives; estimates " +
+    "underestimate by at most n/(k+1), under adversarial repartitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 8 // small k so the guarantee threshold n/9 actually bites
+    val agg = org.apache.spark.sql.functions.udaf(graft.ops.MisraGriesAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    // vary the merge tree: different partitionings must all honor the bound
+    Seq(toks, toks.repartition(3), toks.repartition(29)).foreach { t =>
+      val summary = t.agg(agg(col("tok")).as("mg")).head()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(summary.size <= k)
+      exact.foreach { case (tok, c) =>
+        if (c > n / (k + 1)) {
+          assert(summary.contains(tok), s"guaranteed hitter $tok ($c) missing")
+          val est = summary(tok)
+          assert(est <= c && c - est <= n / (k + 1),
+            s"$tok est=$est true=$c n/(k+1)=${n / (k + 1)}")
+        }
+      }
+    }
+  }
+
+  test("heavyHittersMG equals the exact frequency filter (and the count-min path)") {
+    val docs = Tables.documents(spark, sf0001)
+    val mg = TextAnalysis.heavyHittersMG(docs, minShare = 0.02, k = 64)
+    val cm = TextAnalysis.heavyHitters(docs, minShare = 0.02)
+    assert(mg.exceptAll(cm).isEmpty && cm.exceptAll(mg).isEmpty)
+    assert(mg.count() > 0)
+    // the guarantee precondition is enforced, not silently violated
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHittersMG(docs, minShare = 0.001, k = 64)
+    }
+  }
+
   test("approxQuantile within declared relative error") {
     val orders = Tables.orders(spark, sf0001)
     val Array(p50) = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.01)
