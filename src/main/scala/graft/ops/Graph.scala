@@ -24,54 +24,73 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Power-iteration PageRank in integer MICRO-rank units.
+  /** Power-iteration PageRank over an UNWEIGHTED directed graph, in
+    * integer MICRO-rank units. Exactly [[pageRankWeightedMicro]] with
+    * unit weights after self-loop removal and edge deduplication (a
+    * multigraph would double-count contributions): `r·1 div Σ1` is
+    * `r div outdeg`, so the recurrence below specializes bit-for-bit.
+    *
+    * @param edges  (src, dst) long-castable columns
+    * @return (node, rank_micro) — one row per node appearing in `edges`
+    */
+  def pageRankMicro(edges: DataFrame, iters: Int = 3,
+                    dampingMicro: Long = 850000L): DataFrame =
+    pageRankWeightedMicro(
+      edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .distinct()
+        .withColumn("w", lit(1L)),
+      iters, dampingMicro)
+
+  /** Power-iteration PageRank over a WEIGHTED directed graph — the
+    * Markov-chain form: a node's mass splits across its out-edges in
+    * proportion to integer edge weights (link counts, transition
+    * counts), so the ranks approximate the damped stationary
+    * distribution of the weight-normalized transition matrix.
     *
     * Floating-point `sum` over a shuffle is reduction-order-dependent,
     * so like `Curation.dsirLogRatio` the whole iteration is kept in the
     * integer domain: ranks are longs (1.0 ≡ 1,000,000), per-edge
-    * contributions are floor-divided (`r div deg`), and the damped
-    * update is `base + (damping · Σ) div 1,000,000` — every engine that
-    * follows the same arithmetic (the oracle unrolls it as chained
-    * CTEs) reproduces the bytes, in any partition order. Both divisions
-    * use Spark SQL's integral `div` (not `floor` over a double
-    * quotient, which stops being exact past 2⁵³) so the arithmetic is
-    * exact at any graph size.
+    * contributions are floor-divided, and the damped update uses
+    * integral `div` — every engine that follows the same arithmetic
+    * (the oracle unrolls it as chained CTEs) reproduces the bytes, in
+    * any partition order. `div` rather than `floor` over a double
+    * quotient: doubles stop being exact past 2⁵³.
     *
-    * The recurrence is the classic simplified power iteration (the
-    * Spark-examples variant: dangling mass is dropped, not
-    * redistributed — documented contract, matched by the oracle):
+    * The recurrence (dangling mass is dropped, not redistributed —
+    * documented contract, matched by the oracle; W(u) = Σ_x w(u,x)):
     *
     *   r₀(v)    = 1,000,000
-    *   rₖ₊₁(v) = (1,000,000 − damping) + (damping · Σ_{u→v} rₖ(u) div deg(u)) div 1,000,000
+    *   rₖ₊₁(v) = (10⁶ − damping) + (damping · Σ_{u→v} (rₖ(u)·w(u,v)) div W(u)) div 10⁶
     *
-    * Self-loops are removed and edges deduplicated up front (a
-    * multigraph would double-count contributions). Overflow headroom:
-    * Σ ≤ |V|·10⁶ so `damping·Σ` ≤ |V|·10¹² stays inside a long for
-    * |V| up to ~9·10⁶ nodes; beyond that, rank hosts (or registered
-    * domains), not pages — which is what a crawl pipeline does anyway.
+    * Self-loops are removed; parallel (src, dst) edges are merged by
+    * weight sum. Overflow headroom: rₖ(u)·w ≤ |V|·10⁶·w_max must stay
+    * inside a long — at |V| ~ 10⁶ hosts that allows w_max ~ 10⁶ link
+    * counts; aggregate weights coarser (or cap them) past that.
     *
-    * @param edges  (src, dst) long-castable columns
+    * @param edges  (src, dst, w) — src/dst of any equatable type, w a
+    *               positive long-castable weight; w ≤ 0 edges dropped
     * @param iters  fixed round count (power iteration; callers pick the
     *               precision/cost point — rank ordering stabilizes in a
     *               handful of rounds on web-ish graphs)
     * @return (node, rank_micro) — one row per node appearing in `edges`
     */
-  def pageRankMicro(edges: DataFrame, iters: Int = 3,
-                    dampingMicro: Long = 850000L): DataFrame = {
+  def pageRankWeightedMicro(edges: DataFrame, iters: Int = 3,
+                            dampingMicro: Long = 850000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingMicro >= 0L && dampingMicro <= 1000000L,
       s"dampingMicro must be in [0, 1000000], got $dampingMicro")
     val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // (src, dst, deg): the static per-round join input, computed once —
+    // (src, dst, w, wt): the static per-round join input, computed once —
     // persist instead of localCheckpoint so it stays recomputable if an
     // executor drops blocks mid-loop
     val edgesDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")).persist()
+      e.groupBy("src").agg(sum("w").as("wt")), Seq("src")).persist()
     val nodesP = nodes.persist()
     var ranks = nodesP.withColumn("r", lit(1000000L)).localCheckpoint()
     var i = 0
@@ -88,14 +107,14 @@ object Graph {
 
   /** One power-iteration round — the plan the loop checkpoints each
     * pass (exposed for GraphSpec's plan-shape assert): an equi-join of
-    * the rank frame against (src, dst, deg) edges, a map-side-combined
-    * groupBy(dst) sum of floor-divided contributions, and the damped
-    * integral-div update left-joined back onto the node set. */
+    * the rank frame against (src, dst, w, wt) edges, a map-side-combined
+    * groupBy(dst) sum of floor-divided weighted contributions, and the
+    * damped integral-div update left-joined back onto the node set. */
   private[graft] def rankRound(edgesDeg: DataFrame, nodes: DataFrame,
                                ranks: DataFrame, dampingMicro: Long): DataFrame = {
     val base = lit(1000000L - dampingMicro)
     val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
-      .select(col("dst"), expr("r div deg").as("c"))
+      .select(col("dst"), expr("(r * w) div wt").as("c"))
       .groupBy("dst").agg(sum("c").as("s"))
     nodes
       .join(contrib, nodes("node") === contrib("dst"), "left")

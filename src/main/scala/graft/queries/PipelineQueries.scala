@@ -2313,6 +2313,51 @@ object PipelineQueries {
     TextAnalysis.heavyHittersMG(Tables.documents(s, d), minShare = 0.02, k = 64)
   }
 
+  /** Markov rank of the event-transition graph
+    * ([[Graph.pageRankWeightedMicro]] over q99's transition derivation):
+    * per-user consecutive event pairs become weighted edges
+    * (w = transition count), and 3 weighted power-iteration rounds
+    * approximate the damped stationary distribution — "which event type
+    * does user flow accumulate in". String nodes ride through the
+    * weighted op untouched; the oracle re-derives the edges with the
+    * q99 lead-window idiom and unrolls the same integer recurrence. */
+  val q134EventPagerank: Q = q("q134_event_pagerank",
+    """WITH o AS (SELECT user_id, event_type,
+      |             lead(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS next_type
+      |           FROM events),
+      |e AS (SELECT event_type AS src, next_type AS dst, CAST(count(*) AS BIGINT) AS w
+      |      FROM o WHERE next_type IS NOT NULL AND next_type <> event_type
+      |      GROUP BY 1, 2),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |dg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+      |s1 AS (SELECT e.dst AS node, CAST(sum((r0.r * e.w) // d.wt) AS BIGINT) AS s FROM e
+      |       JOIN r0 ON r0.node = e.src JOIN dg d ON d.src = e.src GROUP BY e.dst),
+      |r1 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s1.s, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM n LEFT JOIN s1 ON s1.node = n.node),
+      |s2 AS (SELECT e.dst AS node, CAST(sum((r1.r * e.w) // d.wt) AS BIGINT) AS s FROM e
+      |       JOIN r1 ON r1.node = e.src JOIN dg d ON d.src = e.src GROUP BY e.dst),
+      |r2 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s2.s, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM n LEFT JOIN s2 ON s2.node = n.node),
+      |s3 AS (SELECT e.dst AS node, CAST(sum((r2.r * e.w) // d.wt) AS BIGINT) AS s FROM e
+      |       JOIN r2 ON r2.node = e.src JOIN dg d ON d.src = e.src GROUP BY e.dst),
+      |r3 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s3.s, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM n LEFT JOIN s3 ON s3.node = n.node)
+      |SELECT node AS event_type, r AS rank_micro FROM r3
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_type") =!= col("event_type"))
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.pageRankWeightedMicro(edges, iters = 3)
+      .select(col("node").as("event_type"), col("rank_micro"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2335,5 +2380,5 @@ object PipelineQueries {
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
-    q133MgHeavyHitters)
+    q133MgHeavyHitters, q134EventPagerank)
 }

@@ -66,8 +66,8 @@ class GraphSpec extends SparkSpec {
   test("one pageRank round plans equi-joins only — no cartesian/NLJ stage") {
     // the loop checkpoints each round, so the shape to audit is the
     // per-round plan, exposed via rankRound
-    val e = edgesDf(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
-    val edgesDeg = e.join(e.groupBy("src").count().withColumnRenamed("count", "deg"), "src")
+    val e = edgesDf(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L).withColumn("w", lit(1L))
+    val edgesDeg = e.join(e.groupBy("src").agg(sum("w").as("wt")), "src")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val ranks = nodes.withColumn("r", lit(1000000L))
@@ -75,6 +75,35 @@ class GraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("weighted: hand-computed one-round ranks on a 3-node flow graph") {
+    // a→b w=3, a→c w=1, b→a w=1, c→a w=1; W(a)=4, W(b)=W(c)=1
+    // round 1: s(b)=750000, s(c)=250000, s(a)=2·10⁶ →
+    //   r(a)=150000+1700000, r(b)=150000+637500, r(c)=150000+212500
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeightedMicro(e, iters = 1)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r === Map("a" -> 1850000L, "b" -> 787500L, "c" -> 362500L))
+  }
+
+  test("weighted with unit weights equals the unweighted op") {
+    val pairs = (1L to 300L).map(i => (i % 41, (i * 11) % 41)).distinct
+    val unweighted = Graph.pageRankMicro(edgesDf(pairs: _*), iters = 3)
+    val weighted = Graph.pageRankWeightedMicro(
+      edgesDf(pairs: _*).withColumn("w", lit(1L)), iters = 3)
+    assert(unweighted.exceptAll(weighted).isEmpty &&
+      weighted.exceptAll(unweighted).isEmpty)
+  }
+
+  test("weighted: parallel edges merge by weight sum; zero weights drop") {
+    val a = Graph.pageRankWeightedMicro(
+      Seq(("a", "b", 2L), ("a", "b", 1L), ("b", "a", 1L), ("a", "c", 0L))
+        .toDF("src", "dst", "w"), iters = 2)
+    val b = Graph.pageRankWeightedMicro(
+      Seq(("a", "b", 3L), ("b", "a", 1L)).toDF("src", "dst", "w"), iters = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
   test("ranks are identical under adversarial repartitioning (integer domain)") {

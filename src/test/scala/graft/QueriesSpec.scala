@@ -87,7 +87,10 @@ class QueriesSpec extends SparkSpec {
       "q115_gumbel_sample",
       // q116 embeds the q88 BM25 chain, inheriting its one-row corpus
       // stats crossJoin; the fusion stage itself adds no NLJ
-      "q116_rrf_fusion")
+      "q116_rrf_fusion",
+      // q132 crossJoins the broadcast one-row (n_tok, n_big) totals onto
+      // the vocab-bounded pair table — the same scalar-aggregate shape
+      "q132_pmi_collocations")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
