@@ -89,4 +89,42 @@ object Relational {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Interval join as an EQUI-join — the scale path for `point ∈
+    * [lo, hi]` joins with no shared equi-key (IP-to-range lookups,
+    * time-window enrichment), which Spark otherwise plans as a
+    * broadcast nested loop: O(|points|·|intervals|) compares and a
+    * broadcast ceiling on the interval side.
+    *
+    * Bucketize instead: each interval explodes to the `bucketWidth`-
+    * sized buckets it covers, each point maps to its one bucket, and
+    * the join becomes a hash equi-join on the bucket id followed by the
+    * exact `[lo, hi]` (inclusive) filter. A (point, interval) pair can
+    * only meet in the point's single bucket, so the output needs no
+    * dedup. Cost: the interval side inflates by ~(span/bucketWidth)+1
+    * rows — size `bucketWidth` near the TYPICAL span so most intervals
+    * explode to 1-2 buckets while each bucket stays selective; a
+    * degenerate corpus-spanning interval inflates linearly (cap or
+    * split such outliers upstream, the LSH hot-key argument).
+    *
+    * All three columns must be long-castable (dates → `unix_date`,
+    * timestamps → `unix_millis` first). Bucket id is floor(x/W) —
+    * monotonic in x, so an in-range point's bucket always lies inside
+    * its interval's exploded bucket run, negatives included. Column
+    * names must be disjoint across the two inputs. */
+  def bucketedIntervalJoin(points: DataFrame, intervals: DataFrame,
+                           ptCol: String, loCol: String, hiCol: String,
+                           bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("graft_bucket", explode(sequence(
+        floor(col(loCol).cast("long") / bucketWidth).cast("long"),
+        floor(col(hiCol).cast("long") / bucketWidth).cast("long"))))
+    val pts = points.withColumn("graft_bucket",
+      floor(col(ptCol).cast("long") / bucketWidth).cast("long"))
+    pts.join(iv, Seq("graft_bucket"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("graft_bucket")
+  }
 }

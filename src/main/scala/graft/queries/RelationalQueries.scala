@@ -220,6 +220,33 @@ object RelationalQueries {
       .orderBy("order_month")
   }
 
+  /** Pure interval join (no shared equi-key) via
+    * [[graft.ops.Relational.bucketedIntervalJoin]]: how many lineitems
+    * (corpus-wide, ANY order) shipped inside each sampled order's
+    * 30-day window. Without bucketing this is a broadcast nested loop —
+    * every point compared against every interval; bucketized it is a
+    * hash equi-join on 32-day epoch-day buckets plus the exact range
+    * filter (plan-asserted in RelationalOpsSpec). The oracle states the
+    * plain interval-predicate semantics directly. */
+  val q135BucketedRangeJoin: Q = q("q135_bucketed_range_join",
+    """WITH iv AS (SELECT o_orderkey, o_orderdate AS lo FROM orders
+      |            WHERE o_orderkey % 150 = 0)
+      |SELECT o_orderkey, count(*) AS n_in_window
+      |FROM iv JOIN lineitem
+      |  ON l_shipdate >= lo AND l_shipdate <= lo + INTERVAL 29 DAY
+      |GROUP BY 1 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val iv = Tables.orders(s, d).filter(col("o_orderkey") % 150 === 0)
+      .select(col("o_orderkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 29)
+    val pts = Tables.lineitem(s, d)
+      .select(unix_date(col("l_shipdate").cast("date")).cast("long").as("pt"))
+    graft.ops.Relational.bucketedIntervalJoin(pts, iv, "pt", "lo", "hi",
+        bucketWidth = 32)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_in_window"))
+      .orderBy("o_orderkey")
+  }
+
   /** GROUPING SETS (beyond rollup/cube): two independent 1-D rollups in one
     * pass. */
   val q25GroupingSets: Q = q("q25_grouping_sets",
@@ -1217,7 +1244,8 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
-    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q25GroupingSets, q26Unpivot,
+    q06ThetaJoin, q07AsofJoin, q24RangeJoin, q135BucketedRangeJoin,
+    q25GroupingSets, q26Unpivot,
     q27TumblingBatch, q28Pivot, q29MapFns, q37Posexplode, q38Quantiles,
     q39StringAgg, q48WindowFrames, q45ScalarSubquery, q46ExistsSubquery, q47InSubquery,
     q61GapFill, q08AggDistinct, q09Rollup, q10Cube, q49StatAggs,

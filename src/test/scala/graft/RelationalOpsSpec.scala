@@ -84,4 +84,49 @@ class RelationalOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p.take(1500)) // union + window, not a join
   }
+
+  test("bucketedIntervalJoin == plain theta join, at several bucket widths") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random intervals and points, overlaps galore
+    val intervals = (1L to 60L)
+      .map(i => (i, (i * 37) % 200, (i * 37) % 200 + i % 25))
+      .toDF("iv_id", "lo", "hi")
+    val points = (1L to 500L).map(p => (p, (p * 13) % 230)).toDF("pt_id", "pt")
+    val plain = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pt_id", "iv_id")
+    Seq(1L, 7L, 32L, 1000L).foreach { w =>
+      val bucketed = Relational
+        .bucketedIntervalJoin(points, intervals, "pt", "lo", "hi", w)
+        .select("pt_id", "iv_id")
+      assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty,
+        s"bucketWidth=$w")
+    }
+  }
+
+  test("bucketedIntervalJoin: inclusive bounds, empty intervals dropped, negatives") {
+    val s = spark
+    import s.implicits._
+    val intervals = Seq((1L, -10L, -1L), (2L, 5L, 5L), (3L, 9L, 3L))
+      .toDF("iv_id", "lo", "hi") // iv 3 is inverted -> contributes nothing
+    val points = Seq((1L, -10L), (2L, -1L), (3L, 5L), (4L, 6L), (5L, 0L))
+      .toDF("pt_id", "pt")
+    val got = Relational
+      .bucketedIntervalJoin(points, intervals, "pt", "lo", "hi", 4L)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("bucketedIntervalJoin plans a hash equi-join, never a nested loop") {
+    val s = spark
+    import s.implicits._
+    val intervals = (1L to 50L).map(i => (i, i * 10, i * 10 + 15)).toDF("iv_id", "lo", "hi")
+    val points = (1L to 500L).map(p => (p, p)).toDF("pt_id", "pt")
+    val p = Relational.bucketedIntervalJoin(points, intervals, "pt", "lo", "hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
