@@ -108,6 +108,50 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** Semantic decontamination: flags every training vector whose
+    * embedding sits within cosine `minCos` of ANY eval-benchmark vector
+    * — the embedding-space sibling of `Curation.contaminationFlags`
+    * (n-gram overlap), catching paraphrased/reformatted leakage that
+    * token overlap misses.
+    *
+    * Contract mirrors [[cosineTopK]]: the eval set is benchmark-sized
+    * (thousands of rows) and BROADCAST, so the scan is one pass over
+    * the training corpus with no shuffle of embeddings at all — the
+    * per-training-vector max folds through a map-side-combined
+    * `max(struct)` aggregate, never a corpus-wide window. Train rows
+    * with a null/zero-norm embedding are excluded (the cosineTopK
+    * rule). For an eval set too big to broadcast, compose the LSH
+    * bucket join with this exact confirm instead — lossy candidates,
+    * same scoring.
+    *
+    * Determinism: cosines are rounded to 4 decimals BEFORE the argmax
+    * (the q40 precedent), ties broken toward the LOWEST eval id via the
+    * negated-id struct max.
+    *
+    * @return (vec_id, contaminated, best_eval_id, best_cos) — one row
+    *         per valid training vector; `contaminated` ⇔ best_cos ≥ minCos
+    */
+  def semanticContaminationFlags(train: DataFrame, evalSet: DataFrame,
+                                 minCos: Double): DataFrame = {
+    val t = train.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("te"))
+      .withColumn("tn", norm(col("te")))
+    val ev = evalSet.select(col("vec_id").as("eval_id"),
+      col("embedding").cast("array<double>").as("ee"))
+      .withColumn("en", norm(col("ee")))
+    t.crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        round(cosOrNull(dot(col("te"), col("ee")), col("tn"), col("en")), 4)
+          .as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy("vec_id")
+      .agg(max(struct(col("c"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col("vec_id"),
+        (col("best.c") >= minCos).as("contaminated"),
+        (-col("best.neg")).as("best_eval_id"),
+        col("best.c").as("best_cos"))
+  }
+
   /** Deterministic Lloyd's k-means on a driver-side sample — the IVF
     * coarse-quantizer trainer. Centroid training is inherently a
     * small-sample problem (faiss-style IVF trains on ~100k vectors even

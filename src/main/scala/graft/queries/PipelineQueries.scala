@@ -2358,6 +2358,37 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** Semantic decontamination
+    * ([[Similarity.semanticContaminationFlags]]): the q63 planted
+    * variants as the "training pool", raw vec_id < 50 as the "eval
+    * benchmark" — planted copies of eval vectors land at cos ≈ 0.998
+    * (contaminated) while the random background stays ≤ ~0.6. The
+    * oracle re-derives the exact per-train argmax quadratically with
+    * the identical rounded-cosine chain and lowest-eval-id tiebreak. */
+  val q136SemanticDecon: Q = q("q136_semantic_decon",
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, v AS ee FROM base WHERE vec_id < 50),
+      |tr AS (SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(v, x -> x + 0.2 * x * x) AS te FROM base),
+      |sims AS (SELECT tr.vec_id, ev.eval_id,
+      |    round(list_dot_product(te, ee) /
+      |      (sqrt(list_dot_product(te, te)) * sqrt(list_dot_product(ee, ee))), 4) AS c
+      |  FROM tr CROSS JOIN ev),
+      |best AS (SELECT vec_id, c, eval_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eval_id) AS rn
+      |  FROM sims)
+      |SELECT vec_id, c >= 0.9 AS contaminated, eval_id AS best_eval_id,
+      |  c AS best_cos
+      |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val train = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding"))
+    Similarity.semanticContaminationFlags(train, base.filter(col("vec_id") < 50),
+        minCos = 0.9)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2380,5 +2411,5 @@ object PipelineQueries {
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
-    q133MgHeavyHitters, q134EventPagerank)
+    q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon)
 }

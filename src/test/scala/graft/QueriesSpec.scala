@@ -90,7 +90,10 @@ class QueriesSpec extends SparkSpec {
       "q116_rrf_fusion",
       // q132 crossJoins the broadcast one-row (n_tok, n_big) totals onto
       // the vocab-bounded pair table — the same scalar-aggregate shape
-      "q132_pmi_collocations")
+      "q132_pmi_collocations",
+      // q136 broadcasts the bounded eval benchmark against the training
+      // corpus — the q40/q43 bounded-query-set class
+      "q136_semantic_decon")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]

@@ -961,4 +961,39 @@ class SimilaritySpec extends SparkSpec {
     assert(dc.forall(p => p._1 != 8L && p._1 != 9L),
       s"null embeddings must not cluster: $dc")
   }
+
+  test("semanticContaminationFlags: hand-computed 2D argmax, ties to lowest " +
+    "eval id, zero-norm train rows excluded") {
+    val s = spark
+    import s.implicits._
+    val evalSet = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(2.0, 0.0)),  // cos 1.0 with eval 1 → contaminated
+      (11L, Seq(1.0, 1.0)),  // cos 0.7071 with BOTH → tie → eval 1, clean
+      (12L, Seq(-1.0, 0.0)), // cos -1 / 0 → best eval 2 at 0.0, clean
+      (13L, Seq(0.0, 0.0))   // zero norm → excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContaminationFlags(train, evalSet, minCos = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (10L, true, 1L, 1.0),
+      (11L, false, 1L, 0.7071),
+      (12L, false, 2L, 0.0)))
+  }
+
+  test("semanticContaminationFlags: planted eval copies are exactly the " +
+    "contaminated set on the fixture corpus") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val train = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.2) * x * x).as("embedding"))
+    val flagged = Similarity
+      .semanticContaminationFlags(train, base.filter(col("vec_id") < 20), 0.9)
+      .filter(col("contaminated"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // each planted copy of an eval vector pairs back to its own source
+    assert(flagged === (0L until 20L).map(i => (i + 100000L, i)).toSet)
+  }
 }
