@@ -238,6 +238,42 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus-mixture drift diagnostic: per-source KL divergence of the
+    * source's unigram distribution from the whole-corpus distribution —
+    * KL(P_s ‖ Q) = Σ_w P_s(w)·ln(P_s(w)/Q(w)). High divergence marks a
+    * source whose token distribution departs from the blend (templated
+    * boilerplate, wrong language, format noise) — the check a pipeline
+    * runs after `Curation.mixCorpus`-style rebalancing. No smoothing
+    * needed: every token a source contains exists in the corpus count,
+    * so Q(w) > 0 wherever P_s(w) > 0.
+    *
+    * Scale: the corpus is scanned once into the (source, token) count
+    * table; everything after joins vocabulary-bounded model tables
+    * (source totals, global counts, the one-row grand total broadcast)
+    * — the per-term ln chain is the exact IEEE sequence the oracle
+    * mirrors, and terms sum as integer micros (order-free, the
+    * q69/q80 LM-family rationale; terms can be negative, so HALF_UP
+    * away-from-zero rounding matches both engines per that precedent). */
+  def sourceKlDivergence(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("src"), explode(tokens(col("text"))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c_sw"))
+      .persist() // three consumers below fold it into model tables
+    val sTot = sw.groupBy("src").agg(sum("c_sw").as("n_s"))
+    val gw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val totals = sw.agg(sum("c_sw").as("n"))
+    sw.join(sTot, "src").join(gw, "w").crossJoin(broadcast(totals))
+      .select(col("src"), col("n_s"),
+        round((col("c_sw").cast("double") / col("n_s")) *
+          log((col("c_sw").cast("double") * col("n")) /
+            (col("n_s").cast("double") * col("c_w"))) * 1000000.0, 0)
+          .cast("long").as("term_micro"))
+      .groupBy("src", "n_s")
+      .agg(sum("term_micro").as("kl_micro"))
+      .select(col("src").as("source"), col("n_s").as("n_tokens"),
+        col("kl_micro"))
+  }
+
   /** TF-IDF keyword extraction: the `topK` highest tf·idf terms per doc,
     * idf = ln(N / df). Both model tables are vocabulary-bounded
     * (broadcast); the ranking window partitions per doc over its own

@@ -2389,6 +2389,29 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Per-source KL mixture drift ([[TextAnalysis.sourceKlDivergence]]):
+    * how far each source's unigram distribution sits from the corpus
+    * blend. The oracle recomputes the identical per-term double chain
+    * (div → ln → mul) and sums the same HALF_UP integer micros — any
+    * count mis-join, a smoothing term that shouldn't exist, or a float
+    * sum in the reduction diverges. */
+  val q137SourceKl: Q = q("q137_source_kl",
+    """WITH tok AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |sw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c_sw FROM tok GROUP BY 1, 2),
+      |st AS (SELECT src, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+      |gw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n FROM sw)
+      |SELECT src AS source, n_s AS n_tokens,
+      |  CAST(sum(CAST(round((c_sw::DOUBLE / n_s) *
+      |    ln((c_sw::DOUBLE * n) / (n_s::DOUBLE * c_w)) * 1000000.0, 0) AS BIGINT))
+      |    AS BIGINT) AS kl_micro
+      |FROM sw JOIN st USING (src) JOIN gw USING (w) CROSS JOIN tot
+      |GROUP BY src, n_s ORDER BY source""".stripMargin) { (s, d) =>
+    TextAnalysis.sourceKlDivergence(Tables.documents(s, d))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2411,5 +2434,5 @@ object PipelineQueries {
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
-    q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon)
+    q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl)
 }

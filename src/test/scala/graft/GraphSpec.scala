@@ -106,6 +106,32 @@ class GraphSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  /** Weighted sequential reference: the documented weighted integer
+    * recurrence in plain Scala maps. */
+  private def seqWeightedPageRank(edges: Seq[(Long, Long, Long)],
+                                  iters: Int): Map[Long, Long] = {
+    val e = edges.filter(t => t._1 != t._2 && t._3 > 0)
+      .groupBy(t => (t._1, t._2)).map { case ((s2, d2), g) => (s2, d2, g.map(_._3).sum) }
+      .toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val wt = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w2) => r(u) * w2 / wt(u) }.sum).toMap
+      r = nodes.map(n => n -> (150000L + 850000L * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    r
+  }
+
+  test("weighted matches the sequential reference on a skew-weighted graph") {
+    val pairs = (1L to 300L).map(i => (i % 23, (i * 5) % 23, i % 9 + 1))
+    val got = Graph.pageRankWeightedMicro(
+        pairs.toDF("src", "dst", "w"), iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got === seqWeightedPageRank(pairs, iters = 4))
+  }
+
   test("ranks are identical under adversarial repartitioning (integer domain)") {
     val pairs = (1L to 400L).map(i => (i % 53, (i * 7) % 53))
     val a = Graph.pageRankMicro(edgesDf(pairs: _*), iters = 3)

@@ -318,4 +318,37 @@ class ProfileSearchSpec extends SparkSpec {
     val b = TextAnalysis.pmiCollocations(docs.repartition(11), minCount = 5, topK = 20)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  // ------------------------------------------------------- source KL drift
+
+  test("sourceKlDivergence: hand-computed micros; identical sources score 0") {
+    // s1 = "a a b", s2 = "b b b": n=6, c(a)=2, c(b)=4
+    val docs = Seq(("s1", "a a b"), ("s2", "b b b")).toDF("source", "text")
+    def term(cSw: Long, nS: Long, cW: Long, n: Long): Long =
+      BigDecimal((cSw.toDouble / nS) *
+        math.log((cSw.toDouble * n) / (nS.toDouble * cW)) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = graft.ops.TextAnalysis.sourceKlDivergence(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("s1", 3L, term(2, 3, 2, 6) + term(1, 3, 4, 6)),
+      ("s2", 3L, term(3, 3, 4, 6))))
+    // two sources with the same distribution both sit at exactly 0
+    val same = Seq(("x", "a b"), ("y", "a b")).toDF("source", "text")
+    val zeros = graft.ops.TextAnalysis.sourceKlDivergence(same)
+      .collect().map(_.getLong(2))
+    assert(zeros.toSeq === Seq(0L, 0L))
+  }
+
+  test("sourceKlDivergence: non-negative per source and repartition-stable " +
+    "on the fixture corpus") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+    val a = graft.ops.TextAnalysis.sourceKlDivergence(docs)
+    // Gibbs' inequality: KL >= 0 (micro rounding can dip a term, so
+    // allow the one-micro-per-term slack the rounding admits)
+    assert(a.filter(col("kl_micro") < -100L).isEmpty)
+    val b = graft.ops.TextAnalysis.sourceKlDivergence(docs.repartition(13))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

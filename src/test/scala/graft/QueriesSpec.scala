@@ -93,7 +93,10 @@ class QueriesSpec extends SparkSpec {
       "q132_pmi_collocations",
       // q136 broadcasts the bounded eval benchmark against the training
       // corpus — the q40/q43 bounded-query-set class
-      "q136_semantic_decon")
+      "q136_semantic_decon",
+      // q137 crossJoins the broadcast one-row corpus token total onto
+      // the vocab-bounded (source, token) count table
+      "q137_source_kl")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
