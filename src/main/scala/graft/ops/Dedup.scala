@@ -718,6 +718,31 @@ object Dedup {
       .withColumnRenamed("node", "doc_id")
   }
 
+  /** Quality-priority cluster canonicalization: within each near-dup
+    * cluster keep the member MAXIMIZING `score` (ties → lowest doc_id)
+    * and drop the rest; documents in no cluster survive untouched. The
+    * min-id survivor rule (q78) is arbitrary — a production pipeline
+    * keeps the best-quality member of each duplicate family (longest,
+    * highest LM score, best source), which this implements for any
+    * caller-supplied numeric score column.
+    *
+    * Scale: the cluster table holds only pair-members (≪ corpus), the
+    * per-cluster argmax is a map-side-combined `max(struct)` — no
+    * window over the corpus — and the final survivor filter is a hash
+    * anti-join on doc_id. */
+  def nearDupSurvivorsByScore(docs: DataFrame, score: Column,
+                              minJaccard: Double = 0.8,
+                              maxBandSize: Int = DefaultHotKeyCap): DataFrame = {
+    val clusters = nearDupClusters(docs, minJaccard, maxBandSize)
+    val keep = clusters
+      .join(docs.select(col("doc_id"), score.as("graft_score")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("graft_score"), (-col("doc_id")).as("neg"))).as("best"))
+      .select((-col("best.neg")).as("doc_id"))
+    val drops = clusters.join(keep, Seq("doc_id"), "left_anti").select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Chunk-granular exact dedup with reassembly (the "paragraph dedup" of
     * Dolma/RefinedWeb, over an arbitrary `parts` array column): across the
     * whole corpus, only the globally-first occurrence of each distinct

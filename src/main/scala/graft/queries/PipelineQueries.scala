@@ -2412,6 +2412,50 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Quality-priority survivors ([[Dedup.nearDupSurvivorsByScore]]):
+    * q78's cluster canonicalization with the realistic keep rule —
+    * longest member (n_chars, ties → lowest doc_id) survives each
+    * near-dup cluster instead of the arbitrary min-id. The oracle
+    * extends the q72/q78 recursive-CTE closure with a per-cluster
+    * ranking window over the same score. */
+  val q138BestSurvivors: Q = q("q138_best_survivors",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |cc(node, lbl) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node),
+      |memb AS (SELECT node, min(lbl) AS cl FROM cc GROUP BY node),
+      |ranked AS (SELECT node, row_number() OVER (PARTITION BY cl
+      |    ORDER BY d.n_chars DESC, node) AS rn
+      |  FROM memb JOIN documents d ON d.doc_id = memb.node),
+      |drops AS (SELECT node FROM ranked WHERE rn > 1)
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT node FROM drops)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.nearDupSurvivorsByScore(Tables.documents(s, d), col("n_chars"),
+        minJaccard = 0.8)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2434,5 +2478,6 @@ object PipelineQueries {
     q122IvfpqAdc, q123JaccardStopshingles, q124CollapsedClusters,
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
-    q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl)
+    q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
+    q138BestSurvivors)
 }

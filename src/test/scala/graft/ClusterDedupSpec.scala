@@ -86,6 +86,34 @@ class ClusterDedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupSurvivorsByScore: highest score survives each cluster, " +
+    "unclustered docs untouched, one survivor per cluster") {
+    val s = spark
+    import s.implicits._
+    // 1/2/3 are near-identical with scores 5/9/9 → doc 2 wins the 9-tie
+    // by lowest id; doc 4 is unrelated and must pass through
+    val hand = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 5L),
+      (2L, "the quick brown fox jumps over the lazy dog today", 9L),
+      (3L, "the quick brown fox jumps over the lazy dog", 9L),
+      (4L, "completely unrelated text with different words entirely here", 1L)
+    ).toDF("doc_id", "text", "score")
+    val got = Dedup.nearDupSurvivorsByScore(hand, col("score"), minJaccard = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L))
+    // fixture-corpus identity: survivors = unclustered + one per cluster
+    val cl = Dedup.nearDupClusters(docs, 0.8)
+    val surv = Dedup.nearDupSurvivorsByScore(docs, col("n_chars"), 0.8)
+    assert(surv.count() ===
+      docs.count() - cl.count() + cl.select("cluster_id").distinct().count())
+    // every survivor that IS clustered carries its cluster's max n_chars
+    val best = cl.join(docs, "doc_id").groupBy("cluster_id")
+      .agg(max("n_chars").as("mx"))
+    val bad = surv.join(cl, "doc_id").join(best, "cluster_id")
+      .filter(col("n_chars") =!= col("mx"))
+    assert(bad.isEmpty)
+  }
+
   test("cdcChunks: chunks reassemble to the original text, boundaries content-defined") {
     val s = spark
     import s.implicits._

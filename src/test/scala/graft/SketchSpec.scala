@@ -94,6 +94,37 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("MisraGriesAgg as a streaming aggregate: guarantee holds across batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[String]
+    val agg = org.apache.spark.sql.functions.udaf(graft.ops.MisraGriesAgg(4),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val q = mem.toDF().toDF("tok")
+      .groupBy().agg(agg(col("tok")).as("mg"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq.fill(30)("hot") ++ (1 to 10).map(i => s"t$i")
+      val batch2 = Seq.fill(25)("warm") ++ (11 to 20).map(i => s"t$i")
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val summary = s.table("mg_stream").head()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = batch1.size + batch2.size // 75; n/(k+1) = 15
+      assert(summary.size <= 4)
+      // both true heavy tokens (30 and 25 > 15) must survive the stream
+      assert(summary.contains("hot") && summary.contains("warm"), summary.toString)
+      assert(summary("hot") <= 30L && 30L - summary("hot") <= n / 5)
+      assert(summary("warm") <= 25L && 25L - summary("warm") <= n / 5)
+    } finally q.stop()
+  }
+
   test("heavyHittersMG equals the exact frequency filter (and the count-min path)") {
     val docs = Tables.documents(spark, sf0001)
     val mg = TextAnalysis.heavyHittersMG(docs, minShare = 0.02, k = 64)
