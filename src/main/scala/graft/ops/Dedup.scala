@@ -174,21 +174,27 @@ object Dedup {
     * exactly one side and never intersect — dropping them from sizes
     * would inflate Jaccard). At fixture scale the cap is exercised with
     * tiny values; a real crawl deployment caps in the thousands. */
+  /** Per-doc count of KEPT shingles (shared by the Jaccard and
+    * overlap-coefficient confirms): with a df cap the filter broadcasts
+    * the small stop set (df > cap), never the vocabulary-sized keep
+    * set. */
+  private def keptShingleSizes(docs: DataFrame, n: Int,
+                               maxShingleDf: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    if (maxShingleDf <= 0) sh.select(col("doc_id"), size(col("s")).as("n"))
+    else {
+      val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+      val stop = ex0.groupBy("sg").count()
+        .filter(col("count") > maxShingleDf).select("sg")
+      ex0.join(broadcast(stop), Seq("sg"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+  }
+
   def jaccardNearDupPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
                           pruneSingletons: Boolean = false,
                           maxShingleDf: Int = 0): DataFrame = {
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-    val sizes =
-      if (maxShingleDf <= 0) sh.select(col("doc_id"), size(col("s")).as("n"))
-      else {
-        // sizes must count the KEPT shingles; the filter broadcasts the
-        // small stop set (df > cap), never the vocabulary-sized keep set
-        val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-        val stop = ex0.groupBy("sg").count()
-          .filter(col("count") > maxShingleDf).select("sg")
-        ex0.join(broadcast(stop), Seq("sg"), "left_anti")
-          .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      }
+    val sizes = keptShingleSizes(docs, n, maxShingleDf)
     val pairs = sharedShinglePairs(docs, n, pruneSingletons, maxShingleDf)
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -197,6 +203,29 @@ object Dedup {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard_raw") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 3).as("jaccard"))
+  }
+
+  /** Overlap-coefficient (containment) near-dup pairs:
+    * overlap(A, B) = |A∩B| / min(|A|, |B|) over word-`n`-gram shingle
+    * sets — the INCLUSION detector symmetric Jaccard structurally
+    * misses. A short document wholly quoted inside a long one scores
+    * overlap 1.0 but Jaccard |A|/|B| (arbitrarily low as the host
+    * grows), so quote-inclusion, boilerplate-wrapping, and
+    * fragment-of-a-page duplicates only surface here. Same
+    * inverted-index candidate stage as [[jaccardNearDupPairs]] (never
+    * all-pairs), same df-cap semantics; output mirrors it:
+    * (doc_a, doc_b, overlap rounded to 3). */
+  def overlapCoefficientPairs(docs: DataFrame, minOverlap: Double, n: Int = 3,
+                              pruneSingletons: Boolean = false,
+                              maxShingleDf: Int = 0): DataFrame = {
+    val sizes = keptShingleSizes(docs, n, maxShingleDf)
+    sharedShinglePairs(docs, n, pruneSingletons, maxShingleDf)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("overlap_raw",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap_raw") >= minOverlap)
+      .select(col("doc_a"), col("doc_b"), round(col("overlap_raw"), 3).as("overlap"))
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs: candidates from the

@@ -2456,6 +2456,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Containment near-dup ([[Dedup.overlapCoefficientPairs]]): plants a
+    * 12-word prefix fragment of each doc_id < 25 document (id + 200000)
+    * — the fragment's shingles are a subset of its source's, so the
+    * overlap coefficient hits 1.0 while Jaccard sits near
+    * 10/n_source (invisible to q32's threshold). The oracle re-derives
+    * the same augmented corpus and |A∩B|/min(|A|,|B|) score with string
+    * shingles (the q32 hash-identity argument). */
+  val q139Containment: Q = q("q139_containment",
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    array_to_string(string_split(text, ' ')[1:12], ' ')
+      |  FROM documents WHERE doc_id < 25),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM aug),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 3) AS overlap
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+    val frag = docsDf.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text"))
+    Dedup.overlapCoefficientPairs(
+        docsDf.select("doc_id", "text").unionAll(frag), minOverlap = 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2479,5 +2521,5 @@ object PipelineQueries {
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
-    q138BestSurvivors)
+    q138BestSurvivors, q139Containment)
 }

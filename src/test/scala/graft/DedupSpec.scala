@@ -63,6 +63,29 @@ class DedupSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("overlapCoefficientPairs: a contained fragment scores 1.0 where " +
+    "Jaccard is blind; overlap dominates jaccard on every pair") {
+    val s = spark
+    import s.implicits._
+    // host: 24 words; fragment: its first 8 words → 6 shingles, all ⊂ host
+    val host = (1 to 24).map(i => s"w$i").mkString(" ")
+    val frag = (1 to 8).map(i => s"w$i").mkString(" ")
+    val hand = Seq((1L, host), (2L, frag),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
+    val ov = Dedup.overlapCoefficientPairs(hand, minOverlap = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ov.toSeq === Seq((1L, 2L, 1.0)))
+    // jaccard = 6/22 ≈ 0.27 — the inclusion is invisible at any sane threshold
+    assert(Dedup.jaccardNearDupPairs(hand, 0.8).isEmpty)
+    // dominance on the fixture corpus: every jaccard-pair at t is an
+    // overlap-pair at t (overlap >= jaccard pointwise)
+    val jac = Dedup.jaccardNearDupPairs(docs, 0.8)
+      .select("doc_a", "doc_b")
+    val ovp = Dedup.overlapCoefficientPairs(docs, 0.8)
+      .select("doc_a", "doc_b")
+    assert(jac.exceptAll(ovp).isEmpty)
+  }
+
   test("hammingHex matches parseUnsignedLong popcount and stays codegen'd") {
     val s = spark
     import s.implicits._
