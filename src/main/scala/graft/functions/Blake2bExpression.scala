@@ -83,5 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BigramTopCount(arity(exprs, 1, 1, "bigram_top_count").head))
     inject("token_top_count", classOf[TokenTopCount])(exprs =>
       TokenTopCount(arity(exprs, 1, 1, "token_top_count").head))
+    inject("nfc_normalize", classOf[NfcNormalize])(exprs =>
+      NfcNormalize(arity(exprs, 1, 1, "nfc_normalize").head))
   }
 }

@@ -38,6 +38,11 @@ object GraftFunctions {
   def blake2b_512(c: Column): Column = ncol(Blake2bHash(expression(c), 512))
   def sha3_512(c: Column): Column   = sha3_512Udf(c)
 
+  /** Unicode NFC canonical composition — native codegen'd expression,
+    * see [[NfcNormalize]]. Put in front of [[blake2b_256]] keys when
+    * composed/decomposed encodings of the same text must dedup. */
+  def nfcNormalize(c: Column): Column = ncol(NfcNormalize(expression(c)))
+
   private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
 
@@ -73,6 +78,8 @@ object GraftFunctions {
       BigramTopCount(arity(exprs, 1, 1, "bigram_top_count").head))
     reg("token_top_count")(exprs =>
       TokenTopCount(arity(exprs, 1, 1, "token_top_count").head))
+    reg("nfc_normalize")(exprs =>
+      NfcNormalize(arity(exprs, 1, 1, "nfc_normalize").head))
     reg("shingle_hashes")(exprs => { arity(exprs, 1, 2, "shingle_hashes")
       ShingleHashes(exprs.head, intArg(exprs, 1, 3, "shingle_hashes")) })
     reg("shingle_pos_hashes")(exprs => { arity(exprs, 1, 2, "shingle_pos_hashes")

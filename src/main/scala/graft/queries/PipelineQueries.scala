@@ -2498,6 +2498,34 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** NFC-canonical dedup ([[GraftFunctions.nfcNormalize]] →
+    * [[Dedup.exactByHash]]): each doc_id < 50 document appears twice,
+    * once suffixed with composed é (U+00E9) and once with decomposed
+    * e + U+0301 — byte-distinct, canonically equal. NFC folds each pair
+    * to one group (dup_count 2 everywhere); the oracle normalizes with
+    * DuckDB's `nfc_normalize` and groups on the text (the q31
+    * hash↔text keying equivalence; the blake2b key column is dropped
+    * from the compare). */
+  val q140NfcDedup: Q = q("q140_nfc_dedup",
+    """WITH aug AS (
+      |  SELECT doc_id, text || chr(233) AS text
+      |  FROM documents WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 1000, text || 'e' || chr(769)
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM aug GROUP BY nfc_normalize(text)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).filter(col("doc_id") < 50)
+    val aug = base
+      .select(col("doc_id"), concat(col("text"), lit("\u00e9")).as("text"))
+      .unionAll(base.select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit("e\u0301")).as("text")))
+    Dedup.exactByHash(aug, GraftFunctions.nfcNormalize(col("text")), col("doc_id"))
+      .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2521,5 +2549,5 @@ object PipelineQueries {
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
-    q138BestSurvivors, q139Containment)
+    q138BestSurvivors, q139Containment, q140NfcDedup)
 }

@@ -54,6 +54,35 @@ class NativeHashSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("NfcNormalize: composed == decomposed, null-safe, codegen'd, SQL-callable") {
+    val s = spark
+    import s.implicits._
+    // U+00E9 (composed) vs e + U+0301 (combining acute): byte-distinct,
+    // canonically equal — NFC must fold both to the composed form
+    val df = Seq(("caf\u00e9", "cafe\u0301"), (null, "x"))
+      .toDF("a", "b")
+      .select(GraftFunctions.nfcNormalize(col("a")).as("na"),
+        GraftFunctions.nfcNormalize(col("b")).as("nb"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === rows(0).getString(1))
+    assert(rows(0).getString(0) === "caf\u00e9")
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) === "x")
+    // stays inside the whole-stage codegen span
+    val p = Tables.documents(spark, SparkSpec.sf0001)
+      .select(GraftFunctions.nfcNormalize(col("text")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [nfc_normalize"), p.take(1000))
+    // literal input constant-folds at plan time
+    val optimized = Tables.documents(spark, SparkSpec.sf0001)
+      .select(GraftFunctions.nfcNormalize(lit("cafe\u0301")).as("t"))
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("caf\u00e9"), optimized.take(800))
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT nfc_normalize('cafe\u0301') AS t").collect()(0)
+    assert(viaSql.getString(0) === "caf\u00e9")
+  }
+
   test("MinHashSignatureAgg: group signature == minhash of shingle union") {
     val s = spark
     import s.implicits._
