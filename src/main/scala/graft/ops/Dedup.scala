@@ -454,6 +454,54 @@ object Dedup {
     confirmJaccard(cands, shCand, shCand, "doc_a", "doc_b", minJaccard)
   }
 
+  /** Winnowing document fingerprints (the MOSS algorithm): from the
+    * word-`n`-gram shingle stream, select the minimum-hash shingle of
+    * EVERY `w`-length window (ties → rightmost position), dedup'd —
+    * the classic guarantee: any match of at least w+n-1 consecutive
+    * words between two documents shares at least one selected
+    * fingerprint, while only ~2/(w+1) of positions are kept. The
+    * robust plagiarism/near-dup index: fingerprints go into an
+    * inverted index like shingles, but w× smaller and
+    * position-carrying.
+    *
+    * Engine-reproducible selection: the hash is md5 hex (native,
+    * codegen'd, and available verbatim in the oracle engine — the fnv
+    * `ShinglePosHashes` path is faster but its ordering cannot be
+    * re-derived outside the JVM), and the rightmost-min rule is
+    * encoded in ONE sortable string `md5 ‖ zero-padded (10⁹−1−pos)` so
+    * `min` picks the smallest hash then the largest position,
+    * identically in any engine. Per-doc windows only — the window
+    * function partitions by doc_id, so nothing corpus-wide shuffles
+    * beyond the doc-keyed exchange.
+    *
+    * @return (doc_id, pos, fp) — distinct selected fingerprints;
+    *         docs with fewer than n+w-1 words yield no rows (no full
+    *         window exists)
+    */
+  def winnowingFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, s"n and w must be >= 1, got n=$n w=$w")
+    // materialize the token array once (the q66 re-evaluation trap)
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("wd"))
+      .filter(size(col("wd")) >= n)
+    val shingled = toked.select(col("doc_id"),
+      (size(col("wd")) - (n - 1)).as("m"),
+      posexplode(transform(sequence(lit(0), size(col("wd")) - n),
+        i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("m"), col("pos"),
+        concat(md5(col("col")),
+          lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")).as("enc"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    shingled
+      .withColumn("wmin", min(col("enc")).over(win))
+      .filter(col("pos") <= col("m") - w) // full windows only
+      .select(col("doc_id"),
+        (lit(999999999L) - substring(col("wmin"), 33, 9).cast("long")).as("pos"),
+        substring(col("wmin"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   /** 64-bit SimHash over pre-hashed shingles. */
   private[graft] def simHash64(hashes: Seq[Long]): Long = {
     val acc = new Array[Int](64)

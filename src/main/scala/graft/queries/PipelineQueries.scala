@@ -2526,6 +2526,36 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints ([[Dedup.winnowingFingerprints]], the MOSS
+    * selection): min-md5 shingle of every 4-window with the
+    * rightmost-tie rule, both engines agreeing through the single
+    * sortable `md5 ‖ padded-reversed-pos` encoding — a selection
+    * off-by-one, a tie broken leftward, or a tail window counted
+    * diverges. */
+  val q141Winnowing: Q = q("q141_winnowing",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents
+      |           WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(range(1, len(wd) - 1)) AS i,
+      |         len(wd) - 2 AS m, wd FROM t),
+      |h AS (SELECT doc_id, i - 1 AS pos, m,
+      |        md5(array_to_string(wd[i:i+2], ' ')) ||
+      |          lpad(CAST(999999999 - (i - 1) AS VARCHAR), 9, '0') AS enc
+      |      FROM sh),
+      |win AS (SELECT doc_id, pos, m,
+      |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |        FROM h),
+      |sel AS (SELECT DISTINCT doc_id,
+      |        CAST(999999999 - CAST(substr(wmin, 33, 9) AS BIGINT) AS BIGINT) AS pos,
+      |        substr(wmin, 1, 32) AS fp
+      |        FROM win WHERE pos <= m - 4)
+      |SELECT doc_id, pos, fp FROM sel
+      |ORDER BY doc_id, pos, fp""".stripMargin) { (s, d) =>
+    Dedup.winnowingFingerprints(
+        Tables.documents(s, d).filter(col("doc_id") < 100), n = 3, w = 4)
+      .orderBy("doc_id", "pos", "fp")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2549,5 +2579,5 @@ object PipelineQueries {
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
-    q138BestSurvivors, q139Containment, q140NfcDedup)
+    q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing)
 }

@@ -86,6 +86,47 @@ class DedupSpec extends SparkSpec {
     assert(jac.exceptAll(ovp).isEmpty)
   }
 
+  /** Sequential winnowing reference: per window of w shingle hashes,
+    * pick the min (ties → rightmost), dedup. */
+  private def seqWinnow(text: String, n: Int, w: Int): Set[(Long, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wd = text.split(" ")
+    if (wd.length < n + w - 1) Set.empty
+    else {
+      val hs = (0 to wd.length - n).map(i => md5hex(wd.slice(i, i + n).mkString(" ")))
+      (0 to hs.length - w).map { j =>
+        val best = (j until j + w).minBy(p => (hs(p), -p))
+        (best.toLong, hs(best))
+      }.toSet
+    }
+  }
+
+  test("winnowingFingerprints == sequential MOSS reference on the fixture") {
+    val sub = docs.filter(col("doc_id") < 30)
+    val got = Dedup.winnowingFingerprints(sub, n = 3, w = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getString(2))).toSet }
+    val texts = sub.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    texts.foreach { case (id, text) =>
+      val exp = seqWinnow(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) === exp, s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of >= w+n-1 words shares a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+n-1 words
+    val hand = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"p q r s t u v $shared w x y z")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(hand, n = 3, w = 4).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
   test("hammingHex matches parseUnsignedLong popcount and stays codegen'd") {
     val s = spark
     import s.implicits._
