@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * ≪ pages) plus one groupBy(dst) sum with map-side partial
   * aggregation, so a celebrity page (huge in-degree) combines locally
   * before the shuffle. Rounds are driver-coordinated like
-  * `Dedup.connectedComponents`' distributed branch: per-round
-  * `localCheckpoint` truncates the lineage so iteration count never
-  * compounds the plan.
+  * `Dedup.connectedComponents`' distributed branch, with a
+  * `localCheckpoint` every few rounds so iteration count never
+  * compounds the plan while short runs stay a single job.
   */
 object Graph {
+
+  /** Rounds between lineage truncations (see the loop comment in
+    * [[pageRankWeightedMicro]]). */
+  private val CheckpointEvery = 8
 
   /** Power-iteration PageRank over an UNWEIGHTED directed graph, in
     * integer MICRO-rank units. Exactly [[pageRankWeightedMicro]] with
@@ -92,11 +96,23 @@ object Graph {
     val edgesDeg = e.join(
       e.groupBy("src").agg(sum("w").as("wt")), Seq("src")).persist()
     val nodesP = nodes.persist()
-    var ranks = nodesP.withColumn("r", lit(1000000L)).localCheckpoint()
+    // Lineage cadence: a localCheckpoint per round would keep the plan
+    // minimal but pays one eager materialization per round — for the
+    // common 3-5 round call that triples the job count for no benefit,
+    // since Catalyst plans a handful of nested join rounds fine.
+    // Checkpoint every CheckpointEvery rounds instead: short runs
+    // execute as ONE job, deep iteration still can't compound the DAG.
+    var ranks = nodesP.withColumn("r", lit(1000000L))
+    var sinceCheckpoint = 0
     var i = 0
     while (i < iters) {
-      val next = rankRound(edgesDeg, nodesP, ranks, dampingMicro).localCheckpoint()
-      ranks.unpersist()
+      var next = rankRound(edgesDeg, nodesP, ranks, dampingMicro)
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= CheckpointEvery && i < iters - 1) {
+        next = next.localCheckpoint()
+        ranks.unpersist()
+        sinceCheckpoint = 0
+      }
       ranks = next
       i += 1
     }
