@@ -121,6 +121,75 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** HITS hubs-and-authorities over a directed graph, in integer MICRO
+    * units — the complementary centrality to [[pageRankMicro]]: an
+    * AUTHORITY is pointed at by good hubs (a canonical reference page),
+    * a HUB points at good authorities (a curated link list). Crawl
+    * curation uses both signals: authorities seed quality lists, pure
+    * hubs (link farms) get down-weighted.
+    *
+    * Integer recurrence (the PageRank determinism argument —
+    * floating-point normalization would be reduction-order-dependent):
+    *
+    *   h₀(v) = 10⁶
+    *   aₖ(v) = Σ_{u→v} hₖ₋₁(u), rescaled so max = 10⁶: (a·10⁶) div max(a)
+    *   hₖ(u) = Σ_{u→v} aₖ(v), rescaled identically
+    *
+    * Per half-round: one equi-join + map-side-combined sum, plus a
+    * one-row max aggregate broadcast back for the rescale — the
+    * max-normalization in exact integer division, identical in any
+    * engine (the oracle unrolls it). Nodes with no in-edges hold
+    * authority 0; no out-edges → hub 0. Overflow headroom as
+    * [[pageRankWeightedMicro]]: per-node sums stay in a long for
+    * |V| up to ~9·10⁶.
+    *
+    * @param edges (src, dst) — any equatable node type; self-loops
+    *              dropped, parallel edges deduplicated
+    * @return (node, authority_micro, hub_micro), one row per node
+    */
+  def hitsMicro(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    def rescale(raw: DataFrame): DataFrame = {
+      // joint max over the scored nodes, broadcast as a one-row frame;
+      // integer (v·10⁶) div max keeps the rescale order-free
+      val mx = raw.agg(max("v").as("mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("mx").isNull || col("mx") === 0L, lit(0L))
+            .otherwise(expr("(coalesce(v, 0L) * 1000000) div mx")).as("v"))
+    }
+    var hubs = nodes.withColumn("v", lit(1000000L))
+    var auths = nodes.withColumn("v", lit(0L))
+    var i = 0
+    while (i < iters) {
+      auths = rescale(
+        e.join(hubs, e("src") === hubs("node"))
+          .groupBy(e("dst").as("node")).agg(sum("v").as("v")))
+      hubs = rescale(
+        e.join(auths, e("dst") === auths("node"))
+          .groupBy(e("src").as("node")).agg(sum("v").as("v")))
+      if ((i + 1) % CheckpointEvery == 0 && i < iters - 1) {
+        auths = auths.localCheckpoint()
+        hubs = hubs.localCheckpoint()
+      }
+      i += 1
+    }
+    val out = nodes
+      .join(auths.select(col("node"), col("v").as("authority_micro")), Seq("node"), "left")
+      .join(hubs.select(col("node"), col("v").as("hub_micro")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("authority_micro"), lit(0L)).as("authority_micro"),
+        coalesce(col("hub_micro"), lit(0L)).as("hub_micro"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** One power-iteration round — the plan the loop checkpoints each
     * pass (exposed for GraphSpec's plan-shape assert): an equi-join of
     * the rank frame against (src, dst, w, wt) edges, a map-side-combined

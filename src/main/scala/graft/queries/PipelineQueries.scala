@@ -2556,6 +2556,51 @@ object PipelineQueries {
       .orderBy("doc_id", "pos", "fp")
   }
 
+  /** HITS hubs/authorities ([[Graph.hitsMicro]], 2 rounds) over the
+    * q130 lineitem-derived graph. The oracle unrolls both rounds —
+    * each half-round is the in/out-edge sum plus the integer
+    * max-rescale — so a swapped join side, a float normalization, or a
+    * missing dangling-node zero diverges. */
+  val q142Hits: Q = q("q142_hits",
+    """WITH e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+      |           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM n),
+      |a1r AS (SELECT e.dst AS node, CAST(sum(h0.v) AS BIGINT) AS v FROM e
+      |        JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+      |ma1 AS (SELECT max(v) AS mx FROM a1r),
+      |a1 AS (SELECT n.node, CASE WHEN ma1.mx IS NULL OR ma1.mx = 0 THEN 0
+      |         ELSE (COALESCE(a1r.v, 0) * 1000000) // ma1.mx END AS v
+      |       FROM n LEFT JOIN a1r ON a1r.node = n.node CROSS JOIN ma1),
+      |h1r AS (SELECT e.src AS node, CAST(sum(a1.v) AS BIGINT) AS v FROM e
+      |        JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      |mh1 AS (SELECT max(v) AS mx FROM h1r),
+      |h1 AS (SELECT n.node, CASE WHEN mh1.mx IS NULL OR mh1.mx = 0 THEN 0
+      |         ELSE (COALESCE(h1r.v, 0) * 1000000) // mh1.mx END AS v
+      |       FROM n LEFT JOIN h1r ON h1r.node = n.node CROSS JOIN mh1),
+      |a2r AS (SELECT e.dst AS node, CAST(sum(h1.v) AS BIGINT) AS v FROM e
+      |        JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      |ma2 AS (SELECT max(v) AS mx FROM a2r),
+      |a2 AS (SELECT n.node, CASE WHEN ma2.mx IS NULL OR ma2.mx = 0 THEN 0
+      |         ELSE (COALESCE(a2r.v, 0) * 1000000) // ma2.mx END AS v
+      |       FROM n LEFT JOIN a2r ON a2r.node = n.node CROSS JOIN ma2),
+      |h2r AS (SELECT e.src AS node, CAST(sum(a2.v) AS BIGINT) AS v FROM e
+      |        JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+      |mh2 AS (SELECT max(v) AS mx FROM h2r),
+      |h2 AS (SELECT n.node, CASE WHEN mh2.mx IS NULL OR mh2.mx = 0 THEN 0
+      |         ELSE (COALESCE(h2r.v, 0) * 1000000) // mh2.mx END AS v
+      |       FROM n LEFT JOIN h2r ON h2r.node = n.node CROSS JOIN mh2)
+      |SELECT n.node, CAST(a2.v AS BIGINT) AS authority_micro,
+      |  CAST(h2.v AS BIGINT) AS hub_micro
+      |FROM n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
+      |ORDER BY n.node""".stripMargin) { (s, d) =>
+    Graph.hitsMicro(
+      Tables.lineitem(s, d).select(
+        (col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst")),
+      iters = 2)
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2579,5 +2624,6 @@ object PipelineQueries {
     q125SemanticCollapsed, q126WavMeta, q127Mp4Meta, q128NormalizedDedup,
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
-    q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing)
+    q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
+    q142Hits)
 }

@@ -132,6 +132,40 @@ class GraphSpec extends SparkSpec {
     assert(got === seqWeightedPageRank(pairs, iters = 4))
   }
 
+  test("hits: star fixture — hub of in-links is the authority, leaves are hubs") {
+    val m = Graph.hitsMicro(edgesDf(1L -> 0L, 2L -> 0L, 3L -> 0L), iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(m(0L) === ((1000000L, 0L)))
+    assert(Seq(1L, 2L, 3L).forall(m(_) === ((0L, 1000000L))))
+  }
+
+  /** Sequential HITS reference: the documented integer recurrence. */
+  private def seqHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    def rescale(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = if (raw.isEmpty) 0L else raw.values.max
+      nodes.map(n => n ->
+        (if (mx == 0L) 0L else raw.getOrElse(n, 0L) * 1000000L / mx)).toMap
+    }
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      a = rescale(e.groupBy(_._2).view.mapValues(_.map(p => h(p._1)).sum).toMap)
+      h = rescale(e.groupBy(_._1).view.mapValues(_.map(p => a(p._2)).sum).toMap)
+    }
+    nodes.map(n => n -> ((a.getOrElse(n, 0L), h.getOrElse(n, 0L)))).toMap
+  }
+
+  test("hits matches the sequential reference on the lineitem-derived graph") {
+    val edges = Tables.lineitem(spark, sf0001).select(
+      (col("l_orderkey") % 37).as("src"), (col("l_partkey") % 37).as("dst"))
+    val got = Graph.hitsMicro(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val raw = edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got === seqHits(raw, iters = 2))
+  }
+
   test("ranks are identical under adversarial repartitioning (integer domain)") {
     val pairs = (1L to 400L).map(i => (i % 53, (i * 7) % 53))
     val a = Graph.pageRankMicro(edgesDf(pairs: _*), iters = 3)

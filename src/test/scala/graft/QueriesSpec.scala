@@ -96,7 +96,10 @@ class QueriesSpec extends SparkSpec {
       "q136_semantic_decon",
       // q137 crossJoins the broadcast one-row corpus token total onto
       // the vocab-bounded (source, token) count table
-      "q137_source_kl")
+      "q137_source_kl",
+      // q142's per-half-round max rescale crossJoins a broadcast
+      // one-row max aggregate — the scalar-aggregate class
+      "q142_hits")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
