@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Linear text classifier over hashing-trick features — the fastText /
+  * CCNet-shaped quality classifier every LLM data pipeline runs between
+  * heuristic gates and expensive near-dup (SURVEY.md §2.3 curation):
+  * score every document with `sigmoid(w · φ(text) + b)` where `φ` is a
+  * hashed bag-of-words, keep documents above a threshold (or feed the
+  * score into [[Curation.temperatureResample]]).
+  *
+  * Design for 100 TB:
+  *  - **Inference is shuffle-free.** The weight vector is small by
+  *    construction (`dim` ≤ tens of thousands of doubles), so scoring is
+  *    a per-row higher-order expression: `aggregate(transform(tokens,
+  *    t -> w[h(t)]), …)` with the weights as ONE plan literal — the same
+  *    literal-lookup-table shape as [[Similarity.pqAdcTopK]]'s distance
+  *    table. No join, no shuffle; the scorer lives inside the scan's
+  *    whole-stage codegen.
+  *  - **Training is a bounded driver loop** (the [[Similarity.kmeansFit]]
+  *    shape): each batch-gradient round reduces to ≤ `dim` partial sums
+  *    via one map-side-combined aggregation; only the dim-sized gradient
+  *    reaches the driver. The feature frame is computed once and
+  *    persisted — round cost is the aggregation, not re-tokenization.
+  *  - **Engine-reproducible features.** The feature hash is the repo's
+  *    md5-prefix idiom (`conv(substr(md5(tok),1,6),16,10) % dim` — same
+  *    bytes in any engine), NOT a JVM hashCode, so train/score can run on
+  *    different engines against the same model.
+  */
+object Classifier {
+
+  /** Hashed feature id of one token: md5-prefix → [0, dim). Deterministic
+    * across engines/partitionings (the [[Curation.hashSplit]] idiom). */
+  def featureId(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % dim
+
+  /** Per-document feature ids (with multiplicity — bag of words). */
+  def hashedFeatures(text: Column, dim: Int): Column =
+    transform(split(text, " "), t => featureId(t, dim))
+
+  /** Deterministic pseudo-weights in integer micros, derived from the
+    * feature id by a Knuth multiplicative mix: w_micro(f) =
+    * (f·2654435761) mod 1000001 − 500000 ∈ [−500000, 500500]. Used by
+    * the oracle-checked scorer query (a TRAINED model's weights are
+    * floats and engine-ordered sums — integer micros over a closed-form
+    * table is the bit-exact cross-engine surface). */
+  def pseudoWeightMicros(fid: Column): Column =
+    (fid * 2654435761L) % 1000001L - 500000L
+
+  /** Order-free linear score in integer micros under the pseudo-weight
+    * table: Σ_tokens w_micro(h(tok)). Pure per-row expression — no
+    * shuffle, stays in codegen. */
+  def pseudoScoreMicros(text: Column, dim: Int): Column =
+    aggregate(hashedFeatures(text, dim),
+      lit(0L), (acc, f) => acc + pseudoWeightMicros(f))
+
+  /** Trained model: `weights(dim)` + bias. */
+  final case class LinearModel(weights: Array[Double], bias: Double) {
+    require(weights != null && weights.nonEmpty, "empty weight vector")
+    def dim: Int = weights.length
+  }
+
+  /** Score documents with a trained model, shuffle-free: the weight
+    * vector becomes one `array<double>` plan literal and each row does
+    * `element_at` lookups inside `aggregate(...)`. Adds `score` (the
+    * sigmoid probability). */
+  def scoreWith(docs: DataFrame, model: LinearModel,
+                textCol: String = "text"): DataFrame = {
+    val wLit = array(model.weights.map(w => lit(w)).toSeq: _*)
+    val z = aggregate(hashedFeatures(col(textCol), model.dim),
+      lit(model.bias), (acc, f) => acc + element_at(wLit, f.cast("int") + 1))
+    docs.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  /** Batch-gradient logistic regression on hashed features. `labelCol`
+    * must be 0/1. Each round: p = σ(Xw + b) via a broadcast-joined weight
+    * table, gradient g = Xᵀ(p − y)/n via ONE partial-aggregated groupBy
+    * on feature id (≤ dim groups), collected to the driver (dim doubles
+    * — the bounded trainer collect), then w ← w − lr·(g + l2·w). The
+    * tokenized feature frame is built once and persisted across rounds.
+    * Float sums are engine-ordered, so training is validated by loss
+    * descent + holdout accuracy in ClassifierSpec, not a value oracle. */
+  def trainLogRegHashed(spark: SparkSession, docs: DataFrame,
+                        labelCol: String, dim: Int = 4096,
+                        rounds: Int = 20, lr: Double = 0.5,
+                        l2: Double = 1e-4,
+                        textCol: String = "text"): LinearModel = {
+    require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
+    require(rounds > 0 && rounds <= 1000, s"rounds out of range: $rounds")
+    // (doc key, fid, x) bag-of-words counts — computed once, reused per round
+    val feats = docs
+      .select(col(labelCol).cast("double").as("y"),
+        monotonically_increasing_id().as("did"),
+        explode(hashedFeatures(col(textCol), dim)).as("fid"))
+      .groupBy("did", "y", "fid").agg(count(lit(1)).cast("double").as("x"))
+      .persist()
+    val n = feats.select(countDistinct("did")).head().getLong(0).toDouble
+    require(n > 0, "no documents to train on")
+
+    var w = new Array[Double](dim)
+    var b = 0.0
+    var r = 0
+    while (r < rounds) {
+      val wLit = array(w.toSeq.map(lit(_)): _*)
+      // z per doc, then the residual (p - y) joined back onto the
+      // feature rows by recomputing z in the same aggregation: one pass.
+      val perDoc = feats.groupBy("did", "y")
+        .agg((sum(col("x") * element_at(wLit, col("fid").cast("int") + 1)) + b).as("z"))
+        .select(col("did"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("resid"))
+        .persist() // one row per doc; read twice below (grad + bias grad)
+      // gradient: ≤ dim rows reach the driver; partial agg map-side
+      val grad = feats.join(perDoc, "did")
+        .groupBy("fid").agg(sum(col("x") * col("resid")).as("g"))
+        .collect()
+      val gb = perDoc.agg(sum("resid")).head().getDouble(0)
+      perDoc.unpersist()
+      val nw = w.clone()
+      var i = 0
+      while (i < nw.length) { nw(i) -= lr * l2 * w(i); i += 1 }
+      grad.foreach { row =>
+        val f = row.getLong(0).toInt
+        nw(f) -= lr * row.getDouble(1) / n
+      }
+      w = nw
+      b -= lr * gb / n
+      r += 1
+    }
+    feats.unpersist()
+    LinearModel(w, b)
+  }
+
+  /** Training log-loss of a model on a labeled frame (driver scalar). */
+  def logLoss(docs: DataFrame, model: LinearModel, labelCol: String,
+              textCol: String = "text"): Double = {
+    val scored = scoreWith(docs, model, textCol)
+      .select(col(labelCol).cast("double").as("y"),
+        greatest(least(col("score"), lit(1 - 1e-12)), lit(1e-12)).as("p"))
+    scored.agg(avg(-(col("y") * log(col("p"))
+        + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))))
+      .head().getDouble(0)
+  }
+}

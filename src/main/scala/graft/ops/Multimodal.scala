@@ -162,4 +162,44 @@ object Multimodal {
         transform(sequence(lit(0), lit(k - 1)),
           i => floor(i * length(col("payload")).cast("long") / k).cast("long"))
           .as("frame_offsets"))
+
+  /** LAION-style media curation gates over decoded [[AvFeature]] metadata
+    * (the dataset-cleaning pass that runs on header fields alone, BEFORE
+    * any pixel/sample decode — at 100 TB the whole gate is an O(header)
+    * projection):
+    *  - images: min side ≥ `minSide`, aspect ratio within
+    *    [1/`maxAspect`, `maxAspect`] (checked multiplicatively in integer
+    *    domain — no float division), and compressed bytes-per-pixel
+    *    ≥ `minBppMicros`/1e6 (suspiciously high compression marks
+    *    synthetic/blank images);
+    *  - audio: duration within [`minAudioMs`, `maxAudioMs`] and sample
+    *    rate ≥ `minRate`;
+    *  - video: duration bound plus the image dimension gates;
+    *  - unknown payloads always drop.
+    * Adds `keep` and a first-failing `drop_reason` (gates evaluated in a
+    * fixed order so the reason is deterministic). Pure CASE/arithmetic
+    * column logic — codegen'd, shuffle-free, oracle-checkable. */
+  def curationGates(features: DataFrame,
+                    minSide: Int = 64, maxAspect: Int = 3,
+                    minBppMicros: Long = 10000L,
+                    minAudioMs: Long = 500L, maxAudioMs: Long = 600000L,
+                    minRate: Int = 8000): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val dims = w >= minSide && h >= minSide
+    val aspect = w <= h * maxAspect && h <= w * maxAspect
+    val bpp = col("n_bytes") * 1000000L >= w * h * minBppMicros
+    val durOk = col("duration_ms").between(minAudioMs, maxAudioMs)
+    val reason = when(col("kind") === "unknown", "unknown_format")
+      .when(col("kind") === "image" && !dims, "too_small")
+      .when(col("kind") === "image" && !aspect, "bad_aspect")
+      .when(col("kind") === "image" && !bpp, "over_compressed")
+      .when(col("kind") === "audio" && !durOk, "bad_duration")
+      .when(col("kind") === "audio" && col("sample_rate") < minRate, "low_sample_rate")
+      .when(col("kind") === "video" && !durOk, "bad_duration")
+      .when(col("kind") === "video" && !dims, "too_small")
+      .when(col("kind") === "video" && !aspect, "bad_aspect")
+    features.withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull)
+  }
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl text preprocessing (SURVEY.md §2.3 curation family): URL
+  * canonicalization / registered-domain extraction and HTML visible-text
+  * stripping — the two transforms that sit in front of every crawl-derived
+  * training corpus (URL-level dedup and boilerplate removal come before
+  * any content-level dedup, because they are O(row) while near-dup is
+  * O(candidate pairs)).
+  *
+  * Everything here is a pure `functions._` column expression — no UDFs, no
+  * shuffles — so each transform stays inside whole-stage codegen and the
+  * scan→filter→project pipeline it joins. The regex chains deliberately
+  * use ONLY syntax with identical semantics in Java regex (Spark) and RE2
+  * (the DuckDB oracle): no backreferences (`$1` vs `\1` differ), no
+  * lookaround (RE2 lacks it). That cross-engine reproducibility is
+  * load-bearing: canonical URLs are dedup keys, and a key that differs by
+  * engine re-introduces the dups it was supposed to collapse.
+  *
+  * Reference anchor: the reference frames all payloads as schemaless JSON
+  * text (`/root/reference/src/catenae/utils.py:19-39`) and leaves
+  * domain-specific cleaning to user transforms; these are the standard
+  * crawl-pipeline instances of that transform slot.
+  */
+object WebText {
+
+  // ---------------------------------------------------------------- URLs
+
+  /** Lowercased `scheme://host[:port]` prefix of a URL (empty string if
+    * the value has no `//` authority marker). */
+  private def authority(u: Column): Column =
+    lower(regexp_extract(u, "^[^/]*//[^/]*", 0))
+
+  /** Canonical form of a (possibly messy) absolute http(s) URL:
+    *  1. fragment stripped (`#…` never reaches the server);
+    *  2. scheme+host lowercased (case-insensitive per RFC 3986) and a
+    *     leading `www.` label dropped;
+    *  3. default ports removed (`:80` for http, `:443` for https);
+    *  4. duplicate path slashes collapsed;
+    *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`) with
+    *     the `?`/`&` separators repaired;
+    *  6. trailing `/` dropped from a non-root path.
+    * Everything is a codegen'd regexp/CASE chain over one row — at crawl
+    * scale this runs in the scan stage, and the canonical string becomes
+    * the group-by key for URL-level dedup (step 0 of corpus curation). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val auth0 = authority(noFrag)
+    val rest0 = noFrag.substr(length(auth0) + 1, lit(1000000))
+    // host case + www + default port (CASE instead of a backreference)
+    val auth1 = regexp_replace(auth0, "//www\\.", "//")
+    val auth = when(auth1.startsWith("http://") && auth1.endsWith(":80"),
+        auth1.substr(lit(1), length(auth1) - 3))
+      .when(auth1.startsWith("https://") && auth1.endsWith(":443"),
+        auth1.substr(lit(1), length(auth1) - 4))
+      .otherwise(auth1)
+    // path + query cleanup
+    val r1 = regexp_replace(rest0, "/{2,}", "/")
+    // tracking param followed by another param: drop "name=val&"
+    val r2 = regexp_replace(r1, "(utm_[a-z]*|fbclid|gclid)=[^&]*&", "")
+    // tracking param at the end: drop it with its leading ? or &
+    val r3 = regexp_replace(r2, "[?&](utm_[a-z]*|fbclid|gclid)=[^&]*$", "")
+    val r4 = regexp_replace(r3, "[?&]$", "")
+    val rest = when(r4.endsWith("/") && length(r4) > 1 && !r4.contains("?"),
+        r4.substr(lit(1), length(r4) - 1))
+      .otherwise(r4)
+    concat(auth, rest)
+  }
+
+  /** Registered domain (eTLD+1) of a canonical URL's host, under a compact
+    * public-suffix table: two-label suffixes `co.uk org.uk ac.uk com.au
+    * net.au co.jp com.br co.in` take three labels, anything else takes
+    * two. ONE anchored regex with non-capturing alternation — no
+    * backreferences — so Spark and the oracle extract the identical
+    * domain. (A production deployment swaps the alternation for the full
+    * publicsuffix.org list, generated into the same regex shape.) */
+  def registeredDomain(u: Column): Column = {
+    val host = regexp_replace(regexp_extract(lower(u), "//[^/:?#]*", 0), "^//(www\\.)?", "")
+    regexp_extract(host,
+      "([^.]+\\.(?:(?:co|org|ac)\\.uk|(?:com|net)\\.au|co\\.jp|com\\.br|co\\.in|[^.]+))$", 1)
+  }
+
+  /** Drop rows whose registered domain appears in `blocked` (a one-column
+    * `domain` frame). The blocklist is small by definition (curated);
+    * AQE turns the anti-join into a broadcast at runtime, so the corpus
+    * side never shuffles. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame =
+    df.withColumn("graft_rd", registeredDomain(col(urlCol)))
+      .join(blocked.select(col("domain").as("graft_rd")), Seq("graft_rd"), "left_anti")
+      .drop("graft_rd")
+
+  // ---------------------------------------------------------------- HTML
+
+  /** Visible text of an HTML payload: `<script>`/`<style>` blocks and
+    * comments removed wholesale (their content is never visible), all
+    * remaining tags replaced by a space (so `</p><p>` doesn't weld two
+    * words), the five predefined entities plus `&nbsp;`/`&#39;` decoded,
+    * and whitespace collapsed. This is the boilerplate-strip half of a
+    * Trafilatura-style extractor, expressed as a codegen'd regex chain —
+    * the DOM-scoring half (link density, block weights) composes on top
+    * of [[TextAnalysis]] quality signals downstream. Tag/comment removal
+    * uses `(?s)` + non-greedy spans, identical in Java regex and RE2. */
+  def visibleText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent1 = regexp_replace(noTags, "&nbsp;", " ")
+    val ent2 = regexp_replace(ent1, "&lt;", "<")
+    val ent3 = regexp_replace(ent2, "&gt;", ">")
+    val ent4 = regexp_replace(ent3, "&quot;", "\"")
+    val ent5 = regexp_replace(ent4, "&#39;", "'")
+    val ent6 = regexp_replace(ent5, "&amp;", "&") // last: avoid double-decode
+    trim(regexp_replace(ent6, "\\s+", " "))
+  }
+
+  /** Link-density signal for boilerplate scoring: fraction (in integer
+    * micros, order-free) of the visible characters that live inside
+    * `<a …>…</a>` spans. High link density marks navigation/footer
+    * chrome; the standard keep gate is `link_density ≤ ~0.5`. */
+  def linkDensityMicros(html: Column): Column = {
+    val anchors = regexp_replace(html, "(?is)<a[\\s>].*?</a>", "")
+    val total = length(visibleText(html)).cast("long")
+    val nonAnchor = length(visibleText(anchors)).cast("long")
+    val scaled = (total - nonAnchor) * 1000000L
+    when(total === 0, lit(0L)) // exact integral division (see Graph's div idiom):
+      // (x − x mod t) is divisible by t, so the double division is exact
+      .otherwise(((scaled - pmod(scaled, total)) / total).cast("long"))
+  }
+}

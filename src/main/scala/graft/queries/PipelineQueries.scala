@@ -2601,6 +2601,258 @@ object PipelineQueries {
       .orderBy("node")
   }
 
+  /** URL canonicalization + registered-domain rollup
+    * ([[graft.ops.WebText.canonicalUrl]] / `registeredDomain`) — step 0
+    * of crawl curation: messy URLs (mixed-case scheme/host, `www.`,
+    * default port, doubled slashes, `utm_*` tracking params, fragments)
+    * are synthesized deterministically per doc, canonicalized, and
+    * rolled up by eTLD+1. The whole chain is regex/CASE syntax with
+    * identical Java-regex/RE2 semantics (no backreferences, no
+    * lookaround), so the oracle runs the LITERAL same transforms — a
+    * drifted canon rule changes dedup keys and diverges. Shuffle-free
+    * until the final rollup. */
+  val q143UrlCanon: Q = q("q143_url_canon",
+    """WITH raw AS (SELECT doc_id,
+      |  'HTTP://WWW.' || upper(source) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN '.CO.UK' ELSE '.Example.COM' END ||
+      |  ':80/a//b/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |  '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+      |  '#sec' || CAST(doc_id % 4 AS VARCHAR) AS u FROM documents),
+      |c1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM raw),
+      |c2 AS (SELECT doc_id, u,
+      |  lower(regexp_extract(u, '^[^/]*//[^/]*')) AS auth0 FROM c1),
+      |c3 AS (SELECT doc_id, substr(u, length(auth0) + 1) AS rest0,
+      |  regexp_replace(auth0, '//www\.', '//', 'g') AS auth1 FROM c2),
+      |c4 AS (SELECT doc_id,
+      |  CASE WHEN auth1 LIKE 'http://%' AND auth1 LIKE '%:80'
+      |         THEN substr(auth1, 1, length(auth1) - 3)
+      |       WHEN auth1 LIKE 'https://%' AND auth1 LIKE '%:443'
+      |         THEN substr(auth1, 1, length(auth1) - 4)
+      |       ELSE auth1 END AS auth,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(rest0, '/{2,}', '/', 'g'),
+      |    '(utm_[a-z]*|fbclid|gclid)=[^&]*&', '', 'g'),
+      |    '[?&](utm_[a-z]*|fbclid|gclid)=[^&]*$', '', 'g'),
+      |    '[?&]$', '', 'g') AS r4 FROM c3),
+      |c5 AS (SELECT doc_id, auth ||
+      |  CASE WHEN r4 LIKE '%/' AND length(r4) > 1 AND r4 NOT LIKE '%?%'
+      |       THEN substr(r4, 1, length(r4) - 1) ELSE r4 END AS canon FROM c4),
+      |c6 AS (SELECT doc_id, canon, regexp_extract(
+      |  regexp_replace(regexp_extract(lower(canon), '//[^/:?#]*'),
+      |                 '^//(www\.)?', '', 'g'),
+      |  '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
+      |  1) AS rd FROM c5)
+      |SELECT rd AS domain, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+      |  min(canon) AS sample_url
+      |FROM c6 GROUP BY rd ORDER BY rd""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val messy = concat(
+      lit("HTTP://WWW."), upper(col("source")),
+      when(col("doc_id") % 7 === 0, ".CO.UK").otherwise(".Example.COM"),
+      lit(":80/a//b/"), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&id="), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 2 === 0, "&utm_campaign=x").otherwise(""),
+      lit("#sec"), (col("doc_id") % 4).cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), WebText.canonicalUrl(messy).as("canon"))
+      .withColumn("domain", WebText.registeredDomain(col("canon")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("canon").as("n_canonical"),
+        min("canon").as("sample_url"))
+      .orderBy("domain")
+  }
+
+  /** HTML boilerplate strip ([[graft.ops.WebText.visibleText]]): each doc
+    * is wrapped in a deterministic HTML shell (head/style, h1, anchor
+    * with entities, script, comment), the visible text is re-extracted,
+    * and the roundtrip is verified row-by-row: `ok` = the extraction
+    * recovered exactly `"Doc <id> " + text + " <link> & more"` — so a
+    * missed script block, un-decoded entity, or broken whitespace
+    * collapse flips rows to false and diverges. The oracle runs the
+    * literal same RE2∩Java regex chain. Pure per-row codegen. */
+  val q144HtmlStrip: Q = q("q144_html_strip",
+    """WITH h AS (SELECT doc_id, text,
+      |  '<html><head><style>p{}</style></head><body><h1>Doc ' ||
+      |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      |  '</p><a href="/x?a=1&amp;b=2">&lt;link&gt; &amp; more</a>' ||
+      |  '<script>var x=1;</script><!-- hidden --></body></html>' AS html
+      |  FROM documents),
+      |v AS (SELECT doc_id, text, trim(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(html,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g'),
+      |    '<[^>]*>', ' ', 'g'),
+      |    '&nbsp;', ' ', 'g'),
+      |    '&lt;', '<', 'g'),
+      |    '&gt;', '>', 'g'),
+      |    '&quot;', '"', 'g'),
+      |    '&#39;', '''', 'g'),
+      |    '&amp;', '&', 'g'), '\s+', ' ', 'g')) AS vis FROM h)
+      |SELECT doc_id, CAST(length(vis) AS BIGINT) AS vis_len, md5(vis) AS vis_md5,
+      |  CAST(CASE WHEN vis = 'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+      |    || ' <link> & more' THEN 1 ELSE 0 END AS INT) AS ok
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val html = concat(
+      lit("<html><head><style>p{}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+      lit("</p><a href=\"/x?a=1&amp;b=2\">&lt;link&gt; &amp; more</a>"),
+      lit("<script>var x=1;</script><!-- hidden --></body></html>"))
+    val expected = concat(lit("Doc "), col("doc_id").cast("string"),
+      lit(" "), col("text"), lit(" <link> & more"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), WebText.visibleText(html).as("vis"))
+      .select(col("doc_id"), length(col("vis")).cast("long").as("vis_len"),
+        md5(col("vis")).as("vis_md5"),
+        (col("vis") === expected).cast("int").as("ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Media curation gates ([[graft.ops.Multimodal.curationGates]]) over a
+    * mixed synthesized corpus (GIF / WAV / MP4 / raw-text by doc_id % 4)
+    * whose moduli are chosen to strike EVERY gate: undersized and
+    * extreme-aspect images, over-compressed thumbnails (header + pad
+    * bytes vs pixel count), sub-500 ms and low-sample-rate audio,
+    * short video — the LAION-style header-only cleaning pass. The
+    * decoder parses the real container bytes; the oracle recomputes the
+    * construction arithmetic AND the gate cascade, so a misread header
+    * field or a reordered gate changes a (kind, reason) count. */
+  val q145MediaGates: Q = q("q145_media_gates",
+    """WITH p AS (SELECT doc_id, text, doc_id % 4 AS m
+      |  FROM documents WHERE doc_id < 400),
+      |f AS (SELECT doc_id, m,
+      |  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         WHEN 2 THEN 'video' ELSE 'unknown' END AS kind,
+      |  CASE m WHEN 0 THEN CAST(10 + (doc_id % 4) * 40 AS BIGINT)
+      |         WHEN 1 THEN CAST(44 + (doc_id % 90) * (doc_id % 2 + 1) * 2 AS BIGINT)
+      |         WHEN 2 THEN CAST(232 AS BIGINT)
+      |         ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+      |  CASE m WHEN 0 THEN 16 + doc_id % 120
+      |         WHEN 2 THEN 40 + (doc_id % 8) * 80 ELSE 0 END AS w,
+      |  CASE m WHEN 0 THEN 16 + doc_id % 90
+      |         WHEN 2 THEN 48 + (doc_id % 6) * 72 ELSE 0 END AS h,
+      |  CASE m WHEN 1 THEN ((doc_id % 90) * 1000) // (4000 + (doc_id % 5) * 2000)
+      |         WHEN 2 THEN ((doc_id % 500 + 50) * 10 * 1000) // (600 + (doc_id % 4) * 200)
+      |         ELSE 0 END AS dur_ms,
+      |  CASE m WHEN 1 THEN 4000 + (doc_id % 5) * 2000 ELSE 0 END AS rate
+      |  FROM p),
+      |g AS (SELECT kind,
+      |  CASE WHEN kind = 'unknown' THEN 'unknown_format'
+      |    WHEN kind = 'image' AND NOT (w >= 64 AND h >= 64) THEN 'too_small'
+      |    WHEN kind = 'image' AND NOT (w <= h * 3 AND h <= w * 3) THEN 'bad_aspect'
+      |    WHEN kind = 'image' AND NOT (n_bytes * 1000000 >= w * h * 10000)
+      |      THEN 'over_compressed'
+      |    WHEN kind = 'audio' AND NOT (dur_ms BETWEEN 500 AND 600000)
+      |      THEN 'bad_duration'
+      |    WHEN kind = 'audio' AND rate < 8000 THEN 'low_sample_rate'
+      |    WHEN kind = 'video' AND NOT (dur_ms BETWEEN 500 AND 600000)
+      |      THEN 'bad_duration'
+      |    WHEN kind = 'video' AND NOT (w >= 64 AND h >= 64) THEN 'too_small'
+      |    WHEN kind = 'video' AND NOT (w <= h * 3 AND h <= w * 3) THEN 'bad_aspect'
+      |    ELSE 'keep' END AS outcome FROM f)
+      |SELECT kind, outcome, CAST(count(*) AS BIGINT) AS n
+      |FROM g GROUP BY kind, outcome ORDER BY kind, outcome""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 4
+    // GIF header + pad bytes: n_bytes drives the bytes-per-pixel gate
+    val gw = lit(16) + col("doc_id") % 120
+    val gh = lit(16) + col("doc_id") % 90
+    val gifHex = concat(lit("474946383961"), leHex16(gw), leHex16(gh),
+      repeat(lit("00"), (col("doc_id") % 4).cast("int") * 40))
+    // WAV with sub-gate sample rates and durations
+    val ch = col("doc_id") % 2 + 1
+    val rate = lit(4000) + (col("doc_id") % 5) * 2000
+    val blockAlign = ch * 2
+    val dataSize = (col("doc_id") % 90) * blockAlign
+    val wavHex = concat(
+      lit("52494646"), leHex32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), leHex32(lit(16)), leHex16(lit(1)),
+      leHex16(ch), leHex32(rate), leHex32(rate * blockAlign),
+      leHex16(blockAlign), leHex16(lit(16)),
+      lit("64617461"), leHex32(dataSize),
+      repeat(lit("00"), dataSize.cast("int")))
+    // MP4 with undersized/short-video moduli (q127 container layout)
+    def beHex32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+    def fixed1616(c: Column): Column =
+      concat(lpad(hex(c.cast("long")), 4, "0"), lit("0000"))
+    val ts = lit(600) + (col("doc_id") % 4) * 200
+    val dur = (col("doc_id") % 500 + 50) * 10
+    val vw = lit(40) + (col("doc_id") % 8) * 80
+    val vh = lit(48) + (col("doc_id") % 6) * 72
+    val zeros = (n: Int) => lit("00" * n)
+    val mp4Hex = concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"),
+      lit("000000D8"), lit("6D6F6F76"),
+      lit("0000006C"), lit("6D766864"), zeros(12),
+      beHex32(ts), beHex32(dur), zeros(80),
+      lit("00000064"), lit("7472616B"),
+      lit("0000005C"), lit("746B6864"), zeros(12),
+      lit("00000001"), zeros(4), beHex32(dur), zeros(16), zeros(36),
+      fixed1616(vw), fixed1616(vh))
+    val payload = when(m === 3, encode(col("text"), "UTF-8"))
+      .otherwise(unhex(
+        when(m === 0, gifHex).when(m === 1, wavHex).otherwise(mp4Hex)))
+    val payloads = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"), payload.as("payload"))
+    graft.ops.Multimodal.curationGates(
+        graft.ops.Multimodal.decodeAvPayloads(s, payloads).toDF())
+      .withColumn("outcome", coalesce(col("drop_reason"), lit("keep")))
+      .groupBy("kind", "outcome").agg(count(lit(1)).as("n"))
+      .orderBy("kind", "outcome")
+  }
+
+  /** Hashed-feature linear scorer
+    * ([[graft.ops.Classifier.pseudoScoreMicros]]) — the inference shape
+    * of a fastText/CCNet quality classifier with the weight table as a
+    * closed-form integer-micro function of the md5-hashed feature id, so
+    * Spark and the oracle score BIT-identically (a trained model's float
+    * weights cannot be value-oracled across engines; training quality is
+    * ClassifierSpec's job + q147). Per-row higher-order aggregate, no
+    * shuffle, no UDF. */
+  val q146LogregScore: Q = q("q146_logreg_score",
+    """SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),
+      |    t -> ((('0x' || substr(md5(t), 1, 6))::BIGINT % 4096)
+      |          * 2654435761) % 1000001 - 500000)) AS BIGINT) AS z_micro,
+      |  CAST(CASE WHEN list_sum(list_transform(string_split(text, ' '),
+      |    t -> ((('0x' || substr(md5(t), 1, 6))::BIGINT % 4096)
+      |          * 2654435761) % 1000001 - 500000)) > 0
+      |    THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.ops.Classifier.pseudoScoreMicros(col("text"), 4096).as("z_micro"))
+      .withColumn("kept", (col("z_micro") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Trained quality classifier end-to-end
+    * ([[graft.ops.Classifier.trainLogRegHashed]]): label = doc mentions
+    * the planted token, train batch-GD logistic regression on a bounded
+    * doc_id sample (train-on-sample / score-the-corpus — the 100 TB
+    * deployment shape), then score ALL documents and report per-label
+    * counts above/below the 0.5 threshold. Rows-only: float sums are
+    * engine-ordered; ClassifierSpec gates loss descent + holdout
+    * accuracy, and the output row count (label × decision) is stable. */
+  val q147LogregTrain: Q = rowsOnly("q147_logreg_train") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("y", array_contains(split(col("text"), " "), "spark").cast("int"))
+    val model = graft.ops.Classifier.trainLogRegHashed(
+      s, docs.filter(col("doc_id") < 5000), labelCol = "y",
+      dim = 1024, rounds = 5, lr = 1.0)
+    graft.ops.Classifier.scoreWith(docs, model)
+      .groupBy(col("y")) // exactly 2 rows regardless of decision flips
+      .agg(count(lit(1)).as("n"),
+        sum((col("score") > 0.5).cast("long")).as("n_kept"))
+      .orderBy("y")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2625,5 +2877,6 @@ object PipelineQueries {
     q129MixedMedia, q130PageRank, q131ExportShards, q132PmiCollocations,
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
-    q142Hits)
+    q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
+    q147LogregTrain)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.WebText
+
+/** URL canonicalization + HTML visible-text extraction
+  * ([[graft.ops.WebText]]) — value-pinned on handwritten cases (the
+  * sf-table behavior is q143/q144's oracle job; these pin the edge
+  * cases the synthetic tables can't reach). */
+class WebTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(WebText.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalUrl: case, www, default port, slashes, tracking, fragment") {
+    assert(canon("HTTP://WWW.Example.COM:80/a//b/?utm_source=x&id=5#frag")
+      === Seq("http://example.com/a/b/?id=5"))
+    // https default port; param order with tracker in the middle
+    assert(canon("https://News.Site.ORG:443/x?id=1&utm_campaign=z&k=2")
+      === Seq("https://news.site.org/x?id=1&k=2"))
+    // only tracking params -> query dropped entirely
+    assert(canon("http://a.com/p?utm_source=x") === Seq("http://a.com/p"))
+    assert(canon("http://a.com/p?fbclid=abc&gclid=q") === Seq("http://a.com/p"))
+    // trailing slash dropped on non-root path, kept on root
+    assert(canon("http://a.com/path/") === Seq("http://a.com/path"))
+    assert(canon("http://a.com/") === Seq("http://a.com/"))
+    // non-default port survives
+    assert(canon("http://a.com:8080/x") === Seq("http://a.com:8080/x"))
+    // already-canonical URL is a fixed point
+    assert(canon("http://example.com/a/b?id=5")
+      === Seq("http://example.com/a/b?id=5"))
+  }
+
+  test("canonicalUrl is idempotent") {
+    val messy = Seq(
+      "HTTP://WWW.Example.COM:80/a//b/?utm_source=x&id=5#frag",
+      "https://B.co.UK:443//p//q/?gclid=1")
+    val once = canon(messy: _*)
+    assert(canon(once: _*) === once)
+  }
+
+  test("registeredDomain: eTLD+1 under the compact suffix table") {
+    val got = Seq(
+      "http://www.example.co.uk/x", "https://a.b.news.com/y",
+      "http://site.com.au:8080/", "http://deep.sub.domain.co.jp/z",
+      "http://plain.org/")
+      .toDF("u").select(WebText.registeredDomain(col("u")).as("d"))
+      .as[String].collect().toSeq
+    assert(got === Seq("example.co.uk", "news.com", "site.com.au",
+      "domain.co.jp", "plain.org"))
+  }
+
+  test("filterBlockedDomains drops every URL under the blocked eTLD+1") {
+    val df = Seq(
+      1L -> "http://spam.co.uk/a", 2L -> "http://sub.spam.co.uk/b",
+      3L -> "http://ham.com/c").toDF("id", "url")
+    val blocked = Seq("spam.co.uk").toDF("domain")
+    val kept = WebText.filterBlockedDomains(df, "url", blocked)
+      .select("id").as[Long].collect().toSeq
+    assert(kept === Seq(3L))
+  }
+
+  test("visibleText strips script/style/comments/tags and decodes entities") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style></head>
+        |<body><!-- nav --><h1>Hello</h1>
+        |<script type="text/js">var x = "<p>not text</p>";</script>
+        |<p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>
+        |</body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(WebText.visibleText(col("h")).as("v")).as[String].head()
+    assert(got === "T Hello A & B <ok> \"q\" 's' end")
+  }
+
+  test("visibleText: case-insensitive tags, multiline script bodies") {
+    val html = "<BODY><SCRIPT>\nline1\nline2\n</SCRIPT><P>keep</P></BODY>"
+    val got = Seq(html).toDF("h")
+      .select(WebText.visibleText(col("h")).as("v")).as[String].head()
+    assert(got === "keep")
+  }
+
+  test("linkDensityMicros: nav-chrome rows score high, prose rows low") {
+    val rows = Seq(
+      "<p><a href='/1'>Home</a> <a href='/2'>About</a></p>",              // all links
+      "<p>Long prose paragraph with one <a href='/x'>link</a> inside</p>", // mostly text
+      "<p>No links at all here</p>")
+      .toDF("h").select(WebText.linkDensityMicros(col("h")).as("m"))
+      .as[Long].collect().toSeq
+    assert(rows(0) === 1000000L)
+    assert(rows(1) > 0L && rows(1) < 500000L)
+    assert(rows(2) === 0L)
+  }
+}
