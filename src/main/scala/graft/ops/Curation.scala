@@ -472,4 +472,60 @@ object Curation {
         round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"),
         sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
       .orderBy("lang")
+
+  /** The Gopher document-quality rule battery (Rae et al. 2021 §A1.1 —
+    * the published heuristics most LLM pipelines start from), evaluated
+    * entirely in integer micros so every ratio is order-free and
+    * engine-exact:
+    *  1. word count within [`minWords`, `maxWords`];
+    *  2. mean word length within [`minMeanWordLenMicros`,
+    *     `maxMeanWordLenMicros`] (chars excluding separators, integral
+    *     division);
+    *  3. symbol-token share (`#`, `…`, `...`) ≤ `maxSymbolRatioMicros`;
+    *  4. share of words containing a letter ≥ `minAlphaRatioMicros`;
+    *  5. at least `minStopwords` DISTINCT stopwords present (the Gopher
+    *     "contains 2 of the stop list" rule; `stopwords` parametrizes
+    *     the list).
+    * Adds per-rule booleans, the metric columns (micros), `first_fail`
+    * (rules checked in the order above — deterministic reason), and
+    * `keep`. Pure per-row projection: zero shuffle, codegen'd, the gate
+    * runs in the scan stage at any corpus size. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 15, maxWords: Int = 100000,
+                  minMeanWordLenMicros: Long = 3000000L,
+                  maxMeanWordLenMicros: Long = 10000000L,
+                  maxSymbolRatioMicros: Long = 100000L,
+                  minAlphaRatioMicros: Long = 800000L,
+                  minStopwords: Int = 2,
+                  stopwords: Seq[String] =
+                    Seq("the", "a", "value", "table"),
+                  textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nt = size(toks).cast("long")
+    // exact integral ratio in micros: (x*1e6 - (x*1e6 mod n)) / n
+    def ratioMicros(x: Column): Column = {
+      val s = x * 1000000L
+      ((s - pmod(s, nt)) / nt).cast("long")
+    }
+    val meanWlen = ratioMicros(length(col(textCol)) - nt + 1)
+    val symbols = ratioMicros(
+      size(filter(toks, t => t === "#" || t === "…" || t.startsWith("..."))))
+    val alpha = ratioMicros(size(filter(toks, t => t.rlike("[a-zA-Z]"))))
+    val stopHits = size(array_intersect(toks,
+      array(stopwords.map(lit(_)): _*)))
+    docs
+      .withColumn("n_words", nt)
+      .withColumn("mean_wlen_micros", meanWlen)
+      .withColumn("symbol_micros", symbols)
+      .withColumn("alpha_micros", alpha)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("first_fail",
+        when(!nt.between(minWords, maxWords), "word_count")
+          .when(!meanWlen.between(minMeanWordLenMicros, maxMeanWordLenMicros),
+            "word_length")
+          .when(symbols > maxSymbolRatioMicros, "symbol_ratio")
+          .when(alpha < minAlphaRatioMicros, "alpha_ratio")
+          .when(stopHits < minStopwords, "stopwords"))
+      .withColumn("keep", col("first_fail").isNull)
+  }
 }

@@ -2853,6 +2853,56 @@ object PipelineQueries {
       .orderBy("y")
   }
 
+  /** Gopher quality-rule battery ([[graft.ops.Curation.gopherRules]]):
+    * the published Rae-et-al. heuristics in integer micros, run over
+    * fixture docs with planted symbol spam (`#` runs) and numeric spam
+    * striking the symbol/alpha gates on top of the corpus's natural
+    * word-count/word-length/stopword variation. The oracle recomputes
+    * every ratio with the identical integral-micros arithmetic and the
+    * identical first-fail order, then compares per-reason rollups. */
+  val q148GopherRules: Q = q("q148_gopher_rules",
+    """WITH t AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' # # # # #' ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0
+      |    THEN ' 111 222 333 444 555 666 777 888 999' ELSE '' END AS text
+      |  FROM documents),
+      |m AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |  ((length(text) - len(string_split(text, ' ')) + 1) * 1000000)
+      |    // len(string_split(text, ' ')) AS mean_wlen,
+      |  (len(list_filter(string_split(text, ' '),
+      |     x -> x = '#' OR x = '…' OR x LIKE '...%')) * 1000000)
+      |    // len(string_split(text, ' ')) AS symbol_micros,
+      |  (len(list_filter(string_split(text, ' '),
+      |     x -> regexp_matches(x, '[a-zA-Z]'))) * 1000000)
+      |    // len(string_split(text, ' ')) AS alpha_micros,
+      |  len(list_intersect(list_distinct(string_split(text, ' ')),
+      |     ['the', 'a', 'value', 'table'])) AS stop_hits
+      |  FROM t),
+      |g AS (SELECT doc_id, nt,
+      |  CASE WHEN NOT (nt BETWEEN 15 AND 100000) THEN 'word_count'
+      |    WHEN NOT (mean_wlen BETWEEN 3000000 AND 10000000) THEN 'word_length'
+      |    WHEN symbol_micros > 100000 THEN 'symbol_ratio'
+      |    WHEN alpha_micros < 800000 THEN 'alpha_ratio'
+      |    WHEN stop_hits < 2 THEN 'stopwords'
+      |    ELSE 'keep' END AS outcome FROM m)
+      |SELECT outcome, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS total_words,
+      |  CAST(min(doc_id) AS BIGINT) AS sample_doc
+      |FROM g GROUP BY outcome ORDER BY outcome""".stripMargin) { (s, d) =>
+    val spam = concat(col("text"),
+      when(col("doc_id") % 11 === 0, " # # # # #").otherwise(""),
+      when(col("doc_id") % 13 === 0,
+        " 111 222 333 444 555 666 777 888 999").otherwise(""))
+    Curation.gopherRules(
+        Tables.documents(s, d).withColumn("text", spam))
+      .withColumn("outcome", coalesce(col("first_fail"), lit("keep")))
+      .groupBy("outcome")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        min("doc_id").as("sample_doc"))
+      .orderBy("outcome")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2878,5 +2928,5 @@ object PipelineQueries {
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
-    q147LogregTrain)
+    q147LogregTrain, q148GopherRules)
 }

@@ -466,4 +466,42 @@ class CurationSpec extends SparkSpec {
     assert(full.join(half, "doc_id")
       .filter(col("shard") =!= col("shard_half")).isEmpty)
   }
+
+  test("gopherRules: each rule fires alone, first-fail order is fixed") {
+    import spark.implicits._
+    def w(n: Int) = (1 to n).map(i => f"word$i%02d").mkString(" ") // 6-char words
+    val docs = Seq(
+      // 16 words incl. 2 stopwords, mean length in-range -> keep
+      (1L, s"the table ${w(14)}"),
+      (2L, "too short"), // word_count
+      // 16 single-char words: mean length 1 -> word_length
+      (3L, (1 to 16).map(_ => "a").mkString(" ")),
+      // symbol spam: 3/18 tokens are '#' (0.166 > 0.1) -> symbol_ratio
+      (4L, s"the table ${w(13)} # # #"),
+      // numeric spam: 6/18 numeric (alpha 0.666 < 0.8) -> alpha_ratio
+      (5L, s"the table ${w(10)} 1111 2222 3333 4444 5555 6666"),
+      // no stopwords at all -> stopwords
+      (6L, w(16)),
+      // word_count outranks symbol_ratio when both fail
+      (7L, "# # #")).toDF("doc_id", "text")
+    val got = Curation.gopherRules(docs)
+      .select(col("doc_id"), coalesce(col("first_fail"), lit("keep")).as("o"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "keep", 2L -> "word_count", 3L -> "word_length",
+      4L -> "symbol_ratio", 5L -> "alpha_ratio", 6L -> "stopwords",
+      7L -> "word_count"))
+  }
+
+  test("gopherRules metrics are exact integral micros") {
+    import spark.implicits._
+    // 4 words, chars-without-separators = 3+1+5+5 = 14 -> 3.5e6 micros
+    val row = Curation.gopherRules(
+        Seq((1L, "the a value table")).toDF("doc_id", "text"), minWords = 1)
+      .select("n_words", "mean_wlen_micros", "alpha_micros", "stop_hits")
+      .head()
+    assert(row.getLong(0) === 4L)
+    assert(row.getLong(1) === 3500000L)
+    assert(row.getLong(2) === 1000000L)
+    assert(row.getInt(3) === 4)
+  }
 }
