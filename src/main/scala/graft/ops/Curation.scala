@@ -209,6 +209,40 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Card-number candidates: 13–19 digits with optional space/dash
+    * separators, word-bounded. Shared Java-regex∩RE2 syntax. */
+  val CardCandRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum over a digits-only string column — the validity test
+    * that separates real card numbers from arbitrary digit runs (regex
+    * alone over-redacts order ids / timestamps by orders of magnitude).
+    * Pure higher-order expression: reverse, double every second digit
+    * with digit-sum, sum ≡ 0 (mod 10), length in [13, 19]. Codegen'd,
+    * engine-exact — the DuckDB oracle recomputes it digit-for-digit. */
+  def luhnValid(digits: Column): Column = {
+    val r = reverse(digits)
+    val n = length(r)
+    val s = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = r.substr(i, lit(1)).cast("int")
+      acc + when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    n.between(13, 19) && pmod(s, lit(10)) === 0
+  }
+
+  /** Card-like substrings of `text` that pass [[luhnValid]] (separators
+    * stripped before the checksum). Detection is the oracle-checkable
+    * surface (q150); [[redactCards]] consumes it. */
+  def validCards(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardCandRe), lit(0)),
+      c => luhnValid(regexp_replace(c, "[^0-9]", "")))
+
+  /** Replace every Luhn-valid card substring with `<CARD>`, leaving
+    * Luhn-invalid digit runs (order ids, timestamps) untouched — a
+    * fold over the validated candidates, still one per-row projection. */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text, (acc, c) => replace(acc, c, lit("<CARD>")))
+
   /** Temperature-style language rebalancing (the multilingual-mix recipe
     * of XLM-R/mT5): downsample over-represented languages so the kept
     * corpus flattens toward the rare ones, with keep-rate

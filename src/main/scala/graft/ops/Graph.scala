@@ -206,4 +206,53 @@ object Graph {
       .select(col("node"),
         (base + expr(s"($dampingMicro * coalesce(s, 0L)) div 1000000")).as("r"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected simple graph induced by `edges` — community detection,
+    * the coarser sibling of [[graft.ops.Dedup.connectedComponents]]
+    * (LPA splits a connected component into densely-linked communities;
+    * CC cannot). Fully deterministic: labels start as the node id, and
+    * each round every node adopts its neighbors' MOST FREQUENT label
+    * with ties broken toward the SMALLEST label — the classic
+    * random-order LPA is nondeterministic, which is useless for a
+    * reproducible curation pipeline, so the synchronous min-tie-break
+    * variant is deliberate (and lets the oracle unroll rounds exactly).
+    *
+    * Per round: one equi-join of edges against labels + a
+    * map-side-combined (node, label) count + ONE more aggregate taking
+    * `min(struct(-count, label))` per node — argmax-by-count with
+    * deterministic ties as a lexicographic struct min, no window (a
+    * `row_number` window over node would add a sort per round). Rounds
+    * are bounded and small (communities stabilize in a few sync rounds;
+    * sync LPA can 2-cycle on bipartite structures, so convergence
+    * looping is NOT the API — fixed `rounds` is).
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped,
+    *              parallel edges deduplicated. Node ids must be
+    *              orderable (the tie-break) — numeric or string.
+    * @return (node, label) after `rounds` synchronous rounds
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var labels = nodes.withColumn("label", col("node"))
+    var i = 0
+    while (i < rounds) {
+      val counts = e.join(labels, e("dst") === labels("node"))
+        .groupBy(e("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = counts.groupBy("node")
+        .agg(min(struct((col("c") * -1).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      i += 1
+    }
+    val out = labels
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
 }

@@ -2903,6 +2903,77 @@ object PipelineQueries {
       .orderBy("outcome")
   }
 
+  /** Deterministic label propagation ([[graft.ops.Graph.labelPropagation]])
+    * over the q142 lineitem-derived graph, 2 synchronous rounds. The
+    * oracle unrolls both rounds — per round a neighbor-label count and
+    * the (count DESC, label ASC) argmax via `row_number` — so a changed
+    * tie-break, a missed symmetrization, or an off-by-one round count
+    * relabels nodes and diverges. */
+  val q149LabelProp: Q = q("q149_label_prop",
+    """WITH e0 AS (SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+      |           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |l0 AS (SELECT node, node AS label FROM n),
+      |c1 AS (SELECT e.src AS node, l0.label, count(*) AS c
+      |       FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |  SELECT node, label, row_number() OVER (
+      |    PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c1)
+      |  WHERE rn = 1),
+      |c2 AS (SELECT e.src AS node, l1.label, count(*) AS c
+      |       FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |  SELECT node, label, row_number() OVER (
+      |    PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c2)
+      |  WHERE rn = 1)
+      |SELECT node, label FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
+    Graph.labelPropagation(
+      Tables.lineitem(s, d).select(
+        (col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst")),
+      rounds = 2)
+      .orderBy("node")
+  }
+
+  /** Luhn card detection ([[graft.ops.Curation.luhnValid]] /
+    * `validCards`): each doc gets a 16-digit separator-formatted card
+    * candidate whose last four digits come from doc_id — so validity
+    * varies across the corpus and BOTH engines must run the actual
+    * checksum (plus a fixed 14-digit "order id" run that the regex
+    * catches but Luhn rejects or accepts identically). The oracle
+    * recomputes the reverse/double/digit-sum fold digit-for-digit. */
+  val q150CardLuhn: Q = q("q150_card_luhn",
+    """WITH t AS (SELECT doc_id, text || ' pay 4532 0151 1283 ' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' ref 12345678901234 end' AS text
+      |  FROM documents WHERE doc_id < 300),
+      |c AS (SELECT doc_id,
+      |  regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b') AS cands FROM t),
+      |v AS (SELECT doc_id, len(cands) AS n_cands,
+      |  len(list_filter(list_transform(cands,
+      |        x -> regexp_replace(x, '[^0-9]', '', 'g')),
+      |    dg -> length(dg) BETWEEN 13 AND 19 AND
+      |      list_sum(list_transform(range(1, length(dg) + 1),
+      |        i -> CASE WHEN i % 2 = 0 THEN
+      |          CASE WHEN CAST(substr(reverse(dg), i, 1) AS INT) * 2 > 9
+      |            THEN CAST(substr(reverse(dg), i, 1) AS INT) * 2 - 9
+      |            ELSE CAST(substr(reverse(dg), i, 1) AS INT) * 2 END
+      |          ELSE CAST(substr(reverse(dg), i, 1) AS INT) END)) % 10 = 0))
+      |  AS n_valid FROM c)
+      |SELECT doc_id, CAST(n_cands AS BIGINT) AS n_cands,
+      |  CAST(n_valid AS BIGINT) AS n_valid
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val text2 = concat(col("text"), lit(" pay 4532 0151 1283 "),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ref 12345678901234 end"))
+    Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        size(regexp_extract_all(text2, lit(Curation.CardCandRe), lit(0)))
+          .cast("long").as("n_cands"),
+        size(Curation.validCards(text2)).cast("long").as("n_valid"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2928,5 +2999,5 @@ object PipelineQueries {
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
-    q147LogregTrain, q148GopherRules)
+    q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn)
 }

@@ -492,6 +492,27 @@ class CurationSpec extends SparkSpec {
       7L -> "word_count"))
   }
 
+  test("luhnValid: known vectors; validCards filters; redactCards folds") {
+    import spark.implicits._
+    val got = Seq("4111111111111111", "4111111111111112",
+      "4532015112830366", "79927398713")
+      .toDF("s").select(Curation.luhnValid(col("s")).as("v"))
+      .as[Boolean].collect().toSeq
+    // standard test PANs valid; flipped check digit invalid; 11-digit
+    // Luhn-correct string fails the length gate
+    assert(got === Seq(true, false, true, false))
+
+    val text = "pay 4111 1111 1111 1111 or 4111-1111-1111-1112 " +
+      "ref 12345678901234 end"
+    val row = Seq(text).toDF("t").select(
+      size(Curation.validCards(col("t"))).as("nv"),
+      Curation.redactCards(col("t")).as("red"))
+      .head()
+    assert(row.getInt(0) === 1)
+    assert(row.getString(1) ===
+      "pay <CARD> or 4111-1111-1111-1112 ref 12345678901234 end")
+  }
+
   test("gopherRules metrics are exact integral micros") {
     import spark.implicits._
     // 4 words, chars-without-separators = 3+1+5+5 = 14 -> 3.5e6 micros

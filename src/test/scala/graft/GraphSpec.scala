@@ -172,4 +172,28 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRankMicro(edgesDf(pairs: _*).repartition(17), iters = 3)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("labelPropagation: two bridged triangles, hand-unrolled 2 rounds") {
+    import spark.implicits._
+    // direction must not matter: edges given one-directional
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: min-tie-break over neighbor ids; round 2 as hand-computed
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is partitioning-invariant and drops self-loops") {
+    import spark.implicits._
+    val pairs = (1L to 300L).map(i => (i % 40, (i * 11) % 40))
+    val df = pairs.toDF("src", "dst")
+    val a = Graph.labelPropagation(df, rounds = 3)
+    val b = Graph.labelPropagation(df.repartition(13), rounds = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every label must be a node id from the graph
+    val nodes = a.select("node").as[Long].collect().toSet
+    assert(a.select("label").as[Long].collect().forall(nodes.contains))
+  }
 }
