@@ -85,5 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TokenTopCount(arity(exprs, 1, 1, "token_top_count").head))
     inject("nfc_normalize", classOf[NfcNormalize])(exprs =>
       NfcNormalize(arity(exprs, 1, 1, "nfc_normalize").head))
+    inject("jaro_winkler", classOf[JaroWinklerSim])(exprs => {
+      arity(exprs, 2, 2, "jaro_winkler")
+      JaroWinklerSim(exprs.head, exprs(1)) })
   }
 }

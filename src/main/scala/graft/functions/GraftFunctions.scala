@@ -89,6 +89,8 @@ object GraftFunctions {
         intArg(exprs, 1, 128, "minhash_band_keys"),
         intArg(exprs, 2, 32, "minhash_band_keys")) })
     reg("simhash64")(exprs => SimHash64(arity(exprs, 1, 1, "simhash64").head))
+    reg("jaro_winkler")(exprs => { arity(exprs, 2, 2, "jaro_winkler")
+      JaroWinklerSim(exprs.head, exprs(1)) })
     spark.udf.register("sha3_512", sha3_512Fn)
   }
 }

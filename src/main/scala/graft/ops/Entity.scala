@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.JaroWinkler
+
+/** Record linkage / entity resolution (SURVEY.md §2.3 curation family):
+  * match dirty name fields (suppliers, authors, domains) against a
+  * canonical corpus without the all-pairs cross join.
+  *
+  * The classic blocking shape: candidates = equi-join on a cheap blocking
+  * key (lowercased `blockChars`-prefix) PLUS a length band (|Δlen| ≤
+  * `maxEdit` — an edit-distance lower bound, so it prunes nothing that
+  * could confirm), then confirm with exact `levenshtein ≤ maxEdit` and
+  * score survivors with the codegen'd [[graft.functions.JaroWinkler]]
+  * expression. Never quadratic in the corpus: cost is Σ over blocks of
+  * |queries_block|·|corpus_block|, and the corpus side is typically the
+  * smaller canonical table (AQE broadcasts it when it measures small).
+  * Prefix blocking trades recall for scale exactly like LSH banding —
+  * a first-letter typo escapes the block; production raises recall by
+  * unioning a second key (e.g. length + last chars), same plan shape.
+  *
+  * Reference anchor: the reference keys everything by opaque uid
+  * (`/root/reference/src/catenae/utils.py:60-61`) and leaves fuzzy
+  * matching to user transforms; this is that transform, Spark-first. */
+object Entity {
+
+  /** Candidate + confirm + score. `queries` carries (`qid`, `name`),
+    * `corpus` carries (`name`) (dedup upstream if needed). Returns
+    * (qid, q_name, c_name, edit, jw) for every confirmed pair. */
+  def blockedMatches(queries: DataFrame, corpus: DataFrame,
+                     maxEdit: Int = 2, blockChars: Int = 2): DataFrame = {
+    require(maxEdit >= 0 && blockChars >= 1)
+    val q = queries.select(col("qid"), col("name").as("q_name"),
+      lower(substring(col("name"), 1, blockChars)).as("block"),
+      length(col("name")).as("q_len"))
+    val c = corpus.select(col("name").as("c_name"),
+      lower(substring(col("name"), 1, blockChars)).as("block"),
+      length(col("name")).as("c_len"))
+    q.join(c, Seq("block"))
+      .filter(abs(col("q_len") - col("c_len")) <= maxEdit)
+      .withColumn("edit", levenshtein(col("q_name"), col("c_name")))
+      .filter(col("edit") <= maxEdit)
+      .withColumn("jw", JaroWinkler.jaroWinkler(col("q_name"), col("c_name")))
+      .select("qid", "q_name", "c_name", "edit", "jw")
+  }
+}

@@ -2974,6 +2974,53 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Entity resolution ([[graft.ops.Entity.blockedMatches]]): every part
+    * name is mutated into a dirty variant (appended char / truncation /
+    * leetspeak substitution past the blocking prefix, by key mod 3) and
+    * matched back against the canonical name corpus — prefix-block
+    * equi-join + length band + `levenshtein ≤ 2` confirm, scored with
+    * the native codegen'd [[graft.functions.JaroWinklerSim]] expression.
+    * The oracle re-runs blocking/confirm with its own levenshtein and
+    * its own jaro_winkler_similarity — so the custom expression's
+    * arithmetic (match window, transposition halving, 0.7 boost
+    * threshold, 4-char prefix cap) is value-checked against an
+    * independent implementation, to 4 decimals, on every row. */
+  val q151EntityMatch: Q = q("q151_entity_match",
+    """WITH corpus AS (SELECT DISTINCT p_name AS name FROM part),
+      |v AS (SELECT p_partkey AS qid,
+      |  CASE p_partkey % 3
+      |    WHEN 0 THEN p_name || 'x'
+      |    WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+      |    ELSE substr(p_name, 1, 2) || replace(substr(p_name, 3), 'e', '3')
+      |  END AS name FROM part),
+      |m AS (SELECT qid, v.name AS q_name, c.name AS c_name,
+      |    levenshtein(v.name, c.name) AS edit,
+      |    jaro_winkler_similarity(v.name, c.name) AS jw
+      |  FROM v JOIN corpus c
+      |    ON lower(substr(v.name, 1, 2)) = lower(substr(c.name, 1, 2))
+      |   AND abs(length(v.name) - length(c.name)) <= 2
+      |  WHERE levenshtein(v.name, c.name) <= 2)
+      |SELECT qid, CAST(count(*) AS BIGINT) AS n_match,
+      |  CAST(min(edit) AS INT) AS best_edit,
+      |  round(max(jw), 4) AS best_jw
+      |FROM m GROUP BY qid ORDER BY qid""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val corpus = part.select(col("p_name").as("name")).distinct()
+    val variants = part.select(col("p_partkey").as("qid"),
+      when(col("p_partkey") % 3 === 0, concat(col("p_name"), lit("x")))
+        .when(col("p_partkey") % 3 === 1,
+          col("p_name").substr(lit(1), length(col("p_name")) - 1))
+        .otherwise(concat(substring(col("p_name"), 1, 2),
+          replace(col("p_name").substr(lit(3), lit(1000000)), lit("e"), lit("3"))))
+        .as("name"))
+    graft.ops.Entity.blockedMatches(variants, corpus, maxEdit = 2)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_match"),
+        min("edit").cast("int").as("best_edit"),
+        round(max("jw"), 4).as("best_jw"))
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -2999,5 +3046,6 @@ object PipelineQueries {
     q133MgHeavyHitters, q134EventPagerank, q136SemanticDecon, q137SourceKl,
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
-    q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn)
+    q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
+    q151EntityMatch)
 }
