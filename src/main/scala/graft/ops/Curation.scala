@@ -209,6 +209,33 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Deterministic stratified sampling: keep the `n` documents with the
+    * SMALLEST md5(content) per stratum (ties broken by `idCol`) — the
+    * balanced-downsample step of corpus mixing when a hard per-stratum
+    * cap matters more than [[temperatureResample]]'s proportional rates.
+    * Content-keyed like [[hashSplit]]: membership is a pure function of
+    * (text, stratum), stable across engines, runs, and re-shards — and
+    * because "n smallest hashes" is a bottom-k, adding documents to a
+    * stratum can only evict, never admit, so samples stay comparable
+    * across corpus versions.
+    *
+    * Plan: ONE hash-partitioned window per stratum (rank ≤ n). At 100 TB
+    * with a hot stratum, prefilter first — `md5-bucket < ~4n/|stratum| ·
+    * 2²⁴` keeps the window input tiny and cannot change the answer as
+    * long as ≥ n survivors remain (verify `count ≥ n` per stratum and
+    * fall back to the unfiltered window for the rare miss); same
+    * two-phase shape as [[Profile]]'s approx paths. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, n: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col("text")), col(idCol))
+    docs.withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") <= n)
+      .drop("graft_rk")
+  }
+
   /** Card-number candidates: 13–19 digits with optional space/dash
     * separators, word-bounded. Shared Java-regex∩RE2 syntax. */
   val CardCandRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"

@@ -599,4 +599,29 @@ object TextAnalysis {
       round(size(filter(toks, t => t.isin("the", "a", "of"))).cast("double") / nTok, 4)
         .as("stopword_ratio"))
   }
+
+  /** Latin∪Cyrillic homoglyph spoofing signals — the mixed-script check
+    * every crawl pipeline runs against Unicode-confusable spam (a
+    * Cyrillic 'а' inside a Latin word evades exact AND shingle dedup
+    * while rendering identically). Two columns:
+    *  - `n_mixed`: tokens containing BOTH a Latin and a Cyrillic letter
+    *    (explicit code-point ranges, identical in Java regex and RE2 —
+    *    script classes like `\p{IsLatin}` spell differently per engine);
+    *  - `skeleton`: the text with the common Cyrillic confusables folded
+    *    to their Latin homoglyphs (`translate`, one table) — the dedup
+    *    key that reunites spoofed duplicates with their originals.
+    * Pure per-row projections; codegen'd. */
+  val CyrillicConfusables = "аеорсухАВЕКМНОРСТХ"
+  val LatinFold = "aeopcyxABEKMHOPCTX"
+
+  def mixedScriptSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val latin = "[A-Za-z]"
+    val cyr = "[Ѐ-ӿ]"
+    docs
+      .withColumn("n_mixed",
+        size(filter(toks, t => t.rlike(latin) && t.rlike(cyr))).cast("long"))
+      .withColumn("skeleton",
+        translate(col(textCol), CyrillicConfusables, LatinFold))
+  }
 }

@@ -3021,6 +3021,56 @@ object PipelineQueries {
       .orderBy("qid")
   }
 
+  /** Deterministic stratified sampling
+    * ([[graft.ops.Curation.stratifiedSample]]): hard cap of 20 docs per
+    * source, membership = the 20 smallest md5(text) per stratum (ties by
+    * doc_id). The oracle re-runs the identical window rank — a changed
+    * tie-break or hash key changes the kept set. */
+  val q152StratifiedSample: Q = q("q152_stratified_sample",
+    """WITH r AS (SELECT doc_id, source, row_number() OVER (
+      |  PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rk <= 20
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.stratifiedSample(Tables.documents(s, d), "source", 20)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Homoglyph-spoofing detection
+    * ([[graft.ops.TextAnalysis.mixedScriptSignals]]): docs with
+    * doc_id % 9 == 0 get every Latin 'a' swapped for Cyrillic 'а'
+    * (renders identically, breaks every hash), then the detector counts
+    * mixed-script tokens and the confusable-fold skeleton must restore
+    * the original text exactly. The oracle replants, re-detects with the
+    * same code-point ranges, and re-folds with the same translate table. */
+  val q153MixedScript: Q = q("q153_mixed_script",
+    """WITH t AS (SELECT doc_id, text,
+      |  CASE WHEN doc_id % 9 = 0 THEN replace(text, 'a', 'а')
+      |       ELSE text END AS text2
+      |  FROM documents WHERE doc_id < 500),
+      |m AS (SELECT doc_id, text,
+      |  len(list_filter(string_split(text2, ' '),
+      |    x -> regexp_matches(x, '[A-Za-z]')
+      |      AND regexp_matches(x, '[Ѐ-ӿ]'))) AS n_mixed,
+      |  translate(text2, 'аеорсухАВЕКМНОРСТХ', 'aeopcyxABEKMHOPCTX')
+      |    AS skeleton FROM t)
+      |SELECT doc_id, CAST(n_mixed AS BIGINT) AS n_mixed,
+      |  CAST(CASE WHEN n_mixed > 0 THEN 1 ELSE 0 END AS INT) AS spoofed,
+      |  CAST(CASE WHEN skeleton = text THEN 1 ELSE 0 END AS INT)
+      |    AS skeleton_restores
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val spoofed = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .withColumn("text2",
+        when(col("doc_id") % 9 === 0, replace(col("text"), lit("a"), lit("а")))
+          .otherwise(col("text")))
+    TextAnalysis.mixedScriptSignals(spoofed, textCol = "text2")
+      .select(col("doc_id"), col("n_mixed"),
+        (col("n_mixed") > 0).cast("int").as("spoofed"),
+        (col("skeleton") === col("text")).cast("int").as("skeleton_restores"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3047,5 +3097,5 @@ object PipelineQueries {
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
-    q151EntityMatch)
+    q151EntityMatch, q152StratifiedSample, q153MixedScript)
 }

@@ -492,6 +492,42 @@ class CurationSpec extends SparkSpec {
       7L -> "word_count"))
   }
 
+  test("stratifiedSample: hard cap, determinism, evict-only growth") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"src${i % 4}", s"doc text $i"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.stratifiedSample(docs, "source", 10)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ === 10L) && bySrc.size === 4)
+    // determinism under repartitioning
+    val kept2 = Curation.stratifiedSample(docs.repartition(7), "source", 10)
+    assert(kept.select("doc_id").exceptAll(kept2.select("doc_id")).isEmpty)
+    // bottom-k property: growing the corpus can evict but never admit —
+    // every survivor of the grown corpus that existed before was a survivor
+    val grown = docs.unionAll(
+      (200 until 300).map(i => (i.toLong, s"src${i % 4}", s"doc text $i"))
+        .toDF("doc_id", "source", "text"))
+    val keptGrown = Curation.stratifiedSample(grown, "source", 10)
+      .filter(col("doc_id") < 200).select("doc_id")
+    assert(keptGrown.exceptAll(kept.select("doc_id")).isEmpty)
+  }
+
+  test("mixedScriptSignals: spoofed tokens counted, skeleton restores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain latin text"),
+      (2L, "tаble with cyrillic а"), // 'tаble' mixed; 'а' alone is not
+      (3L, "чисто русский текст")) // pure Cyrillic: no mixed tokens
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.mixedScriptSignals(docs)
+      .select("doc_id", "n_mixed", "skeleton")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 0L, "plain latin text")))
+    assert(got(1)._2 === 1L) // only 'tаble' mixes scripts
+    assert(got(1)._3 === "table with cyrillic a") // confusables folded
+    assert(got(2)._2 === 0L)
+  }
+
   test("luhnValid: known vectors; validCards filters; redactCards folds") {
     import spark.implicits._
     val got = Seq("4111111111111111", "4111111111111112",
