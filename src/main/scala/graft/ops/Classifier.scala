@@ -88,47 +88,45 @@ object Classifier {
                         textCol: String = "text"): LinearModel = {
     require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
     require(rounds > 0 && rounds <= 1000, s"rounds out of range: $rounds")
-    // (doc key, fid, x) bag-of-words counts — computed once, reused per round
+    // (doc key, fid, x) bag-of-words counts — computed once, reused per
+    // round. The bias is feature id `dim` (x = 1 per doc), so the bias
+    // gradient rides the SAME per-round aggregation instead of its own
+    // driver action (one Spark job per round, not two).
     val feats = docs
       .select(col(labelCol).cast("double").as("y"),
         monotonically_increasing_id().as("did"),
-        explode(hashedFeatures(col(textCol), dim)).as("fid"))
+        explode(concat(hashedFeatures(col(textCol), dim),
+          array(lit(dim.toLong)))).as("fid"))
       .groupBy("did", "y", "fid").agg(count(lit(1)).cast("double").as("x"))
       .persist()
-    val n = feats.select(countDistinct("did")).head().getLong(0).toDouble
+    val n = feats.filter(col("fid") === dim).count().toDouble
     require(n > 0, "no documents to train on")
 
-    var w = new Array[Double](dim)
-    var b = 0.0
+    var w = new Array[Double](dim + 1) // index dim = bias
     var r = 0
     while (r < rounds) {
       val wLit = array(w.toSeq.map(lit(_)): _*)
-      // z per doc, then the residual (p - y) joined back onto the
-      // feature rows by recomputing z in the same aggregation: one pass.
+      // z per doc (bias included via fid=dim), residual (p − y), then the
+      // gradient join-back — ≤ dim+1 rows reach the driver per round.
       val perDoc = feats.groupBy("did", "y")
-        .agg((sum(col("x") * element_at(wLit, col("fid").cast("int") + 1)) + b).as("z"))
+        .agg(sum(col("x") * element_at(wLit, col("fid").cast("int") + 1)).as("z"))
         .select(col("did"),
           (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("resid"))
-        .persist() // one row per doc; read twice below (grad + bias grad)
-      // gradient: ≤ dim rows reach the driver; partial agg map-side
       val grad = feats.join(perDoc, "did")
         .groupBy("fid").agg(sum(col("x") * col("resid")).as("g"))
         .collect()
-      val gb = perDoc.agg(sum("resid")).head().getDouble(0)
-      perDoc.unpersist()
       val nw = w.clone()
       var i = 0
-      while (i < nw.length) { nw(i) -= lr * l2 * w(i); i += 1 }
+      while (i < dim) { nw(i) -= lr * l2 * w(i); i += 1 } // no L2 on bias
       grad.foreach { row =>
         val f = row.getLong(0).toInt
         nw(f) -= lr * row.getDouble(1) / n
       }
       w = nw
-      b -= lr * gb / n
       r += 1
     }
     feats.unpersist()
-    LinearModel(w, b)
+    LinearModel(w.take(dim), w(dim))
   }
 
   /** Training log-loss of a model on a labeled frame (driver scalar). */

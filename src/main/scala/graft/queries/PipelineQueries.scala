@@ -2844,8 +2844,8 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
       .withColumn("y", array_contains(split(col("text"), " "), "spark").cast("int"))
     val model = graft.ops.Classifier.trainLogRegHashed(
-      s, docs.filter(col("doc_id") < 5000), labelCol = "y",
-      dim = 1024, rounds = 5, lr = 1.0)
+      s, docs.filter(col("doc_id") < 2000), labelCol = "y",
+      dim = 512, rounds = 3, lr = 1.0)
     graft.ops.Classifier.scoreWith(docs, model)
       .groupBy(col("y")) // exactly 2 rows regardless of decision flips
       .agg(count(lit(1)).as("n"),
