@@ -215,4 +215,35 @@ class QueriesSpec extends SparkSpec {
     val ts = spark.sql("SELECT max(ts) FROM events").collect()(0)
     assert(!ts.isNullAt(0))
   }
+
+  test("crawl-preprocessing queries are scan-stage projections (no join)") {
+    // q144/q146/q148/q150/q153 must plan as scan → project (→ agg):
+    // the per-row regex/classifier/gate batteries never join or
+    // shuffle beyond the final rollup/sort
+    Seq("q144_html_strip", "q146_logreg_score", "q148_gopher_rules",
+      "q150_card_luhn", "q153_mixed_script").foreach { name =>
+      val p = plan(run(name))
+      assert(!p.contains("Join"), s"$name plans a join: ${p.take(1500)}")
+      assert("Exchange".r.findAllIn(p).size <= 2,
+        s"$name has extra shuffles: ${p.take(1500)}")
+    }
+  }
+
+  test("q151: entity blocking is an equi-join, never a cartesian") {
+    val p = plan(run("q151_entity_match"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the JW expression stays native in the plan (no ScalaUDF wrapper)
+    assert(p.contains("jaro_winkler"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("q143/q152: rollup and sample keep their single hash exchange") {
+    val canon = plan(run("q143_url_canon"))
+    assert(!canon.contains("Join"), canon.take(1500))
+    val sample = plan(run("q152_stratified_sample"))
+    // one window over the strata partitioning plus the output sort
+    assert("Window".r.findAllIn(sample).nonEmpty, sample.take(1500))
+    assert(!sample.contains("Join"), sample.take(1500))
+  }
 }
