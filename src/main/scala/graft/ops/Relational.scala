@@ -127,4 +127,31 @@ object Relational {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("graft_bucket")
   }
+
+  /** Per-key union length of (possibly overlapping) integer intervals
+    * `[loCol, hiCol)` — "how much wall-clock was covered", the classic
+    * sweep-line aggregation (uptime, listening time, span coverage)
+    * that a naive `sum(hi - lo)` double-counts. ONE window pass: sort
+    * each key's intervals by (lo, hi), take the running max of `hi`
+    * over the preceding rows, and count only `hi − max(lo, prev_max)`
+    * clamped at 0 — overlap contributes nothing, duplicates contribute
+    * nothing, order ties cannot change the sum (a tied row sees the
+    * other's `hi` in its prefix max or contributes its excess — either
+    * way the total is identical). All integer arithmetic: order-free,
+    * engine-exact. One shuffle (the window partitioning); at 100 TB
+    * this is the same per-key sort any sessionization pays. */
+  def intervalUnionLength(df: DataFrame, keyCols: Seq[String],
+                          loCol: String, hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(loCol), col(hiCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMax = max(col(hiCol)).over(w)
+    val contrib = greatest(lit(0L),
+      col(hiCol) - greatest(col(loCol), coalesce(prevMax, col(loCol))))
+    df.withColumn("graft_contrib", contrib)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("graft_contrib").as("covered"))
+  }
 }

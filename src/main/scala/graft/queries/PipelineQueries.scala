@@ -3071,6 +3071,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Mergeable HLL sketch COLUMNS (Datasketches via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): per-source distinct-token
+    * profiles built independently, then unioned WITHOUT re-reading the
+    * corpus — the sketch-column workflow a 100 TB profile store needs
+    * (build per shard/day, merge on demand; registers are max-combined,
+    * so union of per-shard sketches equals the sketch of the union —
+    * SketchSpec asserts that identity and a ≤5% error vs exact).
+    * Rows-only: estimates are implementation-specific (order-free and
+    * run-deterministic, but not an arithmetic the SQL oracle shares). */
+  val q155HllUnion: Q = rowsOnly("q155_hll_union") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val per = tok.groupBy("source").agg(hll_sketch_agg(col("tok")).as("sk"))
+    val perOut = per.select(col("source"),
+      hll_sketch_estimate(col("sk")).cast("long").as("est_distinct_tokens"))
+    val total = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
+        .as("est_distinct_tokens"))
+      .withColumn("source", lit("__TOTAL__"))
+      .select("source", "est_distinct_tokens")
+    perOut.unionByName(total).orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3097,5 +3120,5 @@ object PipelineQueries {
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
-    q151EntityMatch, q152StratifiedSample, q153MixedScript)
+    q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion)
 }

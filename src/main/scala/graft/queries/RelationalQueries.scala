@@ -1242,7 +1242,37 @@ object RelationalQueries {
       .orderBy("l_returnflag", "p")
   }
 
+  /** Per-user union coverage of overlapping time intervals
+    * ([[graft.ops.Relational.intervalUnionLength]]): each event opens a
+    * `[ts, ts + value·1µs·10⁶)` interval and the sweep-line window sums
+    * only uncovered span — the aggregation a naive sum(hi−lo) gets
+    * wrong whenever intervals overlap. All integer micros (`floor`
+    * before the cast: DuckDB CAST rounds where Spark truncates); the
+    * oracle runs the identical running-max window. */
+  val q154IntervalUnion: Q = q("q154_interval_union",
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+      |  epoch_us(ts) + GREATEST(0, CAST(floor(value * 1000000) AS BIGINT)) AS hi
+      |  FROM events),
+      |sw AS (SELECT user_id, lo, hi,
+      |  max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+      |  FROM iv)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(GREATEST(0, hi - GREATEST(lo, COALESCE(prev_hi, lo))))
+      |    AS BIGINT) AS covered
+      |FROM sw GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val iv = graft.Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) +
+          greatest(lit(0L), floor(col("value") * 1000000).cast("long"))).as("hi"))
+    graft.ops.Relational.intervalUnionLength(iv, Seq("user_id"), "lo", "hi")
+      .select(col("user_id"), col("n_intervals"),
+        col("covered").cast("long").as("covered"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
+    q154IntervalUnion,
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q135BucketedRangeJoin,
     q25GroupingSets, q26Unpivot,

@@ -129,4 +129,32 @@ class RelationalOpsSpec extends SparkSpec {
       p.take(1500))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("intervalUnionLength: overlap, nesting, duplicates, disjoint, zero-width") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // key "a": [0,10) ∪ [5,15) ∪ [12,12) ∪ [20,25) = 15 + 0 + 5 = 20
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 12L, 12L), ("a", 20L, 25L),
+      // key "b": nested + duplicate: [0,100) ∪ [10,20) ∪ [0,100) = 100
+      ("b", 0L, 100L), ("b", 10L, 20L), ("b", 0L, 100L),
+      // key "c": single
+      ("c", 7L, 9L)).toDF("k", "lo", "hi")
+    val got = Relational.intervalUnionLength(iv, Seq("k"), "lo", "hi")
+      .select(col("k"), col("n_intervals"), col("covered").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    assert(got === Map("a" -> ((4L, 20L)), "b" -> ((3L, 100L)), "c" -> ((1L, 2L))))
+  }
+
+  test("intervalUnionLength is partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val iv = (1 to 500).map(i =>
+      (s"k${i % 7}", (i * 13 % 97).toLong, (i * 13 % 97 + i % 29).toLong))
+      .toDF("k", "lo", "hi")
+    val a = Relational.intervalUnionLength(iv, Seq("k"), "lo", "hi")
+    val b = Relational.intervalUnionLength(iv.repartition(11), Seq("k"), "lo", "hi")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

@@ -145,4 +145,23 @@ class SketchSpec extends SparkSpec {
     val Array(lo, hi) = orders.stat.approxQuantile("o_totalprice", Array(0.45, 0.55), 0.001)
     assert(p50 >= lo && p50 <= hi, s"p50=$p50 exact=$exact")
   }
+
+  test("HLL sketch columns: union of per-source sketches == direct sketch") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(s, SparkSpec.sf001)
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val merged = tok.groupBy("source")
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = tok
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est"))
+      .head().getLong(0)
+    // registers are max-combined: same lgK → identical merged state
+    assert(merged === direct, s"merged=$merged direct=$direct")
+    val exact = tok.select(countDistinct("tok")).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"est=$merged exact=$exact")
+  }
 }
