@@ -140,6 +140,39 @@ class CurationSpec extends SparkSpec {
       "server <IP> and line <PHONE> ok"))
   }
 
+  test("streaming quality-score gate link: classifier + Gopher rules in one pass") {
+    val s = spark
+    import s.implicits._
+    // a trained model gates the stream exactly like any other projection:
+    // the weight vector rides the plan as a literal, so the Link's
+    // transform is stateless and batch-order-independent
+    val trainDocs = (0 until 120).map { i =>
+      if (i % 2 == 0) (s"the table w${i % 5} clean good text here row", 1)
+      else (s"the table w${i % 5} spam junk garbage noise row", 0)
+    }.toDF("text", "y")
+    val model = graft.ops.Classifier.trainLogRegHashed(s, trainDocs, "y",
+      dim = 256, rounds = 10, lr = 2.0)
+    val reg = new graft.runtime.StreamRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-qgate").toString)
+    object QualityGateLink extends graft.runtime.Link {
+      val inputs = Seq("q_in"); val output = Some("q_kept")
+      override def transform(df: org.apache.spark.sql.DataFrame) = {
+        val scored = graft.ops.Classifier.scoreWith(
+          graft.ops.Curation.gopherRules(df, minWords = 5), model)
+        scored.filter(col("keep") && col("score") > 0.5)
+          .select("text")
+      }
+    }
+    reg.write(Seq(
+      "the table clean good text here row extra words make it pass",
+      "the table spam junk garbage noise row extra words also here",
+      "too short").toDF("text"), "q_in")
+    new graft.runtime.Pipeline(Seq(QualityGateLink)).runOnce(spark, reg)
+    val got = reg.read("q_kept").collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "the table clean good text here row extra words make it pass"))
+  }
+
   test("streaming hash-split router: docs fan out to per-split streams, batch-stable") {
     val s = spark
     import s.implicits._
