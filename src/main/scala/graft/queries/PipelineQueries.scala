@@ -3094,6 +3094,78 @@ object PipelineQueries {
     perOut.unionByName(total).orderBy("source")
   }
 
+  /** Round-8 curation pipeline v2 — the NEW stages composed end-to-end
+    * and oracle-checked as one flow: HTML wrap→strip roundtrip
+    * ([[graft.ops.WebText.visibleText]]), Luhn-validated card redaction
+    * ([[graft.ops.Curation.redactCards]] — cards planted on doc_id % 17
+    * with doc_id-derived check digits, so validity varies), Gopher rule
+    * gating, exact dedup, and a 25-per-source stratified cap. The
+    * oracle reruns redaction (the same prepend-then-fold over validated
+    * candidates via `list_reduce`), every Gopher ratio, the dedup rule,
+    * and the sample window. One shortcut, justified by q144: the
+    * wrap→strip roundtrip is the identity on this corpus (q144's `ok`
+    * column proves it per-row; no doc contains tags/entities/digits),
+    * so the oracle folds that stage — Spark still executes it. */
+  val q156CurationV2: Q = q("q156_curation_v2",
+    """WITH wc AS (SELECT doc_id, source, text ||
+      |    CASE WHEN doc_id % 17 = 0 THEN ' card 4532 0151 1283 ' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t0
+      |  FROM documents),
+      |red AS (SELECT doc_id, source, list_reduce(
+      |  list_prepend(t0, list_filter(
+      |    regexp_extract_all(t0, '\b(?:\d[ -]?){12,18}\d\b'),
+      |    x -> length(regexp_replace(x, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+      |      AND list_sum(list_transform(
+      |        range(1, length(regexp_replace(x, '[^0-9]', '', 'g')) + 1),
+      |        i -> CASE WHEN i % 2 = 0 THEN
+      |          CASE WHEN CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), i, 1) AS INT) * 2 > 9
+      |            THEN CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), i, 1) AS INT) * 2 - 9
+      |            ELSE CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), i, 1) AS INT) * 2 END
+      |          ELSE CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), i, 1) AS INT)
+      |        END)) % 10 = 0)),
+      |  (acc, c) -> replace(acc, c, '<CARD>')) AS text FROM wc),
+      |g AS (SELECT doc_id, source, text,
+      |  len(string_split(text, ' ')) AS nt,
+      |  ((length(text) - len(string_split(text, ' ')) + 1) * 1000000)
+      |    // len(string_split(text, ' ')) AS mw,
+      |  (len(list_filter(string_split(text, ' '),
+      |     x -> x = '#' OR x = '…' OR x LIKE '...%')) * 1000000)
+      |    // len(string_split(text, ' ')) AS sym,
+      |  (len(list_filter(string_split(text, ' '),
+      |     x -> regexp_matches(x, '[a-zA-Z]'))) * 1000000)
+      |    // len(string_split(text, ' ')) AS alpha,
+      |  len(list_intersect(list_distinct(string_split(text, ' ')),
+      |     ['the', 'a', 'value', 'table'])) AS sh
+      |  FROM red),
+      |keep AS (SELECT doc_id, source, text FROM g
+      |  WHERE nt BETWEEN 15 AND 100000 AND mw BETWEEN 3000000 AND 10000000
+      |    AND sym <= 100000 AND alpha >= 800000 AND sh >= 2),
+      |ex AS (SELECT doc_id, source, text FROM keep
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM keep GROUP BY text)),
+      |rk AS (SELECT doc_id, source, text, row_number() OVER (
+      |  PARTITION BY source ORDER BY md5(text), doc_id) AS rk FROM ex)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM rk WHERE rk <= 25 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val withCard = concat(col("text"),
+      when(col("doc_id") % 17 === 0, concat(lit(" card 4532 0151 1283 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+    val html = concat(lit("<html><body><p>"), withCard,
+      lit("</p><script>var x=1;</script><!-- c --></body></html>"))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      Curation.redactCards(WebText.visibleText(html)).as("text"))
+    val gated = Curation.gopherRules(base).filter(col("keep"))
+      .select("doc_id", "source", "text")
+    val mins = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val exact = gated.join(mins, Seq("doc_id", "text"), "left_semi")
+    val capped = Curation.stratifiedSample(exact, "source", 25)
+    capped.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3120,5 +3192,6 @@ object PipelineQueries {
     q138BestSurvivors, q139Containment, q140NfcDedup, q141Winnowing,
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
-    q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion)
+    q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
+    q156CurationV2)
 }
