@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 
@@ -27,18 +27,31 @@ object Entity {
 
   /** Candidate + confirm + score. `queries` carries (`qid`, `name`),
     * `corpus` carries (`name`) (dedup upstream if needed). Returns
-    * (qid, q_name, c_name, edit, jw) for every confirmed pair. */
+    * (qid, q_name, c_name, edit, jw) for every confirmed pair.
+    * `suffixBlock = true` unions a second candidate set blocked on the
+    * lowercased SUFFIX — recovering pairs whose typo falls inside the
+    * prefix key (the standard multi-key recall move; both probes share
+    * one plan shape, cost is two block joins + a distinct). */
   def blockedMatches(queries: DataFrame, corpus: DataFrame,
-                     maxEdit: Int = 2, blockChars: Int = 2): DataFrame = {
+                     maxEdit: Int = 2, blockChars: Int = 2,
+                     suffixBlock: Boolean = false): DataFrame = {
     require(maxEdit >= 0 && blockChars >= 1)
-    val q = queries.select(col("qid"), col("name").as("q_name"),
-      lower(substring(col("name"), 1, blockChars)).as("block"),
-      length(col("name")).as("q_len"))
-    val c = corpus.select(col("name").as("c_name"),
-      lower(substring(col("name"), 1, blockChars)).as("block"),
-      length(col("name")).as("c_len"))
-    q.join(c, Seq("block"))
-      .filter(abs(col("q_len") - col("c_len")) <= maxEdit)
+    def keyed(df: DataFrame, nameAs: String, lenAs: String)
+             (key: Column => Column): DataFrame =
+      df.select(df.columns.map(col) :+
+        key(col("name")).as("block") :+ length(col("name")).as(lenAs): _*)
+        .withColumnRenamed("name", nameAs)
+    def candidates(key: Column => Column): DataFrame =
+      keyed(queries, "q_name", "q_len")(key)
+        .join(keyed(corpus, "c_name", "c_len")(key), Seq("block"))
+        .filter(abs(col("q_len") - col("c_len")) <= maxEdit)
+        .select("qid", "q_name", "c_name")
+    val prefix = candidates(n => lower(substring(n, 1, blockChars)))
+    val cands =
+      if (!suffixBlock) prefix
+      else prefix.union(candidates(n =>
+        lower(n.substr(length(n) - blockChars + 1, lit(blockChars))))).distinct()
+    cands
       .withColumn("edit", levenshtein(col("q_name"), col("c_name")))
       .filter(col("edit") <= maxEdit)
       .withColumn("jw", JaroWinkler.jaroWinkler(col("q_name"), col("c_name")))

@@ -74,4 +74,19 @@ class EntitySpec extends SparkSpec {
       .select("jw").as[Double].collect()
     assert(jws.forall(_ > 0.8))
   }
+
+  test("suffix block recovers first-letter typos the prefix block misses") {
+    val corpus = Seq("red widget", "blue bolt").toDF("name")
+    val queries = Seq((1L, "Red widget"), (2L, "xed widget")).toDF("qid", "name")
+    val prefixOnly = Entity.blockedMatches(queries, corpus, maxEdit = 2)
+      .select("qid").as[Long].collect().toSet
+    assert(prefixOnly === Set(1L)) // "xe" block misses "re"
+    val both = Entity.blockedMatches(queries, corpus, maxEdit = 2,
+      suffixBlock = true).select("qid", "c_name")
+      .as[(Long, String)].collect().toSet
+    assert(both === Set((1L, "red widget"), (2L, "red widget")))
+    // the union is distinct: a pair caught by BOTH keys appears once
+    assert(Entity.blockedMatches(queries, corpus, maxEdit = 2,
+      suffixBlock = true).count() === 2)
+  }
 }
