@@ -206,4 +206,45 @@ object Profile {
       .orderBy(col("n").desc, col("key").asc)
       .limit(topN)
   }
+
+  /** Winsorized (percentile-clamped) robust statistics per group — the
+    * outlier-resistant mean every metric pipeline wants when a few
+    * extreme rows would otherwise dominate: values are clamped to the
+    * group's [loP, hiP] interpolated percentiles, then averaged.
+    *
+    * Engine-exact by construction: the group's values are collected
+    * SORTED (the q105 percentile shape), the thresholds interpolate on
+    * that array, and the clamped sum runs as a fold over the same
+    * sorted array in integer hundredths — a fixed evaluation order, so
+    * no float-sum reduction nondeterminism anywhere. The one float op
+    * (the final mean division) is a single division of two exact
+    * integers, identical on any engine.
+    *
+    * Scale note: per-group state is the value array — fine for
+    * bounded-cardinality groups (dashboards, per-flag stats). For
+    * groups that don't fit, swap thresholds to `approxQuantile` and
+    * clamp in a second pass (the [[profileApprox]] recipe); the
+    * fold-over-sorted-array exactness then relaxes with the sketch. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP < hiP, s"bad percentile bounds $loP/$hiP")
+    def pc(arr: Column, p: Double): Column = {
+      val h = lit(1.0) + lit(p) * (size(arr) - 1).cast("double")
+      val lo = element_at(arr, floor(h).cast("int"))
+      val hi = element_at(arr, least(floor(h) + 1, size(arr).cast("long")).cast("int"))
+      lo + (h - floor(h)) * (hi - lo)
+    }
+    val arr = col("graft_arr")
+    val loC = round(pc(arr, loP) * 100).cast("long")
+    val hiC = round(pc(arr, hiP) * 100).cast("long")
+    val wsum = aggregate(arr, lit(0L), (acc, x) =>
+      acc + least(greatest(round(x * 100).cast("long"), loC), hiC))
+    df.groupBy(groupCol)
+      .agg(sort_array(collect_list(qcol(valueCol))).as("graft_arr"))
+      .select(col(groupCol),
+        size(arr).cast("long").as("n"),
+        (loC.cast("double") / 100).as("lo_clamp"),
+        (hiC.cast("double") / 100).as("hi_clamp"),
+        round(wsum.cast("double") / size(arr) / 100, 2).as("winsorized_mean"))
+  }
 }

@@ -1271,8 +1271,38 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Winsorized robust mean ([[graft.ops.Profile.winsorizedStats]]):
+    * per-flag prices clamped to the group's interpolated [p05, p95] and
+    * averaged — exact by construction (sorted-array fold in integer
+    * cents; the only float op is one division of two exact integers).
+    * The oracle interpolates, clamps, and folds identically. */
+  val q157Winsorized: Q = q("q157_winsorized",
+    """WITH g AS (SELECT l_returnflag, list_sort(list(l_extendedprice)) AS arr
+      |  FROM lineitem GROUP BY l_returnflag),
+      |h AS (SELECT l_returnflag, arr, len(arr) AS n,
+      |  1 + 0.05 * (len(arr) - 1) AS h05,
+      |  1 + 0.95 * (len(arr) - 1) AS h95 FROM g),
+      |t AS (SELECT l_returnflag, arr, n,
+      |  CAST(round((arr[CAST(floor(h05) AS INT)] + (h05 - floor(h05)) *
+      |    (arr[LEAST(CAST(floor(h05) AS INT) + 1, n)]
+      |     - arr[CAST(floor(h05) AS INT)])) * 100) AS BIGINT) AS loc,
+      |  CAST(round((arr[CAST(floor(h95) AS INT)] + (h95 - floor(h95)) *
+      |    (arr[LEAST(CAST(floor(h95) AS INT) + 1, n)]
+      |     - arr[CAST(floor(h95) AS INT)])) * 100) AS BIGINT) AS hic
+      |  FROM h)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  loc / 100.0 AS lo_clamp, hic / 100.0 AS hi_clamp,
+      |  round(CAST(list_sum(list_transform(arr, x ->
+      |    LEAST(GREATEST(CAST(round(x * 100) AS BIGINT), loc), hic)))
+      |    AS DOUBLE) / n / 100, 2) AS winsorized_mean
+      |FROM t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    graft.ops.Profile.winsorizedStats(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
-    q154IntervalUnion,
+    q154IntervalUnion, q157Winsorized,
     q01PricingSummary, q02JoinChain, q03BroadcastJoin, q04SemiJoin, q05AntiJoin,
     q06ThetaJoin, q07AsofJoin, q24RangeJoin, q135BucketedRangeJoin,
     q25GroupingSets, q26Unpivot,

@@ -351,4 +351,30 @@ class ProfileSearchSpec extends SparkSpec {
     val b = graft.ops.TextAnalysis.sourceKlDivergence(docs.repartition(13))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("winsorizedStats: outliers clamped, mean exact, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    // 11 values 1..10 plus an outlier 1000; p05/p95 of the sorted array
+    // interpolate near the edges, so the 1000 clamps to hi_clamp
+    val df = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("k", "v")
+    val row = Profile.winsorizedStats(df, "k", "v", 0.1, 0.9).head()
+    val n = row.getLong(1)
+    val hi = row.getDouble(3)
+    val mean = row.getDouble(4)
+    assert(n === 11L)
+    assert(hi < 1000.0) // the outlier cannot be its own clamp
+    // hand-recompute: clamped sum in cents / n
+    val arr = ((1 to 10).map(_.toDouble) :+ 1000.0).sorted
+    def pc(p: Double): Double = {
+      val h = 1.0 + p * (arr.size - 1)
+      val lo = arr(h.toInt - 1); val hiV = arr(math.min(h.toInt, arr.size - 1))
+      lo + (h - math.floor(h)) * (hiV - lo)
+    }
+    val loC = math.round(pc(0.1) * 100); val hiC = math.round(pc(0.9) * 100)
+    val wsum = arr.map(x => math.min(math.max(math.round(x * 100), loC), hiC)).sum
+    assert(math.abs(mean - math.rint(wsum.toDouble / 11 / 100 * 100) / 100) < 0.011)
+    val again = Profile.winsorizedStats(df.repartition(5), "k", "v", 0.1, 0.9).head()
+    assert(again.getDouble(4) === mean)
+  }
 }
