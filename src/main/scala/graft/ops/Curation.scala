@@ -209,6 +209,22 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Within-group rank normalization: `pct` = percent_rank of `valueCol`
+    * inside each `groupCol` partition — maps every source's score
+    * distribution onto [0, 1] so thresholds compare ACROSS sources (a
+    * quality cutoff of "top 30%" means the same thing for a clean and a
+    * noisy crawl, which a raw-score threshold never does). Exact and
+    * order-free: percent_rank is (rank−1)/(n−1) over integer ranks, ties
+    * share a rank, and the single division of two exact integers is
+    * engine-identical. One window shuffle, same cost class as any
+    * per-group ranking. */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                    as: String = "pct"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(as, percent_rank().over(
+      Window.partitionBy(groupCol).orderBy(col(valueCol))))
+  }
+
   /** Deterministic stratified sampling: keep the `n` documents with the
     * SMALLEST md5(content) per stratum (ties broken by `idCol`) — the
     * balanced-downsample step of corpus mixing when a hard per-stratum

@@ -3166,6 +3166,26 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Cross-source rank normalization ([[graft.ops.Curation.rankNormalize]]):
+    * per-source percent_rank of doc length, then a global "top 30% of
+    * each source" gate — the cutoff that means the same thing for every
+    * source regardless of its raw score distribution. Oracle reruns the
+    * identical window; ties share ranks, so the check is exact. */
+  val q158RankNormalize: Q = q("q158_rank_normalize",
+    """WITH r AS (SELECT doc_id, source, n_chars, percent_rank() OVER (
+      |  PARTITION BY source ORDER BY n_chars) AS pct FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN pct >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+      |  CAST(min(CASE WHEN pct >= 0.7 THEN n_chars END) AS BIGINT) AS top_cutoff_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Curation.rankNormalize(Tables.documents(s, d), "source", "n_chars")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pct") >= 0.7, 1L).otherwise(0L)).as("n_top"),
+        min(when(col("pct") >= 0.7, col("n_chars"))).as("top_cutoff_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3193,5 +3213,5 @@ object PipelineQueries {
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
-    q156CurationV2)
+    q156CurationV2, q158RankNormalize)
 }
