@@ -212,19 +212,23 @@ object Profile {
     * extreme rows would otherwise dominate: values are clamped to the
     * group's [loP, hiP] interpolated percentiles, then averaged.
     *
-    * Engine-exact by construction: the group's values are collected
-    * SORTED (the q105 percentile shape), the thresholds interpolate on
-    * that array, and the clamped sum runs as a fold over the same
-    * sorted array in integer hundredths — a fixed evaluation order, so
-    * no float-sum reduction nondeterminism anywhere. The one float op
-    * (the final mean division) is a single division of two exact
-    * integers, identical on any engine.
+    * Engine-exact by construction, in two passes:
+    *  1. thresholds: the group's values are collected SORTED (the q105
+    *     percentile shape — arrays exist ONLY in this threshold
+    *     aggregate, never in the hot path) and the [loP, hiP] bounds
+    *     interpolate on that array, rounded to integer hundredths;
+    *  2. the clamped sum: the thresholds broadcast-join back onto the
+    *     rows and the sum runs as an ordinary codegen'd LONG aggregate
+    *     over clamped integer cents — exact under any reduction order
+    *     (no float sum anywhere). The one float op (the final mean
+    *     division) is a single division of two exact integers.
     *
-    * Scale note: per-group state is the value array — fine for
+    * Scale note: pass-1 state is the per-group value array — fine for
     * bounded-cardinality groups (dashboards, per-flag stats). For
-    * groups that don't fit, swap thresholds to `approxQuantile` and
-    * clamp in a second pass (the [[profileApprox]] recipe); the
-    * fold-over-sorted-array exactness then relaxes with the sketch. */
+    * groups that don't fit, swap pass 1 to `approxQuantile` thresholds
+    * (the [[profileApprox]] recipe); pass 2 is unchanged and the
+    * integer-exactness of the sum survives — only the thresholds
+    * become approximate. */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
                       loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP < hiP, s"bad percentile bounds $loP/$hiP")
@@ -235,16 +239,21 @@ object Profile {
       lo + (h - floor(h)) * (hi - lo)
     }
     val arr = col("graft_arr")
-    val loC = round(pc(arr, loP) * 100).cast("long")
-    val hiC = round(pc(arr, hiP) * 100).cast("long")
-    val wsum = aggregate(arr, lit(0L), (acc, x) =>
-      acc + least(greatest(round(x * 100).cast("long"), loC), hiC))
-    df.groupBy(groupCol)
+    val thresholds = df.groupBy(groupCol)
       .agg(sort_array(collect_list(qcol(valueCol))).as("graft_arr"))
       .select(col(groupCol),
-        size(arr).cast("long").as("n"),
-        (loC.cast("double") / 100).as("lo_clamp"),
-        (hiC.cast("double") / 100).as("hi_clamp"),
-        round(wsum.cast("double") / size(arr) / 100, 2).as("winsorized_mean"))
+        round(pc(arr, loP) * 100).cast("long").as("graft_lo_c"),
+        round(pc(arr, hiP) * 100).cast("long").as("graft_hi_c"))
+    val clamped = least(greatest(round(qcol(valueCol) * 100).cast("long"),
+      col("graft_lo_c")), col("graft_hi_c"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        (first(col("graft_lo_c")).cast("double") / 100).as("lo_clamp"),
+        (first(col("graft_hi_c")).cast("double") / 100).as("hi_clamp"),
+        sum(clamped).as("graft_wsum"))
+      .select(col(groupCol), col("n"), col("lo_clamp"), col("hi_clamp"),
+        round(col("graft_wsum").cast("double") / col("n") / 100, 2)
+          .as("winsorized_mean"))
   }
 }
