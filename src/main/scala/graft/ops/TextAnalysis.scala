@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY.md §2.3):
@@ -613,6 +613,43 @@ object TextAnalysis {
     * Pure per-row projections; codegen'd. */
   val CyrillicConfusables = "аеорсухАВЕКМНОРСТХ"
   val LatinFold = "aeopcyxABEKMHOPCTX"
+
+  /** Per-document DEFLATE compression ratio — the classic cheap proxy
+    * for repetition/boilerplate (near-duplicate boilerplate compresses
+    * to almost nothing; diverse prose doesn't), used as a quality gate
+    * alongside [[topBigramShare]]: the two catch different failure
+    * shapes (exact repetition vs low lexical diversity).
+    *
+    * mapPartitions with ONE `Deflater` per partition, reset per row —
+    * the per-partition-init shape of [[Multimodal.decodePayloads]]
+    * (codec handles are exactly the kind of state you init once per
+    * executor task, never per row). Output ratio is integral micros
+    * (compressed·10⁶ div raw). Deterministic for a fixed zlib level on
+    * a platform; engine-internal by nature → rows-only + spec-gated,
+    * like the other codec/sketch surfaces. */
+  def compressionSignals(spark: SparkSession, docs: DataFrame,
+                         level: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(level >= 1 && level <= 9, s"bad deflate level $level")
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio = if (raw.length == 0) 1000000L
+            else compressed * 1000000L / raw.length
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "compressed_bytes", "ratio_micros")
+  }
 
   def mixedScriptSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(col(textCol), " ")

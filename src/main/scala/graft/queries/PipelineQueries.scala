@@ -3193,6 +3193,22 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Compression-ratio quality signal
+    * ([[graft.ops.TextAnalysis.compressionSignals]]): DEFLATE ratio per
+    * doc, rolled up per source with a "suspiciously compressible"
+    * (ratio < 0.35) count — the boilerplate/repetition gate. Rows-only
+    * (zlib byte counts are codec-internal); ProfileSearchSpec pins the
+    * discriminative behavior and determinism. */
+  val q159CompressionQuality: Q = rowsOnly("q159_compression_quality") { (s, d) =>
+    val sig = graft.ops.TextAnalysis.compressionSignals(s, Tables.documents(s, d))
+    sig.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ratio_micros").as("ratio_micros_sum"),
+        sum((col("ratio_micros") < 350000L).cast("long")).as("n_boilerplate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3220,5 +3236,5 @@ object PipelineQueries {
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
-    q156CurationV2, q158RankNormalize)
+    q156CurationV2, q158RankNormalize, q159CompressionQuality)
 }

@@ -352,6 +352,25 @@ class ProfileSearchSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compressionSignals: repetition compresses, prose doesn't; deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "ab " * 300),                                       // pure repetition
+      (2L, (1 to 300).map(i => s"w${i * 7919 % 9973}").mkString(" ")), // diverse
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignals(spark, docs)
+      .select("doc_id", "ratio_micros").as[(Long, Long)].collect().toMap
+    assert(got(1L) < 100000L, s"repetition must compress hard: ${got(1L)}")
+    assert(got(2L) > 400000L, s"diverse text must not: ${got(2L)}")
+    assert(got(3L) === 1000000L) // empty doc: ratio pinned to 1.0
+    // deterministic across partitionings (per-partition Deflater reuse
+    // must not leak state between rows)
+    val again = TextAnalysis.compressionSignals(spark, docs.repartition(3))
+      .select("doc_id", "ratio_micros").as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
   test("winsorizedStats: outliers clamped, mean exact, repartition-stable") {
     val s = spark
     import s.implicits._
