@@ -3209,6 +3209,80 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** PII exposure audit: per-source counts of each PII family BEFORE
+    * redaction — the report a data-governance pass wants next to
+    * [[graft.ops.Curation.redactPii]] (which strips; this measures).
+    * PII is planted deterministically (email/IP/phone/card rotating by
+    * doc_id % 4) and counted with the SAME regexes both engines share;
+    * the card column counts only Luhn-VALID candidates, so the checksum
+    * arithmetic is exercised again in aggregate form. */
+  val q160PiiStats: Q = q("q160_pii_stats",
+    """WITH t AS (SELECT doc_id, source, text ||
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN ' mail bob@example.com and eve@test.org'
+      |    WHEN 1 THEN ' from 10.0.113.9'
+      |    WHEN 2 THEN ' call +1-555-0100'
+      |    ELSE ' pay 4532 0151 1283 ' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END AS text
+      |  FROM documents),
+      |m AS (SELECT source,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+      |  len(regexp_extract_all(text, '\+?[0-9]+(-[0-9]+)+')) AS n_phone,
+      |  len(list_filter(list_transform(
+      |    regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b'),
+      |    x -> regexp_replace(x, '[^0-9]', '', 'g')),
+      |    dg -> length(dg) BETWEEN 13 AND 19 AND
+      |      list_sum(list_transform(range(1, length(dg) + 1),
+      |        i -> CASE WHEN i % 2 = 0 THEN
+      |          CASE WHEN CAST(substr(reverse(dg), i, 1) AS INT) * 2 > 9
+      |            THEN CAST(substr(reverse(dg), i, 1) AS INT) * 2 - 9
+      |            ELSE CAST(substr(reverse(dg), i, 1) AS INT) * 2 END
+      |          ELSE CAST(substr(reverse(dg), i, 1) AS INT)
+      |        END)) % 10 = 0)) AS n_card FROM t)
+      |SELECT source, CAST(sum(n_email) AS BIGINT) AS emails,
+      |  CAST(sum(n_ip) AS BIGINT) AS ips,
+      |  CAST(sum(n_phone) AS BIGINT) AS phones,
+      |  CAST(sum(n_card) AS BIGINT) AS cards
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val planted = concat(col("text"),
+      when(col("doc_id") % 4 === 0, " mail bob@example.com and eve@test.org")
+        .when(col("doc_id") % 4 === 1, " from 10.0.113.9")
+        .when(col("doc_id") % 4 === 2, " call +1-555-0100")
+        .otherwise(concat(lit(" pay 4532 0151 1283 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(planted, lit(Curation.EmailRe), lit(0))).as("e"),
+        size(regexp_extract_all(planted, lit(Curation.Ipv4Re), lit(0))).as("i"),
+        size(regexp_extract_all(planted, lit(Curation.PhoneRe), lit(0))).as("p"),
+        size(Curation.validCards(planted)).as("c"))
+      .groupBy("source")
+      .agg(sum("e").as("emails"), sum("i").as("ips"),
+        sum("p").as("phones"), sum("c").as("cards"))
+      .orderBy("source")
+  }
+
+  /** Order-free corpus fingerprint: per source, the sum of per-doc
+    * md5-prefix integers (mod 2⁴⁰ per element — overflow headroom for
+    * 2²² docs/group under ANSI arithmetic) plus the doc count. Equal
+    * fingerprints ⟺ equal content multisets w.h.p., computable by ANY
+    * engine in any order — the "did this corpus version change?"
+    * primitive that costs one aggregation and no sort. */
+  val q161CorpusFingerprint: Q = q("q161_corpus_fingerprint",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+      |    AS fingerprint
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long").as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("h").as("fingerprint"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3236,5 +3310,6 @@ object PipelineQueries {
     q142Hits, q143UrlCanon, q144HtmlStrip, q145MediaGates, q146LogregScore,
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
-    q156CurationV2, q158RankNormalize, q159CompressionQuality)
+    q156CurationV2, q158RankNormalize, q159CompressionQuality,
+    q160PiiStats, q161CorpusFingerprint)
 }
