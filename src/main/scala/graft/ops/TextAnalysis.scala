@@ -614,6 +614,24 @@ object TextAnalysis {
   val CyrillicConfusables = "аеорсухАВЕКМНОРСТХ"
   val LatinFold = "aeopcyxABEKMHOPCTX"
 
+  /** Collapse runs of consecutively-repeated tokens down to `keep`
+    * occurrences — the within-document repetition cleanup ("very very
+    * very very good" → "very good") that complements the cross-document
+    * span dedup in [[Dedup.removeDuplicateSpans]] and the corpus-level
+    * gates: generation artifacts and scraped chat logs repeat in-place,
+    * which no document-level hash catches. Pure index-filter HOF chain
+    * (keep position i iff fewer than `keep` of its immediate
+    * predecessors carry the same token) — engine-identical, zero
+    * shuffle, codegen-safe array ops over one row. */
+  def collapseTokenRuns(text: Column, keep: Int = 1): Column = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val a = split(text, " ")
+    val idx = filter(sequence(lit(1), size(a)), i =>
+      (1 to keep).map(k => i <= k || element_at(a, i) =!= element_at(a, i - k))
+        .reduce(_ || _))
+    array_join(transform(idx, i => element_at(a, i)), " ")
+  }
+
   /** Per-document DEFLATE compression ratio — the classic cheap proxy
     * for repetition/boilerplate (near-duplicate boilerplate compresses
     * to almost nothing; diverse prose doesn't), used as a quality gate

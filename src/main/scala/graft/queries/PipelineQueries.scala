@@ -3283,6 +3283,37 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Within-document run collapse
+    * ([[graft.ops.TextAnalysis.collapseTokenRuns]]): planted
+    * "very very very very" runs (doc_id % 5) plus the corpus's natural
+    * consecutive repeats collapse to one occurrence; the oracle reruns
+    * the identical index-filter chain and compares token counts AND the
+    * md5 of the collapsed text, so a dropped first-token guard or an
+    * off-by-one in the predecessor compare diverges. */
+  val q162CollapseRuns: Q = q("q162_collapse_runs",
+    """WITH t AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' very very very very good'
+      |       ELSE '' END AS tx FROM documents WHERE doc_id < 400),
+      |c AS (SELECT doc_id, string_split(tx, ' ') AS a FROM t),
+      |r AS (SELECT doc_id, len(a) AS n_before,
+      |  array_to_string(list_transform(
+      |    list_filter(range(1, len(a) + 1), i -> i = 1 OR a[i] <> a[i-1]),
+      |    i -> a[i]), ' ') AS collapsed FROM c)
+      |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+      |  CAST(len(string_split(collapsed, ' ')) AS BIGINT) AS n_after,
+      |  md5(collapsed) AS collapsed_md5
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tx = concat(col("text"),
+      when(col("doc_id") % 5 === 0, " very very very very good").otherwise(""))
+    val collapsed = TextAnalysis.collapseTokenRuns(tx)
+    Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"),
+        size(split(tx, " ")).cast("long").as("n_before"),
+        size(split(collapsed, " ")).cast("long").as("n_after"),
+        md5(collapsed).as("collapsed_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3311,5 +3342,5 @@ object PipelineQueries {
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
     q156CurationV2, q158RankNormalize, q159CompressionQuality,
-    q160PiiStats, q161CorpusFingerprint)
+    q160PiiStats, q161CorpusFingerprint, q162CollapseRuns)
 }

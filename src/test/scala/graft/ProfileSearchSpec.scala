@@ -352,6 +352,20 @@ class ProfileSearchSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("collapseTokenRuns: runs collapse to keep, non-runs untouched") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("very very very very good", "a b a b", "x", "a a b b a a")
+      .toDF("t")
+      .select(TextAnalysis.collapseTokenRuns(col("t")).as("c1"),
+        TextAnalysis.collapseTokenRuns(col("t"), keep = 2).as("c2"))
+      .as[(String, String)].collect().toSeq
+    assert(got(0) === (("very good", "very very good")))
+    assert(got(1) === (("a b a b", "a b a b"))) // alternation is not a run
+    assert(got(2) === (("x", "x")))
+    assert(got(3) === (("a b a", "a a b b a a")))
+  }
+
   test("compressionSignals: repetition compresses, prose doesn't; deterministic") {
     val s = spark
     import s.implicits._
