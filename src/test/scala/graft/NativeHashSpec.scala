@@ -54,6 +54,20 @@ class NativeHashSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("jaro_winkler stays in the codegen span; wrong arity/type rejected") {
+    GraftFunctions.register(spark)
+    val p = Tables.documents(spark, SparkSpec.sf0001)
+      .selectExpr("jaro_winkler(text, source) AS j")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [jaro_winkler"), p.take(1000))
+    intercept[Exception](spark.sql("SELECT jaro_winkler('a')").collect())
+    intercept[Exception](spark.sql("SELECT jaro_winkler('a', 1)").collect())
+    // literal inputs constant-fold at plan time
+    val folded = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .queryExecution.optimizedPlan.toString
+    assert(folded.contains("0.961111"), folded)
+  }
+
   test("NfcNormalize: composed == decomposed, null-safe, codegen'd, SQL-callable") {
     val s = spark
     import s.implicits._
