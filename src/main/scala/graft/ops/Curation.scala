@@ -230,7 +230,8 @@ object Curation {
     * balanced-downsample step of corpus mixing when a hard per-stratum
     * cap matters more than [[temperatureResample]]'s proportional rates.
     * Content-keyed like [[hashSplit]]: membership is a pure function of
-    * (text, stratum), stable across engines, runs, and re-shards — and
+    * (`textCol` content, stratum), stable across engines, runs, and
+    * re-shards — and
     * because "n smallest hashes" is a bottom-k, adding documents to a
     * stratum can only evict, never admit, so samples stay comparable
     * across corpus versions.
@@ -242,11 +243,12 @@ object Curation {
     * fall back to the unfiltered window for the rare miss); same
     * two-phase shape as [[Profile]]'s approx paths. */
   def stratifiedSample(docs: DataFrame, strataCol: String, n: Int,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col("text")), col(idCol))
+      .orderBy(md5(col(textCol)), col(idCol))
     docs.withColumn("graft_rk", row_number().over(w))
       .filter(col("graft_rk") <= n)
       .drop("graft_rk")

@@ -653,6 +653,12 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level, true)
+        // release native zlib memory when the task ends (normally OR on
+        // early abort/limit) instead of waiting for finalization — across
+        // many tasks on a large corpus the unreleased handles pressure
+        // off-heap memory
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -56,12 +56,17 @@ object WebText {
       .when(auth1.startsWith("https://") && auth1.endsWith(":443"),
         auth1.substr(lit(1), length(auth1) - 4))
       .otherwise(auth1)
-    // path + query cleanup
+    // path + query cleanup. The tracker-name matches are ANCHORED to a
+    // preceding '?' or '&' so a legitimate param whose name merely ENDS
+    // in a tracker name (`?my_fbclid=1`) is never spliced (two passes,
+    // still backreference-free — Java-regex∩RE2):
     val r1 = regexp_replace(rest0, "/{2,}", "/")
-    // tracking param followed by another param: drop "name=val&"
-    val r2 = regexp_replace(r1, "(utm_[a-z]*|fbclid|gclid)=[^&]*&", "")
-    // tracking param at the end: drop it with its leading ? or &
-    val r3 = regexp_replace(r2, "[?&](utm_[a-z]*|fbclid|gclid)=[^&]*$", "")
+    // '&'-led tracking param (mid or end): drop "&name=val"
+    val r2a = regexp_replace(r1, "&(utm_[a-z]*|fbclid|gclid)=[^&]*", "")
+    // '?'-led tracking param with params following: drop it, keep '?'
+    val r2 = regexp_replace(r2a, "\\?(utm_[a-z]*|fbclid|gclid)=[^&]*&", "?")
+    // '?'-led tracking param as the only survivor: drop it with the '?'
+    val r3 = regexp_replace(r2, "\\?(utm_[a-z]*|fbclid|gclid)=[^&]*$", "")
     val r4 = regexp_replace(r3, "[?&]$", "")
     val rest = when(r4.endsWith("/") && length(r4) > 1 && !r4.contains("?"),
         r4.substr(lit(1), length(r4) - 1))

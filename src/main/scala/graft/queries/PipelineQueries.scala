@@ -2631,10 +2631,11 @@ object PipelineQueries {
       |       WHEN auth1 LIKE 'https://%' AND auth1 LIKE '%:443'
       |         THEN substr(auth1, 1, length(auth1) - 4)
       |       ELSE auth1 END AS auth,
-      |  regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(rest0, '/{2,}', '/', 'g'),
-      |    '(utm_[a-z]*|fbclid|gclid)=[^&]*&', '', 'g'),
-      |    '[?&](utm_[a-z]*|fbclid|gclid)=[^&]*$', '', 'g'),
+      |    '&(utm_[a-z]*|fbclid|gclid)=[^&]*', '', 'g'),
+      |    '\?(utm_[a-z]*|fbclid|gclid)=[^&]*&', '?', 'g'),
+      |    '\?(utm_[a-z]*|fbclid|gclid)=[^&]*$', '', 'g'),
       |    '[?&]$', '', 'g') AS r4 FROM c3),
       |c5 AS (SELECT doc_id, auth ||
       |  CASE WHEN r4 LIKE '%/' AND length(r4) > 1 AND r4 NOT LIKE '%?%'

@@ -31,6 +31,14 @@ class WebTextSpec extends SparkSpec {
     // already-canonical URL is a fixed point
     assert(canon("http://example.com/a/b?id=5")
       === Seq("http://example.com/a/b?id=5"))
+    // a legit param whose NAME ends in a tracker name must survive —
+    // the tracker match is anchored to a preceding '?' or '&'
+    assert(canon("http://a.com/p?my_fbclid=1&b=2")
+      === Seq("http://a.com/p?my_fbclid=1&b=2"))
+    assert(canon("http://a.com/p?xutm_z=1") === Seq("http://a.com/p?xutm_z=1"))
+    // tracker-first with real params following keeps the '?'
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&c=3")
+      === Seq("http://a.com/p?c=3"))
   }
 
   test("canonicalUrl is idempotent") {
