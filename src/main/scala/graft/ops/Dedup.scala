@@ -917,6 +917,56 @@ object Dedup {
     confirmJaccard(cands, shIc, shCc, "doc_new", "doc_corpus", minJaccard)
   }
 
+  /** The MinHash-LSH band projection of a document frame: one
+    * `(doc_id, band)` row per (doc, band) — the persistable candidate
+    * index of [[minHashLshAgainstCorpus]]. A streaming/incremental
+    * deployment materializes THIS (32 longs per doc) once per admitted
+    * document and feeds it to [[minHashLshAgainstCorpusBanded]], so each
+    * batch's screen never re-shingles the corpus. */
+  def minHashBandProjection(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(bandKeysCol(hashedShingles(col("text"), n))).as("band"))
+
+  /** [[minHashLshAgainstCorpus]] with the corpus's band projection
+    * PRECOMPUTED (`corpusBands` = [[minHashBandProjection]] of `corpus`,
+    * appended incrementally as documents are admitted): identical output,
+    * but per-batch corpus-side prep is a scan of the compact band index —
+    * never a re-shingle of corpus text.
+    *
+    * Batch-proportional by construction:
+    *  - the corpus band index is first SEMI-JOINED to the batch's own
+    *    band keys (a broadcast-sized set), so the hot-band count and the
+    *    candidate join only ever touch corpus bands the batch actually
+    *    probes — per-band counts are unchanged by that prune (pruning is
+    *    band-complete), so `maxBandSize` semantics match the recompute
+    *    path exactly;
+    *  - corpus TEXT is touched only for confirmed-candidate docs (a
+    *    semi-join prune BEFORE the shingle recompute), i.e. shingle work
+    *    on the corpus side is candidate-proportional.
+    *
+    * `corpusBands` may contain benign surplus from at-least-once appends:
+    * duplicate band rows collapse in the candidate `distinct()`, and
+    * bands of a doc_id absent from `corpus` die in the confirm semi-join. */
+  def minHashLshAgainstCorpusBanded(corpus: DataFrame, corpusBands: DataFrame,
+                                    incoming: DataFrame, minJaccard: Double,
+                                    n: Int = 3,
+                                    maxBandSize: Int = 0): DataFrame = {
+    val shI = incoming.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val bandsI = shI.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
+    val probed = corpusBands.select(col("doc_id"), col("band"))
+      .join(bandsI.select("band").distinct(), Seq("band"), "left_semi")
+    val cands = bandsI.as("i").join(capBands(probed, maxBandSize).as("c"),
+        col("i.band") === col("c.band") && col("i.doc_id") =!= col("c.doc_id"))
+      .select(col("i.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
+      .distinct()
+    val shCc = corpus
+      .join(cands.select(col("doc_corpus").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val shIc = shI.join(cands.select(col("doc_new").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    confirmJaccard(cands, shIc, shCc, "doc_new", "doc_corpus", minJaccard)
+  }
+
   /** Token offsets whose k-gram occurs ≥2 times corpus-wide — the shared
     * candidate stage of [[duplicateSpans]] / [[removeDuplicateSpans]].
     * Dup grams via groupBy + semi-join rather than count-over-window:

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import graft.ops.Dedup
 
-/** Streaming incremental near-dup gate — [[graft.ops.Dedup.minHashLshAgainstCorpus]]
+/** Streaming incremental near-dup gate — [[graft.ops.Dedup.minHashLshAgainstCorpusBanded]]
   * composed into a runtime [[Link]] (the streaming sibling of the exact
   * Bloom gate in `Dedup.dedupAgainstCorpus`, and the near-dup analog of
   * the exact-dedup `CurationLink` shape): each micro-batch of arriving
@@ -17,10 +17,20 @@ import graft.ops.Dedup
   * admitted before them, incrementally, without ever re-pairing
   * corpus × corpus.
   *
+  * **Amortized corpus prep.** The corpus's MinHash band projection is a
+  * pure function of the corpus stream, so the gate persists it as its own
+  * registry stream (`bandsStream`, `(doc_id, band)` — 32 longs per doc)
+  * and appends each admitted survivor's bands ALONGSIDE admission. A
+  * batch's screen therefore reads the compact band index and the batch
+  * itself; corpus TEXT is only touched for confirmed-candidate docs (the
+  * [[Dedup.minHashLshAgainstCorpusBanded]] contract) — per-batch work is
+  * Σ over the batch's band keys of the corpus band df, NOT a corpus
+  * re-shingle. A pre-existing corpus (seeded before the gate first ran)
+  * is back-filled into the band stream ONCE, when the gate first creates
+  * it.
+  *
   * Semantics and contracts:
-  *  - per-batch work is batch-proportional (Σ over incoming bands of the
-  *    corpus band df — the `minHashLshAgainstCorpus` guarantee), with the
-  *    corpus-side hot-band cap DEFAULTING ON ([[Dedup.DefaultHotKeyCap]])
+  *  - the corpus-side hot-band cap DEFAULTS ON ([[Dedup.DefaultHotKeyCap]])
   *    as at every cluster-level dedup entry point;
   *  - near-dups WITHIN one micro-batch are admitted together (the gate
   *    compares arrivals to the accepted corpus, not to each other) —
@@ -28,39 +38,54 @@ import graft.ops.Dedup
   *    trigger interval for a tighter gate, or run the batch clusterers
   *    (`nearDupClusters*`) as a periodic sweep over the corpus stream;
   *  - offsets are exactly-once (the link checkpoint), so a replay with no
-  *    new input appends nothing; the two side-effect writes inside the
+  *    new input appends nothing; the three side-effect writes inside the
   *    batch are at-least-once under a mid-batch crash, like any
-  *    foreachBatch sink — downstream consumers of `pairsStream` dedup on
-  *    (doc_new, doc_corpus) if they need idempotence;
+  *    foreachBatch sink — bands are written BEFORE corpus docs, so a
+  *    crash between the two can only leave surplus band rows (benign:
+  *    duplicates collapse in the candidate distinct, and bands of a
+  *    not-yet-admitted doc die in the confirm semi-join), never a corpus
+  *    doc invisible to future screening. Downstream consumers of
+  *    `pairsStream` dedup on (doc_new, doc_corpus) if they need
+  *    idempotence;
   *  - doc_ids must be globally unique across the corpus and all batches
-  *    (the `minHashLshAgainstCorpus` id-space contract).
-  *
-  * At 100 TB the corpus re-shingling per batch is the cost to watch: the
-  * band projection is a pure function of the corpus stream, so a
-  * deployment persists it as its own banded stream (bucketed by band) and
-  * appends survivors' bands alongside — same join, amortized prep; this
-  * link keeps the simpler recompute form, correct at any scale and right
-  * whenever batches are not tiny relative to corpus growth. */
+  *    (the `minHashLshAgainstCorpus` id-space contract). */
 class NearDupGateLink(input: String, corpusStream: String,
                       pairsStream: String, minJaccard: Double,
                       n: Int = 3,
-                      maxBandSize: Int = Dedup.DefaultHotKeyCap)
+                      maxBandSize: Int = Dedup.DefaultHotKeyCap,
+                      bandsStreamName: String = "")
     extends Link {
 
   val inputs: Seq[String] = Seq(input)
   val output: Option[String] = None
+
+  /** Name of the persisted band-projection stream. */
+  val bandsStream: String =
+    if (bandsStreamName.nonEmpty) bandsStreamName else s"${corpusStream}__bands"
 
   private val pairsSchema = StructType(Seq(
     StructField("doc_new", LongType), StructField("doc_corpus", LongType),
     StructField("jaccard", DoubleType)))
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", LongType)))
 
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
     registry.declare(pairsStream, pairsSchema)
-    if (!registry.exists(corpusStream)) registry.declare(corpusStream, docSchema)
+    val seedCorpus = registry.exists(corpusStream)
+    if (!seedCorpus) registry.declare(corpusStream, docSchema)
+    if (!registry.exists(bandsStream)) {
+      registry.declare(bandsStream, bandSchema)
+      // one-time backfill of a corpus seeded before the gate existed
+      if (seedCorpus) {
+        val seed = registry.read(corpusStream)
+        if (!seed.isEmpty)
+          registry.write(Dedup.minHashBandProjection(seed, n), bandsStream)
+      }
+    }
     registry.readStream(input).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, pairsStream))
       .trigger(trigger)
@@ -70,12 +95,15 @@ class NearDupGateLink(input: String, corpusStream: String,
         // corpus directory it is itself about to append to
         val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
         val corpus = registry.read(corpusStream)
-        val pairs = Dedup.minHashLshAgainstCorpus(corpus, b, minJaccard, n,
-          maxBandSize).localCheckpoint()
+        val corpusBands = registry.read(bandsStream)
+        val pairs = Dedup.minHashLshAgainstCorpusBanded(corpus, corpusBands,
+          b, minJaccard, n, maxBandSize).localCheckpoint()
         registry.write(pairs, pairsStream)
         val survivors = b.join(
           pairs.select(col("doc_new").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        // bands FIRST (see at-least-once ordering note in the scaladoc)
+        registry.write(Dedup.minHashBandProjection(survivors, n), bandsStream)
         registry.write(survivors, corpusStream)
       }
       .start()

@@ -54,6 +54,59 @@ class DedupSpec extends SparkSpec {
     assert(inc === ref)
   }
 
+  test("banded incremental screening: parity with the recompute path; band " +
+    "keys are computed over the BATCH only — never over the corpus scan") {
+    import spark.implicits._
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    // the batch arrives as an in-memory frame (a micro-batch), so the
+    // plan-walk below can tell batch-side band-key work (over a
+    // LocalRelation) from corpus-side re-shingling (over the parquet scan)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .toDF("doc_id", "text")
+    // materialized band index — the persisted band stream a deployment
+    // reads back, NOT live lineage over the corpus scan
+    val evenBands = Dedup.minHashBandProjection(even)
+      .as[(Long, Long)].collect().toSeq.toDF("doc_id", "band")
+    val banded = Dedup.minHashLshAgainstCorpusBanded(even, evenBands, odd, 0.8)
+    val ref = Dedup.minHashLshAgainstCorpus(even, odd, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = banded
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ref.nonEmpty && got === ref)
+    // surplus band rows are benign: duplicates + bands of an unadmitted
+    // doc (id 999 absent from the corpus text frame) change nothing
+    val surplus = evenBands.union(evenBands)
+      .union(evenBands.limit(5).withColumn("doc_id", lit(999L)))
+    val gotSurplus = Dedup
+      .minHashLshAgainstCorpusBanded(even, surplus, odd, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSurplus === ref)
+    // the amortization claim, as a plan property: in the banded plan, NO
+    // node that computes minhash_band_keys sits over the corpus's parquet
+    // relation — every band-key computation is batch-side. The recompute
+    // path must trip the same detector (band keys over the corpus scan).
+    def bandKeysOverParquet(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case node if node.expressions.exists(_.collectFirst {
+            case e if e.prettyName.startsWith("minhash_band_keys") => ()
+          }.nonEmpty) =>
+          node.collectLeaves().exists(
+            _.getClass.getSimpleName.contains("LogicalRelation"))
+      }.exists(identity)
+    assert(!bandKeysOverParquet(banded),
+      banded.queryExecution.optimizedPlan.toString.take(1500))
+    assert(bandKeysOverParquet(Dedup.minHashLshAgainstCorpus(even, odd, 0.8)))
+    // ... and a capped banded screen still matches the capped recompute
+    val cappedRef = Dedup.minHashLshAgainstCorpus(even, odd, 0.8,
+        maxBandSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cappedGot = Dedup.minHashLshAgainstCorpusBanded(even, evenBands, odd,
+        0.8, maxBandSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cappedGot === cappedRef)
+  }
+
   test("df>1 pruning changes nothing: pruned == unpruned pair sets and jaccards") {
     val plain = Dedup.jaccardNearDupPairs(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

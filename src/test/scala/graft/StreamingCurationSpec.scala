@@ -117,9 +117,18 @@ class StreamingCurationSpec extends SparkSpec {
     // gate semantics: matched arrivals (10, 20) never entered the corpus
     assert(reg.read("nd_corpus").collect().map(_.getAs[Long]("doc_id")).sorted
       === Array(1L, 11L, 21L))
-    // replaying with no new input appends nothing (exactly-once offsets)
+    // the persisted band index tracks the corpus EXACTLY: the seed doc
+    // back-filled once at gate start, plus each survivor's 32 bands
+    // appended alongside its admission — the amortized-prep invariant
+    val bands = reg.read(link.bandsStream)
+    assert(bands.select("doc_id").distinct().collect()
+      .map(_.getAs[Long]("doc_id")).sorted === Array(1L, 11L, 21L))
+    assert(bands.count() === 3 * 32)
+    // replaying with no new input appends nothing (exactly-once offsets),
+    // to the band index included
     link.start(spark, reg).awaitTermination()
     assert(reg.read("nd_pairs").count() === streamed.size)
     assert(reg.read("nd_corpus").count() === 3)
+    assert(reg.read(link.bandsStream).count() === 3 * 32)
   }
 }
