@@ -529,19 +529,75 @@ object Dedup {
       .select(col("doc_id"), lpad(hex(simHashCol(col("s"))), 16, "0").as("simhash"),
         size(col("s")).cast("long").as("n_shingles"))
 
-  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
-    * simhash bands (any pair within hamming distance 3 must agree on one
-    * band by pigeonhole); confirmed at `maxHamming`. Same
-    * inverted-index-not-cross-join shape as MinHash banding. */
-  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4 bands of 16 bits guarantee candidate completeness only for hamming <= 3")
-    val fp = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
-      .select(col("doc_id"), simHashCol(col("s")).as("h"))
+  /** Engine-portable SimHash: the classic per-bit majority vote of
+    * [[simHash]], but over md5-DERIVED 60-bit shingle hashes (first 15
+    * md5 hex chars → a non-negative long) instead of the internal fnv
+    * pipeline — so the WHOLE fingerprint, shingling included, is
+    * re-derivable verbatim in any engine with md5 and the bit-vote is a
+    * full value oracle (the q141 winnowing md5-ordering precedent,
+    * extended from ordering to bit arithmetic). Bit j of the fingerprint
+    * is set iff STRICTLY more than half of the document's distinct
+    * word-`n`-gram shingles have bit j set in their hash — ties → 0,
+    * deterministic in any engine.
+    *
+    * Shape: explode distinct shingles (the q32 inverted-index projection),
+    * explode 60 bit positions, ONE (doc, bit) partial-aggregated groupBy,
+    * one per-doc rollup — everything doc-keyed, nothing corpus-wide. The
+    * 60× bit fanout costs more than [[simHash]]'s fused native expression
+    * (which stays the fast path); this is the cross-engine-auditable
+    * sibling, same trade as `winnowingFingerprints`' md5 encoding. Bit
+    * arithmetic avoids shift-by-column: `(h div 2^j) mod 2` with the
+    * powers as one array literal — exact integral division on longs, no
+    * double rounding.
+    *
+    * @return (doc_id, simhash60, n_shingles); docs with fewer than `n`
+    *         words yield no row */
+  def simHashMd5(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val pow2 = array((0 until 60).map(j => lit(1L << j)): _*)
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("wd"))
+      .filter(size(col("wd")) >= n)
+    val sh = toked.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
+          i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("h"))
+    val bits = sh.select(col("doc_id"),
+        explode(sequence(lit(0), lit(59))).as("j"),
+        col("h"))
+      .withColumn("p", element_at(pow2, col("j").cast("int") + 1))
+      .select(col("doc_id"), col("j"), col("p"),
+        expr("pmod(h div p, 2)").as("bit"))
+    bits.groupBy("doc_id", "j", "p")
+      .agg(sum("bit").as("ones"), count(lit(1)).as("m"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("ones") * 2 > col("m"), col("p")).otherwise(0L))
+          .as("simhash60"),
+        max("m").as("n_shingles"))
+  }
+
+  /** Hamming-near pairs over ANY 64-bit fingerprint frame `(doc_id, h)` —
+    * the banded candidate machinery shared by [[simHashNearDupPairs]]
+    * (text SimHash) and `Multimodal.imageNearDupPairs` (perceptual image
+    * hashes). The fingerprint is cut into the smallest power-of-two band
+    * count STRICTLY greater than `maxHamming` (so any pair within the
+    * threshold agrees on ≥1 whole band by pigeonhole — candidate
+    * completeness is guaranteed, not probabilistic), candidates come from
+    * a band-bucket equi-self-join, and the exact `bit_count(xor)` confirm
+    * keeps only pairs at `hamming ≤ maxHamming`. Same
+    * inverted-index-not-cross-join shape as MinHash banding; fewer bits
+    * per band (higher thresholds) → more candidates per bucket, the usual
+    * LSH recall/cost dial. */
+  private[graft] def hamming64Pairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (16 bands of 4 bits), got $maxHamming")
+    val bands = Seq(1, 2, 4, 8, 16).find(_ > maxHamming).get
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val banded = fp.select(col("doc_id"), col("h"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("h"), b * 16).bitwiseAND(0xffffL).as("bits"))): _*)).as("bk"))
+          shiftright(col("h"), b * bits).bitwiseAND(mask).as("bits"))): _*)).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bits"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
@@ -552,6 +608,17 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one simhash band
+    * (any pair within the hamming threshold must agree on one band by
+    * pigeonhole — see [[hamming64Pairs]]); confirmed at `maxHamming`. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee candidate completeness only for hamming <= 3")
+    val fp = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+      .select(col("doc_id"), simHashCol(col("s")).as("h"))
+    hamming64Pairs(fp, maxHamming)
   }
 
   /** Incremental dedup of a new batch against an existing (huge) corpus:

@@ -51,9 +51,12 @@ object Entity {
       if (!suffixBlock) prefix
       else prefix.union(candidates(n =>
         lower(n.substr(length(n) - blockChars + 1, lit(blockChars))))).distinct()
+    // bounded 3-arg levenshtein (the Dedup.editDistancePairs idiom):
+    // O(len·maxEdit) banded DP per pair instead of O(len²), returning −1
+    // past the bound — so the confirm cost stays linear in name length
     cands
-      .withColumn("edit", levenshtein(col("q_name"), col("c_name")))
-      .filter(col("edit") <= maxEdit)
+      .withColumn("edit", levenshtein(col("q_name"), col("c_name"), maxEdit))
+      .filter(col("edit") >= 0)
       .withColumn("jw", JaroWinkler.jaroWinkler(col("q_name"), col("c_name")))
       .select("qid", "q_name", "c_name", "edit", "jw")
   }

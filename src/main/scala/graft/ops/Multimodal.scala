@@ -163,6 +163,169 @@ object Multimodal {
           i => floor(i * length(col("payload")).cast("long") / k).cast("long"))
           .as("frame_offsets"))
 
+  // ------------------------------------------------- perceptual image hash
+
+  /** Perceptual-hash row: `decoded` marks payloads ImageIO could turn
+    * into pixels (PNG/BMP/GIF/JPEG in a stock JDK); undecodable payloads
+    * keep zero hashes and are EXCLUDED from near-dup joins by the caller
+    * filtering on `decoded`. */
+  case class PerceptualHash(
+      doc_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      a_hash: Long,
+      d_hash: Long)
+
+  /** aHash + dHash over DECODED pixels — the standard perceptual image
+    * near-dup fingerprints byte-identity dedup can't reach (a resized or
+    * re-encoded image changes every byte but barely moves either hash):
+    *  - both hashes read an integer per-mille luminance
+    *    (299·R + 587·G + 114·B) block-mean grid computed in ONE pixel
+    *    pass — means by exact integral division, comparisons on Long
+    *    means, no floats anywhere, so the fingerprint is
+    *    platform-deterministic;
+    *  - dHash: 9×8 grid, bit (y,x) ⇔ mean(y,x+1) > mean(y,x) — the
+    *    gradient-sign hash, robust to brightness/contrast shifts;
+    *  - aHash: 8×8 grid, bit ⇔ 64·mean(cell) > Σ means — the global-mean
+    *    hash, cheaper signal, kept alongside for agreement checks.
+    * Near-dup = small hamming distance; compose with
+    * [[imageNearDupPairs]] (banded candidates, never all-pairs).
+    *
+    * Scale shape: mapPartitions (the per-partition decoder-init point of
+    * [[decodePayloads]]); decode cost dominates the grid pass. At 100 TB
+    * the hashes are computed once at ingest and stored beside the
+    * payload; only the 8-byte fingerprints ever shuffle. */
+  def perceptualHashes(spark: SparkSession, docs: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (native lib handle etc.)
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+              val (a, d) = pixelHashes(im)
+              PerceptualHash(id, decoded = true, im.getWidth, im.getHeight, a, d)
+            case _ => PerceptualHash(id, decoded = false, 0, 0, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** One pixel pass → (aHash, dHash). Grid cell of pixel (x, y) is
+    * (x·gw/W, y·gh/H) — floor partition, so cells tile the image exactly
+    * and cell means are surface averages (resize-stable for smooth
+    * content). All-integer; see [[perceptualHashes]] for the bit rules. */
+  private def pixelHashes(im: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = im.getWidth; val h = im.getHeight
+    // 9×8 (dHash) and 8×8 (aHash) luminance sums, one pass
+    val dSum = new Array[Long](72); val dCnt = new Array[Long](72)
+    val aSum = new Array[Long](64); val aCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val dy = (y.toLong * 8 / h).toInt; val ay = dy
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val dx = (x.toLong * 9 / w).toInt
+        val ax = (x.toLong * 8 / w).toInt
+        val di = dy * 9 + dx; val ai = ay * 8 + ax
+        dSum(di) += lum; dCnt(di) += 1
+        aSum(ai) += lum; aCnt(ai) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // exact integral cell means (count 0 only when w<9/h<8 leaves a cell
+    // empty — treat as 0, deterministic)
+    val dMean = Array.tabulate(72)(i => if (dCnt(i) == 0) 0L else dSum(i) / dCnt(i))
+    val aMean = Array.tabulate(64)(i => if (aCnt(i) == 0) 0L else aSum(i) / aCnt(i))
+    var dBits = 0L; var aBits = 0L
+    val aTotal = aMean.sum
+    var k = 0
+    while (k < 64) {
+      val gy = k / 8; val gx = k % 8
+      if (dMean(gy * 9 + gx + 1) > dMean(gy * 9 + gx)) dBits |= 1L << k
+      if (aMean(k) * 64 > aTotal) aBits |= 1L << k
+      k += 1
+    }
+    (aBits, dBits)
+  }
+
+  /** Perceptual near-dup pairs over a [[perceptualHashes]] frame: the
+    * [[Dedup.hamming64Pairs]] banded machinery (pigeonhole-complete
+    * candidates, exact hamming confirm, never all-pairs) on `hashCol`.
+    * Undecoded rows are excluded — zero-hash placeholders must not pair. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
+                        hashCol: String = "d_hash"): DataFrame =
+    Dedup.hamming64Pairs(
+      hashes.filter(col("decoded")).select(col("doc_id"), col(hashCol).as("h")),
+      maxHamming)
+
+  /** Deterministic smooth synthetic image payloads — the pixel-bearing
+    * fixture generator for the perceptual-hash path (this container has
+    * no raster corpus; a real pipeline feeds stored blobs straight to
+    * [[perceptualHashes]]). Each row's image is a bilinear interpolation
+    * of a 4×4 byte lattice seeded from `seed`, rendered at `side`² and
+    * encoded with ImageIO: SMOOTH content, so re-rendering the same seed
+    * at a different `side` is a true RESIZED duplicate (near-identical
+    * perceptual hash, entirely different bytes) and a different `format`
+    * (png/bmp — lossless) is a true RE-ENCODED duplicate (identical
+    * pixels, different container). Input: `(doc_id, seed)`. Output:
+    * `(doc_id, payload)`. */
+  def syntheticImagePayloads(spark: SparkSession, ids: DataFrame,
+                             side: Int = 32, format: String = "png"): DataFrame = {
+    import spark.implicits._
+    require(side >= 2 && side <= 4096, s"side out of range: $side")
+    require(format == "png" || format == "bmp",
+      s"lossless ImageIO formats only (png/bmp), got $format")
+    ids.select(col("doc_id").cast("long"), col("seed").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, seed) =>
+          val im = renderLattice(seed, side)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, format, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** 4×4-lattice bilinear surface at `side`² — 16.16-free integer
+    * fixed-point (8-bit fractions), grayscale. */
+  private def renderLattice(seed: Long, side: Int): java.awt.image.BufferedImage = {
+    def lat(i: Int, j: Int): Int = {
+      var x = seed ^ (i * 0x9E3779B97F4A7C15L) ^ (j * 0xC2B2AE3D27D4EB4FL)
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      (x & 0xffL).toInt
+    }
+    val im = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      val fy = y * (3 << 8) / (side - 1)
+      val j = math.min(fy >> 8, 2); val fv = fy - (j << 8)
+      var x = 0
+      while (x < side) {
+        val fx = x * (3 << 8) / (side - 1)
+        val i = math.min(fx >> 8, 2); val fu = fx - (i << 8)
+        val v = ((lat(i, j) * (256 - fu) + lat(i + 1, j) * fu) * (256 - fv) +
+          (lat(i, j + 1) * (256 - fu) + lat(i + 1, j + 1) * fu) * fv) >> 16
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    im
+  }
+
   /** LAION-style media curation gates over decoded [[AvFeature]] metadata
     * (the dataset-cleaning pass that runs on header fields alone, BEFORE
     * any pixel/sample decode — at 100 TB the whole gate is an O(header)

@@ -128,17 +128,34 @@ object Similarity {
     * (the q40 precedent), ties broken toward the LOWEST eval id via the
     * negated-id struct max.
     *
+    * The benchmark-sized contract is ENFORCED, not assumed: the eval set
+    * is counted first and an oversized one fails loudly (listing the
+    * composition escape hatch) instead of OOMing the executors mid-scan —
+    * at `maxEvalRows` = 250k and a 768-dim double embedding the broadcast
+    * is ~1.5 GB, the sane ceiling for an executor-resident table. The
+    * count is one O(|eval|) job on the SMALL side, noise next to the
+    * corpus scan it guards.
+    *
     * @return (vec_id, contaminated, best_eval_id, best_cos) — one row
     *         per valid training vector; `contaminated` ⇔ best_cos ≥ minCos
     */
   def semanticContaminationFlags(train: DataFrame, evalSet: DataFrame,
-                                 minCos: Double): DataFrame = {
+                                 minCos: Double,
+                                 maxEvalRows: Long = 250000L): DataFrame = {
+    require(maxEvalRows > 0, s"maxEvalRows must be positive, got $maxEvalRows")
     val t = train.select(col("vec_id"),
       col("embedding").cast("array<double>").as("te"))
       .withColumn("tn", norm(col("te")))
     val ev = evalSet.select(col("vec_id").as("eval_id"),
       col("embedding").cast("array<double>").as("ee"))
       .withColumn("en", norm(col("ee")))
+    val evalRows = ev.count()
+    require(evalRows <= maxEvalRows,
+      s"semanticContaminationFlags eval set has $evalRows rows > " +
+        s"maxEvalRows=$maxEvalRows — too big to broadcast against the " +
+        "corpus. Shrink/partition the eval set, raise maxEvalRows if the " +
+        "cluster's executors can hold it, or compose lshCosineCandidates " +
+        "with an exact-cosine confirm for the LSH-bucketed (lossy) path.")
     t.crossJoin(broadcast(ev))
       .select(col("vec_id"), col("eval_id"),
         round(cosOrNull(dot(col("te"), col("ee")), col("tn"), col("en")), 4)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -3315,6 +3315,58 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Engine-portable SimHash ([[graft.ops.Dedup.simHashMd5]]): 60-bit
+    * fingerprint from md5-derived shingle hashes with a strict-majority
+    * bit vote — the FULL value oracle the fast internal-hash q34 can't
+    * have (its fnv ordering is JVM-internal). The oracle re-derives
+    * shingling, 15-hex-char hash, per-bit vote, and bit reassembly in
+    * integer space; any drift in tie rule, bit width, or distinctness
+    * diverges. Doc-keyed aggregations only. */
+  val q163SimhashMd5: Q = q("q163_simhash_md5",
+    """WITH toked AS (SELECT doc_id, string_split(text, ' ') AS wd
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(wd) - 1),
+      |    i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])) AS s FROM toked),
+      |ex AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(s) AS sg FROM sh0)),
+      |bits AS (SELECT doc_id, j, (1::BIGINT << j) AS p,
+      |    (h // (1::BIGINT << j)) % 2 AS bit
+      |  FROM ex, (SELECT unnest(range(0, 60)) AS j)),
+      |votes AS (SELECT doc_id, j, p, sum(bit) AS ones, count(*) AS m
+      |  FROM bits GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN 2 * ones > m THEN p ELSE 0 END) AS BIGINT)
+      |    AS simhash60,
+      |  CAST(max(m) AS BIGINT) AS n_shingles
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.simHashMd5(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Perceptual image near-dup ([[graft.ops.Multimodal.perceptualHashes]]
+    * + `imageNearDupPairs`): deterministic smooth images are rendered per
+    * doc (bilinear 4×4 lattice seeded by doc_id), with planted RESIZED
+    * (16² re-render, id+100000) and RE-ENCODED (bmp container, id+200000)
+    * duplicates — the image-dedup cases byte-identity cannot catch; the
+    * banded hamming join retrieves them. Rows-only: pixel decode is not
+    * SQL-expressible (RuntimeExtrasSpec gates planted-dup recall,
+    * re-encode hamming-0 collision, and junk exclusion). */
+  val q164ImagePhash: Q = rowsOnly("q164_image_phash") { (s, d) =>
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("doc_id").as("seed"))
+    val resized = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("seed"))
+    val reenc = base.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("seed"))
+    val payloads = Multimodal.syntheticImagePayloads(s, base, 32, "png")
+      .union(Multimodal.syntheticImagePayloads(s, resized, 16, "png"))
+      .union(Multimodal.syntheticImagePayloads(s, reenc, 32, "bmp"))
+    val hashes = Multimodal.perceptualHashes(s, payloads).toDF()
+    Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3343,5 +3395,6 @@ object PipelineQueries {
     q147LogregTrain, q148GopherRules, q149LabelProp, q150CardLuhn,
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
     q156CurationV2, q158RankNormalize, q159CompressionQuality,
-    q160PiiStats, q161CorpusFingerprint, q162CollapseRuns)
+    q160PiiStats, q161CorpusFingerprint, q162CollapseRuns, q163SimhashMd5,
+    q164ImagePhash)
 }

@@ -232,6 +232,32 @@ class DedupSpec extends SparkSpec {
     assert(dists.nonEmpty && dists.sum.toDouble / dists.length > 16.0)
   }
 
+  test("simHashMd5: duplicates collide exactly; near-dups land close in " +
+    "hamming, random pairs far; 60-bit range") {
+    val sh = Dedup.simHashMd5(docs).select("doc_id", "simhash60")
+    val fps = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // non-negative 60-bit fingerprints (15 md5 hex chars, no sign bit)
+    assert(fps.values.forall(f => f >= 0L && f < (1L << 60)))
+    // identical text ⇒ identical fingerprint (pure function of content):
+    // a planted exact copy under a fresh id collides bit-for-bit
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") === 0L)
+        .select(lit(900000L).as("doc_id"), col("text")))
+    val pf = Dedup.simHashMd5(planted).filter(col("doc_id").isin(0L, 900000L))
+      .select("simhash60").collect().map(_.getLong(0))
+    assert(pf.length === 2 && pf(0) === pf(1))
+    // near-dups at jaccard ≥ 0.8 stay within 16 of 60 bits; random pairs
+    // average above 20 flips
+    val near = Dedup.jaccardNearDupPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => java.lang.Long.bitCount(fps(r.getLong(0)) ^ fps(r.getLong(1))))
+    assert(near.nonEmpty && near.forall(_ <= 16), near.mkString(","))
+    val rand = fps.toSeq.sortBy(_._1).take(20).map(_._2)
+    val dists = for (a <- rand; b <- rand if a < b)
+      yield java.lang.Long.bitCount(a ^ b)
+    assert(dists.sum.toDouble / dists.length > 20.0)
+  }
+
   test("simHashNearDupPairs: complete for hamming ≤ 3, nothing above threshold") {
     val got = graft.ops.Dedup.simHashNearDupPairs(docs, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -89,4 +89,45 @@ class EntitySpec extends SparkSpec {
     assert(Entity.blockedMatches(queries, corpus, maxEdit = 2,
       suffixBlock = true).count() === 2)
   }
+
+  test("planted-typo recall measurement: the blocking trade-off in numbers " +
+    "— suffix+prefix recovers what prefix-only loses") {
+    // 100 distinct two-word names; ONE deterministic substitution planted
+    // per name at a seeded position (guaranteed edit distance 1 — no
+    // vocabulary word contains 'z')
+    val adjs = Vector("alpha", "bravo", "crimson", "delta", "ember",
+      "frost", "golden", "harbor", "ivory", "jade")
+    val nouns = Vector("widget", "bolt", "ring", "gear", "crate",
+      "spool", "valve", "lever", "plate", "flange")
+    val names = for { a <- adjs; n <- nouns } yield s"$a $n"
+    val rnd = new scala.util.Random(42)
+    val cases = names.zipWithIndex.map { case (name, i) =>
+      val pos = rnd.nextInt(name.length)
+      (i.toLong, name.updated(pos, 'z'), name, pos)
+    }
+    val corpus = names.toDF("name")
+    val queries = cases.map { case (q, t, _, _) => (q, t) }.toDF("qid", "name")
+    def matchedPairs(suffix: Boolean): Set[(Long, String)] =
+      Entity.blockedMatches(queries, corpus, maxEdit = 1, suffixBlock = suffix)
+        .select("qid", "c_name").as[(Long, String)].collect().toSet
+    def recall(matched: Set[(Long, String)],
+               subset: ((Long, String, String, Int)) => Boolean): Double = {
+      val sub = cases.filter(subset)
+      sub.count { case (q, _, orig, _) => matched((q, orig)) }.toDouble / sub.size
+    }
+    val pref = matchedPairs(suffix = false)
+    val both = matchedPairs(suffix = true)
+    assert(cases.count(_._4 == 0) >= 5, "seed must plant first-letter typos")
+    // a first-letter typo ALWAYS changes the 2-char prefix block: recall 0
+    assert(recall(pref, _._4 == 0) === 0.0)
+    // ...and never touches the suffix block: the union recovers every one
+    assert(recall(both, _._4 == 0) === 1.0)
+    // overall: a single substitution can break the prefix block (pos ≤ 1)
+    // or the suffix block (pos ≥ len−2) but never both — union recall is
+    // total, while prefix-only pays the planted first-two-char loss
+    val prefAll = recall(pref, _ => true)
+    val bothAll = recall(both, _ => true)
+    assert(prefAll < 1.0 && bothAll === 1.0,
+      s"prefix-only $prefAll, prefix+suffix $bothAll")
+  }
 }

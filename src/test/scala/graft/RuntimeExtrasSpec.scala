@@ -350,6 +350,48 @@ class RuntimeExtrasSpec extends SparkSpec {
     } finally ingest.stop()
   }
 
+  test("perceptual image near-dup: planted resized + re-encoded duplicates " +
+    "retrieved at hamming ≤ 6; distinct images stay apart; junk never pairs") {
+    val s = spark
+    import s.implicits._
+    val seeds = (0L until 40L).map(i => (i, i))
+    val orig = Multimodal.syntheticImagePayloads(spark,
+      seeds.toDF("doc_id", "seed"), side = 32, format = "png")
+    // resized duplicate: SAME lattice surface re-rendered at 16² — every
+    // byte differs, the perceptual hash barely moves
+    val resized = Multimodal.syntheticImagePayloads(spark,
+      (0L until 40L by 4).map(i => (i + 1000L, i)).toDF("doc_id", "seed"),
+      side = 16, format = "png")
+    // re-encoded duplicate: identical pixels, different container (bmp)
+    val reenc = Multimodal.syntheticImagePayloads(spark,
+      (1L until 40L by 4).map(i => (i + 2000L, i)).toDF("doc_id", "seed"),
+      side = 32, format = "bmp")
+    val junk = Seq((9001L, "not an image".getBytes("UTF-8")),
+      (9002L, "also not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val hashes = Multimodal.perceptualHashes(spark,
+      orig.union(resized).union(reenc).union(junk)).toDF().cache()
+    assert(hashes.filter(!col("decoded")).select("doc_id").as[Long]
+      .collect().toSet === Set(9001L, 9002L))
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every re-encode collides with its source bit-for-bit (hamming 0)
+    for (i <- 1L until 40L by 4)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 2000L && p._3 == 0L),
+        s"re-encode of $i not retrieved at hamming 0: " +
+          pairs.filter(p => p._1 == i || p._2 == i).mkString(","))
+    // every resized duplicate retrieved within the threshold
+    for (i <- 0L until 40L by 4)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 1000L),
+        s"resized duplicate of $i not retrieved: " +
+          pairs.filter(p => p._1 == i || p._2 == i).mkString(","))
+    // precision: distinct-seed originals essentially never collide
+    val falsePairs = pairs.filter(p => p._1 < 1000L && p._2 < 1000L)
+    assert(falsePairs.length <= 2, falsePairs.mkString(","))
+    // undecodable payloads (zero-hash placeholders) never pair
+    assert(!pairs.exists(p => p._1 >= 9000L || p._2 >= 9000L))
+    hashes.unpersist()
+  }
+
   test("approx_count_distinct within documented error of exact (HLL)") {
     val li = Tables.lineitem(spark, SparkSpec.sf0001)
     val r = li.agg(

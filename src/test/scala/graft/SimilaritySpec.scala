@@ -996,4 +996,19 @@ class SimilaritySpec extends SparkSpec {
     // each planted copy of an eval vector pairs back to its own source
     assert(flagged === (0L until 20L).map(i => (i + 100000L, i)).toSet)
   }
+
+  test("semanticContaminationFlags: an eval set past the broadcast guard " +
+    "fails loudly (naming the LSH escape hatch), not at executor OOM time") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticContaminationFlags(base, base, 0.9, maxEvalRows = 10L)
+    }
+    assert(e.getMessage.contains("maxEvalRows=10"), e.getMessage)
+    assert(e.getMessage.contains("lshCosineCandidates"), e.getMessage)
+    // at the guard boundary the operator still runs
+    val ok = Similarity.semanticContaminationFlags(
+      base, base.filter(col("vec_id") < 10), 0.9, maxEvalRows = 10L)
+    assert(ok.count() > 0)
+  }
 }
