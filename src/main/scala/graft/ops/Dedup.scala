@@ -576,6 +576,42 @@ object Dedup {
         max("m").as("n_shingles"))
   }
 
+  /** Engine-portable group-wise MinHash signature — the md5 sibling of
+    * the [[graft.ops.MinHashSignatureAgg]] UDAF (q62), in the same spirit
+    * as [[simHashMd5]]: hash function `i` of shingle `sg` is the 60-bit
+    * integer from the first 15 hex chars of `md5(i ‖ "|" ‖ sg)`, and the
+    * group signature entry is the MIN over every shingle of every group
+    * member — re-derivable verbatim in any engine with md5, so the WHOLE
+    * signature (not just its row count) is a value oracle. MinHash is a
+    * lattice homomorphism: min over the group's shingle MULTISET equals
+    * min over its set union, so no distinct is needed anywhere and the
+    * aggregation partial-merges map-side — the shuffle carries `k` longs
+    * per (group, partition), never shingles. `k` trades signature
+    * resolution for k× row fanout; the UDAF (one fused native pass, 128
+    * mixes per shingle) remains the scale path.
+    *
+    * @return one row per (group, hash_idx): groupCols..., hash_idx,
+    *         minhash — the long-table shape both engines aggregate
+    *         identically */
+  def groupMinHashMd5(docs: DataFrame, groupCols: Seq[String],
+                      k: Int = 16, n: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 256, s"k out of range: $k")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val g = groupCols.map(col)
+    val toked = docs.select(g :+ split(col("text"), " ").as("wd"): _*)
+      .filter(size(col("wd")) >= n)
+    val ex = toked.select(g :+
+      explode(transform(sequence(lit(0), size(col("wd")) - n),
+        i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))).as("sg"): _*)
+    ex.select(g :+ explode(sequence(lit(0), lit(k - 1))).as("hash_idx")
+        :+ col("sg"): _*)
+      .select(g :+ col("hash_idx").cast("long").as("hash_idx") :+
+        conv(substring(md5(concat_ws("|", col("hash_idx"), col("sg"))), 1, 15),
+          16, 10).cast("long").as("h"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "hash_idx": _*)
+      .agg(min("h").as("minhash"))
+  }
+
   /** Hamming-near pairs over ANY 64-bit fingerprint frame `(doc_id, h)` —
     * the banded candidate machinery shared by [[simHashNearDupPairs]]
     * (text SimHash) and `Multimodal.imageNearDupPairs` (perceptual image

@@ -3367,6 +3367,31 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Engine-portable group MinHash ([[graft.ops.Dedup.groupMinHashMd5]]):
+    * per (lang, source), 16 md5-keyed min-hash lattice entries over the
+    * group's shingle multiset — the FULL value oracle the internal-hash
+    * q62 UDAF can't have. The oracle re-derives shingling, the
+    * `md5(i|sg)` 60-bit hash, and the per-(group, i) min; the lattice
+    * property (min over multiset = min over union) means neither side
+    * needs a distinct. Map-side partial min → k longs per group shuffle. */
+  val q165GroupMinhashMd5: Q = q("q165_group_minhash_md5",
+    """WITH toked AS (SELECT lang, source, string_split(text, ' ') AS wd
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |ex AS (SELECT lang, source, unnest(list_transform(
+      |    range(1, len(wd) - 1),
+      |    i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])) AS sg FROM toked),
+      |hx AS (SELECT lang, source, j,
+      |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sg), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM ex, (SELECT unnest(range(0, 16)) AS j))
+      |SELECT lang, source, CAST(j AS BIGINT) AS hash_idx,
+      |  CAST(min(h) AS BIGINT) AS minhash
+      |FROM hx GROUP BY lang, source, j
+      |ORDER BY lang, source, hash_idx""".stripMargin) { (s, d) =>
+    Dedup.groupMinHashMd5(Tables.documents(s, d), Seq("lang", "source"))
+      .orderBy("lang", "source", "hash_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3396,5 +3421,5 @@ object PipelineQueries {
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
     q156CurationV2, q158RankNormalize, q159CompressionQuality,
     q160PiiStats, q161CorpusFingerprint, q162CollapseRuns, q163SimhashMd5,
-    q164ImagePhash)
+    q164ImagePhash, q165GroupMinhashMd5)
 }

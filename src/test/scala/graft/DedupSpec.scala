@@ -258,6 +258,23 @@ class DedupSpec extends SparkSpec {
     assert(dists.sum.toDouble / dists.length > 20.0)
   }
 
+  test("groupMinHashMd5: lattice property — a group's signature is the " +
+    "elementwise min of its members' signatures") {
+    val byDoc = Dedup.groupMinHashMd5(
+      docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val expect = byDoc.withColumn("g", col("doc_id") % 3)
+      .groupBy("g", "hash_idx").agg(min("minhash").as("minhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.groupMinHashMd5(
+        docs.withColumn("g", col("doc_id") % 3), Seq("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === expect)
+    // 16 entries per group, all in the 60-bit range
+    val sizes = got.groupBy(_._1).values.map(_.size).toSet
+    assert(sizes === Set(16))
+    assert(got.forall(t => t._3 >= 0L && t._3 < (1L << 60)))
+  }
+
   test("simHashNearDupPairs: complete for hamming ≤ 3, nothing above threshold") {
     val got = graft.ops.Dedup.simHashNearDupPairs(docs, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
