@@ -576,6 +576,29 @@ object Dedup {
         max("m").as("n_shingles"))
   }
 
+  /** Engine-portable SimHash near-dup pairs: [[simHashMd5]] fingerprints
+    * fed through the shared [[hamming64Pairs]] banded candidate machinery
+    * (pigeonhole-complete at `maxHamming`, exact `bit_count(xor)` confirm).
+    * Because the fingerprint itself is md5-derived, the FULL pair set —
+    * candidates, confirm, and hamming values — is re-derivable in any
+    * engine with md5 (the fast internal-hash [[simHashNearDupPairs]] stays
+    * the throughput path; this is its cross-engine-auditable sibling).
+    *
+    * Band-width note for scale: bands are `64 / (first power of two >
+    * maxHamming)` bits wide, so `maxHamming ≤ 3` gives 16-bit bands (65k
+    * buckets — the 100 TB setting); higher thresholds shrink bands and
+    * grow per-bucket candidate fanout, the usual LSH recall/cost dial
+    * (hot-bucket behavior is bounded by the same doc-keyed caps as the
+    * MinHash path upstream of the join).
+    *
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤
+    *         `maxHamming` over the 60-bit fingerprints */
+  def simHashMd5NearDupPairs(docs: DataFrame, maxHamming: Int = 6,
+                             n: Int = 3): DataFrame =
+    hamming64Pairs(
+      simHashMd5(docs, n).select(col("doc_id"), col("simhash60").as("h")),
+      maxHamming)
+
   /** Engine-portable group-wise MinHash signature — the md5 sibling of
     * the [[graft.ops.MinHashSignatureAgg]] UDAF (q62), in the same spirit
     * as [[simHashMd5]]: hash function `i` of shingle `sg` is the 60-bit

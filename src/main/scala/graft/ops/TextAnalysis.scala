@@ -675,6 +675,56 @@ object TextAnalysis {
       .toDF("doc_id", "raw_bytes", "compressed_bytes", "ratio_micros")
   }
 
+  /** Encoding-anomaly signals — the ftfy-class detector every crawl
+    * pipeline runs before content dedup (mis-decoded text poisons both
+    * the dedup key and the language model downstream; a corpus slice
+    * that is 2% mojibake is a FETCH bug, not a content property). Four
+    * per-document counters plus the standard keep flag:
+    *  - `n_mojibake`: UTF-8-read-as-Latin-1 artifacts — a lead byte
+    *    rendered in U+00C2..C5 followed by a continuation byte
+    *    rendered in the U+0080–U+00FF range (catches 'Ã©' for 'é'), plus
+    *    the windows-1252 'â€¦' punctuation family ('â€' + the curly
+    *    quote/dash/ellipsis tail);
+    *  - `n_replacement`: U+FFFD replacement characters (a decoder
+    *    already gave up);
+    *  - `n_control`: C0 control characters other than `\t\n\r` (binary
+    *    bleed-through);
+    *  - `n_nbsp`: U+00A0 no-break spaces (layout residue; normalization
+    *    candidate, not a drop signal — reported, excluded from the flag).
+    * `enc_ok` = no mojibake, no replacement chars, no control chars.
+    * All counters are `size(regexp_extract_all(...))` over explicit
+    * code-point classes — Java-regex∩RE2 identical (script/property
+    * classes spell differently per engine and are avoided), pure
+    * codegen'd projections, zero shuffle. */
+  def encodingSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def n(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    // Explicit \x{..} escapes (valid in BOTH Java regex and RE2) instead
+    // of literal artifact characters: the pattern must survive editors,
+    // JSON oracle transport, and code review without invisible-char bugs.
+    //  - arm 1: a UTF-8 lead byte for the Latin-1/Latin-Extended planes
+    //    rendered as \u00c2/\u00c3/\u00c4/\u00c5 (U+00C2..C5) followed by a
+    //    continuation-byte rendering (U+00A0..BF, identical in Latin-1
+    //    and cp1252);
+    //  - arm 2: the cp1252 curly-punctuation family: lead E2 renders as
+    //    U+00E2, continuation 80 as U+20AC, and the third byte lands on
+    //    a cp1252 remap (U+2122 U+201C U+201D U+0153 U+2022 U+2013
+    //    U+2014 U+00A6).
+    docs
+      .withColumn("n_mojibake",
+        n("[\\x{00C2}-\\x{00C5}][\\x{00A0}-\\x{00BF}]|" +
+          "\\x{00E2}\\x{20AC}[\\x{2122}\\x{201C}\\x{201D}\\x{0153}" +
+          "\\x{2022}\\x{2013}\\x{2014}\\x{00A6}]"))
+      .withColumn("n_replacement", n("\\x{FFFD}"))
+      .withColumn("n_control",
+        n("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]"))
+      .withColumn("n_nbsp", n("\\x{00A0}"))
+      .withColumn("enc_ok",
+        (col("n_mojibake") === 0 && col("n_replacement") === 0 &&
+          col("n_control") === 0).cast("int"))
+  }
+
   def mixedScriptSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(col(textCol), " ")
     val latin = "[A-Za-z]"

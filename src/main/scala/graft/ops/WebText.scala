@@ -121,6 +121,53 @@ object WebText {
     trim(regexp_replace(ent6, "\\s+", " "))
   }
 
+  /** All ABSOLUTE http(s) `href` targets of a page's `<a>` tags, in
+    * document order (relative links are deliberately excluded — resolving
+    * them needs the base URL and is the caller's join, not a per-row
+    * regex). Accepts single- or double-quoted attributes and any
+    * attribute order inside the tag; the one entity that legally appears
+    * raw inside attribute values (`&amp;`) is decoded so the extracted
+    * URL is byte-comparable with its canonical form. Pure codegen'd
+    * `regexp_extract_all` — Java-regex∩RE2 subset like every WebText
+    * expression (no backreferences: both quote positions are the same
+    * two-char class, not a `(['"]).*?\1`; the URL body excludes both
+    * quote chars so the match can never run past its closing quote). */
+  def extractLinks(html: Column): Column = {
+    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']"
+    transform(regexp_extract_all(html, lit(pat), lit(1)),
+      l => regexp_replace(l, "&amp;", "&"))
+  }
+
+  /** Host-level link graph: explode each page's absolute out-links,
+    * canonicalize both endpoints, and aggregate to weighted
+    * `(src_domain, dst_domain, n_links)` edges. Intra-domain edges are
+    * dropped — host ranking (PageRank/HITS over this edge list, see
+    * `ops/Graph`) measures CROSS-host endorsement, and nav/self links
+    * would otherwise dominate every weight. One explode + one hash
+    * aggregation: at crawl scale the explode stays in the scan stage and
+    * the only shuffle is the (src, dst) groupBy, whose cardinality is the
+    * edge count of the HOST graph (millions), not the page graph
+    * (trillions) — map-side partial counts do the collapse early.
+    *
+    * [[registeredDomain]] is applied to the RAW url, not
+    * `canonicalUrl(url)`: rd only reads the host, and its own chain
+    * already lowercases, drops `www.`, and stops at the port — running
+    * the full 12-regex path/query canonicalization first adds nothing to
+    * the domain AND gets re-inlined into the non-empty filter by project
+    * pushdown (the q156 re-inlining class), multiplying the per-row
+    * regex work severalfold. Verified equivalent: the q167 oracle
+    * derives both domains from the raw strings. */
+  def hostLinkEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    pages.select(
+        registeredDomain(col(urlCol)).as("src_domain"),
+        explode(extractLinks(col(htmlCol))).as("link"))
+      .select(col("src_domain"),
+        registeredDomain(col("link")).as("dst_domain"))
+      .filter(col("src_domain") =!= "" && col("dst_domain") =!= "" &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+
   /** Link-density signal for boilerplate scoring: fraction (in integer
     * micros, order-free) of the visible characters that live inside
     * `<a …>…</a>` spans. High link density marks navigation/footer

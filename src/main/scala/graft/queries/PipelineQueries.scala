@@ -3392,6 +3392,170 @@ object PipelineQueries {
       .orderBy("lang", "source", "hash_idx")
   }
 
+  /** Engine-portable SimHash near-dup PAIRS
+    * ([[graft.ops.Dedup.simHashMd5NearDupPairs]]): the banded hamming
+    * join over md5-derived fingerprints, confirmed ≤ 6 — the pair-set
+    * oracle the internal-hash q36 can't have. Planted EXACT copies
+    * (id+600000, hamming 0 guaranteed) and two-token-appended variants
+    * (id+700000, low hamming for long docs) make the result non-trivially
+    * populated. The oracle re-derives the fingerprints (the q163 CTE over
+    * the same planted corpus) and confirms by QUADRATIC xor-popcount —
+    * so it also proves the band join is pigeonhole-COMPLETE: any pair the
+    * banding missed would appear in the oracle and hash-diverge. */
+  val q166SimhashPairsMd5: Q = q("q166_simhash_pairs_md5",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 600000, text FROM documents
+      |    WHERE doc_id % 13 = 0
+      |  UNION ALL SELECT doc_id + 700000, text || ' zq zq' FROM documents
+      |    WHERE doc_id % 11 = 0),
+      |toked AS (SELECT doc_id, string_split(text, ' ') AS wd FROM corpus
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(wd) - 1),
+      |    i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])) AS s FROM toked),
+      |ex AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(s) AS sg FROM sh0)),
+      |bits AS (SELECT doc_id, j, (1::BIGINT << j) AS p,
+      |    (h // (1::BIGINT << j)) % 2 AS bit
+      |  FROM ex, (SELECT unnest(range(0, 60)) AS j)),
+      |votes AS (SELECT doc_id, j, p, sum(bit) AS ones, count(*) AS m
+      |  FROM bits GROUP BY 1, 2, 3),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN 2 * ones > m THEN p ELSE 0 END) AS BIGINT) AS h
+      |  FROM votes GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    xor(a.h, b.h) AS x
+      |  FROM sig a, sig b WHERE a.doc_id < b.doc_id),
+      |hm AS (SELECT doc_a, doc_b, len(list_filter(range(0, 60),
+      |    j -> (x // (1::BIGINT << j)) % 2 = 1)) AS hamming FROM pr)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM hm WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" zq zq")).as("text")))
+    Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Host-level link graph from raw HTML
+    * ([[graft.ops.WebText.extractLinks]] + `hostLinkEdges`): absolute
+    * hrefs extracted per page (single- and double-quoted, `&amp;`
+    * decoded, relative links skipped), both endpoints reduced to their
+    * registered domain, self-edges dropped, weighted edges aggregated —
+    * the crawl-side input to the q130 PageRank / q142 HITS host ranking.
+    * The oracle runs the IDENTICAL extraction regex and domain chain in
+    * RE2 over the same synthesized pages, so drift in the regex, the
+    * entity decode, the eTLD+1 table, or the self-edge rule all
+    * hash-diverge. */
+  val q167HostLinkGraph: Q = q("q167_host_link_graph",
+    """WITH p AS (SELECT doc_id, source,
+      |  'http://www.' || source || '.org/p/' || CAST(doc_id AS VARCHAR)
+      |    AS page_url,
+      |  '<p>' || text || '</p><a href="HTTP://WWW.' || upper(source) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80'
+      |       ELSE '.sample.NET' END ||
+      |  '/l/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=z&amp;x=' ||
+      |  CAST(doc_id % 3 AS VARCHAR) ||
+      |  '">t1</a><a class=''m'' href=''https://cdn' ||
+      |  CAST(doc_id % 4 AS VARCHAR) || '.assets.co.uk/lib.js?v=' ||
+      |  CAST(doc_id % 5 AS VARCHAR) ||
+      |  '''>t2</a><a href="/relative/skip">r</a><a href=''https://' ||
+      |  source || '.org/nav''>self</a>' AS html FROM documents),
+      |lk AS (SELECT page_url, unnest(regexp_extract_all(html,
+      |    '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["'']', 1))
+      |    AS raw FROM p),
+      |dl AS (SELECT page_url, replace(raw, '&amp;', '&') AS link FROM lk),
+      |ed AS (SELECT
+      |  regexp_extract(regexp_replace(
+      |    regexp_extract(lower(page_url), '//[^/:?#]*'), '^//(www\.)?', ''),
+      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
+      |    1) AS src_domain,
+      |  regexp_extract(regexp_replace(
+      |    regexp_extract(lower(link), '//[^/:?#]*'), '^//(www\.)?', ''),
+      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
+      |    1) AS dst_domain FROM dl)
+      |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+      |FROM ed WHERE src_domain <> '' AND dst_domain <> ''
+      |  AND src_domain <> dst_domain
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val pageUrl = concat(lit("http://www."), col("source"), lit(".org/p/"),
+      col("doc_id").cast("string"))
+    val html = concat(
+      lit("<p>"), col("text"), lit("</p><a href=\"HTTP://WWW."),
+      upper(col("source")),
+      when(col("doc_id") % 2 === 0, ".Example.COM:80").otherwise(".sample.NET"),
+      lit("/l/"), (col("doc_id") % 7).cast("string"),
+      lit("?utm_source=z&amp;x="), (col("doc_id") % 3).cast("string"),
+      lit("\">t1</a><a class='m' href='https://cdn"),
+      (col("doc_id") % 4).cast("string"),
+      lit(".assets.co.uk/lib.js?v="), (col("doc_id") % 5).cast("string"),
+      lit("'>t2</a><a href=\"/relative/skip\">r</a><a href='https://"),
+      col("source"), lit(".org/nav'>self</a>"))
+    WebText.hostLinkEdges(
+        Tables.documents(s, d).select(pageUrl.as("url"), html.as("html")),
+        "url", "html")
+      .orderBy("src_domain", "dst_domain")
+  }
+
+  /** Encoding-anomaly audit ([[graft.ops.TextAnalysis.encodingSignals]]):
+    * mojibake / replacement-char / control-char / nbsp counters and the
+    * keep flag over a corpus with PLANTED artifacts (id-modulus cases
+    * strike every counter: a classic two-byte accented-letter artifact,
+    * the cp1252 curly-quote triple, U+FFFD, a bell control char, an
+    * nbsp). The oracle builds byte-identical text via chr() code points
+    * and runs the SAME \x{..} character-class regexes in RE2 — a drift
+    * in any class boundary or the flag rule diverges. */
+  val q168EncodingSignals: Q = q("q168_encoding_signals",
+    """WITH t AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 9 = 0 THEN ' caf' || chr(195) || chr(169)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' it' || chr(226) || chr(8364) || chr(8482) || 's'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 10 = 0 THEN ' x' || chr(65533) ELSE '' END ||
+      |  CASE WHEN doc_id % 12 = 0 THEN chr(7) ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN chr(160) || 'end' ELSE '' END AS tx
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(tx,
+      |    '[\x{00C2}-\x{00C5}][\x{00A0}-\x{00BF}]|\x{00E2}\x{20AC}[\x{2122}\x{201C}\x{201D}\x{0153}\x{2022}\x{2013}\x{2014}\x{00A6}]'))
+      |    AS BIGINT) AS n_mojibake,
+      |  CAST(len(regexp_extract_all(tx, '\x{FFFD}')) AS BIGINT)
+      |    AS n_replacement,
+      |  CAST(len(regexp_extract_all(tx,
+      |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+      |    AS BIGINT) AS n_control,
+      |  CAST(len(regexp_extract_all(tx, '\x{00A0}')) AS BIGINT) AS n_nbsp,
+      |  CAST(CASE WHEN len(regexp_extract_all(tx,
+      |    '[\x{00C2}-\x{00C5}][\x{00A0}-\x{00BF}]|\x{00E2}\x{20AC}[\x{2122}\x{201C}\x{201D}\x{0153}\x{2022}\x{2013}\x{2014}\x{00A6}]')) = 0
+      |    AND len(regexp_extract_all(tx, '\x{FFFD}')) = 0
+      |    AND len(regexp_extract_all(tx,
+      |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) = 0
+      |    THEN 1 ELSE 0 END AS INT) AS enc_ok
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // planted artifacts via \u escapes (not raw glyphs), mirroring the
+    // oracle's chr() code points byte for byte
+    val planted = concat(col("text"),
+      when(col("doc_id") % 9 === 0, lit(" caf\u00c3\u00a9")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" it\u00e2\u20ac\u2122s")).otherwise(lit("")),
+      when(col("doc_id") % 10 === 0, lit(" x\ufffd")).otherwise(lit("")),
+      when(col("doc_id") % 12 === 0, lit("\u0007")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\u00a0end")).otherwise(lit("")))
+    TextAnalysis.encodingSignals(
+        Tables.documents(s, d).select(col("doc_id"), planted.as("text")))
+      .select("doc_id", "n_mojibake", "n_replacement", "n_control",
+        "n_nbsp", "enc_ok")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3421,5 +3585,6 @@ object PipelineQueries {
     q151EntityMatch, q152StratifiedSample, q153MixedScript, q155HllUnion,
     q156CurationV2, q158RankNormalize, q159CompressionQuality,
     q160PiiStats, q161CorpusFingerprint, q162CollapseRuns, q163SimhashMd5,
-    q164ImagePhash, q165GroupMinhashMd5)
+    q164ImagePhash, q165GroupMinhashMd5, q166SimhashPairsMd5,
+    q167HostLinkGraph, q168EncodingSignals)
 }

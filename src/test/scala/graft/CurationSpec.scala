@@ -561,6 +561,30 @@ class CurationSpec extends SparkSpec {
     assert(got(2)._2 === 0L)
   }
 
+  test("encodingSignals: planted artifacts hit, clean unicode passes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "caf\u00c3\u00a9 mojibake"),             // U+00C3 + latin-1 tail
+      (3L, "it\u00e2\u20ac\u2122s broken"),         // cp1252 curly quote
+      (4L, "x\ufffd y\u0007z"),                     // replacement + control
+      (5L, "a\u00a0b nbsp only"),                   // nbsp: counted, not flagged
+      (6L, "caf\u00e9 r\u00e9sum\u00e9 genuine"),   // real accents: clean
+      (7L, "tab\tand\nnewline ok"))                // \t \n excluded from control
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.encodingSignals(docs)
+      .select("doc_id", "n_mojibake", "n_replacement", "n_control",
+        "n_nbsp", "enc_ok")
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 0L, 0L, 0L, 0L, 1)))
+    assert(got(1) === ((2L, 1L, 0L, 0L, 0L, 0)))
+    assert(got(2) === ((3L, 1L, 0L, 0L, 0L, 0)))
+    assert(got(3) === ((4L, 0L, 1L, 1L, 0L, 0)))
+    assert(got(4) === ((5L, 0L, 0L, 0L, 1L, 1)))
+    assert(got(5) === ((6L, 0L, 0L, 0L, 0L, 1)))
+    assert(got(6) === ((7L, 0L, 0L, 0L, 0L, 1)))
+  }
+
   test("luhnValid: known vectors; validCards filters; redactCards folds") {
     import spark.implicits._
     val got = Seq("4111111111111111", "4111111111111112",

@@ -258,6 +258,27 @@ class DedupSpec extends SparkSpec {
     assert(dists.sum.toDouble / dists.length > 20.0)
   }
 
+  test("simHashMd5NearDupPairs equals the brute-force quadratic confirm") {
+    // planted exact copy (hamming 0) guarantees a nonempty result
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    val got = Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = Dedup.simHashMd5(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(got.nonEmpty && got === brute)
+    assert(got.exists { case (a, b, d) => b - a === 900000L && d === 0L })
+    // no cartesian: candidates must come from the band-bucket equi-join
+    val plan = Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(600))
+  }
+
   test("groupMinHashMd5: lattice property — a group's signature is the " +
     "elementwise min of its members' signatures") {
     val byDoc = Dedup.groupMinHashMd5(

@@ -89,6 +89,38 @@ class WebTextSpec extends SparkSpec {
     assert(got === "keep")
   }
 
+  test("extractLinks: quotes, attribute order, &amp;, relative skipped") {
+    val html =
+      """<a href="http://a.com/x?p=1&amp;q=2">one</a>
+        |<A CLASS='nav' HREF='https://b.org/y'>two</A>
+        |<a rel="nofollow" href="/relative/path">skip</a>
+        |<a href='ftp://c.net/z'>non-http skip</a>
+        |<p>no <b>links</b> here</p>
+        |<a data-x="1" href="HTTPS://D.io/w">four</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(WebText.extractLinks(col("h")).as("l"))
+      .as[Seq[String]].head()
+    assert(got === Seq("http://a.com/x?p=1&q=2", "https://b.org/y",
+      "HTTPS://D.io/w"))
+  }
+
+  test("hostLinkEdges: registered-domain endpoints, self-edges dropped") {
+    val pages = Seq(
+      ("http://www.src.com/a",
+        "<a href='http://one.co.uk/x'>1</a><a href=\"http://two.org/y\">2</a>" +
+          "<a href='http://SRC.com/self'>self</a>"),
+      ("http://src.com/b", "<a href='http://sub.one.co.uk/z'>1</a>"),
+      ("http://other.net/c", "<a href='http://www.one.co.uk/w'>1</a>"))
+      .toDF("url", "html")
+    val got = WebText.hostLinkEdges(pages, "url", "html")
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("other.net", "one.co.uk", 1L),
+      ("src.com", "one.co.uk", 2L),
+      ("src.com", "two.org", 1L)))
+  }
+
   test("linkDensityMicros: nav-chrome rows score high, prose rows low") {
     val rows = Seq(
       "<p><a href='/1'>Home</a> <a href='/2'>About</a></p>",              // all links
