@@ -971,6 +971,42 @@ object Dedup {
           s => s.getField("part")), " ").as("dedup_text"))
   }
 
+  /** Corpus-frequency line filter — the CCNet/RefinedWeb boilerplate-line
+    * rule, complementary to [[chunkDedup]]'s keep-first semantics: a line
+    * that occurs at least `minRepeats` times ACROSS the corpus is removed
+    * from EVERY document (nav chrome, cookie banners, "all rights
+    * reserved" footers repeat thousands of times; prose lines don't), and
+    * each document is reassembled from its surviving lines in original
+    * order. Documents whose every line was boilerplate disappear.
+    *
+    * Scale shape: explode stays in the scan stage; the frequency count is
+    * a groupBy on the line with map-side partial aggregation (the shuffle
+    * carries distinct lines, not occurrences — exactly the heavy ones
+    * collapse hardest); the `>= minRepeats` filter shrinks that to the
+    * heavy set, which at a production threshold is tiny relative to the
+    * corpus, so AQE turns the anti-join into a broadcast; reassembly is
+    * one doc_id groupBy. Lines join by their exact text (the anti-join
+    * key a production variant can narrow to `xxhash64(line)`); empty
+    * lines participate like any other — in a corpus with blank-line
+    * separators they are heavy and get stripped, which is the wanted
+    * outcome. */
+  def removeBoilerplateLines(docs: DataFrame, minRepeats: Int = 10,
+                             textCol: String = "text"): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val exploded = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val heavy = exploded.groupBy("line")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minRepeats)
+      .select("line")
+    exploded.join(heavy, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Query-by-document text similarity search: top-`k` most Jaccard-similar
     * corpus documents for each query doc, via the shingle inverted index —
     * the search-shaped twin of [[jaccardNearDupPairs]]. The query side of

@@ -725,6 +725,124 @@ object TextAnalysis {
           col("n_control") === 0).cast("int"))
   }
 
+  /** Exact integral ratio in micros — `floor(x * 1e6 / d)` in pure Long
+    * arithmetic, 0 when the denominator is 0. The order-free idiom every
+    * ratio column in this library uses (floats aggregate
+    * order-dependently; integers don't). */
+  private def microsRatio(x: Column, d: Column): Column =
+    when(d === 0, 0L).otherwise {
+      val s = x.cast("long") * 1000000L
+      ((s - pmod(s, d)) / d).cast("long")
+    }
+
+  /** Word n-grams WITH multiplicity, in document order — the counting
+    * sibling of [[graft.ops.Dedup.shingles]] (which is distinct-set
+    * shaped): same slice/zip_with fold, no `array_distinct`, so repeated
+    * grams keep their copies and positions line up with token index. */
+  private def gramsWithRepeats(toks: Column, n: Int): Column = {
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(1 + j), m), (a, b) => concat_ws(" ", a, b))
+    }
+  }
+
+  /** Gopher/MassiveText duplicate-LINE signals, per document: of a doc's
+    * lines, how many are repeats of an earlier identical line in the SAME
+    * doc (`dup_line_micros` = duplicate occurrences / lines) and how much
+    * text they hold (`dup_char_micros` = duplicate-occurrence chars /
+    * total line chars, newline separators excluded from both sides).
+    * Templated pages repeat nav rows and list stubs dozens of times;
+    * prose repeats nothing — the classic within-doc companion to the
+    * corpus-level [[graft.ops.Dedup.removeBoilerplateLines]].
+    *
+    * Shape: explode lines → groupBy (doc_id, line) with map-side partial
+    * count (a doc's repeated lines collapse before the shuffle) →
+    * groupBy doc_id. Both shuffles are keyed by doc_id(+line): per-key
+    * cardinality is bounded by single-document size, skew-free at any
+    * corpus scale, and duplicate counting needs no window — `count - 1`
+    * per distinct line IS the duplicate-occurrence count. */
+  def dupLineSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col("doc_id"), explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), length(col("line")).as("len"))
+    per.groupBy("doc_id").agg(
+      sum("c").as("n_lines"),
+      microsRatio(sum(col("c") - 1), sum(col("c"))).as("dup_line_micros"),
+      microsRatio(sum((col("c") - 1) * col("len")),
+        sum(col("c") * col("len"))).as("dup_char_micros"))
+  }
+
+  /** Gopher top n-gram character fraction, per document: the single most
+    * frequent word n-gram's character mass — `count × len(gram)` over the
+    * doc's total characters (micros). High values mark the "lorem ipsum
+    * lorem ipsum …" templated-repetition shape that per-line signals
+    * miss when the repeat has no line break. Ties break to the
+    * lexicographically smallest gram, so the reported gram is
+    * deterministic. Docs with fewer than `n` words have no gram and are
+    * absent (mirrored by the oracle's length filter).
+    *
+    * Shape: explode grams → (doc_id, gram) count with map-side combine →
+    * per-doc argmax as `min(struct(-count, gram))` — no window, no
+    * second pass over the corpus; denominators ride the same row. */
+  def topNgramCharFraction(docs: DataFrame, n: Int = 3,
+                           textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"top n-gram needs n >= 2, got $n")
+    val toks = split(col(textCol), " ")
+    val counts = docs
+      .select(col("doc_id"), length(col(textCol)).cast("long").as("tchars"),
+        explode(gramsWithRepeats(toks, n)).as("gram"))
+      .groupBy("doc_id", "tchars", "gram").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id", "tchars")
+      .agg(min(struct((-col("c")).as("nc"), col("gram"))).as("best"))
+      .select(col("doc_id"), col("best.gram").as("top_gram"),
+        (-col("best.nc")).as("top_count"),
+        microsRatio((-col("best.nc")) * length(col("best.gram")),
+          col("tchars")).as("top_char_micros"))
+  }
+
+  /** Gopher duplicate n-gram COVERAGE fraction, per document: the share
+    * of token characters covered by at least one occurrence of a
+    * duplicated n-gram (a gram appearing ≥ 2 times in the doc). Coverage
+    * is a UNION over token positions — overlapping duplicate grams count
+    * each token once, the subtlety that makes this the honest "how much
+    * of this doc is self-repetition" number (summing `count × len` double
+    * counts overlaps and can exceed 1). Denominator = total token chars
+    * (separator spaces excluded — they belong to no token).
+    *
+    * Shape: every stage is keyed by doc_id (+gram/+token-position), so
+    * per-key cardinality is bounded by document length, never corpus
+    * size: grams with positions → duplicated grams (count ≥ 2, positions
+    * kept as a per-doc-bounded list) → covered token indexes via
+    * `sequence(pos, pos+n-1)` explode + distinct → join back to token
+    * lengths → per-doc char sum. Docs with no duplicated gram get 0 via
+    * the final left join onto the doc list. */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5,
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"dup n-gram coverage needs n >= 2, got $n")
+    val toksCol = split(col(textCol), " ")
+    val toks = docs.select(col("doc_id"),
+      posexplode(toksCol).as(Seq("tpos", "tok")))
+    val grams = docs.select(col("doc_id"),
+      posexplode(gramsWithRepeats(toksCol, n)).as(Seq("gpos", "gram")))
+    val dupPos = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"), collect_list(col("gpos")).as("ps"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), explode(col("ps")).as("gpos"))
+    val covered = dupPos
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("tpos"))
+      .distinct()
+    val covChars = covered.join(toks, Seq("doc_id", "tpos"))
+      .groupBy("doc_id").agg(sum(length(col("tok"))).as("cov"))
+    val totals = toks.groupBy("doc_id")
+      .agg(sum(length(col("tok"))).as("tot"))
+    totals.join(covChars, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        microsRatio(coalesce(col("cov"), lit(0L)), col("tot"))
+          .as("dup_ngram_micros"))
+  }
+
   def mixedScriptSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(col(textCol), " ")
     val latin = "[A-Za-z]"

@@ -3556,6 +3556,148 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency boilerplate-line removal
+    * ([[graft.ops.Dedup.removeBoilerplateLines]]): lines repeating ≥ 10
+    * times across the corpus are cut from every document, survivors
+    * reassembled in order — the CCNet/RefinedWeb rule, distinct from
+    * q73's keep-first chunk dedup. Multi-line docs are synthesized by
+    * splitting the word-salad text on two common words (plain `replace`,
+    * no regex — byte-identical in both engines) and PLANTING nav-chrome
+    * footers on id moduli (250 and 167 occurrences — both far over
+    * threshold, so both must vanish; natural phrase lines stay under it
+    * except the short collision-prone ones, which both engines count
+    * identically). The oracle recomputes the frequency table and the
+    * anti-join in DuckDB and reassembles with `string_agg ORDER BY pos`,
+    * so a drift in line splitting, the threshold rule, or reassembly
+    * order hash-diverges. */
+  val q169BoilerplateLines: Q = q("q169_boilerplate_lines",
+    """WITH t AS (SELECT doc_id,
+      |  replace(replace(text, ' table ', chr(10)), ' value ', chr(10)) ||
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN chr(10) || 'All rights reserved.' ELSE '' END AS tx
+      |  FROM documents),
+      |ln AS (SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+      |    i -> {'pos': i, 'line': l[i]}), recursive := true)
+      |  FROM (SELECT doc_id, string_split(tx, chr(10)) AS l FROM t)),
+      |hv AS (SELECT line FROM ln GROUP BY line HAVING count(*) >= 10),
+      |kp AS (SELECT doc_id, pos, line FROM ln ANTI JOIN hv USING (line))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tx = concat(
+      replace(replace(col("text"), lit(" table "), lit("\n")),
+        lit(" value "), lit("\n")),
+      when(col("doc_id") % 2 === 0,
+        lit("\nSubscribe to our newsletter")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("\nAll rights reserved.")).otherwise(lit("")))
+    Dedup.removeBoilerplateLines(
+        Tables.documents(s, d).select(col("doc_id"), tx.as("text")),
+        minRepeats = 10)
+      .orderBy("doc_id")
+  }
+
+  /** Within-document duplicate-line signals
+    * ([[graft.ops.TextAnalysis.dupLineSignals]]): Gopher/MassiveText's
+    * dup-line and dup-line-char fractions in exact integral micros.
+    * Lines synthesized as in q169; ids %4 get a PLANTED twice-repeated
+    * line, so a quarter of the corpus must show nonzero dup fractions
+    * with exactly-computable values. Oracle recomputes the per-(doc,line)
+    * counts and both ratios with BIGINT floor division. */
+  val q170DupLines: Q = q("q170_dup_lines",
+    """WITH t AS (SELECT doc_id,
+      |  replace(replace(text, ' table ', chr(10)), ' value ', chr(10)) ||
+      |  CASE WHEN doc_id % 4 = 0
+      |       THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+      |       ELSE '' END AS tx
+      |  FROM documents),
+      |ln AS (SELECT doc_id, unnest(string_split(tx, chr(10))) AS line FROM t),
+      |per AS (SELECT doc_id, line, count(*) AS c, len(line) AS l
+      |        FROM ln GROUP BY doc_id, line)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+      |  CAST(CASE WHEN sum(c) = 0 THEN 0
+      |    ELSE (sum(c-1) * 1000000) // sum(c) END AS BIGINT) AS dup_line_micros,
+      |  CAST(CASE WHEN sum(c*l) = 0 THEN 0
+      |    ELSE (sum((c-1)*l) * 1000000) // sum(c*l) END AS BIGINT)
+      |    AS dup_char_micros
+      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tx = concat(
+      replace(replace(col("text"), lit(" table "), lit("\n")),
+        lit(" value "), lit("\n")),
+      when(col("doc_id") % 4 === 0,
+        lit("\nrepeat me\nrepeat me")).otherwise(lit("")))
+    TextAnalysis.dupLineSignals(
+        Tables.documents(s, d).select(col("doc_id"), tx.as("text")))
+      .orderBy("doc_id")
+  }
+
+  /** Top n-gram character fraction
+    * ([[graft.ops.TextAnalysis.topNgramCharFraction]], n=2): the most
+    * frequent bigram's character mass over the doc's characters, with
+    * the deterministic (count desc, gram asc) tie-break — Gopher's
+    * "top-2-gram char fraction" companion to q66's count-share. The
+    * word-salad corpus repeats bigrams naturally, so no planting is
+    * needed; the oracle re-derives the argmax with a QUALIFY window and
+    * the same floor-division micros. */
+  val q171TopNgramChars: Q = q("q171_top_ngram_chars",
+    """WITH w AS (SELECT doc_id, len(text) AS tchars,
+      |    string_split(text, ' ') AS wd
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (SELECT doc_id, tchars, unnest(list_transform(range(1, len(wd)),
+      |    i -> wd[i] || ' ' || wd[i+1])) AS gram FROM w),
+      |c AS (SELECT doc_id, tchars, gram, count(*) AS c FROM g GROUP BY 1,2,3),
+      |b AS (SELECT doc_id, tchars, gram, c, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c)
+      |SELECT doc_id, gram AS top_gram, CAST(c AS BIGINT) AS top_count,
+      |  CAST((c * len(gram) * 1000000) // tchars AS BIGINT)
+      |    AS top_char_micros
+      |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.topNgramCharFraction(
+        Tables.documents(s, d).select("doc_id", "text"), n = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate n-gram coverage ([[graft.ops.TextAnalysis.dupNgramCoverage]],
+    * n=5): share of token characters covered by the UNION of duplicated
+    * 5-gram occurrences — overlap-safe, unlike count×len summing. Ids %3
+    * get their own first five words appended, planting a guaranteed
+    * duplicated 5-gram (and, via overlap with neighbors, a coverage
+    * union the double-counting formula would overstate). The oracle
+    * mirrors the union: duplicated grams → distinct covered token
+    * indexes → summed token lengths, BIGINT floor micros. */
+  val q172DupNgramCoverage: Q = q("q172_dup_ngram_coverage",
+    """WITH t AS (SELECT doc_id,
+      |  text || CASE WHEN doc_id % 3 = 0 AND len(string_split(text,' ')) >= 5
+      |    THEN ' ' || array_to_string(string_split(text,' ')[1:5], ' ')
+      |    ELSE '' END AS tx FROM documents),
+      |w AS (SELECT doc_id, string_split(tx, ' ') AS wd FROM t),
+      |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)+1),
+      |    i -> {'tpos': i, 'tok': wd[i]}), recursive := true) FROM w),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)-3),
+      |    i -> {'gpos': i, 'gram': wd[i]||' '||wd[i+1]||' '||wd[i+2]||' '||
+      |      wd[i+3]||' '||wd[i+4]}), recursive := true) FROM w),
+      |dp AS (SELECT doc_id, gram, count(*) AS c, list(gpos) AS ps
+      |  FROM g GROUP BY doc_id, gram HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(gpos, gpos+5)) AS tpos
+      |  FROM (SELECT doc_id, unnest(ps) AS gpos FROM dp)),
+      |cc AS (SELECT doc_id, sum(len(tok)) AS cov
+      |  FROM cov JOIN tok USING (doc_id, tpos) GROUP BY doc_id),
+      |tt AS (SELECT doc_id, sum(len(tok)) AS tot FROM tok GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST((coalesce(cov, 0) * 1000000) // tot AS BIGINT)
+      |    AS dup_ngram_micros
+      |FROM tt LEFT JOIN cc USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val wd = split(col("text"), " ")
+    val tx = concat(col("text"),
+      when(col("doc_id") % 3 === 0 && size(wd) >= 5,
+        concat(lit(" "), array_join(slice(wd, 1, 5), " "))).otherwise(lit("")))
+    TextAnalysis.dupNgramCoverage(
+        Tables.documents(s, d).select(col("doc_id"), tx.as("text")), n = 5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3586,5 +3728,6 @@ object PipelineQueries {
     q156CurationV2, q158RankNormalize, q159CompressionQuality,
     q160PiiStats, q161CorpusFingerprint, q162CollapseRuns, q163SimhashMd5,
     q164ImagePhash, q165GroupMinhashMd5, q166SimhashPairsMd5,
-    q167HostLinkGraph, q168EncodingSignals)
+    q167HostLinkGraph, q168EncodingSignals, q169BoilerplateLines,
+    q170DupLines, q171TopNgramChars, q172DupNgramCoverage)
 }

@@ -585,6 +585,41 @@ class CurationSpec extends SparkSpec {
     assert(got(6) === ((7L, 0L, 0L, 0L, 0L, 1)))
   }
 
+  test("dupLineSignals: exact fractions on a hand-counted doc") {
+    import spark.implicits._
+    // doc 1: 4 lines, "dup" twice (3+3 chars of 3+3+5+4=15): dup_line 1/4,
+    // dup_char 3/15; doc 2: no repeats
+    val docs = Seq((1L, "dup\ndup\nalone\nsolo"), (2L, "a\nb\nc"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.dupLineSignals(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L, 250000L, 200000L), (2L, 3L, 0L, 0L)))
+  }
+
+  test("topNgramCharFraction: argmax, tie-break, and char math are exact") {
+    import spark.implicits._
+    // "x y x y x" (9 chars): bigram "x y" ×2, "y x" ×2 → tie broken to
+    // "x y" (lexicographically smaller); 2*3*1e6/9 = 666666
+    val docs = Seq((1L, "x y x y x"), (2L, "one")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .topNgramCharFraction(docs, n = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, "x y", 2L, 666666L)))   // doc 2: < n words, absent
+  }
+
+  test("dupNgramCoverage: union of overlapping duplicate grams, not " +
+    "count*len double counting") {
+    import spark.implicits._
+    // "a b a b a b" (n=2): "a b" ×3 and "b a" ×2 are both duplicated and
+    // their occurrences overlap — EVERY token is covered exactly once, so
+    // coverage = 6/6 chars = 1000000 (count×len would give 10/6 > 1)
+    val docs = Seq((1L, "a b a b a b"), (2L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.dupNgramCoverage(docs, n = 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1000000L), (2L, 0L)))
+  }
+
   test("luhnValid: known vectors; validCards filters; redactCards folds") {
     import spark.implicits._
     val got = Seq("4111111111111111", "4111111111111112",

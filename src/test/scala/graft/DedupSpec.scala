@@ -279,6 +279,26 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan.take(600))
   }
 
+  test("removeBoilerplateLines: heavy lines cut everywhere, order kept, " +
+    "all-boilerplate docs vanish") {
+    import spark.implicits._
+    val footer = "all rights reserved"
+    val in = ((1L to 5L).map(i => (i, s"unique body $i\n$footer\nmore $i")) :+
+      (6L, footer) :+                         // only boilerplate: disappears
+      (7L, s"$footer\nkeep head\n$footer"))   // both copies cut, middle kept
+      .toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(in, minRepeats = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) === (1L to 5L) :+ 7L)     // doc 6 gone
+    assert(got.head === ((1L, 2L, "unique body 1\nmore 1")))
+    assert(got.last === ((7L, 1L, "keep head")))
+    assert(got.forall(!_._3.contains(footer)))
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplateLines(in, minRepeats = 1)
+    }
+  }
+
   test("groupMinHashMd5: lattice property — a group's signature is the " +
     "elementwise min of its members' signatures") {
     val byDoc = Dedup.groupMinHashMd5(
