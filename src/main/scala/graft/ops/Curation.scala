@@ -168,6 +168,38 @@ object Curation {
         floor((col("cum") - col("n_tokens")).cast("double") / binTokens).cast("long"))
   }
 
+  /** Sliding-window document chunking — the retrieval-corpus preparation
+    * step (fixed `size`-token windows advancing by `stride`, overlapping
+    * when `stride < size` so no passage is split across a boundary
+    * without also appearing whole in a neighbor). Emits one row per
+    * chunk: (doc_id, chunk_id, n_tokens, chunk). The final window is the
+    * natural tail (shorter, never padded); a doc of ≤ `size` tokens is
+    * exactly one chunk.
+    *
+    * Pure per-row compute: the window starts are a `sequence` and each
+    * chunk a `slice` of the one tokenization — zero shuffle, the
+    * explode stays in the scan stage, and output size is predictable
+    * (≈ tokens/stride rows per doc), so downstream embedding jobs can
+    * size partitions from the input row count. */
+  def slidingChunks(docs: DataFrame, chunkTokens: Int = 128,
+                    stride: Int = 64, textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // integer ceil((n - size)/stride) + 1, clamped to 1 when n <= size
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(floor((n - chunkTokens + (stride - 1)) / lit(stride))
+        .cast("int") + 1)
+    docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(toks, i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "ctoks")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk"))
+  }
+
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with the (small) evaluation set — the standard guard
     * against test-set leakage into pretraining data (GPT-3 appendix C /

@@ -207,6 +207,51 @@ object Profile {
       .limit(topN)
   }
 
+  /** Key-concentration audit — one row answering "is this corpus
+    * dominated by a few sources/domains?": Gini coefficient over the
+    * per-key counts, top-1 and top-`topK` mass shares, and the effective
+    * key count (inverse Simpson index — "this corpus behaves like N
+    * equally-sized sources"). A training mix that looks diverse by
+    * `n_keys` but has `eff_keys_x1000` near 1000·1 is one domain wearing
+    * many hats; domain-cap/temperature resampling (`Curation.domainCap`,
+    * `temperatureResample`) are the knobs this audit motivates.
+    *
+    * Shape: one map-side-combined groupBy collapses the corpus to the
+    * distinct-key count table; ranks and the final fold run over THAT
+    * (cardinality = #keys — the [[winsorizedStats]] bounded-cardinality
+    * contract; for million-key domains it's still one executor's work).
+    * Gini uses the sorted-rank identity G = (2·Σi·nᵢ − (k+1)·T)/(k·T)
+    * (ascending ranks; ties don't move the sum, so the value is
+    * order-free). Ratios are floor'd micros of exact ≤2⁵³ integer
+    * products — the [[keyHistogram]] tie-free discipline. */
+  def keyConcentration(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(qcol(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val asc = Window.orderBy(col("n").asc, col("key").asc)
+    val desc = Window.orderBy(col("n").desc, col("key").asc)
+    val ranked = counts
+      .withColumn("i", row_number().over(asc))
+      .withColumn("j", row_number().over(desc))
+    def microsFloor(num: Column, den: Column): Column =
+      floor(num.cast("double") * 1e6 / den.cast("double")).cast("long")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum("n").as("total"),
+        sum(col("i") * col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"),
+        sum(when(col("j") === 1, col("n")).otherwise(0L)).as("top1"),
+        sum(when(col("j") <= topK, col("n")).otherwise(0L)).as("topk"))
+      .select(col("n_keys"), col("total"),
+        microsFloor(lit(2) * col("s1") - (col("n_keys") + 1) * col("total"),
+          col("n_keys") * col("total")).as("gini_micros"),
+        microsFloor(col("top1"), col("total")).as("top1_micros"),
+        microsFloor(col("topk"), col("total")).as("topk_micros"),
+        floor(col("total").cast("double") * col("total") * 1000.0 /
+          col("s2").cast("double")).cast("long").as("eff_keys_x1000"))
+  }
+
   /** Winsorized (percentile-clamped) robust statistics per group — the
     * outlier-resistant mean every metric pipeline wants when a few
     * extreme rows would otherwise dominate: values are clamped to the

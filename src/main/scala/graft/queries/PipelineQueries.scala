@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Similarity, TextAnalysis}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -3698,6 +3698,61 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Key-concentration audit ([[graft.ops.Profile.keyConcentration]]):
+    * Gini, top-1/top-5 shares, and effective key count over a SKEWED
+    * synthetic domain key (half the corpus on one key, the rest spread
+    * over 16 md5-hex buckets) — uniform `source` would make every share
+    * trivial. The oracle re-derives the ranks with the same
+    * (count, key) tie-breaks and the same floor'd-micros identities, so
+    * drift in the Gini formula, rank order, or rounding diverges. */
+  val q173KeyConcentration: Q = q("q173_key_concentration",
+    """WITH t AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'big'
+      |    ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) END AS key
+      |  FROM documents),
+      |c AS (SELECT key, count(*) AS n FROM t GROUP BY 1),
+      |r AS (SELECT key, n,
+      |    row_number() OVER (ORDER BY n ASC, key ASC) AS i,
+      |    row_number() OVER (ORDER BY n DESC, key ASC) AS j FROM c)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(n) AS BIGINT) AS total,
+      |  CAST(floor((2.0 * sum(i * n) - (count(*) + 1) * sum(n)) * 1000000
+      |    / (count(*) * sum(n))) AS BIGINT) AS gini_micros,
+      |  CAST(floor(sum(CASE WHEN j = 1 THEN n ELSE 0 END) * 1000000.0
+      |    / sum(n)) AS BIGINT) AS top1_micros,
+      |  CAST(floor(sum(CASE WHEN j <= 5 THEN n ELSE 0 END) * 1000000.0
+      |    / sum(n)) AS BIGINT) AS topk_micros,
+      |  CAST(floor(sum(n) * 1.0 * sum(n) * 1000 / sum(n * n)) AS BIGINT)
+      |    AS eff_keys_x1000
+      |FROM r""".stripMargin) { (s, d) =>
+    Profile.keyConcentration(
+      Tables.documents(s, d).select(
+        when(col("doc_id") % 2 === 0, lit("big"))
+          .otherwise(substring(md5(col("doc_id").cast("string")), 1, 1))
+          .as("dom")), "dom", topK = 5)
+  }
+
+  /** Sliding-window chunking ([[graft.ops.Curation.slidingChunks]],
+    * size 12 / stride 4): overlapping retrieval windows with the natural
+    * shorter tail. The oracle mirrors the ceil-division window count and
+    * the 1-based clamped list slice, so off-by-ones in the start grid,
+    * the tail handling, or the ≤size single-chunk rule diverge on
+    * every document. */
+  val q174SlidingChunks: Q = q("q174_sliding_chunks",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd
+      |  FROM documents),
+      |p AS (SELECT doc_id, wd, len(wd) AS n,
+      |  CASE WHEN len(wd) <= 12 THEN 1
+      |       ELSE (len(wd) - 12 + 3) // 4 + 1 END AS nch FROM w),
+      |e AS (SELECT doc_id, wd, unnest(range(0, nch)) AS i FROM p)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(len(wd[i*4+1 : i*4+12]) AS BIGINT) AS n_tokens,
+      |  array_to_string(wd[i*4+1 : i*4+12], ' ') AS chunk
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Curation.slidingChunks(Tables.documents(s, d).select("doc_id", "text"),
+        chunkTokens = 12, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3729,5 +3784,6 @@ object PipelineQueries {
     q160PiiStats, q161CorpusFingerprint, q162CollapseRuns, q163SimhashMd5,
     q164ImagePhash, q165GroupMinhashMd5, q166SimhashPairsMd5,
     q167HostLinkGraph, q168EncodingSignals, q169BoilerplateLines,
-    q170DupLines, q171TopNgramChars, q172DupNgramCoverage)
+    q170DupLines, q171TopNgramChars, q172DupNgramCoverage,
+    q173KeyConcentration, q174SlidingChunks)
 }

@@ -620,6 +620,21 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq((1L, 1000000L), (2L, 0L)))
   }
 
+  test("slidingChunks: start grid, overlap, tail, and <=size single chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Curation.slidingChunks(docs, chunkTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"), (1L, 3L, 2L, "g h"),
+      (2L, 0L, 2L, "x y")))
+    intercept[IllegalArgumentException] {
+      Curation.slidingChunks(docs, chunkTokens = 3, stride = 4)
+    }
+  }
+
   test("luhnValid: known vectors; validCards filters; redactCards folds") {
     import spark.implicits._
     val got = Seq("4111111111111111", "4111111111111112",

@@ -262,6 +262,24 @@ class ProfileSearchSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 5L, 0.5, 1500L), ("b", 3L, 0.3, 900L)))
   }
 
+  test("keyConcentration: hand-computed Gini, shares, effective keys") {
+    // a:1, b:3 → asc ranks a=1,b=2; S1=1+6=7, T=4, k=2
+    // gini=(14-12)/8=0.25; top1=3/4; top5=4/4; eff=16*1000/(1+9)=1600
+    val df = (Seq("a") ++ Seq.fill(3)("b")).toDF("k")
+    val got = Profile.keyConcentration(df, "k", topK = 5).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) === ((2L, 4L, 250000L, 750000L,
+      1000000L, 1600L)))
+    // degenerate single key: gini 0, all shares 1, eff exactly 1000
+    val one = Profile.keyConcentration(Seq.fill(4)("x").toDF("k"), "k")
+      .collect().head
+    assert((one.getLong(2), one.getLong(3), one.getLong(5)) ===
+      ((0L, 1000000L, 1000L)))
+    intercept[IllegalArgumentException] {
+      Profile.keyConcentration(df, "k", topK = 0)
+    }
+  }
+
   // ------------------------------------------------------------------- rrf
 
   test("rrfFuse: hand-computed fusion of two overlapping rankings") {
