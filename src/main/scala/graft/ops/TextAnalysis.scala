@@ -843,6 +843,66 @@ object TextAnalysis {
           .as("dup_ngram_micros"))
   }
 
+  /** Zipf-fit corpus-health audit: least-squares slope of ln(freq) on
+    * ln(rank) over the top-`topN` tokens — natural text sits near −1;
+    * templated/synthetic corpora flatten toward 0, token-salad steepens.
+    * One row: (n_points, slope rounded to 6dp, intercept likewise).
+    *
+    * Determinism: each point's ln() is rounded to integer MICROS
+    * per row (ln itself is correctly-rounded IEEE — the q69/q20 parity
+    * argument), and the normal-equation sums then run as exact Long
+    * aggregates — order-free under any partial-aggregation split, with
+    * every product bounded well under 2⁶³ at topN ≤ 1000 (micros ~1e7,
+    * xy ~1e14, n·Σxy ~1e18 at the extreme). The only float ops are the
+    * two final divisions of exact integers. Rank ties break by token, so
+    * the point set itself is engine-stable.
+    *
+    * Shape: one map-side-combined wordcount, a TakeOrderedAndProject
+    * top-`topN` (no global sort), a window over those `topN` rows only,
+    * one 1-row aggregate. */
+  def zipfFit(docs: DataFrame, topN: Int = 100,
+              textCol: String = "text"): DataFrame = {
+    require(topN >= 3, s"need topN >= 3 points, got $topN")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok").asc)
+    val pts = counts.withColumn("r", row_number().over(w))
+      .select(
+        round(log(col("r").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("n").cast("double")) * 1e6, 0).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_points"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") / col("k") -
+          ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double") / col("k")) / 1e6, 6).as("intercept"))
+  }
+
+  /** Per-document lexical diversity: token count, distinct-type count,
+    * type/token ratio, and hapax share (types occurring exactly once /
+    * types) — the cheap vocabulary-richness screens (low TTR ⇒
+    * templated/repetitive; hapax near 1 on long docs ⇒ token salad).
+    * Exact integral micros; both aggregations keyed by doc_id(+token),
+    * per-key cardinality document-bounded. */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    per.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      microsRatio(count(lit(1)), sum(col("c"))).as("ttr_micros"),
+      microsRatio(sum(when(col("c") === 1, 1L).otherwise(0L)),
+        count(lit(1))).as("hapax_micros"))
+  }
+
   def mixedScriptSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(col(textCol), " ")
     val latin = "[A-Za-z]"

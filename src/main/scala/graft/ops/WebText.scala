@@ -138,6 +138,33 @@ object WebText {
       l => regexp_replace(l, "&amp;", "&"))
   }
 
+  /** (href, anchor) pairs for a page's absolute http(s) links — anchor
+    * text is the label OTHER pages' authors give a target, the classic
+    * relevance signal a crawl pipeline aggregates per target domain
+    * (and a training-pair source: anchor → linked page). Same
+    * quote/attribute handling as [[extractLinks]]; the anchor is the
+    * tag's inner content up to the first `</a>` with nested markup
+    * stripped, the five standard entities decoded, and whitespace
+    * collapsed. The outer match extracts whole `<a …>…</a>` spans
+    * (group 0); per-span group extraction then runs on the SHORT span
+    * string, so the nested regex work is O(span), not O(page), per
+    * link. Non-greedy quantifiers only — no backreferences, same
+    * Java∩RE2 discipline as the rest of this file. */
+  def anchorTexts(html: Column): Column = {
+    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']" +
+      "[^>]*>(.*?)</a>"
+    def decode(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+          "&amp;" -> "&").foldLeft(c) { case (acc, (e, ch)) =>
+        replace(acc, lit(e), lit(ch))   // plain replace (all occurrences, no
+      }                                 // regex); &amp; LAST so "&amp;lt;"
+                                        // decodes to "&lt;", not "<"
+    transform(regexp_extract_all(html, lit(pat), lit(0)), m => struct(
+      replace(regexp_extract(m, pat, 1), lit("&amp;"), lit("&")).as("href"),
+      trim(regexp_replace(decode(regexp_replace(
+        regexp_extract(m, pat, 2), "<[^>]*>", " ")), "\\s+", " ")).as("anchor")))
+  }
+
   /** Host-level link graph: explode each page's absolute out-links,
     * canonicalize both endpoints, and aggregate to weighted
     * `(src_domain, dst_domain, n_links)` edges. Intra-domain edges are

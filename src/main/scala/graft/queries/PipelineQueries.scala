@@ -3753,6 +3753,106 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Anchor-text aggregation ([[graft.ops.WebText.anchorTexts]]): the
+    * label other authors give a link target, aggregated per registered
+    * target domain — the crawl-side relevance/training-pair signal.
+    * Synthesized anchors exercise nested-markup strip, double-space
+    * collapse, and entity decode INCLUDING the escaped-entity order case
+    * (`&amp;lt;` must surface as `&lt;`, not `<`). The oracle runs the
+    * identical span regex, per-span group extraction, decode chain, and
+    * eTLD+1 reduction in RE2. */
+  val q175AnchorTexts: Q = q("q175_anchor_texts",
+    """WITH p AS (SELECT doc_id,
+      |  '<p>x</p><a href="http://t' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  '.example.org/p?a=1&amp;b=2">visit <b>T&amp;T</b>  no. ' ||
+      |  CAST(doc_id % 3 AS VARCHAR) || '</a><a class=''x'' href=''https://cdn' ||
+      |  CAST(doc_id % 4 AS VARCHAR) ||
+      |  '.assets.net/f''>asset &#39;v&#39; &amp;lt;tag&amp;gt;</a>' ||
+      |  '<a href="/rel">skip</a>' AS html FROM documents),
+      |m AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(html,
+      |    '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 0),
+      |  x -> {'href': replace(regexp_extract(x,
+      |        '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 1),
+      |        '&amp;', '&'),
+      |       'anchor': trim(regexp_replace(
+      |        replace(replace(replace(replace(replace(regexp_replace(regexp_extract(x,
+      |          '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 2),
+      |          '<[^>]*>', ' ', 'g'),
+      |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |        '\s+', ' ', 'g'))}), recursive := true)
+      |  FROM p),
+      |d AS (SELECT
+      |  regexp_extract(regexp_replace(
+      |    regexp_extract(lower(href), '//[^/:?#]*'), '^//(www\.)?', ''),
+      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
+      |    1) AS dst_domain, anchor FROM m)
+      |SELECT dst_domain, anchor, CAST(count(*) AS BIGINT) AS n
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val html = concat(
+      lit("<p>x</p><a href=\"http://t"), (col("doc_id") % 5).cast("string"),
+      lit(".example.org/p?a=1&amp;b=2\">visit <b>T&amp;T</b>  no. "),
+      (col("doc_id") % 3).cast("string"),
+      lit("</a><a class='x' href='https://cdn"),
+      (col("doc_id") % 4).cast("string"),
+      lit(".assets.net/f'>asset &#39;v&#39; &amp;lt;tag&amp;gt;</a>"),
+      lit("<a href=\"/rel\">skip</a>"))
+    Tables.documents(s, d)
+      .select(explode(WebText.anchorTexts(html)).as("p"))
+      .select(WebText.registeredDomain(col("p.href")).as("dst_domain"),
+        col("p.anchor").as("anchor"))
+      .groupBy("dst_domain", "anchor")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dst_domain", "anchor")
+  }
+
+  /** Zipf-fit audit ([[graft.ops.TextAnalysis.zipfFit]]): slope/intercept
+    * of ln(freq) on ln(rank) over the top-100 tokens. Every point is
+    * rounded to integer micros BEFORE the normal-equation sums (the q137
+    * ln-parity + order-free-integer-sum discipline), so both engines
+    * compute byte-identical integer sums and the only floats are the two
+    * final divisions, rounded to 6dp. Deterministic rank tie-break by
+    * token. */
+  val q176ZipfFit: Q = q("q176_zipf_fit",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1
+      |      ORDER BY n DESC, tok ASC LIMIT 100),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+      |      FROM c),
+      |p AS (SELECT CAST(round(ln(r) * 1000000.0, 0) AS BIGINT) AS x,
+      |             CAST(round(ln(n) * 1000000.0, 0) AS BIGINT) AS y FROM r),
+      |s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM p)
+      |SELECT CAST(k AS BIGINT) AS n_points,
+      |  round(CAST(k*sxy - sx*sy AS DOUBLE)
+      |      / CAST(k*sxx - sx*sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE)/k - (CAST(k*sxy - sx*sy AS DOUBLE)
+      |      / CAST(k*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)/k)
+      |    / 1000000.0, 6) AS intercept
+      |FROM s""".stripMargin) { (s, d) =>
+    TextAnalysis.zipfFit(Tables.documents(s, d).select("text"), topN = 100)
+  }
+
+  /** Lexical-diversity screen ([[graft.ops.TextAnalysis.lexicalDiversity]]):
+    * per-doc token/type counts, type-token ratio, and hapax share in
+    * exact floor'd micros — no planting needed, the word-salad corpus
+    * exercises every ratio naturally. */
+  val q177LexicalDiversity: Q = q("q177_lexical_diversity",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |per AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micros,
+      |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS hapax_micros
+      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.lexicalDiversity(Tables.documents(s, d)
+        .select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3785,5 +3885,6 @@ object PipelineQueries {
     q164ImagePhash, q165GroupMinhashMd5, q166SimhashPairsMd5,
     q167HostLinkGraph, q168EncodingSignals, q169BoilerplateLines,
     q170DupLines, q171TopNgramChars, q172DupNgramCoverage,
-    q173KeyConcentration, q174SlidingChunks)
+    q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
+    q176ZipfFit, q177LexicalDiversity)
 }

@@ -635,6 +635,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit: exact -1 slope on a 12/r power law; repartition-invariant") {
+    import spark.implicits._
+    // freq = 12/rank exactly: a*12 b*6 c*4 d*3 -> slope -1, intercept ln 12
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val got = graft.ops.TextAnalysis.zipfFit(docs, topN = 10).collect().head
+    assert(got.getLong(0) === 4L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 1e-3, got.getDouble(1))
+    assert(math.abs(got.getDouble(2) - math.log(12)) < 1e-3, got.getDouble(2))
+    val again = graft.ops.TextAnalysis.zipfFit(docs.repartition(7), topN = 10)
+      .collect().head
+    assert(again === got)
+  }
+
+  test("lexicalDiversity: hand-counted TTR and hapax share") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.lexicalDiversity(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 4 tokens, 3 types, ttr 3/4, hapax 2/3; doc 2: 1 type, 0 hapax
+    assert(got === Seq((1L, 4L, 3L, 750000L, 666666L),
+      (2L, 4L, 1L, 250000L, 0L)))
+  }
+
   test("luhnValid: known vectors; validCards filters; redactCards folds") {
     import spark.implicits._
     val got = Seq("4111111111111111", "4111111111111112",

@@ -104,6 +104,21 @@ class WebTextSpec extends SparkSpec {
       "HTTPS://D.io/w"))
   }
 
+  test("anchorTexts: nested markup stripped, entities decoded in order, " +
+    "whitespace collapsed") {
+    val html =
+      """<a href="http://a.com/x?p=1&amp;q=2">visit <b>T&amp;T</b>  shop</a>
+        |<a class='m' href='https://b.org/y'>it&#39;s &amp;lt;kept&amp;gt;</a>
+        |<a href="/rel">skip</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(WebText.anchorTexts(col("h"))).as("p"))
+      .select("p.href", "p.anchor")
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(
+      ("http://a.com/x?p=1&q=2", "visit T&T shop"),
+      ("https://b.org/y", "it's &lt;kept&gt;")))   // escaped entity survives
+  }
+
   test("hostLinkEdges: registered-domain endpoints, self-edges dropped") {
     val pages = Seq(
       ("http://www.src.com/a",
