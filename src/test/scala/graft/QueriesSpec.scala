@@ -238,6 +238,34 @@ class QueriesSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("round-9 per-row batteries stay join-free with bounded shuffles") {
+    // q168 (encoding counters), q174 (sliding chunks), q175 (anchor
+    // texts): pure scan-stage compute — the only exchanges are the
+    // output agg/sort. A join or a third shuffle appearing here means
+    // the projection chain broke (the q156 pushdown-re-inlining class).
+    Seq("q168_encoding_signals" -> 1, "q174_sliding_chunks" -> 1,
+        "q175_anchor_texts" -> 3).foreach { case (name, maxEx) =>
+      val p = plan(run(name))
+      assert(!p.contains("Join"), s"$name plans a join: ${p.take(1500)}")
+      assert("Exchange".r.findAllIn(p).size <= maxEx,
+        s"$name has extra shuffles: ${p.take(1500)}")
+    }
+  }
+
+  test("q167: link-graph shuffle is the host-pair aggregate, no join") {
+    val p = plan(run("q167_host_link_graph"))
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
+  }
+
+  test("q169: heavy-line anti-join broadcasts; no cartesian") {
+    val p = plan(run("q169_boilerplate_lines"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q143/q152: rollup and sample keep their single hash exchange") {
     val canon = plan(run("q143_url_canon"))
     assert(!canon.contains("Join"), canon.take(1500))
