@@ -1007,6 +1007,55 @@ object Dedup {
           s => s.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Cross-source duplication matrix — for every source pair, how many
+    * DISTINCT contents appear in both (the "is source B just a re-crawl
+    * of source A?" audit that decides which feeds are worth ingesting,
+    * and the denominator story behind corpus-level dedup rates). Keyed on
+    * md5 of the raw text so any engine reproduces the exact matrix;
+    * compose with [[normalizeForDedup]] upstream for the
+    * canonical-form variant.
+    *
+    * Shape: distinct (source, hash) — one map-side-combined aggregate,
+    * shuffle key is the 16-byte digest — then a self-equi-join on hash.
+    * Per-hash join fanout is the number of sources holding that content
+    * (≤ #sources, a SMALL bound — never corpus-sized), and the result
+    * collapses straight into the (src_a, src_b) count aggregate. */
+  def crossSourceDupMatrix(docs: DataFrame,
+                           sourceCol: String = "source",
+                           textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(sourceCol).as("source"),
+      md5(col(textCol)).as("h")).distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus snapshot diff — one row summarizing what changed between two
+    * corpus versions at content granularity: distinct contents added,
+    * removed, and retained (the incremental-pipeline health check before
+    * shipping a refreshed training mix; a "refresh" that removes 40% of
+    * content is a fetch regression, not a data update). Content identity
+    * is md5 of the text (engine-portable; swap in blake2b via the
+    * composition note on [[crossSourceDupMatrix]]).
+    *
+    * Shape: each side collapses to its distinct hash set map-side, then
+    * ONE full-outer equi-join on the digest feeds a single count
+    * aggregate — no driver collection, digest-width shuffles only. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(md5(col(textCol)).as("h")).distinct()
+      .withColumn("in_old", lit(1))
+    val n = newDocs.select(md5(col(textCol)).as("h")).distinct()
+      .withColumn("in_new", lit(1))
+    o.join(n, Seq("h"), "full_outer")
+      .agg(
+        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"))
+  }
+
   /** Query-by-document text similarity search: top-`k` most Jaccard-similar
     * corpus documents for each query doc, via the shingle inverted index —
     * the search-shaped twin of [[jaccardNearDupPairs]]. The query side of

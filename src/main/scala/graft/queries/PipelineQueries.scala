@@ -3853,6 +3853,55 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix
+    * ([[graft.ops.Dedup.crossSourceDupMatrix]]): distinct shared contents
+    * per source pair — a planted 'mirror' source re-hosting every 7th
+    * document makes the matrix non-trivial (each real source shares its
+    * own mirrored slice). Oracle recomputes the distinct (source, md5)
+    * projection and the ordered self-join in DuckDB. */
+  val q178CrossSourceDup: Q = q("q178_cross_source_dup",
+    """WITH c AS (SELECT source, text FROM documents
+      |  UNION ALL SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+      |sh AS (SELECT DISTINCT source, md5(text) AS h FROM c)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("source", "text")
+    val corpus = base.unionAll(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(lit("mirror").as("source"), col("text")))
+    Dedup.crossSourceDupMatrix(corpus).orderBy("source_a", "source_b")
+  }
+
+  /** Corpus snapshot diff ([[graft.ops.Dedup.corpusDiff]]): added /
+    * removed / retained distinct contents between the corpus and a
+    * synthetic refresh that drops every 10th doc and edits every 9th —
+    * all three counters provably nonzero. Oracle mirrors the distinct
+    * hash sets and the full-outer flags. */
+  val q179CorpusDiff: Q = q("q179_corpus_diff",
+    """WITH o AS (SELECT DISTINCT md5(text) AS h, 1 AS in_old
+      |  FROM documents),
+      |n0 AS (SELECT CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+      |    ELSE text END AS text FROM documents WHERE doc_id % 10 <> 0),
+      |n AS (SELECT DISTINCT md5(text) AS h, 1 AS in_new FROM n0),
+      |j AS (SELECT o.in_old, n.in_new FROM o FULL JOIN n USING (h))
+      |SELECT
+      |  CAST(sum(CASE WHEN in_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(sum(CASE WHEN in_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(CASE WHEN in_old IS NOT NULL AND in_new IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      |FROM j""".stripMargin) { (s, d) =>
+    val old = Tables.documents(s, d).select("text")
+    val refreshed = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    Dedup.corpusDiff(old, refreshed)
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3886,5 +3935,5 @@ object PipelineQueries {
     q167HostLinkGraph, q168EncodingSignals, q169BoilerplateLines,
     q170DupLines, q171TopNgramChars, q172DupNgramCoverage,
     q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
-    q176ZipfFit, q177LexicalDiversity)
+    q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff)
 }

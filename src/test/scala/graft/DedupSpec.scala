@@ -299,6 +299,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossSourceDupMatrix: shared distinct contents, ordered pairs, " +
+    "within-source dups not double counted") {
+    import spark.implicits._
+    val in = Seq(
+      ("a", "shared one"), ("a", "shared one"),   // within-source dup: 1 hash
+      ("a", "only a"), ("b", "shared one"),
+      ("b", "shared two"), ("c", "shared two"), ("c", "only c"))
+      .toDF("source", "text")
+    val got = Dedup.crossSourceDupMatrix(in)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
+  test("corpusDiff: added/removed/retained on hand-built snapshots") {
+    import spark.implicits._
+    val old = Seq("keep", "gone", "gone", "edit me").toDF("text")
+    val neu = Seq("keep", "edit me v2", "brand new").toDF("text")
+    val got = Dedup.corpusDiff(old, neu).collect().head
+    // old hashes: {keep, gone, edit me}; new: {keep, edit me v2, brand new}
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((2L, 2L, 1L)))
+  }
+
   test("groupMinHashMd5: lattice property — a group's signature is the " +
     "elementwise min of its members' signatures") {
     val byDoc = Dedup.groupMinHashMd5(
