@@ -191,7 +191,7 @@ object Curation {
     val nChunks = when(n <= chunkTokens, lit(1))
       .otherwise(floor((n - chunkTokens + (stride - 1)) / lit(stride))
         .cast("int") + 1)
-    docs.select(col("doc_id"),
+    Spread.cpu(docs).select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => slice(toks, i * stride + 1, lit(chunkTokens))))
           .as(Seq("chunk_id", "ctoks")))
@@ -216,7 +216,7 @@ object Curation {
     def shingled(df: DataFrame) = df.select(col("doc_id"),
       explode(Dedup.hashedShingles(col("text"), n)).as("sh"))
     val evalSet = shingled(eval).select("sh").distinct()
-    shingled(train)
+    shingled(Spread.cpu(train))
       .join(broadcast(evalSet), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared")) // shingle hashes are pre-distinct per doc

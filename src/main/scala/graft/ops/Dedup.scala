@@ -142,7 +142,7 @@ object Dedup {
   private[graft] def sharedShinglePairs(docs: DataFrame, n: Int,
                                         pruneSingletons: Boolean,
                                         maxShingleDf: Int = 0): DataFrame = {
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val sh = Spread.cpu(docs).select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
     // the df-dependent filters broadcast the SMALL side of each rule:
     // stop-shingles (df > cap) are few by construction → anti-join;
@@ -180,7 +180,7 @@ object Dedup {
     * set. */
   private def keptShingleSizes(docs: DataFrame, n: Int,
                                maxShingleDf: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val sh = Spread.cpu(docs).select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     if (maxShingleDf <= 0) sh.select(col("doc_id"), size(col("s")).as("n"))
     else {
       val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"))
@@ -281,7 +281,7 @@ object Dedup {
     // the whole-stage span, not inside an interpreted transform() lambda
     // (measured 4.4 s → ~1 s at sf0.1 for the lambda variant of this)
     val j = (col("pos0") + 1).as("j")
-    val ex = docs.select(col("doc_id"), toks.as("toks"))
+    val ex = Spread.cpu(docs).select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), j, col("tok"),
         when(col("pos0") + 1 > window,
@@ -417,7 +417,7 @@ object Dedup {
   private[graft] def minHashBandCandidates(docs: DataFrame, n: Int,
                                            maxBandSize: Int): DataFrame =
     bandCandidatesFromShingles(
-      docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s")),
+      Spread.cpu(docs).select(col("doc_id"), hashedShingles(col("text"), n).as("s")),
       maxBandSize)
 
   /** [[minHashBandCandidates]] over an already-shingled `(doc_id, s)`
@@ -541,39 +541,37 @@ object Dedup {
     * deterministic in any engine.
     *
     * Shape: explode distinct shingles (the q32 inverted-index projection),
-    * explode 60 bit positions, ONE (doc, bit) partial-aggregated groupBy,
-    * one per-doc rollup — everything doc-keyed, nothing corpus-wide. The
-    * 60× bit fanout costs more than [[simHash]]'s fused native expression
-    * (which stays the fast path); this is the cross-engine-auditable
-    * sibling, same trade as `winnowingFingerprints`' md5 encoding. Bit
-    * arithmetic avoids shift-by-column: `(h div 2^j) mod 2` with the
-    * powers as one array literal — exact integral division on longs, no
-    * double rounding.
+    * then ONE doc-keyed groupBy whose 61 aggregate columns are the shingle
+    * count plus a `sum((h >> j) & 1)` per bit — the whole 60-way vote is a
+    * single partial-aggregated pass (the shuffle carries 61 longs per
+    * (doc, partition), never a 60× row fanout), and the fingerprint
+    * reassembles in one codegen'd projection over the vote columns. Still
+    * slower than [[simHash]]'s fused native expression (which stays the
+    * fast path); this is the cross-engine-auditable sibling, same trade
+    * as `winnowingFingerprints`' md5 encoding. `h` is non-negative
+    * (< 2^60 by construction) so the shift-and-mask bit probe is exact.
     *
     * @return (doc_id, simhash60, n_shingles); docs with fewer than `n`
     *         words yield no row */
   def simHashMd5(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val pow2 = array((0 until 60).map(j => lit(1L << j)): _*)
-    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("wd"))
+    val toked = Spread.cpu(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
       .filter(size(col("wd")) >= n)
     val sh = toked.select(col("doc_id"),
         explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
           i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"))
       .select(col("doc_id"),
         conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("h"))
-    val bits = sh.select(col("doc_id"),
-        explode(sequence(lit(0), lit(59))).as("j"),
-        col("h"))
-      .withColumn("p", element_at(pow2, col("j").cast("int") + 1))
-      .select(col("doc_id"), col("j"), col("p"),
-        expr("pmod(h div p, 2)").as("bit"))
-    bits.groupBy("doc_id", "j", "p")
-      .agg(sum("bit").as("ones"), count(lit(1)).as("m"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("ones") * 2 > col("m"), col("p")).otherwise(0L))
-          .as("simhash60"),
-        max("m").as("n_shingles"))
+    val ones = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val voted = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), ones: _*)
+    val fp = (0 until 60).map(j =>
+        when(col(s"b$j") * 2 > col("m"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash60"),
+      col("m").as("n_shingles"))
   }
 
   /** Engine-portable SimHash near-dup pairs: [[simHashMd5]] fingerprints
@@ -609,9 +607,12 @@ object Dedup {
     * lattice homomorphism: min over the group's shingle MULTISET equals
     * min over its set union, so no distinct is needed anywhere and the
     * aggregation partial-merges map-side — the shuffle carries `k` longs
-    * per (group, partition), never shingles. `k` trades signature
-    * resolution for k× row fanout; the UDAF (one fused native pass, 128
-    * mixes per shingle) remains the scale path.
+    * per (group, partition), never shingles. The `k` hashes ride as `k`
+    * min-aggregate COLUMNS over the shingle rows (no k× row fanout —
+    * only the final per-group signature unpivots to the long shape), so
+    * `k` costs k md5 evaluations per shingle and nothing else. The UDAF
+    * (one fused native pass, 128 mixes per shingle) remains the scale
+    * path.
     *
     * @return one row per (group, hash_idx): groupCols..., hash_idx,
     *         minhash — the long-table shape both engines aggregate
@@ -621,18 +622,23 @@ object Dedup {
     require(k >= 1 && k <= 256, s"k out of range: $k")
     require(n >= 1, s"n must be >= 1, got $n")
     val g = groupCols.map(col)
-    val toked = docs.select(g :+ split(col("text"), " ").as("wd"): _*)
+    val toked = Spread.cpu(docs)
+      .select(g :+ split(col("text"), " ").as("wd"): _*)
       .filter(size(col("wd")) >= n)
     val ex = toked.select(g :+
       explode(transform(sequence(lit(0), size(col("wd")) - n),
         i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))).as("sg"): _*)
-    ex.select(g :+ explode(sequence(lit(0), lit(k - 1))).as("hash_idx")
-        :+ col("sg"): _*)
-      .select(g :+ col("hash_idx").cast("long").as("hash_idx") :+
-        conv(substring(md5(concat_ws("|", col("hash_idx"), col("sg"))), 1, 15),
-          16, 10).cast("long").as("h"): _*)
-      .groupBy(groupCols.head, groupCols.tail :+ "hash_idx": _*)
-      .agg(min("h").as("minhash"))
+    val hashed = ex.select(g ++ (0 until k).map(i =>
+      conv(substring(md5(concat_ws("|", lit(i), col("sg"))), 1, 15),
+        16, 10).cast("long").as(s"h$i")): _*)
+    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(mins.head, mins.tail: _*)
+      .select(g :+ explode(array((0 until k).map(i =>
+        struct(lit(i.toLong).as("hash_idx"), col(s"m$i").as("minhash"))): _*))
+        .as("e"): _*)
+      .select(g :+ col("e.hash_idx").as("hash_idx")
+        :+ col("e.minhash").as("minhash"): _*)
   }
 
   /** Hamming-near pairs over ANY 64-bit fingerprint frame `(doc_id, h)` —
@@ -1066,7 +1072,7 @@ object Dedup {
     * deterministic. */
   def jaccardTopK(docs: DataFrame, queryIds: Seq[Long], k: Int,
                   n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
+    val sh = Spread.cpu(docs).select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
     val sizes = sh.select(col("doc_id"),
       org.apache.spark.sql.functions.size(col("s")).as("nsh"))
     val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"))

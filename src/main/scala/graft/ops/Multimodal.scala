@@ -198,7 +198,7 @@ object Multimodal {
     * payload; only the 8-byte fingerprints ever shuffle. */
   def perceptualHashes(spark: SparkSession, docs: DataFrame): Dataset[PerceptualHash] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("payload"))
+    Spread.cpu(docs).select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (native lib handle etc.)

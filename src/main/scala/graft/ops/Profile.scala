@@ -83,7 +83,8 @@ object Profile {
     * over it are rows-only checked with an error-bound test instead of
     * an oracle, and consumers must opt into the approximate column by
     * name. */
-  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+  def profileApprox(df0: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val df = Spread.cpu(df0)
     val fields = df.schema.fields.toSeq
     def n(f: StructField)  = s"${f.name}__n"
     def d(f: StructField)  = s"${f.name}__d"

@@ -143,7 +143,7 @@ object Similarity {
                                  minCos: Double,
                                  maxEvalRows: Long = 250000L): DataFrame = {
     require(maxEvalRows > 0, s"maxEvalRows must be positive, got $maxEvalRows")
-    val t = train.select(col("vec_id"),
+    val t = Spread.cpu(train).select(col("vec_id"),
       col("embedding").cast("array<double>").as("te"))
       .withColumn("tn", norm(col("te")))
     val ev = evalSet.select(col("vec_id").as("eval_id"),
@@ -1336,7 +1336,7 @@ object Similarity {
     // the dim-length dot product on every pair row (the round-6 q90
     // 2× regression). Semantics are identical — a zero-norm vector
     // scores NULL against everything, so it emitted no rows either way.
-    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
+    val e = Spread.cpu(emb).select(col("vec_id"), col(blockCol).as("block"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nn", norm(col("v")))
       .filter(col("nn") > 0)

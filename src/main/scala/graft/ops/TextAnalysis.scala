@@ -46,7 +46,7 @@ object TextAnalysis {
     // where codegen subexpression elimination cannot reach — materialize
     // it in its own projection so the 4-profile scan runs ONCE per row
     // (CollapseProject keeps multi-referenced expensive aliases intact).
-    docs.withColumn("graft_best", best)
+    Spread.cpu(docs).withColumn("graft_best", best)
       .select(col("doc_id"),
         when(hasCjk, lit("zh"))
           .when(col("graft_best.s") > 0, col("graft_best.l"))
@@ -484,7 +484,7 @@ object TextAnalysis {
       val (pat, rep) = mergeRegex(l0.replace(' ', '\u0001'), r0.replace(' ', '\u0001'))
       regexp_replace(c, pat, rep)
     }
-    docs.select(col("doc_id"), encoded.as("enc"))
+    Spread.cpu(docs).select(col("doc_id"), encoded.as("enc"))
       .select(col("doc_id"), posexplode(split(col("enc"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         regexp_replace(col("tok"), "\u0001", " ").as("token"))
@@ -591,7 +591,7 @@ object TextAnalysis {
   def qualityFeatures(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
-    docs.select(col("doc_id"), col("lang"),
+    Spread.cpu(docs).select(col("doc_id"), col("lang"),
       nTok.as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_uniq"),
       round(size(array_distinct(toks)).cast("double") / nTok, 4).as("uniq_ratio"),
@@ -649,7 +649,7 @@ object TextAnalysis {
                          level: Int = 6): DataFrame = {
     import spark.implicits._
     require(level >= 1 && level <= 9, s"bad deflate level $level")
-    docs.select(col("doc_id").cast("long"), col("text"))
+    Spread.cpu(docs).select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level, true)
@@ -821,9 +821,10 @@ object TextAnalysis {
                        textCol: String = "text"): DataFrame = {
     require(n >= 2, s"dup n-gram coverage needs n >= 2, got $n")
     val toksCol = split(col(textCol), " ")
-    val toks = docs.select(col("doc_id"),
+    val d = Spread.cpu(docs)
+    val toks = d.select(col("doc_id"),
       posexplode(toksCol).as(Seq("tpos", "tok")))
-    val grams = docs.select(col("doc_id"),
+    val grams = d.select(col("doc_id"),
       posexplode(gramsWithRepeats(toksCol, n)).as(Seq("gpos", "gram")))
     val dupPos = grams.groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("c"), collect_list(col("gpos")).as("ps"))

@@ -185,7 +185,7 @@ object WebText {
     * regex work severalfold. Verified equivalent: the q167 oracle
     * derives both domains from the raw strings. */
   def hostLinkEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
-    pages.select(
+    Spread.cpu(pages).select(
         registeredDomain(col(urlCol)).as("src_domain"),
         explode(extractLinks(col(htmlCol))).as("link"))
       .select(col("src_domain"),

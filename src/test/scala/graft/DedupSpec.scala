@@ -208,10 +208,11 @@ class DedupSpec extends SparkSpec {
     // pure builtins: over a parquet-backed scan (literals would fold to a
     // LocalTableScan) the projection must sit inside a whole-stage-codegen
     // span with no ScalaUDF interpreter fallback
-    val p = Dedup.simHash(docs)
+    val pdf = Dedup.simHash(docs)
       .select(Dedup.hammingHex(col("simhash"), reverse(col("simhash"))).as("d"))
-      .queryExecution.executedPlan.toString
-    assert(p.contains("*(1) Project"), p.take(800))
+    pdf.collect() // finalize AQE so codegen spans appear in the plan string
+    val p = pdf.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project") || p.contains("*(2) Project"), p.take(800))
     assert(!p.contains("UDF"), p.take(800))
   }
 
