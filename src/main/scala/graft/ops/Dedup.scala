@@ -548,8 +548,12 @@ object Dedup {
     * reassembles in one codegen'd projection over the vote columns. Still
     * slower than [[simHash]]'s fused native expression (which stays the
     * fast path); this is the cross-engine-auditable sibling, same trade
-    * as `winnowingFingerprints`' md5 encoding. `h` is non-negative
-    * (< 2^60 by construction) so the shift-and-mask bit probe is exact.
+    * as `winnowingFingerprints`' md5 encoding. The hash kernel is the
+    * native [[graft.functions.Md5Prefix60]] — value-identical to
+    * `conv(substring(md5(x),1,15),16,10)` (what the oracle derives) but
+    * digest→long with no hex-render/parse round-trip. `h` is
+    * non-negative (< 2^60 by construction) so the shift-and-mask bit
+    * probe is exact.
     *
     * @return (doc_id, simhash60, n_shingles); docs with fewer than `n`
     *         words yield no row */
@@ -562,7 +566,7 @@ object Dedup {
         explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
           i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"))
       .select(col("doc_id"),
-        conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Functions.md5Prefix60(col("sg")).as("h"))
     val ones = (0 until 60).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     val voted = sh.groupBy("doc_id")
@@ -610,7 +614,9 @@ object Dedup {
     * per (group, partition), never shingles. The `k` hashes ride as `k`
     * min-aggregate COLUMNS over the shingle rows (no k× row fanout —
     * only the final per-group signature unpivots to the long shape), so
-    * `k` costs k md5 evaluations per shingle and nothing else. The UDAF
+    * `k` costs k digests per shingle and nothing else (the native
+    * [[graft.functions.Md5Prefix60]] kernel — oracle-identical value,
+    * no hex round-trip). The UDAF
     * (one fused native pass, 128 mixes per shingle) remains the scale
     * path.
     *
@@ -629,8 +635,8 @@ object Dedup {
       explode(transform(sequence(lit(0), size(col("wd")) - n),
         i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))).as("sg"): _*)
     val hashed = ex.select(g ++ (0 until k).map(i =>
-      conv(substring(md5(concat_ws("|", lit(i), col("sg"))), 1, 15),
-        16, 10).cast("long").as(s"h$i")): _*)
+      graft.functions.Md5Functions.md5Prefix60(
+        concat_ws("|", lit(i), col("sg"))).as(s"h$i")): _*)
     val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
     hashed.groupBy(groupCols.head, groupCols.tail: _*)
       .agg(mins.head, mins.tail: _*)

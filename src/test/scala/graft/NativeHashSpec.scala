@@ -42,6 +42,33 @@ class NativeHashSpec extends SparkSpec {
     assert(!optimized.contains("blake2b_256"), optimized.take(800))
   }
 
+  test("Md5Prefix60 == conv(substring(md5(x),1,15),16,10) on real texts, " +
+    "null-safe, codegen'd, folds literals") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001).limit(50)
+    val rows = docs.select(
+      graft.functions.Md5Functions.md5Prefix60(col("text")).as("native"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        .as("builtin")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null in, null out
+    val s = spark
+    import s.implicits._
+    val nulls = Seq(Some("abc"), None).toDF("t")
+      .select(graft.functions.Md5Functions.md5Prefix60(col("t")))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.toSeq === Seq(false, true))
+    // stays in the whole-stage codegen span over a parquet-backed scan
+    val p = docs.select(graft.functions.Md5Functions.md5Prefix60(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [md5_prefix60"), p.take(1000))
+    // literal folds at plan time: md5('abc') = 900150983cd24fb0...,
+    // first 15 hex nibbles = 0x900150983cd24fb = 648541476951500027
+    val opt = docs.select(graft.functions.Md5Functions.md5Prefix60(lit("abc")))
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("648541476951500027 AS"), opt.take(800))
+  }
+
   test("SQL registration: blake2b callable from spark.sql") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT blake2b_256('abc') AS h, sha3_512('abc') AS s").collect()(0)
