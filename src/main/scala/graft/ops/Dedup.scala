@@ -1043,6 +1043,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-source duplication rate — for each source: document count, how
+    * many of its documents carry content that appears ≥2× ANYWHERE in
+    * the corpus (within or across sources), and that share in integral
+    * micros. The one-line corpus-health row a mixing decision reads
+    * first ("this feed is 40% recycled"); [[crossSourceDupMatrix]] then
+    * attributes WHERE the copies live. md5-keyed for engine portability,
+    * same composition note as the matrix.
+    *
+    * Shape: one digest-keyed count aggregate (map-side combined), one
+    * equi-join back on the digest (per-key fanout = the content's copy
+    * count — the quantity being measured), one per-source rollup. The
+    * rate is floor(n_dup·1e6 / n_docs) in exact Long arithmetic
+    * (order-free, the library-wide micros idiom). */
+  def dupRateBySource(docs: DataFrame,
+                      sourceCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col(sourceCol).as("source"),
+      md5(col(textCol)).as("h"))
+    val copies = keyed.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    keyed.join(copies, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        when(col("n_docs") === 0, 0L).otherwise {
+          val s = col("n_dup") * 1000000L
+          ((s - pmod(s, col("n_docs"))) / col("n_docs")).cast("long")
+        }.as("dup_rate_micros"))
+  }
+
   /** Corpus snapshot diff — one row summarizing what changed between two
     * corpus versions at content granularity: distinct contents added,
     * removed, and retained (the incremental-pipeline health check before

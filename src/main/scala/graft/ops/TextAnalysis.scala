@@ -886,6 +886,87 @@ object TextAnalysis {
             col("sx").cast("double") / col("k")) / 1e6, 6).as("intercept"))
   }
 
+  /** Heaps-law corpus-health audit — the vocabulary-growth companion to
+    * [[zipfFit]]: one point per `groupCol` value (x = ln total tokens,
+    * y = ln distinct types), least-squares slope/intercept across
+    * groups. Natural-language sources sit at slope ≈ 0.4–0.6 (Heaps β);
+    * templated sources flatten (vocab stops growing with size),
+    * token-salad pushes toward 1. Needs ≥ 2 groups with distinct sizes
+    * for a meaningful slope; with fewer the denominator is 0 and slope
+    * is null (surfaced, not masked).
+    *
+    * Determinism: the same integer-micros normal-equation scheme as
+    * [[zipfFit]] — per-point ln rounded to Long micros, exact Long
+    * sums, two final IEEE divisions. Shape: one (group, token)
+    * wordcount, one per-group rollup (both map-side combined), one
+    * 1-row aggregate — nothing corpus-wide beyond the wordcount. */
+  def heapsFit(docs: DataFrame, groupCol: String = "source",
+               textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val pts = per.groupBy("g")
+      .agg(sum("c").as("ntok"), count(lit(1)).as("ntyp"))
+      .select(
+        round(log(col("ntok").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("ntyp").cast("double")) * 1e6, 0).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_points"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") / col("k") -
+          ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double") / col("k")) / 1e6, 6).as("intercept"))
+  }
+
+  /** Per-source length-distribution drift: the max binned-CDF gap
+    * (two-sample Kolmogorov–Smirnov over fixed-width bins) between each
+    * source's `lenCol` distribution and the whole corpus — the "did
+    * this feed's documents suddenly get truncated / concatenated?"
+    * audit that catches fetcher regressions a mean would smooth over.
+    *
+    * Exactness: each side's CDF is floored to integer MICROS first
+    * (`floor(cum·1e6 / n)` in exact Long division — order-free,
+    * engine-identical, and overflow-safe to ~9·10¹² documents, where
+    * the cross-multiplied alternative `cum_s·n_all` overflows at ~10⁹),
+    * then the statistic is `max_b |f_s(b) − f_all(b)|` — within 1 µ of
+    * the true KS, deterministically. The bin grid is densified (every
+    * source × every bin) before the cumulative window so step functions
+    * are compared on a common grid; grid size is #sources × `bins` —
+    * audit-sized, never corpus-sized. */
+  def lengthDriftBySource(docs: DataFrame, groupCol: String = "source",
+                          lenCol: String = "n_chars", bins: Int = 64,
+                          binWidth: Int = 64): DataFrame = {
+    require(bins >= 2 && binWidth >= 1, s"bad bins=$bins width=$binWidth")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("b")
+    val bCol = least(floor(col(lenCol).cast("double") / binWidth), lit(bins - 1))
+      .cast("long")
+    val per = docs.select(col(groupCol).as("g"), bCol.as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val grid = per.select("g").distinct()
+      .crossJoin(docs.sparkSession.range(bins).toDF("b"))
+    val cums = grid.join(per, Seq("g", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum("c").over(w))
+    val tot = cums.groupBy("g").agg(max("cum").as("n_g"))
+    val all = cums.groupBy("b").agg(sum("c").as("call"))
+      .withColumn("cum_all", sum("call").over(
+        org.apache.spark.sql.expressions.Window.orderBy("b")))
+    val nAll = docs.select(count(lit(1)).as("n_all"))
+    cums.join(tot, "g").join(all.select("b", "cum_all"), "b")
+      .crossJoin(broadcast(nAll))
+      .select(col("g"), col("n_g"),
+        microsRatio(col("cum"), col("n_g")).as("f_g"),
+        microsRatio(col("cum_all"), col("n_all")).as("f_all"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n_g").as("n_docs"),
+        max(abs(col("f_g") - col("f_all"))).as("ks_micros"))
+  }
+
   /** Per-document lexical diversity: token count, distinct-type count,
     * type/token ratio, and hapax share (types occurring exactly once /
     * types) — the cheap vocabulary-richness screens (low TTR ⇒

@@ -3902,6 +3902,85 @@ object PipelineQueries {
     Dedup.corpusDiff(old, refreshed)
   }
 
+  /** Heaps-law vocabulary-growth fit ([[graft.ops.TextAnalysis.heapsFit]]):
+    * one (ln tokens, ln types) point per source, micros least squares —
+    * the q176 Zipf audit's vocabulary-growth companion. Oracle mirrors
+    * the per-source wordcount, micros rounding, and normal equations. */
+  val q180HeapsFit: Q = q("q180_heaps_fit",
+    """WITH tok AS (SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |per AS (SELECT g, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |pts0 AS (SELECT g, sum(c) AS ntok, count(*) AS ntyp FROM per GROUP BY 1),
+      |p AS (SELECT CAST(round(ln(ntok) * 1000000.0, 0) AS BIGINT) AS x,
+      |             CAST(round(ln(ntyp) * 1000000.0, 0) AS BIGINT) AS y
+      |      FROM pts0),
+      |s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM p)
+      |SELECT CAST(k AS BIGINT) AS n_points,
+      |  round(CAST(k*sxy - sx*sy AS DOUBLE)
+      |      / CAST(k*sxx - sx*sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE)/k - (CAST(k*sxy - sx*sy AS DOUBLE)
+      |      / CAST(k*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)/k)
+      |    / 1000000.0, 6) AS intercept
+      |FROM s""".stripMargin) { (s, d) =>
+    TextAnalysis.heapsFit(Tables.documents(s, d))
+  }
+
+  /** Per-source length-distribution drift
+    * ([[graft.ops.TextAnalysis.lengthDriftBySource]]): max binned-CDF
+    * gap vs the corpus in micros, CDFs floor-quantized per side. Oracle
+    * densifies the same source × bin grid and mirrors the integral
+    * floors. */
+  val q181LengthDrift: Q = q("q181_length_drift",
+    """WITH binned AS (SELECT source AS g,
+      |    CAST(least((n_chars // 64), 63) AS BIGINT) AS b FROM documents),
+      |per AS (SELECT g, b, count(*) AS c FROM binned GROUP BY 1, 2),
+      |grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM per),
+      |         (SELECT unnest(range(0, 64)) AS b)),
+      |fill AS (SELECT grid.g, grid.b, coalesce(per.c, 0) AS c
+      |  FROM grid LEFT JOIN per ON grid.g = per.g AND grid.b = per.b),
+      |cums AS (SELECT g, b, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM fill),
+      |tot AS (SELECT g, max(cum) AS n_g FROM cums GROUP BY 1),
+      |allc AS (SELECT b, sum(c) AS call FROM cums GROUP BY 1),
+      |alls AS (SELECT b, sum(call) OVER (ORDER BY b) AS cum_all FROM allc),
+      |n AS (SELECT count(*) AS n_all FROM documents),
+      |f AS (SELECT cums.g, tot.n_g,
+      |    (cums.cum * 1000000) // tot.n_g AS f_g,
+      |    (alls.cum_all * 1000000) // n.n_all AS f_all
+      |  FROM cums JOIN tot ON cums.g = tot.g
+      |  JOIN alls ON cums.b = alls.b CROSS JOIN n)
+      |SELECT g AS source, CAST(max(n_g) AS BIGINT) AS n_docs,
+      |  CAST(max(abs(f_g - f_all)) AS BIGINT) AS ks_micros
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    TextAnalysis.lengthDriftBySource(Tables.documents(s, d)).orderBy("source")
+  }
+
+  /** Per-source duplication rate ([[graft.ops.Dedup.dupRateBySource]]):
+    * share of each source's docs whose content appears ≥2× in the
+    * corpus, exact micros — planted mirror docs (every 5th doc re-hosted
+    * under a 'mirror' source) make every real source carry nonzero
+    * duplication. Oracle mirrors the digest copy-count join. */
+  val q182DupRateBySource: Q = q("q182_dup_rate_by_source",
+    """WITH c AS (SELECT source, text FROM documents
+      |  UNION ALL SELECT 'mirror', text FROM documents WHERE doc_id % 5 = 0),
+      |keyed AS (SELECT source, md5(text) AS h FROM c),
+      |copies AS (SELECT h, count(*) AS n_copies FROM keyed GROUP BY 1),
+      |j AS (SELECT keyed.source, copies.n_copies
+      |  FROM keyed JOIN copies ON keyed.h = copies.h)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  CAST((sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS dup_rate_micros
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("source", "text")
+    val corpus = base.unionAll(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(lit("mirror").as("source"), col("text")))
+    Dedup.dupRateBySource(corpus).orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -3935,5 +4014,6 @@ object PipelineQueries {
     q167HostLinkGraph, q168EncodingSignals, q169BoilerplateLines,
     q170DupLines, q171TopNgramChars, q172DupNgramCoverage,
     q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
-    q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff)
+    q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff,
+    q180HeapsFit, q181LengthDrift, q182DupRateBySource)
 }

@@ -693,4 +693,42 @@ class CurationSpec extends SparkSpec {
     assert(row.getLong(2) === 1000000L)
     assert(row.getInt(3) === 4)
   }
+  test("heapsFit: exact slope on V = N^0.5 groups; repartition-invariant") {
+    import spark.implicits._
+    // group g1: 4 tokens, 2 types; g2: 16 tokens, 4 types; g3: 64/8 ->
+    // ln V = 0.5 ln N exactly, so slope 0.5, intercept 0
+    def mk(n: Int, v: Int): String =
+      (0 until n).map(i => s"t${i % v}").mkString(" ")
+    val docs = Seq(("g1", mk(4, 2)), ("g2", mk(16, 4)), ("g3", mk(64, 8)))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.heapsFit(docs).collect().head
+    assert(got.getLong(0) === 3L)
+    assert(math.abs(got.getDouble(1) - 0.5) < 1e-3, got.getDouble(1))
+    assert(math.abs(got.getDouble(2)) < 1e-3, got.getDouble(2))
+    val again = graft.ops.TextAnalysis.heapsFit(docs.repartition(5))
+      .collect().head
+    assert(again === got)
+  }
+
+  test("lengthDriftBySource: hand-computed binned KS in micros") {
+    import spark.implicits._
+    // a: both docs in bin 0; b: both in bin 15; corpus CDF is 0.5 until
+    // bin 15 -> KS = 0.5 for both sources
+    val docs = Seq(("a", 10L), ("a", 20L), ("b", 1000L), ("b", 1001L))
+      .toDF("source", "n_chars")
+    val got = graft.ops.TextAnalysis.lengthDriftBySource(docs)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 500000L), ("b", 2L, 500000L)))
+  }
+
+  test("dupRateBySource: copy counts span sources; floor micros") {
+    import spark.implicits._
+    // x appears 3x corpus-wide: both a-docs holding x count as dups, and
+    // b's single x does too; y and z are unique
+    val docs = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+      ("b", "z")).toDF("source", "text")
+    val got = graft.ops.Dedup.dupRateBySource(docs)
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 2L, 666666L), ("b", 2L, 1L, 500000L)))
+  }
 }

@@ -99,7 +99,11 @@ class QueriesSpec extends SparkSpec {
       "q137_source_kl",
       // q142's per-half-round max rescale crossJoins a broadcast
       // one-row max aggregate — the scalar-aggregate class
-      "q142_hits")
+      "q142_hits",
+      // q181 densifies the audit-sized #sources × 64-bin grid by cross
+      // join and broadcasts the one-row corpus count — both bounded by
+      // construction, never corpus-sized
+      "q181_length_drift")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
