@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Similarity, Spread, TextAnalysis}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -858,7 +858,7 @@ object PipelineQueries {
         lit(" from host "),
         (pmod(col("doc_id"), lit(254)) + 1).cast("string"), lit(".0.113.7"))
         .as("text"))
-    planted.select(col("doc_id"),
+    Spread.cpu(planted).select(col("doc_id"),
       Curation.redactPii(col("text")).as("redacted"),
       regexp_count(col("text"), lit(Curation.EmailRe)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(Curation.Ipv4Re)).cast("long").as("n_ips"),
