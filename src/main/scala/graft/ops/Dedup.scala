@@ -1098,6 +1098,82 @@ object Dedup {
           .otherwise(0L)).as("n_retained"))
   }
 
+  /** Distinct word-`n`-gram projection keyed by the engine-portable
+    * 60-bit md5-prefix hash ([[graft.functions.Md5Prefix60]], the q163
+    * derivation) — the shared kernel of [[ngramNovelty]] and
+    * [[crossSourceNgramContainment]]. One spread tokenize/explode, one
+    * map-side-combined distinct; identity is defined AT THE HASH so any
+    * engine with md5 reproduces the exact sets. */
+  private def md5GramSet(docs: DataFrame, n: Int,
+                         keys: Seq[String]): DataFrame = {
+    val g = keys.map(col)
+    val toked = Spread.cpu(docs)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(g :+ split(col("text"), " ").as("wd"): _*)
+    toked.select(g :+
+        explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
+          i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"): _*)
+      .select(g :+
+        graft.functions.Md5Functions.md5Prefix60(col("sg")).as("h"): _*)
+      .distinct()
+  }
+
+  /** N-gram novelty between two corpus snapshots: how much of the new
+    * corpus' distinct `n`-gram set is UNSEEN in the old — the
+    * diversity-delta audit behind "did this refresh actually add new
+    * content, or re-shuffle the same text?" (a near-zero novelty rate on
+    * a large byte delta is re-crawl churn; [[corpusDiff]] counts docs,
+    * this counts n-grams, catching remixes document identity misses).
+    *
+    * Shape: each side collapses to its distinct gram-hash set map-side
+    * (8-byte shuffle keys), then ONE left join of the new set onto the
+    * old feeds a 1-row aggregate; novelty is floor-micros over exact
+    * Longs. */
+  def ngramNovelty(oldDocs: DataFrame, newDocs: DataFrame,
+                   n: Int = 5): DataFrame = {
+    val o = md5GramSet(oldDocs, n, Nil).withColumn("in_old", lit(1))
+    md5GramSet(newDocs, n, Nil)
+      .join(o, Seq("h"), "left")
+      .agg(count(lit(1)).as("n_new_grams"),
+        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("n_new_grams"), col("n_novel"),
+        when(col("n_new_grams") === 0, 0L).otherwise {
+          val sc = col("n_novel") * 1000000L
+          ((sc - pmod(sc, col("n_new_grams"))) / col("n_new_grams"))
+            .cast("long")
+        }.as("novelty_micros"))
+  }
+
+  /** Cross-source n-gram containment: for every ORDERED source pair
+    * (a, b), |grams(a) ∩ grams(b)| / |grams(a)| — the template-reuse
+    * audit [[crossSourceDupMatrix]]'s exact-document identity misses
+    * (boilerplate rewrapped around new text shows up here first).
+    * Containment is directional, so both (a, b) and (b, a) rows appear.
+    *
+    * Shape: ONE distinct (source, gram-hash) projection feeds both the
+    * per-source gram counts and the hash-keyed self-join; per-hash join
+    * fanout is bounded by #sources² (a SMALL constant — sources are an
+    * operational handful; never corpus-sized). Ratios are floor-micros
+    * over exact Longs. */
+  def crossSourceNgramContainment(docs: DataFrame, n: Int = 5,
+                                  sourceCol: String = "source"): DataFrame = {
+    val sh = md5GramSet(
+      docs.select(col(sourceCol).as("source"), col("text")), n, Seq("source"))
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_grams_a")), "source_a")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"),
+        when(col("n_grams_a") === 0, 0L).otherwise {
+          val sc = col("n_shared") * 1000000L
+          ((sc - pmod(sc, col("n_grams_a"))) / col("n_grams_a")).cast("long")
+        }.as("containment_micros"))
+  }
+
   /** Query-by-document text similarity search: top-`k` most Jaccard-similar
     * corpus documents for each query doc, via the shingle inverted index —
     * the search-shaped twin of [[jaccardNearDupPairs]]. The query side of

@@ -3981,6 +3981,82 @@ object PipelineQueries {
     Dedup.dupRateBySource(corpus).orderBy("source")
   }
 
+  /** N-gram novelty between snapshots ([[graft.ops.Dedup.ngramNovelty]]):
+    * share of the refreshed corpus' distinct 5-gram hash set unseen in
+    * the original — the q179 refresh fixture (drop every 10th doc, edit
+    * every 9th) guarantees a nonzero-but-small novelty. Oracle
+    * re-derives the 60-bit md5-prefix gram sets (the q163 derivation)
+    * and the left-join flags. */
+  val q183NgramNovelty: Q = q("q183_ngram_novelty",
+    """WITH n0 AS (SELECT CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+      |    ELSE text END AS text FROM documents WHERE doc_id % 10 <> 0),
+      |og AS (SELECT DISTINCT h FROM (
+      |  SELECT CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h FROM (
+      |    SELECT unnest(list_distinct(list_transform(
+      |      range(1, len(wd) - 3),
+      |      i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' '
+      |        || wd[i+3] || ' ' || wd[i+4]))) AS sg
+      |    FROM (SELECT string_split(text, ' ') AS wd FROM documents)
+      |    WHERE len(wd) >= 5))),
+      |ng AS (SELECT DISTINCT h FROM (
+      |  SELECT CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h FROM (
+      |    SELECT unnest(list_distinct(list_transform(
+      |      range(1, len(wd) - 3),
+      |      i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' '
+      |        || wd[i+3] || ' ' || wd[i+4]))) AS sg
+      |    FROM (SELECT string_split(text, ' ') AS wd FROM n0)
+      |    WHERE len(wd) >= 5))),
+      |j AS (SELECT ng.h, og.h AS oh FROM ng LEFT JOIN og ON ng.h = og.h)
+      |SELECT CAST(count(*) AS BIGINT) AS n_new_grams,
+      |  CAST(sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST((sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS novelty_micros
+      |FROM j""".stripMargin) { (s, d) =>
+    val old = Tables.documents(s, d).select("text")
+    val refreshed = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    Dedup.ngramNovelty(old, refreshed)
+  }
+
+  /** Cross-source n-gram containment
+    * ([[graft.ops.Dedup.crossSourceNgramContainment]]): directional
+    * template-reuse matrix over 60-bit md5-prefix 5-gram sets, with the
+    * q178 planted mirror source (every 7th doc re-hosted) guaranteeing
+    * full containment rows. Oracle mirrors the distinct (source, hash)
+    * projection, both-direction self-join, and floor-micros ratio. */
+  val q184SourceContainment: Q = q("q184_source_containment",
+    """WITH c AS (SELECT source, text FROM documents
+      |  UNION ALL SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+      |sh AS (SELECT DISTINCT source,
+      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h FROM (
+      |  SELECT source, unnest(list_distinct(list_transform(
+      |    range(1, len(wd) - 3),
+      |    i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' '
+      |      || wd[i+3] || ' ' || wd[i+4]))) AS sg
+      |  FROM (SELECT source, string_split(text, ' ') AS wd FROM c)
+      |  WHERE len(wd) >= 5)),
+      |sizes AS (SELECT source, count(*) AS n_grams FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |  CAST(p.n_shared AS BIGINT) AS n_shared,
+      |  CAST(z.n_grams AS BIGINT) AS n_grams_a,
+      |  CAST((p.n_shared * 1000000) // z.n_grams AS BIGINT)
+      |    AS containment_micros
+      |FROM pairs p JOIN sizes z ON p.source_a = z.source
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("source", "text")
+    val corpus = base.unionAll(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(lit("mirror").as("source"), col("text")))
+    Dedup.crossSourceNgramContainment(corpus).orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4015,5 +4091,6 @@ object PipelineQueries {
     q170DupLines, q171TopNgramChars, q172DupNgramCoverage,
     q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
     q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff,
-    q180HeapsFit, q181LengthDrift, q182DupRateBySource)
+    q180HeapsFit, q181LengthDrift, q182DupRateBySource, q183NgramNovelty,
+    q184SourceContainment)
 }

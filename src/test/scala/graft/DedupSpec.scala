@@ -323,6 +323,28 @@ class DedupSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((2L, 2L, 1L)))
   }
 
+  test("ngramNovelty: hand-built snapshots at n=2") {
+    import spark.implicits._
+    // old grams: {a b, b c}; new grams: {a b, b x} -> 1 of 2 novel
+    val old = Seq("a b c").toDF("text")
+    val neu = Seq("a b x").toDF("text")
+    val got = Dedup.ngramNovelty(old, neu, n = 2).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((2L, 1L, 500000L)))
+  }
+
+  test("crossSourceNgramContainment: directional ratios on planted overlap") {
+    import spark.implicits._
+    // a: grams {p q, q r}; b: grams {p q, q z, z w} -> shared {p q}
+    // containment a->b = 1/2, b->a = 1/3
+    val in = Seq(("a", "p q r"), ("b", "p q z w")).toDF("source", "text")
+    val got = Dedup.crossSourceNgramContainment(in, n = 2)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 1L, 2L, 500000L),
+      ("b", "a", 1L, 3L, 333333L)))
+  }
+
   test("groupMinHashMd5: lattice property — a group's signature is the " +
     "elementwise min of its members' signatures") {
     val byDoc = Dedup.groupMinHashMd5(
