@@ -1128,7 +1128,12 @@ object Dedup {
     * Shape: each side collapses to its distinct gram-hash set map-side
     * (8-byte shuffle keys), then ONE left join of the new set onto the
     * old feeds a 1-row aggregate; novelty is floor-micros over exact
-    * Longs. */
+    * Longs. This is the EXACT form — at corpus scale where the distinct
+    * gram sets themselves are enormous, the sketch path is
+    * `approx_count_distinct` over each side plus their union
+    * (|A∩B| = |A|+|B|−|A∪B|), trading the oracle-exact count for a
+    * shuffle of sketch buffers instead of the gram stream — the q155
+    * HLL-union infrastructure. */
   def ngramNovelty(oldDocs: DataFrame, newDocs: DataFrame,
                    n: Int = 5): DataFrame = {
     val o = md5GramSet(oldDocs, n, Nil).withColumn("in_old", lit(1))
