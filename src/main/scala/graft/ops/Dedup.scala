@@ -1061,16 +1061,17 @@ object Dedup {
                       textCol: String = "text"): DataFrame = {
     val keyed = docs.select(col(sourceCol).as("source"),
       md5(col(textCol)).as("h"))
-    val copies = keyed.groupBy("h").agg(count(lit(1)).as("n_copies"))
-    keyed.join(copies, "h")
+    val copies = keyed.filter(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("n_copies"))
+    // LEFT join: a null-text doc has a null digest, which an inner
+    // equi-join would silently drop — it must stay in the denominator
+    // (counted as non-duplicate), not vanish from the corpus-health row
+    keyed.join(copies, Seq("h"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("source"), col("n_docs"), col("n_dup"),
-        when(col("n_docs") === 0, 0L).otherwise {
-          val s = col("n_dup") * 1000000L
-          ((s - pmod(s, col("n_docs"))) / col("n_docs")).cast("long")
-        }.as("dup_rate_micros"))
+        Micros.ratio(col("n_dup"), col("n_docs")).as("dup_rate_micros"))
   }
 
   /** Corpus snapshot diff — one row summarizing what changed between two
@@ -1108,8 +1109,8 @@ object Dedup {
                          keys: Seq[String]): DataFrame = {
     val g = keys.map(col)
     val toked = Spread.cpu(docs)
-      .filter(size(split(col("text"), " ")) >= n)
       .select(g :+ split(col("text"), " ").as("wd"): _*)
+      .filter(size(col("wd")) >= n)
     toked.select(g :+
         explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
           i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"): _*)
@@ -1140,13 +1141,12 @@ object Dedup {
     md5GramSet(newDocs, n, Nil)
       .join(o, Seq("h"), "left")
       .agg(count(lit(1)).as("n_new_grams"),
-        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_novel"))
+        // coalesce: an EMPTY new corpus aggregates sum() to null, and
+        // the degenerate row must read (0, 0, 0), not (0, null, 0)
+        coalesce(sum(when(col("in_old").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_novel"))
       .select(col("n_new_grams"), col("n_novel"),
-        when(col("n_new_grams") === 0, 0L).otherwise {
-          val sc = col("n_novel") * 1000000L
-          ((sc - pmod(sc, col("n_new_grams"))) / col("n_new_grams"))
-            .cast("long")
-        }.as("novelty_micros"))
+        Micros.ratio(col("n_novel"), col("n_new_grams")).as("novelty_micros"))
   }
 
   /** Cross-source n-gram containment: for every ORDERED source pair
@@ -1173,10 +1173,8 @@ object Dedup {
         col("n_grams").as("n_grams_a")), "source_a")
       .select(col("source_a"), col("source_b"), col("n_shared"),
         col("n_grams_a"),
-        when(col("n_grams_a") === 0, 0L).otherwise {
-          val sc = col("n_shared") * 1000000L
-          ((sc - pmod(sc, col("n_grams_a"))) / col("n_grams_a")).cast("long")
-        }.as("containment_micros"))
+        Micros.ratio(col("n_shared"), col("n_grams_a"))
+          .as("containment_micros"))
   }
 
   /** Query-by-document text similarity search: top-`k` most Jaccard-similar

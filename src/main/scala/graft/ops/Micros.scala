@@ -1,0 +1,16 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The library-wide exact integral ratio idiom, shared across op files. */
+private[graft] object Micros {
+  /** `floor(x · 1e6 / d)` in pure Long arithmetic, 0 when the
+    * denominator is 0 — order-free under any partial-aggregation split
+    * (floats aggregate order-dependently; integers don't). */
+  def ratio(x: Column, d: Column): Column =
+    when(d === 0, 0L).otherwise {
+      val s = x.cast("long") * 1000000L
+      ((s - pmod(s, d)) / d).cast("long")
+    }
+}

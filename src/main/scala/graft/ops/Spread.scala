@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Input-parallelism guard for CPU-bound per-row stages (shingling,
   * per-shingle hashing, regex batteries, vector math).
@@ -24,10 +25,33 @@ import org.apache.spark.sql.DataFrame
   * ENSURE_REQUIREMENTS shuffles, not user `repartition(n)`).
   */
 private[graft] object Spread {
-  /** Round-robin `df` to `defaultParallelism` partitions iff its current
-    * plan yields fewer; streaming frames pass through untouched. */
+
+  /** True iff the logical plan is scan-stage-only: leaves plus narrow
+    * per-row operators. Only such plans can be parallelism-starved by
+    * input layout (anything containing a shuffle-introducing operator —
+    * join, aggregate, window, sort, repartition — already runs at
+    * `spark.sql.shuffle.partitions`), and only for such plans is
+    * `df.rdd.getNumPartitions` guaranteed job-free: under AQE, `.rdd`
+    * on a plan with exchanges MATERIALIZES the upstream query stages at
+    * DataFrame-construction time (real Spark jobs whose results are
+    * then thrown away) — the probe itself must never pay that. */
+  private def narrowScanOnly(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
+              _: Union | _: LocalLimit) =>
+      // These introduce no exchange; their children decide. Anything
+      // not allow-listed (joins, aggregates, distinct, windows, sorts,
+      // repartitions, unknown nodes) => not scan-stage.
+      n.children.forall(narrowScanOnly)
+    case _ => false
+  }
+
+  /** Round-robin `df` to `defaultParallelism` partitions iff it is a
+    * narrow scan-stage plan whose current layout yields fewer;
+    * streaming frames and post-shuffle plans pass through untouched. */
   def cpu(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    if (!narrowScanOnly(df.queryExecution.optimizedPlan)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -729,11 +729,7 @@ object TextAnalysis {
     * arithmetic, 0 when the denominator is 0. The order-free idiom every
     * ratio column in this library uses (floats aggregate
     * order-dependently; integers don't). */
-  private def microsRatio(x: Column, d: Column): Column =
-    when(d === 0, 0L).otherwise {
-      val s = x.cast("long") * 1000000L
-      ((s - pmod(s, d)) / d).cast("long")
-    }
+  private def microsRatio(x: Column, d: Column): Column = Micros.ratio(x, d)
 
   /** Word n-grams WITH multiplicity, in document order — the counting
     * sibling of [[graft.ops.Dedup.shingles]] (which is distinct-set
@@ -844,6 +840,23 @@ object TextAnalysis {
           .as("dup_ngram_micros"))
   }
 
+  /** Shared micros least-squares: exact Long normal-equation sums over
+    * an integer-micros (x, y) point frame, two final IEEE divisions —
+    * the determinism scheme [[zipfFit]] and [[heapsFit]] both use.
+    * Slope/intercept are null when the x spread is degenerate (k·Σx² =
+    * (Σx)², e.g. a single point) — surfaced, not masked. */
+  private def microsLeastSquares(pts: DataFrame): DataFrame =
+    pts.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_points"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") / col("k") -
+          ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double") / col("k")) / 1e6, 6).as("intercept"))
+
   /** Zipf-fit corpus-health audit: least-squares slope of ln(freq) on
     * ln(rank) over the top-`topN` tokens — natural text sits near −1;
     * templated/synthetic corpora flatten toward 0, token-salad steepens.
@@ -874,16 +887,7 @@ object TextAnalysis {
       .select(
         round(log(col("r").cast("double")) * 1e6, 0).cast("long").as("x"),
         round(log(col("n").cast("double")) * 1e6, 0).cast("long").as("y"))
-    pts.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .select(col("k").as("n_points"),
-        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
-          .as("slope"),
-        round((col("sy").cast("double") / col("k") -
-          ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            col("sx").cast("double") / col("k")) / 1e6, 6).as("intercept"))
+    microsLeastSquares(pts)
   }
 
   /** Heaps-law corpus-health audit — the vocabulary-growth companion to
@@ -910,16 +914,7 @@ object TextAnalysis {
       .select(
         round(log(col("ntok").cast("double")) * 1e6, 0).cast("long").as("x"),
         round(log(col("ntyp").cast("double")) * 1e6, 0).cast("long").as("y"))
-    pts.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .select(col("k").as("n_points"),
-        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
-          .as("slope"),
-        round((col("sy").cast("double") / col("k") -
-          ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            col("sx").cast("double") / col("k")) / 1e6, 6).as("intercept"))
+    microsLeastSquares(pts)
   }
 
   /** Per-source length-distribution drift: the max binned-CDF gap
@@ -945,7 +940,10 @@ object TextAnalysis {
       .partitionBy("g").orderBy("b")
     val bCol = least(floor(col(lenCol).cast("double") / binWidth), lit(bins - 1))
       .cast("long")
-    val per = docs.select(col(groupCol).as("g"), bCol.as("b"))
+    // null lengths are excluded from BOTH the CDFs and the corpus
+    // count (least() would otherwise silently bucket them as max-length)
+    val clean = docs.filter(col(lenCol).isNotNull)
+    val per = clean.select(col(groupCol).as("g"), bCol.as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("c"))
     val grid = per.select("g").distinct()
       .crossJoin(docs.sparkSession.range(bins).toDF("b"))
@@ -956,7 +954,7 @@ object TextAnalysis {
     val all = cums.groupBy("b").agg(sum("c").as("call"))
       .withColumn("cum_all", sum("call").over(
         org.apache.spark.sql.expressions.Window.orderBy("b")))
-    val nAll = docs.select(count(lit(1)).as("n_all"))
+    val nAll = clean.select(count(lit(1)).as("n_all"))
     cums.join(tot, "g").join(all.select("b", "cum_all"), "b")
       .crossJoin(broadcast(nAll))
       .select(col("g"), col("n_g"),

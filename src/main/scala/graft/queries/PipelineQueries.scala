@@ -3933,7 +3933,8 @@ object PipelineQueries {
     * floors. */
   val q181LengthDrift: Q = q("q181_length_drift",
     """WITH binned AS (SELECT source AS g,
-      |    CAST(least((n_chars // 64), 63) AS BIGINT) AS b FROM documents),
+      |    CAST(least((n_chars // 64), 63) AS BIGINT) AS b FROM documents
+      |  WHERE n_chars IS NOT NULL),
       |per AS (SELECT g, b, count(*) AS c FROM binned GROUP BY 1, 2),
       |grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM per),
       |         (SELECT unnest(range(0, 64)) AS b)),
@@ -3944,7 +3945,8 @@ object PipelineQueries {
       |tot AS (SELECT g, max(cum) AS n_g FROM cums GROUP BY 1),
       |allc AS (SELECT b, sum(c) AS call FROM cums GROUP BY 1),
       |alls AS (SELECT b, sum(call) OVER (ORDER BY b) AS cum_all FROM allc),
-      |n AS (SELECT count(*) AS n_all FROM documents),
+      |n AS (SELECT count(*) AS n_all FROM documents
+      |  WHERE n_chars IS NOT NULL),
       |f AS (SELECT cums.g, tot.n_g,
       |    (cums.cum * 1000000) // tot.n_g AS f_g,
       |    (alls.cum_all * 1000000) // n.n_all AS f_all
@@ -3967,7 +3969,7 @@ object PipelineQueries {
       |keyed AS (SELECT source, md5(text) AS h FROM c),
       |copies AS (SELECT h, count(*) AS n_copies FROM keyed GROUP BY 1),
       |j AS (SELECT keyed.source, copies.n_copies
-      |  FROM keyed JOIN copies ON keyed.h = copies.h)
+      |  FROM keyed LEFT JOIN copies ON keyed.h = copies.h)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_dup,
@@ -4008,10 +4010,11 @@ object PipelineQueries {
       |    WHERE len(wd) >= 5))),
       |j AS (SELECT ng.h, og.h AS oh FROM ng LEFT JOIN og ON ng.h = og.h)
       |SELECT CAST(count(*) AS BIGINT) AS n_new_grams,
-      |  CAST(sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_novel,
-      |  CAST((sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) * 1000000)
-      |    // count(*) AS BIGINT) AS novelty_micros
+      |  CAST(coalesce(sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+      |    (coalesce(sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END), 0)
+      |      * 1000000) // count(*) END AS BIGINT) AS novelty_micros
       |FROM j""".stripMargin) { (s, d) =>
     val old = Tables.documents(s, d).select("text")
     val refreshed = Tables.documents(s, d)

@@ -714,7 +714,8 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     // a: both docs in bin 0; b: both in bin 15; corpus CDF is 0.5 until
     // bin 15 -> KS = 0.5 for both sources
-    val docs = Seq(("a", 10L), ("a", 20L), ("b", 1000L), ("b", 1001L))
+    val docs = Seq(("a", Some(10L)), ("a", Some(20L)), ("b", Some(1000L)),
+      ("b", Some(1001L)), ("a", None)) // null length: excluded, not top-bin
       .toDF("source", "n_chars")
     val got = graft.ops.TextAnalysis.lengthDriftBySource(docs)
       .orderBy("source").as[(String, Long, Long)].collect().toSeq

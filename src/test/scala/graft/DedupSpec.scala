@@ -323,6 +323,24 @@ class DedupSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((2L, 2L, 1L)))
   }
 
+  test("ngramNovelty: empty new corpus reads (0, 0, 0), not nulls") {
+    import spark.implicits._
+    val old = Seq("a b c").toDF("text")
+    val neu = Seq.empty[String].toDF("text")
+    val got = Dedup.ngramNovelty(old, neu, n = 2).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((0L, 0L, 0L)))
+  }
+
+  test("dupRateBySource: null-text docs stay in the denominator") {
+    import spark.implicits._
+    val in = Seq(("a", Some("x")), ("a", Some("x")), ("a", None))
+      .toDF("source", "text")
+    val got = Dedup.dupRateBySource(in).collect().head
+    // 3 docs, 2 dups, floor(2e6/3) — the null doc counted, not dropped
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === (("a", 3L, 2L, 666666L)))
+  }
+
   test("ngramNovelty: hand-built snapshots at n=2") {
     import spark.implicits._
     // old grams: {a b, b c}; new grams: {a b, b x} -> 1 of 2 novel
