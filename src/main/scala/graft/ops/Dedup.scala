@@ -1105,8 +1105,8 @@ object Dedup {
     * [[crossSourceNgramContainment]]. One spread tokenize/explode, one
     * map-side-combined distinct; identity is defined AT THE HASH so any
     * engine with md5 reproduces the exact sets. */
-  private def md5GramSet(docs: DataFrame, n: Int,
-                         keys: Seq[String]): DataFrame = {
+  private[graft] def md5GramSet(docs: DataFrame, n: Int,
+                                keys: Seq[String]): DataFrame = {
     val g = keys.map(col)
     val toked = Spread.cpu(docs)
       .select(g :+ split(col("text"), " ").as("wd"): _*)
@@ -1155,15 +1155,35 @@ object Dedup {
     * (boilerplate rewrapped around new text shows up here first).
     * Containment is directional, so both (a, b) and (b, a) rows appear.
     *
-    * Shape: ONE distinct (source, gram-hash) projection feeds both the
-    * per-source gram counts and the hash-keyed self-join; per-hash join
+    * Shape: one distinct (source, gram-hash) PROJECTION feeds the
+    * per-source gram counts and both self-join sides; per-hash join
     * fanout is bounded by #sources² (a SMALL constant — sources are an
     * operational handful; never corpus-sized). Ratios are floor-micros
-    * over exact Longs. */
+    * over exact Longs. The projection is plan-shared but, absent
+    * runtime exchange reuse, evaluated once per consumer — a one-off
+    * audit at corpus scale should materialize [[sourceNgramSets]] to a
+    * table first and call [[crossSourceNgramContainmentFrom]] on it
+    * (the precomputed-projection pattern of
+    * `minHashLshAgainstCorpusBanded`). */
   def crossSourceNgramContainment(docs: DataFrame, n: Int = 5,
-                                  sourceCol: String = "source"): DataFrame = {
-    val sh = md5GramSet(
-      docs.select(col(sourceCol).as("source"), col("text")), n, Seq("source"))
+                                  sourceCol: String = "source"): DataFrame =
+    crossSourceNgramContainmentFrom(md5GramSet(
+      docs.select(col(sourceCol).as("source"), col("text")), n, Seq("source")))
+
+  /** The distinct (source, 60-bit md5-prefix gram-hash) projection the
+    * cross-source audits consume — exposed so a corpus-scale run can
+    * materialize it ONCE (parquet/registry table) and feed every audit
+    * from the stored 8-byte keys instead of re-shingling text per
+    * consumer. */
+  def sourceNgramSets(docs: DataFrame, n: Int = 5,
+                      sourceCol: String = "source"): DataFrame =
+    md5GramSet(docs.select(col(sourceCol).as("source"), col("text")),
+      n, Seq("source"))
+
+  /** [[crossSourceNgramContainment]] over a PRECOMPUTED
+    * [[sourceNgramSets]] frame `(source, h)`. */
+  def crossSourceNgramContainmentFrom(grams: DataFrame): DataFrame = {
+    val sh = grams
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))

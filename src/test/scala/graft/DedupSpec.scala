@@ -363,6 +363,18 @@ class DedupSpec extends SparkSpec {
       ("b", "a", 1L, 3L, 333333L)))
   }
 
+  test("crossSourceNgramContainmentFrom: parity with the composed form " +
+    "over a materialized gram set") {
+    import spark.implicits._
+    val in = Seq(("a", "p q r"), ("b", "p q z w")).toDF("source", "text")
+    val composed = Dedup.crossSourceNgramContainment(in, n = 2)
+      .orderBy("source_a", "source_b").collect().toSeq
+    val grams = Dedup.sourceNgramSets(in, n = 2)
+    val from = Dedup.crossSourceNgramContainmentFrom(grams)
+      .orderBy("source_a", "source_b").collect().toSeq
+    assert(from === composed)
+  }
+
   test("groupMinHashMd5: lattice property — a group's signature is the " +
     "elementwise min of its members' signatures") {
     val byDoc = Dedup.groupMinHashMd5(
