@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Similarity, Spread, TextAnalysis}
+import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Similarity, Spread, TextAnalysis, Warc}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -4060,6 +4060,30 @@ object PipelineQueries {
     Dedup.crossSourceNgramContainment(corpus).orderBy("source_a", "source_b")
   }
 
+  /** WARC crawl-archive ingestion ([[graft.ops.Warc.parseWarc]]):
+    * deterministic multi-record WARC chunks are synthesized from
+    * `documents` (8 records per chunk, the q164 synthetic-payload
+    * idiom), parsed back by the hostile-input-hardened cursor, and
+    * checked against an oracle that RECONSTRUCTS every envelope field
+    * from the source rows — uri from doc_id, Content-Length as UTF-8
+    * octets, body md5 — so any header, length, or cursor bug diverges
+    * on real multi-byte text. */
+  val q185WarcIngest: Q = q("q185_warc_ingest",
+    """SELECT CAST(doc_id // 8 AS BIGINT) AS chunk_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |    - 1 AS BIGINT) AS rec_idx,
+      |  'response' AS warc_type,
+      |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'text/plain' AS content_type,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  md5(text) AS body_md5,
+      |  TRUE AS valid
+      |FROM documents ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    val chunks = Warc.syntheticWarcChunks(
+      Tables.documents(s, d).select("doc_id", "text"))
+    Warc.parseWarc(s, chunks).toDF().orderBy("chunk_id", "rec_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4095,5 +4119,5 @@ object PipelineQueries {
     q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
     q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff,
     q180HeapsFit, q181LengthDrift, q182DupRateBySource, q183NgramNovelty,
-    q184SourceContainment)
+    q184SourceContainment, q185WarcIngest)
 }
