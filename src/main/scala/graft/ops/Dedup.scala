@@ -589,17 +589,24 @@ object Dedup {
     * Band-width note for scale: bands are `64 / (first power of two >
     * maxHamming)` bits wide, so `maxHamming ≤ 3` gives 16-bit bands (65k
     * buckets — the 100 TB setting); higher thresholds shrink bands and
-    * grow per-bucket candidate fanout, the usual LSH recall/cost dial
-    * (hot-bucket behavior is bounded by the same doc-keyed caps as the
-    * MinHash path upstream of the join).
+    * grow per-bucket candidate fanout, the usual LSH recall/cost dial.
+    * At the default `maxHamming = 6` the bands are 8 bits — 256 possible
+    * bucket values per band — so `maxBucketSize` (the [[hamming64Pairs]]
+    * hot-bucket cap, default [[DefaultHotKeyCap]]) is what keeps a
+    * fingerprint-concentrated corpus from degrading the self-join toward
+    * N²/256 per band. Lossy: a pair drops iff its every agreeing band is
+    * hot; pass 0 for the exact pigeonhole-complete pair set (quadratic
+    * risk — the cross-engine-completeness-oracle setting, not the 100 TB
+    * one).
     *
     * @return (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤
     *         `maxHamming` over the 60-bit fingerprints */
   def simHashMd5NearDupPairs(docs: DataFrame, maxHamming: Int = 6,
-                             n: Int = 3): DataFrame =
+                             n: Int = 3,
+                             maxBucketSize: Int = DefaultHotKeyCap): DataFrame =
     hamming64Pairs(
       simHashMd5(docs, n).select(col("doc_id"), col("simhash60").as("h")),
-      maxHamming)
+      maxHamming, maxBucketSize)
 
   /** Engine-portable group-wise MinHash signature — the md5 sibling of
     * the [[graft.ops.MinHashSignatureAgg]] UDAF (q62), in the same spirit
@@ -658,17 +665,30 @@ object Dedup {
     * keeps only pairs at `hamming ≤ maxHamming`. Same
     * inverted-index-not-cross-join shape as MinHash banding; fewer bits
     * per band (higher thresholds) → more candidates per bucket, the usual
-    * LSH recall/cost dial. */
-  private[graft] def hamming64Pairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    * LSH recall/cost dial.
+    *
+    * `maxBucketSize` > 0 drops every (band, bits) bucket holding STRICTLY
+    * more than that many fingerprints BEFORE the self-join (the shared
+    * [[dropHotKeys]] cap). This matters here even more than on the
+    * MinHash path: at `maxHamming` in [4, 7] the bands are 8 bits wide —
+    * only 256 possible bucket values per band — so on a corpus whose
+    * fingerprints concentrate (boilerplate-heavy crawl text, near-blank
+    * images) the uncapped self-join degrades toward N²/256 per band.
+    * LOSSY like every LSH cap: a pair is silently dropped iff EVERY band
+    * the two fingerprints agree on is hot. 0 disables (exact pigeonhole
+    * completeness — the quadratic risk is the caller's). */
+  private[graft] def hamming64Pairs(fp: DataFrame, maxHamming: Int,
+                                    maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (16 bands of 4 bits), got $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16).find(_ > maxHamming).get
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val banded = fp.select(col("doc_id"), col("h"),
+    val banded0 = fp.select(col("doc_id"), col("h"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("h"), b * bits).bitwiseAND(mask).as("bits"))): _*)).as("bk"))
+    val banded = dropHotKeys(banded0, "bk", maxBucketSize)
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bits"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
@@ -683,13 +703,16 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates share at least one simhash band
     * (any pair within the hamming threshold must agree on one band by
-    * pigeonhole — see [[hamming64Pairs]]); confirmed at `maxHamming`. */
-  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    * pigeonhole — see [[hamming64Pairs]]); confirmed at `maxHamming`.
+    * `maxBucketSize` is the hot-band-bucket cap (lossy, default
+    * [[DefaultHotKeyCap]]; 0 = exact) — see [[hamming64Pairs]]. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
+                          maxBucketSize: Int = DefaultHotKeyCap): DataFrame = {
     require(maxHamming <= 3,
       "4 bands of 16 bits guarantee candidate completeness only for hamming <= 3")
     val fp = docs.select(col("doc_id"), hashedShingles(col("text"), n).as("s"))
       .select(col("doc_id"), simHashCol(col("s")).as("h"))
-    hamming64Pairs(fp, maxHamming)
+    hamming64Pairs(fp, maxHamming, maxBucketSize)
   }
 
   /** Incremental dedup of a new batch against an existing (huge) corpus:

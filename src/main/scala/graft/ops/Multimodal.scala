@@ -261,12 +261,16 @@ object Multimodal {
   /** Perceptual near-dup pairs over a [[perceptualHashes]] frame: the
     * [[Dedup.hamming64Pairs]] banded machinery (pigeonhole-complete
     * candidates, exact hamming confirm, never all-pairs) on `hashCol`.
-    * Undecoded rows are excluded — zero-hash placeholders must not pair. */
+    * Undecoded rows are excluded — zero-hash placeholders must not pair.
+    * `maxBucketSize` caps hot band buckets (near-blank images concentrate
+    * perceptual hashes exactly like boilerplate concentrates simhashes;
+    * lossy, default [[Dedup.DefaultHotKeyCap]]; 0 = exact). */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
-                        hashCol: String = "d_hash"): DataFrame =
+                        hashCol: String = "d_hash",
+                        maxBucketSize: Int = Dedup.DefaultHotKeyCap): DataFrame =
     Dedup.hamming64Pairs(
       hashes.filter(col("decoded")).select(col("doc_id"), col(hashCol).as("h")),
-      maxHamming)
+      maxHamming, maxBucketSize)
 
   /** Deterministic smooth synthetic image payloads — the pixel-bearing
     * fixture generator for the perceptual-hash path (this container has

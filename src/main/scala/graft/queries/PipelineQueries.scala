@@ -3401,7 +3401,10 @@ object PipelineQueries {
     * populated. The oracle re-derives the fingerprints (the q163 CTE over
     * the same planted corpus) and confirms by QUADRATIC xor-popcount —
     * so it also proves the band join is pigeonhole-COMPLETE: any pair the
-    * banding missed would appear in the oracle and hash-diverge. */
+    * banding missed would appear in the oracle and hash-diverge.
+    * `maxBucketSize = 0` requests the exact uncapped contract the
+    * quadratic oracle demands; the default hot-bucket cap (the 100 TB
+    * setting) gets its own mirrored-cap oracle in q186. */
   val q166SimhashPairsMd5: Q = q("q166_simhash_pairs_md5",
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -3439,7 +3442,7 @@ object PipelineQueries {
       .unionAll(base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 700000L).as("doc_id"),
           concat(col("text"), lit(" zq zq")).as("text")))
-    Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6)
+    Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6, maxBucketSize = 0)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -4084,6 +4087,71 @@ object PipelineQueries {
     Warc.parseWarc(s, chunks).toDF().orderBy("chunk_id", "rec_idx")
   }
 
+  /** The hot-bucket-CAPPED simhash pair path
+    * ([[graft.ops.Dedup.simHashMd5NearDupPairs]] at the default
+    * `maxBucketSize`-style cap, here 16 to bite on a 500-doc fixture) —
+    * the 100 TB setting q166 deliberately opts out of. A planted HOT
+    * group (40 byte-identical boilerplate docs, id+900000) concentrates
+    * one fingerprint into every band bucket it touches, so the cap
+    * provably fires: all 780 intra-group pairs (and nothing that pairs
+    * only through those hot buckets) vanish, while the small planted
+    * copies (id+600000, bucket size ~2) survive untouched. The oracle
+    * MIRRORS the full capped machinery — 8-bit band decomposition,
+    * strictly-greater-than-cap bucket drop, band-bucket candidate join,
+    * quadratic xor-popcount confirm — so the cap's exact lossy semantics
+    * (not just its row count) are cross-engine-pinned. */
+  val q186SimhashPairsCapped: Q = q("q186_simhash_pairs_capped",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 600000, text FROM documents
+      |    WHERE doc_id % 13 = 0
+      |  UNION ALL SELECT doc_id + 900000,
+      |    'graft hot boilerplate navigation footer graft hot boilerplate navigation footer'
+      |    FROM documents WHERE doc_id < 40),
+      |toked AS (SELECT doc_id, string_split(text, ' ') AS wd FROM corpus
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(wd) - 1),
+      |    i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])) AS s FROM toked),
+      |ex AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(s) AS sg FROM sh0)),
+      |bits AS (SELECT doc_id, j, (1::BIGINT << j) AS p,
+      |    (h // (1::BIGINT << j)) % 2 AS bit
+      |  FROM ex, (SELECT unnest(range(0, 60)) AS j)),
+      |votes AS (SELECT doc_id, j, p, sum(bit) AS ones, count(*) AS m
+      |  FROM bits GROUP BY 1, 2, 3),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN 2 * ones > m THEN p ELSE 0 END) AS BIGINT) AS h
+      |  FROM votes GROUP BY doc_id),
+      |bands AS (SELECT doc_id, h, b,
+      |    (h // (1::BIGINT << (b * 8))) % 256 AS bbits
+      |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      |keep AS (SELECT b, bbits FROM bands GROUP BY 1, 2
+      |  HAVING count(*) <= 16),
+      |kept AS (SELECT bands.doc_id, bands.h, bands.b, bands.bbits
+      |  FROM bands JOIN keep USING (b, bbits)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.h AS ha, b.h AS hb
+      |  FROM kept a JOIN kept b
+      |    ON a.b = b.b AND a.bbits = b.bbits AND a.doc_id < b.doc_id),
+      |hm AS (SELECT doc_a, doc_b, len(list_filter(range(0, 60),
+      |    j -> (xor(ha, hb) // (1::BIGINT << j)) % 2 = 1)) AS hamming
+      |  FROM cand)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM hm WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          lit("graft hot boilerplate navigation footer graft hot " +
+            "boilerplate navigation footer").as("text")))
+    Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6, maxBucketSize = 16)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4119,5 +4187,5 @@ object PipelineQueries {
     q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
     q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff,
     q180HeapsFit, q181LengthDrift, q182DupRateBySource, q183NgramNovelty,
-    q184SourceContainment, q185WarcIngest)
+    q184SourceContainment, q185WarcIngest, q186SimhashPairsCapped)
 }

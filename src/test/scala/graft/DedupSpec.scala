@@ -280,6 +280,40 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan.take(600))
   }
 
+  test("hamming64Pairs hot-bucket cap: no-op on a cold fixture, prunes a " +
+    "planted hot band group, keeps cold pairs") {
+    // cold corpus: no (band, bits) bucket anywhere near the default cap,
+    // so capped and uncapped pair sets are identical
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    def pairs(cap: Int) =
+      Dedup.simHashMd5NearDupPairs(corpus, maxHamming = 6, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = pairs(0)
+    assert(uncapped.nonEmpty && pairs(Dedup.DefaultHotKeyCap) === uncapped)
+    // hot fixture: 40 byte-identical docs share one fingerprint, so every
+    // band bucket it touches holds ≥ 40 members; cap 16 drops them all —
+    // zero intra-group pairs survive — while the cold planted copy pair
+    // (two docs, bucket size ~2) is untouched
+    val hot = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        lit("graft hot boilerplate navigation footer graft hot " +
+          "boilerplate navigation footer").as("text"))
+    val withHot = corpus.union(hot)
+    val capped = Dedup.simHashMd5NearDupPairs(withHot, maxHamming = 6,
+        maxBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!capped.exists { case (a, b, _) => a >= 800000L && b < 900000L },
+      "hot-group pairs must be pruned by the bucket cap")
+    assert(Dedup.simHashMd5NearDupPairs(withHot, maxHamming = 6,
+        maxBucketSize = 0)
+      .filter(col("doc_a") >= 800000L && col("doc_b") < 900000L)
+      .count() === 40L * 39 / 2, "uncapped run must see all hot pairs")
+    assert(capped.filter(t => t._1 < 800000L) === uncapped,
+      "cold pairs must survive the cap unchanged")
+  }
+
   test("removeBoilerplateLines: heavy lines cut everywhere, order kept, " +
     "all-boilerplate docs vanish") {
     import spark.implicits._
