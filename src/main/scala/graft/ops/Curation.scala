@@ -613,11 +613,9 @@ object Curation {
                   textCol: String = "text"): DataFrame = {
     val toks = split(col(textCol), " ")
     val nt = size(toks).cast("long")
-    // exact integral ratio in micros: (x*1e6 - (x*1e6 mod n)) / n
-    def ratioMicros(x: Column): Column = {
-      val s = x * 1000000L
-      ((s - pmod(s, nt)) / nt).cast("long")
-    }
+    // exact integral ratio in micros (the shared Micros idiom — integral
+    // divide, exact for every representable long numerator)
+    def ratioMicros(x: Column): Column = Micros.ratio(x, nt)
     val meanWlen = ratioMicros(length(col(textCol)) - nt + 1)
     val symbols = ratioMicros(
       size(filter(toks, t => t === "#" || t === "…" || t.startsWith("..."))))

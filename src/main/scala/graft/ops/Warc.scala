@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One parsed WARC record: envelope headers + body digest/length.
@@ -14,14 +14,29 @@ case class WarcRecord(chunk_id: Long, rec_idx: Long, warc_type: String,
                       content_length: Long, body_md5: String,
                       valid: Boolean)
 
+/** [[WarcRecord]] with the decoded body carried as text instead of its
+  * md5 — the shape the downstream curation surface (quality gates,
+  * dedup, URL canonicalization) consumes directly. Emitted only by
+  * [[Warc.parseWarcText]]; the md5-only [[Warc.parseWarc]] stays the
+  * metadata path whose shuffle keys are 8-byte-class columns. */
+case class WarcDoc(chunk_id: Long, rec_idx: Long, warc_type: String,
+                   target_uri: String, content_type: String,
+                   content_length: Long, body: String, valid: Boolean)
+
 /** WARC (ISO 28500) crawl-archive ingestion — the container format
   * CommonCrawl-class corpora arrive in. A WARC file is a concatenation
   * of records, each `WARC/1.x\r\n` + header lines + CRLFCRLF + exactly
-  * `Content-Length` body bytes + CRLFCRLF. The parser walks that grammar
-  * with a hostile-input-hardened cursor (the `AvHeaders` discipline:
-  * lengths are clamped against the remaining buffer, a bad record
-  * surfaces as an `valid = false` row and parsing resynchronizes at the
-  * next record boundary rather than throwing).
+  * `Content-Length` body bytes + CRLFCRLF. Real crawl segments ship as
+  * `.warc.gz` with ONE gzip member per record (the CommonCrawl layout —
+  * members are independently decompressible so readers can seek);
+  * `parseChunk` sniffs the gzip magic on the chunk's first bytes and
+  * inflates member-by-member before the cursor walk, so both plain and
+  * gzip'd chunks parse through one grammar. The cursor is
+  * hostile-input-hardened (the `AvHeaders` discipline: lengths are
+  * clamped against the remaining buffer, inflated member size is
+  * clamped against decompression bombs, a bad record or member surfaces
+  * as a `valid = false` row and parsing resynchronizes at the next
+  * trustable boundary rather than throwing).
   *
   * Scale shape: `mapPartitions` over (chunk_id, payload) — one parser
   * per partition, O(bytes) per chunk, no shuffle; at 100 TB the chunks
@@ -29,10 +44,36 @@ case class WarcRecord(chunk_id: Long, rec_idx: Long, warc_type: String,
   * file-split count. Parsing emits envelope metadata + the body's md5
   * (8-byte-class columns), so everything downstream (dedup, URL
   * canonicalization, quality gates) joins on small keys — raw bodies
-  * stay in the scan stage. */
+  * stay in the scan stage ([[parseWarcText]] opts into carrying the
+  * decoded body when the NEXT stage is the text pipeline itself). */
 object Warc {
 
   private val Crlf = "\r\n"
+
+  /** Decompression-bomb clamp: one gzip member may inflate to at most
+    * this many bytes (a real WARC record is a page — MBs, not GBs). A
+    * member that exceeds it is reported as a malformed row, never
+    * materialized. */
+  private val MaxInflatedMember: Int = 256 << 20
+
+  /** Default synthetic target URI: reconstructable from doc_id alone. */
+  def defaultUri: Column = concat(lit("http://example.com/doc/"), col("doc_id"))
+
+  /** The shared record-synthesis expression of [[syntheticWarcChunks]] /
+    * [[syntheticWarcGzipChunks]]: one WARC response record per doc, every
+    * envelope field reconstructable from the source row (uri from
+    * `uri` — doc_id by default, Content-Length as UTF-8 octets,
+    * body = text). */
+  private def recordExpr(uri: Column): Column = concat(
+    lit("WARC/1.0" + Crlf),
+    lit("WARC-Type: response" + Crlf),
+    lit("WARC-Target-URI: "), uri, lit(Crlf),
+    lit("Content-Type: text/plain" + Crlf),
+    // BYTE length (Content-Length is octets): length() on a string
+    // counts characters, which desyncs the cursor on non-ASCII text
+    lit("Content-Length: "), length(encode(col("text"), "UTF-8"))
+      .cast("string"), lit(Crlf),
+    lit(Crlf), col("text"), lit(Crlf + Crlf))
 
   /** Deterministic WARC response-record synthesis from the `documents`
     * fixture — the [[Multimodal.syntheticImagePayloads]] idiom: the spec
@@ -40,21 +81,17 @@ object Warc {
     * source row (uri from doc_id, content_length from the text, body md5
     * from the text), so the parser gets a full value oracle without any
     * binary fixture on disk. `groupSize` docs concatenate into one chunk
-    * payload to exercise multi-record cursor walking. */
-  def syntheticWarcChunks(docs: DataFrame, groupSize: Int = 8): DataFrame = {
+    * payload to exercise multi-record cursor walking. Null-text rows are
+    * dropped (a null record string would silently vanish from the
+    * `array_join` below while still LOOKING like an input doc — any
+    * oracle over the synthesis must filter `text IS NOT NULL` the same
+    * way). */
+  def syntheticWarcChunks(docs: DataFrame, groupSize: Int = 8,
+                          uri: Column = defaultUri): DataFrame = {
     require(groupSize >= 1, s"groupSize >= 1, got $groupSize")
-    val rec = concat(
-      lit("WARC/1.0" + Crlf),
-      lit("WARC-Type: response" + Crlf),
-      lit("WARC-Target-URI: http://example.com/doc/"), col("doc_id"), lit(Crlf),
-      lit("Content-Type: text/plain" + Crlf),
-      // BYTE length (Content-Length is octets): length() on a string
-      // counts characters, which desyncs the cursor on non-ASCII text
-      lit("Content-Length: "), length(encode(col("text"), "UTF-8"))
-        .cast("string"), lit(Crlf),
-      lit(Crlf), col("text"), lit(Crlf + Crlf))
-    docs.select((col("doc_id") / groupSize).cast("long").as("chunk_id"),
-        col("doc_id"), rec.as("rec"))
+    docs.filter(col("text").isNotNull)
+      .select((col("doc_id") / groupSize).cast("long").as("chunk_id"),
+        col("doc_id"), recordExpr(uri).as("rec"))
       .groupBy("chunk_id")
       // deterministic record order inside the chunk: sort by doc_id
       .agg(array_join(transform(array_sort(
@@ -63,22 +100,153 @@ object Warc {
       .select(col("chunk_id"), encode(col("chunk"), "UTF-8").as("payload"))
   }
 
-  /** Parse every record out of each chunk payload. */
+  /** The `.warc.gz` sibling of [[syntheticWarcChunks]]: every record is
+    * its own gzip member (the CommonCrawl per-record-member layout) and
+    * a chunk is the byte concatenation of its members in doc_id order.
+    * Java's gzip header is fixed (MTIME 0, no flags) and DEFLATE is
+    * deterministic for a given input, so the chunks — and therefore the
+    * parse — are run-stable. Parsed output is byte-identical to the
+    * plain-chunk parse of the same docs, which is exactly what the q188
+    * oracle checks. */
+  def syntheticWarcGzipChunks(spark: SparkSession, docs: DataFrame,
+                              groupSize: Int = 8,
+                              uri: Column = defaultUri): DataFrame = {
+    import spark.implicits._
+    require(groupSize >= 1, s"groupSize >= 1, got $groupSize")
+    val gz = docs.filter(col("text").isNotNull)
+      .select((col("doc_id") / groupSize).cast("long").as("chunk_id"),
+        col("doc_id"), encode(recordExpr(uri), "UTF-8").as("rec"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (cid, did, rec) =>
+        val out = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rec); g.close()
+        (cid, did, out.toByteArray)
+      })
+      .toDF("chunk_id", "doc_id", "gz")
+    gz.groupBy("chunk_id")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("gz"))))
+        .as("members"))
+      .select(col("chunk_id"),
+        aggregate(col("members"), lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m.getField("gz"))).as("payload"))
+  }
+
+  /** Parse every record out of each chunk payload (plain or `.warc.gz`
+    * member-stream chunks — sniffed per chunk). */
   def parseWarc(spark: SparkSession, chunks: DataFrame): Dataset[WarcRecord] = {
     import spark.implicits._
     Spread.cpu(chunks)
       .select(col("chunk_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) => parseChunk(id, bytes) })
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseChunk(id, bytes) })
   }
 
-  /** Cursor walk over one chunk. Package-visible for direct spec use. */
+  /** [[parseWarc]] carrying the decoded UTF-8 body instead of its md5 —
+    * the crawl→corpus entry point: feed the result straight into
+    * `WebText.canonicalUrl` / `Curation.qualityGates` / `Dedup`. Only
+    * use when the next stage consumes the text itself; the md5 variant
+    * is the join-key path. */
+  def parseWarcText(spark: SparkSession, chunks: DataFrame): Dataset[WarcDoc] = {
+    import spark.implicits._
+    Spread.cpu(chunks)
+      .select(col("chunk_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseRecords(id, bytes).map { p =>
+          WarcDoc(p.rec.chunk_id, p.rec.rec_idx, p.rec.warc_type,
+            p.rec.target_uri, p.rec.content_type, p.rec.content_length,
+            new String(p.body, StandardCharsets.UTF_8), p.rec.valid)
+        }
+      })
+  }
+
+  /** Cursor walk over one chunk (gzip member stream or plain WARC).
+    * Package-visible for direct spec use. */
   private[graft] def parseChunk(chunkId: Long,
-                                bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
+                                bytes: Array[Byte]): Seq[WarcRecord] =
+    parseRecords(chunkId, bytes).map(_.rec)
+
+  private[graft] final case class Parsed(rec: WarcRecord, body: Array[Byte])
+
+  /** A decode failure between gzip members is surfaced by splicing this
+    * marker into the decoded stream: the plain parser cannot mistake it
+    * for a record boundary, so it reports one `malformed` row and stops
+    * — the same resynchronization discipline as an in-record bad length
+    * (member boundaries past a corrupt member cannot be trusted). */
+  private val GzipFailMarker =
+    "GZIP-MEMBER-DECODE-FAILED".getBytes(StandardCharsets.UTF_8)
+
+  private[graft] def parseRecords(chunkId: Long,
+                                  bytes: Array[Byte]): Seq[Parsed] = {
+    // .warc.gz chunk: a back-to-back gzip member stream (sniffed on the
+    // first two bytes only — a magic mid-chunk is plain-body content)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b) {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+      var pos = 0
+      var bad = false
+      while (!bad && pos < bytes.length) {
+        inflateMember(bytes, pos) match {
+          case Some((member, end)) => out.write(member); pos = end
+          case None => out.write(GzipFailMarker); bad = true
+        }
+      }
+      parsePlain(chunkId, out.toByteArray)
+    } else parsePlain(chunkId, bytes)
+  }
+
+  /** Inflate ONE gzip member starting at `pos`: RFC 1952 header (all
+    * optional FLG fields handled), raw-DEFLATE inflate with the
+    * [[MaxInflatedMember]] bomb clamp, 8-byte trailer skip. Returns the
+    * inflated bytes and the offset one past the member, or None when the
+    * member is truncated or corrupt. */
+  private[graft] def inflateMember(bytes: Array[Byte],
+                                   pos: Int): Option[(Array[Byte], Int)] = {
+    val n = bytes.length
+    if (pos + 10 > n || (bytes(pos) & 0xff) != 0x1f ||
+        (bytes(pos + 1) & 0xff) != 0x8b || bytes(pos + 2) != 8) return None
+    val flg = bytes(pos + 3) & 0xff
+    var p = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + payload
+      if (p + 2 > n) return None
+      p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+      if (p > n) return None
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < n && bytes(p) != 0) p += 1
+      if (p >= n) return None else p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (p < n && bytes(p) != 0) p += 1
+      if (p >= n) return None else p += 1
+    }
+    if ((flg & 2) != 0) { p += 2; if (p > n) return None } // FHCRC
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(bytes, p, n - p)
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (k == 0 && !inf.finished()) return None // truncated stream
+        out.write(buf, 0, k)
+        if (out.size() > MaxInflatedMember) return None // bomb clamp
+      }
+      val end = p + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE trailer
+      if (end > n) None else Some((out.toByteArray, end))
+    } finally inf.end()
+  }
+
+  private def parsePlain(chunkId: Long, bytes: Array[Byte]): Seq[Parsed] = {
+    val out = Seq.newBuilder[Parsed]
     var pos = 0
     var idx = 0L
     val n = bytes.length
+    val noBody = Array.emptyByteArray
     def lineEnd(from: Int): Int = {
       var i = from
       while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
@@ -92,7 +260,8 @@ object Warc {
       val version =
         if (le < 0) "" else new String(bytes, pos, le - pos, StandardCharsets.UTF_8)
       if (!version.startsWith("WARC/")) {
-        out += WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false)
+        out += Parsed(
+          WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false), noBody)
         return out.result() // no record boundary left to trust
       }
       pos = le + 2
@@ -124,16 +293,18 @@ object Warc {
       }
       // body: exactly clen bytes, clamped against the remaining buffer
       if (truncated || clen < 0 || clen > (n - pos).toLong) {
-        out += WarcRecord(chunkId, idx, if (truncated) "truncated" else "malformed",
-          uri, ctype, clen, "", false)
+        out += Parsed(
+          WarcRecord(chunkId, idx, if (truncated) "truncated" else "malformed",
+            uri, ctype, clen, "", false), noBody)
         return out.result() // cannot trust the cursor past a bad length
       }
+      val body = java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
       val md5hex = {
         val d = java.security.MessageDigest.getInstance("MD5")
-        d.digest(java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt))
-          .map("%02x".format(_)).mkString
+        d.digest(body).map("%02x".format(_)).mkString
       }
-      out += WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex, true)
+      out += Parsed(
+        WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex, true), body)
       pos += clen.toInt
       idx += 1
     }

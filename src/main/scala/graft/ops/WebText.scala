@@ -131,9 +131,12 @@ object WebText {
     * `regexp_extract_all` — Java-regex∩RE2 subset like every WebText
     * expression (no backreferences: both quote positions are the same
     * two-char class, not a `(['"]).*?\1`; the URL body excludes both
-    * quote chars so the match can never run past its closing quote). */
+    * quote chars so the match can never run past its closing quote).
+    * The attribute name is anchored to a preceding separator
+    * (whitespace or a closing quote), so an attribute merely ENDING in
+    * `href` (`data-href="…"`) is never extracted as a link. */
   def extractLinks(html: Column): Column = {
-    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']"
+    val pat = "(?is)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']"
     transform(regexp_extract_all(html, lit(pat), lit(1)),
       l => regexp_replace(l, "&amp;", "&"))
   }
@@ -151,7 +154,7 @@ object WebText {
     * link. Non-greedy quantifiers only — no backreferences, same
     * Java∩RE2 discipline as the rest of this file. */
   def anchorTexts(html: Column): Column = {
-    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']" +
+    val pat = "(?is)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']" +
       "[^>]*>(.*?)</a>"
     def decode(c: Column): Column =
       Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
@@ -203,9 +206,6 @@ object WebText {
     val anchors = regexp_replace(html, "(?is)<a[\\s>].*?</a>", "")
     val total = length(visibleText(html)).cast("long")
     val nonAnchor = length(visibleText(anchors)).cast("long")
-    val scaled = (total - nonAnchor) * 1000000L
-    when(total === 0, lit(0L)) // exact integral division (see Graph's div idiom):
-      // (x − x mod t) is divisible by t, so the double division is exact
-      .otherwise(((scaled - pmod(scaled, total)) / total).cast("long"))
+    Micros.ratio(total - nonAnchor, total)
   }
 }

@@ -3468,10 +3468,10 @@ object PipelineQueries {
       |  '">t1</a><a class=''m'' href=''https://cdn' ||
       |  CAST(doc_id % 4 AS VARCHAR) || '.assets.co.uk/lib.js?v=' ||
       |  CAST(doc_id % 5 AS VARCHAR) ||
-      |  '''>t2</a><a href="/relative/skip">r</a><a href=''https://' ||
+      |  '''>t2</a><a href="/relative/skip">r</a><a data-href="http://decoy.bad/x">d</a><a href=''https://' ||
       |  source || '.org/nav''>self</a>' AS html FROM documents),
       |lk AS (SELECT page_url, unnest(regexp_extract_all(html,
-      |    '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["'']', 1))
+      |    '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["'']', 1))
       |    AS raw FROM p),
       |dl AS (SELECT page_url, replace(raw, '&amp;', '&') AS link FROM lk),
       |ed AS (SELECT
@@ -3499,7 +3499,8 @@ object PipelineQueries {
       lit("\">t1</a><a class='m' href='https://cdn"),
       (col("doc_id") % 4).cast("string"),
       lit(".assets.co.uk/lib.js?v="), (col("doc_id") % 5).cast("string"),
-      lit("'>t2</a><a href=\"/relative/skip\">r</a><a href='https://"),
+      lit("'>t2</a><a href=\"/relative/skip\">r</a>" +
+        "<a data-href=\"http://decoy.bad/x\">d</a><a href='https://"),
       col("source"), lit(".org/nav'>self</a>"))
     WebText.hostLinkEdges(
         Tables.documents(s, d).select(pageUrl.as("url"), html.as("html")),
@@ -3773,13 +3774,13 @@ object PipelineQueries {
       |  '.assets.net/f''>asset &#39;v&#39; &amp;lt;tag&amp;gt;</a>' ||
       |  '<a href="/rel">skip</a>' AS html FROM documents),
       |m AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(html,
-      |    '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 0),
+      |    '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 0),
       |  x -> {'href': replace(regexp_extract(x,
-      |        '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 1),
+      |        '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 1),
       |        '&amp;', '&'),
       |       'anchor': trim(regexp_replace(
       |        replace(replace(replace(replace(replace(regexp_replace(regexp_extract(x,
-      |          '(?is)<a\s[^>]*?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 2),
+      |          '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["''][^>]*>(.*?)</a>', 2),
       |          '<[^>]*>', ' ', 'g'),
       |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
       |        '\s+', ' ', 'g'))}), recursive := true)
@@ -4081,7 +4082,10 @@ object PipelineQueries {
       |  CAST(strlen(text) AS BIGINT) AS content_length,
       |  md5(text) AS body_md5,
       |  TRUE AS valid
-      |FROM documents ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    // the synthesis drops null-text rows; the oracle filters identically
+    // (symmetric by construction — see syntheticWarcChunks' scaladoc)
     val chunks = Warc.syntheticWarcChunks(
       Tables.documents(s, d).select("doc_id", "text"))
     Warc.parseWarc(s, chunks).toDF().orderBy("chunk_id", "rec_idx")
@@ -4152,6 +4156,125 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Value oracle for the image near-dup PAIR stage
+    * ([[graft.ops.Multimodal.imageNearDupPairs]]): q164 is rows-only
+    * end-to-end because pixel decode is not SQL-expressible — but the
+    * banded hamming join it feeds is. Here deterministic md5-derived
+    * 60-bit fingerprints stand in for perceptual hashes (the q166
+    * trick), with planted near-dups (id+100000, three bits flipped via
+    * xor 21 → hamming 3) and planted UNDECODED rows (id+200000,
+    * decoded = false, zero hash) that the pair stage must exclude. The
+    * oracle re-derives the fingerprints and confirms by quadratic
+    * xor-popcount, so the band decomposition, the decoded filter, and
+    * the confirm threshold are all value-pinned; `maxBucketSize = 0`
+    * requests the exact contract the quadratic oracle demands (capped
+    * semantics are value-pinned by q186 on the shared machinery). */
+  val q187ImagePairOracle: Q = q("q187_image_pair_oracle",
+    """WITH fp AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |planted AS (SELECT doc_id, h FROM fp
+      |  UNION ALL SELECT doc_id + 100000, xor(h, 21) FROM fp
+      |    WHERE doc_id % 5 = 0),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    xor(a.h, b.h) AS x
+      |  FROM planted a, planted b WHERE a.doc_id < b.doc_id),
+      |hm AS (SELECT doc_a, doc_b, len(list_filter(range(0, 60),
+      |    j -> (x // (1::BIGINT << j)) % 2 = 1)) AS hamming FROM pr)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM hm WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val fp = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.Md5Functions.md5Prefix60(col("text")).as("d_hash"))
+    val hashes = fp.withColumn("decoded", lit(true))
+      .unionAll(fp.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          col("d_hash").bitwiseXOR(lit(21L)).as("d_hash"), lit(true).as("decoded")))
+      .unionAll(fp.select((col("doc_id") + 200000L).as("doc_id"),
+        lit(0L).as("d_hash"), lit(false).as("decoded")))
+    Multimodal.imageNearDupPairs(hashes, maxHamming = 6, maxBucketSize = 0)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `.warc.gz` ingestion ([[graft.ops.Warc.syntheticWarcGzipChunks]] +
+    * `parseWarc`): the CommonCrawl layout — one gzip member per record,
+    * members concatenated into a chunk — inflated member-by-member and
+    * parsed through the same cursor as plain WARC. The oracle is the
+    * q185 full envelope reconstruction, UNCHANGED: the compression layer
+    * must be perfectly transparent, so any header-flag, member-boundary,
+    * or trailer bug in the inflater shows up as a missing/shifted/
+    * corrupted record against the reconstruction. (WarcSpec covers the
+    * hostile cases: truncated members, garbage between members, FLG
+    * extra fields, decompression-bomb clamp.) */
+  val q188WarcGzip: Q = q("q188_warc_gzip",
+    """SELECT CAST(doc_id // 8 AS BIGINT) AS chunk_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |    - 1 AS BIGINT) AS rec_idx,
+      |  'response' AS warc_type,
+      |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'text/plain' AS content_type,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  md5(text) AS body_md5,
+      |  TRUE AS valid
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    val chunks = Warc.syntheticWarcGzipChunks(s,
+      Tables.documents(s, d).select("doc_id", "text"))
+    Warc.parseWarc(s, chunks).toDF().orderBy("chunk_id", "rec_idx")
+  }
+
+  /** Crawl→corpus capstone: the whole ingestion-to-training-set front
+    * half in ONE composed plan — `.warc.gz` synthesis → member inflate +
+    * envelope parse ([[graft.ops.Warc.parseWarcText]], bodies carried as
+    * text) → URL canonicalization of the messy per-record target URIs
+    * ([[graft.ops.WebText.canonicalUrl]]: case, `www.`, default port,
+    * doubled slashes, `utm_*`, fragment) → Gopher-style quality gates
+    * ([[graft.ops.Curation.qualityGates]]) → exact content dedup keyed
+    * on the blake2b content hash ([[graft.ops.Dedup.exactByHash]],
+    * survivor = lexicographic-min canonical URL). The oracle rebuilds
+    * every stage from the source rows — canonical URL from doc_id, the
+    * four gate predicates, the group-by-text dedup — so a drift ANYWHERE
+    * in the chain (inflater, cursor, canon regexes, gate thresholds,
+    * survivor rule) diverges. Proves the new ingestion path composes
+    * with the existing curation surface. */
+  val q189WarcCorpus: Q = q("q189_warc_corpus",
+    """WITH src AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |canon AS (SELECT
+      |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+      |    '?x=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+      |  text, string_split(text, ' ') AS toks FROM src),
+      |gated AS (SELECT url, text, len(toks) AS n_tokens FROM canon
+      |  WHERE len(toks) BETWEEN 20 AND 100000
+      |    AND (length(text) - len(toks) + 1)::DOUBLE / len(toks)
+      |      BETWEEN 3.0 AND 10.0
+      |    AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+      |    AND (SELECT max(c) FROM (
+      |        SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t))
+      |      ::DOUBLE / len(toks) <= 0.15)
+      |SELECT min(url) AS url, CAST(count(*) AS BIGINT) AS dup_count,
+      |  CAST(min(n_tokens) AS BIGINT) AS n_tokens
+      |FROM gated GROUP BY text ORDER BY url""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val messyUri = concat(lit("HTTP://WWW.Example.COM:80//doc//"),
+      col("doc_id"), lit("?utm_source=warc&x="),
+      (col("doc_id") % 3).cast("string"), lit("#frag"))
+    val chunks = Warc.syntheticWarcGzipChunks(s,
+      Tables.documents(s, d).select("doc_id", "text"), uri = messyUri)
+    val parsed = Warc.parseWarcText(s, chunks).toDF()
+      .filter(col("valid"))
+      .select(WebText.canonicalUrl(col("target_uri")).as("url"),
+        col("body").as("text"))
+    val gated = Curation.qualityGates(parsed).filter(col("passes"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    graft.ops.Dedup.exactByHash(
+        gated.withColumn("graft_key",
+          struct(col("url"), col("n_tokens"))),
+        col("text"), col("graft_key"))
+      .select(col("doc_id.url").as("url"), col("dup_count"),
+        col("doc_id.n_tokens").as("n_tokens"))
+      .orderBy("url")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4187,5 +4310,6 @@ object PipelineQueries {
     q173KeyConcentration, q174SlidingChunks, q175AnchorTexts,
     q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff,
     q180HeapsFit, q181LengthDrift, q182DupRateBySource, q183NgramNovelty,
-    q184SourceContainment, q185WarcIngest, q186SimhashPairsCapped)
+    q184SourceContainment, q185WarcIngest, q186SimhashPairsCapped,
+    q187ImagePairOracle, q188WarcGzip, q189WarcCorpus)
 }

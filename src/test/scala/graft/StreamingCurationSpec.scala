@@ -70,6 +70,39 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read("docs_clean").count() === 3)
   }
 
+  test("streaming WARC ingestion link: batch/streaming record parity " +
+    "across plain and gzip chunks, exactly-once on replay") {
+    import graft.ops.Warc
+    import graft.runtime.WarcIngestLink
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-warc-stream").toString)
+    val fixture = Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text").limit(32)
+    val plainChunks = Warc.syntheticWarcChunks(
+      fixture.filter(col("doc_id") < 16))
+    val gzipChunks = Warc.syntheticWarcGzipChunks(spark,
+      fixture.filter(col("doc_id") >= 16))
+    val link = new WarcIngestLink("warc_chunks", "warc_records")
+
+    // batch 1: plain chunks
+    reg.write(plainChunks, "warc_chunks")
+    link.start(spark, reg).awaitTermination()
+    // batch 2: gzip member-stream chunks through the SAME link
+    reg.write(gzipChunks, "warc_chunks")
+    link.start(spark, reg).awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val streamed = rows(reg.read("warc_records"))
+    val batch = rows(
+      Warc.parseWarc(spark, plainChunks.union(gzipChunks)).toDF())
+    assert(streamed.nonEmpty && streamed === batch,
+      "streaming parse must equal the batch parse of the same chunks")
+    // replay with no new chunks: exactly-once offsets append nothing
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("warc_records").count() === batch.size.toLong)
+  }
+
   test("streaming near-dup gate link: pair parity with the batch " +
     "incremental path; survivors accumulate into the screening corpus") {
     val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +

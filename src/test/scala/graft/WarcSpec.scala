@@ -57,6 +57,86 @@ class WarcSpec extends SparkSpec {
     assert(!got(1).valid)
   }
 
+  private def gzipBytes(plain: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(plain); g.close()
+    out.toByteArray
+  }
+
+  test("gzip member stream: parse equals the plain parse of the same " +
+    "records; multi-byte bodies keep sync across member boundaries") {
+    val recs = Seq(rec("u/1", "plain body"), rec("u/2", "héllo wörld ünïcode"),
+      rec("u/3", "after multibyte"))
+    val gz = recs.flatMap(r => gzipBytes(r.getBytes("UTF-8"))).toArray
+    val plain = Warc.parseChunk(7L, recs.mkString.getBytes("UTF-8"))
+    val got = Warc.parseChunk(7L, gz)
+    assert(got === plain && got.size === 3 && got.forall(_.valid))
+  }
+
+  test("gzip hostile inputs: truncated member, garbage between members, " +
+    "FLG header fields, bad CM — flagged rows, never throws") {
+    val one = gzipBytes(rec("u/ok", "good body").getBytes("UTF-8"))
+    // truncated mid-member: good record survives, then one malformed row
+    val trunc = one ++ gzipBytes(rec("u/2", "lost").getBytes("UTF-8"))
+      .dropRight(12)
+    val t = Warc.parseChunk(1L, trunc)
+    assert(t.size === 2 && t.head.valid && t.head.target_uri === "u/ok" &&
+      !t(1).valid && t(1).warc_type === "malformed")
+    // garbage where the next member should start
+    val gap = one ++ "NOT-GZIP".getBytes("UTF-8")
+    val g = Warc.parseChunk(2L, gap)
+    assert(g.size === 2 && g.head.valid && !g(1).valid)
+    // gzip magic but unsupported compression method
+    val badCm = one.clone(); badCm(2) = 9
+    val b = Warc.parseChunk(3L, badCm)
+    assert(b.size === 1 && !b.head.valid && b.head.warc_type === "malformed")
+    // FLG optional fields (FEXTRA + FNAME + FCOMMENT + FHCRC) are skipped:
+    // rebuild the member with a hand-rolled header carrying all of them
+    val plain = rec("u/flg", "flagged header body").getBytes("UTF-8")
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(plain); deflater.finish()
+    val compBuf = new Array[Byte](plain.length + 64)
+    val compLen = deflater.deflate(compBuf); deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(plain)
+    val header = Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16 | 2).toByte,
+        0, 0, 0, 0, 0, 0) ++
+      Array[Byte](3, 0) ++ Array[Byte](1, 2, 3) ++          // FEXTRA len+data
+      "name.warc".getBytes("UTF-8") ++ Array[Byte](0) ++    // FNAME
+      "comment".getBytes("UTF-8") ++ Array[Byte](0) ++      // FCOMMENT
+      Array[Byte](0x11, 0x22)                               // FHCRC (unchecked)
+    val trailer = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(plain.length).array()
+    val flagged = header ++ compBuf.take(compLen) ++ trailer ++ one
+    val f = Warc.parseChunk(4L, flagged)
+    assert(f.size === 2 && f.forall(_.valid) &&
+      f.map(_.target_uri) === Seq("u/flg", "u/ok"))
+  }
+
+  test("gzip synthesis parses byte-identically to plain synthesis; messy " +
+    "URIs ride the envelope") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text").limit(24)
+    val plain = Warc.parseWarc(spark, Warc.syntheticWarcChunks(docs))
+      .toDF().orderBy("chunk_id", "rec_idx").collect().toSeq
+    val gz = Warc.parseWarc(spark, Warc.syntheticWarcGzipChunks(spark, docs))
+      .toDF().orderBy("chunk_id", "rec_idx").collect().toSeq
+    assert(gz === plain && gz.nonEmpty)
+    val uri = concat(lit("HTTP://X.org/"), col("doc_id"))
+    val messy = Warc.parseWarcText(spark,
+        Warc.syntheticWarcGzipChunks(spark, docs, uri = uri)).toDF()
+    assert(messy.filter(col("target_uri").startsWith("HTTP://X.org/")).count()
+      === docs.count())
+    // parseWarcText bodies round-trip the original text exactly
+    val bodies = messy.select(
+      regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+        .as("doc_id"), col("body"))
+    assert(bodies.join(docs, Seq("doc_id"))
+      .filter(col("body") =!= col("text")).count() === 0)
+  }
+
   test("synthesis round-trip on the fixture — every field reconstructed") {
     val docs = Tables.documents(spark, SparkSpec.sf0001)
       .select("doc_id", "text").limit(40)

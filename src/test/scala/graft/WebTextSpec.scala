@@ -96,6 +96,7 @@ class WebTextSpec extends SparkSpec {
         |<a rel="nofollow" href="/relative/path">skip</a>
         |<a href='ftp://c.net/z'>non-http skip</a>
         |<p>no <b>links</b> here</p>
+        |<a data-href="http://decoy.bad/x">attr-suffix decoy skip</a>
         |<a data-x="1" href="HTTPS://D.io/w">four</a>""".stripMargin
     val got = Seq(html).toDF("h")
       .select(WebText.extractLinks(col("h")).as("l"))
