@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTTP response payload splitting — the layer between WARC ingestion
+  * and text processing that a real CommonCrawl reader cannot skip: a
+  * WARC `response` record's block is the FULL captured HTTP response
+  * (status line + headers + CRLFCRLF + entity body), so feeding record
+  * bodies straight into text ops would prepend every document with its
+  * HTTP headers. These are pure codegen'd regexp/CASE column chains
+  * (the [[WebText]] discipline: Java-regex∩RE2 subset — `(?is)`/`(?im)`
+  * flags, non-greedy spans, no backreferences, no lookaround — so the
+  * DuckDB oracles run the LITERAL same transforms), zero shuffle,
+  * scan-stage compute at any corpus size. */
+object Http {
+
+  /** The header block of an HTTP response payload (status line included,
+    * terminating blank line excluded); empty string when the payload has
+    * no CRLFCRLF split or no HTTP status line. */
+  private def headerBlock(p: Column): Column =
+    when(p.rlike("^HTTP/[0-9.]+ [0-9]{3}"),
+      regexp_extract(p, "(?s)^(.*?)\r\n\r\n", 1)).otherwise(lit(""))
+
+  /** Status code of the response (`200`, `404`, …), null when the
+    * payload does not start with an HTTP status line. */
+  def statusCode(p: Column): Column = {
+    val s = regexp_extract(p, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    when(s === "", lit(null).cast("int")).otherwise(s.cast("int"))
+  }
+
+  /** Lowercased media type of the `Content-Type` header (parameters
+    * stripped), empty when absent. `(?im)` anchors each header line. */
+  def contentType(p: Column): Column =
+    lower(trim(regexp_extract(headerBlock(p),
+      "(?im)^content-type:\\s*([^;\r\n]+)", 1)))
+
+  /** Lowercased `charset=` parameter of the Content-Type header, empty
+    * when absent — the signal that routes a body to the right decoder
+    * before [[TextAnalysis.encodingSignals]] audits the result. */
+  def charset(p: Column): Column =
+    lower(regexp_extract(headerBlock(p),
+      "(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_+.:-]+)\"?", 1))
+
+  /** The entity body: everything past the first CRLFCRLF when the
+    * payload carries an HTTP status line, the whole payload otherwise
+    * (a WARC `resource` record or a pre-split corpus passes through
+    * unharmed). Header blocks are ASCII so the character-based substr
+    * agrees with the byte cursor in both engines. */
+  def body(p: Column): Column = {
+    val hdr = headerBlock(p)
+    when(hdr === "", p).otherwise(p.substr(length(hdr) + 5, length(p)))
+  }
+
+  /** One-call projection: `(status_code, content_type, charset, body,
+    * is_http)` appended to `df` from the payload in `payloadCol`. */
+  def splitResponse(df: org.apache.spark.sql.DataFrame,
+                    payloadCol: String): org.apache.spark.sql.DataFrame = {
+    val p = col(payloadCol)
+    df.withColumn("status_code", statusCode(p))
+      .withColumn("content_type", contentType(p))
+      .withColumn("charset", charset(p))
+      .withColumn("is_http", p.rlike("^HTTP/[0-9.]+ [0-9]{3}"))
+      .withColumn("body", body(p))
+  }
+}

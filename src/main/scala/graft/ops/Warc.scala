@@ -162,39 +162,78 @@ object Warc {
       })
   }
 
+  /** CDX-style record index over the chunk stream: one row per record
+    * with its byte locator inside the chunk payload — `rec_offset` /
+    * `rec_bytes` are the record's own span in a plain chunk and the
+    * COMPRESSED gzip member's span in a `.warc.gz` chunk (the
+    * CommonCrawl CDX convention: a reader fetches `[offset,
+    * offset+length)` of the segment and inflates exactly one record —
+    * random access into a 1 GB segment without scanning it). Same
+    * stateless mapPartitions shape as [[parseWarc]]; at 100 TB this IS
+    * the index-build job, with the output partitioned/sorted by URI key
+    * downstream. */
+  def parseWarcIndex(spark: SparkSession, chunks: DataFrame): DataFrame = {
+    import spark.implicits._
+    Spread.cpu(chunks)
+      .select(col("chunk_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseRecords(id, bytes).map(p =>
+          (p.rec.chunk_id, p.rec.rec_idx, p.rec.target_uri, p.offset,
+            p.recBytes, p.rec.body_md5, p.rec.valid))
+      })
+      .toDF("chunk_id", "rec_idx", "target_uri", "rec_offset", "rec_bytes",
+        "body_md5", "valid")
+  }
+
   /** Cursor walk over one chunk (gzip member stream or plain WARC).
     * Package-visible for direct spec use. */
   private[graft] def parseChunk(chunkId: Long,
                                 bytes: Array[Byte]): Seq[WarcRecord] =
     parseRecords(chunkId, bytes).map(_.rec)
 
-  private[graft] final case class Parsed(rec: WarcRecord, body: Array[Byte])
-
-  /** A decode failure between gzip members is surfaced by splicing this
-    * marker into the decoded stream: the plain parser cannot mistake it
-    * for a record boundary, so it reports one `malformed` row and stops
-    * — the same resynchronization discipline as an in-record bad length
-    * (member boundaries past a corrupt member cannot be trusted). */
-  private val GzipFailMarker =
-    "GZIP-MEMBER-DECODE-FAILED".getBytes(StandardCharsets.UTF_8)
+  /** `offset`/`recBytes` locate the record inside the chunk payload —
+    * for a plain chunk the record's own byte span (start of the version
+    * line to the start of the next record, trailing CRLFCRLF included);
+    * for a `.warc.gz` chunk the COMPRESSED gzip member's span (the CDX
+    * convention: offset+length let a reader fetch and inflate one
+    * record without touching the rest of the segment). */
+  private[graft] final case class Parsed(rec: WarcRecord, body: Array[Byte],
+                                         offset: Long, recBytes: Long)
 
   private[graft] def parseRecords(chunkId: Long,
                                   bytes: Array[Byte]): Seq[Parsed] = {
     // .warc.gz chunk: a back-to-back gzip member stream (sniffed on the
-    // first two bytes only — a magic mid-chunk is plain-body content)
+    // first two bytes only — a magic mid-chunk is plain-body content).
+    // Each member is inflated and parsed on its own so records carry
+    // their member's COMPRESSED span; record-level corruption aborts
+    // the chunk like the plain path (conservative — later members'
+    // content could be fine, but a desynced record stream upstream of
+    // curation is worse than a short chunk flagged loudly).
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
         (bytes(1) & 0xff) == 0x8b) {
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+      val out = Seq.newBuilder[Parsed]
       var pos = 0
+      var idx = 0L
       var bad = false
       while (!bad && pos < bytes.length) {
         inflateMember(bytes, pos) match {
-          case Some((member, end)) => out.write(member); pos = end
-          case None => out.write(GzipFailMarker); bad = true
+          case Some((member, end)) =>
+            val rs = parsePlain(chunkId, member, idx).map(p =>
+              p.copy(offset = pos.toLong, recBytes = (end - pos).toLong))
+            out ++= rs
+            idx += rs.count(_.rec.valid)
+            if (rs.exists(!_.rec.valid)) bad = true
+            pos = end
+          case None =>
+            out += Parsed(
+              WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false),
+              Array.emptyByteArray, pos.toLong, (bytes.length - pos).toLong)
+            bad = true
         }
       }
-      parsePlain(chunkId, out.toByteArray)
-    } else parsePlain(chunkId, bytes)
+      out.result()
+    } else parsePlain(chunkId, bytes, 0L)
   }
 
   /** Inflate ONE gzip member starting at `pos`: RFC 1952 header (all
@@ -241,10 +280,15 @@ object Warc {
     } finally inf.end()
   }
 
-  private def parsePlain(chunkId: Long, bytes: Array[Byte]): Seq[Parsed] = {
-    val out = Seq.newBuilder[Parsed]
+  private def parsePlain(chunkId: Long, bytes: Array[Byte],
+                         startIdx: Long): Seq[Parsed] = {
+    // (record, body, startPos) triples; spans are patched in afterwards
+    // (a record's byte span runs to the NEXT record's start, so the
+    // trailing CRLFCRLF padding belongs to the record that wrote it)
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(WarcRecord, Array[Byte], Int)]
     var pos = 0
-    var idx = 0L
+    var idx = startIdx
     val n = bytes.length
     val noBody = Array.emptyByteArray
     def lineEnd(from: Int): Int = {
@@ -252,17 +296,22 @@ object Warc {
       while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
       if (i + 1 < n) i else -1
     }
+    def spans(): Seq[Parsed] = acc.toSeq.zipWithIndex.map { case ((r, b, s), i) =>
+      val end = if (i + 1 < acc.length) acc(i + 1)._3 else n
+      Parsed(r, b, s.toLong, (end - s).toLong)
+    }
     while (pos < n) {
       // resynchronize: skip inter-record padding to the next "WARC/"
       while (pos < n && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      if (pos >= n) return out.result()
+      if (pos >= n) return spans()
+      val start = pos
       val le = lineEnd(pos)
       val version =
         if (le < 0) "" else new String(bytes, pos, le - pos, StandardCharsets.UTF_8)
       if (!version.startsWith("WARC/")) {
-        out += Parsed(
-          WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false), noBody)
-        return out.result() // no record boundary left to trust
+        acc += ((WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false),
+          noBody, start))
+        return spans() // no record boundary left to trust
       }
       pos = le + 2
       // headers until the blank line
@@ -293,21 +342,21 @@ object Warc {
       }
       // body: exactly clen bytes, clamped against the remaining buffer
       if (truncated || clen < 0 || clen > (n - pos).toLong) {
-        out += Parsed(
-          WarcRecord(chunkId, idx, if (truncated) "truncated" else "malformed",
-            uri, ctype, clen, "", false), noBody)
-        return out.result() // cannot trust the cursor past a bad length
+        acc += ((WarcRecord(chunkId, idx,
+          if (truncated) "truncated" else "malformed",
+          uri, ctype, clen, "", false), noBody, start))
+        return spans() // cannot trust the cursor past a bad length
       }
       val body = java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
       val md5hex = {
         val d = java.security.MessageDigest.getInstance("MD5")
         d.digest(body).map("%02x".format(_)).mkString
       }
-      out += Parsed(
-        WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex, true), body)
+      acc += ((WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex, true),
+        body, start))
       pos += clen.toInt
       idx += 1
     }
-    out.result()
+    spans()
   }
 }

@@ -4275,6 +4275,177 @@ object PipelineQueries {
       .orderBy("url")
   }
 
+  /** HTTP response splitting behind the WARC layer
+    * ([[graft.ops.Http.splitResponse]] over
+    * [[graft.ops.Warc.parseWarcText]] bodies): a WARC `response`
+    * record's block is the FULL captured HTTP response, so the pipeline
+    * must strip the status line + headers before any text op — here
+    * documents are wrapped in deterministic HTTP responses (status /
+    * media type / charset varied by doc_id moduli, one cohort left
+    * UN-wrapped to pin the pass-through branch), pushed through
+    * synthesis → parse → split, and the oracle RECONSTRUCTS the
+    * expected status/type/charset/body directly from the synthesis
+    * parameters — the extraction is checked against ground truth, not
+    * against a shared regex. */
+  val q190HttpSplit: Q = q("q190_http_split",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |       WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status_code,
+      |  CASE WHEN doc_id % 7 = 0 THEN ''
+      |       WHEN doc_id % 2 = 0 THEN 'text/html'
+      |       ELSE 'text/plain' END AS content_type,
+      |  CASE WHEN doc_id % 7 = 0 THEN ''
+      |       WHEN doc_id % 3 = 0 THEN 'utf-8'
+      |       WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+      |       ELSE '' END AS charset,
+      |  (doc_id % 7 <> 0) AS is_http,
+      |  text AS body
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.ops.Http
+    val crlf = "\r\n"
+    val payload = when(col("doc_id") % 7 === 0, col("text")).otherwise(concat(
+      lit("HTTP/1.1 "),
+      when(col("doc_id") % 5 === 0, "404 Not Found").otherwise("200 OK"),
+      lit(crlf), lit("Server: synth" + crlf),
+      lit("Content-Type: "),
+      when(col("doc_id") % 2 === 0, "text/html").otherwise("text/plain"),
+      when(col("doc_id") % 3 === 0, lit("; charset=UTF-8"))
+        .when(col("doc_id") % 3 === 1, lit("; charset=\"iso-8859-1\""))
+        .otherwise(lit("")),
+      lit(crlf + crlf), col("text")))
+    val chunks = Warc.syntheticWarcChunks(
+      Tables.documents(s, d).select(col("doc_id"), payload.as("text")))
+    val parsed = Warc.parseWarcText(s, chunks).toDF().filter(col("valid"))
+      .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+        .as("doc_id"), col("body").as("payload"))
+    Http.splitResponse(parsed, "payload")
+      .select("doc_id", "status_code", "content_type", "charset", "is_http",
+        "body")
+      .orderBy("doc_id")
+  }
+
+  /** CDX-style WARC record index ([[graft.ops.Warc.parseWarcIndex]]):
+    * per-record byte locators inside the chunk payload — the artifact
+    * that buys random access into crawl segments. The oracle rebuilds
+    * each record STRING from the source row and derives every locator
+    * as a running sum of octet lengths, so any cursor drift (a header
+    * byte miscounted, a CRLF attributed to the wrong record) moves an
+    * offset and hash-diverges. Gzip-member locator semantics
+    * (compressed spans) are spec-gated in WarcSpec — gzip sizes are not
+    * SQL-derivable. */
+  val q191WarcIndex: Q = q("q191_warc_index",
+    """WITH src AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |rec AS (SELECT doc_id, doc_id // 8 AS chunk_id,
+      |  'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+      |  'WARC-Target-URI: http://example.com/doc/' ||
+      |    CAST(doc_id AS VARCHAR) || e'\r\n' ||
+      |  'Content-Type: text/plain' || e'\r\n' ||
+      |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+      |    e'\r\n\r\n' || text || e'\r\n\r\n' AS r,
+      |  md5(text) AS body_md5 FROM src),
+      |loc AS (SELECT chunk_id, doc_id, body_md5, strlen(r) AS rb,
+      |  row_number() OVER (PARTITION BY chunk_id ORDER BY doc_id) - 1
+      |    AS rec_idx,
+      |  sum(strlen(r)) OVER (PARTITION BY chunk_id ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - strlen(r) AS off FROM rec)
+      |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(rec_idx AS BIGINT) AS rec_idx,
+      |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  CAST(off AS BIGINT) AS rec_offset, CAST(rb AS BIGINT) AS rec_bytes,
+      |  body_md5, TRUE AS valid
+      |FROM loc ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    val chunks = Warc.syntheticWarcChunks(
+      Tables.documents(s, d).select("doc_id", "text"))
+    Warc.parseWarcIndex(s, chunks).orderBy("chunk_id", "rec_idx")
+  }
+
+  /** robots.txt parsing ([[graft.ops.Robots.parseRobots]]): per-host
+    * synthetic robots files exercising the REP grammar — comments,
+    * blank lines, mixed-case directive keys, stray CRs, a VALUELESS
+    * `Disallow:` (allows all — must be dropped), and consecutive
+    * `User-agent:` lines stacking onto one group. The oracle
+    * reconstructs the expected rule rows from the synthesis parameters
+    * (ground truth, not a mirrored parser). */
+  val q192RobotsRules: Q = q("q192_robots_rules",
+    """WITH hosts AS (SELECT DISTINCT source AS host,
+      |  strlen(source) % 3 AS m FROM documents),
+      |expect AS (
+      |  SELECT host, 1 AS group_id, '*' AS user_agent,
+      |    'disallow' AS directive, '/private' AS path_prefix FROM hosts
+      |  UNION ALL SELECT host, 1, '*', 'allow', '/private/ok' FROM hosts
+      |  UNION ALL SELECT host, 2, 'graftbot', 'disallow',
+      |    '/x' || CAST(m AS VARCHAR) FROM hosts
+      |  UNION ALL SELECT host, 2, 'graftbot', 'allow', '/pub' FROM hosts
+      |  UNION ALL SELECT host, 2, 'otherbot', 'disallow',
+      |    '/x' || CAST(m AS VARCHAR) FROM hosts
+      |  UNION ALL SELECT host, 2, 'otherbot', 'allow', '/pub' FROM hosts)
+      |SELECT host, CAST(group_id AS BIGINT) AS group_id, user_agent,
+      |  directive, path_prefix
+      |FROM expect ORDER BY host, group_id, user_agent, directive,
+      |  path_prefix""".stripMargin) { (s, d) =>
+    import graft.ops.Robots
+    val robots = Tables.documents(s, d).select(col("source")).distinct()
+      .select(col("source").as("host"), concat(
+        lit("# synthetic robots file\n\n"),
+        lit("User-agent: *\r\n"),                 // stray CR: CRLF file
+        lit("DISALLOW: /private\n"),              // mixed-case key
+        lit("Allow: /private/ok   # inline comment\n"),
+        lit("Disallow:\n"),                       // valueless: allows all
+        lit("\nUser-agent: graftbot\n"),
+        lit("User-agent: otherbot\n"),            // stacked UA lines
+        lit("Disallow: /x"), (length(col("host")) % 3).cast("string"),
+        lit("\nAllow: /pub\n")).as("robots_txt"))
+    Robots.parseRobots(robots)
+      .orderBy("host", "group_id", "user_agent", "directive", "path_prefix")
+  }
+
+  /** robots.txt URL admission ([[graft.ops.Robots.isAllowed]]): the
+    * q192 rules applied to a URL corpus for TWO agents — `graftbot`
+    * (host publishes an agent-specific group, which REPLACES the `*`
+    * group per the RFC: its `/private` paths come out ALLOWED) and
+    * `unknownbot` (falls back to `*`, where the longest-prefix rule
+    * makes `/private/ok/…` allowed but `/private/…` blocked, allow
+    * winning the longer prefix). The oracle derives each verdict from
+    * the synthesis moduli — group selection, longest-prefix, tie rules
+    * all pinned against ground truth. */
+  val q193RobotsGate: Q = q("q193_robots_gate",
+    """SELECT doc_id, source AS host,
+      |  CASE WHEN doc_id % 4 = 0 THEN '/pub/a'
+      |       WHEN doc_id % 4 = 1
+      |         THEN '/x' || CAST(strlen(source) % 3 AS VARCHAR) || '/page'
+      |       WHEN doc_id % 4 = 2 THEN '/private/ok/x'
+      |       ELSE '/private/y' END AS path,
+      |  agent,
+      |  CASE WHEN agent = 'graftbot' THEN doc_id % 4 <> 1
+      |       ELSE doc_id % 4 <> 3 END AS allowed
+      |FROM documents CROSS JOIN
+      |  (SELECT unnest(['graftbot', 'unknownbot']) AS agent)
+      |ORDER BY doc_id, agent""".stripMargin) { (s, d) =>
+    import graft.ops.Robots
+    val robots = Tables.documents(s, d).select(col("source")).distinct()
+      .select(col("source").as("host"), concat(
+        lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"),
+        lit("User-agent: graftbot\nUser-agent: otherbot\nDisallow: /x"),
+        (length(col("host")) % 3).cast("string"),
+        lit("\nAllow: /pub\n")).as("robots_txt"))
+    val rules = Robots.parseRobots(robots)
+    val urls = Tables.documents(s, d).select(col("doc_id"),
+      col("source").as("host"),
+      when(col("doc_id") % 4 === 0, lit("/pub/a"))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("/x"), (length(col("source")) % 3).cast("string"),
+            lit("/page")))
+        .when(col("doc_id") % 4 === 2, lit("/private/ok/x"))
+        .otherwise(lit("/private/y")).as("path"))
+    Seq("graftbot", "unknownbot").map { a =>
+        Robots.isAllowed(urls, rules, a).withColumn("agent", lit(a))
+      }.reduce(_.unionAll(_))
+      .select("doc_id", "host", "path", "agent", "allowed")
+      .orderBy("doc_id", "agent")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4311,5 +4482,6 @@ object PipelineQueries {
     q176ZipfFit, q177LexicalDiversity, q178CrossSourceDup, q179CorpusDiff,
     q180HeapsFit, q181LengthDrift, q182DupRateBySource, q183NgramNovelty,
     q184SourceContainment, q185WarcIngest, q186SimhashPairsCapped,
-    q187ImagePairOracle, q188WarcGzip, q189WarcCorpus)
+    q187ImagePairOracle, q188WarcGzip, q189WarcCorpus, q190HttpSplit,
+    q191WarcIndex, q192RobotsRules, q193RobotsGate)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Http, Robots}
+
+/** robots.txt / HTTP-split edge semantics beyond the q190–q193 oracles. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+
+  private val robotsTxt =
+    """User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |
+      |User-agent: graftbot
+      |Disallow: /tmp
+      |""".stripMargin
+
+  test("parseRobots: groups, stacking, comments, valueless disallow") {
+    val txt =
+      """# header comment
+        |User-agent: a
+        |User-agent: b
+        |Disallow: /one
+        |Disallow:
+        |
+        |USER-AGENT: c
+        |Allow: /two # tail comment
+        |Crawl-delay: 5
+        |""".stripMargin
+    val got = Robots.parseRobots(Seq(("h", txt)).toDF("host", "robots_txt"))
+      .orderBy("group_id", "user_agent", "directive")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSeq
+    // valueless Disallow dropped; crawl-delay not a path rule; stacked
+    // agents a+b share group 1's /one; c's group gets /two
+    assert(got === Seq((1L, "a", "disallow", "/one"),
+      (1L, "b", "disallow", "/one"), (2L, "c", "allow", "/two")))
+  }
+
+  test("isAllowed: default-allow without rules, agent group replaces *, " +
+    "longest prefix with allow winning ties") {
+    val rules = Robots.parseRobots(
+      Seq(("h", robotsTxt)).toDF("host", "robots_txt"))
+    val urls = Seq(
+      (1L, "h", "/private/ok/page"),   // * group: allow (longer prefix)
+      (2L, "h", "/private/no"),        // * group: disallow
+      (3L, "h", "/elsewhere"),         // no rule: allow
+      (4L, "nohost", "/private/no"),   // host without robots: allow
+      (5L, "h", "/tmp/x"),             // graftbot group: disallow
+      (6L, "h", "/privateXtra")        // prefix is plain-text: /private
+    ).toDF("doc_id", "host", "path")   //   matches /privateXtra too
+    def verdicts(agent: String) =
+      Robots.isAllowed(urls, rules, agent).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+    val star = verdicts("unknownbot")
+    assert(star === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> false))
+    val bot = verdicts("graftbot")
+    // agent-specific group REPLACES *: /private free, /tmp blocked
+    assert(bot === Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> true))
+    // tie at equal length: a rule pair allow+disallow on the SAME prefix
+    val tie = Robots.parseRobots(Seq(("t",
+      "User-agent: *\nDisallow: /p\nAllow: /p\n")).toDF("host", "robots_txt"))
+    val t = Robots.isAllowed(Seq((1L, "t", "/p/x")).toDF("doc_id", "host",
+      "path"), tie, "any").collect().head.getAs[Boolean]("allowed")
+    assert(t, "allow must win an equal-length tie")
+  }
+
+  test("Http.splitResponse hostile payloads: missing blank line, " +
+    "non-HTTP, empty, header-only") {
+    val df = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"),
+      (2L, "HTTP/1.1 301 Moved\r\nLocation: /y"),      // no CRLFCRLF
+      (3L, "just a plain document"),
+      (4L, ""),
+      (5L, "HTTP/1.1 204 No Content\r\nServer: s\r\n\r\n")) // empty body
+      .toDF("doc_id", "payload")
+    val got = Http.splitResponse(df, "payload").orderBy("doc_id")
+      .select("status_code", "content_type", "is_http", "body")
+      .collect().map(r => (Option(r.get(0)), r.getString(1),
+        r.getBoolean(2), r.getString(3))).toSeq
+    assert(got(0) === ((Some(200), "text/html", true, "<p>x</p>")))
+    // headerless-split degenerate: body passes through whole
+    assert(got(1)._1 === Some(301) && got(1)._3 &&
+      got(1)._4 === "HTTP/1.1 301 Moved\r\nLocation: /y")
+    assert(got(2) === ((None, "", false, "just a plain document")))
+    assert(got(3) === ((None, "", false, "")))
+    assert(got(4) === ((Some(204), "", true, "")))
+  }
+}

@@ -137,6 +137,52 @@ class WarcSpec extends SparkSpec {
       .filter(col("body") =!= col("text")).count() === 0)
   }
 
+  test("parseWarcIndex gzip locators: each record's span is its COMPRESSED " +
+    "member — slicing the payload at the locator re-inflates the record") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text").limit(16)
+    val chunks = Warc.syntheticWarcGzipChunks(spark, docs).collect()
+      .map(r => r.getAs[Long]("chunk_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    val idx = Warc.parseWarcIndex(spark,
+        Warc.syntheticWarcGzipChunks(spark, docs)).collect()
+    assert(idx.nonEmpty && idx.forall(_.getAs[Boolean]("valid")))
+    for (r <- idx) {
+      val payload = chunks(r.getAs[Long]("chunk_id"))
+      val off = r.getAs[Long]("rec_offset").toInt
+      val len = r.getAs[Long]("rec_bytes").toInt
+      // the member slice inflates standalone to exactly one record whose
+      // parse matches the indexed row
+      val slice = java.util.Arrays.copyOfRange(payload, off, off + len)
+      val Some((member, end)) = Warc.inflateMember(slice, 0)
+      assert(end === len, "member span must cover the slice exactly")
+      val one = Warc.parseChunk(-1L, member)
+      assert(one.size === 1 && one.head.valid &&
+        one.head.target_uri === r.getAs[String]("target_uri") &&
+        one.head.body_md5 === r.getAs[String]("body_md5"))
+    }
+    // spans tile each chunk: offsets sorted, contiguous, summing to size
+    idx.groupBy(_.getAs[Long]("chunk_id")).foreach { case (cid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rec_idx"))
+        .map(r => (r.getAs[Long]("rec_offset"), r.getAs[Long]("rec_bytes")))
+      assert(sorted.head._1 === 0L)
+      sorted.sliding(2).foreach {
+        case Array((o1, b1), (o2, _)) => assert(o1 + b1 === o2)
+        case _ => ()
+      }
+      assert(sorted.last._1 + sorted.last._2 === chunks(cid).length.toLong)
+    }
+  }
+
+  test("parseWarcIndex plain locators agree with the record-string spans") {
+    val bytes = (rec("u/1", "first body") + rec("u/2", "sécond bödy"))
+      .getBytes("UTF-8")
+    val got = Warc.parseRecords(5L, bytes)
+    val r1len = rec("u/1", "first body").getBytes("UTF-8").length.toLong
+    assert(got.map(p => (p.offset, p.recBytes)) ===
+      Seq((0L, r1len), (r1len, bytes.length - r1len)))
+  }
+
   test("synthesis round-trip on the fixture — every field reconstructed") {
     val docs = Tables.documents(spark, SparkSpec.sf0001)
       .select("doc_id", "text").limit(40)
