@@ -148,4 +148,41 @@ object Classifier {
         + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))))
       .head().getDouble(0)
   }
+
+  /** Classifier-threshold calibration sweep — the precision/recall
+    * operating curve a pipeline reads before picking its keep-threshold
+    * (every quality gate is a threshold on SOME score; sweeping on the
+    * corpus itself, not a held-out guess, is how the keep-rate/quality
+    * trade is actually chosen). One row per DISTINCT score value `t`,
+    * with the confusion counts of the rule `score ≥ t`: `tp`/`fp`/`fn`
+    * and exact floor-micros precision/recall ([[Micros.ratio]] — Longs,
+    * order-free, oracle-identical).
+    *
+    * Scale shape: the corpus collapses in ONE map-side-combined
+    * (score → pos/neg counts) aggregate; the cumulative windows run
+    * over the DISTINCT-SCORE table only — audit-sized by construction
+    * (the [[Profile.keyConcentration]] bounded-cardinality contract; a
+    * continuous score should be bucketed by the caller first, which is
+    * what every published curve does anyway). */
+  def thresholdSweep(docs: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val agg = docs.groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    agg
+      .withColumn("tp", sum("pos").over(desc))
+      .withColumn("fp", sum("neg").over(desc))
+      .withColumn("fn", sum("pos").over(all) - col("tp"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        Micros.ratio(col("tp"), col("tp") + col("fp"))
+          .as("precision_micros"),
+        Micros.ratio(col("tp"), col("tp") + col("fn")).as("recall_micros"))
+  }
 }

@@ -80,6 +80,63 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count", "content_hash")
 
+  /** Cross-document repeated n-gram span SCRUB — the removal counterpart
+    * of `TextAnalysis.dupNgramCoverage` (which only measures): every
+    * token covered by an n-gram that appears in at least `minDf`
+    * DISTINCT documents is cut, and each document reassembles from its
+    * surviving tokens in order. This is the practical middle ground of
+    * exact-substring corpus dedup (Lee et al.'s "Deduplicating Training
+    * Data Makes Language Models Better" without the suffix array):
+    * boilerplate sentences, license blocks, and navigation chrome that
+    * exact-dup and near-dup DOC-level dedup both miss get excised
+    * in-place, overlap-safe (covered positions are a set union, the
+    * q172 discipline — overlapping shared grams never double-cut).
+    *
+    * Scale shape: grams carry a 60-bit md5-prefix hash, so the df
+    * aggregation and the heavy-gram semi-join shuffle 8-byte keys, never
+    * gram strings; the positions explode is n× the token count inside
+    * the scan stage; reassembly is one doc-keyed aggregate (per-doc
+    * bounded). The hash is [[graft.functions.Md5Prefix60]] — the oracle
+    * derives the identical value, so the WHOLE scrub is
+    * cross-engine-checkable.
+    *
+    * @return (doc_id, n_tokens, n_scrubbed, text) — text is the
+    *         surviving-token join (empty when everything was shared,
+    *         e.g. an exact duplicate pair ≥ n tokens long) */
+  def scrubSharedNgramSpans(docs: DataFrame, n: Int = 5,
+                            minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf < 2 would scrub every token, got $minDf")
+    val toked = Spread.cpu(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
+    val hashed = toked.filter(size(col("wd")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("wd")) - n),
+        i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Md5Functions.md5Prefix60(col("col")).as("h"))
+    val heavy = hashed.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val covered = hashed.join(heavy, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val toks = toked.select(col("doc_id"), posexplode(col("wd")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("text"))
+    toked.select(col("doc_id"), size(col("wd")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_scrubbed"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Text canonicalization for normalize-then-dedup (the C4/RefinedWeb
     * recipe): lowercase, strip everything but letters/digits/whitespace,
     * collapse whitespace runs, trim. Two trivially-different crawls of

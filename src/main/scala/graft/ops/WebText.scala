@@ -198,6 +198,24 @@ object WebText {
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_links"))
 
+  /** Sitemap XML entries: one struct `(loc, lastmod)` per `<url>` block
+    * — the crawl-discovery sibling of robots.txt ([[Robots]] decides
+    * what MAY be fetched; the sitemap says what the host WANTS fetched,
+    * with freshness). `lastmod` is empty when the optional tag is
+    * absent. Same codegen'd Java∩RE2 regex discipline as the link
+    * extractors: the outer match captures each short `<url>` span and
+    * the per-field extraction runs on the span, so nested regex work is
+    * O(span), not O(document). A sitemap INDEX (`<sitemap>` blocks
+    * pointing at child sitemaps) is the same shape — point this at the
+    * fetched children. */
+  def sitemapEntries(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit("(?is)<url>(.*?)</url>"), lit(1)),
+      u => struct(
+        trim(regexp_extract(u, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1))
+          .as("loc"),
+        trim(regexp_extract(u, "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1))
+          .as("lastmod")))
+
   /** Link-density signal for boilerplate scoring: fraction (in integer
     * micros, order-free) of the visible characters that live inside
     * `<a …>…</a>` spans. High link density marks navigation/footer

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Similarity, Spread, TextAnalysis, Warc}
+import graft.ops.{Curation, Dedup, Graph, Multimodal, Profile, Robots, Similarity, Spread, TextAnalysis, Warc, WebText}
 import RelationalQueries.Q
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -3487,26 +3487,33 @@ object PipelineQueries {
       |FROM ed WHERE src_domain <> '' AND dst_domain <> ''
       |  AND src_domain <> dst_domain
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    import graft.ops.WebText
-    val pageUrl = concat(lit("http://www."), col("source"), lit(".org/p/"),
-      col("doc_id").cast("string"))
-    val html = concat(
-      lit("<p>"), col("text"), lit("</p><a href=\"HTTP://WWW."),
-      upper(col("source")),
-      when(col("doc_id") % 2 === 0, ".Example.COM:80").otherwise(".sample.NET"),
-      lit("/l/"), (col("doc_id") % 7).cast("string"),
-      lit("?utm_source=z&amp;x="), (col("doc_id") % 3).cast("string"),
-      lit("\">t1</a><a class='m' href='https://cdn"),
-      (col("doc_id") % 4).cast("string"),
-      lit(".assets.co.uk/lib.js?v="), (col("doc_id") % 5).cast("string"),
-      lit("'>t2</a><a href=\"/relative/skip\">r</a>" +
-        "<a data-href=\"http://decoy.bad/x\">d</a><a href='https://"),
-      col("source"), lit(".org/nav'>self</a>"))
     WebText.hostLinkEdges(
-        Tables.documents(s, d).select(pageUrl.as("url"), html.as("html")),
+        Tables.documents(s, d)
+          .select(crawlPageUrl.as("url"), crawlPageHtml.as("html")),
         "url", "html")
       .orderBy("src_domain", "dst_domain")
   }
+
+  /** The shared synthetic crawl-page fixture of q167/q175-era queries
+    * and the q195 frontier capstone: per-doc page URL + HTML with mixed
+    * link cases (messy absolute t1 link, cdn link, relative skip,
+    * data-href decoy, same-host self link). Byte-identical to the
+    * oracle-side reconstruction — load-bearing for every consumer. */
+  private def crawlPageUrl: Column =
+    concat(lit("http://www."), col("source"), lit(".org/p/"),
+      col("doc_id").cast("string"))
+  private def crawlPageHtml: Column = concat(
+    lit("<p>"), col("text"), lit("</p><a href=\"HTTP://WWW."),
+    upper(col("source")),
+    when(col("doc_id") % 2 === 0, ".Example.COM:80").otherwise(".sample.NET"),
+    lit("/l/"), (col("doc_id") % 7).cast("string"),
+    lit("?utm_source=z&amp;x="), (col("doc_id") % 3).cast("string"),
+    lit("\">t1</a><a class='m' href='https://cdn"),
+    (col("doc_id") % 4).cast("string"),
+    lit(".assets.co.uk/lib.js?v="), (col("doc_id") % 5).cast("string"),
+    lit("'>t2</a><a href=\"/relative/skip\">r</a>" +
+      "<a data-href=\"http://decoy.bad/x\">d</a><a href='https://"),
+    col("source"), lit(".org/nav'>self</a>"))
 
   /** Encoding-anomaly audit ([[graft.ops.TextAnalysis.encodingSignals]]):
     * mojibake / replacement-char / control-char / nbsp counters and the
@@ -4446,6 +4453,191 @@ object PipelineQueries {
       .orderBy("doc_id", "agent")
   }
 
+  /** Cross-document repeated-span scrub
+    * ([[graft.ops.Dedup.scrubSharedNgramSpans]], n=5, minDf=2): tokens
+    * covered by any 5-gram shared across ≥2 documents are cut in place
+    * — ids %4 get one fixed 5-gram appended (a guaranteed cross-doc
+    * shared span whose boundary grams stay unique, so EXACTLY those
+    * five tokens scrub), and the fixture's planted exact-dup pairs
+    * scrub to empty. The oracle mirrors the whole machinery: 60-bit
+    * md5-prefix gram identity, distinct-doc df, positions-union
+    * coverage, ordered reassembly. */
+  val q194ScrubSpans: Q = q("q194_scrub_spans",
+    """WITH t AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' zq aq bq cq dq' ELSE '' END AS tx
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(tx, ' ') AS wd FROM t),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) - 3),
+      |    i -> {'gpos': i, 'h': CAST(('0x' || substr(md5(
+      |      wd[i]||' '||wd[i+1]||' '||wd[i+2]||' '||wd[i+3]||' '||wd[i+4]),
+      |      1, 15)) AS BIGINT)}), recursive := true) FROM w),
+      |hv AS (SELECT h FROM g GROUP BY h
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 5)) AS p
+      |  FROM g JOIN hv USING (h)),
+      |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) + 1),
+      |    i -> {'p': i, 'tok': wd[i]}), recursive := true) FROM w),
+      |kept AS (SELECT tok.doc_id, count(*) AS n_kept,
+      |    string_agg(tok.tok, ' ' ORDER BY tok.p) AS text
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |  WHERE cov.doc_id IS NULL GROUP BY tok.doc_id)
+      |SELECT w.doc_id, CAST(len(wd) AS BIGINT) AS n_tokens,
+      |  CAST(len(wd) - coalesce(n_kept, 0) AS BIGINT) AS n_scrubbed,
+      |  coalesce(kept.text, '') AS text
+      |FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id
+      |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    val tx = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(" zq aq bq cq dq")).otherwise(lit("")))
+    Dedup.scrubSharedNgramSpans(
+        Tables.documents(s, d).select(col("doc_id"), tx.as("text")),
+        n = 5, minDf = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Crawl-frontier capstone — the "what to fetch next" composition a
+    * crawler runs over every snapshot: out-links extracted from the
+    * crawled pages ([[graft.ops.WebText.extractLinks]]), scored by
+    * in-link count per target, already-fetched URLs anti-joined away,
+    * robots.txt admission applied per target domain
+    * ([[graft.ops.Robots.isAllowed]]: `Disallow: /l/3` for everyone),
+    * and the survivors ranked top-3 per registered domain. The oracle
+    * re-derives the entire chain — extraction regex, domain reduction,
+    * in-link counts, the crawled-set anti-join, the robots verdict, the
+    * (inlinks desc, url asc) rank — from the same synthesized pages. */
+  val q195CrawlFrontier: Q = q("q195_crawl_frontier",
+    """WITH p AS (SELECT doc_id, source,
+      |  '<p>' || text || '</p><a href="HTTP://WWW.' || upper(source) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80'
+      |       ELSE '.sample.NET' END ||
+      |  '/l/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=z&amp;x=' ||
+      |  CAST(doc_id % 3 AS VARCHAR) ||
+      |  '">t1</a><a class=''m'' href=''https://cdn' ||
+      |  CAST(doc_id % 4 AS VARCHAR) || '.assets.co.uk/lib.js?v=' ||
+      |  CAST(doc_id % 5 AS VARCHAR) ||
+      |  '''>t2</a><a href="/relative/skip">r</a><a data-href="http://decoy.bad/x">d</a><a href=''https://' ||
+      |  source || '.org/nav''>self</a>' AS html FROM documents),
+      |lk AS (SELECT unnest(regexp_extract_all(html,
+      |    '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["'']', 1))
+      |    AS raw FROM p),
+      |dl AS (SELECT replace(raw, '&amp;', '&') AS link FROM lk),
+      |inl AS (SELECT link,
+      |  regexp_extract(regexp_replace(
+      |    regexp_extract(lower(link), '//[^/:?#]*'), '^//(www\.)?', ''),
+      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
+      |    1) AS domain,
+      |  count(*) AS inlinks FROM dl GROUP BY 1, 2),
+      |crawled AS (SELECT DISTINCT
+      |  'HTTP://WWW.' || upper(source) || '.Example.COM:80/l/' ||
+      |  CAST(doc_id % 7 AS VARCHAR) || '?utm_source=z&x=' ||
+      |  CAST(doc_id % 3 AS VARCHAR) AS link
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |fresh AS (SELECT * FROM inl
+      |  WHERE link NOT IN (SELECT link FROM crawled)),
+      |gated AS (SELECT link, domain, inlinks FROM fresh
+      |  WHERE substr(regexp_extract(link,
+      |    '^[a-zA-Z]+://[^/]*(/.*)?$', 1), 1, 4) <> '/l/3')
+      |SELECT domain, link AS url, CAST(inlinks AS BIGINT) AS inlinks,
+      |  CAST(row_number() OVER (PARTITION BY domain
+      |    ORDER BY inlinks DESC, link ASC) AS BIGINT) AS rank
+      |FROM gated
+      |QUALIFY rank <= 3 ORDER BY domain, rank""".stripMargin) { (s, d) =>
+    val pages = Tables.documents(s, d)
+      .select(crawlPageUrl.as("url"), crawlPageHtml.as("html"))
+    val links = pages
+      .select(explode(WebText.extractLinks(col("html"))).as("link"))
+    val inl = links
+      .select(col("link"), WebText.registeredDomain(col("link")).as("domain"))
+      .groupBy("link", "domain").agg(count(lit(1)).as("inlinks"))
+    val crawled = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select(concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".Example.COM:80/l/"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_source=z&x="), (col("doc_id") % 3).cast("string"))
+        .as("link"))
+      .distinct()
+    val fresh = inl.join(crawled, Seq("link"), "left_anti")
+    val robots = inl.select(col("domain")).distinct()
+      .select(col("domain").as("host"),
+        lit("User-agent: *\nDisallow: /l/3\n").as("robots_txt"))
+    val rules = Robots.parseRobots(robots)
+    val urls = fresh.select(col("link"), col("domain").as("host"),
+      regexp_extract(col("link"), "^[a-zA-Z]+://[^/]*(/.*)?$", 1).as("path"),
+      col("inlinks"))
+    val gated = Robots.isAllowed(urls, rules, "graftbot")
+      .filter(col("allowed"))
+    val w = Window.partitionBy("host")
+      .orderBy(col("inlinks").desc, col("link").asc)
+    gated.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("host").as("domain"), col("link").as("url"),
+        col("inlinks"), col("rank"))
+      .orderBy("domain", "rank")
+  }
+
+  /** Sitemap parsing ([[graft.ops.WebText.sitemapEntries]]): per-host
+    * sitemap XML synthesized from the fixture (one `<url>` per doc in
+    * doc_id order, `<lastmod>` present for ids %3, whitespace inside
+    * tags to exercise the trim), re-exploded into (host, loc, lastmod)
+    * rows. Ground-truth oracle: the expected entries come straight from
+    * the source rows, not from a mirrored regex. */
+  val q196Sitemap: Q = q("q196_sitemap",
+    """SELECT source AS host,
+      |  'http://' || source || '.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |       ELSE '' END AS lastmod
+      |FROM documents ORDER BY host, loc""".stripMargin) { (s, d) =>
+    val entry = concat(
+      lit("<url>\n  <loc> http://"), col("source"), lit(".org/p/"),
+      col("doc_id").cast("string"), lit(" </loc>"),
+      when(col("doc_id") % 3 === 0, concat(lit("\n  <LastMod>2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("</LastMod>"))).otherwise(lit("")),
+      lit("\n</url>"))
+    val sitemaps = Tables.documents(s, d)
+      .groupBy(col("source").as("host"))
+      .agg(concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), entry.as("e")))),
+          x => x.getField("e")), "\n"), lit("\n</urlset>")).as("xml"))
+    sitemaps.select(col("host"),
+        explode(WebText.sitemapEntries(col("xml"))).as("u"))
+      .select(col("host"), col("u.loc").as("loc"), col("u.lastmod").as("lastmod"))
+      .orderBy("host", "loc")
+  }
+
+  /** Classifier-threshold calibration sweep
+    * ([[graft.ops.Classifier.thresholdSweep]]): the precision/recall
+    * operating curve over a deterministic score (token count mod 10 —
+    * ten distinct thresholds) against a planted label rule. The oracle
+    * re-derives the per-threshold confusion counts with the same
+    * descending cumulative windows and the exact floor-micros ratios. */
+  val q197ThresholdSweep: Q = q("q197_threshold_sweep",
+    """WITH s AS (SELECT
+      |  CAST(len(string_split(text, ' ')) % 10 AS BIGINT) AS threshold,
+      |  (doc_id % 3 = 0) AS label FROM documents),
+      |a AS (SELECT threshold,
+      |  sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos,
+      |  sum(CASE WHEN label THEN 0 ELSE 1 END) AS neg
+      |  FROM s GROUP BY 1),
+      |c AS (SELECT threshold,
+      |  sum(pos) OVER (ORDER BY threshold DESC
+      |    ROWS UNBOUNDED PRECEDING) AS tp,
+      |  sum(neg) OVER (ORDER BY threshold DESC
+      |    ROWS UNBOUNDED PRECEDING) AS fp,
+      |  sum(pos) OVER () AS totpos FROM a)
+      |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(totpos - tp AS BIGINT) AS fn,
+      |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micros,
+      |  CAST((tp * 1000000) // totpos AS BIGINT) AS recall_micros
+      |FROM c ORDER BY threshold""".stripMargin) { (s, d) =>
+    import graft.ops.Classifier
+    val scored = Tables.documents(s, d).select(
+      (size(split(col("text"), " ")) % 10).cast("long").as("score"),
+      (col("doc_id") % 3 === 0).as("label"))
+    Classifier.thresholdSweep(scored, "score", "label")
+      .orderBy("threshold")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4483,5 +4675,6 @@ object PipelineQueries {
     q180HeapsFit, q181LengthDrift, q182DupRateBySource, q183NgramNovelty,
     q184SourceContainment, q185WarcIngest, q186SimhashPairsCapped,
     q187ImagePairOracle, q188WarcGzip, q189WarcCorpus, q190HttpSplit,
-    q191WarcIndex, q192RobotsRules, q193RobotsGate)
+    q191WarcIndex, q192RobotsRules, q193RobotsGate, q194ScrubSpans,
+    q195CrawlFrontier, q196Sitemap, q197ThresholdSweep)
 }

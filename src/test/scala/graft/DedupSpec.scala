@@ -334,6 +334,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("scrubSharedNgramSpans: union coverage on overlapping shared " +
+    "spans, exact dups scrub to empty, unique and short docs untouched") {
+    import spark.implicits._
+    // docs 1+2 share the 6-token run "a b c d e f": its two 5-grams
+    // overlap, so coverage is the 6-token UNION (never 10); tails differ
+    val in = Seq(
+      (1L, "a b c d e f tail one x"),
+      (2L, "a b c d e f other end y"),
+      (3L, "exact duplicate body of five tokens"),
+      (4L, "exact duplicate body of five tokens"),
+      (5L, "wholly unique text with six words"),
+      (6L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.scrubSharedNgramSpans(in, n = 5, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((1L, 9L, 6L, "tail one x")))
+    assert(got(1) === ((2L, 9L, 6L, "other end y")))
+    assert(got(2) === ((3L, 6L, 6L, "")))
+    assert(got(3) === ((4L, 6L, 6L, "")))
+    assert(got(4) === ((5L, 6L, 0L, "wholly unique text with six words")))
+    assert(got(5) === ((6L, 2L, 0L, "too short")))
+    intercept[IllegalArgumentException] {
+      Dedup.scrubSharedNgramSpans(in, minDf = 1)
+    }
+  }
+
   test("crossSourceDupMatrix: shared distinct contents, ordered pairs, " +
     "within-source dups not double counted") {
     import spark.implicits._
