@@ -52,6 +52,59 @@ object Http {
     when(hdr === "", p).otherwise(p.substr(length(hdr) + 5, length(p)))
   }
 
+  /** Byte-level sibling of the column splitters, for callers that hold
+    * the RAW response octets (the WARC record block): finds the
+    * CRLFCRLF header/body split in BYTES, reads status / media type /
+    * charset from the ASCII header block, and decodes the body with the
+    * DECLARED charset — the step the column path cannot do, because a
+    * payload that was eagerly UTF-8-decoded has already corrupted any
+    * latin-1/windows bytes. Unknown or unsupported charset names fall
+    * back to UTF-8 (the reported `charset` keeps the raw lowercased
+    * token for auditing); malformed byte sequences decode to U+FFFD
+    * replacement chars (the java.lang.String REPLACE policy —
+    * deterministic, and exactly what `TextAnalysis.encodingSignals`
+    * audits downstream). Degenerate cases mirror [[splitResponse]]:
+    * no status line ⇒ whole payload is the body (UTF-8); status line
+    * but no blank line ⇒ header-less pass-through.
+    *
+    * @return (status_code or null, content_type, charset, text) */
+  private[graft] def splitResponseBytes(
+      body: Array[Byte]): (Integer, String, String, String) = {
+    val n = body.length
+    def utf8(b: Array[Byte]) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    val prefix = new String(body, 0, math.min(n, 64),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sm = StatusRe.findFirstMatchIn(prefix)
+    if (sm.isEmpty) return (null, "", "", utf8(body))
+    val status: Integer = sm.get.group(1).toInt
+    var i = 0; var split = -1
+    while (i + 3 < n && split < 0) {
+      if (body(i) == '\r' && body(i + 1) == '\n' &&
+        body(i + 2) == '\r' && body(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return (status, "", "", utf8(body))
+    val hdr = new String(body, 0, split,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val ct = CtRe.findFirstMatchIn(hdr).map(_.group(1).trim.toLowerCase)
+      .getOrElse("")
+    val cs = CsRe.findFirstMatchIn(hdr).map(_.group(1).toLowerCase).getOrElse("")
+    val decoder =
+      if (cs.isEmpty) java.nio.charset.StandardCharsets.UTF_8
+      else
+        try java.nio.charset.Charset.forName(cs)
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    val text = new String(body, split + 4, n - split - 4, decoder)
+    (status, ct, cs, text)
+  }
+
+  // the same patterns the column splitters compile, precompiled once per
+  // JVM for the byte path
+  private val StatusRe = "^HTTP/[0-9.]+ ([0-9]{3})".r
+  private val CtRe = "(?im)^content-type:\\s*([^;\r\n]+)".r
+  private val CsRe =
+    "(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_+.:-]+)\"?".r
+
   /** One-call projection: `(status_code, content_type, charset, body,
     * is_http)` appended to `df` from the payload in `payloadCol`. */
   def splitResponse(df: org.apache.spark.sql.DataFrame,

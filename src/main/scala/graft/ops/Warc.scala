@@ -23,6 +23,15 @@ case class WarcDoc(chunk_id: Long, rec_idx: Long, warc_type: String,
                    target_uri: String, content_type: String,
                    content_length: Long, body: String, valid: Boolean)
 
+/** A fully decoded crawl document: WARC envelope + the HTTP layer a
+  * `response` record's block actually carries (status, media type,
+  * declared charset) + the body TEXT decoded with that charset.
+  * Emitted by [[Warc.parseWarcHttpDocs]] — the end of the bytes→text
+  * path; everything downstream is string-typed curation. */
+case class WarcHttpDoc(chunk_id: Long, rec_idx: Long, target_uri: String,
+                       status_code: Integer, content_type: String,
+                       charset: String, text: String, valid: Boolean)
+
 /** WARC (ISO 28500) crawl-archive ingestion — the container format
   * CommonCrawl-class corpora arrive in. A WARC file is a concatenation
   * of records, each `WARC/1.x\r\n` + header lines + CRLFCRLF + exactly
@@ -158,6 +167,36 @@ object Warc {
           WarcDoc(p.rec.chunk_id, p.rec.rec_idx, p.rec.warc_type,
             p.rec.target_uri, p.rec.content_type, p.rec.content_length,
             new String(p.body, StandardCharsets.UTF_8), p.rec.valid)
+        }
+      })
+  }
+
+  /** The real-CommonCrawl bytes→text path in ONE cursor pass: WARC
+    * envelope parse + HTTP response split + charset-declared body
+    * decode ([[Http.splitResponseBytes]] — the byte-level split, which
+    * MUST run before any UTF-8 assumption: a latin-1 page decoded
+    * eagerly as UTF-8 is already corrupted by the time a column op
+    * sees it). Records whose block is not an HTTP response (resource
+    * records, pre-split corpora) pass their body through as UTF-8 text
+    * with a null status. Invalid envelope rows surface as
+    * `valid = false` with empty text, as everywhere in this file.
+    * `http_content_type` is the HTTP layer's media type; the WARC
+    * envelope's Content-Type is dropped here (it is `application/
+    * http; msgtype=response` on real crawls — metadata about the
+    * container, not the document). */
+  def parseWarcHttpDocs(spark: SparkSession,
+                        chunks: DataFrame): Dataset[WarcHttpDoc] = {
+    import spark.implicits._
+    Spread.cpu(chunks)
+      .select(col("chunk_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseRecords(id, bytes).map { p =>
+          val (status, ct, cs, text) =
+            if (p.rec.valid) Http.splitResponseBytes(p.body)
+            else (null: Integer, "", "", "")
+          WarcHttpDoc(p.rec.chunk_id, p.rec.rec_idx, p.rec.target_uri,
+            status, ct, cs, text, p.rec.valid)
         }
       })
   }

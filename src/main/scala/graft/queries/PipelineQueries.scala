@@ -4638,6 +4638,116 @@ object PipelineQueries {
       .orderBy("threshold")
   }
 
+  /** Charset-aware bytes→text decode
+    * ([[graft.ops.Warc.parseWarcHttpDocs]] /
+    * `Http.splitResponseBytes`): WARC records are synthesized at the
+    * BYTE level — the HTTP header octets are UTF-8 but the entity body
+    * is encoded in the charset the header DECLARES (latin-1 for one
+    * cohort, with planted accented chars that round-trip only if the
+    * decoder honors the declaration; a quoted charset param and an
+    * unsupported `x-bogus` name cover the parse and fallback paths) —
+    * and the envelope Content-Length counts the true octets. The
+    * oracle reconstructs the decoded text and every HTTP field from
+    * the source rows: an eager-UTF-8 decoder corrupts the latin-1
+    * cohort's accents and hash-diverges. */
+  val q198CharsetDecode: Q = q("q198_charset_decode",
+    """SELECT doc_id, 200 AS status_code, 'text/plain' AS content_type,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'iso-8859-1'
+      |       WHEN doc_id % 4 = 3 THEN 'x-bogus'
+      |       ELSE 'utf-8' END AS charset,
+      |  text || ' café ñ über' AS text,
+      |  TRUE AS valid
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val accent = lit(" café ñ über")
+    val tx = concat(col("text"), accent)
+    val csName = when(col("doc_id") % 4 === 0, "ISO-8859-1")
+      .when(col("doc_id") % 4 === 1, "UTF-8")
+      .when(col("doc_id") % 4 === 2, "\"UTF-8\"") // quoted param form
+      .otherwise("x-bogus")                       // unsupported → fallback
+    val bodyBytes = when(col("doc_id") % 4 === 0, encode(tx, "ISO-8859-1"))
+      .otherwise(encode(tx, "UTF-8"))
+    val httpBytes = concat(
+      encode(concat(lit("HTTP/1.1 200 OK\r\nServer: synth\r\n" +
+        "Content-Type: text/plain; charset="), csName, lit("\r\n\r\n")),
+        "UTF-8"),
+      bodyBytes)
+    val recBytes = concat(
+      encode(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"),
+        col("doc_id"),
+        lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "),
+        length(httpBytes).cast("string"), lit("\r\n\r\n")), "UTF-8"),
+      httpBytes, encode(lit("\r\n\r\n"), "UTF-8"))
+    val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select((col("doc_id") / 8).cast("long").as("chunk_id"), col("doc_id"),
+        recBytes.as("rec"))
+      .groupBy("chunk_id")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
+        .as("members"))
+      .select(col("chunk_id"),
+        aggregate(col("members"), lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m.getField("rec"))).as("payload"))
+    Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid"))
+      .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+        .as("doc_id"), col("status_code"), col("content_type"),
+        col("charset"), col("text"), col("valid"))
+      .orderBy("doc_id")
+  }
+
+  /** WARC→WET extraction — the conversion CommonCrawl itself publishes
+    * (WET files are the plain-text rendering of WARC response bodies):
+    * HTML documents ride the full byte path (WARC envelope → HTTP split
+    * → charset decode, [[graft.ops.Warc.parseWarcHttpDocs]]) and the
+    * boilerplate-stripped visible text
+    * ([[graft.ops.WebText.visibleText]]) comes out with its token
+    * count. Ground-truth oracle: the deterministic HTML shell makes the
+    * expected WET text reconstructable from the source row, so a bug
+    * anywhere in the five composed layers diverges. */
+  val q199WetExtract: Q = q("q199_wet_extract",
+    """SELECT doc_id, trim('Title ' || text) AS wet_text,
+      |  CAST(len(string_split(trim('Title ' || text), ' ')) AS BIGINT)
+      |    AS n_tokens
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val html = concat(
+      lit("<html><head><style>h1{color:red}</style></head><body>" +
+        "<h1>Title</h1><p>"), col("text"),
+      lit("</p><script>var a=1;</script><!-- note --></body></html>"))
+    val httpBytes = concat(
+      encode(lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n\r\n"), "UTF-8"),
+      encode(html, "UTF-8"))
+    val recBytes = concat(
+      encode(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"),
+        col("doc_id"),
+        lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "),
+        length(httpBytes).cast("string"), lit("\r\n\r\n")), "UTF-8"),
+      httpBytes, encode(lit("\r\n\r\n"), "UTF-8"))
+    val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select((col("doc_id") / 8).cast("long").as("chunk_id"), col("doc_id"),
+        recBytes.as("rec"))
+      .groupBy("chunk_id")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
+        .as("members"))
+      .select(col("chunk_id"),
+        aggregate(col("members"), lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m.getField("rec"))).as("payload"))
+    Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid") && col("content_type") === "text/html")
+      .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+        .as("doc_id"), WebText.visibleText(col("text")).as("wet_text"))
+      .withColumn("n_tokens",
+        size(split(col("wet_text"), " ")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4676,5 +4786,6 @@ object PipelineQueries {
     q184SourceContainment, q185WarcIngest, q186SimhashPairsCapped,
     q187ImagePairOracle, q188WarcGzip, q189WarcCorpus, q190HttpSplit,
     q191WarcIndex, q192RobotsRules, q193RobotsGate, q194ScrubSpans,
-    q195CrawlFrontier, q196Sitemap, q197ThresholdSweep)
+    q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
+    q199WetExtract)
 }

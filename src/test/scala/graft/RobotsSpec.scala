@@ -68,6 +68,31 @@ class RobotsSpec extends SparkSpec {
     assert(t, "allow must win an equal-length tie")
   }
 
+  test("Http.splitResponseBytes: declared-charset decode, fallback on " +
+    "unsupported names, replacement on malformed bytes, first-split wins") {
+    def resp(cs: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$cs\r\n\r\n"
+        .getBytes("ISO-8859-1")) ++ body
+    // latin-1 body: é = 0xE9 as ONE byte — an eager UTF-8 read corrupts it
+    val latin = Http.splitResponseBytes(
+      resp("ISO-8859-1", "café".getBytes("ISO-8859-1")))
+    assert(latin === ((200, "text/html", "iso-8859-1", "café")))
+    // unsupported charset name: raw token reported, UTF-8 fallback decode
+    val bogus = Http.splitResponseBytes(
+      resp("x-bogus", "plain café".getBytes("UTF-8")))
+    assert(bogus === ((200, "text/html", "x-bogus", "plain café")))
+    // malformed bytes under the declared charset: U+FFFD, never a throw
+    val bad = Http.splitResponseBytes(resp("UTF-8", Array(0xE9.toByte)))
+    assert(bad._4 === "�")
+    // body containing CRLFCRLF: only the FIRST split separates headers
+    val nested = Http.splitResponseBytes(
+      resp("UTF-8", "a\r\n\r\nb".getBytes("UTF-8")))
+    assert(nested._4 === "a\r\n\r\nb")
+    // no status line: whole payload is the body
+    assert(Http.splitResponseBytes("raw bytes".getBytes("UTF-8")) ===
+      ((null, "", "", "raw bytes")))
+  }
+
   test("Http.splitResponse hostile payloads: missing blank line, " +
     "non-HTTP, empty, header-only") {
     val df = Seq(
