@@ -104,17 +104,36 @@ object Dedup {
     *         surviving-token join (empty when everything was shared,
     *         e.g. an exact duplicate pair ≥ n tokens long) */
   def scrubSharedNgramSpans(docs: DataFrame, n: Int = 5,
-                            minDf: Int = 2): DataFrame = {
+                            minDf: Int = 2): DataFrame =
+    scrubSharedNgramSpansFrom(docs, ngramPositionHashes(docs, n), n, minDf)
+
+  /** The `(doc_id, pos, h)` gram-position hash projection
+    * [[scrubSharedNgramSpans]] consumes — exposed (the
+    * [[sourceNgramSets]] materialize-once idiom) because the scrub
+    * reads it TWICE (df aggregation + coverage semi-join): a corpus-
+    * scale run computes it once, persists/checkpoints it, and calls
+    * [[scrubSharedNgramSpansFrom]], instead of paying the gram explode
+    * and per-gram digest twice inside one composed plan. */
+  def ngramPositionHashes(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    require(minDf >= 2, s"minDf < 2 would scrub every token, got $minDf")
-    val toked = Spread.cpu(docs)
+    Spread.cpu(docs)
       .select(col("doc_id"), split(col("text"), " ").as("wd"))
-    val hashed = toked.filter(size(col("wd")) >= n)
+      .filter(size(col("wd")) >= n)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("wd")) - n),
         i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))))
       .select(col("doc_id"), col("pos"),
         graft.functions.Md5Functions.md5Prefix60(col("col")).as("h"))
+  }
+
+  /** [[scrubSharedNgramSpans]] over a pre-materialized
+    * [[ngramPositionHashes]] frame (parity-tested in DedupSpec). */
+  def scrubSharedNgramSpansFrom(docs: DataFrame, hashed: DataFrame,
+                                n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf < 2 would scrub every token, got $minDf")
+    val toked = Spread.cpu(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
     val heavy = hashed.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf).select("h")

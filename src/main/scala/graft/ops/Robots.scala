@@ -74,28 +74,32 @@ object Robots {
     * groups; among applicable rules matching the path as a prefix, the
     * longest prefix wins, allow beating disallow at equal length; no
     * matching rule (or no robots at all) ⇒ allowed. Output: the URL
-    * frame + `allowed`. */
+    * frame + `allowed` (the one reserved output name) — row
+    * multiplicity and every input column are preserved: the verdict is
+    * resolved per DISTINCT (host, path) key and joined back, so the
+    * rule machinery never touches (or collides with) caller columns. */
   def isAllowed(urls: DataFrame, rules: DataFrame, agent: String): DataFrame = {
     val a = lit(agent.toLowerCase)
     // does the host publish rules for this specific agent?
     val hostHasAgent = rules.filter(col("user_agent") === a)
-      .select("host").distinct().withColumn("has_agent", lit(true))
+      .select("host").distinct().withColumn("graft_has_agent", lit(true))
     val applicable = rules.join(hostHasAgent, Seq("host"), "left")
-      .filter(when(coalesce(col("has_agent"), lit(false)),
+      .filter(when(coalesce(col("graft_has_agent"), lit(false)),
         col("user_agent") === a).otherwise(col("user_agent") === "*"))
       .select("host", "directive", "path_prefix")
-    // verdict per URL: max over matching rules of (prefix_len, is_allow)
-    // — longest prefix first, allow breaking ties — as ONE max-struct
-    // aggregate; no corpus window
-    val joined = urls.join(applicable, Seq("host"), "left")
-      .withColumn("m", col("path_prefix").isNotNull &&
+    // verdict per DISTINCT key: max over matching rules of
+    // (prefix_len, is_allow) — longest prefix first, allow breaking
+    // ties — as ONE max-struct aggregate; no corpus window
+    val verdict = urls.select("host", "path").distinct()
+      .join(applicable, Seq("host"), "left")
+      .withColumn("graft_m", col("path_prefix").isNotNull &&
         expr("substring(path, 1, length(path_prefix))") === col("path_prefix"))
-    val verdict = joined
-      .groupBy(urls.columns.map(col).toIndexedSeq: _*)
-      .agg(max(when(col("m"), struct(length(col("path_prefix")).as("l"),
-        (col("directive") === "allow").as("al")))).as("win"))
-    verdict.withColumn("allowed",
-        coalesce(col("win.al"), lit(true)))
-      .drop("win")
+      .groupBy("host", "path")
+      .agg(max(when(col("graft_m"),
+        struct(length(col("path_prefix")).as("l"),
+          (col("directive") === "allow").as("al")))).as("graft_win"))
+      .select(col("host"), col("path"),
+        coalesce(col("graft_win.al"), lit(true)).as("allowed"))
+    urls.join(verdict, Seq("host", "path"), "left")
   }
 }

@@ -217,7 +217,7 @@ object Warc {
       .select(col("chunk_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseRecords(id, bytes).map(p =>
+        parseRecords(id, bytes, keepBody = false).map(p =>
           (p.rec.chunk_id, p.rec.rec_idx, p.rec.target_uri, p.offset,
             p.recBytes, p.rec.body_md5, p.rec.valid))
       })
@@ -229,7 +229,7 @@ object Warc {
     * Package-visible for direct spec use. */
   private[graft] def parseChunk(chunkId: Long,
                                 bytes: Array[Byte]): Seq[WarcRecord] =
-    parseRecords(chunkId, bytes).map(_.rec)
+    parseRecords(chunkId, bytes, keepBody = false).map(_.rec)
 
   /** `offset`/`recBytes` locate the record inside the chunk payload —
     * for a plain chunk the record's own byte span (start of the version
@@ -240,8 +240,14 @@ object Warc {
   private[graft] final case class Parsed(rec: WarcRecord, body: Array[Byte],
                                          offset: Long, recBytes: Long)
 
-  private[graft] def parseRecords(chunkId: Long,
-                                  bytes: Array[Byte]): Seq[Parsed] = {
+  /** `keepBody = false` (the md5-only metadata paths: [[parseWarc]],
+    * [[parseWarcIndex]]) digests each body inside the cursor loop and
+    * stores no copy, so per-task memory stays O(chunk) instead of
+    * retaining every record body until the chunk finishes; the text
+    * paths ([[parseWarcText]], [[parseWarcHttpDocs]]) opt into carrying
+    * the body slices they are about to emit. */
+  private[graft] def parseRecords(chunkId: Long, bytes: Array[Byte],
+                                  keepBody: Boolean = true): Seq[Parsed] = {
     // .warc.gz chunk: a back-to-back gzip member stream (sniffed on the
     // first two bytes only — a magic mid-chunk is plain-body content).
     // Each member is inflated and parsed on its own so records carry
@@ -258,7 +264,7 @@ object Warc {
       while (!bad && pos < bytes.length) {
         inflateMember(bytes, pos) match {
           case Some((member, end)) =>
-            val rs = parsePlain(chunkId, member, idx).map(p =>
+            val rs = parsePlain(chunkId, member, idx, keepBody).map(p =>
               p.copy(offset = pos.toLong, recBytes = (end - pos).toLong))
             out ++= rs
             idx += rs.count(_.rec.valid)
@@ -272,7 +278,7 @@ object Warc {
         }
       }
       out.result()
-    } else parsePlain(chunkId, bytes, 0L)
+    } else parsePlain(chunkId, bytes, 0L, keepBody)
   }
 
   /** Inflate ONE gzip member starting at `pos`: RFC 1952 header (all
@@ -320,7 +326,7 @@ object Warc {
   }
 
   private def parsePlain(chunkId: Long, bytes: Array[Byte],
-                         startIdx: Long): Seq[Parsed] = {
+                         startIdx: Long, keepBody: Boolean): Seq[Parsed] = {
     // (record, body, startPos) triples; spans are patched in afterwards
     // (a record's byte span runs to the NEXT record's start, so the
     // trailing CRLFCRLF padding belongs to the record that wrote it)
@@ -386,11 +392,14 @@ object Warc {
           uri, ctype, clen, "", false), noBody, start))
         return spans() // cannot trust the cursor past a bad length
       }
-      val body = java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
       val md5hex = {
         val d = java.security.MessageDigest.getInstance("MD5")
-        d.digest(body).map("%02x".format(_)).mkString
+        d.update(bytes, pos, clen.toInt)
+        d.digest().map("%02x".format(_)).mkString
       }
+      val body =
+        if (keepBody) java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
+        else noBody
       acc += ((WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex, true),
         body, start))
       pos += clen.toInt

@@ -142,9 +142,17 @@ object PipelineQueries {
   }
 
   /** SimHash near-dup pairs via 16-bit band buckets (pigeonhole-complete
-    * for hamming ≤ 3). Rows-only; DedupSpec pins the candidate guarantee. */
+    * for hamming ≤ 3). Rows-only; DedupSpec pins the candidate guarantee.
+    * The hot-bucket cap is passed EXPLICITLY (it is also the default,
+    * which became lossy-by-default in round 10): a rows-only query must
+    * visibly own the lossy/exact choice since no oracle would catch a
+    * count shift. 16-bit bands = 65k bucket values, so the fixture sits
+    * far below the cap and the pair set equals the exact contract
+    * (DedupSpec asserts equality against brute force). */
   val q36SimhashNeardup: Q = rowsOnly("q36_simhash_neardup") { (s, d) =>
-    Dedup.simHashNearDupPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+    Dedup.simHashNearDupPairs(Tables.documents(s, d),
+        maxBucketSize = Dedup.DefaultHotKeyCap)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Content-defined rolling-hash fingerprint — polynomial hash over the
@@ -3363,7 +3371,11 @@ object PipelineQueries {
       .union(Multimodal.syntheticImagePayloads(s, resized, 16, "png"))
       .union(Multimodal.syntheticImagePayloads(s, reenc, 32, "bmp"))
     val hashes = Multimodal.perceptualHashes(s, payloads).toDF()
-    Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+    // cap passed explicitly (rows-only query — own the lossy/exact
+    // choice visibly); the ~330-image fixture sits far below it, and
+    // RuntimeExtrasSpec's planted-dup recall would catch a capped drop
+    Multimodal.imageNearDupPairs(hashes, maxHamming = 6,
+        maxBucketSize = graft.ops.Dedup.DefaultHotKeyCap)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -4638,6 +4650,33 @@ object PipelineQueries {
       .orderBy("threshold")
   }
 
+  /** Byte-level WARC synthesis shared by q198/q199: one response record
+    * whose block is `httpBytes` (envelope Content-Length counts the
+    * true octets via binary length), assembled into 8-record chunk
+    * payloads by binary concatenation in doc_id order. ONE definition —
+    * a drift between the two byte-path fixtures would silently
+    * desynchronize their oracles. */
+  private def httpWarcRecordBytes(httpBytes: Column): Column = concat(
+    encode(concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://example.com/doc/"),
+      col("doc_id"),
+      lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
+        "Content-Length: "),
+      length(httpBytes).cast("string"), lit("\r\n\r\n")), "UTF-8"),
+    httpBytes, encode(lit("\r\n\r\n"), "UTF-8"))
+
+  private def binaryWarcChunks(docs: DataFrame, recBytes: Column): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select((col("doc_id") / 8).cast("long").as("chunk_id"), col("doc_id"),
+        recBytes.as("rec"))
+      .groupBy("chunk_id")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
+        .as("members"))
+      .select(col("chunk_id"),
+        aggregate(col("members"), lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m.getField("rec"))).as("payload"))
+
   /** Charset-aware bytes→text decode
     * ([[graft.ops.Warc.parseWarcHttpDocs]] /
     * `Http.splitResponseBytes`): WARC records are synthesized at the
@@ -4672,24 +4711,8 @@ object PipelineQueries {
         "Content-Type: text/plain; charset="), csName, lit("\r\n\r\n")),
         "UTF-8"),
       bodyBytes)
-    val recBytes = concat(
-      encode(concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-          "WARC-Target-URI: http://example.com/doc/"),
-        col("doc_id"),
-        lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
-          "Content-Length: "),
-        length(httpBytes).cast("string"), lit("\r\n\r\n")), "UTF-8"),
-      httpBytes, encode(lit("\r\n\r\n"), "UTF-8"))
-    val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
-      .select((col("doc_id") / 8).cast("long").as("chunk_id"), col("doc_id"),
-        recBytes.as("rec"))
-      .groupBy("chunk_id")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
-        .as("members"))
-      .select(col("chunk_id"),
-        aggregate(col("members"), lit(Array.emptyByteArray),
-          (acc, m) => concat(acc, m.getField("rec"))).as("payload"))
+    val chunks = binaryWarcChunks(Tables.documents(s, d),
+      httpWarcRecordBytes(httpBytes))
     Warc.parseWarcHttpDocs(s, chunks).toDF()
       .filter(col("valid"))
       .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
@@ -4721,24 +4744,8 @@ object PipelineQueries {
       encode(lit("HTTP/1.1 200 OK\r\n" +
         "Content-Type: text/html; charset=UTF-8\r\n\r\n"), "UTF-8"),
       encode(html, "UTF-8"))
-    val recBytes = concat(
-      encode(concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-          "WARC-Target-URI: http://example.com/doc/"),
-        col("doc_id"),
-        lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
-          "Content-Length: "),
-        length(httpBytes).cast("string"), lit("\r\n\r\n")), "UTF-8"),
-      httpBytes, encode(lit("\r\n\r\n"), "UTF-8"))
-    val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
-      .select((col("doc_id") / 8).cast("long").as("chunk_id"), col("doc_id"),
-        recBytes.as("rec"))
-      .groupBy("chunk_id")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
-        .as("members"))
-      .select(col("chunk_id"),
-        aggregate(col("members"), lit(Array.emptyByteArray),
-          (acc, m) => concat(acc, m.getField("rec"))).as("payload"))
+    val chunks = binaryWarcChunks(Tables.documents(s, d),
+      httpWarcRecordBytes(httpBytes))
     Warc.parseWarcHttpDocs(s, chunks).toDF()
       .filter(col("valid") && col("content_type") === "text/html")
       .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")

@@ -358,6 +358,13 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.scrubSharedNgramSpans(in, minDf = 1)
     }
+    // materialize-once parity: the From variant over a pre-built
+    // gram-position frame equals the composed form
+    val from = Dedup.scrubSharedNgramSpansFrom(in,
+        Dedup.ngramPositionHashes(in, 5), n = 5, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(from === got)
   }
 
   test("crossSourceDupMatrix: shared distinct contents, ordered pairs, " +
