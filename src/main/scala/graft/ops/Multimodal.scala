@@ -40,6 +40,40 @@ object Multimodal {
   def withBinaryPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
+  /** Magic-byte MIME sniffing — the trust-the-bytes classifier a crawl
+    * pipeline runs because Content-Type headers lie (mislabeled images,
+    * HTML error pages served as media, gzip'd bodies declared as text).
+    * Covers the container formats the rest of this file parses (PNG /
+    * GIF / JPEG / BMP via their signatures, RIFF-wrapped WAV / WEBP /
+    * AVI, the ISO-BMFF `ftyp` box for MP4, EBML for WebM/Matroska),
+    * plus PDF, gzip, zip, and a leading-whitespace-tolerant HTML
+    * heuristic; anything unrecognized is `application/octet-stream`.
+    * Pure codegen column expression — `hex` prefix compares on binary
+    * substrings, zero shuffle, scan-stage compute; route payloads to
+    * the right decoder ([[decodePayloads]], [[AvHeaders]]) on the
+    * result, and diff it against the DECLARED type (`Http.contentType`)
+    * for a mislabeling audit. */
+  def sniffMime(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def hx(from: Int, len: Int) = hex(substring(payload, from, len))
+    val riff = hx(1, 4) === "52494646"
+    when(hx(1, 4) === "25504446", "application/pdf")
+      .when(hx(1, 8) === "89504E470D0A1A0A", "image/png")
+      .when(hx(1, 4) === "47494638", "image/gif")
+      .when(hx(1, 3) === "FFD8FF", "image/jpeg")
+      .when(hx(1, 2) === "424D", "image/bmp")
+      .when(riff && hx(9, 4) === "57415645", "audio/wav")
+      .when(riff && hx(9, 4) === "57454250", "image/webp")
+      .when(riff && hx(9, 4) === "41564920", "video/avi")
+      .when(hx(1, 2) === "1F8B", "application/gzip")
+      .when(hx(1, 4) === "504B0304", "application/zip")
+      .when(hx(5, 4) === "66747970", "video/mp4")
+      .when(hx(1, 4) === "1A45DFA3", "video/webm")
+      .when(lower(org.apache.spark.sql.functions
+          .decode(substring(payload, 1, 64), "UTF-8"))
+        .rlike("^\\s*(<!doctype html|<html)"), "text/html")
+      .otherwise("application/octet-stream")
+  }
+
   /** Media decode: real image-header parsing where the payload is a
     * recognized format (PNG/BMP/GIF/JPEG — [[ImageHeaders.parse]]), else
     * deterministic pseudo-features derived from the byte stream (the

@@ -4755,6 +4755,93 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Magic-byte MIME sniffing ([[graft.ops.Multimodal.sniffMime]]):
+    * twelve payload cohorts carrying real container signatures (PDF,
+    * PNG, GIF, JPEG, RIFF-wrapped WAV/WEBP, gzip, zip, ISO-BMFF ftyp,
+    * EBML, whitespace-led HTML, and an unrecognized-text fallback) are
+    * synthesized from hex literals and classified from the BYTES alone
+    * — the mislabeled-Content-Type audit. Ground-truth oracle: the
+    * expected type per cohort. */
+  val q200MimeSniff: Q = q("q200_mime_sniff",
+    """SELECT doc_id, CASE CAST(doc_id % 12 AS INT)
+      |  WHEN 0 THEN 'application/pdf'
+      |  WHEN 1 THEN 'image/png'
+      |  WHEN 2 THEN 'image/gif'
+      |  WHEN 3 THEN 'image/jpeg'
+      |  WHEN 4 THEN 'audio/wav'
+      |  WHEN 5 THEN 'image/webp'
+      |  WHEN 6 THEN 'application/gzip'
+      |  WHEN 7 THEN 'application/zip'
+      |  WHEN 8 THEN 'video/mp4'
+      |  WHEN 9 THEN 'video/webm'
+      |  WHEN 10 THEN 'text/html'
+      |  ELSE 'application/octet-stream' END AS mime
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 12
+    val payload =
+      when(m === 0, unhex(lit("255044462D312E34")))
+        .when(m === 1, unhex(lit("89504E470D0A1A0A0000000D49484452")))
+        .when(m === 2, unhex(lit("474946383961")))
+        .when(m === 3, unhex(lit("FFD8FFE000104A464946")))
+        .when(m === 4, unhex(lit("524946462400000057415645666D7420")))
+        .when(m === 5, unhex(lit("524946460000000057454250")))
+        .when(m === 6, unhex(lit("1F8B0800")))
+        .when(m === 7, unhex(lit("504B030414")))
+        .when(m === 8, unhex(lit("000000186674797069736F6D")))
+        .when(m === 9, unhex(lit("1A45DFA3")))
+        .when(m === 10,
+          encode(concat(lit("  <!DOCTYPE html><p>"), col("text")), "UTF-8"))
+        .otherwise(encode(col("text"), "UTF-8"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Multimodal.sniffMime(payload).as("mime"))
+      .orderBy("doc_id")
+  }
+
+  /** Host-reputation rollup — the domain-level scorecard crawl curation
+    * actually acts on (keep/drop/cap decisions are made per DOMAIN, not
+    * per page): registered domain from the page URL, Gopher gate pass
+    * rate, within-domain exact-dup rate, and token volume, one row per
+    * domain. Composes [[graft.ops.WebText.registeredDomain]] +
+    * [[graft.ops.Curation.qualityGates]] + exact floor-micros ratios;
+    * the corpus collapses in ONE domain-keyed aggregate. The oracle
+    * re-derives the gates and both ratios with domain ground truth. */
+  val q201DomainReputation: Q = q("q201_domain_reputation",
+    """WITH g AS (SELECT source || '.org' AS domain, text,
+      |  string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT domain, text, len(toks) AS nt,
+      |  CASE WHEN len(toks) BETWEEN 20 AND 100000
+      |    AND (length(text) - len(toks) + 1)::DOUBLE / len(toks)
+      |      BETWEEN 3.0 AND 10.0
+      |    AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+      |    AND (SELECT max(c) FROM (
+      |        SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t))
+      |      ::DOUBLE / len(toks) <= 0.15
+      |  THEN 1 ELSE 0 END AS pass FROM g)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST((sum(pass) * 1000000) // count(*) AS BIGINT) AS pass_micros,
+      |  CAST(((count(*) - count(DISTINCT text)) * 1000000) // count(*)
+      |    AS BIGINT) AS dup_micros,
+      |  CAST(sum(nt) AS BIGINT) AS total_tokens
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val url = concat(lit("http://www."), col("source"), lit(".org/p/"),
+      col("doc_id").cast("string"))
+    val base = Tables.documents(s, d)
+      .select(WebText.registeredDomain(url).as("domain"), col("text"))
+    Curation.qualityGates(base)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
+        countDistinct("text").as("n_distinct"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .select(col("domain"), col("n_docs"),
+        graft.ops.Micros.ratio(col("n_pass"), col("n_docs"))
+          .as("pass_micros"),
+        graft.ops.Micros.ratio(col("n_docs") - col("n_distinct"),
+          col("n_docs")).as("dup_micros"),
+        col("total_tokens"))
+      .orderBy("domain")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4794,5 +4881,5 @@ object PipelineQueries {
     q187ImagePairOracle, q188WarcGzip, q189WarcCorpus, q190HttpSplit,
     q191WarcIndex, q192RobotsRules, q193RobotsGate, q194ScrubSpans,
     q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
-    q199WetExtract)
+    q199WetExtract, q200MimeSniff, q201DomainReputation)
 }
