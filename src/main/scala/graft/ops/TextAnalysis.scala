@@ -128,6 +128,59 @@ object TextAnalysis {
         microAvg4("sum_micros", "n_tokens").as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM score — the next rung above
+    * [[unigramLogProb]] toward what CCNet's KenLM actually measures
+    * (context-sensitive fluency; a unigram model scores shuffled text
+    * identically, a bigram model does not):
+    * `p(w|prev) = 0.7·cb/c(prev) + 0.3·(cu+1)/(N+V)` — Jelinek-Mercer
+    * interpolation with an add-one-smoothed unigram floor, falling back
+    * to the unigram term alone for the first token and for a `prev`
+    * unseen in the LM corpus. Determinism discipline is the whole
+    * unigram/DSIR family's: per-token `round(ln(p)·1e6)` Longs (order-
+    * free sums), [[microAvg4]] for the 4-decimal average, and the same
+    * double expression shapes the oracle mirrors term for term.
+    *
+    * Scale shape: both model tables are vocabulary-bounded (unigram) /
+    * observed-bigram-bounded and persisted once (the [[unigramLogProb]]
+    * persist note applies); the doc side takes one doc-keyed window
+    * (prev token) and three broadcast joins — the corpus never
+    * shuffles on anything wider than doc_id. */
+  def interpolatedBigramLogProb(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    def stream(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .withColumn("prev", lag("tok", 1).over(wDoc))
+    val uni = corpus.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .persist()
+    val tot = uni.agg(sum("cu").cast("long").as("n"),
+      count(lit(1)).cast("long").as("v"))
+    val big = stream(corpus).filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+      .persist()
+    val prevUni = uni.select(col("tok").as("prev"), col("cu").as("cuprev"))
+    val joined = stream(docs)
+      .join(broadcast(uni), Seq("tok"), "left")
+      .join(broadcast(big), Seq("prev", "tok"), "left")
+      .join(broadcast(prevUni), Seq("prev"), "left")
+      .crossJoin(broadcast(tot))
+    // mirrored term for term in the oracle SQL — association order is
+    // load-bearing for bit-identical doubles
+    val uniP = (coalesce(col("cu"), lit(0L)) + 1).cast("double") /
+      (col("n") + col("v"))
+    val p = when(col("prev").isNull || col("cuprev").isNull, uniP)
+      .otherwise(lit(0.7) *
+        (coalesce(col("cb"), lit(0L)).cast("double") / col("cuprev")) +
+        lit(0.3) * uniP)
+    val lpMicros = round(log(p) * lit(1000000.0), 0).cast("long")
+    joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(lpMicros).as("sum_micros"))
+      .select(col("doc_id"), col("n_tokens"),
+        microAvg4("sum_micros", "n_tokens").as("avg_logprob"))
+  }
+
   /** round(sum_micros / 1e6 / n, 4) computed ENTIRELY in integer
     * arithmetic — half-away-from-zero on the exact rational via floor
     * division of nonnegative longs — then one exact int→double division

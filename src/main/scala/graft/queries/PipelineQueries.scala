@@ -4842,6 +4842,48 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** Interpolated bigram LM scoring
+    * ([[graft.ops.TextAnalysis.interpolatedBigramLogProb]]): Jelinek-
+    * Mercer `0.7·cb/c(prev) + 0.3·(cu+1)/(N+V)` with the unigram floor
+    * for first tokens — the context-sensitive fluency score between
+    * q69's unigram and a full KenLM. The oracle rebuilds both model
+    * tables and the per-token interpolation term for term (association
+    * order mirrored for bit-identical doubles), micro-rounds per token,
+    * and re-applies the exact integer half-up average. */
+  val q202BigramBackoff: Q = q("q202_bigram_backoff",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) + 1),
+      |    i -> {'pos': i, 'tok': wd[i]}), recursive := true) FROM w),
+      |st AS (SELECT doc_id, pos, tok,
+      |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM tok),
+      |uni AS (SELECT tok, count(*) AS cu FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS v FROM uni),
+      |big AS (SELECT prev, tok, count(*) AS cb FROM st
+      |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |sc AS (SELECT s.doc_id,
+      |  CASE WHEN s.prev IS NULL OR pu.cu IS NULL
+      |    THEN (coalesce(u.cu, 0) + 1)::DOUBLE / (n + v)
+      |    ELSE 0.7 * (coalesce(b.cb, 0)::DOUBLE / pu.cu) +
+      |         0.3 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (n + v)) END AS p
+      |  FROM st s LEFT JOIN uni u ON s.tok = u.tok
+      |  LEFT JOIN big b ON s.prev = b.prev AND s.tok = b.tok
+      |  LEFT JOIN uni pu ON s.prev = pu.tok
+      |  CROSS JOIN tot),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  sum(CAST(round(ln(p) * 1000000.0, 0) AS BIGINT)) AS sm
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  (CASE WHEN sm >= 0 THEN (2*sm + 100*n_tokens) // (200*n_tokens)
+      |        ELSE -((-2*sm + 100*n_tokens) // (200*n_tokens)) END) / 10000.0
+      |    AS avg_logprob
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.interpolatedBigramLogProb(docs, docs).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4881,5 +4923,5 @@ object PipelineQueries {
     q187ImagePairOracle, q188WarcGzip, q189WarcCorpus, q190HttpSplit,
     q191WarcIndex, q192RobotsRules, q193RobotsGate, q194ScrubSpans,
     q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
-    q199WetExtract, q200MimeSniff, q201DomainReputation)
+    q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff)
 }

@@ -103,7 +103,10 @@ class QueriesSpec extends SparkSpec {
       // q181 densifies the audit-sized #sources × 64-bin grid by cross
       // join and broadcasts the one-row corpus count — both bounded by
       // construction, never corpus-sized
-      "q181_length_drift")
+      "q181_length_drift",
+      // q202 crossJoins the broadcast one-row (N, V) LM totals onto the
+      // token stream — the q137/q69 scalar-aggregate class
+      "q202_bigram_backoff")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
