@@ -23,3 +23,17 @@ class WarcIngestLink(input: String, outputStream: String) extends Link {
   override def transform(df: DataFrame): DataFrame =
     Warc.parseWarc(df.sparkSession, df).toDF()
 }
+
+/** The bytes→text sibling of [[WarcIngestLink]]: streams fully decoded
+  * crawl documents ([[graft.ops.Warc.parseWarcHttpDocs]] — envelope
+  * parse + HTTP split + declared-charset body decode in the same
+  * stateless cursor), so the stream downstream of this link is already
+  * string-typed curation input. Batch/streaming parity is structural
+  * (no state store) and spec-gated alongside the metadata link. */
+class WarcHttpIngestLink(input: String, outputStream: String) extends Link {
+  val inputs: Seq[String] = Seq(input)
+  val output: Option[String] = Some(outputStream)
+
+  override def transform(df: DataFrame): DataFrame =
+    Warc.parseWarcHttpDocs(df.sparkSession, df).toDF()
+}

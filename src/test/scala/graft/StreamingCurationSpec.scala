@@ -101,6 +101,16 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new chunks: exactly-once offsets append nothing
     link.start(spark, reg).awaitTermination()
     assert(reg.read("warc_records").count() === batch.size.toLong)
+
+    // the bytes→text link decodes the SAME chunks to documents with
+    // batch parity (UTF-8 synthetic bodies → pass-through decode)
+    import graft.runtime.WarcHttpIngestLink
+    val httpLink = new WarcHttpIngestLink("warc_chunks", "warc_docs")
+    httpLink.start(spark, reg).awaitTermination()
+    val streamedDocs = rows(reg.read("warc_docs"))
+    val batchDocs = rows(
+      Warc.parseWarcHttpDocs(spark, plainChunks.union(gzipChunks)).toDF())
+    assert(streamedDocs.nonEmpty && streamedDocs === batchDocs)
   }
 
   test("streaming near-dup gate link: pair parity with the batch " +
