@@ -68,8 +68,15 @@ object Multimodal {
       .when(hx(1, 4) === "504B0304", "application/zip")
       .when(hx(5, 4) === "66747970", "video/mp4")
       .when(hx(1, 4) === "1A45DFA3", "video/webm")
+      // ISO-8859-1, NOT UTF-8: every byte sequence is valid Latin-1, so
+      // the decode can never throw — Spark 4's default
+      // CodingErrorAction.REPORT makes decode(_, "UTF-8") raise
+      // MALFORMED_CHARACTER_CODING on exactly the binary payloads this
+      // fallback exists to classify (and on valid UTF-8 HTML whose
+      // 64-byte prefix truncates mid-multibyte-char). The pattern is
+      // pure ASCII, where the two charsets agree byte for byte.
       .when(lower(org.apache.spark.sql.functions
-          .decode(substring(payload, 1, 64), "UTF-8"))
+          .decode(substring(payload, 1, 64), "ISO-8859-1"))
         .rlike("^\\s*(<!doctype html|<html)"), "text/html")
       .otherwise("application/octet-stream")
   }

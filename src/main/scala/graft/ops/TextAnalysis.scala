@@ -140,26 +140,40 @@ object TextAnalysis {
     * free sums), [[microAvg4]] for the 4-decimal average, and the same
     * double expression shapes the oracle mirrors term for term.
     *
-    * Scale shape: both model tables are vocabulary-bounded (unigram) /
-    * observed-bigram-bounded and persisted once (the [[unigramLogProb]]
-    * persist note applies); the doc side takes one doc-keyed window
-    * (prev token) and three broadcast joins — the corpus never
-    * shuffles on anything wider than doc_id. */
+    * Scale shape: the unigram table is vocabulary-bounded and persisted
+    * once (the [[unigramLogProb]] persist note applies); the distinct-
+    * bigram table is NOT bounded — it grows with corpus size (the
+    * Heaps-law tail, see [[bigramLogProb]]) — so its broadcast hint fits
+    * curated model corpora and must be dropped for a web-scale
+    * corpus-as-model (AQE then picks a shuffled join, semantics
+    * unchanged). The `prev` token is derived row-wise from the token
+    * array (slice + arrays_zip, the [[bigramLogProb]] idiom) — no
+    * doc-keyed window, so the doc side never shuffles at all before the
+    * final doc_id aggregate. */
   def interpolatedBigramLogProb(docs: DataFrame, corpus: DataFrame): DataFrame = {
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    // prev per position computed inside the scan stage: zip the token
+    // array against itself shifted by one (null head) instead of a
+    // lag window — the window form shuffles + sorts the entire exploded
+    // token stream by doc_id, the largest intermediate of the job.
     def stream(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), posexplode(tokens(col("text"))))
-        .select(col("doc_id"), col("pos"), col("col").as("tok"))
-        .withColumn("prev", lag("tok", 1).over(wDoc))
+      df.select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), posexplode(arrays_zip(
+          col("w").as("tok"),
+          concat(array(lit(null).cast("string")),
+            slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
+            .as("prev"))))
+        .select(col("doc_id"), col("pos"), col("col.tok").as("tok"),
+          col("col.prev").as("prev"))
     val uni = corpus.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cu"))
       .persist()
     val tot = uni.agg(sum("cu").cast("long").as("n"),
       count(lit(1)).cast("long").as("v"))
+    // single consumer (the doc-side join) — no persist; caching here
+    // would materialize a corpus-growing table for zero reuse
     val big = stream(corpus).filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
-      .persist()
     val prevUni = uni.select(col("tok").as("prev"), col("cu").as("cuprev"))
     val joined = stream(docs)
       .join(broadcast(uni), Seq("tok"), "left")
