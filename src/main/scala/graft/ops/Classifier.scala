@@ -185,4 +185,45 @@ object Classifier {
           .as("precision_micros"),
         Micros.ratio(col("tp"), col("tp") + col("fn")).as("recall_micros"))
   }
+
+  /** Reliability diagram / calibration table for a probability-scored
+    * corpus — the audit that decides whether a quality classifier's
+    * scores can be READ as probabilities (and so thresholded on
+    * expected precision) or only as a ranking: scores bucketed into
+    * `bins` equal-width bins over [0,1], each bin reporting its doc
+    * count, positive count, mean predicted score, observed positive
+    * rate, and the |gap| between them (the per-bin term of Expected
+    * Calibration Error; ECE itself is `Σ n·gap / Σ n`, one trivial
+    * rollup the caller or oracle does on this output). Determinism
+    * discipline: the score enters as `floor(score·1e6)` per row — Long
+    * sums are order-free where double sums are not — and every ratio is
+    * the library-wide exact integral micros idiom.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the bin id (≤ `bins`
+    * groups); no window, no join — the cheapest possible full-corpus
+    * audit. Out-of-range scores clamp into the edge bins rather than
+    * silently vanishing from the diagram. */
+  def calibrationBins(docs: DataFrame, scoreCol: String = "score",
+                      labelCol: String = "label", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    // clamp ONCE and feed both the bin id and the micros sum — an
+    // out-of-range score landing in an edge bin with an out-of-range
+    // mean would poison the gap it was clamped to avoid
+    val sc = least(greatest(col(scoreCol), lit(0.0)), lit(1.0))
+    val bin = least(floor(sc * bins).cast("long"), lit(bins - 1L))
+    val scoreMicros = floor(sc * 1000000L).cast("long")
+    docs.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(scoreMicros).as("graft_sm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        // graft_sm ≥ 0 (scores clamp to [0,1]) so the floor divide is
+        // the plain nonneg integral divide
+        call_function("div",
+          col("graft_sm") - pmod(col("graft_sm"), col("n")), col("n"))
+          .as("mean_score_micros"),
+        Micros.ratio(col("n_pos"), col("n")).as("frac_pos_micros"))
+      .withColumn("gap_micros",
+        abs(col("mean_score_micros") - col("frac_pos_micros")))
+  }
 }

@@ -105,6 +105,32 @@ object Curation {
       .drop("graft_shard_key")
   }
 
+  /** Token-budget contiguous sharding — the OTHER export layout next to
+    * [[exportShards]]'s hash sharding: documents are packed into shards
+    * of ~`targetTokens` tokens each IN `orderCol` ORDER (curriculum or
+    * recency order survives sharding; hash sharding destroys it), via
+    * `shard = floor(exclusive_prefix_tokens / target)` over a
+    * [[Relational.globalRunningSum]] — the two-phase distributed prefix
+    * sum, NOT a single-partition corpus window. A document lands in the
+    * shard where its first token falls; shards therefore overshoot by
+    * at most one document (the standard streaming bin rule — greedy
+    * best-fit would break contiguity, which is the point of this
+    * layout). Long-exact arithmetic throughout; `orderCol` must be
+    * numeric and unique (the [[Relational.globalRunningSum]]
+    * contract). Output: the doc frame + `cum_tokens` (inclusive
+    * prefix) and `shard`. */
+  def tokenBudgetShards(docs: DataFrame, tokensCol: String,
+                        targetTokens: Long,
+                        orderCol: String = "doc_id"): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
+    val run = graft.ops.Relational.globalRunningSum(
+      docs, orderCol, tokensCol, outCol = "cum_tokens")
+    // exclusive prefix is nonnegative, so the pmod-floor divide is exact
+    val excl = col("cum_tokens") - col(tokensCol)
+    run.withColumn("shard", call_function("div",
+      excl - pmod(excl, lit(targetTokens)), lit(targetTokens)))
+  }
+
   /** C4/Gopher-style per-document quality gates. Thresholds follow the
     * published filters (Gopher: 50–100k words, mean word length 3–10;
     * the unique-word and top-word-dominance gates are the repetition
@@ -392,6 +418,57 @@ object Curation {
         (col("target_share") * col("t_max") / col("n_in")).as("keep_rate"))
     docs.join(broadcast(rates), keyCol)
       .withColumn("kept", keptByMd5Bucket(col("text"), col("keep_rate")))
+  }
+
+  /** Token-budget mixture plan — the sizing sheet a training run reads
+    * before any sampling happens: given per-source available token
+    * counts and target mixture weights, how many tokens each source
+    * must contribute to a `budgetTokens` total, at what sampling rate,
+    * and across how many epochs (repeats) when the target EXCEEDS the
+    * available pool (the Pile/DoReMi upsampling regime [[mixCorpus]]
+    * deliberately does not enter — it only downsamples to the limiting
+    * source). Weights are normalized to the map's own sum;
+    * `target_tokens = trunc(wᵢ/Σw · budget)` in double arithmetic
+    * (identical IEEE in any engine — the oracle mirrors the same
+    * literal expression), everything after is exact Long arithmetic:
+    * `rate_micros = floor(target·1e6/available)` (above 1e6 ⇒
+    * upsampling), `epochs = ceil(target/available)`, and
+    * `mode` ∈ {upsample, downsample, exact}. A weighted source with
+    * zero/absent tokens is a plan error surfaced as `epochs = 0`
+    * rows with `n_tokens = 0` rather than a silent drop.
+    *
+    * Scale shape: `tokenCounts` is one row per source — bounded by the
+    * mixture card, never by the corpus — so the weight join broadcasts
+    * and the whole plan is a few-row projection; the corpus-sized work
+    * (counting tokens) happens upstream in whatever aggregate produced
+    * `tokenCounts`. */
+  def mixturePlan(tokenCounts: DataFrame, weights: Map[String, Double],
+                  budgetTokens: Long, keyCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mixturePlan weights must be positive (got $weights)")
+    require(budgetTokens > 0, s"non-positive budget: $budgetTokens")
+    val wSum = weights.values.sum
+    val shares = tokenCounts.sparkSession.createDataFrame(weights.toSeq)
+      .toDF(keyCol, "graft_w")
+    val n = coalesce(col("n_tokens"), lit(0L))
+    // trunc(w / Σw · budget) with this exact association — the oracle
+    // repeats it literal for literal, so the doubles agree bit for bit
+    val target = (col("graft_w") / lit(wSum) * lit(budgetTokens))
+      .cast("long")
+    shares.join(broadcast(tokenCounts), Seq(keyCol), "left")
+      .select(col(keyCol), n.as("n_tokens"), target.as("target_tokens"))
+      .select(col(keyCol), col("n_tokens"), col("target_tokens"),
+        Micros.ratio(col("target_tokens"), col("n_tokens")).as("rate_micros"),
+        // exact integral ceil — a double ceil would round for targets
+        // above 2^53 (the Micros.ratio divide rationale)
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(call_function("div",
+            col("target_tokens") + col("n_tokens") - 1, col("n_tokens")))
+          .as("epochs"),
+        when(col("n_tokens") === 0, "empty")
+          .when(col("target_tokens") > col("n_tokens"), "upsample")
+          .when(col("target_tokens") < col("n_tokens"), "downsample")
+          .otherwise("exact").as("mode"))
   }
 
   /** Per-domain document cap (the RefinedWeb/C4 guard against one domain

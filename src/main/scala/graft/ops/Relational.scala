@@ -154,4 +154,58 @@ object Relational {
       .agg(count(lit(1)).as("n_intervals"),
         sum("graft_contrib").as("covered"))
   }
+
+  /** Corpus-wide running sum WITHOUT the single-partition window — the
+    * scale-correct form of `sum(v) OVER (ORDER BY k)`: a naive
+    * un-partitioned window funnels 100 TB through ONE task (Spark even
+    * warns `No Partition Defined for Window`); this is the classic
+    * two-phase distributed prefix sum instead. Phase 1 splits the order
+    * key's range into `buckets` quantile bands (one `approxQuantile`
+    * scan — the boundaries need not be good, only order-contiguous: the
+    * prefix sum at any row is invariant to WHERE the cuts fall, and a
+    * `<` comparison keeps ties inside one band). Phase 2 runs the
+    * running sum per band (ONE shuffle, `buckets`-way parallel) and
+    * adds each band's exclusive offset — a `buckets`-row table cumsum'd
+    * on its own and broadcast back. Long-exact, order-free.
+    *
+    * Requirements stated where they bite: `orderCol` must be numeric
+    * (band assignment compares as double — exact below 2^53) and
+    * UNIQUE for per-row determinism (with duplicate keys the intra-tie
+    * prefix is engine-unspecified in ANY engine; the value at each tie
+    * group's last row is still exact). `valueCol` must be integral
+    * (double sums would be order-dependent). A constant-key corpus
+    * degenerates to one band — the single-task window this exists to
+    * avoid — which matches the semantics: a total order with no
+    * distinguishing key HAS no parallel prefix. */
+  def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
+                       outCol: String = "running_sum",
+                       buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // band id = #boundaries strictly below the key: equal keys can
+    // never straddle a cut
+    val band = if (bounds.isEmpty) lit(0)
+      else size(filter(
+        array(bounds.toSeq.map(lit(_)): _*),
+        b => b < col(orderCol).cast("double")))
+    val wLoc = Window.partitionBy("graft_band").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = df.withColumn("graft_band", band)
+      .withColumn("graft_loc", sum(col(valueCol)).over(wLoc))
+    // per-band totals collapse map-side to <= buckets rows; their own
+    // cumsum runs on that tiny table (the one place a single-partition
+    // window is CORRECT at any scale)
+    val wOff = Window.orderBy("graft_band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.withColumn("graft_band", band)
+      .groupBy("graft_band").agg(sum(col(valueCol)).as("graft_tot"))
+      .withColumn("graft_off",
+        coalesce(sum("graft_tot").over(wOff), lit(0L)))
+      .select("graft_band", "graft_off")
+    local.join(broadcast(offsets), Seq("graft_band"))
+      .withColumn(outCol, col("graft_loc") + col("graft_off"))
+      .drop("graft_band", "graft_loc", "graft_off")
+  }
 }

@@ -4884,6 +4884,150 @@ object PipelineQueries {
     TextAnalysis.interpolatedBigramLogProb(docs, docs).orderBy("doc_id")
   }
 
+  /** Crawl-delay politeness schedule
+    * ([[graft.ops.Robots.parseCrawlDelays]] +
+    * [[graft.ops.Robots.politenessSchedule]]): per-host robots files
+    * declare `Crawl-delay: 10` for `*` and an agent-specific group for
+    * `graftbot` whose delay varies by a host modulus — fractional
+    * seconds (0.5 → 500 ms), integer (2 → 2000 ms), or NONE (the
+    * agent's group replaces `*` wholesale, so the declared 10 s must
+    * NOT leak through: the host falls to the caller default 1000 ms).
+    * Each host's URLs then get sequential slots spaced by its delay.
+    * The oracle re-derives the delay from the synthesis modulus and the
+    * slots from a row_number window — group selection, no-fallback
+    * rule, ms conversion, and slot arithmetic all pinned. */
+  val q203CrawlDelay: Q = q("q203_crawl_delay",
+    """WITH urls AS (SELECT source AS host,
+      |  '/doc/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+      |d AS (SELECT DISTINCT source AS host,
+      |  CASE WHEN ascii(substr(source, -1)) % 3 = 0 THEN 500
+      |       WHEN ascii(substr(source, -1)) % 3 = 1 THEN 2000
+      |       ELSE 1000 END AS delay_ms FROM documents),
+      |r AS (SELECT host, url, delay_ms,
+      |  CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+      |    AS BIGINT) AS slot
+      |  FROM urls JOIN d USING (host))
+      |SELECT host, url, CAST(delay_ms AS BIGINT) AS delay_ms, slot,
+      |  CAST(slot * delay_ms AS BIGINT) AS fetch_offset_ms
+      |FROM r ORDER BY host, slot""".stripMargin) { (s, d) =>
+    import graft.ops.Robots
+    val m = ascii(substring(col("source"), -1, 1)) % 3
+    val robots = Tables.documents(s, d).select(col("source")).distinct()
+      .select(col("source").as("host"), concat(
+        lit("User-agent: *\nCrawl-delay: 10\n\n" +
+          "User-agent: graftbot\nAllow: /\n"),
+        when(m === 0, lit("Crawl-delay: 0.5\n"))
+          .when(m === 1, lit("Crawl-delay: 2\n"))
+          .otherwise(lit(""))).as("robots_txt"))
+    val delays = Robots.parseCrawlDelays(robots, "graftbot")
+    val urls = Tables.documents(s, d).select(col("source").as("host"),
+      concat(lit("/doc/"), col("doc_id").cast("string")).as("url"))
+    Robots.politenessSchedule(urls, delays, defaultDelayMs = 1000L)
+      .select("host", "url", "delay_ms", "slot", "fetch_offset_ms")
+      .orderBy("host", "slot")
+  }
+
+  /** Token-budget mixture plan ([[graft.ops.Curation.mixturePlan]]):
+    * sources collapse to two classes by a length modulus, weighted
+    * 0.5 / 0.25 with a deliberately absent third class at 0.25 (exact
+    * binary fractions summing to exactly 1.0, so the Scala-side weight
+    * normalization and the oracle's literal division are the same
+    * doubles bit for bit). The oracle re-derives targets, floor-micros
+    * rates, exact integral epoch ceilings, and the
+    * upsample/downsample/empty mode labels. */
+  val q204MixturePlan: Q = q("q204_mixture_plan",
+    """WITH c AS (SELECT CASE WHEN strlen(source) % 2 = 0
+      |    THEN 'even' ELSE 'odd' END AS source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT * FROM (VALUES ('even', 0.5), ('odd', 0.25),
+      |  ('books', 0.25)) t(source, w)),
+      |j AS (SELECT w.source, coalesce(c.n_tokens, 0) AS n_tokens,
+      |  CAST(floor(w.w / 1.0 * 1000000) AS BIGINT) AS target_tokens
+      |  FROM w LEFT JOIN c USING (source))
+      |SELECT source, n_tokens, target_tokens,
+      |  CAST(CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE (target_tokens * 1000000) // n_tokens END AS BIGINT)
+      |    AS rate_micros,
+      |  CAST(CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE (target_tokens + n_tokens - 1) // n_tokens END AS BIGINT)
+      |    AS epochs,
+      |  CASE WHEN n_tokens = 0 THEN 'empty'
+      |       WHEN target_tokens > n_tokens THEN 'upsample'
+      |       WHEN target_tokens < n_tokens THEN 'downsample'
+      |       ELSE 'exact' END AS mode
+      |FROM j ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.ops.Curation
+    val counts = Tables.documents(s, d)
+      .groupBy(when(length(col("source")) % 2 === 0, "even")
+        .otherwise("odd").as("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    Curation.mixturePlan(counts,
+        Map("even" -> 0.5, "odd" -> 0.25, "books" -> 0.25),
+        budgetTokens = 1000000L)
+      .orderBy("source")
+  }
+
+  /** Calibration / reliability bins
+    * ([[graft.ops.Classifier.calibrationBins]]): a uniform
+    * md5-bucket pseudo-probability against a doc_id-modulus label —
+    * statistically independent, so a well-behaved table shows every
+    * bin's observed positive rate near 0.25 while the mean predicted
+    * score climbs with the bin, i.e. the per-bin |gap| IS the
+    * miscalibration the audit exists to expose. The oracle mirrors the
+    * bucket score, the bin clamp, the floor-micros score sum, and both
+    * integral ratios. */
+  val q205Calibration: Q = q("q205_calibration",
+    """WITH s AS (SELECT
+      |  ('0x' || substr(md5(text), 1, 6))::BIGINT / 16777216.0 AS score,
+      |  doc_id % 4 = 0 AS label FROM documents),
+      |b AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |  CAST(floor(score * 1000000) AS BIGINT) AS sm, label FROM s),
+      |g AS (SELECT bin, count(*) AS n,
+      |  sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |  sum(sm) AS sms FROM b GROUP BY bin)
+      |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(sms // n AS BIGINT) AS mean_score_micros,
+      |  CAST((n_pos * 1000000) // n AS BIGINT) AS frac_pos_micros,
+      |  CAST(abs(sms // n - (n_pos * 1000000) // n) AS BIGINT)
+      |    AS gap_micros
+      |FROM g ORDER BY bin""".stripMargin) { (s, d) =>
+    import graft.ops.Classifier
+    val scored = Tables.documents(s, d).select(
+      (conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") /
+        lit(16777216.0)).as("score"),
+      (col("doc_id") % 4 === 0).as("label"))
+    Classifier.calibrationBins(scored, "score", "label", bins = 10)
+      .orderBy("bin")
+  }
+
+  /** Token-budget contiguous sharding
+    * ([[graft.ops.Curation.tokenBudgetShards]] over
+    * [[graft.ops.Relational.globalRunningSum]]): docs pack into ~1000-
+    * token shards in doc_id order via the two-phase distributed prefix
+    * sum — quantile bands + per-band window + broadcast band offsets —
+    * never a single-partition corpus window. The oracle computes the
+    * same prefix sum with DuckDB's (single-node-fine) global window and
+    * the same exact floor divide: any band-boundary placement must
+    * reproduce it bit for bit. */
+  val q206TokenShards: Q = q("q206_token_shards",
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_tokens FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.ops.Curation
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Curation.tokenBudgetShards(t, "n_tokens", targetTokens = 1000L)
+      .select("doc_id", "n_tokens", "cum_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -4923,5 +5067,6 @@ object PipelineQueries {
     q187ImagePairOracle, q188WarcGzip, q189WarcCorpus, q190HttpSplit,
     q191WarcIndex, q192RobotsRules, q193RobotsGate, q194ScrubSpans,
     q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
-    q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff)
+    q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff,
+    q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards)
 }

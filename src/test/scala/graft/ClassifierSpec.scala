@@ -95,4 +95,31 @@ class ClassifierSpec extends SparkSpec {
       .head().getDouble(0)
     assert(acc >= 0.9, s"holdout accuracy too low: $acc")
   }
+
+  test("calibrationBins: hand-computed bins, out-of-range clamp, " +
+    "exact integral means and gaps") {
+    val scored = Seq(
+      (0.05, true), (0.15, false),   // bin 0 / bin 1
+      (0.12, true), (0.18, false),   // bin 1
+      (1.0, true),                   // exact 1.0 clamps into bin 9
+      (-0.3, false), (1.7, true)     // out of range: edge bins, clamped
+    ).toDF("score", "label")
+    val got = graft.ops.Classifier.calibrationBins(scored, bins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // bin 0: scores .05 and clamped -0.3->0.0; one positive
+      // mean = (50000+0)/2 = 25000; frac = 500000; gap 475000
+      (0L, 2L, 1L, 25000L, 500000L, 475000L),
+      // bin 1: .15 .12 .18, one positive
+      // mean = (150000+120000+180000)/3 = 150000; frac = 333333
+      (1L, 3L, 1L, 150000L, 333333L, 183333L),
+      // bin 9: 1.0 and clamped 1.7->1.0, both positive: gap 0
+      (9L, 2L, 2L, 1000000L, 1000000L, 0L)))
+    // ECE rollup is one exact Long expression over the table
+    val ece = graft.ops.Classifier.calibrationBins(scored, bins = 10)
+      .select((sum(col("n") * col("gap_micros")) /
+        sum(col("n"))).cast("long")).as[Long].head()
+    assert(ece === (2 * 475000L + 3 * 183333L + 0L) / 7L)
+  }
 }

@@ -732,4 +732,32 @@ class CurationSpec extends SparkSpec {
       .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
     assert(got === Seq(("a", 3L, 2L, 666666L), ("b", 2L, 1L, 500000L)))
   }
+
+  test("mixturePlan: normalization, exact epoch ceilings, floor-micros " +
+    "rates, all four modes") {
+    import spark.implicits._
+    val counts = Seq(("web", 1000L), ("code", 100L), ("wiki", 250L))
+      .toDF("source", "n_tokens")
+    // weights sum to 2.0 -> normalized 0.25/0.5/0.125/0.125 of 2000
+    val got = Curation.mixturePlan(counts,
+        Map("web" -> 0.5, "code" -> 1.0, "wiki" -> 0.25, "books" -> 0.25),
+        budgetTokens = 2000L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      // absent from counts: plan error surfaced, not dropped
+      ("books", 0L, 250L, 0L, 0L, "empty"),
+      // target 1000 from 100 available: 10 full epochs, rate 10x
+      ("code", 100L, 1000L, 10000000L, 10L, "upsample"),
+      // target 500 from 1000: half-rate downsample, one epoch
+      ("web", 1000L, 500L, 500000L, 1L, "downsample"),
+      // target 250 == available
+      ("wiki", 250L, 250L, 1000000L, 1L, "exact")))
+    // non-integral ceiling: 3 tokens toward a 2000*0.5=1000 target
+    // -> ceil(1000/3) = 334 epochs, never the floor-divided 333
+    val tiny = Curation.mixturePlan(Seq(("a", 3L)).toDF("source", "n_tokens"),
+      Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 2000L)
+    assert(tiny.filter(col("source") === "a")
+      .select("epochs").as[Long].head() === 334L)
+  }
 }

@@ -157,4 +157,40 @@ class RelationalOpsSpec extends SparkSpec {
     val b = Relational.intervalUnionLength(iv.repartition(11), Seq("k"), "lo", "hi")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("globalRunningSum equals the single-partition window at every " +
+    "bucket count, including degenerate ones") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 400).map(i => ((i * 37 % 401).toLong, (i % 23).toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val expect = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, run), (k, v)) => (k, v, run + v) }
+      .drop(1).map { case (k, v, run) => (k, run) }.toMap
+    for (b <- Seq(1, 2, 16, 1000)) {
+      val got = Relational.globalRunningSum(df, "k", "v", buckets = b)
+        .select("k", "running_sum").as[(Long, Long)].collect().toMap
+      assert(got === expect, s"buckets=$b")
+    }
+  }
+
+  test("tokenBudgetShards: contiguous shards, at-most-one-doc overshoot, " +
+    "doc straddling a boundary lands where its first token falls") {
+    val s = spark
+    import s.implicits._
+    // tokens: 4,4,4 -> cum 4,8,12; target 5: excl prefixes 0,4,8 ->
+    // shards 0,0,1 (doc 2 starts at token 4 < 5: overshoots shard 0)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("doc_id", "n")
+    val got = graft.ops.Curation.tokenBudgetShards(docs, "n", 5L)
+      .select("doc_id", "cum_tokens", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L, 0L), (2L, 8L, 0L), (3L, 12L, 1L)))
+    // shards are contiguous doc ranges: shard ids are nondecreasing in
+    // doc order on a larger corpus
+    val big = (1 to 300).map(i => (i.toLong, (i % 9 + 1).toLong))
+      .toDF("doc_id", "n")
+    val shards = graft.ops.Curation.tokenBudgetShards(big, "n", 50L)
+      .orderBy("doc_id").select("shard").as[Long].collect().toSeq
+    assert(shards === shards.sorted)
+  }
 }

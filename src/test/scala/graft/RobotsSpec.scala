@@ -68,6 +68,46 @@ class RobotsSpec extends SparkSpec {
     assert(t, "allow must win an equal-length tie")
   }
 
+  test("parseCrawlDelays: agent group beats *, no-delay agent group " +
+    "does NOT fall back, fractional seconds, malformed value drops, " +
+    "max of multiple applicable delays") {
+    val robots = Seq(
+      // agent-specific 2.5s beats the * 10s
+      ("a", "User-agent: *\nCrawl-delay: 10\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 2.5\n"),
+      // agent group exists but declares NO delay: absent, not 10s
+      ("b", "User-agent: *\nCrawl-delay: 10\n\n" +
+        "User-agent: graftbot\nAllow: /\n"),
+      // no agent group: * applies
+      ("c", "User-agent: *\nCrawl-delay: 3\n"),
+      // malformed value fails open (dropped), not the job
+      ("d", "User-agent: *\nCrawl-delay: fast\n"),
+      // two applicable groups (stacked + repeated): conservative max
+      ("e", "User-agent: graftbot\nCrawl-delay: 1\n\n" +
+        "User-agent: graftbot\nUser-agent: otherbot\nCrawl-delay: 4\n"),
+      // no robots rules at all
+      ("f", "# empty\n")).toDF("host", "robots_txt")
+    val got = graft.ops.Robots.parseCrawlDelays(robots, "GraftBot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2500L, "c" -> 3000L, "e" -> 4000L))
+  }
+
+  test("politenessSchedule: per-host slots spaced by that host's delay, " +
+    "default for undeclared hosts, url-order ties") {
+    val urls = Seq(("h1", "/b"), ("h1", "/a"), ("h1", "/c"),
+      ("h2", "/x"), ("h2", "/y")).toDF("host", "url")
+    val delays = Seq(("h1", 2000L)).toDF("host", "crawl_delay_ms")
+    val got = graft.ops.Robots.politenessSchedule(urls, delays,
+        defaultDelayMs = 500L)
+      .select("host", "url", "delay_ms", "slot", "fetch_offset_ms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      ("h1", "/a", 2000L, 0L, 0L), ("h1", "/b", 2000L, 1L, 2000L),
+      ("h1", "/c", 2000L, 2L, 4000L),
+      ("h2", "/x", 500L, 0L, 0L), ("h2", "/y", 500L, 1L, 500L)))
+  }
+
   test("Http.splitResponseBytes: declared-charset decode, fallback on " +
     "unsupported names, replacement on malformed bytes, first-split wins") {
     def resp(cs: String, body: Array[Byte]): Array[Byte] =
