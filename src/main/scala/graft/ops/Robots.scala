@@ -38,6 +38,29 @@ object Robots {
     * are tiny by construction. */
   def parseRobots(robots: DataFrame, hostCol: String = "host",
                   textCol: String = "robots_txt"): DataFrame = {
+    val grouped = groupedDirectiveLines(robots, hostCol, textCol,
+      Seq("user-agent", "allow", "disallow"))
+    val agents = grouped.filter(col("key") === "user-agent")
+      .select(col("host"), col("group_id"),
+        lower(col("value")).as("user_agent"))
+    val rules = grouped.filter(col("key") =!= "user-agent")
+      .filter(col("value") =!= "") // a valueless Disallow: allows all
+      .select(col("host"), col("group_id"), col("key").as("directive"),
+        col("value").as("path_prefix"))
+    agents.join(rules, Seq("host", "group_id"))
+      .select("host", "group_id", "user_agent", "directive", "path_prefix")
+  }
+
+  /** Shared grammar core: directive lines with their RFC group ids —
+    * comment/CR strip, key lowercasing, consecutive-UA stacking. `keys`
+    * selects which directives survive BEFORE grouping; group boundaries
+    * therefore depend only on the surviving line sequence, which keeps
+    * each caller's grouping identical whether or not the OTHER caller's
+    * directives appear in the file. Output: `(host, line_no, key,
+    * value, group_id)`. */
+  private def groupedDirectiveLines(robots: DataFrame, hostCol: String,
+                                    textCol: String,
+                                    keys: Seq[String]): DataFrame = {
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(textCol), "\n")))
       .select(col("host"), col("pos").as("line_no"),
@@ -48,24 +71,16 @@ object Robots {
         lower(trim(regexp_extract(col("ln"), "^([A-Za-z-]+)\\s*:", 1)))
           .as("key"),
         trim(regexp_extract(col("ln"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
+      .filter(col("key").isin(keys: _*))
     val w = Window.partitionBy("host").orderBy("line_no")
-    val grouped = lines
+    lines
       .withColumn("prev_key", lag("key", 1).over(w))
       // a UA line opens a group iff the previous directive was not UA
       .withColumn("opens", (col("key") === "user-agent") &&
         (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
       .withColumn("group_id",
         sum(when(col("opens"), 1L).otherwise(0L)).over(w))
-    val agents = grouped.filter(col("key") === "user-agent")
-      .select(col("host"), col("group_id"),
-        lower(col("value")).as("user_agent"))
-    val rules = grouped.filter(col("key") =!= "user-agent")
-      .filter(col("value") =!= "") // a valueless Disallow: allows all
-      .select(col("host"), col("group_id"), col("key").as("directive"),
-        col("value").as("path_prefix"))
-    agents.join(rules, Seq("host", "group_id"))
-      .select("host", "group_id", "user_agent", "directive", "path_prefix")
+      .select("host", "line_no", "key", "value", "group_id")
   }
 
   /** Admission verdict for `(host, path)` URLs against [[parseRobots]]
@@ -122,23 +137,8 @@ object Robots {
                        hostCol: String = "host",
                        textCol: String = "robots_txt"): DataFrame = {
     val a = lit(agent.toLowerCase)
-    val lines = robots.select(col(hostCol).as("host"),
-        posexplode(split(col(textCol), "\n")))
-      .select(col("host"), col("pos").as("line_no"),
-        trim(regexp_replace(col("col"), "#.*$", "")).as("ln"))
-      .filter(col("ln") =!= "")
-      .select(col("host"), col("line_no"),
-        lower(trim(regexp_extract(col("ln"), "^([A-Za-z-]+)\\s*:", 1)))
-          .as("key"),
-        trim(regexp_extract(col("ln"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
-      .filter(col("key").isin("user-agent", "crawl-delay"))
-    val w = Window.partitionBy("host").orderBy("line_no")
-    val grouped = lines
-      .withColumn("prev_key", lag("key", 1).over(w))
-      .withColumn("opens", (col("key") === "user-agent") &&
-        (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
-      .withColumn("group_id",
-        sum(when(col("opens"), 1L).otherwise(0L)).over(w))
+    val grouped = groupedDirectiveLines(robots, hostCol, textCol,
+      Seq("user-agent", "crawl-delay"))
     val agents = grouped.filter(col("key") === "user-agent")
       .select(col("host"), col("group_id"), lower(col("value")).as("user_agent"))
     val hostHasAgent = agents.filter(col("user_agent") === a)
@@ -154,7 +154,9 @@ object Robots {
         // cast on a malformed delay value fails the whole job instead
         // of failing open to the caller's default
         (expr("try_cast(value AS DOUBLE)") * 1000).cast("long").as("ms"))
-      .filter(col("ms").isNotNull)
+      // null = malformed (dropped, fail open); negative = hostile file
+      // (a negative delay would schedule fetches into the past)
+      .filter(col("ms").isNotNull && col("ms") >= 0)
       .groupBy("host")
       .agg(max(col("ms")).as("crawl_delay_ms"))
   }
@@ -162,8 +164,10 @@ object Robots {
   /** Politeness fetch schedule: each host's URLs get sequential fetch
     * slots spaced by that host's crawl delay — slot k fetches at
     * `k · delay_ms` after the host's first request. `delays` is
-    * [[parseCrawlDelays]] output (or any `(host, crawl_delay_ms)`
-    * frame); hosts absent from it use `defaultDelayMs`. Slot order
+    * [[parseCrawlDelays]] output (or any `(host, crawl_delay_ms)` frame
+    * with AT MOST ONE row per host — a duplicate host would fan out
+    * every URL of that host through the join). Hosts absent from it
+    * use `defaultDelayMs`. Slot order
     * within a host is the ascending binary order of `url` — callers
     * wanting priority order pre-encode it into the sort key. Output:
     * the URL frame + `delay_ms`, `slot` (0-based), `fetch_offset_ms`.

@@ -86,7 +86,9 @@ class RobotsSpec extends SparkSpec {
       ("e", "User-agent: graftbot\nCrawl-delay: 1\n\n" +
         "User-agent: graftbot\nUser-agent: otherbot\nCrawl-delay: 4\n"),
       // no robots rules at all
-      ("f", "# empty\n")).toDF("host", "robots_txt")
+      ("f", "# empty\n"),
+      // hostile negative delay: dropped like malformed, never scheduled
+      ("g", "User-agent: *\nCrawl-delay: -5\n")).toDF("host", "robots_txt")
     val got = graft.ops.Robots.parseCrawlDelays(robots, "GraftBot")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 2500L, "c" -> 3000L, "e" -> 4000L))
