@@ -435,7 +435,10 @@ object Curation {
     * upsampling), `epochs = ceil(target/available)`, and
     * `mode` ∈ {upsample, downsample, exact}. A weighted source with
     * zero/absent tokens is a plan error surfaced as `epochs = 0`
-    * rows with `n_tokens = 0` rather than a silent drop.
+    * rows with `n_tokens = 0` rather than a silent drop. Σw is summed
+    * in SORTED-KEY order (Map iteration order is hash-dependent above
+    * 4 entries; double addition is order-dependent) — the association
+    * order an oracle must mirror.
     *
     * Scale shape: `tokenCounts` is one row per source — bounded by the
     * mixture card, never by the corpus — so the weight join broadcasts
@@ -447,7 +450,10 @@ object Curation {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"mixturePlan weights must be positive (got $weights)")
     require(budgetTokens > 0, s"non-positive budget: $budgetTokens")
-    val wSum = weights.values.sum
+    // summed in sorted-key order: Map iteration order is hash-dependent
+    // above 4 entries, and double addition is order-dependent — an
+    // oracle can only mirror a DEFINED association order
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
     val shares = tokenCounts.sparkSession.createDataFrame(weights.toSeq)
       .toDF(keyCol, "graft_w")
     val n = coalesce(col("n_tokens"), lit(0L))

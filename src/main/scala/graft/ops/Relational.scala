@@ -194,13 +194,22 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = df.withColumn("graft_band", band)
       .withColumn("graft_loc", sum(col(valueCol)).over(wLoc))
-    // per-band totals collapse map-side to <= buckets rows; their own
-    // cumsum runs on that tiny table (the one place a single-partition
-    // window is CORRECT at any scale)
+    // Band totals are read off `local` itself — each band's total IS its
+    // running sum at the band's last key (`max_by`, sign-safe where a
+    // max over graft_loc would not be) — NOT from a second aggregate on
+    // `df`: deriving both branches from the same banded window lineage
+    // makes the band exchange one canonical subtree, so ReuseExchange
+    // materializes the corpus shuffle ONCE (a df-rooted groupBy would
+    // plan its partial aggregate below a DIFFERENT exchange and re-scan
+    // the source; it would also recompute band assignment from lineage,
+    // which a non-deterministic source could disagree on). The totals'
+    // own cumsum runs single-partition on <= buckets rows — the one
+    // place that is correct at any scale.
     val wOff = Window.orderBy("graft_band")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.withColumn("graft_band", band)
-      .groupBy("graft_band").agg(sum(col(valueCol)).as("graft_tot"))
+    val offsets = local
+      .groupBy("graft_band")
+      .agg(max_by(col("graft_loc"), col(orderCol)).as("graft_tot"))
       .withColumn("graft_off",
         coalesce(sum("graft_tot").over(wOff), lit(0L)))
       .select("graft_band", "graft_off")

@@ -51,13 +51,23 @@ object Robots {
       .select("host", "group_id", "user_agent", "directive", "path_prefix")
   }
 
+  /** Every directive key that participates in GROUP ASSEMBLY. Grouping
+    * must see the full recognized-directive stream: filtering a
+    * caller's uninteresting keys out BEFORE grouping would delete the
+    * rule lines separating two `User-agent:` blocks and merge them into
+    * one stacked group — e.g. `User-agent: a / Crawl-delay: 9 / (blank)
+    * / User-agent: *` would hand `a` the `*` group's rules. Unknown
+    * directives (`sitemap:`, `host:`, …) stay outside grouping, the
+    * de-facto parser behavior: they never close a UA stack. */
+  private val GroupingKeys =
+    Seq("user-agent", "allow", "disallow", "crawl-delay")
+
   /** Shared grammar core: directive lines with their RFC group ids —
-    * comment/CR strip, key lowercasing, consecutive-UA stacking. `keys`
-    * selects which directives survive BEFORE grouping; group boundaries
-    * therefore depend only on the surviving line sequence, which keeps
-    * each caller's grouping identical whether or not the OTHER caller's
-    * directives appear in the file. Output: `(host, line_no, key,
-    * value, group_id)`. */
+    * comment/CR strip, key lowercasing, consecutive-UA stacking.
+    * Grouping runs over ALL [[GroupingKeys]] directives; `keys` then
+    * filters which rows the caller receives, AFTER group ids are
+    * assigned, so both callers see the same group boundaries. Output:
+    * `(host, line_no, key, value, group_id)`. */
   private def groupedDirectiveLines(robots: DataFrame, hostCol: String,
                                     textCol: String,
                                     keys: Seq[String]): DataFrame = {
@@ -71,7 +81,7 @@ object Robots {
         lower(trim(regexp_extract(col("ln"), "^([A-Za-z-]+)\\s*:", 1)))
           .as("key"),
         trim(regexp_extract(col("ln"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
-      .filter(col("key").isin(keys: _*))
+      .filter(col("key").isin(GroupingKeys: _*))
     val w = Window.partitionBy("host").orderBy("line_no")
     lines
       .withColumn("prev_key", lag("key", 1).over(w))
@@ -80,6 +90,7 @@ object Robots {
         (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
       .withColumn("group_id",
         sum(when(col("opens"), 1L).otherwise(0L)).over(w))
+      .filter(col("key").isin(keys: _*))
       .select("host", "line_no", "key", "value", "group_id")
   }
 
@@ -88,7 +99,17 @@ object Robots {
     * (lowercased exact match) if any exist for the host, else the `*`
     * groups; among applicable rules matching the path as a prefix, the
     * longest prefix wins, allow beating disallow at equal length; no
-    * matching rule (or no robots at all) ⇒ allowed. Output: the URL
+    * matching rule (or no robots at all) ⇒ allowed.
+    *
+    * Stated deviation: a group with NO path rules at all (e.g. only a
+    * `Crawl-delay:`) is invisible in [[parseRobots]] output, so an
+    * agent whose only group is ruleless falls back to the `*` rules —
+    * RFC 9309 would let the empty group replace `*` (allow all). The
+    * fallback is the CONSERVATIVE direction: this gate never fetches
+    * anything the RFC reading forbids, it can only skip URLs the RFC
+    * reading would allow.
+    *
+    * Output: the URL
     * frame + `allowed` (the one reserved output name) — row
     * multiplicity and every input column are preserved: the verdict is
     * resolved per DISTINCT (host, path) key and joined back, so the
@@ -153,10 +174,15 @@ object Robots {
         // try_cast, not cast: under ANSI (the Spark 4 default) a plain
         // cast on a malformed delay value fails the whole job instead
         // of failing open to the caller's default
-        (expr("try_cast(value AS DOUBLE)") * 1000).cast("long").as("ms"))
-      // null = malformed (dropped, fail open); negative = hostile file
-      // (a negative delay would schedule fetches into the past)
-      .filter(col("ms").isNotNull && col("ms") >= 0)
+        (expr("try_cast(value AS DOUBLE)") * 1000).as("msd"))
+      // fail open on anything a sane robots file can't mean: malformed
+      // (null), NaN, negative (fetches scheduled into the past), or
+      // past the 24h sanity cap (Infinity/1e300 — which would ALSO
+      // overflow the long cast below into an ANSI job-killing
+      // exception, the exact failure the try_cast exists to avoid)
+      .filter(col("msd").isNotNull && !isnan(col("msd")) &&
+        col("msd") >= 0 && col("msd") <= 86400000.0)
+      .select(col("host"), col("msd").cast("long").as("ms"))
       .groupBy("host")
       .agg(max(col("ms")).as("crawl_delay_ms"))
   }

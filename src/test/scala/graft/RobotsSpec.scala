@@ -66,6 +66,18 @@ class RobotsSpec extends SparkSpec {
     val t = Robots.isAllowed(Seq((1L, "t", "/p/x")).toDF("doc_id", "host",
       "path"), tie, "any").collect().head.getAs[Boolean]("allowed")
     assert(t, "allow must win an equal-length tie")
+    // a crawl-delay line is a group BOUNDARY even though isAllowed
+    // ignores the directive itself: agent a's delay-only group must not
+    // merge into agent b's group and inherit b's disallow
+    val sep = Robots.parseRobots(Seq(("s",
+      "User-agent: a\nCrawl-delay: 1\n\nUser-agent: b\nDisallow: /x\n"))
+      .toDF("host", "robots_txt"))
+    val sepUrls = Seq((1L, "s", "/x/page")).toDF("doc_id", "host", "path")
+    assert(Robots.isAllowed(sepUrls, sep, "a")
+      .collect().head.getAs[Boolean]("allowed"),
+      "b's disallow leaked across the crawl-delay group boundary")
+    assert(!Robots.isAllowed(sepUrls, sep, "b")
+      .collect().head.getAs[Boolean]("allowed"))
   }
 
   test("parseCrawlDelays: agent group beats *, no-delay agent group " +
@@ -88,7 +100,18 @@ class RobotsSpec extends SparkSpec {
       // no robots rules at all
       ("f", "# empty\n"),
       // hostile negative delay: dropped like malformed, never scheduled
-      ("g", "User-agent: *\nCrawl-delay: -5\n")).toDF("host", "robots_txt")
+      ("g", "User-agent: *\nCrawl-delay: -5\n"),
+      // hostile magnitudes: 1e300/Infinity/NaN would overflow or poison
+      // the long cast — all fail open past the 24h sanity cap
+      ("h", "User-agent: *\nCrawl-delay: 1e300\n"),
+      ("i", "User-agent: *\nCrawl-delay: Infinity\n"),
+      ("j", "User-agent: *\nCrawl-delay: NaN\n"),
+      // agent group FIRST, closed by its own rule line, then a * group
+      // with a delay: the graftbot group declares none, and the rule
+      // line between the UA lines must keep the groups from merging —
+      // a filter-before-group parse would leak the * delay to graftbot
+      ("k", "User-agent: graftbot\nDisallow: /private\n\n" +
+        "User-agent: *\nCrawl-delay: 10\n")).toDF("host", "robots_txt")
     val got = graft.ops.Robots.parseCrawlDelays(robots, "GraftBot")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 2500L, "c" -> 3000L, "e" -> 4000L))
