@@ -174,6 +174,20 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum materializes the band shuffle ONCE: the offsets " +
+    "branch reads a ReusedExchange, not a second source scan") {
+    // parquet-backed source (the production shape; a local relation can
+    // be constant-folded per branch) — reuse is an AQE runtime decision,
+    // so assert on the EXECUTED plan after an action
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val out = Relational.globalRunningSum(docs, "doc_id", "n")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(_.contains("ReusedExchange")),
+      s"band exchange not reused:\n$plan")
+  }
+
   test("tokenBudgetShards: contiguous shards, at-most-one-doc overshoot, " +
     "doc straddling a boundary lands where its first token falls") {
     val s = spark
