@@ -131,6 +131,49 @@ object Curation {
       excl - pmod(excl, lit(targetTokens)), lit(targetTokens)))
   }
 
+  /** Largest-remainder budget allocation — the EXACT-total companion to
+    * [[mixturePlan]]: distribute an integral `budget` across keys in
+    * proportion to integral `weightCol`, with the floor shortfall
+    * `budget − Σ floor(budget·wᵢ/W)` handed out one unit each to the
+    * keys with the largest remainders (ties broken by ascending key) —
+    * so `Σ alloc == budget` EXACTLY, the property floor-only rates
+    * cannot give and training-token / crawl-budget ledgers need.
+    * Arithmetic is exact end to end: the `budget·wᵢ` products run in
+    * decimal(38,0) (two longs multiply exactly there; plain Long math
+    * would overflow at ~1e19, far below a 1e13-budget × 1e12-weight
+    * corpus ledger), the floor divide is the integral `div`, the oracle
+    * mirrors in HUGEINT. A non-positive weight raises (a zero-weight
+    * key would silently absorb an extra unit through remainder 0 ties).
+    *
+    * Scale shape: `counts` is one row per allocation key — a mixture
+    * card or domain ledger, bounded by policy, never corpus-shaped
+    * (the [[graft.ops.Classifier.thresholdSweep]] bounded-table
+    * contract) — so the two one-row totals broadcast and the
+    * largest-remainder rank is a window over that bounded table.
+    * Output: the counts frame + `alloc`. */
+  def allocateBudget(counts: DataFrame, keyCol: String, weightCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    val w = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"allocateBudget: non-positive weight for key "),
+        col(keyCol).cast("string"))))
+      .otherwise(col(weightCol)).cast("decimal(19,0)")
+    val tot = counts.agg(sum(w).cast("decimal(38,0)").as("graft_w"))
+    val bw = (lit(budget).cast("decimal(19,0)") * w).cast("decimal(38,0)")
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("graft_base",
+        call_function("div", bw, col("graft_w")).cast("long"))
+      .withColumn("graft_rem", pmod(bw, col("graft_w")))
+    val short = based.agg((lit(budget) - sum("graft_base")).as("graft_extra"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_rem").desc, col(keyCol))
+    based.crossJoin(broadcast(short))
+      .withColumn("graft_rk", row_number().over(rk))
+      .withColumn("alloc", col("graft_base") +
+        when(col("graft_rk") <= col("graft_extra"), 1L).otherwise(0L))
+      .drop("graft_w", "graft_base", "graft_rem", "graft_extra", "graft_rk")
+  }
+
   /** C4/Gopher-style per-document quality gates. Thresholds follow the
     * published filters (Gopher: 50–100k words, mean word length 3–10;
     * the unique-word and top-word-dominance gates are the repetition

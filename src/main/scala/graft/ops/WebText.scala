@@ -226,4 +226,39 @@ object WebText {
     val nonAnchor = length(visibleText(anchors)).cast("long")
     Micros.ratio(total - nonAnchor, total)
   }
+
+  /** Change-rate revisit schedule (the Cho/Garcia-Molina freshness
+    * policy, the standard recrawl heuristic): from a fetch history of
+    * `(url, fetch_ts_ms, changed)` rows — `changed` is the fetcher's
+    * content-differs-from-previous flag — estimate each URL's change
+    * interval as `observed_span / max(n_changes, 1)` and schedule
+    * `next_fetch_ms = last_fetch + clamp(interval, minIntervalMs,
+    * maxIntervalMs)`: pages that changed at every visit re-fetch at the
+    * min bound, never-changing pages back off to the max bound, and a
+    * single-fetch URL (span 0) clamps to the min bound (nothing is
+    * known — revisit soon). All arithmetic is exact Long floor division
+    * (order-free, the library micros discipline).
+    *
+    * Scale shape: ONE url-keyed aggregate with map-side partial
+    * combine — per-key cardinality is that URL's fetch count, bounded
+    * by crawl policy, never corpus-shaped. No window, no join. */
+  def revisitSchedule(history: DataFrame,
+                      minIntervalMs: Long = 3600000L,
+                      maxIntervalMs: Long = 2592000000L): DataFrame = {
+    require(0 < minIntervalMs && minIntervalMs <= maxIntervalMs,
+      s"bad clamp bounds: [$minIntervalMs, $maxIntervalMs]")
+    val agg = history.groupBy("url").agg(
+      count(lit(1)).as("n_fetches"),
+      sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"),
+      min(col("fetch_ts_ms")).as("graft_first"),
+      max(col("fetch_ts_ms")).as("last_fetch_ms"))
+    val span = col("last_fetch_ms") - col("graft_first")
+    val denom = greatest(col("n_changes"), lit(1L))
+    val est = call_function("div", span - pmod(span, denom), denom)
+    agg.select(col("url"), col("n_fetches"), col("n_changes"),
+        col("last_fetch_ms"),
+        least(greatest(est, lit(minIntervalMs)), lit(maxIntervalMs))
+          .as("interval_ms"))
+      .withColumn("next_fetch_ms", col("last_fetch_ms") + col("interval_ms"))
+  }
 }

@@ -5028,6 +5028,74 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Change-rate revisit schedule
+    * ([[graft.ops.WebText.revisitSchedule]]): three synthesized fetches
+    * per URL with a doc-modulus gap and change pattern — some URLs
+    * change every visit (clamp to the 1h floor), some never (estimate
+    * span, then the 30-day ceiling for slow movers), single-change and
+    * no-change cohorts cover the `max(changes, 1)` denominator floor.
+    * The oracle re-derives the whole policy: span, exact floor divide,
+    * both clamp bounds, next-fetch arithmetic. */
+  val q207Revisit: Q = q("q207_revisit",
+    """WITH h AS (SELECT
+      |  source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  1700000000000 + doc_id + k * (doc_id % 5 + 1) * 36000000
+      |    AS fetch_ts_ms,
+      |  k > 0 AND (doc_id + k) % 3 = 0 AS changed
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
+      |a AS (SELECT url, count(*) AS n_fetches,
+      |  sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes,
+      |  max(fetch_ts_ms) - min(fetch_ts_ms) AS span,
+      |  max(fetch_ts_ms) AS last_fetch_ms FROM h GROUP BY url),
+      |s AS (SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches,
+      |  CAST(n_changes AS BIGINT) AS n_changes,
+      |  CAST(last_fetch_ms AS BIGINT) AS last_fetch_ms,
+      |  CAST(least(greatest(
+      |    span // (CASE WHEN n_changes > 1 THEN n_changes ELSE 1 END),
+      |    3600000), 2592000000) AS BIGINT) AS interval_ms FROM a)
+      |SELECT url, n_fetches, n_changes, last_fetch_ms, interval_ms,
+      |  CAST(last_fetch_ms + interval_ms AS BIGINT) AS next_fetch_ms
+      |FROM s ORDER BY url""".stripMargin) { (s, d) =>
+    import graft.ops.WebText
+    val history = Tables.documents(s, d)
+      .select(concat(col("source"), lit("/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("k"))
+      .select(col("url"),
+        (lit(1700000000000L) + col("doc_id") +
+          col("k") * (col("doc_id") % 5 + 1) * 36000000L).as("fetch_ts_ms"),
+        (col("k") > 0 && (col("doc_id") + col("k")) % 3 === 0).as("changed"))
+    WebText.revisitSchedule(history).orderBy("url")
+  }
+
+  /** Largest-remainder exact budget allocation
+    * ([[graft.ops.Curation.allocateBudget]]): a prime token budget
+    * (1,000,003 — guaranteed floor shortfall) split across per-source
+    * token weights. The oracle reruns the method in HUGEINT — exact
+    * products, floor divide, remainder rank with the ascending-key tie
+    * rule — and doubles as the Σ alloc == budget proof (summing the
+    * oracle's own column). */
+  val q208AllocBudget: Q = q("q208_alloc_budget",
+    """WITH c AS (SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM c),
+      |b AS (SELECT source, w,
+      |  CAST((1000003::HUGEINT * w) // tw AS BIGINT) AS base,
+      |  (1000003::HUGEINT * w) % tw AS rem FROM c, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |  CAST(1000003 - sum(base) OVER () AS BIGINT) AS extra FROM b)
+      |SELECT source, w,
+      |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM r ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.ops.Curation
+    val counts = Tables.documents(s, d).groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("w"))
+    Curation.allocateBudget(counts, "source", "w", budget = 1000003L)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5068,5 +5136,6 @@ object PipelineQueries {
     q191WarcIndex, q192RobotsRules, q193RobotsGate, q194ScrubSpans,
     q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
     q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff,
-    q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards)
+    q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards,
+    q207Revisit, q208AllocBudget)
 }

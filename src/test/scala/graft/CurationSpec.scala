@@ -760,4 +760,26 @@ class CurationSpec extends SparkSpec {
     assert(tiny.filter(col("source") === "a")
       .select("epochs").as[Long].head() === 334L)
   }
+
+  test("allocateBudget: sums to the budget exactly, largest remainders " +
+    "win, ascending-key ties, no overflow at ledger scale") {
+    import spark.implicits._
+    // weights 3/3/4 over budget 7: bases 2/2/2 (floor 21/10, 28/10),
+    // shortfall 1; remainders 1/1/8 -> c wins the extra unit
+    val got = Curation.allocateBudget(
+        Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("k", "w"), "k", "w", 7L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 3L))
+    // remainder tie (weights equal): ascending key takes the unit
+    val tie = Curation.allocateBudget(
+        Seq(("x", 1L), ("y", 1L)).toDF("k", "w"), "k", "w", 3L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    assert(tie === Map("x" -> 2L, "y" -> 1L))
+    // budget x weight far beyond Long range: decimal products stay
+    // exact and the total still lands on the budget to the unit
+    val big = Curation.allocateBudget(
+        Seq(("p", 3000000000000000000L), ("q", 2999999999999999999L),
+          ("r", 17L)).toDF("k", "w"), "k", "w", 4000000000000000037L)
+    assert(big.agg(sum("alloc")).as[Long].head() === 4000000000000000037L)
+  }
 }

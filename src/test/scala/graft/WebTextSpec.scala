@@ -148,4 +148,30 @@ class WebTextSpec extends SparkSpec {
     assert(rows(1) > 0L && rows(1) < 500000L)
     assert(rows(2) === 0L)
   }
+
+  test("revisitSchedule: change-rate estimate, both clamp bounds, " +
+    "single-fetch floor, zero-change denominator floor") {
+    val hour = 3600000L
+    val hist = Seq(
+      // a: changed both revisits over a 4h span -> interval 2h
+      ("a", 0L, false), ("a", 2 * hour, true), ("a", 4 * hour, true),
+      // b: never changed over 100 days -> denominator floors at 1,
+      //    estimate = full span, clamped to the 30-day ceiling
+      ("b", 0L, false), ("b", 8640000000L, false),
+      // c: one change over a 30-min span -> clamped up to the 1h floor
+      ("c", 0L, false), ("c", 1800000L, true),
+      // d: single fetch, span 0 -> 1h floor
+      ("d", 5L, false)
+    ).toDF("url", "fetch_ts_ms", "changed")
+    val got = graft.ops.WebText.revisitSchedule(hist)
+      .select("url", "n_fetches", "n_changes", "last_fetch_ms",
+        "interval_ms", "next_fetch_ms")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("a", 3L, 2L, 4 * hour, 2 * hour, 6 * hour),
+      ("b", 2L, 0L, 8640000000L, 2592000000L, 11232000000L),
+      ("c", 2L, 1L, 1800000L, hour, 1800000L + hour),
+      ("d", 1L, 0L, 5L, hour, 5L + hour)))
+  }
 }
