@@ -154,9 +154,12 @@ object Curation {
   def allocateBudget(counts: DataFrame, keyCol: String, weightCol: String,
                      budget: Long): DataFrame = {
     require(budget >= 0, s"negative budget: $budget")
-    val w = when(col(weightCol) <= 0, raise_error(concat(
-        lit(s"allocateBudget: non-positive weight for key "),
-        col(keyCol).cast("string"))))
+    // isNull checked explicitly: NULL <= 0 is NULL, which would fall to
+    // otherwise and silently break the exact-total invariant
+    val w = when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(
+          lit(s"allocateBudget: null/non-positive weight for key "),
+          col(keyCol).cast("string"))))
       .otherwise(col(weightCol)).cast("decimal(19,0)")
     val tot = counts.agg(sum(w).cast("decimal(38,0)").as("graft_w"))
     val bw = (lit(budget).cast("decimal(19,0)") * w).cast("decimal(38,0)")

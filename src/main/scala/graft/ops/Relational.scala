@@ -194,22 +194,30 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = df.withColumn("graft_band", band)
       .withColumn("graft_loc", sum(col(valueCol)).over(wLoc))
-    // Band totals are read off `local` itself — each band's total IS its
-    // running sum at the band's last key (`max_by`, sign-safe where a
-    // max over graft_loc would not be) — NOT from a second aggregate on
-    // `df`: deriving both branches from the same banded window lineage
-    // makes the band exchange one canonical subtree, so ReuseExchange
-    // materializes the corpus shuffle ONCE (a df-rooted groupBy would
-    // plan its partial aggregate below a DIFFERENT exchange and re-scan
-    // the source; it would also recompute band assignment from lineage,
-    // which a non-deterministic source could disagree on). The totals'
-    // own cumsum runs single-partition on <= buckets rows — the one
-    // place that is correct at any scale.
+    // Band totals come from an UNORDERED sum-over-band window on the
+    // same banded lineage — NOT from a df-rooted groupBy (whose partial
+    // aggregate would sit below a DIFFERENT exchange, re-scan the
+    // source, and recompute band assignment that a non-deterministic
+    // source could disagree on), and NOT by reading one row's running
+    // sum (not identifiable under duplicate order keys / negative
+    // values). The companion max(orderCol) column exists ONLY to pin
+    // the projection: without it, column pruning drops orderCol from
+    // this branch's scan, the exchange children stop being canonically
+    // equal, and AQE cannot resolve the second read as a
+    // ReusedExchange — i.e. it is what makes the corpus shuffle
+    // materialize ONCE (pinned by an executed-plan spec; if a future
+    // optimizer breaks the equivalence the spec fails, not the
+    // semantics). The distinct collapses map-side to one row per band
+    // per task; the totals' own cumsum runs single-partition on
+    // <= buckets rows — the one place that is correct at any scale.
+    val wTot = Window.partitionBy("graft_band")
     val wOff = Window.orderBy("graft_band")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local
-      .groupBy("graft_band")
-      .agg(max_by(col("graft_loc"), col(orderCol)).as("graft_tot"))
+      .withColumn("graft_tot", sum(col(valueCol)).over(wTot))
+      .withColumn("graft_last", max(col(orderCol)).over(wTot))
+      .select("graft_band", "graft_tot", "graft_last").distinct()
+      .drop("graft_last")
       .withColumn("graft_off",
         coalesce(sum("graft_tot").over(wOff), lit(0L)))
       .select("graft_band", "graft_off")

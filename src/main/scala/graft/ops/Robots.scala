@@ -150,8 +150,11 @@ object Robots {
     * wholesale, matching [[isAllowed]]'s group-selection rule). Multiple
     * applicable delays collapse to the MAX (the conservative read).
     * Fractional seconds are honored: `delay_ms = trunc(seconds · 1000)`
-    * in double arithmetic, identical IEEE in any engine; a non-numeric
-    * value drops the directive (fail open to the caller's default).
+    * in double arithmetic, identical IEEE in any engine; a non-numeric,
+    * NaN, or negative value drops the directive (fail open to the
+    * caller's default), while a huge-but-valid delay CLAMPS to a 24h
+    * cap — dropping it would fall back to a much faster default, the
+    * anti-conservative direction for a politeness gate.
     * Output: `(host, crawl_delay_ms)` — hosts without an applicable
     * directive are simply absent. */
   def parseCrawlDelays(robots: DataFrame, agent: String,
@@ -175,14 +178,16 @@ object Robots {
         // cast on a malformed delay value fails the whole job instead
         // of failing open to the caller's default
         (expr("try_cast(value AS DOUBLE)") * 1000).as("msd"))
-      // fail open on anything a sane robots file can't mean: malformed
-      // (null), NaN, negative (fetches scheduled into the past), or
-      // past the 24h sanity cap (Infinity/1e300 — which would ALSO
-      // overflow the long cast below into an ANSI job-killing
-      // exception, the exact failure the try_cast exists to avoid)
-      .filter(col("msd").isNotNull && !isnan(col("msd")) &&
-        col("msd") >= 0 && col("msd") <= 86400000.0)
-      .select(col("host"), col("msd").cast("long").as("ms"))
+      // fail open on what a robots file can't mean (malformed → null,
+      // NaN, negative — fetches scheduled into the past), but CLAMP
+      // huge-but-valid delays to a 24h cap instead of dropping them:
+      // dropping would fall back to the (much smaller) caller default —
+      // the anti-conservative direction for a politeness gate — and the
+      // clamp also keeps Infinity/1e300 from overflowing the long cast
+      // into an ANSI job-killing exception
+      .filter(col("msd").isNotNull && !isnan(col("msd")) && col("msd") >= 0)
+      .select(col("host"),
+        least(col("msd"), lit(86400000.0)).cast("long").as("ms"))
       .groupBy("host")
       .agg(max(col("ms")).as("crawl_delay_ms"))
   }

@@ -781,5 +781,13 @@ class CurationSpec extends SparkSpec {
         Seq(("p", 3000000000000000000L), ("q", 2999999999999999999L),
           ("r", 17L)).toDF("k", "w"), "k", "w", 4000000000000000037L)
     assert(big.agg(sum("alloc")).as[Long].head() === 4000000000000000037L)
+    // a NULL weight must raise like a non-positive one, not silently
+    // break the exact-total invariant
+    val withNull = Seq(("a", Some(10L)), ("b", None)).toDF("k", "w")
+    val e = intercept[Exception] {
+      Curation.allocateBudget(withNull, "k", "w", 100L).collect()
+    }
+    assert(e.getMessage.contains("allocateBudget") ||
+      Option(e.getCause).exists(_.getMessage.contains("allocateBudget")))
   }
 }

@@ -174,6 +174,23 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum: duplicate order keys and negative values — " +
+    "every later key still sees the exact full prefix") {
+    val s = spark
+    import s.implicits._
+    // ties (k=1, k=3) and a negative value: band totals must be exact
+    // sums, not a read-off-one-tied-row's-running-sum shortcut
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 9L), (3L, -20L), (3L, 1L),
+      (4L, 2L)).toDF("k", "v").repartition(3)
+    for (b <- Seq(1, 4, 64)) {
+      val got = Relational.globalRunningSum(df, "k", "v", buckets = b)
+      assert(got.filter(col("k") === 2)
+        .select("running_sum").as[Long].head() === 21L, s"buckets=$b")
+      assert(got.filter(col("k") === 4)
+        .select("running_sum").as[Long].head() === 4L, s"buckets=$b")
+    }
+  }
+
   test("globalRunningSum materializes the band shuffle ONCE: the offsets " +
     "branch reads a ReusedExchange, not a second source scan") {
     // parquet-backed source (the production shape; a local relation can

@@ -101,11 +101,12 @@ class RobotsSpec extends SparkSpec {
       ("f", "# empty\n"),
       // hostile negative delay: dropped like malformed, never scheduled
       ("g", "User-agent: *\nCrawl-delay: -5\n"),
-      // hostile magnitudes: 1e300/Infinity/NaN would overflow or poison
-      // the long cast — all fail open past the 24h sanity cap
+      // huge-but-valid magnitudes CLAMP to the 24h cap (dropping them
+      // would fall back to a much faster default); NaN drops
       ("h", "User-agent: *\nCrawl-delay: 1e300\n"),
       ("i", "User-agent: *\nCrawl-delay: Infinity\n"),
       ("j", "User-agent: *\nCrawl-delay: NaN\n"),
+      ("l", "User-agent: *\nCrawl-delay: 100000\n"), // ~28h: clamps too
       // agent group FIRST, closed by its own rule line, then a * group
       // with a delay: the graftbot group declares none, and the rule
       // line between the UA lines must keep the groups from merging —
@@ -114,7 +115,8 @@ class RobotsSpec extends SparkSpec {
         "User-agent: *\nCrawl-delay: 10\n")).toDF("host", "robots_txt")
     val got = graft.ops.Robots.parseCrawlDelays(robots, "GraftBot")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got === Map("a" -> 2500L, "c" -> 3000L, "e" -> 4000L))
+    assert(got === Map("a" -> 2500L, "c" -> 3000L, "e" -> 4000L,
+      "h" -> 86400000L, "i" -> 86400000L, "l" -> 86400000L))
   }
 
   test("politenessSchedule: per-host slots spaced by that host's delay, " +
