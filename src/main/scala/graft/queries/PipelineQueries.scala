@@ -5096,6 +5096,53 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Crawl-budget capstone — the q70/q189/q195 composition idiom over
+    * the two newest ops: registered domain → Gopher gates → per-domain
+    * PASSING-token weights (a domain with zero passing docs gets no
+    * budget at all, filtered before allocation — [[graft.ops.Curation
+    * .allocateBudget]] rightly raises on zero weights) → exact
+    * largest-remainder split of a prime fetch budget, so the per-domain
+    * fetch quotas sum to the budget to the unit. The oracle rebuilds
+    * every stage: the q201 gate battery, the passing-token rollup, and
+    * the HUGEINT allocation with ascending-domain ties. */
+  val q209CrawlBudget: Q = q("q209_crawl_budget",
+    """WITH g AS (SELECT source || '.org' AS domain, text,
+      |  string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT domain, len(toks) AS nt,
+      |  CASE WHEN len(toks) BETWEEN 20 AND 100000
+      |    AND (length(text) - len(toks) + 1)::DOUBLE / len(toks)
+      |      BETWEEN 3.0 AND 10.0
+      |    AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+      |    AND (SELECT max(c) FROM (
+      |        SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t))
+      |      ::DOUBLE / len(toks) <= 0.15
+      |  THEN 1 ELSE 0 END AS pass FROM g),
+      |c AS (SELECT domain,
+      |  CAST(sum(CASE WHEN pass = 1 THEN nt ELSE 0 END) AS BIGINT) AS w
+      |  FROM m GROUP BY domain HAVING sum(pass) > 0),
+      |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM c),
+      |b AS (SELECT domain, w,
+      |  CAST((99991::HUGEINT * w) // tw AS BIGINT) AS base,
+      |  (99991::HUGEINT * w) % tw AS rem FROM c, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rk,
+      |  CAST(99991 - sum(base) OVER () AS BIGINT) AS extra FROM b)
+      |SELECT domain, w,
+      |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM r ORDER BY domain""".stripMargin) { (s, d) =>
+    import graft.ops.Curation
+    val url = concat(lit("http://www."), col("source"), lit(".org/p/"),
+      col("doc_id").cast("string"))
+    val base = Tables.documents(s, d)
+      .select(WebText.registeredDomain(url).as("domain"), col("text"))
+    val weights = Curation.qualityGates(base)
+      .filter(col("passes"))
+      .groupBy("domain")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("w"))
+    Curation.allocateBudget(weights, "domain", "w", budget = 99991L)
+      .orderBy("domain")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5137,5 +5184,5 @@ object PipelineQueries {
     q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
     q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff,
     q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards,
-    q207Revisit, q208AllocBudget)
+    q207Revisit, q208AllocBudget, q209CrawlBudget)
 }

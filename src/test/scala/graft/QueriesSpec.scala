@@ -97,10 +97,10 @@ class QueriesSpec extends SparkSpec {
       // q137 crossJoins the broadcast one-row corpus token total onto
       // the vocab-bounded (source, token) count table
       "q137_source_kl",
-      // q208 crossJoins TWO broadcast one-row totals (weight sum, floor
-      // shortfall) onto the allocation-key-bounded ledger — the same
-      // scalar-aggregate class
-      "q208_alloc_budget",
+      // q208/q209 crossJoin TWO broadcast one-row totals (weight sum,
+      // floor shortfall) onto the allocation-key-bounded ledger — the
+      // same scalar-aggregate class
+      "q208_alloc_budget", "q209_crawl_budget",
       // q142's per-half-round max rescale crossJoins a broadcast
       // one-row max aggregate — the scalar-aggregate class
       "q142_hits",
