@@ -3514,6 +3514,13 @@ object PipelineQueries {
   private def crawlPageUrl: Column =
     concat(lit("http://www."), col("source"), lit(".org/p/"),
       col("doc_id").cast("string"))
+  /** (domain, text) base shared by q201/q209 — registered domain from
+    * the [[crawlPageUrl]] fixture; one definition so the two "same
+    * domain" oracles can never silently diverge. */
+  private def domainDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(WebText.registeredDomain(crawlPageUrl).as("domain"),
+        col("text"))
   private def crawlPageHtml: Column = concat(
     lit("<p>"), col("text"), lit("</p><a href=\"HTTP://WWW."),
     upper(col("source")),
@@ -4823,11 +4830,7 @@ object PipelineQueries {
       |    AS BIGINT) AS dup_micros,
       |  CAST(sum(nt) AS BIGINT) AS total_tokens
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val url = concat(lit("http://www."), col("source"), lit(".org/p/"),
-      col("doc_id").cast("string"))
-    val base = Tables.documents(s, d)
-      .select(WebText.registeredDomain(url).as("domain"), col("text"))
-    Curation.qualityGates(base)
+    Curation.qualityGates(domainDocs(s, d))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
@@ -5131,11 +5134,7 @@ object PipelineQueries {
       |    AS alloc
       |FROM r ORDER BY domain""".stripMargin) { (s, d) =>
     import graft.ops.Curation
-    val url = concat(lit("http://www."), col("source"), lit(".org/p/"),
-      col("doc_id").cast("string"))
-    val base = Tables.documents(s, d)
-      .select(WebText.registeredDomain(url).as("domain"), col("text"))
-    val weights = Curation.qualityGates(base)
+    val weights = Curation.qualityGates(domainDocs(s, d))
       .filter(col("passes"))
       .groupBy("domain")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("w"))
