@@ -30,8 +30,14 @@ final case class GraftConfig(
           c = c.copy(group = Some(args(i + 1))); i += 2
         case "-u" | "--uid" if i + 1 < args.length =>
           c = c.copy(uid = Some(args(i + 1))); i += 2
-        case k if k.startsWith("--") && i + 1 < args.length =>
+        // value must not itself be a flag: "--verbose --input-streams a,b"
+        // would otherwise swallow --input-streams as verbose's VALUE and
+        // silently drop the real option
+        case k if k.startsWith("--") && i + 1 < args.length &&
+            !args(i + 1).startsWith("--") =>
           c = c.copy(extra = c.extra + (k.stripPrefix("--") -> args(i + 1))); i += 2
+        case k if k.startsWith("--") => // value-less flag: present ⇒ "true"
+          c = c.copy(extra = c.extra + (k.stripPrefix("--") -> "true")); i += 1
         case other =>
           c = c.copy(unknown = c.unknown :+ other); i += 1
       }

@@ -18,15 +18,24 @@ class Health(spark: SparkSession, port: Int = 2094) {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/health", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val queries = spark.streams.active.map { q =>
-          s"""{"name":${Option(q.name).map(n => s""""$n"""").getOrElse("null")},"isActive":${q.isActive}}"""
-        }.mkString("[", ",", "]")
-        val body = s"""{"status": "available", "queries": $queries}"""
-          .getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, body.length)
-        ex.getResponseBody.write(body)
-        ex.close()
+        // a throwing handler must still answer AND close the exchange —
+        // otherwise the probing client (a liveness probe) hangs to its
+        // own timeout and the socket leaks (the Ingest handler's
+        // discipline; spark.streams.active throws once the session stops)
+        try {
+          val queries = spark.streams.active.map { q =>
+            s"""{"name":${Option(q.name).map(n => "\"" + Health.escapeJson(n) + "\"").getOrElse("null")},"isActive":${q.isActive}}"""
+          }.mkString("[", ",", "]")
+          val body = s"""{"status": "available", "queries": $queries}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            try ex.sendResponseHeaders(500, -1)
+            catch { case scala.util.control.NonFatal(_) => () }
+        } finally ex.close()
       }
     })
     server.start()
@@ -34,4 +43,16 @@ class Health(spark: SparkSession, port: Int = 2094) {
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+}
+
+object Health {
+  /** Minimal JSON string escape — query names are arbitrary user strings
+    * and an unescaped quote/backslash/control char breaks the payload. */
+  private[runtime] def escapeJson(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
 }

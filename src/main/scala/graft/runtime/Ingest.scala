@@ -24,14 +24,12 @@ class Ingest(spark: SparkSession, registry: StreamRegistry, port: Int = 0) {
   val schema: StructType = StructType(Seq(
     StructField("value", StringType), StructField("ingest_ms", LongType)))
 
-  /** Stream names come from an UNTRUSTED URL path: restrict to a safe
-    * token alphabet — "../x" or "a/b" would otherwise become registry
-    * paths escaping the root (path traversal via registry.write). */
-  private val SafeStream = "[A-Za-z0-9._-]+".r
-  private def validStream(s: String): Boolean = s match {
-    case SafeStream() => !s.startsWith(".") // no dot-files / "..", "."
-    case _            => false
-  }
+  /** Stream names come from an UNTRUSTED URL path: restrict to the
+    * shared safe-token alphabet ([[StreamRegistry.validName]], also the
+    * RouterLink data-derived-target guard) — "../x" or "a/b" would
+    * otherwise become registry paths escaping the root (path traversal
+    * via registry.write). */
+  private def validStream(s: String): Boolean = StreamRegistry.validName(s)
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)

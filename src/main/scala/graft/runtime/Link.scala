@@ -60,7 +60,13 @@ trait Link {
     val target = output.getOrElse(s"${name}_sink")
     output match {
       case Some(stream) =>
-        // declare so a downstream link can attach before our first batch
+        // declare so a downstream link can attach before our first batch.
+        // The file sink's _spark_metadata commit log is what upgrades the
+        // output to exactly-once — and it makes this stream SINGLE-
+        // streaming-writer: batch appends (registry.write) land outside
+        // the log and would be invisible to every reader, so the registry
+        // refuses them on sink-owned directories. Fan-in topologies give
+        // each producer its own stream and union at the consumer.
         registry.declare(stream, out.schema)
         out.writeStream
           .option("checkpointLocation", registry.checkpointDir(name, target))

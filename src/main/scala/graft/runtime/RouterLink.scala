@@ -36,6 +36,17 @@ trait RouterLink {
           // destination set per batch is small (control data, not row data)
           val targets = batch.select("_stream").distinct()
             .collect().map(_.getString(0))
+          // _stream values are DATA-derived: validate like any untrusted
+          // name (the Ingest URL discipline, StreamRegistry.validName) —
+          // a null would silently route its rows nowhere while creating a
+          // junk "null" stream, and "../x" or "a/b" would write outside
+          // the registry's streams/ directory entirely
+          targets.find(!StreamRegistry.validName(_)).foreach { bad =>
+            throw new IllegalArgumentException(
+              s"RouterLink '$name': invalid route target '$bad' — " +
+                "_stream values must be non-null [A-Za-z0-9._-]+ tokens " +
+                "not starting with '.'")
+          }
           targets.foreach { t =>
             registry.write(batch.filter(col("_stream") === t).drop("_stream"), t)
           }

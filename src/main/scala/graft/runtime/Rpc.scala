@@ -55,7 +55,12 @@ class Rpc(spark: SparkSession, registry: StreamRegistry, linkName: String,
     * while it was down are still dispatched on resume (re-fencing at the
     * current end would silently drop them; already-processed files are
     * deduped by the checkpoint, not the fence). Set `replayHistory=true`
-    * to opt back into full-history dispatch. */
+    * to opt back into full-history dispatch. Tie rule at the fence:
+    * "sent before birth" is defined by seq ALLOCATION order, not append
+    * order — a notify that allocated its seq before this peekSeq read is
+    * pre-birth and excluded even if its append lands afterwards (the
+    * counter is the log clock; the fence would be meaningless against
+    * append-time races). */
   private val bornSeq: Long = {
     val fencePath = s"${registry.checkpointDir(s"rpc_$uid", ControlStream)}.born_seq"
     registry.readTextIfExists(fencePath) match {

@@ -82,6 +82,28 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * stream is a partitioned dataset so consumers prune by partition. */
   def write(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     if (!exists(name)) persistSchema(name, df.schema, partitionBy)
+    else {
+      // a layout that disagrees with the stream's recorded partitioning
+      // would interleave flat and hive-style files in one directory —
+      // partition discovery then fails (or silently drops the partition
+      // column) for EVERY reader, and compact() rewrites with the stale
+      // recorded columns. Fail the writer, not the readers.
+      val recorded = partitionsOf(name)
+      require(partitionBy == recorded,
+        s"stream '$name' is laid out with partitions $recorded but this " +
+          s"write requested $partitionBy — mixed layouts break every reader")
+    }
+    // a directory carrying a streaming file-sink commit log is owned by
+    // that sink (a Link output): batch readers list ONLY files recorded
+    // in _spark_metadata, so an append here would be INVISIBLE to every
+    // consumer — silent data loss, not a merge. Fail loudly; route
+    // multi-producer topologies through their own streams instead.
+    val (meta, mfs) = fsFor(s"${streamDir(name)}/_spark_metadata")
+    if (mfs.exists(meta))
+      throw new IllegalStateException(
+        s"stream '$name' is a streaming-sink output (_spark_metadata " +
+          "present): batch appends land outside its commit log and no " +
+          "reader would ever see them")
     val w = df.write.mode("append").format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(streamDir(name))
@@ -119,7 +141,15 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * scale path back streams with a table format that has atomic commit
     * (or HDFS), and treat this as the local/HDFS maintenance tool. A crash
     * between the renames leaves `<dir>.old`, recovered by [[recover]]
-    * (called automatically by [[read]]/[[readStream]]). */
+    * (called automatically by [[read]]/[[readStream]]).
+    *
+    * Compacting a LINK-PRODUCED stream transfers ownership: the sink's
+    * `_spark_metadata` commit log is rotated out with the old directory,
+    * so the compacted stream becomes a plain registry-managed dataset.
+    * The producing Link MUST restart with a fresh checkpoint (already
+    * required above — file identities changed); resuming the old
+    * checkpoint would recreate a commit log listing only post-compact
+    * files and hide the compacted corpus from batch readers. */
   def compact(name: String, numFiles: Int = 1): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val dir = new HPath(streamDir(name))
@@ -169,20 +199,37 @@ class StreamRegistry(spark: SparkSession, val root: String,
                       partitionBy: Seq[String] = Nil): Unit = {
     val (p, fs) = fsFor(schemaPath(name))
     fs.mkdirs(p.getParent)
+    // Both branches write the FULL content to a private temp file first
+    // and make the claim visible in one atomic step: claiming first and
+    // writing content second left a crash window where the name was
+    // fenced forever by an empty, unparseable schema file.
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
         // Hadoop's local create(overwrite=false) is exists()-then-create,
-        // NOT O_EXCL — two same-host racers can both pass. NIO createFile
-        // IS O_EXCL, so the claim is genuinely atomic locally too.
+        // NOT O_EXCL. NIO createLink(claim, tmp) is an atomic-exclusive
+        // link(2): exactly one racer wins, and the winner's claim file is
+        // born with its complete content.
         val nio = java.nio.file.Paths.get(p.toUri.getPath)
-        try Files.createFile(nio)
+        val tmp = nio.resolveSibling(
+          s"${nio.getFileName}.${java.util.UUID.randomUUID}.tmp")
+        Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(nio, tmp)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString) }
-        Files.write(nio, schema.json.getBytes(StandardCharsets.UTF_8)); ()
+        Files.deleteIfExists(tmp); ()
       case _ =>
-        val out = fs.create(p, false) // throws if the schema file exists
+        // HDFS: rename is atomic at the namenode and fails (false) when
+        // the destination exists — the claim carries its content with it
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${p.toString}.${java.util.UUID.randomUUID}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(schema.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, true)
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+        }
     }
     if (partitionBy.nonEmpty) writeText(partitionsPath(name), partitionBy.mkString(","))
   }
@@ -223,10 +270,26 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * no file locks, so a distributed deployment must back this one
     * counter with a real coordination service (ZK/DynamoDB-style) — the
     * data path and schema registry above work on any Hadoop FS. */
-  def nextSeq(name: String): Long = withSeqLock(name) { (ch, cur) =>
+  def nextSeq(name: String): Long = withSeqLock(name) { (_, cur) =>
     val next = cur + 1
-    ch.truncate(0)
-    ch.write(java.nio.ByteBuffer.wrap(next.toString.getBytes(StandardCharsets.UTF_8)), 0)
+    // durability discipline: write-to-temp + fsync + atomic rename. The
+    // old truncate-then-write left windows where a crash (or an unflushed
+    // page on power loss) REWOUND the counter — and a rewound counter
+    // silently disables RPC dispatch, because dispatchers fence on
+    // `seq > bornSeq` with the old high-water mark.
+    val p = seqPath(name)
+    val tmp = p.resolveSibling(s"$name.seq.tmp")
+    val out = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      out.write(java.nio.ByteBuffer.wrap(
+        next.toString.getBytes(StandardCharsets.UTF_8)))
+      out.force(true)
+    } finally out.close()
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
   }
 
@@ -238,6 +301,20 @@ class StreamRegistry(spark: SparkSession, val root: String,
       f: (java.nio.channels.FileChannel, Long) => A): A =
     StreamRegistry.seqMutex.synchronized {
       import java.nio.file.StandardOpenOption._
+      // fail FAST on a non-local root: java.nio would resolve
+      // "hdfs://…/seq/x.seq" as a RELATIVE local path, giving every host
+      // its own private counter — colliding seqs and bogus fences with
+      // zero errors. (The data/schema paths above go through the Hadoop
+      // FS and work on any scheme; only this counter is local-only.)
+      // regex, not URI.create: a plain path with a space/bracket is a
+      // legal root but an illegal URI
+      val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+        .findFirstMatchIn(root).map(_.group(1))
+      if (!scheme.forall(_ == "file"))
+        throw new UnsupportedOperationException(
+          s"sequence counters need a local (or NFS) registry root; got " +
+            s"'$root' — back this counter with a real coordination " +
+            "service on a distributed deployment")
       val p = seqPath(name)
       Files.createDirectories(p.getParent)
       val ch = java.nio.channels.FileChannel.open(p, CREATE, READ, WRITE)
@@ -257,4 +334,17 @@ class StreamRegistry(spark: SparkSession, val root: String,
 
 object StreamRegistry {
   private val seqMutex = new Object
+
+  /** Safe stream-name alphabet, shared by every path that accepts
+    * NON-PROGRAMMER names (HTTP ingest URLs, data-derived router
+    * targets): "../x" or "a/b" would otherwise become registry paths
+    * escaping the root, and a leading dot collides with hidden/metadata
+    * files. Programmer-chosen names in code are not funneled through
+    * this — a typo there fails visibly anyway. */
+  private val SafeName = "[A-Za-z0-9._-]+".r
+  def validName(s: String): Boolean = s match {
+    case null         => false
+    case SafeName()   => !s.startsWith(".")
+    case _            => false
+  }
 }

@@ -26,6 +26,14 @@ class RuntimeExtrasSpec extends SparkSpec {
     assert(c.unknown === Seq("stray"))
   }
 
+  test("GraftConfig: a value-less flag never swallows the next option") {
+    val c = GraftConfig().withArgs(
+      Array("--verbose", "--input-streams", "a,b", "--trailing"))
+    assert(c.extra === Map("verbose" -> "true", "trailing" -> "true"))
+    assert(c.inputs === Seq("a", "b"))
+    assert(c.unknown === Seq.empty)
+  }
+
   test("error taxonomy mirrors the reference hierarchy (O20)") {
     assert(new EmptyError().isInstanceOf[GraftError])
     assert(new TimeoutError().isInstanceOf[GraftError])

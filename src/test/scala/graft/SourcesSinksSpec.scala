@@ -170,6 +170,72 @@ class SourcesSinksSpec extends SparkSpec {
     } finally mon.stop()
   }
 
+  test("registry guards: partition-layout drift and sink-owned streams " +
+    "are refused before they poison readers") {
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-guard").toString)
+    reg.write(df3, "g", partitionBy = Seq("month"))
+    // a conflicting layout fails the WRITER, not every later reader
+    intercept[IllegalArgumentException] { reg.write(df3, "g") }
+    intercept[IllegalArgumentException] {
+      reg.write(df3, "g", partitionBy = Seq("id"))
+    }
+    assert(reg.read("g").count() === df3.count())
+    // a streaming-file-sink output (has _spark_metadata) owns its commit
+    // log: batch appends would be invisible to every reader — refused
+    reg.write(Seq("x").toDF("value"), "owned")
+    assert(new java.io.File(
+      s"${reg.root}/streams/owned/_spark_metadata").mkdirs())
+    intercept[IllegalStateException] { reg.write(Seq("y").toDF("value"), "owned") }
+  }
+
+  test("monitoring buffer drops oldest past the cap; drain() empties it") {
+    val mon = new graft.runtime.Monitoring(spark, "u", maxRecords = 3)
+    (1 to 5).foreach { i =>
+      mon.record(graft.runtime.Monitoring.Progress("u", "q", i.toLong, i.toLong, 0L))
+    }
+    assert(mon.snapshot().map(_.batchId) === Seq(3L, 4L, 5L))
+    assert(mon.drain().map(_.batchId) === Seq(3L, 4L, 5L))
+    assert(mon.snapshot().isEmpty && mon.drain().isEmpty)
+    // the buffer keeps working after a drain
+    mon.record(graft.runtime.Monitoring.Progress("u", "q", 9L, 0L, 0L))
+    assert(mon.snapshot().map(_.batchId) === Seq(9L))
+  }
+
+  test("nextSeq is atomic-rewrite durable and refuses non-local roots") {
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-seq2").toString)
+    assert(reg.nextSeq("s") === 1L)
+    assert(reg.nextSeq("s") === 2L)
+    assert(reg.peekSeq("s") === 2L)
+    // no temp debris from the write-then-rename discipline
+    val debris = new java.io.File(s"${reg.root}/seq").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(debris.isEmpty, debris.mkString(","))
+    // a non-file scheme would give every host a private local counter —
+    // colliding seqs with zero errors; must fail fast instead
+    val bad = new StreamRegistry(spark, "hdfs://nn/graft")
+    intercept[UnsupportedOperationException] { bad.nextSeq("s") }
+  }
+
+  test("createExclusive: winner's claim carries full content, loser " +
+    "raises, no temp debris") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-claim").toString)
+    val schema = new StructType().add("id", LongType)
+    reg.createExclusive("claim", schema)
+    assert(reg.schemaOf("claim").fieldNames.toSeq === Seq("id"))
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      reg.createExclusive("claim", schema)
+    }
+    val debris = new java.io.File(s"${reg.root}/schemas").listFiles()
+      .map(_.getName).filter(_.contains(".tmp"))
+    assert(debris.isEmpty, debris.mkString(","))
+  }
+
   test("JSON serde roundtrip: to_json / from_json / schema_of_json (O13)") {
     val s = spark
     import s.implicits._

@@ -132,4 +132,27 @@ class StreamingJoinSpec extends SparkSpec {
     assert(reg.read("errors").collect().map(_.getString(0)).toSeq === Seq("err 1"))
     assert(reg.read("oks").collect().map(_.getString(0)).sorted.toSeq === Seq("ok 1", "ok 2"))
   }
+
+  test("RouterLink refuses null and path-escaping route targets") {
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-route-bad").toString)
+    object BadRouter extends RouterLink {
+      val inputs = Seq("bad_inbox")
+      // _stream comes straight from row data — the untrusted-name shape
+      def route(df: DataFrame): DataFrame = df
+    }
+    reg.write(Seq(("a", "ok"), ("b", null.asInstanceOf[String]))
+      .toDF("value", "_stream"), "bad_inbox")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      BadRouter.start(spark, reg).awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("invalid route target"))), e.toString)
+    // nothing was routed anywhere, and no junk "null" stream was created
+    assert(!reg.exists("null") && !reg.exists("ok"))
+  }
 }
