@@ -30,9 +30,6 @@ case class Blake2bHash(child: Expression, bits: Int) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = s"blake2b_$bits"
-  // digest of a literal is a literal — lets ConstantFolding evaluate
-  // blake2b_256('…') once at plan time instead of per row
-  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
@@ -43,6 +40,37 @@ case class Blake2bHash(child: Expression, bits: Int) extends UnaryExpression {
       s"UTF8String.fromString(graft.functions.Blake2b.hexOfBytes($c.getBytes(), ${bits / 8}))")
 
   override protected def withNewChildInternal(newChild: Expression): Blake2bHash =
+    copy(child = newChild)
+}
+
+/** SHA3-512 hex digest (reference `utils.py:54-57`) as an EVAL-ONLY
+  * expression (CodegenFallback): the per-row cost is the JCE digest
+  * itself, so a generated call body buys nothing — but expression form
+  * (vs the former Scala UDF) still drops the encoder round-trip, gets
+  * analysis-time type checking, and lets BOTH SQL surfaces
+  * ([[GraftExtensions]] and `GraftFunctions.register`) offer the same
+  * name, which the UDF form could not (extensions inject expression
+  * builders only — sha3_512 used to exist in one surface and not the
+  * other, the exact drift the shared [[SqlArgs]] design exists to
+  * prevent). */
+case class Sha3_512Hash(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sha3_512"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("SHA3-512")
+    UTF8String.fromString(Blake2b.toHex(
+      md.digest(input.asInstanceOf[UTF8String].getBytes)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sha3_512Hash =
     copy(child = newChild)
 }
 
@@ -88,5 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jaro_winkler", classOf[JaroWinklerSim])(exprs => {
       arity(exprs, 2, 2, "jaro_winkler")
       JaroWinklerSim(exprs.head, exprs(1)) })
+    inject("sha3_512", classOf[Sha3_512Hash])(exprs =>
+      Sha3_512Hash(arity(exprs, 1, 1, "sha3_512").head))
   }
 }

@@ -14,20 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * blake2b_256/512 are the native codegen'd [[Blake2bHash]] Catalyst
   * expression (RFC 7693 core in [[Blake2b]]) — they run inside the
-  * whole-stage span like any built-in. Only SHA3-512 (JDK MessageDigest
-  * provider) remains a plain Scala UDF outside codegen; compute it once
-  * per row in a projection, not in a hot inner loop.
+  * whole-stage span like any built-in. SHA3-512 is the eval-only
+  * [[Sha3_512Hash]] expression (CodegenFallback — the JCE digest
+  * dominates any generated call body); compute it once per row in a
+  * projection, not in a hot inner loop.
   */
 object GraftFunctions {
-
-  private def sha3_512Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA3-512")
-    Blake2b.toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-  }
-
-  private val sha3_512Fn: String => String =
-    s => if (s == null) null else sha3_512Hex(s)
-  private val sha3_512Udf = udf(sha3_512Fn)
 
   private def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.GraftSqlBridge.column(e)
@@ -36,7 +28,10 @@ object GraftFunctions {
     * native codegen'd expression, see [[Blake2bHash]]. */
   def blake2b_256(c: Column): Column = ncol(Blake2bHash(expression(c), 256))
   def blake2b_512(c: Column): Column = ncol(Blake2bHash(expression(c), 512))
-  def sha3_512(c: Column): Column   = sha3_512Udf(c)
+  /** SHA3-512 hex digest — eval-only native expression ([[Sha3_512Hash]]:
+    * the JCE digest dominates, but expression form drops the former UDF's
+    * encoder round-trip and registers on both SQL surfaces). */
+  def sha3_512(c: Column): Column   = ncol(Sha3_512Hash(expression(c)))
 
   /** Unicode NFC canonical composition — native codegen'd expression,
     * see [[NfcNormalize]]. Put in front of [[blake2b_256]] keys when
@@ -91,7 +86,7 @@ object GraftFunctions {
     reg("simhash64")(exprs => SimHash64(arity(exprs, 1, 1, "simhash64").head))
     reg("jaro_winkler")(exprs => { arity(exprs, 2, 2, "jaro_winkler")
       JaroWinklerSim(exprs.head, exprs(1)) })
-    spark.udf.register("sha3_512", sha3_512Fn)
+    reg("sha3_512")(exprs => Sha3_512Hash(arity(exprs, 1, 1, "sha3_512").head))
   }
 }
 

@@ -12,12 +12,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * name fields because it privileges shared prefixes and is O(len²) with
   * a tiny constant instead of edit-distance's DP table).
   *
-  * Semantics match the classic Winkler formulation (and DuckDB's
-  * implementation, which the oracle uses — verified against its outputs
-  * in RelationalOpsSpec): match window ⌊max(l1,l2)/2⌋−1, transpositions
-  * = half the mismatched matched-sequence positions, prefix bonus
-  * p=0.1 over at most 4 shared leading chars applied only when jaro >
-  * 0.7 (the boost threshold), and either-empty → 0.
+  * Semantics match the classic Winkler formulation: match window
+  * ⌊max(l1,l2)/2⌋−1, transpositions = half the mismatched
+  * matched-sequence positions, prefix bonus p=0.1 over at most 4 shared
+  * leading chars applied only when jaro > 0.7 (the boost threshold),
+  * and either-empty → 0.
+  *
+  * Oracle-parity scope, stated precisely: this computes over UTF-16
+  * CODE UNITS (the saner user-facing unit), while DuckDB's
+  * jaro_winkler_similarity computes over UTF-8 BYTES — the two agree on
+  * every ASCII string (verified against DuckDB outputs in
+  * RelationalOpsSpec; both also return 0 for either-empty, measured),
+  * and diverge on multi-byte characters ('café' vs 'cafe': 0.8833 here,
+  * 0.8483 byte-based). Value-oracle queries over this function must
+  * keep to ASCII fields (q151's TPC-H names are); non-ASCII linkage is
+  * spec-gated, not oracle-gated.
   *
   * The similarity is a static call from codegen — stays inside the
   * surrounding WholeStageCodegen span like [[Blake2b]]. */
@@ -97,7 +106,6 @@ case class JaroWinklerSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
-  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     JaroWinkler.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])

@@ -53,7 +53,6 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix60"
   // hash of a literal is a literal — ConstantFolding evaluates it once
-  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     Md5Ops.prefix60(input.asInstanceOf[UTF8String])

@@ -12,13 +12,38 @@ import org.apache.spark.sql.GraftSqlBridge
   * methods so the generated code calls straight into primitive loops. */
 object MinHashOps {
 
+  /** Non-null elements of an `array<long>` compacted to a primitive
+    * array — the shared null policy of both sketches below: a NULL slot
+    * (reachable through the SQL-registered functions with an arbitrary
+    * array<bigint>) is ABSENT from the hash set, not silently read as 0L
+    * (ArrayData.getLong on a null slot returns garbage-zero, which would
+    * plant a phantom shingle in every such document's sketch). */
+  private def nonNull(hashed: ArrayData): Array[Long] = {
+    val m = hashed.numElements()
+    var n = 0
+    var i = 0
+    while (i < m) { if (!hashed.isNullAt(i)) n += 1; i += 1 }
+    if (n == m) hashed.toLongArray()
+    else {
+      val out = new Array[Long](n)
+      var k = 0; i = 0
+      while (i < m) {
+        if (!hashed.isNullAt(i)) { out(k) = hashed.getLong(i); k += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
   /** LSH band keys of a pre-hashed shingle set: `minHashes` seeded
     * splitmix64 minima folded into one 64-bit key per band. Bit-identical
     * to `Dedup.bandKeys` (the band index is mixed into the key so buckets
     * never cross bands); parameters are compile-time-validated by the
-    * expression below. */
+    * expression below. Null elements are absent ([[nonNull]]); an
+    * all-null array behaves like an empty one. */
   def bandKeysOf(hashed: ArrayData, minHashes: Int, bands: Int): ArrayData = {
-    val m = hashed.numElements()
+    val hs = nonNull(hashed)
+    val m = hs.length
     if (m == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val rowsPerBand = minHashes / bands
     val mins = new Array[Long](minHashes)
@@ -28,7 +53,7 @@ object MinHashOps {
       val seed = i.toLong * 0x9e3779b97f4a7c15L
       var j = 0
       while (j < m) {
-        val h = graft.ops.Dedup.mix64(hashed.getLong(j) ^ seed)
+        val h = graft.ops.Dedup.mix64(hs(j) ^ seed)
         if (h < mn) mn = h
         j += 1
       }
@@ -51,13 +76,15 @@ object MinHashOps {
   }
 
   /** 64-bit SimHash over pre-hashed shingles — bit-identical to
-    * `Dedup.simHash64` (majority vote per bit; empty input → 0L). */
+    * `Dedup.simHash64` (majority vote per bit; empty input → 0L). Null
+    * elements are absent ([[nonNull]]), never phantom-0L votes. */
   def simHashOf(hashed: ArrayData): Long = {
-    val m = hashed.numElements()
+    val hs = nonNull(hashed)
+    val m = hs.length
     val acc = new Array[Int](64)
     var j = 0
     while (j < m) {
-      val h = hashed.getLong(j)
+      val h = hs(j)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

@@ -31,7 +31,6 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"
-  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(java.text.Normalizer.normalize(

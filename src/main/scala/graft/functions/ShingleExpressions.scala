@@ -70,13 +70,31 @@ object ShingleHash {
     val m = tokens.numElements()
     if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val base = baseHashes(tokens)
-    val out = new Array[Long](m - n + 1)
-    val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
+    val grams = m - n + 1
+    val out = new Array[Long](grams)
+    // first-occurrence dedup via a primitive open-addressing table — a
+    // java.util.HashSet<java.lang.Long> here boxed one Long plus one node
+    // PER GRAM on the hottest near-dup loop in the library. Zero slots
+    // hold the table's empty sentinel, so 0L hashes are tracked aside
+    // (gramHash emits 0L with probability 2^-64 — the slot must still be
+    // correct, not assumed away).
+    var cap = 8
+    while (cap < grams * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var seenZero = false
     var k = 0
     var i = 0
     while (i <= m - n) {
       val acc = gramHash(base, i, n)
-      if (seen.add(acc)) { out(k) = acc; k += 1 }
+      if (acc == 0L) {
+        if (!seenZero) { seenZero = true; out(k) = 0L; k += 1 }
+      } else {
+        var slot = (graft.ops.Dedup.mix64(acc).toInt & mask)
+        while (table(slot) != 0L && table(slot) != acc)
+          slot = (slot + 1) & mask
+        if (table(slot) == 0L) { table(slot) = acc; out(k) = acc; k += 1 }
+      }
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))

@@ -31,13 +31,17 @@ case class CountMinEstimate(sketch: CountMinSketch, child: Expression)
       s"$prettyName requires STRING input, got ${other.catalogString}")
   }
 
+  // probe on the raw UTF-8 bytes: estimateCount(String) just re-encodes
+  // to the identical byte path, so the toString round-trip was two
+  // allocations per row on the hottest exploded-token stream for nothing
   override protected def nullSafeEval(input: Any): Any =
-    sketch.estimateCount(input.toString)
+    sketch.estimateCount(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cmsSketch", sketch,
       classOf[CountMinSketch].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.estimateCount($c.toString())")
+    defineCodeGen(ctx, ev, c => s"$ref.estimateCount($c.getBytes())")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountMinEstimate =

@@ -125,6 +125,9 @@ object SignLsh {
     * distinct length forever — at [[MaxCachedShapes]] shapes ONE
     * arbitrary entry is evicted per insert (a rare, cheap recompute for
     * the evicted shape only, not a leak and not a full-cache rebuild). */
+  private[graft] val EmptySigs =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyLongArray)
   private val MaxCachedShapes = 8
   private val coefCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
@@ -153,9 +156,21 @@ object SignLsh {
     })
   }
 
-  /** Per-table `planes`-bit sign signatures of `v`, keyed (table<<32|sig). */
+  /** Per-table `planes`-bit sign signatures of `v`, keyed (table<<32|sig).
+    * A dim-0 or NaN-poisoned vector gets NO buckets (empty array — the
+    * NearestCells dirty-input convention): its dot products would all be
+    * 0/NaN, so every such row would share ONE bucket key in EVERY table
+    * and pair quadratically before the cosine confirm finally discarded
+    * it; an empty signature drops it at the explode instead. */
   def signaturesOf(v: ArrayData, planes: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
+    if (dim == 0) return SignLsh.EmptySigs
+    var chk = 0
+    while (chk < dim) {
+      val x = v.getDouble(chk)
+      if (x != x) return SignLsh.EmptySigs
+      chk += 1
+    }
     val cf = coefs(planes, tables, dim)
     val out = new Array[Long](tables)
     var t = 0

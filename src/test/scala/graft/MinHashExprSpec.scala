@@ -49,6 +49,25 @@ class MinHashExprSpec extends SparkSpec {
     assert(got(2).isNullAt(1) && got(2).isNullAt(2))
   }
 
+  test("null ELEMENTS are absent from the sketch, never phantom-0L hashes") {
+    val s = spark
+    import s.implicits._
+    // array(NULL, h1, h2) must sketch exactly like array(h1, h2), and an
+    // all-null array like an empty one — getLong on a null slot reads 0L
+    val withNulls = Seq((1, Seq(Option.empty[Long], Some(42L), Some(-7L))),
+      (2, Seq[Option[Long]](None, None))).toDF("id", "s")
+    val got = withNulls.select(col("id"),
+        MinHashFunctions.minHashBandKeys(col("s"), 128, 32).as("bk"),
+        MinHashFunctions.simHash64(col("s")).as("h"))
+      .orderBy("id").collect()
+    val clean = Seq((0, Seq(42L, -7L))).toDF("id", "s")
+      .select(MinHashFunctions.minHashBandKeys(col("s"), 128, 32).as("bk"),
+        MinHashFunctions.simHash64(col("s")).as("h")).collect()(0)
+    assert(got(0).getSeq[Long](1) === clean.getSeq[Long](0))
+    assert(got(0).getLong(2) === clean.getLong(1))
+    assert(got(1).getSeq[Long](1).isEmpty && got(1).getLong(2) === 0L)
+  }
+
   test("SQL registration: minhash_band_keys / simhash64 callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(

@@ -124,4 +124,20 @@ class VectorExprSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(got === 32.0)
   }
+
+  test("lshSignatures: dim-0 and NaN-poisoned vectors get NO buckets — " +
+    "dirty rows must not share one bucket in every table") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, Seq(1.0, -2.0, 0.5)),
+      (2, Seq.empty[Double]),
+      (3, Seq(Double.NaN, 1.0, 2.0))).toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.VectorFunctions.lshSignatures(col("v"), 16, 4).as("sig"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Long](1).length === 4)
+    assert(got(1).getSeq[Long](1).isEmpty, "empty vector must get no buckets")
+    assert(got(2).getSeq[Long](1).isEmpty, "NaN vector must get no buckets")
+  }
 }
