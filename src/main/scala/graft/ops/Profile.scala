@@ -20,6 +20,13 @@ object Profile {
   private[ops] def qcol(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  /** [[keyConcentration]]'s default distinct-key ceiling: 10M short
+    * (key, count) rows is seconds of one-task sort work — the audit
+    * stays cheap well past any sane domain/source key, while a mistaken
+    * per-URL/per-doc key at corpus scale trips the guard instead of
+    * serializing a billion-row sort into one executor. */
+  val DefaultMaxAuditKeys: Long = 10000000L
+
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
@@ -224,12 +231,36 @@ object Profile {
     * Gini uses the sorted-rank identity G = (2·Σi·nᵢ − (k+1)·T)/(k·T)
     * (ascending ranks; ties don't move the sum, so the value is
     * order-free). Ratios are floor'd micros of exact ≤2⁵³ integer
-    * products — the [[keyHistogram]] tie-free discipline. */
-  def keyConcentration(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    * products — the [[keyHistogram]] tie-free discipline.
+    *
+    * The audit-sized contract is ENFORCED, not just documented: the
+    * global rank windows serialize the key table into one task, so the
+    * key table is materialized once (`localCheckpoint` — this makes the
+    * call EAGER), counted cheaply, and rejected above `maxKeys` BEFORE
+    * any window task launches — a mistaken per-URL key at corpus scale
+    * fails in seconds with a clear message instead of hanging one
+    * executor on a billion-row sort. The checkpoint also feeds both
+    * rank windows from one materialization instead of re-running the
+    * corpus groupBy per branch. `maxKeys = 0` disables the guard (and
+    * the eager materialization cost is then the only reason to care). */
+  def keyConcentration(df: DataFrame, key: String, topK: Int = 5,
+                       maxKeys: Long = DefaultMaxAuditKeys): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(qcol(key).cast("string").as("key"))
+    val counts0 = df.groupBy(qcol(key).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
+    val counts =
+      if (maxKeys <= 0) counts0
+      else {
+        val ck = counts0.localCheckpoint()
+        val nKeys = ck.count()
+        require(nKeys <= maxKeys,
+          s"keyConcentration('$key'): $nKeys distinct keys exceeds " +
+            s"maxKeys=$maxKeys — the Gini ranks sort the whole key table " +
+            "in ONE task; audit a bounded key (domain/source), " +
+            "pre-bucket this one, or raise maxKeys deliberately")
+        ck
+      }
     val asc = Window.orderBy(col("n").asc, col("key").asc)
     val desc = Window.orderBy(col("n").desc, col("key").asc)
     val ranked = counts

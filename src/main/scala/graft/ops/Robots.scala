@@ -192,6 +192,11 @@ object Robots {
       .agg(max(col("ms")).as("crawl_delay_ms"))
   }
 
+  /** Generous default for [[politenessSchedule]]'s per-host cap: at the
+    * 1 req/s default delay this is already a >27h fetch horizon — any
+    * URL past it belongs to the NEXT frontier round, not this schedule. */
+  val DefaultMaxPerHost: Int = 100000
+
   /** Politeness fetch schedule: each host's URLs get sequential fetch
     * slots spaced by that host's crawl delay — slot k fetches at
     * `k · delay_ms` after the host's first request. `delays` is
@@ -203,21 +208,45 @@ object Robots {
     * wanting priority order pre-encode it into the sort key. Output:
     * the URL frame + `delay_ms`, `slot` (0-based), `fetch_offset_ms`.
     *
+    * `maxPerHost` (DEFAULT ON, [[DefaultMaxPerHost]]) drops a host's
+    * URLs past that many slots — the [[graft.ops.Dedup.DefaultHotKeyCap]]
+    * discipline: a pathological frontier with tens of millions of URLs
+    * on ONE host must not serialize one unbounded sort task, and slots
+    * past the cap are politeness-unfetchable in any near-term window
+    * anyway (slot 100k at 1 req/s is tomorrow). Composed paths that cap
+    * upstream (the q195 frontier's per-domain cap) are unaffected;
+    * `maxPerHost = 0` switches the guard off for bounded inputs.
+    *
     * Scale shape: ONE window partitioned by host — exactly the
-    * granularity politeness serializes anyway: a host with 10M frontier
-    * URLs at 1 req/s is a 116-day crawl no matter how it's computed, so
-    * the per-host sort is never the bottleneck the schedule itself
-    * isn't. The delays side is one-row-per-host tiny → AQE broadcasts
-    * the join. No corpus-wide window, no driver state. */
+    * granularity politeness serializes anyway — with the cap expressed
+    * as a `row_number() ≤ k` filter DIRECTLY over the window so the
+    * `InferWindowGroupLimit` rule plants a map-side WindowGroupLimit:
+    * every input partition prunes to its own top-k per host BEFORE the
+    * shuffle, so the hot host moves (and sorts) at most
+    * partitions·k rows, not its full frontier (RobotsSpec pins the
+    * WindowGroupLimit node in the executed plan). The delays side is
+    * one-row-per-host tiny → AQE broadcasts the join. No corpus-wide
+    * window, no driver state. */
   def politenessSchedule(urls: DataFrame, delays: DataFrame,
-                         defaultDelayMs: Long = 1000L): DataFrame = {
+                         defaultDelayMs: Long = 1000L,
+                         maxPerHost: Int = DefaultMaxPerHost): DataFrame = {
     require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
+    require(maxPerHost >= 0, s"negative maxPerHost: $maxPerHost")
     val w = Window.partitionBy("host").orderBy("url")
-    urls.join(delays, Seq("host"), "left")
+    val ranked = urls.join(delays, Seq("host"), "left")
       .withColumn("delay_ms",
         coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       .drop("crawl_delay_ms")
-      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("graft_rn", row_number().over(w))
+    // the cap filter must stay a bare `rank ≤ literal` immediately above
+    // the Window for InferWindowGroupLimit to match (deriving `slot`
+    // first and filtering on the derived column would defeat the rule)
+    val capped =
+      if (maxPerHost > 0) ranked.filter(col("graft_rn") <= maxPerHost)
+      else ranked
+    capped
+      .withColumn("slot", (col("graft_rn") - 1).cast("long"))
+      .drop("graft_rn")
       .withColumn("fetch_offset_ms", col("slot") * col("delay_ms"))
   }
 }

@@ -280,6 +280,24 @@ class ProfileSearchSpec extends SparkSpec {
     }
   }
 
+  test("keyConcentration: maxKeys guard trips over-cardinality keys " +
+    "before any rank window runs; 0 disables; values unchanged under cap") {
+    val wide = (0 until 50).map(i => s"k$i").toDF("k")
+    // 50 distinct keys vs cap 10: fails fast with the audit-key message
+    val ex = intercept[IllegalArgumentException] {
+      Profile.keyConcentration(wide, "k", maxKeys = 10)
+    }
+    assert(ex.getMessage.contains("50 distinct keys"))
+    // guard off: computes (uniform keys → gini 0)
+    val off = Profile.keyConcentration(wide, "k", maxKeys = 0).collect().head
+    assert((off.getLong(0), off.getLong(2)) === ((50L, 0L)))
+    // under the cap the guarded path must agree with the unguarded one
+    val df = (Seq("a") ++ Seq.fill(3)("b")).toDF("k")
+    val guarded = Profile.keyConcentration(df, "k", topK = 5).collect().head
+    assert((guarded.getLong(2), guarded.getLong(3), guarded.getLong(5)) ===
+      ((250000L, 750000L, 1600L)))
+  }
+
   // ------------------------------------------------------------------- rrf
 
   test("rrfFuse: hand-computed fusion of two overlapping rankings") {

@@ -135,6 +135,36 @@ class RobotsSpec extends SparkSpec {
       ("h2", "/x", 500L, 0L, 0L), ("h2", "/y", 500L, 1L, 500L)))
   }
 
+  test("politenessSchedule: maxPerHost drops the hot host's tail via a " +
+    "map-side WindowGroupLimit, cold hosts untouched, 0 disables") {
+    val urls = ((0 until 10).map(i => ("hot", f"/u$i%02d")) ++
+      Seq(("cold", "/a"), ("cold", "/b"))).toDF("host", "url")
+    val delays = Seq(("hot", 100L)).toDF("host", "crawl_delay_ms")
+    val capped = Robots.politenessSchedule(urls, delays,
+      defaultDelayMs = 50L, maxPerHost = 3)
+    val got = capped.select("host", "url", "slot", "fetch_offset_ms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // hot keeps its FIRST 3 url-order slots (the kept set is the cap's
+    // contract, not just the count); cold is below the cap → intact
+    assert(got === Set(
+      ("hot", "/u00", 0L, 0L), ("hot", "/u01", 1L, 100L),
+      ("hot", "/u02", 2L, 200L),
+      ("cold", "/a", 0L, 0L), ("cold", "/b", 1L, 50L)))
+    // the cap must plan as a WindowGroupLimit (map-side per-partition
+    // top-k BEFORE the shuffle), not a post-window filter — the actual
+    // scale guard (executedPlan read AFTER the collect above)
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "expected InferWindowGroupLimit to plant a WindowGroupLimit node")
+    // maxPerHost = 0: guard off, every slot present
+    assert(Robots.politenessSchedule(urls, delays, maxPerHost = 0)
+      .count() === 12L)
+    intercept[IllegalArgumentException] {
+      Robots.politenessSchedule(urls, delays, maxPerHost = -1)
+    }
+  }
+
   test("Http.splitResponseBytes: declared-charset decode, fallback on " +
     "unsupported names, replacement on malformed bytes, first-split wins") {
     def resp(cs: String, body: Array[Byte]): Array[Byte] =
