@@ -1366,8 +1366,32 @@ object Similarity {
     * [[graft.functions.LshSignatures]] expression (same hash family as the
     * previous UDF — identical buckets, no boxing round-trip). */
   def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
-             planes: Int = 6, tables: Int = 8): DataFrame = {
-    def sigs(c: Column) = graft.functions.VectorFunctions.lshSignatures(c, planes, tables)
+             planes: Int = 6, tables: Int = 8): DataFrame =
+    annLshImpl(queries, corpus, k, (_, e) =>
+      graft.functions.VectorFunctions.lshSignatures(e, planes, tables))
+
+  /** Engine-portable sibling of [[annLsh]]: the SAME candidate machinery
+    * (explode signatures → bucket equi-join → id-pair distinct → vector
+    * re-attach → exact-cosine confirm → per-query top-k) fed by
+    * DETERMINISTIC md5-derived bucket ids — per table `t`, bucket =
+    * `md5_prefix60(vec_id || ':' || t) % buckets + t·10⁶` (the table
+    * offset keeps cross-table buckets disjoint, exactly as
+    * [[graft.functions.LshSignatures]] encodes the table index). A DuckDB
+    * oracle re-derives the buckets from its own md5/conv builtins and the
+    * candidate set quadratically, so the join + confirm + ranking stages
+    * are value-pinned cross-engine (the q186/q187 trick for the vector
+    * family); [[annLsh]]'s native random-hyperplane signatures remain the
+    * recall/throughput path. */
+  def annLshMd5(queries: DataFrame, corpus: DataFrame, k: Int,
+                buckets: Int = 32, tables: Int = 4): DataFrame =
+    annLshImpl(queries, corpus, k, (id, _) => array((0 until tables).map { t =>
+      graft.functions.Md5Functions.md5Prefix60(
+        concat(id.cast("string"), lit(":"), lit(t.toString))) % buckets +
+        lit(t.toLong * 1000000L)
+    }: _*))
+
+  private def annLshImpl(queries: DataFrame, corpus: DataFrame, k: Int,
+                         sigs: (Column, Column) => Column): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("qe"))
       .withColumn("qn", norm(col("qe")))
@@ -1376,8 +1400,10 @@ object Similarity {
       .withColumn("cn", norm(col("ce")))
     // candidate id pairs first (the distinct shuffles 16 bytes per pair,
     // not the embedding arrays); vectors re-attached after dedup
-    val qb = q.select(col("q_id"), explode(sigs(col("qe"))).as("bucket"))
-    val cb = c.select(col("c_id"), explode(sigs(col("ce"))).as("bucket"))
+    val qb = q.select(col("q_id"),
+      explode(sigs(col("q_id"), col("qe"))).as("bucket"))
+    val cb = c.select(col("c_id"),
+      explode(sigs(col("c_id"), col("ce"))).as("bucket"))
     val candIds = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id")

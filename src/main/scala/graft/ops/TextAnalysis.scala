@@ -56,6 +56,133 @@ object TextAnalysis {
         bpeishTokenCount(col("text")).as("n_tokens_bpe"))
   }
 
+  /** Character-trigram profiles for [[langIdTrigram]]: the classic
+    * Cavnar–Trenkle n-gram-profile shape over a broad latin-script
+    * language set — per language, its most characteristic space-padded
+    * lowercase trigrams, weight = rank position (strongest first). The
+    * lists are the well-known high-frequency trigrams of each language
+    * (function words and inflection endings), deterministic and
+    * dependency-free: the same broadcast-model-table plumbing as a
+    * learned profile, with a reproducible scorer. */
+  private val trigramProfileData: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+      " of", "of ", " to", "to ", "ed ", "ion", "ent"),
+    "de" -> Seq("en ", "er ", "der", " de", "ich", "sch", "ein", " ei",
+      "die", " di", "und", " un", "ch ", "cht", "ung"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "que", " qu", "ue ",
+      "el ", " el", "ión", "ón ", "ció", "los", " lo"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ", "et ",
+      " et", " la", "la ", "les", "que", "ais", "eur"),
+    "it" -> Seq(" di", "di ", "to ", "la ", " la", "che", " ch", "he ",
+      "re ", "ion", "del", " de", "ell", "zio", "gli"),
+    "pt" -> Seq(" de", "de ", "os ", "ão ", "da ", " da", "do ", " do",
+      "que", " qu", "ue ", "em ", "ção", "res", " co"),
+    "nl" -> Seq("en ", " de", "de ", "et ", " he", "het", "van", " va",
+      "an ", "der", "een", " ee", "n d", "ij ", "aar"),
+    "sv" -> Seq("en ", " de", "et ", "er ", " oc", "och", "ch ", " at",
+      "att", "tt ", "för", " fö", "ar ", "det", " ha"),
+    "da" -> Seq("er ", " de", "det", "en ", " at", "og ", " og", "der",
+      "de ", " ha", "at ", "ere", "til", " ti", "ige"),
+    "fi" -> Seq("en ", "in ", "an ", "ist", " on", "on ", "aan", "een",
+      "ssa", " ka", " ja", "ja ", "sta", "lla", "tta"),
+    "pl" -> Seq("ie ", "nie", " ni", "em ", " po", "prz", "rze", " na",
+      "na ", "ego", "go ", "ych", " pr", "owa", "ach"),
+    "cs" -> Seq(" pr", " po", "ost", "ní ", " ne", "pro", " je", "je ",
+      "se ", " se", " na", "na ", "ho ", "ou ", "ých"),
+    "tr" -> Seq("lar", "ler", " bi", "bir", "ir ", "in ", "an ", "ar ",
+      "da ", "de ", "ın ", " ka", " ol", "eri", "nda"),
+    "ro" -> Seq(" de", "de ", "ul ", "re ", "are", "ea ", "lor", "or ",
+      " cu", "cu ", " pe", "ste", "ele", " ca", "ate"))
+
+  /** Script-range gates applied BEFORE trigram scoring: languages whose
+    * script identifies them outright (the trigram profiles are
+    * latin-script). Kana is checked before CJK ideographs — Japanese
+    * text contains both. Same ranges expressible in RE2 (`\x{..}`) for
+    * the oracle. */
+  private val scriptGateRanges: Seq[(String, Int, Int)] = Seq(
+    ("ja", 0x3040, 0x30ff), // hiragana + katakana
+    ("ko", 0xac00, 0xd7af), // hangul syllables
+    ("zh", 0x4e00, 0x9fff), // CJK unified ideographs
+    ("ru", 0x0400, 0x04ff), // cyrillic
+    ("el", 0x0370, 0x03ff), // greek
+    ("ar", 0x0600, 0x06ff), // arabic
+    ("he", 0x0590, 0x05ff), // hebrew
+    ("hi", 0x0900, 0x097f), // devanagari
+    ("th", 0x0e00, 0x0e7f)) // thai
+
+  /** (lang, Java-regex char class) — Spark side. */
+  private def scriptGates: Seq[(String, String)] =
+    scriptGateRanges.map { case (l, lo, hi) => (l, f"[\\u$lo%04x-\\u$hi%04x]") }
+
+  /** (lang, RE2 char class) — for DuckDB-oracle mirrors of the gates. */
+  def scriptGatesRe2: Seq[(String, String)] =
+    scriptGateRanges.map { case (l, lo, hi) => (l, f"[\\x{$lo%04x}-\\x{$hi%04x}]") }
+
+  /** The [[langIdTrigram]] model table: one row per (lang, trigram,
+    * weight) — 14 languages × 15 trigrams, broadcast-sized by
+    * construction (a learned profile at 1000s of trigrams per language
+    * is still broadcast-sized). */
+  /** Flat (lang, trigram, weight) rows — public so oracle mirrors can
+    * embed the IDENTICAL model as SQL literals (one source of truth). */
+  def trigramProfileRows: Seq[(String, String, Long)] =
+    trigramProfileData.flatMap { case (lang, tris) =>
+      require(tris.distinct.size == tris.size, s"dup trigram in $lang profile")
+      tris.zipWithIndex.map { case (t, r) => (lang, t, (tris.size - r).toLong) }
+    }
+
+  def trigramProfiles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    trigramProfileRows.toDF("lang", "trigram", "w")
+  }
+
+  /** Trigram-profile language ID over a broad language set — the scale
+    * successor to the [[langId]] stopword heuristic (kept as the q53
+    * baseline). Per doc: lowercase, collapse whitespace, pad with one
+    * space each side, take all character trigrams; score each language
+    * as the weight-sum of profile hits normalized by the doc's trigram
+    * count (integer micros, order-free); argmax with lexicographically-
+    * larger-language tie-break. Script-range gates ([[scriptGates]])
+    * take precedence and claim score 1.0 — kana/hangul/ideograph/
+    * cyrillic/greek/arabic/hebrew/devanagari/thai text is identified by
+    * its script, not latin trigrams. Docs with zero profile hits →
+    * `unknown`, score 0.
+    *
+    * Scale shape: the profile table (≤ a few thousand rows even
+    * learned) broadcasts; the trigram explode never shuffles raw rows —
+    * the (doc, lang) weight-sum is map-side combined, so the shuffled
+    * cardinality is docs × hit-languages, then a doc-keyed argmax
+    * aggregate and one doc-keyed join back to the per-row features. No
+    * window, no cartesian, no UDF: every stage is codegen'd
+    * expressions + two bounded aggregates. */
+  def langIdTrigram(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val s = concat(lit(" "),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit(" "))
+    val nTri = greatest(length(s) - 2, lit(0)).cast("long")
+    val tris = when(length(s) >= 3,
+      transform(sequence(lit(1), length(s) - 2),
+        i => s.substr(i, lit(3)))).otherwise(array())
+    val base = Spread.cpu(docs).select(col("doc_id"), col("text"),
+      nTri.as("n_trigrams"), tris.as("graft_tris"))
+    val hits = base.select(col("doc_id"), explode(col("graft_tris")).as("trigram"))
+      .join(broadcast(trigramProfiles(spark)), Seq("trigram"))
+      .groupBy("doc_id", "lang").agg(sum("w").as("w"))
+    val best = hits.groupBy("doc_id")
+      .agg(max(struct(col("w"), col("lang"))).as("b"))
+    val gated = scriptGates.foldRight(
+        when(col("b").isNotNull, col("b.lang")).otherwise(lit("unknown"))) {
+      case ((lang, re), other) => when(col("text").rlike(re), lit(lang)).otherwise(other)
+    }
+    base.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), gated.as("pred_lang"),
+        when(scriptGates.map(g => col("text").rlike(g._2)).reduce(_ || _),
+            lit(1000000L))
+          .when(col("b").isNotNull,
+            Micros.ratio(col("b.w"), col("n_trigrams")))
+          .otherwise(lit(0L)).as("score_micros"),
+        col("n_trigrams"))
+  }
+
   /** Gopher-style repetition score: the share of all word bigrams taken
     * by the single most frequent bigram (high → templated/spammy text).
     * Shape: fully per-row, ZERO shuffle — the native codegen'd

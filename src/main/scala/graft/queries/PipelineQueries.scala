@@ -5142,6 +5142,258 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** Value oracle for the vector-LSH ANN candidate stage
+    * ([[graft.ops.Similarity.annLshMd5]]): q41's random-hyperplane
+    * signatures are engine-internal, but the machinery they feed —
+    * explode per-table bucket ids → bucket equi-join → distinct id
+    * pairs → vector re-attach → exact-cosine confirm → per-query
+    * top-k — is not. Deterministic md5-derived buckets
+    * (`md5_prefix60(vec_id || ':' || t) % 32 + t·10⁶` over 4 tables)
+    * stand in for the plane signatures, and the oracle re-derives the
+    * buckets and the candidate join from DuckDB's own md5 builtin, so
+    * the whole candidate/confirm/rank pipeline is value-pinned
+    * cross-engine (the q186/q187 trick applied to the vector family).
+    * [[graft.ops.Similarity.annLsh]] stays the recall path (q41,
+    * rows-only + SimilaritySpec recall floors). */
+  val q210AnnLshOracle: Q = q("q210_ann_lsh_oracle",
+    """WITH qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |cv AS (SELECT vec_id AS c_id, label, embedding::DOUBLE[] AS ce
+      |  FROM embeddings),
+      |ts AS (SELECT unnest(range(0, 4)) AS t),
+      |qb AS (SELECT q_id,
+      |    CAST(('0x' || substr(md5(q_id || ':' || t), 1, 15)) AS BIGINT)
+      |      % 32 + t * 1000000 AS bucket
+      |  FROM qv, ts),
+      |cb AS (SELECT c_id,
+      |    CAST(('0x' || substr(md5(c_id || ':' || t), 1, 15)) AS BIGINT)
+      |      % 32 + t * 1000000 AS bucket
+      |  FROM cv, ts),
+      |ids AS (SELECT DISTINCT q_id, c_id FROM cb JOIN qb USING (bucket)
+      |  WHERE q_id <> c_id),
+      |sims AS (SELECT q_id, c_id, label,
+      |    round(list_dot_product(qe, ce) /
+      |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+      |      4) AS cos_sim
+      |  FROM ids JOIN qv USING (q_id) JOIN cv USING (c_id))
+      |SELECT q_id, rnk, c_id, label, cos_sim FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+      |  FROM sims)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annLshMd5(queries = emb.filter(col("vec_id") < 10),
+        corpus = emb, k = 5, buckets = 32, tables = 4)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Shared q211/q212 fixture: every document body wrapped in the chrome
+    * a real crawl page carries — a link-dense nav `<div>`, a short
+    * `<h1>` title, the body `<p>`, a short caption `<p>` BETWEEN two
+    * body paragraphs (the bridge case), a second body `<p>`, and a
+    * link-dense footer. The ~21 sub-80-char documents at sf0.01 make the
+    * good/short classification genuinely data-dependent. */
+  private def chromePages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("text").isNotNull).select(
+      concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/a/"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<div class=\"nav\"><a href=\"http://site0.example.org/\">Home</a> " +
+          "<a href=\"http://site0.example.org/about\">About us</a> " +
+          "<a href=\"http://site0.example.org/contact\">Contact</a></div>" +
+          "<h1>Story "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Figure 1: a short caption</p><p>"), col("text"),
+        lit(" closing remarks</p><div class=\"footer\">" +
+          "<a href=\"http://site0.example.org/terms\">Terms</a> " +
+          "<a href=\"http://site0.example.org/privacy\">Privacy</a> " +
+          "(c) example</div>")).as("html"))
+
+  /** Shared q211/q212 oracle prefix: the same chrome-page synthesis +
+    * block split + per-block visible-text/link-density scoring
+    * ([[graft.ops.WebText.contentBlocks]]), re-derived from DuckDB's
+    * RE2 builtins (`regexp_split_to_array` + indexed `list_transform`
+    * — 1-based `i` shifted to the 0-based split position). */
+  private val contentBlocksSql: String =
+    """WITH p AS (SELECT
+      |  'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  '<div class="nav"><a href="http://site0.example.org/">Home</a> ' ||
+      |  '<a href="http://site0.example.org/about">About us</a> ' ||
+      |  '<a href="http://site0.example.org/contact">Contact</a></div>' ||
+      |  '<h1>Story ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      |  '</p><p>Figure 1: a short caption</p><p>' || text ||
+      |  ' closing remarks</p><div class="footer">' ||
+      |  '<a href="http://site0.example.org/terms">Terms</a> ' ||
+      |  '<a href="http://site0.example.org/privacy">Privacy</a> ' ||
+      |  '(c) example</div>' AS html
+      |  FROM documents WHERE text IS NOT NULL),
+      |pre AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM p),
+      |arr AS (SELECT url, regexp_split_to_array(h,
+      |    '(?i)(?:</?(?:h[1-6]|pre|p|div|ul|ol|li|dl|dt|dd|table|thead|' ||
+      |    'tbody|tfoot|tr|td|th|section|article|header|footer|nav|aside|' ||
+      |    'blockquote|form|main|figure|figcaption|fieldset)\b[^>]*>|' ||
+      |    '<br\s*/?>)') AS a FROM pre),
+      |rb AS (SELECT url, unnest(list_transform(a,
+      |    (x, i) -> {'block_idx': CAST(i - 1 AS BIGINT), 'raw': x}),
+      |    recursive := true) FROM arr),
+      |vt AS (SELECT url, block_idx,
+      |  trim(regexp_replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+      |      '&nbsp;', ' ', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&amp;', '&'), '\s+', ' ', 'g')) AS block_text,
+      |  trim(regexp_replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(raw, '(?is)<a[\s>].*?</a>', '', 'g'),
+      |      '<[^>]*>', ' ', 'g'), '&nbsp;', ' ', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&amp;', '&'), '\s+', ' ', 'g')) AS non_anchor
+      |  FROM rb),
+      |sc AS (SELECT url, block_idx, block_text,
+      |    CAST(strlen(block_text) AS BIGINT) AS n_chars,
+      |    CAST(strlen(block_text) - strlen(non_anchor) AS BIGINT) AS lc
+      |  FROM vt WHERE strlen(block_text) > 0),
+      |blocks AS (SELECT url, block_idx, block_text, n_chars,
+      |    CAST((lc * 1000000) // n_chars AS BIGINT) AS link_density_micros,
+      |    (n_chars >= 80 AND (lc * 1000000) // n_chars <= 500000) AS is_good
+      |  FROM sc)""".stripMargin
+
+  /** Block-level segmentation signals ([[graft.ops.WebText.contentBlocks]])
+    * over chrome-wrapped pages: every split position, visible text,
+    * char count, link density, and good/chrome classification
+    * value-pinned cross-engine (nav/footer blocks must score link-dense,
+    * bodies link-sparse, in BOTH engines, or main-content selection
+    * diverges). */
+  val q211ContentBlocks: Q = q("q211_content_blocks",
+    contentBlocksSql +
+      """
+        |SELECT url, block_idx, block_text, n_chars, link_density_micros,
+        |  is_good
+        |FROM blocks ORDER BY url, block_idx""".stripMargin) { (s, d) =>
+    WebText.contentBlocks(chromePages(s, d)).orderBy("url", "block_idx")
+  }
+
+  /** Main-content extraction ([[graft.ops.WebText.mainContent]], the
+    * jusText keep-the-dense-run selection): good blocks plus short
+    * link-sparse blocks bridged by good neighbors, re-joined in block
+    * order. The planted caption between two body paragraphs must
+    * survive exactly when both bodies classify good (text ≥ 80 chars),
+    * and the nav-adjacent `<h1>` must always drop — both re-derived by
+    * the oracle's lag/lead windows. */
+  val q212MainContent: Q = q("q212_main_content",
+    contentBlocksSql +
+      """,
+        |k AS (SELECT *, is_good OR (link_density_micros <= 500000
+        |    AND coalesce(lag(is_good) OVER
+        |      (PARTITION BY url ORDER BY block_idx), FALSE)
+        |    AND coalesce(lead(is_good) OVER
+        |      (PARTITION BY url ORDER BY block_idx), FALSE)) AS keep
+        |  FROM blocks)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS n_chars_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN block_text END, chr(10)
+        |    ORDER BY block_idx), '') AS main_text
+        |FROM k GROUP BY url ORDER BY url""".stripMargin) { (s, d) =>
+    WebText.mainContent(chromePages(s, d)).orderBy("url")
+  }
+
+  /** One planted sentence per language [[graft.ops.TextAnalysis]]
+    * identifies — 14 latin-script (trigram-scored) + 9 script-gated.
+    * Lower-case only (sidesteps locale-sensitive upper→lower edge cases
+    * like Turkish İ), no apostrophes (SQL literals). */
+  private val plantedLangTexts: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog and runs to the hills of the north",
+    "de" -> "der schnelle braune fuchs springt über den faulen hund und die schöne sonne scheint nicht",
+    "es" -> "el rápido zorro marrón salta sobre el perro perezoso y los niños que juegan en la calle",
+    "fr" -> "le renard brun rapide saute par dessus le chien paresseux et les enfants de la ville",
+    "it" -> "la volpe marrone che salta sopra il cane pigro della città vecchia negli anni della gioventù",
+    "pt" -> "a raposa marrom que salta sobre o cão preguiçoso e as crianças do povoado não são assim",
+    "nl" -> "de snelle bruine vos springt over de luie hond en het kind van een der oude huizen",
+    "sv" -> "den snabba bruna räven hoppar över den lata hunden och att det för alla var mycket bra",
+    "da" -> "den hurtige brune ræv springer over den dovne hund og der er meget at se til den tid",
+    "fi" -> "nopea ruskea kettu hyppää laiskan koiran yli ja on aivan kaunista että sataa tänään",
+    "pl" -> "szybki brązowy lis przeskakuje nad leniwym psem i nie ma niczego nowego na polach",
+    "cs" -> "rychlá hnědá liška skáče přes líného psa a je to na poli se psem pro všechny lidi",
+    "tr" -> "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve bir daha buraya gelir",
+    "ro" -> "vulpea maro rapida sare peste cainele lenes si copiii din sat merg pe drumul cel lung",
+    "ru" -> "быстрая коричневая лиса прыгает через ленивую собаку",
+    "el" -> "η γρηγορη καφε αλεπου πηδαει πανω απο το τεμπελικο σκυλι",
+    "ar" -> "الثعلب البني السريع يقفز فوق الكلب الكسول",
+    "he" -> "השועל החום המהיר קופץ מעל הכלב העצלן",
+    "hi" -> "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है",
+    "th" -> "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ",
+    "zh" -> "敏捷的棕色狐狸跳过了懒狗",
+    "ja" -> "すばやい茶色のきつねはのろまな犬を飛び越えます",
+    "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘는다")
+
+  /** Trigram-profile language ID
+    * ([[graft.ops.TextAnalysis.langIdTrigram]]) — the broad-language
+    * successor to q53's stopword heuristic. Docs < 115 carry planted
+    * sentences cycling through all 23 languages; the rest keep the
+    * (en-ish) word-salad bodies. The oracle embeds the IDENTICAL
+    * 14×15 trigram model (generated from the same Scala constant — one
+    * source of truth) and re-derives normalization, codepoint trigram
+    * extraction, weight-sum scoring, micros normalization, argmax with
+    * lang tie-break, script gates, and the unknown fallback. */
+  val q213LangIdTrigram: Q = {
+    val nSent = plantedLangTexts.size
+    val sentValues = plantedLangTexts.zipWithIndex
+      .map { case ((_, t), k) => s"($k, '$t')" }.mkString(", ")
+    val profValues = TextAnalysis.trigramProfileRows
+      .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
+    val gateCases = TextAnalysis.scriptGatesRe2
+      .map { case (l, re) => s"WHEN regexp_matches(f.text, '$re') THEN '$l'" }
+      .mkString(" ")
+    val anyGate = TextAnalysis.scriptGatesRe2
+      .map { case (_, re) => s"regexp_matches(f.text, '$re')" }
+      .mkString(" OR ")
+    q("q213_lang_id_trigram",
+      s"""WITH sent(k, txt) AS (VALUES $sentValues),
+         |corpus AS (
+         |  SELECT d.doc_id, s.txt AS text FROM documents d
+         |    JOIN sent s ON d.doc_id % $nSent = s.k WHERE d.doc_id < 115
+         |  UNION ALL SELECT doc_id, text FROM documents
+         |    WHERE doc_id >= 115 AND text IS NOT NULL),
+         |prof(lang, trigram, w) AS (VALUES $profValues),
+         |feat AS (SELECT doc_id, text,
+         |    ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |      || ' ' AS s FROM corpus),
+         |tri AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, length(s) - 1), i -> substr(s, i, 3))) AS trigram
+         |  FROM feat),
+         |hits AS (SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS w
+         |  FROM tri JOIN prof USING (trigram) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang, w FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY w DESC, lang DESC) AS rk
+         |  FROM hits) WHERE rk = 1)
+         |SELECT f.doc_id,
+         |  CASE $gateCases ELSE coalesce(b.lang, 'unknown') END AS pred_lang,
+         |  CAST(CASE WHEN $anyGate THEN 1000000
+         |    WHEN b.lang IS NOT NULL
+         |      THEN (b.w * 1000000) // greatest(length(f.s) - 2, 0)
+         |    ELSE 0 END AS BIGINT) AS score_micros,
+         |  CAST(greatest(length(f.s) - 2, 0) AS BIGINT) AS n_trigrams
+         |FROM feat f LEFT JOIN best b USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val sentences = plantedLangTexts.map(_._2)
+      val base = Tables.documents(s, d)
+      val planted = base.filter(col("doc_id") < 115)
+        .select(col("doc_id"),
+          element_at(array(sentences.map(lit): _*),
+            (col("doc_id") % nSent + 1).cast("int")).as("text"))
+      val corpus = planted.unionAll(
+        base.filter(col("doc_id") >= 115 && col("text").isNotNull)
+          .select("doc_id", "text"))
+      TextAnalysis.langIdTrigram(corpus).orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5183,5 +5435,6 @@ object PipelineQueries {
     q195CrawlFrontier, q196Sitemap, q197ThresholdSweep, q198CharsetDecode,
     q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff,
     q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards,
-    q207Revisit, q208AllocBudget, q209CrawlBudget)
+    q207Revisit, q208AllocBudget, q209CrawlBudget, q210AnnLshOracle,
+    q211ContentBlocks, q212MainContent, q213LangIdTrigram)
 }

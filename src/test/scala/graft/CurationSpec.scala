@@ -561,6 +561,54 @@ class CurationSpec extends SparkSpec {
     assert(got(2)._2 === 0L)
   }
 
+  test("langIdTrigram: every planted sentence identifies as its language; " +
+    "script gates fire; no-hit text is unknown") {
+    import spark.implicits._
+    // the q213 sentences, one per supported language (14 trigram-scored
+    // latin + 9 script-gated), plus a profile-miss row
+    val planted = Seq(
+      "en" -> "the quick brown fox jumps over the lazy dog and runs to the hills of the north",
+      "de" -> "der schnelle braune fuchs springt über den faulen hund und die schöne sonne scheint nicht",
+      "es" -> "el rápido zorro marrón salta sobre el perro perezoso y los niños que juegan en la calle",
+      "fr" -> "le renard brun rapide saute par dessus le chien paresseux et les enfants de la ville",
+      "it" -> "la volpe marrone che salta sopra il cane pigro della città vecchia negli anni della gioventù",
+      "pt" -> "a raposa marrom que salta sobre o cão preguiçoso e as crianças do povoado não são assim",
+      "nl" -> "de snelle bruine vos springt over de luie hond en het kind van een der oude huizen",
+      "sv" -> "den snabba bruna räven hoppar över den lata hunden och att det för alla var mycket bra",
+      "da" -> "den hurtige brune ræv springer over den dovne hund og der er meget at se til den tid",
+      "fi" -> "nopea ruskea kettu hyppää laiskan koiran yli ja on aivan kaunista että sataa tänään",
+      "pl" -> "szybki brązowy lis przeskakuje nad leniwym psem i nie ma niczego nowego na polach",
+      "cs" -> "rychlá hnědá liška skáče přes líného psa a je to na poli se psem pro všechny lidi",
+      "tr" -> "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve bir daha buraya gelir",
+      "ro" -> "vulpea maro rapida sare peste cainele lenes si copiii din sat merg pe drumul cel lung",
+      "ru" -> "быстрая коричневая лиса прыгает через ленивую собаку",
+      "el" -> "η γρηγορη καφε αλεπου πηδαει πανω απο το τεμπελικο σκυλι",
+      "ar" -> "الثعلب البني السريع يقفز فوق الكلب الكسول",
+      "he" -> "השועל החום המהיר קופץ מעל הכלב העצלן",
+      "hi" -> "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है",
+      "th" -> "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ",
+      "zh" -> "敏捷的棕色狐狸跳过了懒狗",
+      "ja" -> "すばやい茶色のきつねはのろまな犬を飛び越えます",
+      "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘는다")
+    val docs = planted.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .unionAll(Seq((99L, "zzz qqq vvv kkk www")).toDF("doc_id", "text"))
+    val got = graft.ops.TextAnalysis.langIdTrigram(docs)
+      .select("doc_id", "pred_lang", "score_micros", "n_trigrams")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    planted.zipWithIndex.foreach { case ((lang, sent), i) =>
+      assert(got(i)._2 === lang, s"sentence $i ('$sent') misclassified as ${got(i)._2}")
+      assert(got(i)._3 > 0L)
+    }
+    val miss = got.last
+    assert(miss._1 === 99L && miss._2 === "unknown" && miss._3 === 0L)
+    // n_trigrams: padded length minus 2, exact on a hand case
+    val tiny = Seq((1L, "ab  cd")).toDF("doc_id", "text") // collapses to "ab cd"
+    val n = graft.ops.TextAnalysis.langIdTrigram(tiny)
+      .select("n_trigrams").as[Long].head()
+    assert(n === 5L) // " ab cd " has 7 chars -> 5 trigrams
+  }
+
   test("encodingSignals: planted artifacts hit, clean unicode passes") {
     import spark.implicits._
     val docs = Seq(

