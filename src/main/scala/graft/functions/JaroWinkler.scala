@@ -18,22 +18,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * leading chars applied only when jaro > 0.7 (the boost threshold),
   * and either-empty → 0.
   *
-  * Oracle-parity scope, stated precisely: this computes over UTF-16
-  * CODE UNITS (the saner user-facing unit), while DuckDB's
-  * jaro_winkler_similarity computes over UTF-8 BYTES — the two agree on
-  * every ASCII string (verified against DuckDB outputs in
-  * RelationalOpsSpec; both also return 0 for either-empty, measured),
-  * and diverge on multi-byte characters ('café' vs 'cafe': 0.8833 here,
-  * 0.8483 byte-based). Value-oracle queries over this function must
-  * keep to ASCII fields (q151's TPC-H names are); non-ASCII linkage is
-  * spec-gated, not oracle-gated.
+  * Oracle-parity scope: this computes over UTF-8 BYTES — the SAME unit
+  * DuckDB's jaro_winkler_similarity scores over — so the two engines
+  * are bit-identical on EVERY string, ASCII or not ('café' vs 'cafe' →
+  * 0.8483 in both; CJK/kana/accent vectors pinned in EntitySpec against
+  * DuckDB 1.0 outputs; both return 0 for either-empty, measured).
+  * Byte scoring is also the cheaper unit: the kernel reads the
+  * UTF8String's bytes directly, with no UTF-16 decode or String
+  * allocation per row. (A code-unit scorer was the round-≤10 behavior;
+  * it diverged from the oracle outside ASCII — that scope note is
+  * retired with this alignment.)
   *
   * The similarity is a static call from codegen — stays inside the
   * surrounding WholeStageCodegen span like [[Blake2b]]. */
 object JaroWinkler {
 
-  /** Jaro similarity (no prefix bonus). Either side empty → 0. */
-  def jaro(a: String, b: String): Double = {
+  /** Jaro similarity over UTF-8 bytes (no prefix bonus). Either side
+    * empty → 0. */
+  def jaro(a: Array[Byte], b: Array[Byte]): Double = {
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -48,7 +50,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+        if (!m2(j) && a(i) == b(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -63,7 +65,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -72,20 +74,26 @@ object JaroWinkler {
     (md / l1 + md / l2 + (md - t / 2.0) / md) / 3.0
   }
 
-  /** Jaro-Winkler: prefix bonus (p = 0.1, max 4 chars) above the 0.7
-    * boost threshold. */
-  def similarity(a: String, b: String): Double = {
+  /** Jaro-Winkler over UTF-8 bytes: prefix bonus (p = 0.1, max 4 bytes)
+    * above the 0.7 boost threshold. */
+  def similarity(a: Array[Byte], b: Array[Byte]): Double = {
     val j = jaro(a, b)
     if (j <= 0.7) return j
     var prefix = 0
     val max = math.min(4, math.min(a.length, b.length))
-    while (prefix < max && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    while (prefix < max && a(prefix) == b(prefix)) prefix += 1
     j + prefix * 0.1 * (1.0 - j)
   }
 
-  /** UTF8String entry point for codegen. */
+  /** String convenience (tests / driver-side): scores the UTF-8 bytes. */
+  def similarity(a: String, b: String): Double =
+    similarity(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** UTF8String entry point for codegen — reads the backing bytes
+    * directly, no decode. */
   def sim(a: UTF8String, b: UTF8String): Double =
-    similarity(a.toString, b.toString)
+    similarity(a.getBytes, b.getBytes)
 
   /** Column builder: `jaro_winkler(a, b)` → double in [0, 1]. */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -60,4 +60,35 @@ object Entity {
       .withColumn("jw", JaroWinkler.jaroWinkler(col("q_name"), col("c_name")))
       .select("qid", "q_name", "c_name", "edit", "jw")
   }
+
+  /** Pure Jaro-Winkler linkage: the same prefix-block + length-band
+    * candidate join as [[blockedMatches]], confirmed by `jw ≥ minJw`
+    * alone — no levenshtein stage. This is the path for NON-ASCII name
+    * fields: the [[graft.functions.JaroWinkler]] scorer works over
+    * UTF-8 bytes, bit-identical to DuckDB's on every string (q214's
+    * accented/CJK/Cyrillic oracle), whereas an edit-distance confirm
+    * mixes units cross-engine (Spark's levenshtein counts codepoints,
+    * DuckDB's counts bytes — fine inside one engine, not oracle-
+    * portable beyond ASCII; [[blockedMatches]] keeps it for the
+    * ASCII-name scope q151 pins). `maxLenDelta` is the codepoint
+    * length band (length() counts codepoints in both engines).
+    * Same scale shape: never corpus-quadratic — Σ per block of
+    * |queries_block|·|corpus_block|, corpus side AQE-broadcast when
+    * small. */
+  def jwMatches(queries: DataFrame, corpus: DataFrame,
+                minJw: Double = 0.85, blockChars: Int = 2,
+                maxLenDelta: Int = 4): DataFrame = {
+    require(minJw >= 0 && blockChars >= 1 && maxLenDelta >= 0)
+    def keyed(df: DataFrame, nameAs: String, lenAs: String): DataFrame =
+      df.select(df.columns.map(col) :+
+        lower(substring(col("name"), 1, blockChars)).as("block") :+
+        length(col("name")).as(lenAs): _*)
+        .withColumnRenamed("name", nameAs)
+    keyed(queries, "q_name", "q_len")
+      .join(keyed(corpus, "c_name", "c_len"), Seq("block"))
+      .filter(abs(col("q_len") - col("c_len")) <= maxLenDelta)
+      .withColumn("jw", JaroWinkler.jaroWinkler(col("q_name"), col("c_name")))
+      .filter(col("jw") >= minJw)
+      .select("qid", "q_name", "c_name", "jw")
+  }
 }

@@ -244,10 +244,11 @@ object WebText {
     * their block so per-block link density can be measured. `\b` (an
     * ASCII word boundary, identical in Java regex and RE2) stops `p`
     * from matching inside `<pre>` while still allowing attributes. */
-  private val BlockTagPattern =
+  private[graft] val BlockTagPattern =
     "(?i)(?:</?(?:h[1-6]|pre|p|div|ul|ol|li|dl|dt|dd|table|thead|tbody|" +
       "tfoot|tr|td|th|section|article|header|footer|nav|aside|blockquote|" +
-      "form|main|figure|figcaption|fieldset)\\b[^>]*>|<br\\s*/?>)"
+      "form|main|figure|figcaption|fieldset|html|head|body)\\b[^>]*>|" +
+      "<br\\s*/?>)"
 
   /** jusText/boilerpipe-style block segmentation: each page split into
     * visual blocks on block-level tag boundaries, each block scored with

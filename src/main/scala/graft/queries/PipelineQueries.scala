@@ -5214,8 +5214,10 @@ object PipelineQueries {
     * ([[graft.ops.WebText.contentBlocks]]), re-derived from DuckDB's
     * RE2 builtins (`regexp_split_to_array` + indexed `list_transform`
     * — 1-based `i` shifted to the 0-based split position). */
-  private val contentBlocksSql: String =
-    """WITH p AS (SELECT
+  /** The q211/q212 chrome-page fixture as a bare SELECT (pages CTE
+    * body) — [[blocksSqlFrom]] wraps it; q215 supplies its own pages. */
+  private val chromePagesSql: String =
+    """SELECT
       |  'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a/' ||
       |    CAST(doc_id AS VARCHAR) AS url,
       |  '<div class="nav"><a href="http://site0.example.org/">Home</a> ' ||
@@ -5227,16 +5229,21 @@ object PipelineQueries {
       |  '<a href="http://site0.example.org/terms">Terms</a> ' ||
       |  '<a href="http://site0.example.org/privacy">Privacy</a> ' ||
       |  '(c) example</div>' AS html
-      |  FROM documents WHERE text IS NOT NULL),
-      |pre AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(html,
+      |  FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** Block split + per-block scoring stages, parameterized by a pages
+    * CTE (`url`, `html`): the DuckDB mirror of
+    * [[graft.ops.WebText.contentBlocks]], ending in a `blocks` CTE.
+    * The split pattern is SPLICED from the Scala constant — the two
+    * engines can never drift. */
+  private def blocksSqlFrom(pages: String): String =
+    "WITH p AS (" + pages + "),\n" +
+    """pre AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(html,
       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
       |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM p),
       |arr AS (SELECT url, regexp_split_to_array(h,
-      |    '(?i)(?:</?(?:h[1-6]|pre|p|div|ul|ol|li|dl|dt|dd|table|thead|' ||
-      |    'tbody|tfoot|tr|td|th|section|article|header|footer|nav|aside|' ||
-      |    'blockquote|form|main|figure|figcaption|fieldset)\b[^>]*>|' ||
-      |    '<br\s*/?>)') AS a FROM pre),
+      |    '""".stripMargin + WebText.BlockTagPattern + """') AS a FROM pre),
       |rb AS (SELECT url, unnest(list_transform(a,
       |    (x, i) -> {'block_idx': CAST(i - 1 AS BIGINT), 'raw': x}),
       |    recursive := true) FROM arr),
@@ -5262,6 +5269,26 @@ object PipelineQueries {
       |    (n_chars >= 80 AND (lc * 1000000) // n_chars <= 500000) AS is_good
       |  FROM sc)""".stripMargin
 
+  private val contentBlocksSql: String = blocksSqlFrom(chromePagesSql)
+
+  /** The [[graft.ops.WebText.mainContent]] selection + per-page
+    * aggregation mirror, appended after a `blocks` CTE. */
+  private val mainContentTailSql: String =
+    """,
+      |k AS (SELECT *, is_good OR (link_density_micros <= 500000
+      |    AND coalesce(lag(is_good) OVER
+      |      (PARTITION BY url ORDER BY block_idx), FALSE)
+      |    AND coalesce(lead(is_good) OVER
+      |      (PARTITION BY url ORDER BY block_idx), FALSE)) AS keep
+      |  FROM blocks)
+      |SELECT url, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS n_chars_kept,
+      |  coalesce(string_agg(CASE WHEN keep THEN block_text END, chr(10)
+      |    ORDER BY block_idx), '') AS main_text
+      |FROM k GROUP BY url ORDER BY url""".stripMargin
+
   /** Block-level segmentation signals ([[graft.ops.WebText.contentBlocks]])
     * over chrome-wrapped pages: every split position, visible text,
     * char count, link density, and good/chrome classification
@@ -5285,21 +5312,7 @@ object PipelineQueries {
     * and the nav-adjacent `<h1>` must always drop — both re-derived by
     * the oracle's lag/lead windows. */
   val q212MainContent: Q = q("q212_main_content",
-    contentBlocksSql +
-      """,
-        |k AS (SELECT *, is_good OR (link_density_micros <= 500000
-        |    AND coalesce(lag(is_good) OVER
-        |      (PARTITION BY url ORDER BY block_idx), FALSE)
-        |    AND coalesce(lead(is_good) OVER
-        |      (PARTITION BY url ORDER BY block_idx), FALSE)) AS keep
-        |  FROM blocks)
-        |SELECT url, CAST(count(*) AS BIGINT) AS n_blocks,
-        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
-        |    AS n_chars_kept,
-        |  coalesce(string_agg(CASE WHEN keep THEN block_text END, chr(10)
-        |    ORDER BY block_idx), '') AS main_text
-        |FROM k GROUP BY url ORDER BY url""".stripMargin) { (s, d) =>
+    contentBlocksSql + mainContentTailSql) { (s, d) =>
     WebText.mainContent(chromePages(s, d)).orderBy("url")
   }
 
@@ -5394,6 +5407,116 @@ object PipelineQueries {
     }
   }
 
+  /** (canonical, dirty-variant) non-ASCII name pairs for q214 —
+    * accents stripped/added, CJK char swap, Cyrillic truncation, Greek
+    * diacritics dropped, Hebrew spelling variant. Lowercase only; all
+    * pairs share a 2-codepoint blocking prefix and sit within the
+    * codepoint length band. */
+  private val nonAsciiNames: Seq[(String, String)] = Seq(
+    "josé garcía" -> "jose garcia",
+    "françois müller" -> "francois muller",
+    "björk guðmundsdóttir" -> "björk gudmundsdottir",
+    "café noir später" -> "café noir spater",
+    "山田太郎 研究所" -> "山田太郎 研九所",
+    "андрей соколов" -> "андрей сокол",
+    "ελένη παπαδοπούλου" -> "ελενη παπαδοπουλου",
+    "קפה ירושלים" -> "קפה ירושלם")
+
+  /** Non-ASCII record linkage ([[graft.ops.Entity.jwMatches]]): the
+    * byte-based [[graft.functions.JaroWinklerSim]] scorer is
+    * bit-identical to DuckDB's jaro_winkler_similarity on EVERY string,
+    * so accented/CJK/Cyrillic/Greek/Hebrew name variants are now
+    * value-oracle-able — closing the r10 documented ASCII-only parity
+    * scope. Pure-JW confirm (no levenshtein: Spark counts codepoints,
+    * DuckDB bytes — not portable beyond ASCII); blocking prefix and
+    * length band are codepoint-based in both engines. */
+  val q214JwNonAscii: Q = {
+    val canonValues = nonAsciiNames.zipWithIndex
+      .map { case ((c, _), k) => s"($k, '$c')" }.mkString(", ")
+    val varValues = nonAsciiNames.zipWithIndex
+      .map { case ((_, v), k) => s"($k, '$v')" }.mkString(", ")
+    q("q214_jw_nonascii",
+      s"""WITH canon(k, name) AS (VALUES $canonValues),
+         |var(k, name) AS (VALUES $varValues),
+         |corpus AS (SELECT DISTINCT c.name FROM documents d
+         |  JOIN canon c ON d.doc_id % 8 = c.k WHERE d.doc_id < 40),
+         |q AS (SELECT d.doc_id AS qid, v.name FROM documents d
+         |  JOIN var v ON d.doc_id % 8 = v.k
+         |  WHERE d.doc_id >= 40 AND d.doc_id < 80),
+         |m AS (SELECT qid, q.name AS q_name, c.name AS c_name,
+         |    jaro_winkler_similarity(q.name, c.name) AS jw
+         |  FROM q JOIN corpus c
+         |    ON lower(substr(q.name, 1, 2)) = lower(substr(c.name, 1, 2))
+         |   AND abs(length(q.name) - length(c.name)) <= 4
+         |  WHERE jaro_winkler_similarity(q.name, c.name) >= 0.8)
+         |SELECT qid, q_name, c_name, round(jw, 4) AS jw
+         |FROM m ORDER BY qid, c_name""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val canon = array(nonAsciiNames.map(p => lit(p._1)): _*)
+      val variant = array(nonAsciiNames.map(p => lit(p._2)): _*)
+      val corpus = base.filter(col("doc_id") < 40)
+        .select(element_at(canon, (col("doc_id") % 8 + 1).cast("int"))
+          .as("name")).distinct()
+      val queries = base.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select(col("doc_id").as("qid"),
+          element_at(variant, (col("doc_id") % 8 + 1).cast("int")).as("name"))
+      graft.ops.Entity.jwMatches(queries, corpus, minJw = 0.8)
+        .withColumn("jw", round(col("jw"), 4))
+        .orderBy("qid", "c_name")
+    }
+  }
+
+  /** The WET path upgraded with main-content extraction: q199 strips
+    * tags page-wide (nav text and all); this runs the FULL crawl stack
+    * — byte-level WARC synthesis → member parse → HTTP split →
+    * charset decode ([[graft.ops.Warc.parseWarcHttpDocs]]) → block
+    * segmentation + jusText selection ([[graft.ops.WebText.mainContent]])
+    * — so the extracted corpus is the article bodies WITHOUT the
+    * planted nav/footer chrome. The oracle synthesizes the same HTML
+    * directly (the WARC/HTTP layers are proven transparent by
+    * q185/q188/q190/q198) and re-derives the shared blocks pipeline +
+    * selection. */
+  val q215WetMainContent: Q = q("q215_wet_main_content",
+    blocksSqlFrom(
+      """SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '<html><head><style>p{color:red}</style></head><body>' ||
+        |  '<div class="nav"><a href="http://example.com/">Home</a> ' ||
+        |  '<a href="http://example.com/about">About us</a> ' ||
+        |  '<a href="http://example.com/contact">Contact</a></div>' ||
+        |  '<h1>Story ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |  '</p><p>Figure 1: a short caption</p><p>' || text ||
+        |  ' closing remarks</p><div class="footer">' ||
+        |  '<a href="http://example.com/terms">Terms</a> ' ||
+        |  '<a href="http://example.com/privacy">Privacy</a> ' ||
+        |  '(c) example</div><script>var a=1;</script><!-- note -->' ||
+        |  '</body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL""".stripMargin) +
+      mainContentTailSql) { (s, d) =>
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style></head><body>" +
+        "<div class=\"nav\"><a href=\"http://example.com/\">Home</a> " +
+        "<a href=\"http://example.com/about\">About us</a> " +
+        "<a href=\"http://example.com/contact\">Contact</a></div>" +
+        "<h1>Story "), col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>Figure 1: a short caption</p><p>"), col("text"),
+      lit(" closing remarks</p><div class=\"footer\">" +
+        "<a href=\"http://example.com/terms\">Terms</a> " +
+        "<a href=\"http://example.com/privacy\">Privacy</a> " +
+        "(c) example</div><script>var a=1;</script><!-- note -->" +
+        "</body></html>"))
+    val httpBytes = concat(
+      encode(lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n\r\n"), "UTF-8"),
+      encode(html, "UTF-8"))
+    val chunks = binaryWarcChunks(Tables.documents(s, d),
+      httpWarcRecordBytes(httpBytes))
+    val pages = Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid") && col("content_type") === "text/html")
+      .select(col("target_uri").as("url"), col("text").as("html"))
+    WebText.mainContent(pages).orderBy("url")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5436,5 +5559,6 @@ object PipelineQueries {
     q199WetExtract, q200MimeSniff, q201DomainReputation, q202BigramBackoff,
     q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards,
     q207Revisit, q208AllocBudget, q209CrawlBudget, q210AnnLshOracle,
-    q211ContentBlocks, q212MainContent, q213LangIdTrigram)
+    q211ContentBlocks, q212MainContent, q213LangIdTrigram,
+    q214JwNonAscii, q215WetMainContent)
 }

@@ -31,7 +31,18 @@ class EntitySpec extends SparkSpec {
     // suppress the prefix bonus
     ("abcdxxxxxx", "abcdyyyyyy", 0.6),
     ("aaaaa", "aaaaabbbbbbbbbbbbbbb", 0.85),
-    ("supplier#000000001", "supplier#000000010", 0.9888888888888889))
+    ("supplier#000000001", "supplier#000000010", 0.9888888888888889),
+    // non-ASCII: the scorer works over UTF-8 BYTES, matching DuckDB
+    // bit-exactly on multi-byte text (each value below is DuckDB 1.0's
+    // jaro_winkler_similarity output, captured 2026-08-15)
+    ("café", "cafe", 0.8483333333333334),
+    ("café", "café", 1.0),
+    ("müller", "mueller", 0.8285714285714287),
+    ("björk", "bjork", 0.8577777777777779),
+    ("敏捷的棕色", "敏捷的棕红", 0.92),
+    ("こんにちは", "こんばんは", 0.9033333333333333),
+    ("Ángel", "Angel", 0.8222222222222223),
+    ("rené", "renée", 0.9666666666666667))
 
   test("JaroWinkler.similarity matches the reference vectors bit-exactly") {
     vectors.foreach { case (a, b, want) =>

@@ -113,6 +113,98 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamedDocs.nonEmpty && streamedDocs === batchDocs)
   }
 
+  test("composed crawl loop: WARC ingest → quality gate → near-dup gate " +
+    "as ONE multi-link pipeline — batch parity per stage, incremental " +
+    "corpus across batches, exactly-once replay") {
+    import graft.ops.{Curation, Warc, WebText}
+    import graft.runtime.{Pipeline, WarcHttpIngestLink}
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val b = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val c = "red orange yellow green blue indigo violet crimson amber teal " +
+      "magenta cyan maroon olive navy coral salmon ivory jade pearl"
+    // 10/20 near-dup their earlier siblings; 12/22 must die at the gate
+    val batch1 = Seq(10L -> (a + " uniform"), 11L -> b,
+      12L -> "ok ok ok ok ok ok")
+    val batch2 = Seq(20L -> (b + " extra"), 21L -> c, 22L -> "too short")
+    // the q189 messy-URI synthesis: canonicalization must recover the
+    // clean doc URL before gating/dedup keys off it
+    val messyUri = concat(lit("HTTP://WWW.Example.COM:80//doc//"),
+      col("doc_id"), lit("?utm_source=warc#frag"))
+
+    object GateLink extends Link {
+      val inputs = Seq("crawl_docs"); val output = Some("crawl_gated")
+      override def transform(df: DataFrame): DataFrame = {
+        val canon = df.filter(col("valid"))
+          .select(WebText.canonicalUrl(col("target_uri")).as("url"),
+            col("text"))
+        Curation.qualityGates(canon).filter(col("passes"))
+          .select(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+            .as("doc_id"), col("url"), col("text"))
+      }
+    }
+    val ndLink = new NearDupGateLink("crawl_gated", "crawl_corpus",
+      "crawl_pairs", minJaccard = 0.8)
+    val pipeline = new Pipeline(Seq(
+      new WarcHttpIngestLink("crawl_chunks", "crawl_docs"),
+      GateLink, ndLink))
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-crawl-loop").toString)
+    reg.write(docs(1L -> a), "crawl_corpus") // pre-seeded corpus
+    val chunks1 = Warc.syntheticWarcChunks(docs(batch1: _*), uri = messyUri)
+    val chunks2 = Warc.syntheticWarcGzipChunks(spark, docs(batch2: _*),
+      uri = messyUri)
+    reg.write(chunks1, "crawl_chunks")
+    pipeline.runOnce(spark, reg)
+    reg.write(chunks2, "crawl_chunks")
+    pipeline.runOnce(spark, reg)
+
+    // stage parity 1+2: the streamed gated rows equal the batch
+    // parse → canonicalize → gate plan over the SAME chunks (plain +
+    // gzip), i.e. q189's front half
+    def gatedBatch(chunks: DataFrame): DataFrame =
+      GateLink.transform(Warc.parseWarcHttpDocs(spark, chunks).toDF())
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val gatedStreamed = rows(reg.read("crawl_gated"))
+    assert(gatedStreamed === rows(gatedBatch(chunks1.union(chunks2))))
+    assert(gatedStreamed.map(_.head) === Set(10L, 11L, 20L, 21L),
+      "gate must pass exactly the four quality docs")
+
+    // stage parity 3: pairs equal the batch replication of the
+    // incremental screen-then-admit protocol over the same two batches
+    def pairsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_corpus"),
+        r.getAs[Double]("jaccard"))).toSet
+    var corpus = docs(1L -> a)
+    val expected = scala.collection.mutable.Set[(Long, Long, Double)]()
+    for (chunks <- Seq(chunks1, chunks2)) {
+      val bdf = gatedBatch(chunks).select("doc_id", "text")
+      val p = graft.ops.Dedup.minHashLshAgainstCorpus(corpus, bdf, 0.8)
+      expected ++= pairsOf(p)
+      corpus = corpus.union(bdf.join(
+        p.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+    }
+    val streamedPairs = pairsOf(reg.read("crawl_pairs"))
+    assert(streamedPairs === expected.toSet)
+    // 20 matched 11 — admitted one batch earlier THROUGH the pipeline:
+    // the loop genuinely accumulates its own output as screening corpus
+    assert(streamedPairs.exists(p => p._1 == 20L && p._2 == 11L))
+    assert(streamedPairs.exists(p => p._1 == 10L && p._2 == 1L))
+    assert(reg.read("crawl_corpus").collect().map(_.getAs[Long]("doc_id"))
+      .sorted === Array(1L, 11L, 21L))
+
+    // replay with no new chunks: every stage appends nothing
+    val before = Seq("crawl_docs", "crawl_gated", "crawl_corpus",
+      "crawl_pairs").map(s => reg.read(s).count())
+    pipeline.runOnce(spark, reg)
+    val after = Seq("crawl_docs", "crawl_gated", "crawl_corpus",
+      "crawl_pairs").map(s => reg.read(s).count())
+    assert(after === before, "exactly-once replay must be a no-op")
+  }
+
   test("streaming near-dup gate link: pair parity with the batch " +
     "incremental path; survivors accumulate into the screening corpus") {
     val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
