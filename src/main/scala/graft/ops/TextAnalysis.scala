@@ -156,13 +156,21 @@ object TextAnalysis {
     * expressions + two bounded aggregates. */
   def langIdTrigram(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val s = concat(lit(" "),
+    val sExpr = concat(lit(" "),
       trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit(" "))
-    val nTri = greatest(length(s) - 2, lit(0)).cast("long")
-    val tris = when(length(s) >= 3,
-      transform(sequence(lit(1), length(s) - 2),
-        i => s.substr(i, lit(3)))).otherwise(array())
-    val base = Spread.cpu(docs).select(col("doc_id"), col("text"),
+    // The normalized string is materialized in its OWN projection
+    // (multi-referenced below, so CollapseProject keeps the alias — the
+    // langId precedent), and trigram extraction is the native codegen'd
+    // [[graft.functions.CharTrigrams]]: the equivalent
+    // transform(sequence, i -> substr) HOF evaluated interpreted per
+    // element and re-ran catastrophically as the explode's generator
+    // child — 26 s at sf0.1 for the explode stage alone vs ~1 s total
+    // with the native expression (the BigramTopCount lesson again).
+    val norm = Spread.cpu(docs).select(col("doc_id"), col("text"),
+      sExpr.as("graft_s"))
+    val nTri = greatest(length(col("graft_s")) - 2, lit(0)).cast("long")
+    val tris = graft.functions.CharNgramFunctions.charTrigrams(col("graft_s"))
+    val base = norm.select(col("doc_id"), col("text"),
       nTri.as("n_trigrams"), tris.as("graft_tris"))
     val hits = base.select(col("doc_id"), explode(col("graft_tris")).as("trigram"))
       .join(broadcast(trigramProfiles(spark)), Seq("trigram"))

@@ -5354,39 +5354,67 @@ object PipelineQueries {
     * source of truth) and re-derives normalization, codepoint trigram
     * extraction, weight-sum scoring, micros normalization, argmax with
     * lang tie-break, script gates, and the unknown fallback. */
-  val q213LangIdTrigram: Q = {
+  /** Generated-SQL building blocks shared by q213/q216: the planted
+    * fixture CTEs + trigram scoring up to `best`, and the gate CASE
+    * fragments — all derived from the SAME Scala constants the Spark
+    * side uses. `predLangSql` is the per-doc verdict expression over
+    * aliases `f` (feat) / `b` (best). */
+  private val langIdFixtureCtes: String = {
     val nSent = plantedLangTexts.size
     val sentValues = plantedLangTexts.zipWithIndex
       .map { case ((_, t), k) => s"($k, '$t')" }.mkString(", ")
     val profValues = TextAnalysis.trigramProfileRows
       .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
-    val gateCases = TextAnalysis.scriptGatesRe2
-      .map { case (l, re) => s"WHEN regexp_matches(f.text, '$re') THEN '$l'" }
-      .mkString(" ")
+    s"""WITH sent(k, txt) AS (VALUES $sentValues),
+       |corpus AS (
+       |  SELECT d.doc_id, s.txt AS text FROM documents d
+       |    JOIN sent s ON d.doc_id % $nSent = s.k WHERE d.doc_id < 115
+       |  UNION ALL SELECT doc_id, text FROM documents
+       |    WHERE doc_id >= 115 AND text IS NOT NULL),
+       |prof(lang, trigram, w) AS (VALUES $profValues),
+       |feat AS (SELECT doc_id, text,
+       |    ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       |      || ' ' AS s FROM corpus),
+       |tri AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, length(s) - 1), i -> substr(s, i, 3))) AS trigram
+       |  FROM feat),
+       |hits AS (SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS w
+       |  FROM tri JOIN prof USING (trigram) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, lang, w FROM (SELECT *, row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY w DESC, lang DESC) AS rk
+       |  FROM hits) WHERE rk = 1)""".stripMargin
+  }
+
+  private val langGateCases: String = TextAnalysis.scriptGatesRe2
+    .map { case (l, re) => s"WHEN regexp_matches(f.text, '$re') THEN '$l'" }
+    .mkString(" ")
+
+  private val predLangSql: String =
+    s"CASE $langGateCases ELSE coalesce(b.lang, 'unknown') END"
+
+  /** The q213 planted multilingual corpus, Spark side (the same rows
+    * the `sent`/`corpus` CTEs build). */
+  private def plantedLangCorpus(s: SparkSession, d: String): DataFrame = {
+    val nSent = plantedLangTexts.size
+    val sentences = plantedLangTexts.map(_._2)
+    val base = Tables.documents(s, d)
+    base.filter(col("doc_id") < 115)
+      .select(col("doc_id"),
+        element_at(array(sentences.map(lit): _*),
+          (col("doc_id") % nSent + 1).cast("int")).as("text"))
+      .unionAll(base.filter(col("doc_id") >= 115 && col("text").isNotNull)
+        .select("doc_id", "text"))
+  }
+
+  val q213LangIdTrigram: Q = {
     val anyGate = TextAnalysis.scriptGatesRe2
       .map { case (_, re) => s"regexp_matches(f.text, '$re')" }
       .mkString(" OR ")
     q("q213_lang_id_trigram",
-      s"""WITH sent(k, txt) AS (VALUES $sentValues),
-         |corpus AS (
-         |  SELECT d.doc_id, s.txt AS text FROM documents d
-         |    JOIN sent s ON d.doc_id % $nSent = s.k WHERE d.doc_id < 115
-         |  UNION ALL SELECT doc_id, text FROM documents
-         |    WHERE doc_id >= 115 AND text IS NOT NULL),
-         |prof(lang, trigram, w) AS (VALUES $profValues),
-         |feat AS (SELECT doc_id, text,
-         |    ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-         |      || ' ' AS s FROM corpus),
-         |tri AS (SELECT doc_id, unnest(list_transform(
-         |    range(1, length(s) - 1), i -> substr(s, i, 3))) AS trigram
-         |  FROM feat),
-         |hits AS (SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS w
-         |  FROM tri JOIN prof USING (trigram) GROUP BY 1, 2),
-         |best AS (SELECT doc_id, lang, w FROM (SELECT *, row_number()
-         |    OVER (PARTITION BY doc_id ORDER BY w DESC, lang DESC) AS rk
-         |  FROM hits) WHERE rk = 1)
+      langIdFixtureCtes +
+      s"""
          |SELECT f.doc_id,
-         |  CASE $gateCases ELSE coalesce(b.lang, 'unknown') END AS pred_lang,
+         |  $predLangSql AS pred_lang,
          |  CAST(CASE WHEN $anyGate THEN 1000000
          |    WHEN b.lang IS NOT NULL
          |      THEN (b.w * 1000000) // greatest(length(f.s) - 2, 0)
@@ -5394,17 +5422,46 @@ object PipelineQueries {
          |  CAST(greatest(length(f.s) - 2, 0) AS BIGINT) AS n_trigrams
          |FROM feat f LEFT JOIN best b USING (doc_id)
          |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
-      val sentences = plantedLangTexts.map(_._2)
-      val base = Tables.documents(s, d)
-      val planted = base.filter(col("doc_id") < 115)
-        .select(col("doc_id"),
-          element_at(array(sentences.map(lit): _*),
-            (col("doc_id") % nSent + 1).cast("int")).as("text"))
-      val corpus = planted.unionAll(
-        base.filter(col("doc_id") >= 115 && col("text").isNotNull)
-          .select("doc_id", "text"))
-      TextAnalysis.langIdTrigram(corpus).orderBy("doc_id")
+      TextAnalysis.langIdTrigram(plantedLangCorpus(s, d)).orderBy("doc_id")
     }
+  }
+
+  /** Multilingual corpus budgeting capstone: trigram language ID →
+    * per-language whitespace-token weights → EXACT largest-remainder
+    * budget allocation (Σ alloc == budget to the unit) — the "how many
+    * tokens of each language go into the mix" planning step of a
+    * multilingual pretraining corpus, every stage reusing an
+    * oracle-pinned component (q213 langid, q208 allocation). The
+    * oracle rebuilds the language verdicts, the per-lang token rollup,
+    * and the HUGEINT remainder method end-to-end. */
+  val q216LangBudget: Q = q("q216_lang_budget",
+    langIdFixtureCtes +
+    s""",
+       |pred AS (SELECT f.doc_id, f.text,
+       |    $predLangSql AS pred_lang
+       |  FROM feat f LEFT JOIN best b USING (doc_id)),
+       |w AS (SELECT pred_lang,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+       |  FROM pred GROUP BY 1),
+       |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM w),
+       |alloc AS (SELECT pred_lang, w,
+       |    CAST((99991::HUGEINT * w) // tw AS BIGINT) AS base,
+       |    (99991::HUGEINT * w) % tw AS rem FROM w, t),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, pred_lang)
+       |    AS rk,
+       |  CAST(99991 - sum(base) OVER () AS BIGINT) AS extra FROM alloc)
+       |SELECT pred_lang, w,
+       |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r ORDER BY pred_lang""".stripMargin) { (s, d) =>
+    val corpus = plantedLangCorpus(s, d)
+    val langs = TextAnalysis.langIdTrigram(corpus)
+      .select("doc_id", "pred_lang")
+    val weights = corpus.join(langs, Seq("doc_id"))
+      .groupBy("pred_lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("w"))
+    Curation.allocateBudget(weights, "pred_lang", "w", budget = 99991L)
+      .orderBy("pred_lang")
   }
 
   /** (canonical, dirty-variant) non-ASCII name pairs for q214 —
@@ -5560,5 +5617,5 @@ object PipelineQueries {
     q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards,
     q207Revisit, q208AllocBudget, q209CrawlBudget, q210AnnLshOracle,
     q211ContentBlocks, q212MainContent, q213LangIdTrigram,
-    q214JwNonAscii, q215WetMainContent)
+    q214JwNonAscii, q215WetMainContent, q216LangBudget)
 }

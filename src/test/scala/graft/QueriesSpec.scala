@@ -101,6 +101,9 @@ class QueriesSpec extends SparkSpec {
       // floor shortfall) onto the allocation-key-bounded ledger — the
       // same scalar-aggregate class
       "q208_alloc_budget", "q209_crawl_budget",
+      // q216 runs the same allocateBudget machinery over the
+      // language-bounded ledger — the identical scalar-aggregate class
+      "q216_lang_budget",
       // q142's per-half-round max rescale crossJoins a broadcast
       // one-row max aggregate — the scalar-aggregate class
       "q142_hits",

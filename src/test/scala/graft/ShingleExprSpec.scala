@@ -41,6 +41,32 @@ class ShingleExprSpec extends SparkSpec {
     assert(got(1) === got(2))
   }
 
+  test("char_trigrams: codepoint windows match the substr reference on " +
+    "ASCII and multi-byte text; under-3 chars → empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq("hello world", "ab", "", "héllo", "敏捷的棕色狐狸",
+      "สุนัขจิ้งจอก", " padded str ", "a b")
+    val got = rows.toDF("s")
+      .select(graft.functions.CharNgramFunctions.charTrigrams(col("s")).as("t"))
+      .as[Seq[String]].collect().toSeq
+    val want = rows.map { s =>
+      val cps = s.toSeq // BMP-only fixtures: char == codepoint here
+      if (cps.length < 3) Seq.empty[String]
+      else (0 to cps.length - 3).map(i => cps.slice(i, i + 3).mkString)
+    }
+    assert(got === want)
+    // interpreted path (eval without codegen) agrees — the oracle relies
+    // on one semantics regardless of execution mode
+    rows.foreach { s =>
+      val arr = graft.functions.CharNgramOps.trigrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val fromEval = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      assert(fromEval === want(rows.indexOf(s)), s"eval path on '$s'")
+    }
+  }
+
   test("SQL registration: shingle_hashes callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
