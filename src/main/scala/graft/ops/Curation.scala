@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the composition the
@@ -765,5 +765,55 @@ object Curation {
           .when(alpha < minAlphaRatioMicros, "alpha_ratio")
           .when(stopHits < minStopwords, "stopwords"))
       .withColumn("keep", col("first_fail").isNull)
+  }
+
+  /** Demonstrative category blocklist for [[blocklistSignals]] — a real
+    * deployment broadcasts a UT1/operator-maintained list (100k+ terms,
+    * still broadcast-sized); this built-in keeps the plumbing testable
+    * and dependency-free. */
+  val defaultBlocklistRows: Seq[(String, String)] = Seq(
+      "gambling" -> Seq("casino", "jackpot", "poker", "roulette", "betting"),
+      "pharma" -> Seq("viagra", "cialis", "oxycodone", "xanax"),
+      "piracy" -> Seq("warez", "keygen", "torrentz", "crackz"),
+      "malware" -> Seq("trojan", "botnet", "ransomware"))
+    .flatMap { case (c, ts) => ts.map(c -> _) }
+
+  def defaultBlocklist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    defaultBlocklistRows.toDF("category", "term")
+  }
+
+  /** UT1-style keyword blocklist scoring — the category gate every
+    * crawl-curation pipeline runs alongside the quality gates
+    * (RefinedWeb/FineWeb shape): count blocklist-term occurrences per
+    * (doc, category) over alphanumeric-lowered tokens, flag documents
+    * with any category at ≥ `threshold` hits (one stray "poker" in
+    * prose survives; a page repeating it does not). Output per doc:
+    * `n_hits` (all categories), `flagged_categories` (sorted-distinct,
+    * comma-joined, '' when clean), `flagged`.
+    *
+    * Scale shape: the term table broadcasts; the token explode never
+    * shuffles raw rows — (doc, category) counts map-side combine, so
+    * the shuffled cardinality is docs × hit-categories; then one
+    * doc-keyed aggregate and one doc-keyed left join back to the doc
+    * spine for zero-hit rows. No window, no UDF. */
+  def blocklistSignals(docs: DataFrame, blocklist: DataFrame,
+                       threshold: Int = 2): DataFrame = {
+    require(threshold >= 1, s"threshold >= 1, got $threshold")
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val perCat = toks.join(broadcast(blocklist), Seq("term"))
+      .groupBy("doc_id", "category").agg(count(lit(1)).as("n"))
+    val perDoc = perCat.groupBy("doc_id").agg(
+      sum("n").as("n_hits"),
+      array_join(array_sort(collect_list(
+        when(col("n") >= threshold, col("category")))), ",")
+        .as("flagged_categories"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("flagged_categories"), lit("")).as("flagged_categories"),
+        coalesce(col("flagged_categories") =!= "", lit(false)).as("flagged"))
   }
 }

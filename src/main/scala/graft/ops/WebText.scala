@@ -330,6 +330,41 @@ object WebText {
           x => x("block_text")), "\n").as("main_text"))
   }
 
+  /** Page-level robots directives (`<meta name="robots" content="…">`,
+    * RFC 9309's HTML sibling): the per-PAGE admission signal a crawl
+    * pipeline must honor after the per-SITE robots.txt gate —
+    * `noindex` pages are excluded from the corpus/index, `nofollow`
+    * pages contribute no outlinks to the frontier. Both attribute
+    * orders are matched (name-first and content-first; any quote
+    * style on `name`, quoted `content`), multiple robots metas
+    * union their directives, and `none` expands to
+    * noindex+nofollow per the standard. Output per page: `directives`
+    * (sorted-distinct, comma-joined, lowercased), `noindex`,
+    * `nofollow`. Pure codegen'd regex chain — Java∩RE2 subset like
+    * every WebText expression, no shuffle, composes onto the WARC→HTML
+    * scan. */
+  def metaRobotsSignals(pages: DataFrame, urlCol: String = "url",
+                        htmlCol: String = "html"): DataFrame = {
+    val nameFirst = "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?robots[\"']?" +
+      "[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']"
+    val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+      "[^>]*?name\\s*=\\s*[\"']?robots[\"']?"
+    def contents(re: String): Column =
+      regexp_extract_all(col(htmlCol), lit(re), lit(1))
+    val directives = array_sort(array_distinct(filter(
+      transform(flatten(transform(
+        concat(contents(nameFirst), contents(contentFirst)),
+        c => split(lower(c), ","))), d => trim(d)),
+      d => d =!= "")))
+    pages.select(col(urlCol).as("url"), directives.as("graft_dirs"))
+      .select(col("url"),
+        array_join(col("graft_dirs"), ",").as("directives"),
+        array_contains(col("graft_dirs"), "noindex")
+          .or(array_contains(col("graft_dirs"), "none")).as("noindex"),
+        array_contains(col("graft_dirs"), "nofollow")
+          .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
+  }
+
   /** Change-rate revisit schedule (the Cho/Garcia-Molina freshness
     * policy, the standard recrawl heuristic): from a fetch history of
     * `(url, fetch_ts_ms, changed)` rows — `changed` is the fetcher's

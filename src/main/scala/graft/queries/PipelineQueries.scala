@@ -5574,6 +5574,94 @@ object PipelineQueries {
     WebText.mainContent(pages).orderBy("url")
   }
 
+  /** Page-level robots directives
+    * ([[graft.ops.WebText.metaRobotsSignals]]): six meta cohorts —
+    * index/follow, upper-case NOINDEX, unquoted name= + spaced
+    * directive list, noindex,nofollow, NO robots meta, and
+    * content-FIRST attribute order with `none` — each alongside
+    * `description`/`viewport` decoy metas whose content carries the
+    * word "noindex" (the name filter must not read them). GROUND-TRUTH
+    * oracle: expected directives/flags derived straight from the
+    * synthesis modulus, so the extraction is checked against intent,
+    * not a shared regex. */
+  val q217MetaRobots: Q = q("q217_meta_robots",
+    """SELECT 'http://example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'follow,index' WHEN 1 THEN 'noindex'
+      |    WHEN 2 THEN 'archive,nofollow' WHEN 3 THEN 'nofollow,noindex'
+      |    WHEN 4 THEN '' ELSE 'none' END AS directives,
+      |  CAST(doc_id % 6 AS INT) IN (1, 3, 5) AS noindex,
+      |  CAST(doc_id % 6 AS INT) IN (2, 3, 5) AS nofollow
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY url""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 6
+    val robots =
+      when(m === 0, lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(m === 1, lit("<meta name=\"robots\" content=\"NOINDEX\">"))
+        .when(m === 2, lit("<meta name=robots content=\"nofollow , archive\">"))
+        .when(m === 3, lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+        .when(m === 4, lit(""))
+        .otherwise(lit("<meta content=\"none\" name='robots'>"))
+    val html = concat(
+      lit("<html><head><meta name=\"description\" content=\"noindex decoy\">"),
+      robots,
+      lit("<meta name=\"viewport\" content=\"width=device-width\"></head>" +
+        "<body><p>"), col("text"), lit("</p></body></html>"))
+    val pages = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(concat(lit("http://example.com/p/"),
+        col("doc_id").cast("string")).as("url"), html.as("html"))
+    WebText.metaRobotsSignals(pages).orderBy("url")
+  }
+
+  /** UT1-style blocklist category gate
+    * ([[graft.ops.Curation.blocklistSignals]]): planted term suffixes on
+    * overlapping moduli (gambling ≥2 hits → flagged; pharma 2 → flagged;
+    * a SINGLE piracy term → counted but NOT flagged — the
+    * one-stray-mention-survives rule) over the built-in demo blocklist.
+    * The oracle embeds the same term table (generated from the same
+    * Scala constant) and re-derives tokenization, per-category counts,
+    * the threshold, and the clean-doc left join. */
+  val q218Blocklist: Q = {
+    val blValues = Curation.defaultBlocklistRows
+      .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+    q("q218_blocklist",
+      s"""WITH bl(category, term) AS (VALUES $blValues),
+         |t AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' casino jackpot casino poker' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0
+         |         THEN ' viagra pills viagra' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |         THEN ' keygen now' ELSE '' END AS text2
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text2), '[^a-z0-9]+'),
+         |    x -> x <> '')) AS term FROM t),
+         |pc AS (SELECT doc_id, category, count(*) AS n
+         |  FROM tok JOIN bl USING (term) GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_hits,
+         |    coalesce(string_agg(CASE WHEN n >= 2 THEN category END, ','
+         |      ORDER BY category), '') AS flagged_categories
+         |  FROM pc GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(pd.n_hits, 0) AS n_hits,
+         |  coalesce(pd.flagged_categories, '') AS flagged_categories,
+         |  coalesce(pd.flagged_categories <> '', FALSE) AS flagged
+         |FROM t LEFT JOIN pd USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val text2 = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" casino jackpot casino poker"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" viagra pills viagra"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" keygen now")).otherwise(lit("")))
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), text2.as("text"))
+      Curation.blocklistSignals(docs, Curation.defaultBlocklist(s),
+          threshold = 2)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5617,5 +5705,6 @@ object PipelineQueries {
     q203CrawlDelay, q204MixturePlan, q205Calibration, q206TokenShards,
     q207Revisit, q208AllocBudget, q209CrawlBudget, q210AnnLshOracle,
     q211ContentBlocks, q212MainContent, q213LangIdTrigram,
-    q214JwNonAscii, q215WetMainContent, q216LangBudget)
+    q214JwNonAscii, q215WetMainContent, q216LangBudget,
+    q217MetaRobots, q218Blocklist)
 }

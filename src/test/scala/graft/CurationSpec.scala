@@ -609,6 +609,27 @@ class CurationSpec extends SparkSpec {
     assert(n === 5L) // " ab cd " has 7 chars -> 5 trigrams
   }
 
+  test("blocklistSignals: threshold boundary, multi-category, clean docs, " +
+    "punctuation-tokenized hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "an evening of Casino, CASINO! and jackpot fun"), // gambling 3 ≥ 2
+      (2L, "one poker night"),                               // 1 hit: counted, not flagged
+      (3L, "casino poker viagra viagra story"),              // gambling 2 + pharma 2
+      (4L, "perfectly clean prose about tables"),            // zero hits
+      (5L, "keygen warez torrentz crackz")                   // piracy 4
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.blocklistSignals(docs,
+        graft.ops.Curation.defaultBlocklist(spark), threshold = 2)
+      .as[(Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, "gambling", true),
+      (2L, 1L, "", false),
+      (3L, 4L, "gambling,pharma", true),
+      (4L, 0L, "", false),
+      (5L, 4L, "piracy", true)))
+  }
+
   test("encodingSignals: planted artifacts hit, clean unicode passes") {
     import spark.implicits._
     val docs = Seq(

@@ -209,6 +209,27 @@ class WebTextSpec extends SparkSpec {
     assert(got === prose) // neither note has good blocks on BOTH sides
   }
 
+  test("metaRobotsSignals: attribute orders, quote styles, multi-meta " +
+    "union, none expansion, decoys ignored") {
+    val pages = Seq(
+      ("multi", "<meta name=\"robots\" content=\"noindex\">" +
+        "<meta name='robots' content='noarchive, nofollow'>"),
+      ("ci", "<META NAME=\"ROBOTS\" CONTENT=\"NOFOLLOW\">"),
+      ("rev", "<meta content=\"none\" name=robots>"),
+      ("decoy", "<meta name=\"description\" content=\"noindex decoy\">" +
+        "<meta name=\"generator\" content=\"nofollow,none\">"),
+      ("plain", "<p>no metas at all</p>"))
+      .toDF("url", "html")
+    val got = WebText.metaRobotsSignals(pages)
+      .as[(String, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("multi") === (("noarchive,nofollow,noindex", true, true)))
+    assert(got("ci") === (("nofollow", false, true)))
+    assert(got("rev") === (("none", true, true)))
+    assert(got("decoy") === (("", false, false)))
+    assert(got("plain") === (("", false, false)))
+  }
+
   test("revisitSchedule: change-rate estimate, both clamp bounds, " +
     "single-fetch floor, zero-change denominator floor") {
     val hour = 3600000L
