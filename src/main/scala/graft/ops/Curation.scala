@@ -154,6 +154,16 @@ object Curation {
   def allocateBudget(counts: DataFrame, keyCol: String, weightCol: String,
                      budget: Long): DataFrame = {
     require(budget >= 0, s"negative budget: $budget")
+    // The ledger feeds THREE consumers below (the weight-sum total, the
+    // base allocation, and the floor-shortfall total) — without marking
+    // it, Catalyst replans the whole upstream subtree per consumer,
+    // which re-runs the full corpus pipeline when the weights come from
+    // an expensive composition (q216's langid rollup planned its
+    // trigram explode 6× statically; only AQE's runtime exchange reuse
+    // saved it). The ledger is key-cardinality-bounded by contract, so
+    // persist() is cheap; lazy + recomputable, the unigramLogProb model
+    // -table lifecycle argument.
+    val ledger = counts.persist()
     // isNull checked explicitly: NULL <= 0 is NULL, which would fall to
     // otherwise and silently break the exact-total invariant
     val w = when(col(weightCol).isNull || col(weightCol) <= 0,
@@ -161,9 +171,9 @@ object Curation {
           lit(s"allocateBudget: null/non-positive weight for key "),
           col(keyCol).cast("string"))))
       .otherwise(col(weightCol)).cast("decimal(19,0)")
-    val tot = counts.agg(sum(w).cast("decimal(38,0)").as("graft_w"))
+    val tot = ledger.agg(sum(w).cast("decimal(38,0)").as("graft_w"))
     val bw = (lit(budget).cast("decimal(19,0)") * w).cast("decimal(38,0)")
-    val based = counts.crossJoin(broadcast(tot))
+    val based = ledger.crossJoin(broadcast(tot))
       .withColumn("graft_base",
         call_function("div", bw, col("graft_w")).cast("long"))
       .withColumn("graft_rem", pmod(bw, col("graft_w")))
