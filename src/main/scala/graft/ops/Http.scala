@@ -42,6 +42,12 @@ object Http {
     lower(regexp_extract(headerBlock(p),
       "(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_+.:-]+)\"?", 1))
 
+  /** The `Location` header value (redirect target of a 3xx response),
+    * empty when absent — the edge of the redirect graph
+    * [[WebText.resolveRedirects]] walks. */
+  def location(p: Column): Column =
+    trim(regexp_extract(headerBlock(p), "(?im)^location:\\s*([^\r\n]+)", 1))
+
   /** The entity body: everything past the first CRLFCRLF when the
     * payload carries an HTTP status line, the whole payload otherwise
     * (a WARC `resource` record or a pre-split corpus passes through

@@ -225,6 +225,21 @@ object WebText {
         trim(regexp_extract(u, "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1))
           .as("lastmod")))
 
+  /** Sitemap INDEX entries (`<sitemapindex>` → `<sitemap>` children):
+    * large sites shard their sitemaps behind an index file (the
+    * protocol caps one sitemap at 50k URLs), so discovery is two-level
+    * — fetch the index, fan out to the child sitemaps, then
+    * [[sitemapEntries]] each. Same struct shape (loc, lastmod) so both
+    * levels union into one fetch frontier. */
+  def sitemapIndexEntries(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit("(?is)<sitemap>(.*?)</sitemap>"),
+        lit(1)),
+      u => struct(
+        trim(regexp_extract(u, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1))
+          .as("loc"),
+        trim(regexp_extract(u, "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1))
+          .as("lastmod")))
+
   /** Link-density signal for boilerplate scoring: fraction (in integer
     * micros, order-free) of the visible characters that live inside
     * `<a …>…</a>` spans. High link density marks navigation/footer
@@ -363,6 +378,49 @@ object WebText {
           .or(array_contains(col("graft_dirs"), "none")).as("noindex"),
         array_contains(col("graft_dirs"), "nofollow")
           .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
+  }
+
+  /** Redirect-chain resolution over fetched responses: from per-URL
+    * `(url, status, location)` records, walk the 3xx redirect graph up
+    * to `maxHops` and report each URL's `final_url`, `n_hops`,
+    * `redirected`, and `truncated` (the final URL STILL redirects at
+    * the hop limit — which also flags every redirect loop, since a
+    * loop never stops redirecting). Canonical-URL aggregation, dedup
+    * keys, and link-graph endpoints should use `final_url`: at crawl
+    * scale a large share of captured URLs are 301s onto their
+    * canonical form, and keying on the pre-redirect URL double-counts
+    * every such page. Conflicting captures of one URL resolve
+    * deterministically (min location).
+    *
+    * Scale shape: the edge table is redirect-row-bounded (a fraction
+    * of the corpus; AQE broadcasts it when small) and the walk is
+    * `maxHops` unrolled equi-joins — the bounded-round PageRank shape,
+    * no window, no iteration-to-fixpoint, no cartesian. */
+  def resolveRedirects(responses: DataFrame, urlCol: String = "url",
+                       statusCol: String = "status_code",
+                       locationCol: String = "location",
+                       maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops >= 1, got $maxHops")
+    val redirectStatuses = Seq(301, 302, 303, 307, 308)
+    val edges = responses
+      .filter(col(statusCol).isin(redirectStatuses: _*) &&
+        col(locationCol).isNotNull && col(locationCol) =!= "")
+      .groupBy(col(urlCol).as("graft_src"))
+      .agg(min(col(locationCol)).as("graft_dst"))
+    var cur = responses.select(col(urlCol).as("url")).distinct()
+      .select(col("url"), col("url").as("final_url"), lit(0L).as("n_hops"))
+    for (_ <- 1 to maxHops) {
+      cur = cur.join(edges, cur("final_url") === edges("graft_src"), "left")
+        .select(col("url"),
+          when(col("graft_dst").isNotNull, col("graft_dst"))
+            .otherwise(col("final_url")).as("final_url"),
+          (col("n_hops") +
+            when(col("graft_dst").isNotNull, 1L).otherwise(0L)).as("n_hops"))
+    }
+    cur.join(edges, cur("final_url") === edges("graft_src"), "left")
+      .select(col("url"), col("final_url"), col("n_hops"),
+        (col("n_hops") > 0).as("redirected"),
+        col("graft_dst").isNotNull.as("truncated"))
   }
 
   /** Change-rate revisit schedule (the Cho/Garcia-Molina freshness

@@ -5662,6 +5662,91 @@ object PipelineQueries {
     }
   }
 
+  /** Redirect-chain resolution ([[graft.ops.WebText.resolveRedirects]]):
+    * modulus-planted 301 chains — two-hop (1→2→3), one-hop (2→3), and a
+    * 7↔8 two-cycle that must flag `truncated` at the hop limit — with a
+    * GROUND-TRUTH oracle: expected final URL, hop count, and flags
+    * derived arithmetically from the moduli (tracing the walk by hand),
+    * not by re-running a walk in SQL. */
+  val q219Redirects: Q = q("q219_redirects",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 10 AS INT) AS m,
+      |  'http://s.example.com/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents)
+      |SELECT url,
+      |  CASE m WHEN 1 THEN 'http://s.example.com/' || CAST(doc_id + 2 AS VARCHAR)
+      |         WHEN 2 THEN 'http://s.example.com/' || CAST(doc_id + 1 AS VARCHAR)
+      |         WHEN 7 THEN url
+      |         WHEN 8 THEN url
+      |         ELSE url END AS final_url,
+      |  CAST(CASE m WHEN 1 THEN 2 WHEN 2 THEN 1
+      |         WHEN 7 THEN 4 WHEN 8 THEN 4 ELSE 0 END AS BIGINT) AS n_hops,
+      |  m IN (1, 2, 7, 8) AS redirected,
+      |  m IN (7, 8) AS truncated
+      |FROM t ORDER BY url""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 10
+    def u(id: Column): Column =
+      concat(lit("http://s.example.com/"), id.cast("string"))
+    val responses = Tables.documents(s, d).select(
+      u(col("doc_id")).as("url"),
+      when(m.isin(1, 2, 7, 8), 301).otherwise(200).as("status_code"),
+      when(m.isin(1, 2, 7), u(col("doc_id") + 1))
+        .when(m === 8, u(col("doc_id") - 1))
+        .otherwise(lit("")).as("location"))
+    WebText.resolveRedirects(responses, maxHops = 4).orderBy("url")
+  }
+
+  /** Two-level sitemap discovery
+    * ([[graft.ops.WebText.sitemapIndexEntries]] → join-as-fetch →
+    * [[graft.ops.WebText.sitemapEntries]]): every host shards its URLs
+    * across three child sitemaps behind a `<sitemapindex>` (the 50k-URL
+    * protocol cap's standard layout); the pipeline parses the index,
+    * fans out to the child documents by loc, and parses each urlset —
+    * index-level lastmod carried through to prove the index parse reads
+    * it. GROUND-TRUTH oracle: every output row reconstructed from the
+    * source rows and moduli. */
+  val q220SitemapIndex: Q = q("q220_sitemap_index",
+    """SELECT source AS host,
+      |  'http://' || source || '.org/sitemap' ||
+      |    CAST(doc_id % 3 AS VARCHAR) || '.xml' AS sitemap_loc,
+      |  '2026-02-0' || CAST(doc_id % 3 + 1 AS VARCHAR) AS sitemap_lastmod,
+      |  'http://' || source || '.org/p/' || CAST(doc_id AS VARCHAR) AS loc
+      |FROM documents ORDER BY host, sitemap_loc, loc""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+    val entry = concat(lit("<url>\n <loc> http://"), col("source"),
+      lit(".org/p/"), col("doc_id").cast("string"), lit(" </loc>\n</url>"))
+    val children = base
+      .groupBy(col("source").as("host"),
+        (col("doc_id") % 3).cast("string").as("shard"))
+      .agg(concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), entry.as("e")))),
+          x => x.getField("e")), "\n"), lit("\n</urlset>")).as("xml"))
+      .withColumn("child_loc", concat(lit("http://"), col("host"),
+        lit(".org/sitemap"), col("shard"), lit(".xml")))
+    val indexEntry = concat(lit("<sitemap>\n <loc> "), col("child_loc"),
+      lit(" </loc>\n <LastMod>2026-02-0"),
+      (col("shard").cast("int") + 1).cast("string"),
+      lit("</LastMod>\n</sitemap>"))
+    val index = children
+      .groupBy(col("host").as("ix_host"))
+      .agg(concat(lit("<sitemapindex>\n"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("child_loc"), indexEntry.as("e")))),
+          x => x.getField("e")), "\n"), lit("\n</sitemapindex>")).as("ixml"))
+    val fanout = index.select(col("ix_host"),
+        explode(WebText.sitemapIndexEntries(col("ixml"))).as("sm"))
+      .select(col("ix_host"), col("sm.loc").as("sitemap_loc"),
+        col("sm.lastmod").as("sitemap_lastmod"))
+    fanout.join(children,
+        fanout("ix_host") === children("host") &&
+          fanout("sitemap_loc") === children("child_loc"))
+      .select(col("host"), col("sitemap_loc"), col("sitemap_lastmod"),
+        explode(WebText.sitemapEntries(col("xml"))).as("u"))
+      .select(col("host"), col("sitemap_loc"), col("sitemap_lastmod"),
+        col("u.loc").as("loc"))
+      .orderBy("host", "sitemap_loc", "loc")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5706,5 +5791,5 @@ object PipelineQueries {
     q207Revisit, q208AllocBudget, q209CrawlBudget, q210AnnLshOracle,
     q211ContentBlocks, q212MainContent, q213LangIdTrigram,
     q214JwNonAscii, q215WetMainContent, q216LangBudget,
-    q217MetaRobots, q218Blocklist)
+    q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex)
 }

@@ -205,6 +205,39 @@ class StreamingCurationSpec extends SparkSpec {
     assert(after === before, "exactly-once replay must be a no-op")
   }
 
+  test("streaming main-content link: per-batch window parity with the " +
+    "batch extractor, exactly-once replay") {
+    import graft.ops.WebText
+    import graft.runtime.MainContentLink
+    val s = spark
+    import s.implicits._
+    val prose = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    def page(u: String): (String, String) = u ->
+      ("<div><a href='/1'>Home</a> <a href='/2'>About</a></div>" +
+        s"<h1>$u</h1><p>$prose about $u</p>" +
+        "<div><a href='/t'>Terms</a> <a href='/p'>Privacy</a></div>")
+    val b1 = Seq(page("u1"), page("u2"))
+    val b2 = Seq(page("u3"))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-mc-stream").toString)
+    val link = new MainContentLink("mc_pages", "mc_out")
+    reg.write(b1.toDF("url", "html"), "mc_pages")
+    link.start(spark, reg).awaitTermination()
+    reg.write(b2.toDF("url", "html"), "mc_pages")
+    link.start(spark, reg).awaitTermination()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val streamed = rows(reg.read("mc_out"))
+    val batch = rows(WebText.mainContent((b1 ++ b2).toDF("url", "html")))
+    assert(streamed.size === 3 && streamed === batch)
+    // chrome dropped, body kept — the extraction genuinely ran
+    val texts = reg.read("mc_out").select("main_text")
+      .as[String].collect()
+    assert(texts.forall(t => t.contains(prose) && !t.contains("Privacy")))
+    link.start(spark, reg).awaitTermination() // replay: no new input
+    assert(reg.read("mc_out").count() === 3)
+  }
+
   test("streaming near-dup gate link: pair parity with the batch " +
     "incremental path; survivors accumulate into the screening corpus") {
     val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +

@@ -230,6 +230,33 @@ class WebTextSpec extends SparkSpec {
     assert(got("plain") === (("", false, false)))
   }
 
+  test("resolveRedirects: chains, hop-limit truncation, loops, " +
+    "conflicting captures, Location header extraction") {
+    val r = Seq(
+      ("a", 301, "b"), ("b", 302, "c"), ("c", 307, "d"), ("d", 200, ""),
+      ("e", 200, ""),
+      ("x", 301, "y"), ("y", 308, "x"), // 2-cycle
+      ("dup", 301, "m"), ("dup", 301, "k"), // conflicting fetches → min
+      ("k", 200, ""), ("m", 200, ""))
+      .toDF("url", "status_code", "location")
+    val got = WebText.resolveRedirects(r, maxHops = 2)
+      .as[(String, String, Long, Boolean, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(got("a") === (("c", 2L, true, true))) // c still redirects: truncated
+    assert(got("b") === (("d", 2L, true, false)))
+    assert(got("e") === (("e", 0L, false, false)))
+    assert(got("x") === (("x", 2L, true, true))) // loop never resolves
+    assert(got("dup") === (("k", 1L, true, false))) // min("k","m") = "k"
+    // Location comes out of the raw response payload
+    val loc = Seq(
+      "HTTP/1.1 301 Moved\r\nLocation: http://t.example.org/new\r\n" +
+        "Server: s\r\n\r\nbody",
+      "HTTP/1.1 200 OK\r\nServer: s\r\n\r\nbody")
+      .toDF("p").select(graft.ops.Http.location(col("p")).as("l"))
+      .as[String].collect().toSeq
+    assert(loc === Seq("http://t.example.org/new", ""))
+  }
+
   test("revisitSchedule: change-rate estimate, both clamp bounds, " +
     "single-fetch floor, zero-change denominator floor") {
     val hour = 3600000L
