@@ -51,6 +51,26 @@ object Robots {
       .select("host", "group_id", "user_agent", "directive", "path_prefix")
   }
 
+  /** `Sitemap:` directives of each robots.txt — the standard sitemap
+    * DISCOVERY entry point (feeds [[WebText.sitemapIndexEntries]] /
+    * `sitemapEntries` fan-out). Per RFC 9309 §2.3/sitemaps.org the
+    * directive is group-INDEPENDENT — it applies to every crawler
+    * regardless of the User-agent stack it appears inside — so this is
+    * a plain line scan (case-insensitive key, comment strip), not a
+    * grouped parse; values keep their scheme colon intact. Per-row
+    * projection + explode, no shuffle. */
+  def sitemapUrls(robots: DataFrame, hostCol: String = "host",
+                  textCol: String = "robots_txt"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("ln"))
+      .filter(col("ln").rlike("(?i)^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_extract(col("ln"), "(?i)^sitemap\\s*:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** Every directive key that participates in GROUP ASSEMBLY. Grouping
     * must see the full recognized-directive stream: filtering a
     * caller's uninteresting keys out BEFORE grouping would delete the

@@ -5747,6 +5747,33 @@ object PipelineQueries {
       .orderBy("host", "sitemap_loc", "loc")
   }
 
+  /** robots.txt sitemap discovery ([[graft.ops.Robots.sitemapUrls]]):
+    * per-host robots files carrying a normal-case Sitemap line with a
+    * trailing comment, and (on even-length hosts) a second SITEMAP:
+    * line with no space — inside a User-agent group, which must NOT
+    * matter (the directive is group-independent per RFC 9309 §2.3).
+    * GROUND-TRUTH oracle from the planted synthesis. */
+  val q221RobotsSitemaps: Q = q("q221_robots_sitemaps",
+    """WITH h AS (SELECT DISTINCT source FROM documents),
+      |u AS (SELECT source,
+      |    'http://' || source || '.org/sitemap0.xml' AS sitemap_url FROM h
+      |  UNION ALL SELECT source, 'http://' || source || '.org/extra.xml'
+      |  FROM h WHERE length(source) % 2 = 0)
+      |SELECT source AS host, sitemap_url FROM u
+      |ORDER BY host, sitemap_url""".stripMargin) { (s, d) =>
+    val txt = concat(
+      lit("User-agent: *\nDisallow: /tmp\n# a comment line\n" +
+        "Sitemap: http://"), col("source"),
+      lit(".org/sitemap0.xml   # trailing comment\n"),
+      when(length(col("source")) % 2 === 0,
+        concat(lit("SITEMAP:http://"), col("source"),
+          lit(".org/extra.xml\n"))).otherwise(lit("")),
+      lit("User-agent: bot\nDisallow: /\n"))
+    val hosts = Tables.documents(s, d).select(col("source")).distinct()
+      .select(col("source").as("host"), txt.as("robots_txt"))
+    Robots.sitemapUrls(hosts).orderBy("host", "sitemap_url")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5791,5 +5818,6 @@ object PipelineQueries {
     q207Revisit, q208AllocBudget, q209CrawlBudget, q210AnnLshOracle,
     q211ContentBlocks, q212MainContent, q213LangIdTrigram,
     q214JwNonAscii, q215WetMainContent, q216LangBudget,
-    q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex)
+    q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex,
+    q221RobotsSitemaps)
 }

@@ -165,6 +165,23 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("sitemapUrls: case-insensitive key, comment strip, scheme colon " +
+    "intact, group-independent, valueless line dropped") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nSitemap: http://a.com/s.xml # note\n" +
+        "User-agent: bot\nDisallow: /\nSITEMAP:https://a.com/t.xml\n" +
+        "sitemap :\n# Sitemap: http://a.com/commented.xml"),
+      ("b.org", "User-agent: *\nDisallow: /tmp"))
+      .toDF("host", "robots_txt")
+    val got = graft.ops.Robots.sitemapUrls(robots)
+      .as[(String, String)].collect().sorted.toSeq
+    // the inside-a-group placement must not matter; the fully-commented
+    // line and the valueless line must not emit
+    assert(got === Seq(
+      ("a.com", "http://a.com/s.xml"),
+      ("a.com", "https://a.com/t.xml")))
+  }
+
   test("Http.splitResponseBytes: declared-charset decode, fallback on " +
     "unsupported names, replacement on malformed bytes, first-split wins") {
     def resp(cs: String, body: Array[Byte]): Array[Byte] =
