@@ -114,6 +114,31 @@ object TextAnalysis {
   private def scriptGates: Seq[(String, String)] =
     scriptGateRanges.map { case (l, lo, hi) => (l, f"[\\u$lo%04x-\\u$hi%04x]") }
 
+  /** Minimum share (integer micros over the document's character count)
+    * of a script's characters for its gate to fire: a single stray
+    * Greek letter or CJK ideograph in otherwise-Latin prose (math
+    * notation, a quoted name) must NOT override the trigram argmax, but
+    * genuinely gated-script text — including Japanese, where kana
+    * typically run ~30% of characters against kanji — clears 10%
+    * comfortably. The cheap any-char `rlike` stays as a short-circuit
+    * in front of the share count, so Latin-only rows never pay the
+    * per-gate character tally. */
+  val ScriptGateMinShareMicros: Long = 100000L
+
+  /** Gate conditions over a text column: char-class hit AND minimum
+    * in-script character share ([[ScriptGateMinShareMicros]]). The
+    * share counts characters via the length-minus-stripped identity,
+    * mirrored verbatim by the oracle's RE2 form. */
+  private def scriptGateConds(text: Column): Seq[(String, Column)] =
+    scriptGates.map { case (l, re) =>
+      val nScript = length(text) -
+        length(regexp_replace(text, re, ""))
+      (l, text.rlike(re) &&
+        Micros.ratio(nScript.cast("long"),
+          greatest(length(text), lit(1)).cast("long")) >=
+          ScriptGateMinShareMicros)
+    }
+
   /** (lang, RE2 char class) — for DuckDB-oracle mirrors of the gates. */
   def scriptGatesRe2: Seq[(String, String)] =
     scriptGateRanges.map { case (l, lo, hi) => (l, f"[\\x{$lo%04x}-\\x{$hi%04x}]") }
@@ -144,7 +169,10 @@ object TextAnalysis {
     * larger-language tie-break. Script-range gates ([[scriptGates]])
     * take precedence and claim score 1.0 — kana/hangul/ideograph/
     * cyrillic/greek/arabic/hebrew/devanagari/thai text is identified by
-    * its script, not latin trigrams. Docs with zero profile hits →
+    * its script, not latin trigrams — but only when the script holds at
+    * least [[ScriptGateMinShareMicros]] of the document's characters: a
+    * lone Greek letter or CJK char in Latin prose (math, a quoted name)
+    * never hijacks the verdict. Docs with zero profile hits →
     * `unknown`, score 0.
     *
     * Scale shape: the profile table (≤ a few thousand rows even
@@ -177,13 +205,14 @@ object TextAnalysis {
       .groupBy("doc_id", "lang").agg(sum("w").as("w"))
     val best = hits.groupBy("doc_id")
       .agg(max(struct(col("w"), col("lang"))).as("b"))
-    val gated = scriptGates.foldRight(
+    val gateConds = scriptGateConds(col("text"))
+    val gated = gateConds.foldRight(
         when(col("b").isNotNull, col("b.lang")).otherwise(lit("unknown"))) {
-      case ((lang, re), other) => when(col("text").rlike(re), lit(lang)).otherwise(other)
+      case ((lang, cond), other) => when(cond, lit(lang)).otherwise(other)
     }
     base.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), gated.as("pred_lang"),
-        when(scriptGates.map(g => col("text").rlike(g._2)).reduce(_ || _),
+        when(gateConds.map(_._2).reduce(_ || _),
             lit(1000000L))
           .when(col("b").isNotNull,
             Micros.ratio(col("b.w"), col("n_trigrams")))

@@ -88,6 +88,128 @@ object WebText {
       "([^.]+\\.(?:(?:co|org|ac)\\.uk|(?:com|net)\\.au|co\\.jp|com\\.br|co\\.in|[^.]+))$", 1)
   }
 
+  /** Unrolled depth of `../` collapse in [[resolveUrl]]'s dot-segment
+    * removal: each unrolled pass removes one nesting level of
+    * `/<seg>/../` (plus one per SIBLING `/a/../b/../` chain, which
+    * consumes a pass apiece) — 8 covers every path a real page links;
+    * deeper chains resolve partially (never incorrectly: leftover
+    * `../` segments stay literal). */
+  private val MaxDotDepth = 8
+
+  /** RFC 3986 §5.2 remove_dot_segments over a rooted path that may
+    * carry a `?query#fragment` suffix (the suffix passes through
+    * untouched). Fixed-unroll regex passes in the Java∩RE2 subset — no
+    * loops, no backreferences in patterns OR replacements:
+    *  1. trailing `/.` → `/` and trailing `/..` → `/../` (unifies the
+    *     end-of-path forms with the mid-path rules);
+    *  2. `/./` runs collapse;
+    *  3. [[MaxDotDepth]] passes of `/<segment>/../` → `/` where
+    *     `<segment>` is anything but `..` (expressed as an RE2-safe
+    *     alternation, not lookahead);
+    *  4. over-root `/../` prefixes drop (RFC: ignore `..` at root). */
+  private def removeDotSegments(p: Column): Column = {
+    val suffix = regexp_extract(p, "[?#].*$", 0)
+    val path0 = when(suffix === "", p)
+      .otherwise(p.substr(lit(1), length(p) - length(suffix)))
+    val t1 = regexp_replace(path0, "/\\.$", "/")
+    val t2 = regexp_replace(t1, "/\\.\\.$", "/../")
+    val t3 = regexp_replace(t2, "/(\\./)+", "/")
+    // a path segment that is NOT ".." (and, post-t3, never "."):
+    // doesn't start with a dot | one dot + non-dot | two dots + more
+    val seg = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+    val collapsed = (1 to MaxDotDepth).foldLeft(t3) { (acc, _) =>
+      regexp_replace(acc, s"/$seg/\\.\\./", "/")
+    }
+    concat(regexp_replace(collapsed, "^/(\\.\\./)+", "/"), suffix)
+  }
+
+  /** RFC 3986 §5 relative-reference resolution: the target URL of `ref`
+    * found on a page whose (effective) base URL is `base`. Handles every
+    * form a real page emits — absolute (`scheme:` prefixed, passed
+    * through), protocol-relative (`//host/…` takes the base scheme),
+    * root-relative (`/path`), query-only (`?q`), fragment-only (`#f`,
+    * resolves to the base minus its own fragment), empty (same), and
+    * dotted relative paths (`x/y`, `./x`, `../x` — merged with the base
+    * directory then [[removeDotSegments]]). `base` must be an absolute
+    * hierarchical URL (`scheme://authority…`); when it is not, every
+    * non-absolute `ref` resolves to `''` (the caller's filter sentinel)
+    * rather than a silently-colliding bare path — the contract
+    * [[resolveRedirects]] and the link graph key on.
+    *
+    * Pure codegen'd regexp/CASE chain in the Java∩RE2 subset (the
+    * WebText discipline) — scan-stage compute, no shuffle, and MOST
+    * real-page links are relative, so this is the difference between a
+    * link graph that sees the page and one that sees the absolute
+    * minority. */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val r = trim(ref)
+    val schemePrefix = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*:", 0)
+    val auth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val basePath =
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val baseDir0 = regexp_replace(basePath, "[^/]*$", "")
+    val baseDir = when(baseDir0 === "", lit("/")).otherwise(baseDir0)
+    val basePathOrRoot = when(basePath === "", lit("/")).otherwise(basePath)
+    val baseNoFrag = regexp_replace(base, "#.*$", "")
+    when(r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), r) // absolute: as-is
+      .when(auth === "", lit("")) // non-hierarchical base: unresolvable
+      .when(r === "", baseNoFrag)
+      .when(r.startsWith("#"), concat(baseNoFrag, r))
+      .when(r.startsWith("//"), concat(schemePrefix, r))
+      .when(r.startsWith("?"), concat(auth, basePathOrRoot, r))
+      .when(r.startsWith("/"), concat(auth, removeDotSegments(r)))
+      .otherwise(concat(auth, removeDotSegments(concat(baseDir, r))))
+  }
+
+  /** First `<base href=…>` target of a page (empty when absent) — the
+    * HTML mechanism that overrides the page URL as the resolution base
+    * for every relative link on the page. Same quote/attribute-order
+    * handling as [[extractLinks]]; may itself be relative (the HTML
+    * spec resolves it against the page URL — [[resolvedLinkRows]]
+    * does). */
+  def baseHref(html: Column): Column =
+    replace(regexp_extract(html,
+      "(?is)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']",
+      1), lit("&amp;"), lit("&"))
+
+  /** Every quoted `href` target of a page's `<a>` tags in document
+    * order, RELATIVE FORMS INCLUDED — the raw-reference sibling of
+    * [[extractLinks]] (which keeps only absolute http(s) targets).
+    * `&amp;` decoded as there. */
+  def extractHrefs(html: Column): Column =
+    transform(regexp_extract_all(html,
+        lit("(?is)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']"),
+        lit(1)),
+      l => regexp_replace(l, "&amp;", "&"))
+
+  /** One row per resolvable out-link of each page: hrefs extracted in
+    * all forms ([[extractHrefs]]), resolved against the page's
+    * EFFECTIVE base — `<base href>` if present (itself resolved
+    * against the page URL), else the page URL — and filtered to
+    * http(s) targets. Fragment-only self-references are dropped (they
+    * name the same document; keeping them would plant a self-edge on
+    * every in-page TOC). Output: the `pages` columns + `link`.
+    *
+    * Scale shape: one codegen'd projection + one `explode` — the
+    * [[hostLinkEdges]] scan stage with resolution fused in; the
+    * per-link work is a bounded regexp/CASE chain, no shuffle, no UDF. */
+  def resolvedLinkRows(pages: DataFrame, urlCol: String,
+                       htmlCol: String): DataFrame = {
+    val bh = baseHref(col(htmlCol))
+    val eff = when(bh === "", col(urlCol))
+      .otherwise(resolveUrl(col(urlCol), bh))
+    pages
+      .withColumn("graft_base", eff)
+      .withColumn("graft_ref",
+        explode(filter(extractHrefs(col(htmlCol)),
+          h => !h.startsWith("#"))))
+      .withColumn("link", resolveUrl(col("graft_base"), col("graft_ref")))
+      // scheme is case-insensitive per RFC 3986 (raw pages DO emit
+      // `HTTP://…`); canonicalization lowercases it downstream
+      .filter(col("link").rlike("(?i)^https?://"))
+      .drop("graft_base", "graft_ref")
+  }
+
   /** Drop rows whose registered domain appears in `blocked` (a one-column
     * `domain` frame). The blocklist is small by definition (curated);
     * AQE turns the anti-join into a broadcast at runtime, so the corpus
@@ -131,9 +253,10 @@ object WebText {
   }
 
   /** All ABSOLUTE http(s) `href` targets of a page's `<a>` tags, in
-    * document order (relative links are deliberately excluded — resolving
-    * them needs the base URL and is the caller's join, not a per-row
-    * regex). Accepts single- or double-quoted attributes and any
+    * document order (relative links are excluded here — use
+    * [[resolvedLinkRows]]/[[resolveUrl]] when the page URL is in hand,
+    * which is the full-fidelity path since most real-page links are
+    * relative). Accepts single- or double-quoted attributes and any
     * attribute order inside the tag; the one entity that legally appears
     * raw inside attribute values (`&amp;`) is decoded so the extracted
     * URL is byte-comparable with its canonical form. Pure codegen'd
@@ -177,12 +300,16 @@ object WebText {
         regexp_extract(m, pat, 2), "<[^>]*>", " ")), "\\s+", " ")).as("anchor")))
   }
 
-  /** Host-level link graph: explode each page's absolute out-links,
-    * canonicalize both endpoints, and aggregate to weighted
+  /** Host-level link graph: explode each page's out-links — relative
+    * forms RESOLVED against the page URL / `<base href>`
+    * ([[resolvedLinkRows]]; protocol-relative links are the cross-host
+    * edges an absolute-only extractor silently drops) — canonicalize
+    * both endpoints, and aggregate to weighted
     * `(src_domain, dst_domain, n_links)` edges. Intra-domain edges are
     * dropped — host ranking (PageRank/HITS over this edge list, see
     * `ops/Graph`) measures CROSS-host endorsement, and nav/self links
-    * would otherwise dominate every weight. One explode + one hash
+    * (where almost all RESOLVED relative links land) would otherwise
+    * dominate every weight. One explode + one hash
     * aggregation: at crawl scale the explode stays in the scan stage and
     * the only shuffle is the (src, dst) groupBy, whose cardinality is the
     * edge count of the HOST graph (millions), not the page graph
@@ -197,10 +324,8 @@ object WebText {
     * regex work severalfold. Verified equivalent: the q167 oracle
     * derives both domains from the raw strings. */
   def hostLinkEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
-    Spread.cpu(pages).select(
-        registeredDomain(col(urlCol)).as("src_domain"),
-        explode(extractLinks(col(htmlCol))).as("link"))
-      .select(col("src_domain"),
+    resolvedLinkRows(Spread.cpu(pages), urlCol, htmlCol)
+      .select(registeredDomain(col(urlCol)).as("src_domain"),
         registeredDomain(col("link")).as("dst_domain"))
       .filter(col("src_domain") =!= "" && col("dst_domain") =!= "" &&
         col("src_domain") =!= col("dst_domain"))
@@ -390,7 +515,16 @@ object WebText {
     * scale a large share of captured URLs are 301s onto their
     * canonical form, and keying on the pre-redirect URL double-counts
     * every such page. Conflicting captures of one URL resolve
-    * deterministically (min location).
+    * deterministically (min resolved location).
+    *
+    * `Location` values are RFC 3986-resolved against the source URL
+    * first ([[resolveUrl]]): RFC 9110 explicitly allows relative
+    * Location headers and real servers emit them constantly — a raw
+    * `Location: /new-path` would never equi-join back to an absolute
+    * URL key (chains silently reporting `n_hops = 0`) and, worse,
+    * identical relative paths from DIFFERENT hosts would collide into
+    * one final-URL key. A location that cannot resolve (relative
+    * target under a non-hierarchical source) is ignored as no edge.
     *
     * Scale shape: the edge table is redirect-row-bounded (a fraction
     * of the corpus; AQE broadcasts it when small) and the walk is
@@ -405,8 +539,11 @@ object WebText {
     val edges = responses
       .filter(col(statusCol).isin(redirectStatuses: _*) &&
         col(locationCol).isNotNull && col(locationCol) =!= "")
+      .select(col(urlCol),
+        resolveUrl(col(urlCol), col(locationCol)).as("graft_loc"))
+      .filter(col("graft_loc") =!= "")
       .groupBy(col(urlCol).as("graft_src"))
-      .agg(min(col(locationCol)).as("graft_dst"))
+      .agg(min(col("graft_loc")).as("graft_dst"))
     var cur = responses.select(col(urlCol).as("url")).distinct()
       .select(col("url"), col("url").as("final_url"), lit(0L).as("n_hops"))
     for (_ <- 1 to maxHops) {

@@ -3459,15 +3459,19 @@ object PipelineQueries {
   }
 
   /** Host-level link graph from raw HTML
-    * ([[graft.ops.WebText.extractLinks]] + `hostLinkEdges`): absolute
-    * hrefs extracted per page (single- and double-quoted, `&amp;`
-    * decoded, relative links skipped), both endpoints reduced to their
-    * registered domain, self-edges dropped, weighted edges aggregated —
+    * ([[graft.ops.WebText.resolvedLinkRows]] + `hostLinkEdges`): hrefs
+    * extracted per page in ALL forms (single- and double-quoted,
+    * `&amp;` decoded) and RFC 3986-resolved against the page URL — the
+    * planted protocol-relative mirror link becomes a cross-host edge,
+    * the rooted `/relative/skip` resolves to its own host and dies in
+    * the self-edge filter — both endpoints reduced to their registered
+    * domain, self-edges dropped, weighted edges aggregated —
     * the crawl-side input to the q130 PageRank / q142 HITS host ranking.
     * The oracle runs the IDENTICAL extraction regex and domain chain in
-    * RE2 over the same synthesized pages, so drift in the regex, the
-    * entity decode, the eTLD+1 table, or the self-edge rule all
-    * hash-diverge. */
+    * RE2 over the same synthesized pages, with the resolved relative
+    * forms reconstructed as ground truth, so drift in the regex, the
+    * resolution, the entity decode, the eTLD+1 table, or the self-edge
+    * rule all hash-diverge. */
   val q167HostLinkGraph: Q = q("q167_host_link_graph",
     """WITH p AS (SELECT doc_id, source,
       |  'http://www.' || source || '.org/p/' || CAST(doc_id AS VARCHAR)
@@ -3480,12 +3484,18 @@ object PipelineQueries {
       |  '">t1</a><a class=''m'' href=''https://cdn' ||
       |  CAST(doc_id % 4 AS VARCHAR) || '.assets.co.uk/lib.js?v=' ||
       |  CAST(doc_id % 5 AS VARCHAR) ||
-      |  '''>t2</a><a href="/relative/skip">r</a><a data-href="http://decoy.bad/x">d</a><a href=''https://' ||
+      |  '''>t2</a><a href="//mirror.example.org/m/' ||
+      |  CAST(doc_id % 3 AS VARCHAR) ||
+      |  '">pp</a><a href="/relative/skip">r</a><a data-href="http://decoy.bad/x">d</a><a href=''https://' ||
       |  source || '.org/nav''>self</a>' AS html FROM documents),
       |lk AS (SELECT page_url, unnest(regexp_extract_all(html,
       |    '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["'']', 1))
       |    AS raw FROM p),
-      |dl AS (SELECT page_url, replace(raw, '&amp;', '&') AS link FROM lk),
+      |dl AS (SELECT page_url, replace(raw, '&amp;', '&') AS link FROM lk
+      |  UNION ALL SELECT page_url, 'http://mirror.example.org/m/' ||
+      |    CAST(doc_id % 3 AS VARCHAR) FROM p
+      |  UNION ALL SELECT page_url,
+      |    'http://www.' || source || '.org/relative/skip' FROM p),
       |ed AS (SELECT
       |  regexp_extract(regexp_replace(
       |    regexp_extract(lower(page_url), '//[^/:?#]*'), '^//(www\.)?', ''),
@@ -3508,9 +3518,10 @@ object PipelineQueries {
 
   /** The shared synthetic crawl-page fixture of q167/q175-era queries
     * and the q195 frontier capstone: per-doc page URL + HTML with mixed
-    * link cases (messy absolute t1 link, cdn link, relative skip,
-    * data-href decoy, same-host self link). Byte-identical to the
-    * oracle-side reconstruction — load-bearing for every consumer. */
+    * link cases (messy absolute t1 link, cdn link, protocol-relative
+    * mirror link, relative skip, data-href decoy, same-host self
+    * link). Byte-identical to the oracle-side reconstruction —
+    * load-bearing for every consumer. */
   private def crawlPageUrl: Column =
     concat(lit("http://www."), col("source"), lit(".org/p/"),
       col("doc_id").cast("string"))
@@ -3530,7 +3541,9 @@ object PipelineQueries {
     lit("\">t1</a><a class='m' href='https://cdn"),
     (col("doc_id") % 4).cast("string"),
     lit(".assets.co.uk/lib.js?v="), (col("doc_id") % 5).cast("string"),
-    lit("'>t2</a><a href=\"/relative/skip\">r</a>" +
+    lit("'>t2</a><a href=\"//mirror.example.org/m/"),
+    (col("doc_id") % 3).cast("string"),
+    lit("\">pp</a><a href=\"/relative/skip\">r</a>" +
       "<a data-href=\"http://decoy.bad/x\">d</a><a href='https://"),
     col("source"), lit(".org/nav'>self</a>"))
 
@@ -4515,7 +4528,10 @@ object PipelineQueries {
 
   /** Crawl-frontier capstone — the "what to fetch next" composition a
     * crawler runs over every snapshot: out-links extracted from the
-    * crawled pages ([[graft.ops.WebText.extractLinks]]), scored by
+    * crawled pages in ALL forms and RFC 3986-resolved
+    * ([[graft.ops.WebText.resolvedLinkRows]] — the rooted
+    * `/relative/skip` and the protocol-relative mirror link now enter
+    * the frontier as fetchable URLs), scored by
     * in-link count per target, already-fetched URLs anti-joined away,
     * robots.txt admission applied per target domain
     * ([[graft.ops.Robots.isAllowed]]: `Disallow: /l/3` for everyone),
@@ -4533,12 +4549,18 @@ object PipelineQueries {
       |  '">t1</a><a class=''m'' href=''https://cdn' ||
       |  CAST(doc_id % 4 AS VARCHAR) || '.assets.co.uk/lib.js?v=' ||
       |  CAST(doc_id % 5 AS VARCHAR) ||
-      |  '''>t2</a><a href="/relative/skip">r</a><a data-href="http://decoy.bad/x">d</a><a href=''https://' ||
+      |  '''>t2</a><a href="//mirror.example.org/m/' ||
+      |  CAST(doc_id % 3 AS VARCHAR) ||
+      |  '">pp</a><a href="/relative/skip">r</a><a data-href="http://decoy.bad/x">d</a><a href=''https://' ||
       |  source || '.org/nav''>self</a>' AS html FROM documents),
       |lk AS (SELECT unnest(regexp_extract_all(html,
       |    '(?is)<a\s(?:[^>]*?[\s"''])?href\s*=\s*["''](https?://[^"''<>\s]+)["'']', 1))
       |    AS raw FROM p),
-      |dl AS (SELECT replace(raw, '&amp;', '&') AS link FROM lk),
+      |dl AS (SELECT replace(raw, '&amp;', '&') AS link FROM lk
+      |  UNION ALL SELECT 'http://mirror.example.org/m/' ||
+      |    CAST(doc_id % 3 AS VARCHAR) FROM p
+      |  UNION ALL SELECT
+      |    'http://www.' || source || '.org/relative/skip' FROM p),
       |inl AS (SELECT link,
       |  regexp_extract(regexp_replace(
       |    regexp_extract(lower(link), '//[^/:?#]*'), '^//(www\.)?', ''),
@@ -4562,8 +4584,8 @@ object PipelineQueries {
       |QUALIFY rank <= 3 ORDER BY domain, rank""".stripMargin) { (s, d) =>
     val pages = Tables.documents(s, d)
       .select(crawlPageUrl.as("url"), crawlPageHtml.as("html"))
-    val links = pages
-      .select(explode(WebText.extractLinks(col("html"))).as("link"))
+    val links = WebText.resolvedLinkRows(pages, "url", "html")
+      .select(col("link"))
     val inl = links
       .select(col("link"), WebText.registeredDomain(col("link")).as("domain"))
       .groupBy("link", "domain").agg(count(lit(1)).as("inlinks"))
@@ -5343,12 +5365,17 @@ object PipelineQueries {
     "th" -> "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ",
     "zh" -> "敏捷的棕色狐狸跳过了懒狗",
     "ja" -> "すばやい茶色のきつねはのろまな犬を飛び越えます",
-    "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘는다")
+    "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘는다",
+    // mixed-script guard case: ONE Greek letter in English prose must
+    // NOT fire the el script gate (min-share rule) — trigram argmax wins
+    "en" -> "the constant π is used once but the quick brown fox still jumps over the lazy dog")
 
   /** Trigram-profile language ID
     * ([[graft.ops.TextAnalysis.langIdTrigram]]) — the broad-language
     * successor to q53's stopword heuristic. Docs < 115 carry planted
-    * sentences cycling through all 23 languages; the rest keep the
+    * sentences cycling through all 23 languages plus a mixed-script
+    * guard case (one Greek letter in English prose — the script gate's
+    * min-share rule must NOT fire); the rest keep the
     * (en-ish) word-salad bodies. The oracle embeds the IDENTICAL
     * 14×15 trigram model (generated from the same Scala constant — one
     * source of truth) and re-derives normalization, codepoint trigram
@@ -5385,8 +5412,18 @@ object PipelineQueries {
        |  FROM hits) WHERE rk = 1)""".stripMargin
   }
 
+  /** One script gate as RE2 SQL — the char-class hit AND the
+    * minimum in-script character share, mirroring
+    * [[graft.ops.TextAnalysis.ScriptGateMinShareMicros]] exactly
+    * (length-minus-stripped count, floor-divided micros). */
+  private def gateCondSql(re: String): String =
+    s"(regexp_matches(f.text, '$re') AND " +
+      s"(CAST(length(f.text) - length(regexp_replace(f.text, '$re', '', 'g'))" +
+      " AS BIGINT) * 1000000) // greatest(length(f.text), 1) >= " +
+      s"${TextAnalysis.ScriptGateMinShareMicros})"
+
   private val langGateCases: String = TextAnalysis.scriptGatesRe2
-    .map { case (l, re) => s"WHEN regexp_matches(f.text, '$re') THEN '$l'" }
+    .map { case (l, re) => s"WHEN ${gateCondSql(re)} THEN '$l'" }
     .mkString(" ")
 
   private val predLangSql: String =
@@ -5408,7 +5445,7 @@ object PipelineQueries {
 
   val q213LangIdTrigram: Q = {
     val anyGate = TextAnalysis.scriptGatesRe2
-      .map { case (_, re) => s"regexp_matches(f.text, '$re')" }
+      .map { case (_, re) => gateCondSql(re) }
       .mkString(" OR ")
     q("q213_lang_id_trigram",
       langIdFixtureCtes +
@@ -5667,7 +5704,13 @@ object PipelineQueries {
     * 7↔8 two-cycle that must flag `truncated` at the hop limit — with a
     * GROUND-TRUTH oracle: expected final URL, hop count, and flags
     * derived arithmetically from the moduli (tracing the walk by hand),
-    * not by re-running a walk in SQL. */
+    * not by re-running a walk in SQL. The planted Location headers
+    * exercise RFC 9110's relative forms through the walk — m=1 a dotted
+    * relative path (`x/../<id+2>`), m=2 root-relative (`/<id+1>`), m=7
+    * protocol-relative (`//host/<id+1>`), m=8 absolute — and the oracle
+    * pins the SAME absolute final URLs, so a resolution bug anywhere
+    * breaks the chain equi-join and diverges. (m=1's hop target is
+    * <id+1>, spelled `x/../<id+1>`.) */
   val q219Redirects: Q = q("q219_redirects",
     """WITH t AS (SELECT doc_id, CAST(doc_id % 10 AS INT) AS m,
       |  'http://s.example.com/' || CAST(doc_id AS VARCHAR) AS url
@@ -5689,8 +5732,13 @@ object PipelineQueries {
     val responses = Tables.documents(s, d).select(
       u(col("doc_id")).as("url"),
       when(m.isin(1, 2, 7, 8), 301).otherwise(200).as("status_code"),
-      when(m.isin(1, 2, 7), u(col("doc_id") + 1))
-        .when(m === 8, u(col("doc_id") - 1))
+      when(m === 1, // dotted relative: "/<id>" dir is "/", x/.. cancels
+          concat(lit("x/../"), (col("doc_id") + 1).cast("string")))
+        .when(m === 2, // root-relative
+          concat(lit("/"), (col("doc_id") + 1).cast("string")))
+        .when(m === 7, // protocol-relative
+          concat(lit("//s.example.com/"), (col("doc_id") + 1).cast("string")))
+        .when(m === 8, u(col("doc_id") - 1)) // absolute
         .otherwise(lit("")).as("location"))
     WebText.resolveRedirects(responses, maxHops = 4).orderBy("url")
   }
@@ -5774,6 +5822,64 @@ object PipelineQueries {
     Robots.sitemapUrls(hosts).orderBy("host", "sitemap_url")
   }
 
+  /** RFC 3986 relative-reference resolution over raw pages
+    * ([[graft.ops.WebText.resolvedLinkRows]] / `resolveUrl`): each page
+    * sits at `/a/b/page.html?x=1#top` and links every reference form a
+    * real page emits — absolute, protocol-relative, root-relative,
+    * plain relative, `../` dotted, over-root `../../../`, query-only,
+    * fragment-only (dropped), and `mailto:` (dropped) — with docs ≡ 0
+    * (mod 5) carrying a `<base href="/bb/">` that re-roots every
+    * RELATIVE resolution (but not the rooted/absolute forms).
+    * GROUND-TRUTH oracle: every expected absolute URL is spelled out
+    * from the moduli by hand-tracing the RFC algorithm, so any drift in
+    * merge, dot-segment removal, base-href handling, or the http(s)
+    * filter diverges. */
+  val q222ResolveLinks: Q = q("q222_resolve_links",
+    """WITH t AS (SELECT doc_id,
+      |  'http://www.' || source || '.org' AS h,
+      |  'http://www.' || source || '.org/a/b/page.html?x=1#top' AS url,
+      |  doc_id % 5 = 0 AS hb,
+      |  CAST(doc_id % 2 AS VARCHAR) AS m2, CAST(doc_id % 3 AS VARCHAR) AS m3,
+      |  CAST(doc_id % 4 AS VARCHAR) AS m4, CAST(doc_id % 5 AS VARCHAR) AS m5
+      |  FROM documents),
+      |links AS (
+      |  SELECT url, 'http://abs.example.net/z/' || m3 AS link FROM t
+      |  UNION ALL SELECT url, 'http://peer.example.org/pp/' || m4 FROM t
+      |  UNION ALL SELECT url, h || '/root/' || m5 FROM t
+      |  UNION ALL SELECT url, h ||
+      |    CASE WHEN hb THEN '/bb/img/' ELSE '/a/b/img/' END
+      |    || m2 || '.png' FROM t
+      |  UNION ALL SELECT url, h ||
+      |    CASE WHEN hb THEN '/up/' ELSE '/a/up/' END || m3 FROM t
+      |  UNION ALL SELECT url, h || '/deep/' || m2 FROM t
+      |  UNION ALL SELECT url, h ||
+      |    CASE WHEN hb THEN '/bb/?page=' ELSE '/a/b/page.html?page=' END
+      |    || m2 FROM t)
+      |SELECT url, link FROM links ORDER BY url, link""".stripMargin) { (s, d) =>
+    val m2 = (col("doc_id") % 2).cast("string")
+    val m3 = (col("doc_id") % 3).cast("string")
+    val m4 = (col("doc_id") % 4).cast("string")
+    val m5 = (col("doc_id") % 5).cast("string")
+    val html = concat(
+      lit("<html><head>"),
+      when(col("doc_id") % 5 === 0, lit("<base href=\"/bb/\">"))
+        .otherwise(lit("")),
+      lit("</head><body><a href=\"http://abs.example.net/z/"), m3,
+      lit("\">abs</a><a href='//peer.example.org/pp/"), m4,
+      lit("'>pr</a><a href=\"/root/"), m5,
+      lit("\">rr</a><a href=\"img/"), m2,
+      lit(".png\">rel</a><a href=\"../up/"), m3,
+      lit("\">up</a><a href=\"../../../deep/"), m2,
+      lit("\">deep</a><a href=\"?page="), m2,
+      lit("\">q</a><a href=\"#sec\">frag</a>" +
+        "<a href=\"mailto:a@b.c\">m</a></body></html>"))
+    val pages = Tables.documents(s, d).select(
+      concat(lit("http://www."), col("source"),
+        lit(".org/a/b/page.html?x=1#top")).as("url"), html.as("html"))
+    WebText.resolvedLinkRows(pages, "url", "html")
+      .select("url", "link").orderBy("url", "link")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5819,5 +5925,5 @@ object PipelineQueries {
     q211ContentBlocks, q212MainContent, q213LangIdTrigram,
     q214JwNonAscii, q215WetMainContent, q216LangBudget,
     q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex,
-    q221RobotsSitemaps)
+    q221RobotsSitemaps, q222ResolveLinks)
 }

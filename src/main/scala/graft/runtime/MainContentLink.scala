@@ -2,6 +2,7 @@ package graft.runtime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.ops.WebText
 
 /** Streaming main-content extraction — [[graft.ops.WebText.mainContent]]
@@ -26,9 +27,19 @@ class MainContentLink(input: String, outputStream: String,
   val inputs: Seq[String] = Seq(input)
   val output: Option[String] = None // custom start: declared + written below
 
+  // static output shape of WebText.mainContent — declared upfront in
+  // start() (the NearDupGateLink precedent) so a downstream link that
+  // attaches before the first non-empty batch, or an empty input, never
+  // hits StreamNotFoundError
+  private val outSchema = StructType(Seq(
+    StructField("url", StringType), StructField("n_blocks", LongType),
+    StructField("n_kept", LongType), StructField("n_chars_kept", LongType),
+    StructField("main_text", StringType)))
+
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
+    registry.declare(outputStream, outSchema)
     registry.readStream(input).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, outputStream))
       .trigger(trigger)

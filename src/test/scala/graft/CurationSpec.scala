@@ -589,7 +589,11 @@ class CurationSpec extends SparkSpec {
       "th" -> "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ",
       "zh" -> "敏捷的棕色狐狸跳过了懒狗",
       "ja" -> "すばやい茶色のきつねはのろまな犬を飛び越えます",
-      "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘는다")
+      "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘는다",
+      // one stray Greek letter in English prose: the el script gate's
+      // min-share rule must let the trigram argmax decide (en), where
+      // the old any-single-char gate claimed el with score 1.0
+      "en" -> "the constant π is used once but the quick brown fox still jumps over the lazy dog")
     val docs = planted.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
       .toDF("doc_id", "text")
       .unionAll(Seq((99L, "zzz qqq vvv kkk www")).toDF("doc_id", "text"))

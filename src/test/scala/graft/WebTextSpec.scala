@@ -120,6 +120,72 @@ class WebTextSpec extends SparkSpec {
       ("https://b.org/y", "it's &lt;kept&gt;")))   // escaped entity survives
   }
 
+  test("resolveUrl: the RFC 3986 §5.4 reference-resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      // §5.4.1 normal
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      ";x" -> "http://a/b/c/;x", "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g", "../.." -> "http://a/",
+      "../../" -> "http://a/", "../../g" -> "http://a/g",
+      // §5.4.2 abnormal
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y")
+    val got = cases.map(_._1).toDF("r")
+      .select(WebText.resolveUrl(lit(base), col("r")).as("u"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((ref, want), u) =>
+      assert(u === want, s"resolve('$ref') against '$base'")
+    }
+  }
+
+  test("resolveUrl: empty-path base, fragment-bearing base, " +
+    "non-hierarchical base sentinel") {
+    val got = Seq(
+      ("http://h", "g"), ("http://h", "//x/y"),
+      ("http://h/p#frag", ""), ("http://h/p#frag", "#s"),
+      ("mailto:a@b", "g"), ("mailto:a@b", "http://ok/x"))
+      .toDF("b", "r")
+      .select(WebText.resolveUrl(col("b"), col("r")).as("u"))
+      .as[String].collect().toSeq
+    assert(got === Seq("http://h/g", "http://x/y",
+      "http://h/p", "http://h/p#s",
+      "", "http://ok/x")) // unresolvable sentinel; absolute passes through
+  }
+
+  test("resolvedLinkRows: relative forms resolved, <base href> honored, " +
+    "fragment-only and non-http dropped, uppercase scheme kept") {
+    val pages = Seq(
+      ("http://www.s.org/a/b/page.html?x=1",
+        "<a href=\"img/i.png\">r</a><a href='/root/z'>rr</a>" +
+          "<a href=\"../up\">u</a><a href='//peer.net/p'>pp</a>" +
+          "<a href=\"HTTP://UP.com/Y\">abs</a><a href=\"#top\">f</a>" +
+          "<a href='mailto:a@b.c'>m</a>"),
+      ("http://www.s.org/a/b/page.html?x=1",
+        "<base href=\"/bb/\"><a href=\"img/i.png\">r</a>"))
+      .toDF("url", "html")
+    val got = WebText.resolvedLinkRows(pages, "url", "html")
+      .select("link").as[String].collect().toSeq.sorted
+    assert(got === Seq(
+      "HTTP://UP.com/Y",
+      "http://peer.net/p",
+      "http://www.s.org/a/b/img/i.png",
+      "http://www.s.org/a/up",
+      "http://www.s.org/bb/img/i.png",
+      "http://www.s.org/root/z"))
+  }
+
   test("hostLinkEdges: registered-domain endpoints, self-edges dropped") {
     val pages = Seq(
       ("http://www.src.com/a",
@@ -232,21 +298,30 @@ class WebTextSpec extends SparkSpec {
 
   test("resolveRedirects: chains, hop-limit truncation, loops, " +
     "conflicting captures, Location header extraction") {
+    def u(s: String) = s"http://h.org/$s"
     val r = Seq(
-      ("a", 301, "b"), ("b", 302, "c"), ("c", 307, "d"), ("d", 200, ""),
-      ("e", 200, ""),
-      ("x", 301, "y"), ("y", 308, "x"), // 2-cycle
-      ("dup", 301, "m"), ("dup", 301, "k"), // conflicting fetches → min
-      ("k", 200, ""), ("m", 200, ""))
+      // chain hops spell every RFC 9110 Location form: relative path
+      // ("b" against http://h.org/a), root-relative, protocol-relative
+      (u("a"), 301, "b"), (u("b"), 302, "/c"), (u("c"), 307, "//h.org/d"),
+      (u("d"), 200, ""),
+      (u("e"), 200, ""),
+      (u("x"), 301, u("y")), (u("y"), 308, u("x")), // 2-cycle
+      (u("dup"), 301, u("m")), (u("dup"), 301, u("k")), // conflict → min
+      (u("k"), 200, ""), (u("m"), 200, ""),
+      // a non-hierarchical source can't anchor a relative Location:
+      // no edge, reported as not redirected
+      ("urn:isbn:0451450523", 301, "rel/path"))
       .toDF("url", "status_code", "location")
     val got = WebText.resolveRedirects(r, maxHops = 2)
       .as[(String, String, Long, Boolean, Boolean)].collect()
       .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
-    assert(got("a") === (("c", 2L, true, true))) // c still redirects: truncated
-    assert(got("b") === (("d", 2L, true, false)))
-    assert(got("e") === (("e", 0L, false, false)))
-    assert(got("x") === (("x", 2L, true, true))) // loop never resolves
-    assert(got("dup") === (("k", 1L, true, false))) // min("k","m") = "k"
+    assert(got(u("a")) === ((u("c"), 2L, true, true))) // c redirects: truncated
+    assert(got(u("b")) === ((u("d"), 2L, true, false)))
+    assert(got(u("e")) === ((u("e"), 0L, false, false)))
+    assert(got(u("x")) === ((u("x"), 2L, true, true))) // loop never resolves
+    assert(got(u("dup")) === ((u("k"), 1L, true, false))) // min(k,m) = k
+    assert(got("urn:isbn:0451450523") ===
+      (("urn:isbn:0451450523", 0L, false, false)))
     // Location comes out of the raw response payload
     val loc = Seq(
       "HTTP/1.1 301 Moved\r\nLocation: http://t.example.org/new\r\n" +
