@@ -64,9 +64,15 @@ object Http {
     * charset from the ASCII header block, and decodes the body with the
     * DECLARED charset — the step the column path cannot do, because a
     * payload that was eagerly UTF-8-decoded has already corrupted any
-    * latin-1/windows bytes. Unknown or unsupported charset names fall
-    * back to UTF-8 (the reported `charset` keeps the raw lowercased
-    * token for auditing); malformed byte sequences decode to U+FFFD
+    * latin-1/windows bytes. When the Content-Type header carries NO
+    * charset parameter, the first [[MetaSniffBytes]] body bytes are
+    * scanned (ASCII-superset decode) for the HTML-level declaration —
+    * `<meta charset=…>` or `http-equiv="Content-Type"` in either
+    * attribute order — the way real pages overwhelmingly declare their
+    * encoding (the WHATWG prescan, bounded); the sniffed token is
+    * reported in `charset` for auditing. Unknown or unsupported charset
+    * names fall back to UTF-8 (the reported `charset` keeps the raw
+    * lowercased token); malformed byte sequences decode to U+FFFD
     * replacement chars (the java.lang.String REPLACE policy —
     * deterministic, and exactly what `TextAnalysis.encodingSignals`
     * audits downstream). Degenerate cases mirror [[splitResponse]]:
@@ -94,7 +100,19 @@ object Http {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val ct = CtRe.findFirstMatchIn(hdr).map(_.group(1).trim.toLowerCase)
       .getOrElse("")
-    val cs = CsRe.findFirstMatchIn(hdr).map(_.group(1).toLowerCase).getOrElse("")
+    val hdrCs =
+      CsRe.findFirstMatchIn(hdr).map(_.group(1).toLowerCase).getOrElse("")
+    val cs = if (hdrCs.nonEmpty) hdrCs else {
+      // bounded prescan of the body head, ISO-8859-1 (every byte maps to
+      // a char, so the scan itself can never throw or lose ASCII markup)
+      val head = new String(body, split + 4,
+        math.min(MetaSniffBytes, n - split - 4),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      MetaCsRes.iterator
+        .flatMap(_.findFirstMatchIn(head))
+        .map(_.group(1).toLowerCase)
+        .nextOption().getOrElse("")
+    }
     val decoder =
       if (cs.isEmpty) java.nio.charset.StandardCharsets.UTF_8
       else
@@ -110,6 +128,25 @@ object Http {
   private val CtRe = "(?im)^content-type:\\s*([^;\r\n]+)".r
   private val CsRe =
     "(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_+.:-]+)\"?".r
+
+  /** Prescan window for the HTML meta-charset fallback: the WHATWG
+    * prescan convention (declarations are required to sit in the first
+    * 1024 bytes of the document). */
+  private[graft] val MetaSniffBytes = 1024
+
+  /** The three HTML charset-declaration shapes, tried in order: the
+    * HTML5 `<meta charset=…>` (charset as the attribute NAME — anchored
+    * right after `<meta`, so a `charset=` inside some other attribute's
+    * VALUE can never match), then the legacy `http-equiv` form in both
+    * attribute orders (the `charset=` must sit inside the `content`
+    * attribute of a tag that really says http-equiv). */
+  private val MetaCsRes = Seq(
+    "(?is)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_+.:-]+)".r,
+    ("(?is)<meta\\s[^>]*?http-equiv\\s*=\\s*[\"']?content-type[\"']?" +
+      "[^>]*?content\\s*=\\s*[\"'][^\"'>]*?charset=([A-Za-z0-9_+.:-]+)").r,
+    ("(?is)<meta\\s[^>]*?content\\s*=\\s*[\"'][^\"'>]*?" +
+      "charset=([A-Za-z0-9_+.:-]+)[^>]*?" +
+      "http-equiv\\s*=\\s*[\"']?content-type").r)
 
   /** One-call projection: `(status_code, content_type, charset, body,
     * is_http)` appended to `df` from the payload in `payloadCol`. */

@@ -141,6 +141,48 @@ object Warc {
           (acc, m) => concat(acc, m.getField("gz"))).as("payload"))
   }
 
+  /** Inflate a gzip(-member-stream) BINARY column to UTF-8 text — the
+    * generic fetched-file decompressor for crawl sidecars that ship
+    * overwhelmingly gzipped (sitemaps are the canonical case: the
+    * protocol recommends `.xml.gz` and large sites use nothing else).
+    * Reuses the RFC 1952 member walk ([[inflateMember]]: all optional
+    * FLG fields, bomb clamp) and concatenates multi-member streams;
+    * payloads that do NOT start with the gzip magic pass through as
+    * UTF-8 text (the [[parseChunk]] sniffing precedent — a frontier
+    * mixing `.xml` and `.xml.gz` fetches needs no routing). `valid` is
+    * false when a gzip payload is truncated/corrupt (text keeps the
+    * members inflated before the fault). Output: `(keyCol, outCol,
+    * valid)`.
+    *
+    * Scale shape: per-partition byte decoder (the library's accepted
+    * mapPartitions class) — embarrassingly parallel, no shuffle. */
+  def gunzipTextColumn(spark: SparkSession, df: DataFrame, keyCol: String,
+                       bytesCol: String,
+                       outCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (k, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b)
+          (k, new String(b, java.nio.charset.StandardCharsets.UTF_8), true)
+        else {
+          val out = new java.io.ByteArrayOutputStream(b.length * 3)
+          var pos = 0
+          var ok = true
+          while (ok && pos < b.length) {
+            inflateMember(b, pos) match {
+              case Some((m, end)) => out.write(m, 0, m.length); pos = end
+              case None           => ok = false
+            }
+          }
+          (k, new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8), ok)
+        }
+      })
+      .toDF(keyCol, outCol, "valid")
+  }
+
   /** Parse every record out of each chunk payload (plain or `.warc.gz`
     * member-stream chunks — sniffed per chunk). */
   def parseWarc(spark: SparkSession, chunks: DataFrame): Dataset[WarcRecord] = {

@@ -75,17 +75,89 @@ object WebText {
     concat(auth, rest)
   }
 
-  /** Registered domain (eTLD+1) of a canonical URL's host, under a compact
-    * public-suffix table: two-label suffixes `co.uk org.uk ac.uk com.au
-    * net.au co.jp com.br co.in` take three labels, anything else takes
-    * two. ONE anchored regex with non-capturing alternation — no
-    * backreferences — so Spark and the oracle extract the identical
-    * domain. (A production deployment swaps the alternation for the full
-    * publicsuffix.org list, generated into the same regex shape.) */
+  /** Two-label public suffixes, grouped `tld -> second-level labels` —
+    * the high-traffic slice of the publicsuffix.org registry section
+    * (the ccTLDs that delegate under fixed second-level labels; all
+    * entries are public knowledge from that list). A host ending in any
+    * `label.tld` here takes THREE labels as its registered domain
+    * (`shop.com.cn`), anything else takes two (`example.fr`). Grouped
+    * form keeps the generated alternation compact; [[registeredDomain]]
+    * compiles it into one anchored regex, and every oracle splices the
+    * SAME generated pattern (the q213/q218 spliced-constant
+    * discipline), so the table can grow — toward the full list — in
+    * exactly one place. */
+  private[graft] val MultiLabelSuffixGroups: Seq[(String, Seq[String])] = Seq(
+    "uk" -> Seq("co", "org", "ac", "gov", "net", "sch", "ltd", "plc", "me"),
+    "au" -> Seq("com", "net", "org", "edu", "gov", "asn", "id"),
+    "jp" -> Seq("co", "ne", "or", "ac", "go", "ad", "ed", "gr", "lg"),
+    "br" -> Seq("com", "net", "org", "gov", "edu"),
+    "in" -> Seq("co", "net", "org", "gen", "firm", "ind", "gov", "ac",
+      "edu", "res"),
+    "cn" -> Seq("com", "net", "org", "gov", "edu", "ac"),
+    "kr" -> Seq("co", "ne", "or", "go", "ac", "re", "pe"),
+    "mx" -> Seq("com", "net", "org", "gob", "edu"),
+    "tw" -> Seq("com", "net", "org", "gov", "edu", "idv"),
+    "hk" -> Seq("com", "net", "org", "gov", "edu", "idv"),
+    "sg" -> Seq("com", "net", "org", "gov", "edu", "per"),
+    "za" -> Seq("co", "net", "org", "gov", "ac", "web"),
+    "nz" -> Seq("co", "net", "org", "govt", "ac", "school", "gen", "geek"),
+    "ar" -> Seq("com", "net", "org", "gob", "gov", "edu"),
+    "tr" -> Seq("com", "net", "org", "gov", "edu", "bel", "k12", "av", "dr"),
+    "il" -> Seq("co", "org", "net", "ac", "gov", "muni"),
+    "id" -> Seq("co", "net", "or", "go", "ac", "web", "sch"),
+    "th" -> Seq("co", "in", "or", "go", "ac", "net"),
+    "my" -> Seq("com", "net", "org", "gov", "edu"),
+    "ph" -> Seq("com", "net", "org", "gov", "edu"),
+    "vn" -> Seq("com", "net", "org", "gov", "edu"),
+    "ua" -> Seq("com", "net", "org", "gov", "edu", "in"),
+    "ru" -> Seq("com", "net", "org"),
+    "pl" -> Seq("com", "net", "org", "gov", "edu"),
+    "eg" -> Seq("com", "net", "org", "gov", "edu"),
+    "sa" -> Seq("com", "net", "org", "gov", "edu"),
+    "ae" -> Seq("co", "net", "org", "gov", "ac"),
+    "pe" -> Seq("com", "net", "org", "gob", "edu"),
+    "ve" -> Seq("com", "net", "org", "gob", "edu"),
+    "co" -> Seq("com", "net", "org", "gov", "edu"),
+    "ec" -> Seq("com", "net", "org", "gob", "edu"),
+    "uy" -> Seq("com", "net", "org", "gub", "edu"),
+    "py" -> Seq("com", "net", "org", "gov", "edu"),
+    "bo" -> Seq("com", "net", "org", "gob", "edu"),
+    "gt" -> Seq("com", "net", "org", "gob", "edu"),
+    "do" -> Seq("com", "net", "org", "gob", "edu"),
+    "ke" -> Seq("co", "or", "ne", "go", "ac"),
+    "ng" -> Seq("com", "net", "org", "gov", "edu"),
+    "pk" -> Seq("com", "net", "org", "gov", "edu"),
+    "bd" -> Seq("com", "net", "org", "gov", "edu"),
+    "np" -> Seq("com", "net", "org", "gov", "edu"))
+
+  /** The generated anchored alternation over
+    * [[MultiLabelSuffixGroups]] plus the single-label fallback — shared
+    * verbatim by the Spark expression and every oracle splice (Java
+    * regex ∩ RE2: non-capturing groups and literal dots only). */
+  private[graft] val RegisteredDomainRegex: String = {
+    val groups = MultiLabelSuffixGroups.map { case (tld, labels) =>
+      require(labels.nonEmpty && labels.distinct.size == labels.size,
+        s"bad suffix group for .$tld")
+      if (labels.size == 1) s"${labels.head}\\.$tld"
+      else s"(?:${labels.mkString("|")})\\.$tld"
+    }
+    s"([^.]+\\.(?:${groups.mkString("|")}|[^.]+))$$"
+  }
+
+  /** Registered domain (eTLD+1) of a canonical URL's host, under the
+    * generated public-suffix table ([[MultiLabelSuffixGroups]]):
+    * two-label suffixes (`co.uk`, `com.cn`, `co.kr`, …) take three
+    * labels, anything else takes two. ONE anchored regex with
+    * non-capturing alternation — no backreferences — so Spark and the
+    * oracle extract the identical domain. Misclassifying these skews
+    * everything keyed on domain at crawl scale: per-domain caps (q77),
+    * reputation (q201), and fetch budgets (q209). A deployment
+    * tracking the FULL publicsuffix.org list (including 3-label and
+    * wildcard rules) generates it into this same shape or uses a
+    * broadcast longest-match table. */
   def registeredDomain(u: Column): Column = {
     val host = regexp_replace(regexp_extract(lower(u), "//[^/:?#]*", 0), "^//(www\\.)?", "")
-    regexp_extract(host,
-      "([^.]+\\.(?:(?:co|org|ac)\\.uk|(?:com|net)\\.au|co\\.jp|com\\.br|co\\.in|[^.]+))$", 1)
+    regexp_extract(host, RegisteredDomainRegex, 1)
   }
 
   /** Unrolled depth of `../` collapse in [[resolveUrl]]'s dot-segment

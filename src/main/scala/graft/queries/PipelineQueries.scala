@@ -27,6 +27,16 @@ object PipelineQueries {
   private def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 
+  /** Oracle-SQL mirror of [[graft.ops.WebText.registeredDomain]] over a
+    * URL expression — host extract, `www.` strip, and the GENERATED
+    * public-suffix alternation spliced from the same Scala constant
+    * (single source of truth: growing the suffix table updates every
+    * domain oracle at once). */
+  private def rdSql(expr: String): String =
+    "regexp_extract(regexp_replace(regexp_extract(lower(" + expr +
+      "), '//[^/:?#]*'), '^//(www\\.)?', ''), '" +
+      WebText.RegisteredDomainRegex + "', 1)"
+
   private def toks: Column = split(col("text"), " ")
 
   /** The planted-near-dup embedding corpus shared by q63 and q79: each
@@ -2648,11 +2658,8 @@ object PipelineQueries {
       |c5 AS (SELECT doc_id, auth ||
       |  CASE WHEN r4 LIKE '%/' AND length(r4) > 1 AND r4 NOT LIKE '%?%'
       |       THEN substr(r4, 1, length(r4) - 1) ELSE r4 END AS canon FROM c4),
-      |c6 AS (SELECT doc_id, canon, regexp_extract(
-      |  regexp_replace(regexp_extract(lower(canon), '//[^/:?#]*'),
-      |                 '^//(www\.)?', '', 'g'),
-      |  '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
-      |  1) AS rd FROM c5)
+      |c6 AS (SELECT doc_id, canon,
+      |  """.stripMargin + rdSql("canon") + """ AS rd FROM c5)
       |SELECT rd AS domain, CAST(count(*) AS BIGINT) AS n_urls,
       |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
       |  min(canon) AS sample_url
@@ -3497,14 +3504,8 @@ object PipelineQueries {
       |  UNION ALL SELECT page_url,
       |    'http://www.' || source || '.org/relative/skip' FROM p),
       |ed AS (SELECT
-      |  regexp_extract(regexp_replace(
-      |    regexp_extract(lower(page_url), '//[^/:?#]*'), '^//(www\.)?', ''),
-      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
-      |    1) AS src_domain,
-      |  regexp_extract(regexp_replace(
-      |    regexp_extract(lower(link), '//[^/:?#]*'), '^//(www\.)?', ''),
-      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
-      |    1) AS dst_domain FROM dl)
+      |  """.stripMargin + rdSql("page_url") + """ AS src_domain,
+      |  """.stripMargin + rdSql("link") + """ AS dst_domain FROM dl)
       |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
       |FROM ed WHERE src_domain <> '' AND dst_domain <> ''
       |  AND src_domain <> dst_domain
@@ -3825,10 +3826,7 @@ object PipelineQueries {
       |        '\s+', ' ', 'g'))}), recursive := true)
       |  FROM p),
       |d AS (SELECT
-      |  regexp_extract(regexp_replace(
-      |    regexp_extract(lower(href), '//[^/:?#]*'), '^//(www\.)?', ''),
-      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
-      |    1) AS dst_domain, anchor FROM m)
+      |  """.stripMargin + rdSql("href") + """ AS dst_domain, anchor FROM m)
       |SELECT dst_domain, anchor, CAST(count(*) AS BIGINT) AS n
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
     import graft.ops.WebText
@@ -4562,10 +4560,7 @@ object PipelineQueries {
       |  UNION ALL SELECT
       |    'http://www.' || source || '.org/relative/skip' FROM p),
       |inl AS (SELECT link,
-      |  regexp_extract(regexp_replace(
-      |    regexp_extract(lower(link), '//[^/:?#]*'), '^//(www\.)?', ''),
-      |    '([^.]+\.(?:(?:co|org|ac)\.uk|(?:com|net)\.au|co\.jp|com\.br|co\.in|[^.]+))$',
-      |    1) AS domain,
+      |  """.stripMargin + rdSql("link") + """ AS domain,
       |  count(*) AS inlinks FROM dl GROUP BY 1, 2),
       |crawled AS (SELECT DISTINCT
       |  'HTTP://WWW.' || upper(source) || '.Example.COM:80/l/' ||
@@ -5880,6 +5875,156 @@ object PipelineQueries {
       .select("url", "link").orderBy("url", "link")
   }
 
+  /** Meta-charset fallback in the byte decode path
+    * ([[graft.ops.Http.splitResponseBytes]] behind the full WARC→HTTP
+    * stack): five cohorts whose Content-Type header declares NO charset
+    * — HTML5 `<meta charset>` with a latin-1 body (an eager UTF-8 read
+    * corrupts the é/ñ/ü bytes), the legacy `http-equiv` form in both
+    * attribute orders, a decoy page whose only `charset=` lives inside
+    * a description attribute (must NOT be picked — sniffing it as
+    * utf-16 would garble the decode), and a meta-less page (UTF-8
+    * default). GROUND-TRUTH oracle: the expected decoded text is the
+    * source html itself and the expected charset token per cohort is
+    * spelled out, so a sniff that fires wrongly, misses, or mis-orders
+    * header-vs-meta precedence diverges byte-for-byte. */
+  /** Gzipped sitemap ingestion
+    * ([[graft.ops.Warc.gunzipTextColumn]] →
+    * [[graft.ops.WebText.sitemapEntries]] behind the q220 two-level
+    * layout): the child sitemaps are shipped as `.xml.gz` payloads —
+    * synthesized with the JVM gzip writer, inflated by the library's
+    * RFC 1952 member walk — while the index stays plain XML, the mixed
+    * fetch reality. The oracle is the SAME ground truth as q220
+    * (every row reconstructed from source rows and moduli), so the
+    * compression must be perfectly transparent end to end — the q188
+    * proof applied to the sitemap path. */
+  val q225GzipSitemap: Q = q("q225_gzip_sitemap",
+    """SELECT source AS host,
+      |  'http://' || source || '.org/sitemap' ||
+      |    CAST(doc_id % 3 AS VARCHAR) || '.xml.gz' AS sitemap_loc,
+      |  'http://' || source || '.org/p/' || CAST(doc_id AS VARCHAR) AS loc
+      |FROM documents ORDER BY host, sitemap_loc, loc""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val base = Tables.documents(s, d)
+    val entry = concat(lit("<url>\n <loc> http://"), col("source"),
+      lit(".org/p/"), col("doc_id").cast("string"), lit(" </loc>\n</url>"))
+    val children = base
+      .groupBy(col("source").as("host"),
+        (col("doc_id") % 3).cast("string").as("shard"))
+      .agg(concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), entry.as("e")))),
+          x => x.getField("e")), "\n"), lit("\n</urlset>")).as("xml"))
+      .withColumn("child_loc", concat(lit("http://"), col("host"),
+        lit(".org/sitemap"), col("shard"), lit(".xml.gz")))
+    // ship each child as one gzip member (deterministic: fixed JVM gzip
+    // header + DEFLATE, the syntheticWarcGzipChunks argument)
+    val gz = children.select(col("child_loc"),
+        encode(col("xml"), "UTF-8").as("b"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (k, rec) =>
+        val out = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rec); g.close()
+        (k, out.toByteArray)
+      }).toDF("child_loc", "gz")
+    val inflated = Warc.gunzipTextColumn(s, gz, "child_loc", "gz", "xml")
+      .filter(col("valid"))
+    val index = children
+      .groupBy(col("host").as("ix_host"))
+      .agg(concat(lit("<sitemapindex>\n"),
+        array_join(transform(array_sort(collect_list(struct(
+          col("child_loc"),
+          concat(lit("<sitemap>\n <loc> "), col("child_loc"),
+            lit(" </loc>\n</sitemap>")).as("e")))),
+          x => x.getField("e")), "\n"), lit("\n</sitemapindex>")).as("ixml"))
+    val fanout = index.select(col("ix_host"),
+        explode(WebText.sitemapIndexEntries(col("ixml"))).as("sm"))
+      .select(col("ix_host").as("host"), col("sm.loc").as("sitemap_loc"))
+    fanout.join(inflated,
+        fanout("sitemap_loc") === inflated("child_loc"))
+      .select(col("host"), col("sitemap_loc"),
+        explode(WebText.sitemapEntries(col("xml"))).as("u"))
+      .select(col("host"), col("sitemap_loc"), col("u.loc").as("loc"))
+      .orderBy("host", "sitemap_loc", "loc")
+  }
+
+  /** Expanded public-suffix table
+    * ([[graft.ops.WebText.registeredDomain]] over
+    * `MultiLabelSuffixGroups`): eight planted host shapes — `com.cn`,
+    * `co.kr` (with a port), `com.mx` under deep subdomains, `gov.uk`,
+    * a plain ccTLD, a plain gTLD, `com.br`, and a bare three-label
+    * `ac.th` — each mapped to its hand-derived eTLD+1. GROUND-TRUTH
+    * oracle (expected domains spelled out), so a regression anywhere
+    * in the generated alternation, the `www.` strip, or the port stop
+    * diverges; the regex itself is exercised against DuckDB's RE2 by
+    * the q143/q167/q175/q195 splices. */
+  val q224PslDomains: Q = q("q224_psl_domains",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'shop.com.cn' WHEN 1 THEN 'news.co.kr'
+      |    WHEN 2 THEN 'portal.com.mx' WHEN 3 THEN 'site.gov.uk'
+      |    WHEN 4 THEN 'example.fr' WHEN 5 THEN 'onetld.com'
+      |    WHEN 6 THEN 'example.com.br' ELSE 'x.ac.th' END AS domain
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 8
+    val url = when(m === 0, lit("http://www.shop.com.cn/x"))
+      .when(m === 1, lit("https://news.co.kr:8443/y?a=1"))
+      .when(m === 2, lit("http://a.b.portal.com.mx/"))
+      .when(m === 3, lit("http://deep.sub.site.gov.uk/z"))
+      .when(m === 4, lit("http://plain.example.fr/p"))
+      .when(m === 5, lit("http://www.onetld.com/q"))
+      .when(m === 6, lit("http://blog.example.com.br/r"))
+      .otherwise(lit("http://x.ac.th/w"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), WebText.registeredDomain(url).as("domain"))
+      .orderBy("doc_id")
+  }
+
+  val q223MetaCharset: Q = q("q223_meta_charset",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS m, text
+      |  FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id, m, '<html><head>' ||
+      |  CASE m WHEN 0 THEN '<meta charset="iso-8859-1">'
+      |    WHEN 1 THEN '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+      |    WHEN 2 THEN '<meta content="text/html; charset=utf-8" http-equiv=''Content-Type''>'
+      |    WHEN 3 THEN '<meta name="description" content="discusses charset=utf-16 here">'
+      |    ELSE '' END ||
+      |  '</head><body><p>' || text || ' café ñ über</p></body></html>'
+      |    AS html FROM t)
+      |SELECT doc_id, 200 AS status_code, 'text/html' AS content_type,
+      |  CASE WHEN m IN (0, 1) THEN 'iso-8859-1'
+      |       WHEN m = 2 THEN 'utf-8' ELSE '' END AS charset,
+      |  html AS text, TRUE AS valid
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 5
+    val metaTag = when(m === 0, lit("<meta charset=\"iso-8859-1\">"))
+      .when(m === 1, lit("<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=iso-8859-1\">"))
+      .when(m === 2, lit("<meta content=\"text/html; charset=utf-8\" " +
+        "http-equiv='Content-Type'>"))
+      .when(m === 3, lit("<meta name=\"description\" " +
+        "content=\"discusses charset=utf-16 here\">"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), metaTag,
+      lit("</head><body><p>"), col("text"),
+      lit(" café ñ über</p></body></html>"))
+    val bodyBytes = when(m.isin(0, 1), encode(html, "ISO-8859-1"))
+      .otherwise(encode(html, "UTF-8"))
+    val httpBytes = concat(
+      encode(lit("HTTP/1.1 200 OK\r\nServer: synth\r\n" +
+        "Content-Type: text/html\r\n\r\n"), "UTF-8"),
+      bodyBytes)
+    val chunks = binaryWarcChunks(Tables.documents(s, d),
+      httpWarcRecordBytes(httpBytes))
+    Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid"))
+      .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+        .as("doc_id"), col("status_code"), col("content_type"),
+        col("charset"), col("text"), col("valid"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -5925,5 +6070,6 @@ object PipelineQueries {
     q211ContentBlocks, q212MainContent, q213LangIdTrigram,
     q214JwNonAscii, q215WetMainContent, q216LangBudget,
     q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex,
-    q221RobotsSitemaps, q222ResolveLinks)
+    q221RobotsSitemaps, q222ResolveLinks, q223MetaCharset, q224PslDomains,
+    q225GzipSitemap)
 }

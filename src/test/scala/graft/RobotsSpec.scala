@@ -207,6 +207,43 @@ class RobotsSpec extends SparkSpec {
       ((null, "", "", "raw bytes")))
   }
 
+  test("Http.splitResponseBytes: meta-charset prescan when the header " +
+    "declares none — both forms, header wins, decoys and far metas ignored") {
+    def resp(body: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes("ISO-8859-1")) ++ body
+    // HTML5 form: latin-1 é decoded correctly only if the sniff fired
+    val m1 = Http.splitResponseBytes(resp(
+      "<html><head><meta charset=\"iso-8859-1\"></head><body>café</body>"
+        .getBytes("ISO-8859-1")))
+    assert(m1._3 === "iso-8859-1" && m1._4.contains("café"))
+    // legacy http-equiv form, name-first
+    val m2 = Http.splitResponseBytes(resp(
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=ISO-8859-1\"><p>né</p>").getBytes("ISO-8859-1")))
+    assert(m2._3 === "iso-8859-1" && m2._4.contains("né"))
+    // legacy form, content-first attribute order
+    val m3 = Http.splitResponseBytes(resp(
+      ("<meta content=\"text/html; charset=ISO-8859-1\" " +
+        "http-equiv='Content-Type'><p>nä</p>").getBytes("ISO-8859-1")))
+    assert(m3._3 === "iso-8859-1" && m3._4.contains("nä"))
+    // a charset= inside some OTHER attribute's value must not match
+    val decoy = Http.splitResponseBytes(resp(
+      ("<meta name=\"description\" content=\"discusses charset=utf-16\">" +
+        "<p>plain</p>").getBytes("UTF-8")))
+    assert(decoy._3 === "" && decoy._4.contains("plain"))
+    // declarations past the 1024-byte prescan window are ignored
+    val far = Http.splitResponseBytes(resp(
+      (("x" * 1200) + "<meta charset=\"iso-8859-1\">").getBytes("UTF-8")))
+    assert(far._3 === "")
+    // a header-declared charset always wins over the body meta
+    val hdr = Http.splitResponseBytes(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        .getBytes("ISO-8859-1")) ++
+        "<meta charset=\"iso-8859-1\">café".getBytes("UTF-8"))
+    assert(hdr._3 === "utf-8" && hdr._4.contains("café"))
+  }
+
   test("Http.splitResponse hostile payloads: missing blank line, " +
     "non-HTTP, empty, header-only") {
     val df = Seq(

@@ -183,6 +183,29 @@ class WarcSpec extends SparkSpec {
       Seq((0L, r1len), (r1len, bytes.length - r1len)))
   }
 
+  test("gunzipTextColumn: multi-member concatenation, plain pass-through, " +
+    "corrupt-tail flag") {
+    def gz(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes("UTF-8")); g.close()
+      out.toByteArray
+    }
+    val rows = Seq(
+      ("two_members", gz("<url>a</url>") ++ gz("<url>b</url>")),
+      ("plain", "<url>p</url>".getBytes("UTF-8")),
+      ("empty", Array.emptyByteArray),
+      ("corrupt_tail", gz("<url>c</url>") ++ Array[Byte](0x1f, 0x8b.toByte, 8)))
+    val df = spark.createDataFrame(rows).toDF("k", "b")
+    val got = Warc.gunzipTextColumn(spark, df, "k", "b", "xml")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(got("two_members") === (("<url>a</url><url>b</url>", true)))
+    assert(got("plain") === (("<url>p</url>", true)))
+    assert(got("empty") === (("", true)))
+    assert(got("corrupt_tail") === (("<url>c</url>", false)))
+  }
+
   test("synthesis round-trip on the fixture — every field reconstructed") {
     val docs = Tables.documents(spark, SparkSpec.sf0001)
       .select("doc_id", "text").limit(40)

@@ -49,15 +49,23 @@ class WebTextSpec extends SparkSpec {
     assert(canon(once: _*) === once)
   }
 
-  test("registeredDomain: eTLD+1 under the compact suffix table") {
+  test("registeredDomain: eTLD+1 under the generated suffix table") {
     val got = Seq(
       "http://www.example.co.uk/x", "https://a.b.news.com/y",
       "http://site.com.au:8080/", "http://deep.sub.domain.co.jp/z",
-      "http://plain.org/")
+      "http://plain.org/",
+      // expanded-table groups: cn / kr / mx / tw / za / th
+      "http://www.shop.com.cn/x", "https://news.co.kr:8443/y",
+      "http://a.b.portal.com.mx/", "http://firm.com.tw/",
+      "http://uni.ac.za/x", "http://x.co.th/",
+      // non-delegating ccTLD stays two-label
+      "http://deep.example.fr/")
       .toDF("u").select(WebText.registeredDomain(col("u")).as("d"))
       .as[String].collect().toSeq
     assert(got === Seq("example.co.uk", "news.com", "site.com.au",
-      "domain.co.jp", "plain.org"))
+      "domain.co.jp", "plain.org",
+      "shop.com.cn", "news.co.kr", "portal.com.mx", "firm.com.tw",
+      "uni.ac.za", "x.co.th", "example.fr"))
   }
 
   test("filterBlockedDomains drops every URL under the blocked eTLD+1") {
