@@ -5887,6 +5887,160 @@ object PipelineQueries {
     * source html itself and the expected charset token per cohort is
     * spelled out, so a sniff that fires wrongly, misses, or mis-orders
     * header-vs-meta precedence diverges byte-for-byte. */
+  /** Value oracle for the IVF probe/rank machinery
+    * ([[graft.ops.Similarity.annIvfWith]] with FIXED literal centers —
+    * the q113 trick extended from assignment to the full search):
+    * the 8 lowest-vec_id embeddings are the quantizer, queries probe
+    * their 3 nearest cells (squared-L2, ties to lower index), the
+    * corpus assigns top-1, candidates join on cell, and exact cosine
+    * ranks top-5 per query. The oracle re-derives cell distances, both
+    * probe/assign ranks, the candidate join, self-exclusion, and the
+    * cosine rank from DuckDB's own list arithmetic — value-pinning the
+    * last big ANN machine that was rows-only (q44/q121 keep the
+    * trained path under SimilaritySpec recall floors). */
+  val q226IvfProbeRank: Q = q("q226_ivf_probe_rank",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |      FROM e ORDER BY vec_id LIMIT 8),
+      |qd AS (SELECT e.vec_id AS q_id, e.v AS qe, c.cid,
+      |        list_sum(list_transform(range(1, len(e.v) + 1),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+      |      FROM e CROSS JOIN c WHERE e.vec_id < 10),
+      |qc AS (SELECT q_id, qe, cid FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY q_id ORDER BY dist, cid) AS rn FROM qd)
+      |  WHERE rn <= 3),
+      |cd AS (SELECT e.vec_id AS c_id, e.label, e.v AS ce, c.cid,
+      |        list_sum(list_transform(range(1, len(e.v) + 1),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+      |      FROM e CROSS JOIN c),
+      |cc AS (SELECT c_id, label, ce, cid FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY c_id ORDER BY dist, cid) AS rn FROM cd)
+      |  WHERE rn = 1),
+      |sims AS (SELECT q_id, c_id, label,
+      |    round(list_dot_product(qe, ce) /
+      |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+      |      4) AS cos_sim
+      |  FROM qc JOIN cc USING (cid) WHERE q_id <> c_id)
+      |SELECT q_id, rnk, c_id, label, cos_sim FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+      |  FROM sims)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centers = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Double](1).toArray)
+    Similarity.annIvfWith(queries = emb.filter(col("vec_id") < 10),
+        corpus = emb, centers = centers, k = 5, nprobe = 3)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Crawl-scheduler capstone — the full "when do we fetch what, at
+    * what cost" planning pass over the round-11/12 ops in ONE composed
+    * plan: 3xx chains resolved to canonical targets with RELATIVE
+    * Location headers ([[graft.ops.WebText.resolveRedirects]]), fetch
+    * history re-keyed onto the resolved final URL (a recrawl of a
+    * redirecting URL is a fetch of its target), change-rate revisit
+    * scheduling ([[graft.ops.WebText.revisitSchedule]]), a due-now
+    * horizon filter, per-host robots crawl delays
+    * ([[graft.ops.Robots.parseCrawlDelays]]) feeding the politeness
+    * slot schedule ([[graft.ops.Robots.politenessSchedule]]), and an
+    * exact largest-remainder fetch-budget split over the due counts
+    * ([[graft.ops.Curation.allocateBudget]]). The oracle re-derives
+    * every stage — the redirect targets from the moduli, the merged
+    * history aggregates, the floor-division interval clamp, the
+    * horizon, the per-host delay, max slot offset, and the HUGEINT
+    * allocation — so a drift in ANY of the six composed ops
+    * hash-diverges. */
+  val q227CrawlScheduler: Q = q("q227_crawl_scheduler",
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(doc_id % 4 AS INT) AS m4 FROM documents),
+      |f AS (SELECT doc_id, source,
+      |    'http://' || source || '.org/p/' ||
+      |      CAST(CASE WHEN m4 = 1 THEN doc_id + 1 ELSE doc_id END
+      |        AS VARCHAR) AS final_url
+      |  FROM d),
+      |hist AS (SELECT final_url AS url,
+      |    CAST(0 AS BIGINT) AS ts, FALSE AS ch FROM f
+      |  UNION ALL SELECT final_url,
+      |    CAST(3600000 * (1 + doc_id % 5) AS BIGINT),
+      |    doc_id % 2 = 0 FROM f),
+      |rv AS (SELECT url, count(*) AS n_fetches,
+      |    CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+      |    max(ts) - min(ts) AS span, max(ts) AS last_fetch
+      |  FROM hist GROUP BY url),
+      |iv AS (SELECT url, last_fetch,
+      |    least(greatest(span // greatest(n_changes, 1), 3600000),
+      |      2592000000) AS interval_ms FROM rv),
+      |due AS (SELECT url, regexp_extract(url, '^http://([^/]+)/', 1) AS host
+      |  FROM iv WHERE last_fetch + interval_ms <= 28800000),
+      |del AS (SELECT DISTINCT source || '.org' AS host,
+      |    CAST((length(source) % 3 + 1) * 1000 AS BIGINT) AS delay_ms
+      |  FROM d),
+      |agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_due FROM due
+      |  GROUP BY host),
+      |sch AS (SELECT agg.host, n_due, delay_ms,
+      |    (n_due - 1) * delay_ms AS max_offset_ms
+      |  FROM agg JOIN del ON agg.host = del.host),
+      |t AS (SELECT CAST(sum(n_due) AS HUGEINT) AS tw FROM sch),
+      |b AS (SELECT host, n_due, delay_ms, max_offset_ms,
+      |    CAST((9973::HUGEINT * n_due) // tw AS BIGINT) AS base,
+      |    (9973::HUGEINT * n_due) % tw AS rem FROM sch, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk,
+      |    CAST(9973 - sum(base) OVER () AS BIGINT) AS extra FROM b)
+      |SELECT host, n_due, delay_ms, max_offset_ms,
+      |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM r ORDER BY host""".stripMargin) { (s, d) =>
+    import graft.ops.Curation
+    val m4 = col("doc_id") % 4
+    def u(id: Column): Column = concat(lit("http://"), col("source"),
+      lit(".org/p/"), id.cast("string"))
+    val docs = Tables.documents(s, d)
+    // stage 1: captured responses; m4=1 rows 301 onto their successor
+    // via a ROOT-RELATIVE Location (the RFC 9110 form)
+    val responses = docs.select(col("doc_id"), col("source"),
+      u(col("doc_id")).as("url"),
+      when(m4 === 1, 301).otherwise(200).as("status_code"),
+      when(m4 === 1, concat(lit("/p/"), (col("doc_id") + 1).cast("string")))
+        .otherwise(lit("")).as("location"))
+    val resolved = WebText.resolveRedirects(responses, maxHops = 4)
+      .select(col("url"), col("final_url"))
+    // stage 2: fetch history of the ORIGINAL capture URLs, re-keyed to
+    // the canonical target by the redirect map
+    val hist0 = docs.select(u(col("doc_id")).as("url"), lit(0L).as("ts"),
+        lit(false).as("changed"))
+      .unionAll(docs.select(u(col("doc_id")).as("url"),
+        (lit(3600000L) * (col("doc_id") % 5 + 1)).as("ts"),
+        (col("doc_id") % 2 === 0).as("changed")))
+    val hist = hist0.join(resolved, Seq("url"))
+      .select(col("final_url").as("url"),
+        col("ts").as("fetch_ts_ms"), col("changed"))
+    // stage 3+4: revisit schedule, due-now horizon (8h)
+    val due = WebText.revisitSchedule(hist)
+      .filter(col("next_fetch_ms") <= 28800000L)
+      .select(col("url"),
+        regexp_extract(col("url"), "^http://([^/]+)/", 1).as("host"))
+    // stage 5: per-host robots crawl delays
+    val robots = docs.select(col("source")).distinct()
+      .select(concat(col("source"), lit(".org")).as("host"),
+        concat(lit("User-agent: *\nCrawl-delay: "),
+          (length(col("source")) % 3 + 1).cast("string"),
+          lit("\nDisallow: /tmp\n")).as("robots_txt"))
+    val delays = Robots.parseCrawlDelays(robots, "graftbot")
+    // stage 6: politeness slots → per-host rollup → exact budget split
+    val sched = Robots.politenessSchedule(due, delays)
+    val agg = sched.groupBy("host").agg(
+      count(lit(1)).as("n_due"),
+      max(col("delay_ms")).as("delay_ms"),
+      max(col("fetch_offset_ms")).as("max_offset_ms"))
+    Curation.allocateBudget(agg, "host", "n_due", budget = 9973L)
+      .select("host", "n_due", "delay_ms", "max_offset_ms", "alloc")
+      .orderBy("host")
+  }
+
   /** Gzipped sitemap ingestion
     * ([[graft.ops.Warc.gunzipTextColumn]] →
     * [[graft.ops.WebText.sitemapEntries]] behind the q220 two-level
@@ -6071,5 +6225,5 @@ object PipelineQueries {
     q214JwNonAscii, q215WetMainContent, q216LangBudget,
     q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex,
     q221RobotsSitemaps, q222ResolveLinks, q223MetaCharset, q224PslDomains,
-    q225GzipSitemap)
+    q225GzipSitemap, q226IvfProbeRank, q227CrawlScheduler)
 }

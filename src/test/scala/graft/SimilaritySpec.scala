@@ -172,6 +172,30 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("annIvfWith: probing every cell degenerates to exact cosine top-k " +
+    "(the q226 fixed-centers path against the brute-force ground truth)") {
+    val emb = Tables.embeddings(spark, SparkSpec.sf0001)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centers = Similarity.trainIvfCenters(emb, nlist = 4, trainCap = 256)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe = nlist: every corpus cell is probed, so the candidate set
+    // is the whole corpus and the rank must equal the exact scan
+    val all = rows(Similarity.annIvfWith(queries, emb, centers,
+      k = 5, nprobe = 4))
+    val exact = rows(Similarity.cosineTopK(queries, emb, k = 5))
+    assert(all === exact)
+    // nprobe = 1 returns a subset of the corpus pairs (ranks are local
+    // to the probed candidate set, so compare ids only)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = Similarity.annIvfWith(queries, emb, centers, k = 5, nprobe = 1)
+    assert(one.count() > 0 && pairs(one).subsetOf(
+      pairs(Similarity.cosineTopK(queries, emb, k = emb.count().toInt))))
+  }
+
   test("nearestCellLocal (training-residual rule) == native NearestCells") {
     val s2 = spark
     import s2.implicits._

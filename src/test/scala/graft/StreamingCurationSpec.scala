@@ -299,4 +299,68 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read("nd_corpus").count() === 3)
     assert(reg.read(link.bandsStream).count() === 3 * 32)
   }
+
+  test("streaming frontier link: frontier after each batch equals the " +
+    "batch plan over the accumulated pages; crawled and disallowed " +
+    "targets excluded; relative links resolved; replay no-op") {
+    import graft.ops.WebText
+    import graft.runtime.FrontierLink
+    val s = spark
+    import s.implicits._
+    // pages link absolute cross-host targets, a rooted relative (must
+    // resolve against the page host), and a robots-disallowed path
+    def page(host: String, n: Int): (String, String) =
+      (s"http://$host.org/p/$n",
+        s"<a href='http://peer$n.net/x'>a</a>" +
+          "<a href=\"/local/next\">r</a>" +
+          s"<a href='http://$host.org/l/3'>blocked</a>" +
+          s"<a href='http://hub.com/popular'>h</a>")
+    val b1 = Seq(page("alpha", 1), page("beta", 2))
+    val b2 = Seq(page("alpha", 3), // re-links peer3 + alpha.org/local/next
+      ("http://hub.com/popular", "<a href='http://peer1.net/x'>back</a>"))
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-frontier-stream").toString)
+    // robots: every host disallows /l/3 (the q195 gate)
+    reg.write(Seq(("alpha.org", "User-agent: *\nDisallow: /l/\n"),
+        ("beta.org", "User-agent: *\nDisallow: /l/\n"),
+        ("hub.com", "User-agent: *\nDisallow: /l/\n"),
+        ("peer1.net", "User-agent: *\nDisallow: /l/\n"),
+        ("peer2.net", "User-agent: *\nDisallow: /l/\n"),
+        ("peer3.net", "User-agent: *\nDisallow: /l/\n"))
+        .toDF("host", "robots_txt"), "fr_robots")
+    val link = new FrontierLink("fr_pages", "fr_crawled", "fr_links",
+      "fr_frontier", robotsStream = "fr_robots", topKPerDomain = 2)
+
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(pages: Seq[(String, String)]): DataFrame = {
+      val pdf = pages.toDF("url", "html")
+      FrontierLink.frontierPlan(
+        WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
+        pdf.select("url"), Some(reg.read("fr_robots")), "graftbot", 2)
+    }
+
+    reg.write(b1.toDF("url", "html"), "fr_pages")
+    link.start(spark, reg).awaitTermination()
+    val f1 = rows(reg.read("fr_frontier"))
+    assert(f1 === rows(expected(b1)))
+    // the rooted relative resolved against its page host
+    assert(f1.exists(_(1) === "http://alpha.org/local/next"))
+    // the disallowed path never enters the frontier
+    assert(!f1.exists(_(1).toString.contains("/l/3")))
+
+    reg.write(b2.toDF("url", "html"), "fr_pages")
+    link.start(spark, reg).awaitTermination()
+    val f2 = rows(reg.read("fr_frontier"))
+    assert(f2 === rows(expected(b1 ++ b2)))
+    // hub.com/popular was linked in batch 1 but CRAWLED in batch 2:
+    // the refresh must evict it from the frontier
+    assert(f1.exists(_(1) === "http://hub.com/popular") &&
+      !f2.exists(_(1) === "http://hub.com/popular"))
+    // replay with no new input: offsets are exactly-once, frontier and
+    // the accumulated streams stay put
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("fr_frontier")) === f2)
+    assert(reg.read("fr_crawled").count() === 4)
+  }
 }
