@@ -160,43 +160,38 @@ object Curation {
     // which re-runs the full corpus pipeline when the weights come from
     // an expensive composition (q216's langid rollup planned its
     // trigram explode 6× statically; only AQE's runtime exchange reuse
-    // saved it). The ledger is key-cardinality-bounded by contract, so
-    // caching it is cheap.
-    // The cache is LOCAL to this call: persist a derived frame (never the
-    // caller's — mutating the argument's cache state was a side effect),
-    // and release it deterministically once the bounded result has been
-    // materialized below, so repeated calls (a budget sweep) cannot
-    // accumulate cached ledgers in executor storage for the app lifetime.
-    val ledger = counts.select(counts.columns.map(col): _*).persist()
-    try {
-      // isNull checked explicitly: NULL <= 0 is NULL, which would fall to
-      // otherwise and silently break the exact-total invariant
-      val w = when(col(weightCol).isNull || col(weightCol) <= 0,
-          raise_error(concat(
-            lit(s"allocateBudget: null/non-positive weight for key "),
-            col(keyCol).cast("string"))))
-        .otherwise(col(weightCol)).cast("decimal(19,0)")
-      val tot = ledger.agg(sum(w).cast("decimal(38,0)").as("graft_w"))
-      val bw = (lit(budget).cast("decimal(19,0)") * w).cast("decimal(38,0)")
-      val based = ledger.crossJoin(broadcast(tot))
-        .withColumn("graft_base",
-          call_function("div", bw, col("graft_w")).cast("long"))
-        .withColumn("graft_rem", pmod(bw, col("graft_w")))
-      val short = based.agg((lit(budget) - sum("graft_base")).as("graft_extra"))
-      val rk = org.apache.spark.sql.expressions.Window
-        .orderBy(col("graft_rem").desc, col(keyCol))
-      // localCheckpoint (eager) pins the key-cardinality-bounded RESULT —
-      // cheap by the same bounded-ledger contract that justified the
-      // persist — so the upstream pipeline runs exactly once and the
-      // ledger cache can be dropped before returning instead of leaking
-      // until LRU eviction.
-      based.crossJoin(broadcast(short))
-        .withColumn("graft_rk", row_number().over(rk))
-        .withColumn("alloc", col("graft_base") +
-          when(col("graft_rk") <= col("graft_extra"), 1L).otherwise(0L))
-        .drop("graft_w", "graft_base", "graft_rem", "graft_extra", "graft_rk")
-        .localCheckpoint()
-    } finally { ledger.unpersist(); () }
+    // saved it). The ledger is key-cardinality-bounded BY CONTRACT (one
+    // row per allocation key — a mixture card or domain ledger), so the
+    // honest fix is the thresholdSweep bounded-table move: run the
+    // upstream pipeline exactly ONCE via a driver collect and replan the
+    // three consumers over the resulting LocalRelation literal. No
+    // executor cache to leak (the r11 persist survived for the app
+    // lifetime and mutated the caller's cache state), no eager
+    // checkpoint job, and the collect is control-plane sized by the
+    // same contract that made persist() cheap.
+    val ledger = counts.sparkSession.createDataFrame(
+      java.util.Arrays.asList(counts.collect(): _*), counts.schema)
+    // isNull checked explicitly: NULL <= 0 is NULL, which would fall to
+    // otherwise and silently break the exact-total invariant
+    val w = when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(
+          lit(s"allocateBudget: null/non-positive weight for key "),
+          col(keyCol).cast("string"))))
+      .otherwise(col(weightCol)).cast("decimal(19,0)")
+    val tot = ledger.agg(sum(w).cast("decimal(38,0)").as("graft_w"))
+    val bw = (lit(budget).cast("decimal(19,0)") * w).cast("decimal(38,0)")
+    val based = ledger.crossJoin(broadcast(tot))
+      .withColumn("graft_base",
+        call_function("div", bw, col("graft_w")).cast("long"))
+      .withColumn("graft_rem", pmod(bw, col("graft_w")))
+    val short = based.agg((lit(budget) - sum("graft_base")).as("graft_extra"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_rem").desc, col(keyCol))
+    based.crossJoin(broadcast(short))
+      .withColumn("graft_rk", row_number().over(rk))
+      .withColumn("alloc", col("graft_base") +
+        when(col("graft_rk") <= col("graft_extra"), 1L).otherwise(0L))
+      .drop("graft_w", "graft_base", "graft_rem", "graft_extra", "graft_rk")
   }
 
   /** C4/Gopher-style per-document quality gates. Thresholds follow the

@@ -160,78 +160,32 @@ object WebText {
     regexp_extract(host, RegisteredDomainRegex, 1)
   }
 
-  /** Unrolled depth of `../` collapse in [[resolveUrl]]'s dot-segment
-    * removal: each unrolled pass removes one nesting level of
-    * `/<seg>/../` (plus one per SIBLING `/a/../b/../` chain, which
-    * consumes a pass apiece) — 8 covers every path a real page links;
-    * deeper chains resolve partially (never incorrectly: leftover
-    * `../` segments stay literal). */
-  private val MaxDotDepth = 8
-
-  /** RFC 3986 §5.2 remove_dot_segments over a rooted path that may
-    * carry a `?query#fragment` suffix (the suffix passes through
-    * untouched). Fixed-unroll regex passes in the Java∩RE2 subset — no
-    * loops, no backreferences in patterns OR replacements:
-    *  1. trailing `/.` → `/` and trailing `/..` → `/../` (unifies the
-    *     end-of-path forms with the mid-path rules);
-    *  2. `/./` runs collapse;
-    *  3. [[MaxDotDepth]] passes of `/<segment>/../` → `/` where
-    *     `<segment>` is anything but `..` (expressed as an RE2-safe
-    *     alternation, not lookahead);
-    *  4. over-root `/../` prefixes drop (RFC: ignore `..` at root). */
-  private def removeDotSegments(p: Column): Column = {
-    val suffix = regexp_extract(p, "[?#].*$", 0)
-    val path0 = when(suffix === "", p)
-      .otherwise(p.substr(lit(1), length(p) - length(suffix)))
-    val t1 = regexp_replace(path0, "/\\.$", "/")
-    val t2 = regexp_replace(t1, "/\\.\\.$", "/../")
-    val t3 = regexp_replace(t2, "/(\\./)+", "/")
-    // a path segment that is NOT ".." (and, post-t3, never "."):
-    // doesn't start with a dot | one dot + non-dot | two dots + more
-    val seg = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
-    val collapsed = (1 to MaxDotDepth).foldLeft(t3) { (acc, _) =>
-      regexp_replace(acc, s"/$seg/\\.\\./", "/")
-    }
-    concat(regexp_replace(collapsed, "^/(\\.\\./)+", "/"), suffix)
-  }
-
   /** RFC 3986 §5 relative-reference resolution: the target URL of `ref`
     * found on a page whose (effective) base URL is `base`. Handles every
     * form a real page emits — absolute (`scheme:` prefixed, passed
     * through), protocol-relative (`//host/…` takes the base scheme),
     * root-relative (`/path`), query-only (`?q`), fragment-only (`#f`,
     * resolves to the base minus its own fragment), empty (same), and
-    * dotted relative paths (`x/y`, `./x`, `../x` — merged with the base
-    * directory then [[removeDotSegments]]). `base` must be an absolute
-    * hierarchical URL (`scheme://authority…`); when it is not, every
-    * non-absolute `ref` resolves to `''` (the caller's filter sentinel)
-    * rather than a silently-colliding bare path — the contract
-    * [[resolveRedirects]] and the link graph key on.
+    * dotted relative paths (`x/y`, `./x`, `../x` — §5.3 merge + the
+    * real §5.2.4 remove_dot_segments loop, exact at any nesting
+    * depth). `base` must be an absolute hierarchical URL
+    * (`scheme://authority…`); when it is not, every non-absolute `ref`
+    * resolves to `''` (the caller's filter sentinel) rather than a
+    * silently-colliding bare path — the contract [[resolveRedirects]]
+    * and the link graph key on.
     *
-    * Pure codegen'd regexp/CASE chain in the Java∩RE2 subset (the
-    * WebText discipline) — scan-stage compute, no shuffle, and MOST
-    * real-page links are relative, so this is the difference between a
-    * link graph that sees the page and one that sees the absolute
-    * minority. */
-  def resolveUrl(base: Column, ref: Column): Column = {
-    val r = trim(ref)
-    val schemePrefix = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*:", 0)
-    val auth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
-    val basePath =
-      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val baseDir0 = regexp_replace(basePath, "[^/]*$", "")
-    val baseDir = when(baseDir0 === "", lit("/")).otherwise(baseDir0)
-    val basePathOrRoot = when(basePath === "", lit("/")).otherwise(basePath)
-    val baseNoFrag = regexp_replace(base, "#.*$", "")
-    when(r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), r) // absolute: as-is
-      .when(auth === "", lit("")) // non-hierarchical base: unresolvable
-      .when(r === "", baseNoFrag)
-      .when(r.startsWith("#"), concat(baseNoFrag, r))
-      .when(r.startsWith("//"), concat(schemePrefix, r))
-      .when(r.startsWith("?"), concat(auth, basePathOrRoot, r))
-      .when(r.startsWith("/"), concat(auth, removeDotSegments(r)))
-      .otherwise(concat(auth, removeDotSegments(concat(baseDir, r))))
-  }
+    * Implemented as the native codegen'd
+    * [[graft.functions.UrlResolve]] expression — one static call,
+    * inside the surrounding WholeStageCodegen span. (The first cut was
+    * a pure regexp/CASE column chain; its unrolled dot-segment removal
+    * generated code past Janino's 64 KB method limit and knocked whole
+    * stages into interpreted evaluation — q222 measured ~40% faster
+    * and q219 ~2.5× faster with the kernel.) Scan-stage compute, no
+    * shuffle — and MOST real-page links are relative, so this is the
+    * difference between a link graph that sees the page and one that
+    * sees the absolute minority. */
+  def resolveUrl(base: Column, ref: Column): Column =
+    graft.functions.UrlResolve.resolveUrl(base, ref)
 
   /** First `<base href=…>` target of a page (empty when absent) — the
     * HTML mechanism that overrides the page URL as the resolution base
@@ -270,15 +224,25 @@ object WebText {
     val bh = baseHref(col(htmlCol))
     val eff = when(bh === "", col(urlCol))
       .otherwise(resolveUrl(col(urlCol), bh))
+    // The http(s) verdict is decided on the CHEAP inputs (ref scheme /
+    // base scheme), never on the resolved output: filtering on
+    // `link rlike …` pushes the predicate through the projection and
+    // re-inlines the whole resolveUrl regex chain into the Filter — the
+    // q156 re-inlining class, doubling the per-link work. Equivalent by
+    // construction: an absolute ref keeps its own scheme; every
+    // relative form inherits the base's. Scheme matching is
+    // case-insensitive per RFC 3986 (raw pages DO emit `HTTP://…`);
+    // canonicalization lowercases it downstream.
+    val refIsHttp = col("graft_ref").rlike("(?i)^https?://")
+    val refHasScheme = col("graft_ref").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    val baseIsHttp = col("graft_base").rlike("(?i)^https?://")
     pages
       .withColumn("graft_base", eff)
       .withColumn("graft_ref",
         explode(filter(extractHrefs(col(htmlCol)),
           h => !h.startsWith("#"))))
+      .filter(refIsHttp || (!refHasScheme && baseIsHttp))
       .withColumn("link", resolveUrl(col("graft_base"), col("graft_ref")))
-      // scheme is case-insensitive per RFC 3986 (raw pages DO emit
-      // `HTTP://…`); canonicalization lowercases it downstream
-      .filter(col("link").rlike("(?i)^https?://"))
       .drop("graft_base", "graft_ref")
   }
 
@@ -399,10 +363,16 @@ object WebText {
     resolvedLinkRows(Spread.cpu(pages), urlCol, htmlCol)
       .select(registeredDomain(col(urlCol)).as("src_domain"),
         registeredDomain(col("link")).as("dst_domain"))
-      .filter(col("src_domain") =!= "" && col("dst_domain") =!= "" &&
-        col("src_domain") =!= col("dst_domain"))
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_links"))
+      // empty/self edges are dropped AFTER the aggregation: a per-row
+      // filter on the domain aliases would push below the projection and
+      // re-inline both regex chains into the Filter (the q156 class —
+      // with resolveUrl in the lineage, that doubles the scan work);
+      // post-agg the predicate reads real grouping attributes, and the
+      // handful of extra groups are host-graph-sized noise
+      .filter(col("src_domain") =!= "" && col("dst_domain") =!= "" &&
+        col("src_domain") =!= col("dst_domain"))
 
   /** Sitemap XML entries: one struct `(loc, lastmod)` per `<url>` block
     * — the crawl-discovery sibling of robots.txt ([[Robots]] decides
@@ -608,12 +578,18 @@ object WebText {
                        maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops >= 1, got $maxHops")
     val redirectStatuses = Seq(301, 302, 303, 307, 308)
+    // resolvability is decided on the INPUTS (absolute location, or a
+    // hierarchical source URL to anchor a relative one) so the
+    // resolveUrl chain is never re-inlined into a pushed-down filter on
+    // its own output; under this predicate the resolved value is
+    // non-empty by construction
+    val resolvable = col(locationCol).rlike("^[A-Za-z][A-Za-z0-9+.-]*:") ||
+      col(urlCol).rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
     val edges = responses
       .filter(col(statusCol).isin(redirectStatuses: _*) &&
-        col(locationCol).isNotNull && col(locationCol) =!= "")
+        col(locationCol).isNotNull && col(locationCol) =!= "" && resolvable)
       .select(col(urlCol),
         resolveUrl(col(urlCol), col(locationCol)).as("graft_loc"))
-      .filter(col("graft_loc") =!= "")
       .groupBy(col(urlCol).as("graft_src"))
       .agg(min(col("graft_loc")).as("graft_dst"))
     var cur = responses.select(col(urlCol).as("url")).distinct()

@@ -104,6 +104,10 @@ class QueriesSpec extends SparkSpec {
       // q216 runs the same allocateBudget machinery over the
       // language-bounded ledger — the identical scalar-aggregate class
       "q216_lang_budget",
+      // q227's final stage is the same allocateBudget machinery over
+      // the host-bounded due ledger — the identical scalar-aggregate
+      // class
+      "q227_crawl_scheduler",
       // q142's per-half-round max rescale crossJoins a broadcast
       // one-row max aggregate — the scalar-aggregate class
       "q142_hits",
