@@ -117,9 +117,12 @@ object Robots {
   /** Admission verdict for `(host, path)` URLs against [[parseRobots]]
     * rules for `agent`: applicable groups are the agent's own
     * (lowercased exact match) if any exist for the host, else the `*`
-    * groups; among applicable rules matching the path as a prefix, the
-    * longest prefix wins, allow beating disallow at equal length; no
-    * matching rule (or no robots at all) ⇒ allowed.
+    * groups; among applicable rules matching the path — the FULL RFC
+    * 9309 §2.2.3 rule language: anchored at the path start, `*`
+    * matching any sequence, a trailing `$` anchoring the path end,
+    * plain rules matching as prefixes — the most-octets rule wins
+    * (§2.2.2), allow beating disallow at equal length; no matching
+    * rule (or no robots at all) ⇒ allowed.
     *
     * Stated deviation: a group with NO path rules at all (e.g. only a
     * `Crawl-delay:`) is invisible in [[parseRobots]] output, so an
@@ -144,12 +147,15 @@ object Robots {
         col("user_agent") === a).otherwise(col("user_agent") === "*"))
       .select("host", "directive", "path_prefix")
     // verdict per DISTINCT key: max over matching rules of
-    // (prefix_len, is_allow) — longest prefix first, allow breaking
-    // ties — as ONE max-struct aggregate; no corpus window
+    // (pattern_len, is_allow) — most-octets rule first (RFC 9309
+    // §2.2.2), allow breaking ties — as ONE max-struct aggregate; no
+    // corpus window. Matching is the full RFC rule language (`*` and
+    // trailing `$`, [[graft.functions.RobotsGlob]]); a wildcard-free
+    // rule reduces exactly to the prefix test this generalizes.
     val verdict = urls.select("host", "path").distinct()
       .join(applicable, Seq("host"), "left")
       .withColumn("graft_m", col("path_prefix").isNotNull &&
-        expr("substring(path, 1, length(path_prefix))") === col("path_prefix"))
+        graft.functions.RobotsGlob.robotsGlob(col("path"), col("path_prefix")))
       .groupBy("host", "path")
       .agg(max(when(col("graft_m"),
         struct(length(col("path_prefix")).as("l"),

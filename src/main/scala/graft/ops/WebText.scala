@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,18 @@ object WebText {
     s"([^.]+\\.(?:${groups.mkString("|")}|[^.]+))$$"
   }
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization
+    * ([[graft.functions.PercentEncoding]]): uppercase retained `%XX`
+    * hex, decode unreserved octets, leave malformed `%` verbatim —
+    * compose BEFORE [[canonicalUrl]] when URLs are dedup keys
+    * (`%7Euser` ≡ `%7euser` ≡ `~user` name one resource; a key that
+    * misses this re-admits every such duplicate). Kept out of
+    * `canonicalUrl` itself so that chain stays a pure Java∩RE2 mirror
+    * for its oracles; this one is a native scan (ground-truth
+    * oracled, q230). */
+  def normalizePercent(u: Column): Column =
+    graft.functions.PercentEncoding.pctNormalize(u)
+
   /** Registered domain (eTLD+1) of a canonical URL's host, under the
     * generated public-suffix table ([[MultiLabelSuffixGroups]]):
     * two-label suffixes (`co.uk`, `com.cn`, `co.kr`, …) take three
@@ -244,6 +256,74 @@ object WebText {
       .filter(refIsHttp || (!refHasScheme && baseIsHttp))
       .withColumn("link", resolveUrl(col("graft_base"), col("graft_ref")))
       .drop("graft_base", "graft_ref")
+  }
+
+  /** Three-label public suffixes — the rule class the generated
+    * two-label regex deliberately doesn't carry (Australian state
+    * education registries, US k12/lib school districts — all from the
+    * public publicsuffix.org list). A compact demo slice: a deployment
+    * loads the full list into [[suffixTable]]'s frame. */
+  private[graft] val ThreeLabelSuffixes: Seq[String] = Seq(
+    "act.edu.au", "nsw.edu.au", "vic.edu.au", "qld.edu.au",
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "lib.ca.us", "lib.ny.us")
+
+  /** The multi-label suffix rules as a one-column `suffix` frame —
+    * [[MultiLabelSuffixGroups]] flattened plus [[ThreeLabelSuffixes]].
+    * A production deployment replaces this with the full
+    * publicsuffix.org registry section loaded from file: the TABLE
+    * path scales to thousands of rules where a generated alternation
+    * regex cannot. */
+  def suffixTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (MultiLabelSuffixGroups.flatMap { case (tld, labels) =>
+      labels.map(l => s"$l.$tld")
+    } ++ ThreeLabelSuffixes).toDF("suffix")
+  }
+
+  /** Registered domain (eTLD+1) via a broadcast LONGEST-MATCH suffix
+    * table — the full-publicsuffix.org deployment path (thousands of
+    * rules, including the 3-label suffixes the [[registeredDomain]]
+    * regex doesn't carry). For each host the 2- and 3-label tails are
+    * derived row-wise and probed against the table; the longest
+    * matching suffix wins and the domain takes one more label; a host
+    * no longer than its matched suffix returns itself; a host matching
+    * nothing takes two labels (plain-TLD rule), or itself when it has
+    * only one. Appends `out` to `df`.
+    *
+    * Scale shape: two broadcast left joins on the derived tail keys —
+    * the corpus side never shuffles and nothing explodes; the suffix
+    * table is broadcast-sized by nature (the full PSL is ~10k rows).
+    * Verified equivalent to [[registeredDomain]] on every two-label
+    * rule (WebTextSpec pins the equivalence over the q224 host set). */
+  def registeredDomainByTable(df: DataFrame, urlCol: String,
+                              suffixes: DataFrame,
+                              out: String = "domain"): DataFrame = {
+    val host = regexp_replace(
+      regexp_extract(lower(col(urlCol)), "//[^/:?#]*", 0), "^//(www\\.)?", "")
+    val s3 = broadcast(suffixes.select(col("suffix").as("graft_s3"))
+      .filter(size(split(col("graft_s3"), "\\.")) === 3).distinct())
+    val s2 = broadcast(suffixes.select(col("suffix").as("graft_s2"))
+      .filter(size(split(col("graft_s2"), "\\.")) === 2).distinct())
+    val withHost = df.withColumn("graft_host", host)
+      .withColumn("graft_n", size(split(col("graft_host"), "\\.")))
+      .withColumn("graft_l2", substring_index(col("graft_host"), ".", -2))
+      .withColumn("graft_l3", substring_index(col("graft_host"), ".", -3))
+    withHost
+      .join(s3, col("graft_l3") === col("graft_s3") &&
+        col("graft_n") >= 3, "left")
+      .join(s2, col("graft_l2") === col("graft_s2") &&
+        col("graft_n") >= 2, "left")
+      .withColumn(out,
+        when(col("graft_s3").isNotNull && col("graft_n") >= 4,
+          substring_index(col("graft_host"), ".", -4))
+        .when(col("graft_s3").isNotNull, col("graft_host"))
+        .when(col("graft_s2").isNotNull && col("graft_n") >= 3,
+          col("graft_l3"))
+        .when(col("graft_s2").isNotNull, col("graft_host"))
+        .when(col("graft_n") >= 2, col("graft_l2"))
+        .otherwise(col("graft_host")))
+      .drop("graft_host", "graft_n", "graft_l2", "graft_l3",
+        "graft_s3", "graft_s2")
   }
 
   /** Drop rows whose registered domain appears in `blocked` (a one-column

@@ -6041,6 +6041,112 @@ object PipelineQueries {
       .orderBy("host")
   }
 
+  /** RFC 9309 wildcard robots rules
+    * ([[graft.ops.Robots.isAllowed]] over the full §2.2.3 rule
+    * language): every host publishes a group disallowing star-dot-php
+    * with an end anchor, allowing `pub`-prefixed php with a longer
+    * rule, and disallowing the plain `/tmp` prefix; five planted path
+    * cohorts exercise the `$` end anchor (a query string defeats it),
+    * the `*` span, the most-octets allow-beats-shorter-disallow
+    * precedence, the plain-prefix reduction, and the no-match default.
+    * GROUND-TRUTH oracle: the expected verdict per cohort is spelled
+    * out from the moduli. */
+  val q228RobotsWildcards: Q = q("q228_robots_wildcards",
+    """WITH t AS (SELECT doc_id, source, CAST(doc_id % 5 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN '/a' || CAST(doc_id AS VARCHAR) || '.php'
+      |    WHEN 1 THEN '/a' || CAST(doc_id AS VARCHAR) || '.php?q=1'
+      |    WHEN 2 THEN '/pub' || CAST(doc_id AS VARCHAR) || '.php'
+      |    WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+      |    ELSE '/ok/' || CAST(doc_id AS VARCHAR) END AS path,
+      |  m IN (1, 2, 4) AS allowed
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 5
+    val path = when(m === 0,
+        concat(lit("/a"), col("doc_id").cast("string"), lit(".php")))
+      .when(m === 1,
+        concat(lit("/a"), col("doc_id").cast("string"), lit(".php?q=1")))
+      .when(m === 2,
+        concat(lit("/pub"), col("doc_id").cast("string"), lit(".php")))
+      .when(m === 3, concat(lit("/tmp/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/ok/"), col("doc_id").cast("string")))
+    val urls = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("source"), lit(".org")).as("host"), path.as("path"))
+    val robots = Tables.documents(s, d).select(col("source")).distinct()
+      .select(concat(col("source"), lit(".org")).as("host"),
+        lit("User-agent: *\nDisallow: /*.php$\nAllow: /pub*.php$\n" +
+          "Disallow: /tmp\n").as("robots_txt"))
+    Robots.isAllowed(urls, Robots.parseRobots(robots), "graftbot")
+      .select("doc_id", "path", "allowed")
+      .orderBy("doc_id")
+  }
+
+  /** Longest-match suffix-TABLE registered domain
+    * ([[graft.ops.WebText.registeredDomainByTable]] — the
+    * full-publicsuffix.org deployment path): eight planted host shapes
+    * covering a 3-label suffix under a deep subdomain
+    * (`school.act.edu.au`), a host that IS its 3-label suffix, the US
+    * k12 district class, 2-label suffixes with and without extra
+    * labels, the plain-TLD fallback, and a single-label host.
+    * GROUND-TRUTH oracle (expected domains spelled out); WebTextSpec
+    * additionally pins table≡regex equivalence on every 2-label rule. */
+  val q229PslTable: Q = q("q229_psl_table",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'school.act.edu.au' WHEN 1 THEN 'act.edu.au'
+      |    WHEN 2 THEN 'district.k12.ca.us' WHEN 3 THEN 'shop.com.cn'
+      |    WHEN 4 THEN 'co.uk' WHEN 5 THEN 'example.fr'
+      |    WHEN 6 THEN 'example.org' ELSE 'localhost' END AS domain
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 8
+    val url = when(m === 0, lit("http://www.deep.school.act.edu.au/x"))
+      .when(m === 1, lit("http://act.edu.au/"))
+      .when(m === 2, lit("https://portal.district.k12.ca.us:8080/y"))
+      .when(m === 3, lit("http://a.b.shop.com.cn/z"))
+      .when(m === 4, lit("http://co.uk/")) // host == its own suffix
+      .when(m === 5, lit("http://deep.example.fr/p"))
+      .when(m === 6, lit("http://a.b.example.org/q")) // plain-TLD rule
+      .otherwise(lit("http://localhost/r"))
+    WebText.registeredDomainByTable(
+        Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+        "url", WebText.suffixTable(s))
+      .select("doc_id", "domain").orderBy("doc_id")
+  }
+
+  /** Percent-encoding normalization + canonical-URL dedup key
+    * ([[graft.ops.WebText.normalizePercent]] →
+    * [[graft.ops.WebText.canonicalUrl]]): five planted encoding
+    * variants of one logical URL — tilde raw, `%7E`, `%7e`, an
+    * encoded-unreserved letter (`%75ser` → `user`), and a reserved
+    * `%2f` that must NOT decode but must uppercase — plus a malformed
+    * `%zz` cohort that must pass through verbatim. The composed key
+    * collapses the first four variants to ONE canonical URL (the
+    * dedup-key argument) while the reserved and malformed cohorts stay
+    * distinct. GROUND-TRUTH oracle from the moduli. */
+  val q230PctNormalize: Q = q("q230_pct_normalize",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN m IN (0, 1, 2, 3)
+      |    THEN 'http://h.org/~user/p'
+      |    WHEN m = 4 THEN 'http://h.org/a%2Fb'
+      |    ELSE 'http://h.org/%zz' END AS url_key
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 6
+    val raw = when(m === 0, lit("http://h.org/~user/p"))
+      .when(m === 1, lit("HTTP://h.org/%7Euser/p"))
+      .when(m === 2, lit("http://h.org/%7euser/p"))
+      .when(m === 3, lit("http://h.org/~%75ser/p"))
+      .when(m === 4, lit("http://h.org/a%2fb"))
+      .otherwise(lit("http://h.org/%zz"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        WebText.canonicalUrl(WebText.normalizePercent(raw)).as("url_key"))
+      .orderBy("doc_id")
+  }
+
   /** Gzipped sitemap ingestion
     * ([[graft.ops.Warc.gunzipTextColumn]] →
     * [[graft.ops.WebText.sitemapEntries]] behind the q220 two-level
@@ -6225,5 +6331,6 @@ object PipelineQueries {
     q214JwNonAscii, q215WetMainContent, q216LangBudget,
     q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex,
     q221RobotsSitemaps, q222ResolveLinks, q223MetaCharset, q224PslDomains,
-    q225GzipSitemap, q226IvfProbeRank, q227CrawlScheduler)
+    q225GzipSitemap, q226IvfProbeRank, q227CrawlScheduler,
+    q228RobotsWildcards, q229PslTable, q230PctNormalize)
 }

@@ -207,6 +207,49 @@ class RobotsSpec extends SparkSpec {
       ((null, "", "", "raw bytes")))
   }
 
+  test("RobotsGlob.matches: RFC 9309 wildcard semantics — prefix " +
+    "reduction, * spans, trailing-$ anchor, mid-pattern $ literal") {
+    import graft.functions.RobotsGlob.matches
+    assert(matches("/private/data", "/private")) // wildcard-free = prefix
+    assert(!matches("/fish", "/Fish")) // case-sensitive per RFC
+    assert(matches("/index.php", "/*.php$"))
+    assert(!matches("/index.php?x=1", "/*.php$")) // $ anchors the end
+    assert(matches("/index.php?x=1", "/*.php")) // no $: prefix after *
+    assert(matches("/a/b/c.gif", "/a/*.gif$"))
+    assert(!matches("/a/b/c.gifx", "/a/*.gif$"))
+    assert(matches("/x/yz/private", "/*/private"))
+    assert(matches("/fish", "/fish$"))
+    assert(!matches("/fishy", "/fish$"))
+    assert(matches("/any/thing", "")) // empty pattern matches everything
+    assert(matches("", "$"))
+    assert(!matches("/x", "$"))
+    assert(matches("/a$b", "/a$b")) // $ is literal unless trailing
+    assert(matches("/abc", "/a*b*c$")) // multi-star backtracking
+    assert(matches("/ab", "/a*b*$")) // trailing stars before the anchor
+  }
+
+  test("isAllowed: wildcard rules — $ anchor, * spans, most-octets " +
+    "precedence between overlapping allow/disallow") {
+    val robots = Seq(("w.com",
+      "User-agent: *\nDisallow: /*.php$\nAllow: /pub*.php$\n" +
+        "Disallow: /img/*.gif\n")).toDF("host", "robots_txt")
+    val rules = graft.ops.Robots.parseRobots(robots)
+    val urls = Seq(
+      ("w.com", "/index.php"),     // /*.php$ (7 octets) → disallowed
+      ("w.com", "/index.php?x=1"), // $ fails → no rule → allowed
+      ("w.com", "/pub_x.php"),     // allow (10) beats disallow (7)
+      ("w.com", "/img/a/b.gif"),   // * spans directories → disallowed
+      ("w.com", "/img/a.gifs"),    // no $: ".gif" prefix-matches → disallowed
+      ("w.com", "/ok/page")        // nothing matches → allowed
+    ).toDF("host", "path")
+    val got = graft.ops.Robots.isAllowed(urls, rules, "graftbot")
+      .select("path", "allowed").as[(String, Boolean)].collect().toMap
+    assert(got === Map(
+      "/index.php" -> false, "/index.php?x=1" -> true,
+      "/pub_x.php" -> true, "/img/a/b.gif" -> false,
+      "/img/a.gifs" -> false, "/ok/page" -> true))
+  }
+
   test("Http.splitResponseBytes: meta-charset prescan when the header " +
     "declares none — both forms, header wins, decoys and far metas ignored") {
     def resp(body: Array[Byte]): Array[Byte] =

@@ -68,6 +68,48 @@ class WebTextSpec extends SparkSpec {
       "uni.ac.za", "x.co.th", "example.fr"))
   }
 
+  test("registeredDomainByTable: longest-match 3-label suffixes, and " +
+    "table≡regex equivalence on every 2-label rule") {
+    val urls = Seq(
+      "http://www.deep.school.act.edu.au/x", // 3-label suffix, deep host
+      "http://act.edu.au/",                  // host == its suffix
+      "https://portal.district.k12.ca.us/y", // US k12 class
+      "http://a.sub.example.co.th/z")        // 2-label via the table
+      .toDF("url")
+    val got = WebText.registeredDomainByTable(urls, "url",
+        WebText.suffixTable(spark))
+      .select("domain").as[String].collect().toSeq
+    assert(got === Seq("school.act.edu.au", "act.edu.au",
+      "district.k12.ca.us", "example.co.th"))
+    // on hosts free of 3-label rules the table path must agree with the
+    // generated-regex path rule for rule
+    val hosts = Seq(
+      "http://www.shop.com.cn/x", "https://news.co.kr:8443/y",
+      "http://a.b.portal.com.mx/", "http://deep.sub.site.gov.uk/z",
+      "http://plain.example.fr/p", "http://www.onetld.com/q",
+      "http://blog.example.com.br/r", "http://x.ac.th/w",
+      "http://site.com.au:8080/", "http://deep.sub.domain.co.jp/q")
+      .toDF("url")
+    val both = WebText.registeredDomainByTable(hosts, "url",
+        WebText.suffixTable(spark), out = "t")
+      .withColumn("r", WebText.registeredDomain(col("url")))
+    assert(both.filter(col("t") =!= col("r")).count() === 0)
+  }
+
+  test("normalizePercent: unreserved decode, hex uppercase, reserved " +
+    "kept, malformed verbatim") {
+    val got = Seq(
+      "http://h/%7Euser", "http://h/%7euser", "http://h/~%75ser",
+      "http://h/a%2fb", "http://h/a%2Fb", "http://h/%zz",
+      "http://h/%", "http://h/%4", "plain-no-escapes")
+      .toDF("u").select(WebText.normalizePercent(col("u")).as("n"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "http://h/~user", "http://h/~user", "http://h/~user",
+      "http://h/a%2Fb", "http://h/a%2Fb", "http://h/%zz",
+      "http://h/%", "http://h/%4", "plain-no-escapes"))
+  }
+
   test("filterBlockedDomains drops every URL under the blocked eTLD+1") {
     val df = Seq(
       1L -> "http://spam.co.uk/a", 2L -> "http://sub.spam.co.uk/b",
