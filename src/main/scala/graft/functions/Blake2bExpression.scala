@@ -118,5 +118,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       JaroWinklerSim(exprs.head, exprs(1)) })
     inject("sha3_512", classOf[Sha3_512Hash])(exprs =>
       Sha3_512Hash(arity(exprs, 1, 1, "sha3_512").head))
+    inject("url_resolve", classOf[ResolveUrlExpr])(exprs => {
+      arity(exprs, 2, 2, "url_resolve")
+      ResolveUrlExpr(exprs.head, exprs(1)) })
+    inject("robots_glob", classOf[RobotsGlobMatch])(exprs => {
+      arity(exprs, 2, 2, "robots_glob")
+      RobotsGlobMatch(exprs.head, exprs(1)) })
+    inject("pct_normalize", classOf[PctNormalizeExpr])(exprs =>
+      PctNormalizeExpr(arity(exprs, 1, 1, "pct_normalize").head))
   }
 }

@@ -87,6 +87,12 @@ object GraftFunctions {
     reg("jaro_winkler")(exprs => { arity(exprs, 2, 2, "jaro_winkler")
       JaroWinklerSim(exprs.head, exprs(1)) })
     reg("sha3_512")(exprs => Sha3_512Hash(arity(exprs, 1, 1, "sha3_512").head))
+    reg("url_resolve")(exprs => { arity(exprs, 2, 2, "url_resolve")
+      ResolveUrlExpr(exprs.head, exprs(1)) })
+    reg("robots_glob")(exprs => { arity(exprs, 2, 2, "robots_glob")
+      RobotsGlobMatch(exprs.head, exprs(1)) })
+    reg("pct_normalize")(exprs =>
+      PctNormalizeExpr(arity(exprs, 1, 1, "pct_normalize").head))
   }
 }
 

@@ -300,6 +300,67 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read(link.bandsStream).count() === 3 * 32)
   }
 
+  test("composed discovery loop: WARC ingest → page adapter → frontier — " +
+    "the crawl loop feeds itself (frontier of batch N is the fetch list " +
+    "for batch N+1)") {
+    import graft.ops.{Warc, WebText}
+    import graft.runtime.{FrontierLink, Pipeline, WarcHttpIngestLink}
+    val s = spark
+    import s.implicits._
+    // pages at example.org link the NEXT page (rooted relative) plus a
+    // cross-host mirror — the discovery loop must surface both
+    def html(n: Int): String =
+      s"<a href='/doc/${n + 1}'>next</a>" +
+        s"<a href='http://mirror.net/m/$n'>m</a>"
+    def docs(rows: (Long, String)*): DataFrame =
+      rows.toSeq.toDF("doc_id", "text")
+    val uriOf = concat(lit("http://example.org/doc/"), col("doc_id"))
+    // doc text IS the page html (parseWarcHttpDocs decodes it back)
+    val chunks1 = Warc.syntheticWarcChunks(
+      docs(1L -> html(1), 2L -> html(2)), uri = uriOf)
+    val chunks2 = Warc.syntheticWarcChunks(docs(3L -> html(3)), uri = uriOf)
+
+    object PageAdapter extends Link {
+      val inputs = Seq("loop_docs"); val output = Some("loop_pages")
+      override def transform(df: DataFrame): DataFrame =
+        df.filter(col("valid"))
+          .select(col("target_uri").as("url"), col("text").as("html"))
+    }
+    val frontier = new FrontierLink("loop_pages", "loop_crawled",
+      "loop_links", "loop_frontier", topKPerDomain = 5)
+    val pipeline = new Pipeline(Seq(
+      new WarcHttpIngestLink("loop_chunks", "loop_docs"), PageAdapter,
+      frontier))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-discovery-loop").toString)
+    reg.write(chunks1, "loop_chunks")
+    pipeline.runOnce(spark, reg)
+
+    def urls(df: DataFrame) = df.collect()
+      .map(_.getAs[String]("url")).toSet
+    val f1 = urls(reg.read("loop_frontier"))
+    // batch-1 pages 1,2 link doc/2 (already crawled — must be evicted),
+    // doc/3 (fresh), and the two mirror pages
+    assert(f1 === Set("http://example.org/doc/3",
+      "http://mirror.net/m/1", "http://mirror.net/m/2"))
+
+    // fetch ONE url the frontier proposed — the loop feeding itself
+    reg.write(chunks2, "loop_chunks")
+    pipeline.runOnce(spark, reg)
+    val f2 = urls(reg.read("loop_frontier"))
+    assert(!f2.contains("http://example.org/doc/3"), "fetched url evicted")
+    assert(f2.contains("http://example.org/doc/4") &&
+      f2.contains("http://mirror.net/m/3"))
+    // parity with the batch plan over ALL pages fetched so far
+    val pages = Warc.parseWarcHttpDocs(spark, chunks1.union(chunks2)).toDF()
+      .filter(col("valid"))
+      .select(col("target_uri").as("url"), col("text").as("html"))
+    val expected = FrontierLink.frontierPlan(
+      WebText.resolvedLinkRows(pages, "url", "html").select("link"),
+      pages.select("url"), None, "graftbot", 5)
+    assert(f2 === urls(expected))
+  }
+
   test("streaming frontier link: frontier after each batch equals the " +
     "batch plan over the accumulated pages; crawled and disallowed " +
     "targets excluded; relative links resolved; replay no-op") {

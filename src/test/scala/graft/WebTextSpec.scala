@@ -110,6 +110,20 @@ class WebTextSpec extends SparkSpec {
       "http://h/%", "http://h/%4", "plain-no-escapes"))
   }
 
+  test("url_resolve / robots_glob / pct_normalize SQL registration " +
+    "and null handling") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT url_resolve('http://a/b/c', '../g') AS u, " +
+        "robots_glob('/index.php', '/*.php$') AS g, " +
+        "pct_normalize('http://h/%7Euser') AS p, " +
+        "url_resolve(CAST(NULL AS STRING), 'x') AS n").head()
+    assert(r.getString(0) === "http://a/g")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) === "http://h/~user")
+    assert(r.isNullAt(3))
+  }
+
   test("filterBlockedDomains drops every URL under the blocked eTLD+1") {
     val df = Seq(
       1L -> "http://spam.co.uk/a", 2L -> "http://sub.spam.co.uk/b",
