@@ -48,6 +48,18 @@ object Http {
   def location(p: Column): Column =
     trim(regexp_extract(headerBlock(p), "(?im)^location:\\s*([^\r\n]+)", 1))
 
+  /** The `ETag` header value (quotes and any weak `W/` prefix kept —
+    * `If-None-Match` echoes the tag verbatim), empty when absent — the
+    * strong validator [[WebText.revalidationPlan]] prefers. */
+  def etag(p: Column): Column =
+    trim(regexp_extract(headerBlock(p), "(?im)^etag:\\s*([^\r\n]+)", 1))
+
+  /** The `Last-Modified` header value (HTTP-date, verbatim for
+    * `If-Modified-Since`), empty when absent. */
+  def lastModified(p: Column): Column =
+    trim(regexp_extract(headerBlock(p),
+      "(?im)^last-modified:\\s*([^\r\n]+)", 1))
+
   /** The entity body: everything past the first CRLFCRLF when the
     * payload carries an HTTP status line, the whole payload otherwise
     * (a WARC `resource` record or a pre-split corpus passes through

@@ -688,6 +688,71 @@ object WebText {
         col("graft_dst").isNotNull.as("truncated"))
   }
 
+  /** Page metadata a training-data pipeline keeps alongside the text:
+    * `<title>` inner text, the `description` meta, and the OpenGraph
+    * `og:title` / `og:description` properties (both attribute orders,
+    * any quote style on the name/property side), entities decoded and
+    * whitespace collapsed like [[visibleText]]. Output: the `pages`
+    * columns + `title`, `description`, `og_title`, `og_description`
+    * (empty string when absent). Pure codegen'd regex projection —
+    * scan-stage, no shuffle, the Java∩RE2 discipline throughout. */
+  def pageMetadata(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    def clean(c: Column): Column = {
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&").foldLeft(c) {
+        case (acc, (e, ch)) => replace(acc, lit(e), lit(ch))
+      }
+      trim(regexp_replace(decoded, "\\s+", " "))
+    }
+    def metaContent(nameAttr: String, name: String): Column = {
+      // the name is FOLLOWED by a boundary char (quote, whitespace, /,
+      // >) so an attribute value merely STARTING with it
+      // (name="descriptionx") never matches — the data-href decoy rule
+      val nameFirst = s"(?is)<meta\\s[^>]*?$nameAttr\\s*=\\s*[\"']?$name" +
+        "[\"'\\s/>][^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']"
+      val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*" +
+        s"[\"']([^\"'>]*)[\"'][^>]*?$nameAttr\\s*=\\s*[\"']?$name[\"'\\s/>]"
+      val h = col(htmlCol)
+      val a = regexp_extract(h, nameFirst, 1)
+      when(a =!= "", clean(a))
+        .otherwise(clean(regexp_extract(h, contentFirst, 1)))
+    }
+    pages
+      .withColumn("title", clean(regexp_extract(col(htmlCol),
+        "(?is)<title[^>]*>(.*?)</title>", 1)))
+      .withColumn("description", metaContent("name", "description"))
+      .withColumn("og_title", metaContent("property", "og:title"))
+      .withColumn("og_description", metaContent("property", "og:description"))
+  }
+
+  /** Conditional-revalidation fetch plan (RFC 9110 §13.1): from the
+    * previous crawl's per-URL validators — `etag`, `last_modified`
+    * columns as [[graft.ops.Http.etag]]/[[graft.ops.Http.lastModified]]
+    * extract them, empty = absent — derive each URL's cheapest correct
+    * re-fetch mode and the precondition header to send:
+    * `if-none-match` when an entity tag exists (the stronger
+    * validator, preferred per §13.1.1), else `if-modified-since` when
+    * a date exists, else a plain `full` fetch. A 304 costs headers
+    * only, so at crawl scale the share of URLs carrying validators IS
+    * the refetch-bandwidth model. Output: the frame + `fetch_mode`
+    * (`conditional`/`full`), `precondition_header`,
+    * `precondition_value`. Pure per-row CASE — scan-stage, no
+    * shuffle; composes after [[revisitSchedule]] decides WHEN. */
+  def revalidationPlan(prev: DataFrame, etagCol: String = "etag",
+                       lastModifiedCol: String = "last_modified"): DataFrame =
+    prev
+      .withColumn("fetch_mode",
+        when(col(etagCol) =!= "" || col(lastModifiedCol) =!= "",
+          lit("conditional")).otherwise(lit("full")))
+      .withColumn("precondition_header",
+        when(col(etagCol) =!= "", lit("if-none-match"))
+          .when(col(lastModifiedCol) =!= "", lit("if-modified-since"))
+          .otherwise(lit("")))
+      .withColumn("precondition_value",
+        when(col(etagCol) =!= "", col(etagCol))
+          .when(col(lastModifiedCol) =!= "", col(lastModifiedCol))
+          .otherwise(lit("")))
+
   /** Change-rate revisit schedule (the Cho/Garcia-Molina freshness
     * policy, the standard recrawl heuristic): from a fetch history of
     * `(url, fetch_ts_ms, changed)` rows — `changed` is the fetcher's

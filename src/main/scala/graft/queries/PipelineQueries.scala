@@ -6147,6 +6147,88 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Page-metadata extraction ([[graft.ops.WebText.pageMetadata]]):
+    * title / description / OpenGraph fields over four planted cohorts —
+    * full set with entities + folded whitespace and a `descriptionx`
+    * decoy meta that must NOT match, title-only, OG-only in the
+    * content-first attribute order, and a bare page. GROUND-TRUTH
+    * oracle: expected strings per cohort. */
+  val q231PageMeta: Q = q("q231_page_meta",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN m = 0 THEN 'T & U ' || CAST(doc_id AS VARCHAR)
+      |       WHEN m = 1 THEN 'Only Title' ELSE '' END AS title,
+      |  CASE WHEN m = 0 THEN 'a "quoted" summary' ELSE '' END
+      |    AS description,
+      |  CASE WHEN m = 0 THEN 'OG ' || CAST(doc_id AS VARCHAR)
+      |       WHEN m = 2 THEN 'CF og title' ELSE '' END AS og_title,
+      |  CASE WHEN m = 2 THEN 'cf og desc' ELSE '' END AS og_description
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 4
+    val html = when(m === 0, concat(
+        lit("<html><head><title>\n  T &amp; U   "),
+        col("doc_id").cast("string"),
+        lit("</title><meta name=\"descriptionx\" content=\"decoy\">" +
+          "<meta name=\"description\" " +
+          "content=\"a &quot;quoted&quot; summary\">" +
+          "<meta content=\"OG "),
+        col("doc_id").cast("string"),
+        lit("\" property=\"og:title\"></head><body>b</body></html>")))
+      .when(m === 1, lit("<title>Only Title</title><p>x</p>"))
+      .when(m === 2, lit("<meta content=\"CF og title\" " +
+        "property='og:title'><meta content=\"cf og desc\" " +
+        "property=og:description><p>y</p>"))
+      .otherwise(lit("<html><body>plain</body></html>"))
+    WebText.pageMetadata(
+        Tables.documents(s, d).select(col("doc_id"), html.as("html")))
+      .select("doc_id", "title", "description", "og_title",
+        "og_description")
+      .orderBy("doc_id")
+  }
+
+  /** Conditional-revalidation plan ([[graft.ops.Http.etag]] /
+    * `lastModified` → [[graft.ops.WebText.revalidationPlan]]): three
+    * response cohorts — both validators present (If-None-Match must
+    * win, weak `W/` tag kept verbatim), Last-Modified only
+    * (If-Modified-Since), and neither (full refetch). GROUND-TRUTH
+    * oracle from the moduli. */
+  val q232Revalidation: Q = q("q232_revalidation",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN m = 0 THEN 'W/"v' || CAST(doc_id AS VARCHAR) || '"'
+      |       ELSE '' END AS etag,
+      |  CASE WHEN m <= 1 THEN 'Tue, 01 Jul 2025 00:00:0' ||
+      |    CAST(doc_id % 10 AS VARCHAR) || ' GMT' ELSE '' END
+      |    AS last_modified,
+      |  CASE WHEN m <= 1 THEN 'conditional' ELSE 'full' END AS fetch_mode,
+      |  CASE WHEN m = 0 THEN 'if-none-match'
+      |       WHEN m = 1 THEN 'if-modified-since' ELSE '' END
+      |    AS precondition_header,
+      |  CASE WHEN m = 0 THEN 'W/"v' || CAST(doc_id AS VARCHAR) || '"'
+      |       WHEN m = 1 THEN 'Tue, 01 Jul 2025 00:00:0' ||
+      |         CAST(doc_id % 10 AS VARCHAR) || ' GMT'
+      |       ELSE '' END AS precondition_value
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 3
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\nServer: synth\r\n"),
+      when(m === 0, concat(lit("ETag: W/\"v"), col("doc_id").cast("string"),
+        lit("\"\r\n"))).otherwise(lit("")),
+      when(m <= 1, concat(lit("Last-Modified: Tue, 01 Jul 2025 00:00:0"),
+        (col("doc_id") % 10).cast("string"), lit(" GMT\r\n")))
+        .otherwise(lit("")),
+      lit("Content-Type: text/html\r\n\r\n<p>body</p>"))
+    val prev = Tables.documents(s, d).select(col("doc_id"),
+      graft.ops.Http.etag(payload).as("etag"),
+      graft.ops.Http.lastModified(payload).as("last_modified"))
+    WebText.revalidationPlan(prev)
+      .select("doc_id", "etag", "last_modified", "fetch_mode",
+        "precondition_header", "precondition_value")
+      .orderBy("doc_id")
+  }
+
   /** Gzipped sitemap ingestion
     * ([[graft.ops.Warc.gunzipTextColumn]] →
     * [[graft.ops.WebText.sitemapEntries]] behind the q220 two-level
@@ -6332,5 +6414,6 @@ object PipelineQueries {
     q217MetaRobots, q218Blocklist, q219Redirects, q220SitemapIndex,
     q221RobotsSitemaps, q222ResolveLinks, q223MetaCharset, q224PslDomains,
     q225GzipSitemap, q226IvfProbeRank, q227CrawlScheduler,
-    q228RobotsWildcards, q229PslTable, q230PctNormalize)
+    q228RobotsWildcards, q229PslTable, q230PctNormalize,
+    q231PageMeta, q232Revalidation)
 }

@@ -124,6 +124,39 @@ class WebTextSpec extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  test("pageMetadata: entities + whitespace cleaned, attribute orders, " +
+    "name-prefix decoys skipped, absent fields empty") {
+    val pages = Seq(
+      ("<title> A &amp; B  C </title>" +
+        "<meta name=\"descriptionx\" content=\"decoy\">" +
+        "<meta name=description content=\"d1\">" +
+        "<meta content=\"ogt\" property='og:title'>"),
+      "<p>no metadata at all</p>")
+      .toDF("html")
+    val got = WebText.pageMetadata(pages)
+      .select("title", "description", "og_title", "og_description")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got === Seq(("A & B C", "d1", "ogt", ""), ("", "", "", "")))
+  }
+
+  test("revalidationPlan: etag preferred over last-modified, " +
+    "date-only falls back, bare rows refetch full") {
+    val prev = Seq(
+      ("u1", "\"abc\"", "Tue, 01 Jul 2025 00:00:00 GMT"),
+      ("u2", "", "Tue, 01 Jul 2025 00:00:00 GMT"),
+      ("u3", "", ""))
+      .toDF("url", "etag", "last_modified")
+    val got = WebText.revalidationPlan(prev)
+      .select("url", "fetch_mode", "precondition_header",
+        "precondition_value")
+      .as[(String, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("u1", "conditional", "if-none-match", "\"abc\""),
+      ("u2", "conditional", "if-modified-since",
+        "Tue, 01 Jul 2025 00:00:00 GMT"),
+      ("u3", "full", "", "")))
+  }
+
   test("filterBlockedDomains drops every URL under the blocked eTLD+1") {
     val df = Seq(
       1L -> "http://spam.co.uk/a", 2L -> "http://sub.spam.co.uk/b",
