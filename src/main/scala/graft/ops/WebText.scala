@@ -725,6 +725,199 @@ object WebText {
       .withColumn("og_description", metaContent("property", "og:description"))
   }
 
+  // -------------------------------------------------- head <link> family
+
+  /** Every `<link …>` tag of a page as a raw-tag array — the shared
+    * extraction behind the rel-typed head-link family (canonical,
+    * hreflang alternates, feed discovery). Per-tag attribute reads then
+    * run on the SHORT tag string in ANY attribute order (the
+    * [[anchorTexts]] span discipline: O(tag), not O(page), per
+    * attribute — and order-free beats enumerating attribute
+    * permutations in one page-wide regex). */
+  private def linkTags(html: Column): Column =
+    regexp_extract_all(html, lit("(?is)<link\\s[^>]*>"), lit(0))
+
+  /** True when the tag's `rel` value-list contains `value` (quoted
+    * `rel` may list several tokens — `rel="alternate nofollow"`).
+    * Boundary-anchored on BOTH sides so `canonicalx` / `x-canonical`
+    * never match (the data-href decoy rule). Java∩RE2 subset. */
+  private def relContains(tag: Column, value: String): Column =
+    tag.rlike("(?is)[\\s\"']rel\\s*=\\s*[\"']?(?:[^\"'>]*\\s)?" +
+      value + "[\"'\\s/>]")
+
+  /** The tag's quoted `href` target with `&amp;` decoded ('' when
+    * absent) — same quote handling as [[extractLinks]]. */
+  private def tagHref(tag: Column): Column =
+    replace(regexp_extract(tag,
+        "(?is)[\\s\"']href\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']", 1),
+      lit("&amp;"), lit("&"))
+
+  /** Entity decode + whitespace fold shared by the text-bearing
+    * extractors (the [[visibleText]] entity set; `&amp;` LAST so
+    * `&amp;lt;` decodes to `&lt;`, not `<`). */
+  private def cleanText(c: Column): Column = {
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&").foldLeft(c) {
+      case (acc, (e, ch)) => replace(acc, lit(e), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** First `rel="canonical"` link target of a page in document order
+    * ('' when none) — the author-declared consolidation key. May be
+    * relative; [[canonicalTargets]] resolves it. */
+  def canonicalLinkHref(html: Column): Column =
+    coalesce(get(transform(filter(linkTags(html),
+      t => relContains(t, "canonical") && tagHref(t) =!= ""),
+      t => tagHref(t)), lit(0)), lit(""))
+
+  /** Author-declared canonical target per page (`<link
+    * rel="canonical">`, RFC 6596): the href resolved against the
+    * page's effective base (`<base href>` if present, else the page
+    * URL — the [[resolvedLinkRows]] rule, since real canonical links
+    * are often relative), falling back to the page URL itself when the
+    * tag is absent or unresolvable. Output: the `pages` columns +
+    * `canonical_target` (absolute), `has_canonical`, `is_self`
+    * (target == page URL after [[canonicalUrl]] normalization on
+    * both). Dedup and URL-consolidation should key on
+    * `canonical_target`: syndicated/paginated/parameterized variants
+    * of one article all declare the same target, collapsing duplicate
+    * content BEFORE any text-level near-dup pass touches it.
+    *
+    * Scale shape: pure codegen'd regex/CASE projection in the scan
+    * stage — no shuffle, no UDF, no explode (only the FIRST canonical
+    * tag is read, per the standard). */
+  def canonicalTargets(pages: DataFrame, urlCol: String = "url",
+                       htmlCol: String = "html"): DataFrame = {
+    val bh = baseHref(col(htmlCol))
+    val eff = when(bh === "", col(urlCol))
+      .otherwise(resolveUrl(col(urlCol), bh))
+    val resolved = when(col("graft_ch") === "", lit(""))
+      .otherwise(resolveUrl(col("graft_eff"), col("graft_ch")))
+    pages
+      .withColumn("graft_ch", canonicalLinkHref(col(htmlCol)))
+      .withColumn("graft_eff", eff)
+      .withColumn("graft_resolved", resolved)
+      .withColumn("has_canonical", col("graft_resolved") =!= "")
+      .withColumn("canonical_target",
+        when(col("has_canonical"), col("graft_resolved"))
+          .otherwise(col(urlCol)))
+      .withColumn("is_self", canonicalUrl(col("canonical_target")) ===
+        canonicalUrl(col(urlCol)))
+      .drop("graft_ch", "graft_eff", "graft_resolved")
+  }
+
+  /** `hreflang` alternates (`<link rel="alternate" hreflang=… href=…>`):
+    * one struct `(lang, href)` per declared language variant, document
+    * order, lang lowercased (BCP 47 tags are case-insensitive), any
+    * attribute order. The variants of one page are near-literal
+    * TRANSLATIONS of each other — the standard seed for bitext mining,
+    * and the cluster key that stops a multilingual dedup pass from
+    * treating `example.com/en/p` and `example.com/de/p` as independent
+    * documents when budgeting per-domain quotas. `x-default` rows pass
+    * through (callers filter). */
+  def hreflangLinks(html: Column): Column =
+    filter(transform(filter(linkTags(html), t => relContains(t, "alternate")),
+        t => struct(
+          lower(regexp_extract(t,
+            "(?is)[\\s\"']hreflang\\s*=\\s*[\"']?([A-Za-z0-9-]+)", 1))
+            .as("lang"),
+          tagHref(t).as("href"))),
+      x => x("lang") =!= "" && x("href") =!= "")
+
+  /** Feed discovery (`<link rel="alternate" type="application/rss+xml
+    * |atom+xml" href=…>`): one struct `(feed_type, href)` per declared
+    * feed, `feed_type` in `rss`/`atom` — the freshness channel a
+    * recrawl scheduler polls instead of re-fetching every page
+    * ([[revisitSchedule]] decides cadence; the feed says WHAT changed).
+    * Stylesheet/preload links and alternates without a feed MIME type
+    * never match. */
+  def feedLinks(html: Column): Column =
+    filter(transform(filter(linkTags(html), t => relContains(t, "alternate")),
+        t => struct(
+          lower(regexp_extract(t,
+            "(?is)[\\s\"']type\\s*=\\s*[\"']?application/(rss|atom)\\+xml" +
+              "[\"'\\s/>]", 1)).as("feed_type"),
+          tagHref(t).as("href"))),
+      x => x("feed_type") =!= "" && x("href") =!= "")
+
+  /** Feed-entry parsing over fetched RSS 2.0 / Atom XML: one struct
+    * `(title, link, published)` per `<item>` (RSS: text `<link>`,
+    * `<pubDate>`) or `<entry>` (Atom: `<link href=…>`, `<updated>`
+    * preferred over `<published>` — the feed-reader rule). Both
+    * vocabularies parse from ONE call so a mixed fetch frontier needs
+    * no routing; titles get the [[visibleText]] entity decode +
+    * whitespace fold. Same outer-span regex discipline as
+    * [[sitemapEntries]]: per-entry group extraction runs on the short
+    * entry span, O(span) not O(document). */
+  def feedEntries(xml: Column): Column = {
+    val rss = transform(regexp_extract_all(xml,
+        lit("(?is)<item(?:\\s[^>]*)?>(.*?)</item>"), lit(1)),
+      i => struct(
+        cleanText(regexp_extract(i, "(?is)<title[^>]*>(.*?)</title>", 1))
+          .as("title"),
+        trim(regexp_extract(i, "(?is)<link[^>]*>([^<]*?)</link>", 1))
+          .as("link"),
+        trim(regexp_extract(i, "(?is)<pubdate[^>]*>([^<]*?)</pubdate>", 1))
+          .as("published")))
+    val atomDate = (e: Column) => {
+      val upd = trim(regexp_extract(e,
+        "(?is)<updated[^>]*>([^<]*?)</updated>", 1))
+      when(upd =!= "", upd).otherwise(trim(regexp_extract(e,
+        "(?is)<published[^>]*>([^<]*?)</published>", 1)))
+    }
+    val atom = transform(regexp_extract_all(xml,
+        lit("(?is)<entry(?:\\s[^>]*)?>(.*?)</entry>"), lit(1)),
+      e => struct(
+        cleanText(regexp_extract(e, "(?is)<title[^>]*>(.*?)</title>", 1))
+          .as("title"),
+        replace(regexp_extract(e,
+            "(?is)<link\\s[^>]*?href\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']", 1),
+          lit("&amp;"), lit("&")).as("link"),
+        atomDate(e).as("published")))
+    concat(rss, atom)
+  }
+
+  /** Raw JSON-LD blocks of a page (`<script
+    * type="application/ld+json">…</script>`, schema.org structured
+    * data), trimmed, document order — the machine-readable metadata
+    * channel (article headline, publish date, author) that is far more
+    * reliable than scraping the rendered HTML when present.
+    * [[structuredData]] projects the standard fields; this raw form is
+    * for callers with their own schemas. */
+  def jsonLdBlocks(html: Column): Column =
+    transform(regexp_extract_all(html,
+        lit("(?is)<script\\s[^>]*?type\\s*=\\s*[\"']application/ld\\+json" +
+          "[\"'][^>]*>(.*?)</script>"), lit(1)),
+      b => trim(b))
+
+  /** One row per JSON-LD block with the schema.org article fields
+    * projected: `block_idx`, `item_type` (`@type`), `headline`,
+    * `date_published`, `author_name` (`author.name`, the object form) —
+    * empty string when a field is absent or the block is not valid
+    * JSON (`get_json_object` returns null on malformed input; a crawl
+    * corpus ALWAYS contains malformed blocks, and a hard error on one
+    * row would kill the stage). Scale shape: one codegen'd regex
+    * projection + one `posexplode` + per-row JSON path reads — scan
+    * stage, no shuffle. */
+  def structuredData(pages: DataFrame, urlCol: String = "url",
+                     htmlCol: String = "html"): DataFrame = {
+    def jstr(b: Column, path: String): Column = {
+      val v = get_json_object(b, path)
+      // get_json_object returns SCALARS unquoted but nulls on absence;
+      // normalize to '' so downstream group keys are total
+      coalesce(v, lit(""))
+    }
+    pages
+      .select(col(urlCol).as("url"),
+        posexplode(jsonLdBlocks(col(htmlCol))).as(Seq("pos", "graft_b")))
+      .select(col("url"), col("pos").cast("long").as("block_idx"),
+        jstr(col("graft_b"), "$['@type']").as("item_type"),
+        jstr(col("graft_b"), "$.headline").as("headline"),
+        jstr(col("graft_b"), "$.datePublished").as("date_published"),
+        jstr(col("graft_b"), "$.author.name").as("author_name"))
+  }
+
   /** Conditional-revalidation fetch plan (RFC 9110 §13.1): from the
     * previous crawl's per-URL validators — `etag`, `last_modified`
     * columns as [[graft.ops.Http.etag]]/[[graft.ops.Http.lastModified]]

@@ -4680,11 +4680,12 @@ object PipelineQueries {
     * payloads by binary concatenation in doc_id order. ONE definition —
     * a drift between the two byte-path fixtures would silently
     * desynchronize their oracles. */
-  private def httpWarcRecordBytes(httpBytes: Column): Column = concat(
+  private def httpWarcRecordBytes(httpBytes: Column,
+      uri: Column = concat(lit("http://example.com/doc/"),
+        col("doc_id"))): Column = concat(
     encode(concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-        "WARC-Target-URI: http://example.com/doc/"),
-      col("doc_id"),
+        "WARC-Target-URI: "), uri,
       lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
         "Content-Length: "),
       length(httpBytes).cast("string"), lit("\r\n\r\n")), "UTF-8"),
@@ -6367,6 +6368,272 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Canonical-link consolidation
+    * ([[graft.ops.WebText.canonicalTargets]], RFC 6596): five planted
+    * cohorts — href-first absolute self-canonical on a tracking-param
+    * URL (is_self must survive the [[graft.ops.WebText.canonicalUrl]]
+    * normalization), relative canonical resolved against a relative
+    * `<base href>`, a rel TOKEN LIST with `&amp;` decode, a decoy page
+    * (`canonicalx` / `x-canonical` / rel-less `<link>` / `<a
+    * rel=canonical>` — none may match), and a bare page. GROUND-TRUTH
+    * oracle: expected targets spelled out per cohort. */
+  val q233CanonicalLink: Q = q("q233_canonical_link",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS m,
+      |  CAST(doc_id AS VARCHAR) AS i FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'http://s0.org/p' || i
+      |         WHEN 1 THEN 'http://s1.org/root/art' || i
+      |         WHEN 2 THEN 'http://s2.org/y?a=' || i || '&b=2'
+      |         WHEN 3 THEN 'http://s3.org/z' || i
+      |         ELSE 'http://s4.org/q' || i END AS canonical_target,
+      |  m IN (0, 1, 2) AS has_canonical,
+      |  m IN (0, 3, 4) AS is_self
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 5
+    val i = col("doc_id").cast("string")
+    val url = when(m === 0, concat(lit("http://s0.org/p"), i,
+        lit("?utm_source=x")))
+      .when(m === 1, concat(lit("http://s1.org/dir/page"), i))
+      .when(m === 2, concat(lit("http://s2.org/x"), i))
+      .when(m === 3, concat(lit("http://s3.org/z"), i))
+      .otherwise(concat(lit("http://s4.org/q"), i))
+    val html = when(m === 0, concat(lit("<link href=\"http://s0.org/p"), i,
+        lit("\" rel=\"canonical\"><p>t</p>")))
+      .when(m === 1, concat(
+        lit("<base href=\"/root/\"><link rel=canonical href='art"), i,
+        lit("'>")))
+      .when(m === 2, concat(
+        lit("<link rel=\"nofollow canonical\" href=\"http://s2.org/y?a="),
+        i, lit("&amp;b=2\">")))
+      .when(m === 3,
+        lit("<link rel=\"canonicalx\" href=\"http://evil.com/1\">" +
+          "<link rel='x-canonical' href=\"http://evil.com/2\">" +
+          "<link href=\"http://evil.com/3\">" +
+          "<a rel=\"canonical\" href=\"http://evil.com/4\">t</a>"))
+      .otherwise(lit("<p>plain</p>"))
+    WebText.canonicalTargets(Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"), html.as("html")))
+      .select("doc_id", "canonical_target", "has_canonical", "is_self")
+      .orderBy("doc_id")
+  }
+
+  /** hreflang alternate extraction
+    * ([[graft.ops.WebText.hreflangLinks]]): every page declares three
+    * language variants — `EN-US` (case-folds to `en-us`), `de` in the
+    * href-first attribute order, and `x-default` — plus a
+    * `rel="stylesheet"` hreflang decoy that must NOT match. One row
+    * per (page, variant); GROUND-TRUTH oracle builds the identical
+    * rows from a VALUES table. */
+  val q234Hreflang: Q = q("q234_hreflang",
+    """WITH langs(hl) AS (VALUES ('de'), ('en-us'), ('x-default'))
+      |SELECT doc_id, hl AS lang,
+      |  'http://h' || CAST(doc_id AS VARCHAR) || '.org/' ||
+      |    CASE hl WHEN 'x-default' THEN '' ELSE hl END AS href
+      |FROM documents, langs ORDER BY doc_id, hl""".stripMargin) { (s, d) =>
+    val i = col("doc_id").cast("string")
+    val html = concat(
+      lit("<link rel=\"alternate\" hreflang=\"EN-US\" href=\"http://h"), i,
+      lit(".org/en-us\">" +
+        "<link hreflang=\"de\" href=\"http://h"), i,
+      lit(".org/de\" rel=\"alternate\">" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"http://h"), i,
+      lit(".org/\">" +
+        "<link rel=\"stylesheet\" hreflang=\"fr\" href=\"http://h"), i,
+      lit(".org/css\">"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(WebText.hreflangLinks(html)).as("x"))
+      .select(col("doc_id"), col("x.lang").as("lang"),
+        col("x.href").as("href"))
+      .orderBy("doc_id", "lang")
+  }
+
+  /** Feed discovery ([[graft.ops.WebText.feedLinks]]): three cohorts —
+    * RSS only (plus a `text/html` mobile-alternate decoy), Atom only
+    * (uppercase MIME, scrambled attribute order, unquoted rel), and
+    * both feeds on one page. One row per declared feed; GROUND-TRUTH
+    * oracle unions the expected rows per cohort. */
+  val q235FeedDiscovery: Q = q("q235_feed_discovery",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+      |  CAST(doc_id AS VARCHAR) AS i FROM documents)
+      |SELECT doc_id, 'rss' AS feed_type,
+      |  'http://f' || i || '.org/rss' AS href FROM t WHERE m IN (0, 2)
+      |UNION ALL
+      |SELECT doc_id, 'atom', 'http://f' || i || '.org/atom'
+      |FROM t WHERE m IN (1, 2)
+      |ORDER BY doc_id, feed_type""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 3
+    val i = col("doc_id").cast("string")
+    val rss = concat(
+      lit("<link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=\"http://f"), i, lit(".org/rss\">" +
+        "<link rel=\"alternate\" type=\"text/html\" href=\"http://m.f"), i,
+      lit(".org/\">"))
+    val atom = concat(
+      lit("<link type=\"APPLICATION/ATOM+XML\" rel=alternate " +
+        "href=\"http://f"), i, lit(".org/atom\">"))
+    val html = when(m === 0, rss).when(m === 1, atom)
+      .otherwise(concat(rss, atom))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(WebText.feedLinks(html)).as("x"))
+      .select(col("doc_id"), col("x.feed_type").as("feed_type"),
+        col("x.href").as("href"))
+      .orderBy("doc_id", "feed_type")
+  }
+
+  /** Feed-entry parsing ([[graft.ops.WebText.feedEntries]]): even docs
+    * ship an RSS 2.0 channel (two `<item>`s — entity-bearing title,
+    * text `<link>` with padding whitespace, one item missing
+    * `<pubDate>`), odd docs an Atom feed (two `<entry>`s — the first
+    * carries BOTH `<published>` and `<updated>` and `updated` must
+    * win, `&amp;` decode in the link href). The channel/feed titles
+    * must never leak into entries. GROUND-TRUTH oracle from the
+    * moduli. */
+  val q236FeedEntries: Q = q("q236_feed_entries",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS m,
+      |  CAST(doc_id AS VARCHAR) AS i FROM documents),
+      |  k(j) AS (VALUES (0), (1))
+      |SELECT doc_id,
+      |  CASE WHEN m = 0 THEN 'A & B ' ELSE 'E ' END || i || '.' ||
+      |    CAST(j AS VARCHAR) AS title,
+      |  CASE WHEN m = 0 THEN 'http://r' ELSE 'http://a' END || i ||
+      |    '.org/' || CAST(j AS VARCHAR) ||
+      |    CASE WHEN m = 1 AND j = 0 THEN '?x=1&y=2' ELSE '' END AS link,
+      |  CASE WHEN m = 0 AND j = 0 THEN 'Tue, 01 Jul 2025 00:00:00 GMT'
+      |       WHEN m = 0 THEN ''
+      |       WHEN j = 0 THEN '2025-02-02T00:00:00Z'
+      |       ELSE '2025-03-03T00:00:00Z' END AS published
+      |FROM t, k ORDER BY doc_id, link""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 2
+    val i = col("doc_id").cast("string")
+    val rss = concat(
+      lit("<?xml version=\"1.0\"?><rss><channel><title>Chan</title>" +
+        "<item><title>A &amp; B "), i,
+      lit(".0</title><link> http://r"), i,
+      lit(".org/0 </link><pubDate>Tue, 01 Jul 2025 00:00:00 GMT" +
+        "</pubDate></item>" +
+        "<item><title>A &amp; B "), i,
+      lit(".1</title><link>http://r"), i,
+      lit(".org/1</link></item></channel></rss>"))
+    val atom = concat(
+      lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+        "<title>Feed</title>" +
+        "<entry><title>  E\n "), i,
+      lit(".0 </title><link rel=\"alternate\" href=\"http://a"), i,
+      lit(".org/0?x=1&amp;y=2\"/>" +
+        "<published>2025-01-01T00:00:00Z</published>" +
+        "<updated>2025-02-02T00:00:00Z</updated></entry>" +
+        "<entry><title>E "), i,
+      lit(".1</title><link href='http://a"), i,
+      lit(".org/1'/><published>2025-03-03T00:00:00Z</published>" +
+        "</entry></feed>"))
+    val xml = when(m === 0, rss).otherwise(atom)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(WebText.feedEntries(xml)).as("e"))
+      .select(col("doc_id"), col("e.title").as("title"),
+        col("e.link").as("link"), col("e.published").as("published"))
+      .orderBy("doc_id", "link")
+  }
+
+  /** JSON-LD structured data ([[graft.ops.WebText.structuredData]]):
+    * cohort 0 pages carry a full schema.org NewsArticle block
+    * (headline, datePublished, nested author.name), a MALFORMED
+    * ld+json block (must yield an all-empty row, never an error), and
+    * a plain `<script>` decoy (must not be extracted at all); cohort 1
+    * a Product block with only `@type`; cohort 2 no structured data
+    * (zero rows). GROUND-TRUTH oracle unions the expected rows. */
+  val q237JsonLd: Q = q("q237_jsonld",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+      |  CAST(doc_id AS VARCHAR) AS i FROM documents)
+      |SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+      |  'NewsArticle' AS item_type, 'H ' || i AS headline,
+      |  '2025-05-05' AS date_published, 'Ada ' || i AS author_name
+      |FROM t WHERE m = 0
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT), '', '', '', '' FROM t WHERE m = 0
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS BIGINT), 'Product', '', '', ''
+      |FROM t WHERE m = 1
+      |ORDER BY doc_id, block_idx""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 3
+    val i = col("doc_id").cast("string")
+    val news = concat(
+      lit("<script type=\"application/ld+json\">" +
+        "{\"@type\":\"NewsArticle\",\"headline\":\"H "), i,
+      lit("\",\"datePublished\":\"2025-05-05\"," +
+        "\"author\":{\"@type\":\"Person\",\"name\":\"Ada "), i,
+      lit("\"}}</script>" +
+        "<script type=\"application/ld+json\"> not json </script>" +
+        "<script>var x = {\"@type\": \"Decoy\"};</script>"))
+    val product =
+      lit("<script type='application/ld+json'>{\"@type\":\"Product\"}" +
+        "</script><p>t</p>")
+    val html = when(m === 0, news).when(m === 1, product)
+      .otherwise(lit("<p>no structured data</p>"))
+    WebText.structuredData(Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html")),
+        urlCol = "doc_id")
+      .select(col("url").as("doc_id"), col("block_idx"), col("item_type"),
+        col("headline"), col("date_published"), col("author_name"))
+      .orderBy("doc_id", "block_idx")
+  }
+
+  /** Canonical-consolidation capstone behind the FULL byte stack:
+    * WARC synthesis → member parse → HTTP split → charset decode
+    * ([[graft.ops.Warc.parseWarcHttpDocs]]) →
+    * [[graft.ops.WebText.canonicalTargets]] → group-by consolidation.
+    * Every three consecutive doc_ids form one article cluster — the
+    * canonical page (absolute self-canonical), a `?page=2` variant
+    * declaring a ROOT-RELATIVE canonical, and an `/amp/` variant
+    * declaring it through a `<base href>` — so all three pages
+    * collapse onto one `canonical_target` key with exactly one
+    * self-declaring member. The oracle re-derives the cluster rollup
+    * from doc_id arithmetic alone (the WARC/HTTP layers are proven
+    * transparent by q185/q188/q190/q198; the per-form resolution by
+    * q233): `n_pages` counts cluster members present in the table,
+    * `n_self` the m=0 member. This is the dedup-before-near-dup step
+    * a 100 TB pipeline runs first: syndicated/parameterized variants
+    * collapse on an O(row) scan key, never reaching the O(pairs)
+    * text-similarity stages. */
+  val q238CanonicalWarc: Q = q("q238_canonical_warc",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+      |  CAST(doc_id - (doc_id % 3) AS VARCHAR) AS c FROM documents
+      |  WHERE text IS NOT NULL)
+      |SELECT 'http://cap.org/art/' || c AS canonical_target,
+      |  COUNT(*) AS n_pages,
+      |  COUNT(*) FILTER (WHERE m = 0) AS n_self
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 3
+    val cid = (col("doc_id") - m).cast("string")
+    val url = when(m === 0, concat(lit("http://cap.org/art/"), cid))
+      .when(m === 1, concat(lit("http://cap.org/art/"), cid,
+        lit("?page=2")))
+      .otherwise(concat(lit("http://cap.org/amp/"), cid))
+    val html = when(m === 0, concat(
+        lit("<html><head><link rel=\"canonical\" href=\"http://cap.org/art/"),
+        cid, lit("\"></head><body><p>article</p></body></html>")))
+      .when(m === 1, concat(
+        lit("<html><head><link href=\"/art/"), cid,
+        lit("\" rel=\"canonical\"></head><body><p>page 2</p></body></html>")))
+      .otherwise(concat(
+        lit("<html><head><base href=\"/art/\"><link rel=canonical href='"),
+        cid, lit("'></head><body><p>amp</p></body></html>")))
+    val httpBytes = concat(
+      encode(lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n\r\n"), "UTF-8"),
+      encode(html, "UTF-8"))
+    val chunks = binaryWarcChunks(Tables.documents(s, d),
+      httpWarcRecordBytes(httpBytes, url))
+    val pages = Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid") && col("content_type") === "text/html")
+      .select(col("target_uri").as("url"), col("text").as("html"))
+    WebText.canonicalTargets(pages)
+      .groupBy("canonical_target")
+      .agg(count(lit(1)).as("n_pages"),
+        count(when(col("is_self"), 1)).as("n_self"))
+      .orderBy("canonical_target")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -6415,5 +6682,6 @@ object PipelineQueries {
     q221RobotsSitemaps, q222ResolveLinks, q223MetaCharset, q224PslDomains,
     q225GzipSitemap, q226IvfProbeRank, q227CrawlScheduler,
     q228RobotsWildcards, q229PslTable, q230PctNormalize,
-    q231PageMeta, q232Revalidation)
+    q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
+    q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc)
 }

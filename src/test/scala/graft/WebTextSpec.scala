@@ -454,4 +454,119 @@ class WebTextSpec extends SparkSpec {
       ("c", 2L, 1L, 1800000L, hour, 1800000L + hour),
       ("d", 1L, 0L, 5L, hour, 5L + hour)))
   }
+
+  test("canonicalTargets: attribute orders, relative resolution against " +
+    "base href, rel token lists, decoys, fallback") {
+    val rows = Seq(
+      // href-first attribute order, absolute target, self-reference
+      ("http://a.com/p?utm_source=x",
+        "<link href=\"http://a.com/p\" rel=\"canonical\"><p>t</p>"),
+      // relative canonical resolved against <base href> (itself relative)
+      ("http://b.com/dir/page",
+        "<base href=\"/root/\"><link rel=canonical href='art'>"),
+      // rel value LIST containing canonical; &amp; decode in the href
+      ("http://c.com/x",
+        "<link rel=\"nofollow canonical\" href=\"http://c.com/y?a=1&amp;b=2\">"),
+      // decoys: rel="canonicalx", rel="x-canonical", a <link> with no
+      // rel, an <a rel=canonical> (not a link tag) -> fallback page URL
+      ("http://d.com/z",
+        "<link rel=\"canonicalx\" href=\"http://evil.com/1\">" +
+          "<link rel='x-canonical' href=\"http://evil.com/2\">" +
+          "<link href=\"http://evil.com/3\">" +
+          "<a rel=\"canonical\" href=\"http://evil.com/4\">t</a>"),
+      // no head links at all -> fallback
+      ("http://e.com/q", "<p>plain</p>"))
+      .toDF("url", "html")
+    val got = WebText.canonicalTargets(rows)
+      .select("url", "canonical_target", "has_canonical", "is_self")
+      .as[(String, String, Boolean, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(got("http://a.com/p?utm_source=x") ===
+      (("http://a.com/p", true, true)))
+    assert(got("http://b.com/dir/page") ===
+      (("http://b.com/root/art", true, false)))
+    assert(got("http://c.com/x") ===
+      (("http://c.com/y?a=1&b=2", true, false)))
+    assert(got("http://d.com/z") === (("http://d.com/z", false, true)))
+    assert(got("http://e.com/q") === (("http://e.com/q", false, true)))
+  }
+
+  test("hreflangLinks + feedLinks: attribute orders, case folding, " +
+    "non-alternate and non-feed decoys") {
+    val html =
+      "<link rel=\"alternate\" hreflang=\"EN-us\" href=\"http://h.org/en\">" +
+        "<link hreflang=\"de\" href=\"http://h.org/de\" rel=\"alternate\">" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"http://h.org/\">" +
+        // stylesheet with hreflang: rel is not alternate -> excluded
+        "<link rel=\"stylesheet\" hreflang=\"fr\" href=\"http://h.org/css\">" +
+        // alternate without hreflang and with a feed type -> feed, not lang
+        "<link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=\"http://h.org/feed.rss\">" +
+        "<link type=\"APPLICATION/ATOM+XML\" rel=alternate " +
+        "href=\"http://h.org/feed.atom\">" +
+        // alternate text/html (mobile variant): no feed type -> excluded
+        "<link rel=\"alternate\" type=\"text/html\" href=\"http://m.h.org/\">"
+    val df = Seq(html).toDF("html")
+    val langs = df.select(explode(WebText.hreflangLinks(col("html"))).as("x"))
+      .select("x.lang", "x.href").as[(String, String)].collect().toSeq
+    assert(langs === Seq(("en-us", "http://h.org/en"),
+      ("de", "http://h.org/de"), ("x-default", "http://h.org/")))
+    val feeds = df.select(explode(WebText.feedLinks(col("html"))).as("x"))
+      .select("x.feed_type", "x.href").as[(String, String)].collect().toSeq
+    assert(feeds === Seq(("rss", "http://h.org/feed.rss"),
+      ("atom", "http://h.org/feed.atom")))
+  }
+
+  test("feedEntries: RSS items and Atom entries from one call, entity " +
+    "decode, updated-over-published, missing fields") {
+    val rss = "<?xml version=\"1.0\"?><rss><channel><title>Chan</title>" +
+      "<item><title>A &amp; B</title><link> http://h.org/1 </link>" +
+      "<pubDate>Tue, 01 Jul 2025 00:00:00 GMT</pubDate></item>" +
+      "<item><title>No date</title><link>http://h.org/2</link></item>" +
+      "</channel></rss>"
+    val atom = "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<title>Feed</title>" +
+      "<entry><title>  E1\n t </title>" +
+      "<link rel=\"alternate\" href=\"http://h.org/a1?x=1&amp;y=2\"/>" +
+      "<published>2025-01-01T00:00:00Z</published>" +
+      "<updated>2025-02-02T00:00:00Z</updated></entry>" +
+      "<entry><title>E2</title><link href='http://h.org/a2'/>" +
+      "<published>2025-03-03T00:00:00Z</published></entry></feed>"
+    val got = Seq(rss, atom).toDF("xml")
+      .select(explode(WebText.feedEntries(col("xml"))).as("e"))
+      .select("e.title", "e.link", "e.published")
+      .as[(String, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("A & B", "http://h.org/1", "Tue, 01 Jul 2025 00:00:00 GMT"),
+      ("No date", "http://h.org/2", ""),
+      ("E1 t", "http://h.org/a1?x=1&y=2", "2025-02-02T00:00:00Z"),
+      ("E2", "http://h.org/a2", "2025-03-03T00:00:00Z")))
+    // the channel/feed titles never leak into entries
+    assert(!got.exists(e => e._1 == "Chan" || e._1 == "Feed"))
+  }
+
+  test("structuredData: JSON-LD field projection, malformed block " +
+    "tolerance, absent fields, multiple blocks per page") {
+    val rows = Seq(
+      ("http://n.org/1",
+        "<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\"," +
+          "\"headline\":\"H1\",\"datePublished\":\"2025-05-05\"," +
+          "\"author\":{\"@type\":\"Person\",\"name\":\"Ada\"}}</script>" +
+          "<script type=\"application/ld+json\"> not json at all </script>" +
+          // a plain script must NOT be extracted
+          "<script>var x = {\"@type\": \"Decoy\"};</script>"),
+      ("http://n.org/2",
+        "<script type='application/ld+json'>{\"@type\":\"Product\"}" +
+          "</script>"))
+      .toDF("url", "html")
+    val got = WebText.structuredData(rows)
+      .select("url", "block_idx", "item_type", "headline",
+        "date_published", "author_name")
+      .as[(String, Long, String, String, String, String)].collect().toSeq
+      .sortBy(x => (x._1, x._2))
+    assert(got === Seq(
+      ("http://n.org/1", 0L, "NewsArticle", "H1", "2025-05-05", "Ada"),
+      ("http://n.org/1", 1L, "", "", "", ""),
+      ("http://n.org/2", 0L, "Product", "", "", "")))
+  }
 }
