@@ -6634,6 +6634,103 @@ object PipelineQueries {
       .orderBy("canonical_target")
   }
 
+  /** Discovery-channels capstone — the three URL-discovery channels a
+    * crawler runs, composed end to end and merged into one frontier:
+    * (1) page out-links extracted in all forms and RFC 3986-resolved
+    * ([[graft.ops.WebText.resolvedLinkRows]]); (2) robots.txt
+    * `Sitemap:` directives ([[graft.ops.Robots.sitemapUrls]]) → fetch
+    * join → [[graft.ops.WebText.sitemapEntries]]; (3) feed
+    * declarations discovered on the pages themselves
+    * ([[graft.ops.WebText.feedLinks]], RELATIVE href resolved against
+    * the page) → fetch join → [[graft.ops.WebText.feedEntries]].
+    * Per-host article targets `/p/k` arrive via BOTH links and the
+    * sitemap (`channels = 'link,sitemap'`), feed items `/f/j` via the
+    * feed alone; already-crawled targets (every `k % 5 = 0` article)
+    * anti-join away. The oracle re-derives the per-host distinct
+    * target sets and channel labels from doc_id arithmetic alone.
+    *
+    * Scale shape: every channel is a scan Project (+ the bounded
+    * per-host fetch joins — host-cardinality tables, AQE-broadcast);
+    * the merge is ONE url-keyed aggregate over (url, channel) rows
+    * with map-side combine; the anti-join's right side is the crawled
+    * set. No window, no cartesian. */
+  val q239Discovery: Q = q("q239_discovery_channels",
+    """WITH l AS (SELECT DISTINCT source AS host,
+      |    CAST(doc_id % 50 AS INT) AS k FROM documents),
+      |  f AS (SELECT DISTINCT source AS host,
+      |    CAST(doc_id % 20 AS INT) AS j FROM documents)
+      |SELECT url, channels, n_channels FROM (
+      |  SELECT 'http://' || host || '.org/p/' || CAST(k AS VARCHAR) AS url,
+      |    'link,sitemap' AS channels, CAST(2 AS BIGINT) AS n_channels
+      |  FROM l WHERE k % 5 <> 0
+      |  UNION ALL
+      |  SELECT 'http://' || host || '.org/f/' || CAST(j AS VARCHAR),
+      |    'feed', CAST(1 AS BIGINT) FROM f) t
+      |ORDER BY url""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+    val host = col("source")
+    val pages = base.select(col("doc_id"),
+      concat(lit("http://"), host, lit(".org/page/"),
+        col("doc_id").cast("string")).as("url"),
+      concat(lit("<link rel=\"alternate\" type=\"application/rss+xml\" " +
+          "href=\"/feed.xml\"><p>body</p><a href=\"/p/"),
+        (col("doc_id") % 50).cast("string"), lit("\">t</a>")).as("html"))
+    val linkCh = WebText.resolvedLinkRows(pages, "url", "html")
+      .select(col("link").as("url"), lit("link").as("channel"))
+    val robots = base.select(host.as("host")).distinct()
+      .select(col("host"), concat(lit("User-agent: *\nDisallow:\n" +
+        "Sitemap: http://"), col("host"), lit(".org/sm.xml\n"))
+        .as("robots_txt"))
+    val smXml = base
+      .select(host.as("sm_host"), (col("doc_id") % 50).cast("int").as("k"))
+      .distinct()
+      .groupBy("sm_host")
+      .agg(concat(lit("<urlset>"), array_join(transform(
+        array_sort(collect_list(struct(col("k"),
+          concat(lit("<url><loc>http://"), col("sm_host"), lit(".org/p/"),
+            col("k").cast("string"), lit("</loc></url>")).as("e")))),
+        x => x.getField("e")), ""), lit("</urlset>")).as("xml"))
+      .withColumn("sm_loc", concat(lit("http://"), col("sm_host"),
+        lit(".org/sm.xml")))
+    val smCh = Robots.sitemapUrls(robots)
+      .join(smXml, col("sitemap_url") === col("sm_loc"))
+      .select(explode(WebText.sitemapEntries(col("xml"))).as("u"))
+      .select(col("u.loc").as("url"), lit("sitemap").as("channel"))
+    val feedDecl = pages
+      .select(col("url"), explode(WebText.feedLinks(col("html"))).as("fl"))
+      .select(WebText.resolveUrl(col("url"), col("fl.href"))
+        .as("feed_url"))
+      .distinct()
+    val feedXml = base
+      .select(host.as("f_host"), (col("doc_id") % 20).cast("int").as("j"))
+      .distinct()
+      .groupBy("f_host")
+      .agg(concat(lit("<rss><channel><title>c</title>"),
+        array_join(transform(array_sort(collect_list(struct(col("j"),
+          concat(lit("<item><title>t</title><link>http://"), col("f_host"),
+            lit(".org/f/"), col("j").cast("string"),
+            lit("</link></item>")).as("e")))),
+          x => x.getField("e")), ""), lit("</channel></rss>")).as("xml"))
+      .withColumn("feed_loc", concat(lit("http://"), col("f_host"),
+        lit(".org/feed.xml")))
+    val feedCh = feedDecl
+      .join(feedXml, col("feed_url") === col("feed_loc"))
+      .select(explode(WebText.feedEntries(col("xml"))).as("e"))
+      .select(col("e.link").as("url"), lit("feed").as("channel"))
+    val crawled = base
+      .select(concat(lit("http://"), host, lit(".org/p/"),
+        (col("doc_id") % 50).cast("string")).as("url"))
+      .filter((col("doc_id") % 50) % 5 === 0)
+      .distinct()
+    linkCh.union(smCh).union(feedCh)
+      .join(crawled, Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(sort_array(collect_set(col("channel"))).as("graft_ch"))
+      .select(col("url"), array_join(col("graft_ch"), ",").as("channels"),
+        size(col("graft_ch")).cast("long").as("n_channels"))
+      .orderBy("url")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -6683,5 +6780,6 @@ object PipelineQueries {
     q225GzipSitemap, q226IvfProbeRank, q227CrawlScheduler,
     q228RobotsWildcards, q229PslTable, q230PctNormalize,
     q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
-    q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc)
+    q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
+    q239Discovery)
 }

@@ -30,7 +30,12 @@ import graft.ops.{Robots, WebText}
   *    because the sources of truth are the append-only streams behind
   *    the exactly-once link checkpoint;
   *  - optional `robotsStream` `(host, robots_txt)` — admission rules;
-  *    absent ⇒ every URL admitted.
+  *    absent ⇒ every URL admitted;
+  *  - optional `extraLinksStreams` — additional `(link)` tables the
+  *    refresh unions in READ-ONLY (ownership stays with their
+  *    producers): point one at a [[FeedDiscoveryLink]]'s output and
+  *    feed-discovered URLs rank in the same frontier as page
+  *    out-links (the q239 discovery-channels composition, streaming).
   *
   * Scale shape: per batch, extraction is the scan-stage
   * `resolvedLinkRows` projection over the BATCH only; the refresh
@@ -45,7 +50,8 @@ import graft.ops.{Robots, WebText}
 class FrontierLink(input: String, crawledStream: String,
                    linksStream: String, frontierStream: String,
                    robotsStream: String = "", agent: String = "graftbot",
-                   topKPerDomain: Int = 3) extends Link {
+                   topKPerDomain: Int = 3,
+                   extraLinksStreams: Seq[String] = Nil) extends Link {
   require(topKPerDomain >= 1, s"topKPerDomain >= 1, got $topKPerDomain")
   val inputs: Seq[String] = Seq(input)
   val output: Option[String] = None // custom start: three streams below
@@ -77,8 +83,16 @@ class FrontierLink(input: String, crawledStream: String,
           if (robotsStream.nonEmpty && registry.exists(robotsStream))
             Some(registry.read(robotsStream))
           else None
+        // extra link sources (e.g. a FeedDiscoveryLink's output) are
+        // READ here, never written — ownership stays with their
+        // producing links; a source that hasn't produced yet simply
+        // contributes nothing to this refresh
+        val allLinks = extraLinksStreams
+          .filter(registry.exists)
+          .map(registry.read(_).select(col("link")))
+          .foldLeft(registry.read(linksStream).select(col("link")))(_ unionAll _)
         val out = FrontierLink.frontierPlan(
-          registry.read(linksStream), registry.read(crawledStream),
+          allLinks, registry.read(crawledStream),
           rules, agent, topKPerDomain)
           // materialize BEFORE the refresh delete: the plan must not
           // re-list anything while the old frontier directory vanishes

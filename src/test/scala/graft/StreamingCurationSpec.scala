@@ -424,4 +424,74 @@ class StreamingCurationSpec extends SparkSpec {
     assert(rows(reg.read("fr_frontier")) === f2)
     assert(reg.read("fr_crawled").count() === 4)
   }
+
+  test("feed discovery link + frontier extra sources: feed entries rank " +
+    "in the same frontier as page links; relative Atom hrefs resolve; " +
+    "replay no-op") {
+    import graft.ops.WebText
+    import graft.runtime.{FeedDiscoveryLink, FrontierLink}
+    val s = spark
+    import s.implicits._
+    def rss(host: String, ns: Int*): String =
+      "<rss><channel><title>c</title>" + ns.map(n =>
+        s"<item><title>t$n</title><link>http://$host.org/a/$n</link></item>")
+        .mkString + "</channel></rss>"
+    // Atom feed with a RELATIVE entry href — must resolve against the
+    // feed URL — plus a mailto: entry that must be dropped
+    val atom = "<feed><title>f</title>" +
+      "<entry><title>e</title><link href=\"/a/9\"/></entry>" +
+      "<entry><title>m</title><link href='mailto:x@y.z'/></entry></feed>"
+    val feedsB1 = Seq(("http://alpha.org/feed.xml", rss("alpha", 1, 2)),
+      ("http://beta.org/feed.xml", atom))
+    val feedsB2 = Seq(("http://alpha.org/feed.xml", rss("alpha", 2, 3)))
+    val pagesB1 = Seq(("http://alpha.org/p/0",
+      "<a href='http://alpha.org/a/2'>x</a><a href='http://hub.com/h'>y</a>"))
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-feed-stream").toString)
+    val feedLink = new FeedDiscoveryLink("fd_feeds", "fd_links")
+    val frontier = new FrontierLink("fd_pages", "fd_crawled", "fd_page_links",
+      "fd_frontier", topKPerDomain = 5,
+      extraLinksStreams = Seq("fd_links"))
+
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(pages: Seq[(String, String)],
+                 feeds: Seq[(String, String)]): DataFrame = {
+      val pdf = pages.toDF("url", "html")
+      FrontierLink.frontierPlan(
+        WebText.resolvedLinkRows(pdf, "url", "html").select("link")
+          .unionAll(FeedDiscoveryLink.entryLinks(feeds.toDF("url", "xml"))),
+        pdf.select("url"), None, "graftbot", 5)
+    }
+
+    reg.write(feedsB1.toDF("url", "xml"), "fd_feeds")
+    feedLink.start(spark, reg).awaitTermination()
+    reg.write(pagesB1.toDF("url", "html"), "fd_pages")
+    frontier.start(spark, reg).awaitTermination()
+    val f1 = rows(reg.read("fd_frontier"))
+    assert(f1 === rows(expected(pagesB1, feedsB1)))
+    // the relative Atom href resolved against its feed URL
+    assert(f1.exists(_(1) === "http://beta.org/a/9"))
+    // the mailto entry never enters
+    assert(!f1.exists(_(1).toString.startsWith("mailto:")))
+    // alpha.org/a/2 is seen by BOTH channels: 2 in-links
+    assert(f1.exists(r => r(1) === "http://alpha.org/a/2" && r(2) === 2L))
+
+    // batch 2: the feed re-surfaces a/2 and discovers a/3; the frontier
+    // refresh (triggered by an empty page batch) must re-rank
+    reg.write(feedsB2.toDF("url", "xml"), "fd_feeds")
+    feedLink.start(spark, reg).awaitTermination()
+    reg.write(Seq.empty[(String, String)].toDF("url", "html"), "fd_pages")
+    frontier.start(spark, reg).awaitTermination()
+    val f2 = rows(reg.read("fd_frontier"))
+    assert(f2 === rows(expected(pagesB1, feedsB1 ++ feedsB2)))
+    assert(f2.exists(r => r(1) === "http://alpha.org/a/2" && r(2) === 3L))
+    assert(f2.exists(_(1) === "http://alpha.org/a/3"))
+
+    // replay with no new input on either stream: everything stays put
+    feedLink.start(spark, reg).awaitTermination()
+    frontier.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("fd_frontier")) === f2)
+    assert(reg.read("fd_links").count() === 5)
+  }
 }
