@@ -60,6 +60,24 @@ object Http {
     trim(regexp_extract(headerBlock(p),
       "(?im)^last-modified:\\s*([^\r\n]+)", 1))
 
+  /** Lowercased `Content-Encoding` header value, empty when absent —
+    * the representation-layer coding [[splitResponseBytes]] reverses
+    * (gzip/deflate) before charset decode; exposed here so a corpus
+    * audit can count what share of captures still carries an encoding
+    * the byte path had to undo (or an unsupported one it passed
+    * through). */
+  def contentEncoding(p: Column): Column =
+    lower(trim(regexp_extract(headerBlock(p),
+      "(?im)^content-encoding:\\s*([^\r\n]+)", 1)))
+
+  /** Lowercased `Transfer-Encoding` header value, empty when absent
+    * (the transfer-layer framing — `chunked` — that
+    * [[splitResponseBytes]] strips FIRST, per RFC 9112 §6.1 layering:
+    * transfer coding wraps the content coding on the wire). */
+  def transferEncoding(p: Column): Column =
+    lower(trim(regexp_extract(headerBlock(p),
+      "(?im)^transfer-encoding:\\s*([^\r\n]+)", 1)))
+
   /** The entity body: everything past the first CRLFCRLF when the
     * payload carries an HTTP status line, the whole payload otherwise
     * (a WARC `resource` record or a pre-split corpus passes through
@@ -112,13 +130,36 @@ object Http {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val ct = CtRe.findFirstMatchIn(hdr).map(_.group(1).trim.toLowerCase)
       .getOrElse("")
+    // layered entity decode (RFC 9112 §6.1): the TRANSFER coding wraps
+    // the CONTENT coding on the wire, so chunked framing is stripped
+    // first, then gzip/deflate reversed — only THEN is the charset
+    // sniff/decode meaningful (a meta-charset prescan over compressed
+    // octets reads noise). Each layer that fails to parse falls back to
+    // its input bytes (deterministic, lossless — the capture may have
+    // been pre-decoded by the crawler, which is exactly what a raw
+    // fallback handles); an UNSUPPORTED content coding (br, zstd — not
+    // in the JDK) passes through raw for the same reason, and
+    // [[contentEncoding]] lets an audit count those rows. (buf, off,
+    // len) threading keeps the common no-coding path copy-free.
+    val te = TeRe.findFirstMatchIn(hdr).map(_.group(1).trim.toLowerCase)
+      .getOrElse("")
+    val ce = CeRe.findFirstMatchIn(hdr).map(_.group(1).trim.toLowerCase)
+      .getOrElse("")
+    var buf = body; var off = split + 4; var len = n - split - 4
+    if (te.contains("chunked")) dechunk(buf, off, len).foreach { d =>
+      buf = d; off = 0; len = d.length
+    }
+    if (ce == "gzip" || ce == "x-gzip") gunzipAll(buf, off, len).foreach { d =>
+      buf = d; off = 0; len = d.length
+    } else if (ce == "deflate") inflateZlib(buf, off, len).foreach { d =>
+      buf = d; off = 0; len = d.length
+    }
     val hdrCs =
       CsRe.findFirstMatchIn(hdr).map(_.group(1).toLowerCase).getOrElse("")
     val cs = if (hdrCs.nonEmpty) hdrCs else {
       // bounded prescan of the body head, ISO-8859-1 (every byte maps to
       // a char, so the scan itself can never throw or lose ASCII markup)
-      val head = new String(body, split + 4,
-        math.min(MetaSniffBytes, n - split - 4),
+      val head = new String(buf, off, math.min(MetaSniffBytes, len),
         java.nio.charset.StandardCharsets.ISO_8859_1)
       MetaCsRes.iterator
         .flatMap(_.findFirstMatchIn(head))
@@ -130,8 +171,86 @@ object Http {
       else
         try java.nio.charset.Charset.forName(cs)
         catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
-    val text = new String(body, split + 4, n - split - 4, decoder)
+    val text = new String(buf, off, len, decoder)
     (status, ct, cs, text)
+  }
+
+  /** RFC 9112 §7.1 chunked-framing removal: `hex-size[;ext]CRLF data
+    * CRLF` repeated, terminated by a zero-size chunk (trailers
+    * ignored). Returns None — caller keeps the raw bytes — on any
+    * framing violation (bad hex, chunk running past the buffer,
+    * missing CRLF), so a capture whose framing was already stripped by
+    * the crawler round-trips unharmed. */
+  private def dechunk(b: Array[Byte], off: Int,
+                      len: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(len)
+    var i = off
+    val end = off + len
+    while (true) {
+      var j = i
+      while (j + 1 < end && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= end) return None
+      val line = new String(b, i, j - i,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val hexStr = line.takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(hexStr, 16)
+        catch { case _: Exception => return None }
+      if (size < 0 || size > len) return None
+      i = j + 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (i + size > end) return None
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      if (i + 1 >= end || b(i) != '\r' || b(i + 1) != '\n') return None
+      i += 2
+    }
+    None
+  }
+
+  /** `Content-Encoding: gzip` removal — the full RFC 1952 member walk
+    * ([[Warc.inflateMember]]: header flags, bomb clamp, truncation
+    * checks), looped over back-to-back members (multi-member gzip
+    * entities are legal). None on a corrupt/truncated stream. */
+  private def gunzipAll(b: Array[Byte], off: Int,
+                        len: Int): Option[Array[Byte]] = {
+    val slice =
+      if (off == 0 && len == b.length) b
+      else java.util.Arrays.copyOfRange(b, off, off + len)
+    val out = new java.io.ByteArrayOutputStream(len * 2 + 64)
+    var pos = 0
+    while (pos < slice.length) {
+      Warc.inflateMember(slice, pos) match {
+        case Some((data, endPos)) => out.write(data, 0, data.length); pos = endPos
+        case None => return None
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** `Content-Encoding: deflate` removal: zlib-wrapped first (the
+    * spec's meaning), raw-deflate retry on failure (the historical
+    * server bug every browser tolerates). None when neither parses. */
+  private def inflateZlib(b: Array[Byte], off: Int,
+                          len: Int): Option[Array[Byte]] = {
+    def tryInflate(raw: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b, off, len)
+        val out = new java.io.ByteArrayOutputStream(len * 2 + 64)
+        val tmp = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val k =
+            try inf.inflate(tmp)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (k == 0 && !inf.finished()) return None // truncated
+          out.write(tmp, 0, k)
+          if (out.size() > Warc.MaxInflatedMember) return None
+        }
+        Some(out.toByteArray)
+      } finally inf.end()
+    }
+    tryInflate(raw = false).orElse(tryInflate(raw = true))
   }
 
   // the same patterns the column splitters compile, precompiled once per
@@ -140,6 +259,8 @@ object Http {
   private val CtRe = "(?im)^content-type:\\s*([^;\r\n]+)".r
   private val CsRe =
     "(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_+.:-]+)\"?".r
+  private val TeRe = "(?im)^transfer-encoding:\\s*([^\r\n]+)".r
+  private val CeRe = "(?im)^content-encoding:\\s*([^\r\n]+)".r
 
   /** Prescan window for the HTML meta-charset fallback: the WHATWG
     * prescan convention (declarations are required to sit in the first

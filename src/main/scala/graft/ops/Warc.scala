@@ -63,7 +63,7 @@ object Warc {
     * this many bytes (a real WARC record is a page — MBs, not GBs). A
     * member that exceeds it is reported as a malformed row, never
     * materialized. */
-  private val MaxInflatedMember: Int = 256 << 20
+  private[ops] val MaxInflatedMember: Int = 256 << 20
 
   /** Default synthetic target URI: reconstructable from doc_id alone. */
   def defaultUri: Column = concat(lit("http://example.com/doc/"), col("doc_id"))

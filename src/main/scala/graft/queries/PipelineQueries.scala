@@ -6731,6 +6731,90 @@ object PipelineQueries {
       .orderBy("url")
   }
 
+  /** HTTP transfer/content coding layers ([[graft.ops.Http]] byte
+    * path): WARC records synthesized with five response cohorts —
+    * identity; `Content-Encoding: gzip` with a DECLARED latin-1
+    * charset (the gunzip must run before the charset decode, and the
+    * accents round-trip only if both layers fire in order);
+    * `Transfer-Encoding: chunked` split mid-word with a chunk
+    * extension; chunked WRAPPING gzip (RFC 9112 §6.1 layering —
+    * de-chunk first, then gunzip); and an unsupported `br` coding
+    * whose body ships as plain bytes (the raw-passthrough contract:
+    * a capture the crawler already decoded round-trips unharmed).
+    * The gzip bytes come from the JVM writer (the q188/q225
+    * determinism argument) and the chunk framing is built in columns
+    * (hex sizes from the real byte lengths). The oracle reconstructs
+    * every decoded text from the source rows: a decoder that skips a
+    * layer, runs them in the wrong order, or sniffs charset from
+    * compressed octets hash-diverges. */
+  val q240HttpCodings: Q = q("q240_http_codings",
+    """SELECT doc_id, 200 AS status_code,
+      |  CASE WHEN doc_id % 5 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END
+      |    AS charset,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text ||
+      |    CASE WHEN doc_id % 5 = 1 THEN ' café ñ' ELSE '' END AS text
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val m = col("doc_id") % 5
+    val docText = concat(lit("Doc "), col("doc_id").cast("string"),
+      lit(": "), col("text"),
+      when(m === 1, lit(" café ñ")).otherwise(lit("")))
+    val rawBody = when(m === 1, encode(docText, "ISO-8859-1"))
+      .otherwise(encode(docText, "UTF-8"))
+    // stage 1 (JVM writer): gzip the entity for the gzip cohorts
+    val staged = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), m.cast("int").as("m"), rawBody.as("b"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, mm, b) =>
+        val entity = if (mm == 1 || mm == 3) {
+          val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(b); g.close(); out.toByteArray
+        } else b
+        (id, mm, entity)
+      }).toDF("doc_id", "m", "entity")
+    // stage 2 (columns): chunk framing from the REAL byte lengths —
+    // two chunks split mid-entity, a chunk extension on the first,
+    // trailer section after the zero chunk
+    val half = floor(length(col("entity")) / 2).cast("int")
+    val c1 = expr("substring(entity, 1, int(floor(length(entity) / 2)))")
+    val c2 = expr("substring(entity, int(floor(length(entity) / 2)) + 1, " +
+      "length(entity))")
+    val chunked = concat(
+      encode(concat(lower(hex(half)), lit(";x=1\r\n")), "ISO-8859-1"), c1,
+      encode(lit("\r\n"), "ISO-8859-1"),
+      encode(concat(lower(hex(length(col("entity")) - half)),
+        lit("\r\n")), "ISO-8859-1"), c2,
+      encode(lit("\r\n0\r\nX-Trailer: t\r\n\r\n"), "ISO-8859-1"))
+    val wireBody = when(col("m").isin(2, 3), chunked)
+      .otherwise(col("entity"))
+    val headers = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+      when(col("m") === 1, lit("; charset=iso-8859-1"))
+        .otherwise(lit("; charset=utf-8")),
+      lit("\r\n"),
+      when(col("m").isin(1, 3), lit("Content-Encoding: gzip\r\n"))
+        .otherwise(lit("")),
+      when(col("m").isin(2, 3), lit("Transfer-Encoding: chunked\r\n"))
+        .otherwise(lit("")),
+      when(col("m") === 4, lit("Content-Encoding: br\r\n"))
+        .otherwise(lit("")),
+      lit("\r\n"))
+    val httpBytes = concat(encode(headers, "ISO-8859-1"), wireBody)
+    // binaryWarcChunks keys its grouping on doc_id and filters on a
+    // `text` column; the staged frame carries a dummy one
+    val chunks = binaryWarcChunks(staged.withColumn("text", lit("x")),
+      httpWarcRecordBytes(httpBytes,
+        concat(lit("http://enc.org/"), col("doc_id").cast("string"))))
+    Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid"))
+      .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+        .cast("long").as("doc_id"),
+        col("status_code"), col("charset"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -6781,5 +6865,5 @@ object PipelineQueries {
     q228RobotsWildcards, q229PslTable, q230PctNormalize,
     q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
-    q239Discovery)
+    q239Discovery, q240HttpCodings)
 }

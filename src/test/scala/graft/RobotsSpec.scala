@@ -250,6 +250,93 @@ class RobotsSpec extends SparkSpec {
       "/img/a.gifs" -> false, "/ok/page" -> true))
   }
 
+  test("Http.splitResponseBytes: transfer/content coding layers — " +
+    "chunked, gzip, chunked+gzip, multi-member, deflate both flavors, " +
+    "unsupported and malformed fall back raw") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close(); out.toByteArray
+    }
+    def chunk(b: Array[Byte], sizes: Seq[Int],
+              ext: String = ""): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      for (s <- sizes) {
+        out.write((s.toHexString + ext + "\r\n").getBytes("ISO-8859-1"))
+        out.write(b, i, s); i += s
+        out.write("\r\n".getBytes("ISO-8859-1"))
+      }
+      assert(i == b.length)
+      out.write("0\r\nX-Trailer: t\r\n\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    def resp(hdrs: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n${hdrs}Content-Type: text/html\r\n\r\n"
+        .getBytes("ISO-8859-1")) ++ body
+    // gzip + DECLARED latin-1: gunzip must run before the charset decode
+    val latin = "café latin".getBytes("ISO-8859-1")
+    val g1 = Http.splitResponseBytes(resp(
+      "Content-Encoding: gzip\r\nContent-Type: text/html; " +
+        "charset=iso-8859-1\r\n", gz(latin)))
+    assert(g1 === ((200, "text/html", "iso-8859-1", "café latin")))
+    // gzip + NO header charset: the meta prescan must read the INFLATED
+    // head (a sniff over compressed octets finds nothing)
+    val metaDoc = ("<meta charset=\"iso-8859-1\"><body>café</body>")
+      .getBytes("ISO-8859-1")
+    val g2 = Http.splitResponseBytes(resp("Content-Encoding: gzip\r\n",
+      gz(metaDoc)))
+    assert(g2._3 === "iso-8859-1" && g2._4.contains("café"))
+    // chunked framing: sizes split mid-word, chunk extension, trailer
+    val plain = "hello chunked world".getBytes("UTF-8")
+    val c1 = Http.splitResponseBytes(resp("Transfer-Encoding: chunked\r\n",
+      chunk(plain, Seq(7, 12), ext = ";x=1")))
+    assert(c1._4 === "hello chunked world")
+    // layering: chunked wraps gzip on the wire — dechunk FIRST
+    val both = Http.splitResponseBytes(resp(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunk(gz(plain), Seq(5, gz(plain).length - 5))))
+    assert(both._4 === "hello chunked world")
+    // multi-member gzip entity
+    val mm = Http.splitResponseBytes(resp("Content-Encoding: gzip\r\n",
+      gz("part1 ".getBytes("UTF-8")) ++ gz("part2".getBytes("UTF-8"))))
+    assert(mm._4 === "part1 part2")
+    // deflate: zlib-wrapped and raw flavors both decode
+    def deflate(b: Array[Byte], raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
+    assert(Http.splitResponseBytes(resp("Content-Encoding: deflate\r\n",
+      deflate(plain, raw = false)))._4 === "hello chunked world")
+    assert(Http.splitResponseBytes(resp("Content-Encoding: deflate\r\n",
+      deflate(plain, raw = true)))._4 === "hello chunked world")
+    // unsupported coding: raw passthrough (the crawler may have already
+    // decoded it — exactly the case a passthrough round-trips)
+    assert(Http.splitResponseBytes(resp("Content-Encoding: br\r\n",
+      plain))._4 === "hello chunked world")
+    // malformed chunk framing / corrupt gzip: raw fallback, never a throw
+    assert(Http.splitResponseBytes(resp("Transfer-Encoding: chunked\r\n",
+      "ZZZ\r\nnot chunked".getBytes("UTF-8")))._4 === "ZZZ\r\nnot chunked")
+    val corrupt = gz(plain).dropRight(4) ++ Array[Byte](0, 0, 0, 0)
+    val cr = Http.splitResponseBytes(resp("Content-Encoding: gzip\r\n",
+      corrupt))
+    assert(cr._1 === 200) // fallback decoded something, no exception
+    // the column-level header extracts used by corpus audits
+    val hdrs = Seq(
+      Tuple1("HTTP/1.1 200 OK\r\nContent-Encoding: GZip\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\nb"),
+      Tuple1("HTTP/1.1 200 OK\r\nServer: s\r\n\r\nb")).toDF("p")
+      .select(Http.contentEncoding(col("p")).as("ce"),
+        Http.transferEncoding(col("p")).as("te"))
+      .as[(String, String)].collect().toSeq
+    assert(hdrs === Seq(("gzip", "chunked"), ("", "")))
+  }
+
   test("Http.splitResponseBytes: meta-charset prescan when the header " +
     "declares none — both forms, header wins, decoys and far metas ignored") {
     def resp(body: Array[Byte]): Array[Byte] =
