@@ -126,5 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RobotsGlobMatch(exprs.head, exprs(1)) })
     inject("pct_normalize", classOf[PctNormalizeExpr])(exprs =>
       PctNormalizeExpr(arity(exprs, 1, 1, "pct_normalize").head))
+    inject("visible_text", classOf[VisibleTextExpr])(exprs =>
+      VisibleTextExpr(arity(exprs, 1, 1, "visible_text").head))
   }
 }

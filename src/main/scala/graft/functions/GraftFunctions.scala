@@ -93,6 +93,8 @@ object GraftFunctions {
       RobotsGlobMatch(exprs.head, exprs(1)) })
     reg("pct_normalize")(exprs =>
       PctNormalizeExpr(arity(exprs, 1, 1, "pct_normalize").head))
+    reg("visible_text")(exprs =>
+      VisibleTextExpr(arity(exprs, 1, 1, "visible_text").head))
   }
 }
 

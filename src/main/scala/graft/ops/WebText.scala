@@ -357,7 +357,23 @@ object WebText {
     regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
   }
 
-  def visibleText(html: Column): Column = {
+  /** Implemented as the native [[graft.functions.VisibleTextExpr]]
+    * kernel — ONE expression call (six tight char scans) in place of
+    * the original 8-regex chain, bit-identical output on every input
+    * (`VisibleTextParitySpec` fuzzes the equality against
+    * [[visibleTextRegex]]; every oracle that splices the regex chain
+    * into DuckDB re-checks it per verify run). This chain runs TWICE
+    * PER BLOCK in the jusText pipeline — the library's most expensive
+    * query family — so the regex→kernel swap is the q213/q222 class of
+    * structural fix. */
+  def visibleText(html: Column): Column =
+    graft.functions.VisibleTextFunctions.visibleText(html)
+
+  /** The original regexp_replace chain — the exact transforms every
+    * visible-text oracle splices into DuckDB SQL, kept as the
+    * cross-engine reference the native kernel is parity-pinned
+    * against. */
+  private[graft] def visibleTextRegex(html: Column): Column = {
     val noTags = regexp_replace(stripNonVisible(html), "<[^>]*>", " ")
     val ent1 = regexp_replace(noTags, "&nbsp;", " ")
     val ent2 = regexp_replace(ent1, "&lt;", "<")
