@@ -18,6 +18,78 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
+  /** Sentence-span pattern: a sentence runs until a `.!?` terminator
+    * run FOLLOWED BY whitespace or end-of-text; a terminator run glued
+    * to a non-space character is consumed INSIDE the sentence (so
+    * `3.14`, `e.g.x`, `a...b` never split mid-token). Expressed
+    * without lookaround — the second alternation branch consumes
+    * `[.!?]+` plus the non-space character that proves the run is not
+    * a boundary — so it is Java-regex∩RE2 and every oracle splices it
+    * verbatim. Abbreviation-aware splitting (`Dr. Smith` stays one
+    * sentence) needs a language model; this keeps the plumbing
+    * identical with a deterministic, dependency-free rule — the
+    * [[langId]] argument. Linear time: the two branches start on
+    * disjoint character classes, so no backtracking ambiguity. */
+  private[graft] val SentencePattern: String =
+    "(?:[^.!?]|[.!?]+[^.!?\\s])+[.!?]*"
+
+  /** The sentences of a text in order — trimmed, empties dropped —
+    * under [[SentencePattern]]. The segmentation unit between tokens
+    * and documents: sentence-level dedup, bitext mining, and
+    * sentence-aligned chunking all start here. */
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit(SentencePattern), lit(0)),
+      s => trim(s)), s => s =!= "")
+
+  /** One row per sentence: `(idCol, sent_idx, sentence)` in document
+    * order. Scan-stage regex + one posexplode — no shuffle. */
+  def sentenceRows(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(sentences(col(textCol))).as(Seq("graft_pos", "sentence")))
+      .select(col(idCol), col("graft_pos").cast("long").as("sent_idx"),
+        col("sentence"))
+
+  /** Sentence-aligned chunking — the RAG/context-window splitter that
+    * never cuts mid-sentence: sentences accumulate in document order
+    * and a new chunk starts at each multiple of `maxTokens`
+    * CUMULATIVE whitespace tokens (`chunk_idx = tokens_before /
+    * maxTokens`, exact Long floor division). A chunk may overflow the
+    * budget by its last sentence — the standard sentence-aligned
+    * trade-off, deterministic and order-free — and a single sentence
+    * longer than the budget becomes its own oversized chunk rather
+    * than being split. Output per chunk: `(idCol, chunk_idx,
+    * n_sentences, n_tokens, text)`. Differs from
+    * [[graft.ops.Curation]]'s concat-and-chunk packing (q67), which
+    * cuts at EXACT token boundaries mid-sentence.
+    *
+    * Scale shape: the running-total window partitions BY DOCUMENT
+    * ordered by sentence position — per-partition cardinality is one
+    * document's sentence count, never corpus-shaped; then one
+    * (doc, chunk) aggregate with map-side combine and the
+    * ordered-string_agg rebuild idiom. */
+  def sentenceChunks(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     maxTokens: Int = 128): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens >= 1, got $maxTokens")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy("sent_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col("graft_nt")).over(w), lit(0L))
+    sentenceRows(docs, idCol, textCol)
+      .withColumn("graft_nt", size(split(col("sentence"), " ")).cast("long"))
+      .withColumn("graft_before", before)
+      .withColumn("chunk_idx", call_function("div",
+        col("graft_before") - pmod(col("graft_before"), lit(maxTokens.toLong)),
+        lit(maxTokens.toLong)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("graft_nt")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          x => x("sentence")), " ").as("text"))
+  }
+
   /** Tiny per-language stopword profiles for heuristic lang-ID. A real
     * pipeline ships char-n-gram models; the heuristic keeps identical
     * plumbing (score → argmax) with a deterministic, dependency-free

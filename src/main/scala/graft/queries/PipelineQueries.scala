@@ -6815,6 +6815,69 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation ([[TextAnalysis.sentenceRows]]): a planted
+    * prefix packs the edge semantics — a decimal (`3.14`) and a glued
+    * abbreviation (`e.g.x`) that must NOT split, an ellipsis run kept
+    * inside its sentence, a `??` terminator run that splits, and a
+    * terminator-less tail — ahead of each document's real text. The
+    * oracle splices [[TextAnalysis.SentencePattern]] verbatim and
+    * re-derives trim/filter/position with DuckDB list functions, so
+    * Spark and RE2 must agree on every span. */
+  val q241Sentences: Q = q("q241_sentences",
+    """WITH s AS (SELECT doc_id,
+      |  list_filter(list_transform(regexp_extract_all(
+      |    'Pi is 3.14 now... right?? See e.g.x and ' || text || ' tail',
+      |    '""".stripMargin + TextAnalysis.SentencePattern +
+      """'), x -> trim(x)), x -> x <> '') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM s)
+      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, l[i] AS sentence
+      |FROM r ORDER BY doc_id, sent_idx""".stripMargin) { (s, d) =>
+    val planted = concat(lit("Pi is 3.14 now... right?? See e.g.x and "),
+      col("text"), lit(" tail"))
+    TextAnalysis.sentenceRows(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), planted.as("text")))
+      .orderBy("doc_id", "sent_idx")
+  }
+
+  /** Sentence-aligned chunking ([[TextAnalysis.sentenceChunks]],
+    * budget 12 whitespace tokens): the RAG-style splitter that never
+    * cuts mid-sentence — chunk boundaries fall at cumulative-token
+    * multiples, overflow allowed for the boundary sentence. The oracle
+    * re-derives segmentation (spliced pattern), per-sentence token
+    * counts, the running total, the floor-division chunk id, and the
+    * ordered rebuild — any drift in window frame or division rule
+    * hash-diverges. */
+  val q242SentenceChunks: Q = q("q242_sentence_chunks",
+    """WITH s AS (SELECT doc_id,
+      |  list_filter(list_transform(regexp_extract_all(
+      |    'Intro one. ' || text || '! Outro two here.',
+      |    '""".stripMargin + TextAnalysis.SentencePattern +
+      """'), x -> trim(x)), x -> x <> '') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM s),
+      |x AS (SELECT doc_id, i - 1 AS sent_idx, l[i] AS sentence,
+      |    len(string_split(l[i], ' ')) AS nt FROM r),
+      |c AS (SELECT doc_id, sent_idx, sentence, nt,
+      |    coalesce(sum(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 12 AS chunk_idx
+      |  FROM x)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  COUNT(*) AS n_sentences, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  string_agg(sentence, ' ' ORDER BY sent_idx) AS text
+      |FROM c GROUP BY doc_id, chunk_idx
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val planted = concat(lit("Intro one. "), col("text"),
+      lit("! Outro two here."))
+    TextAnalysis.sentenceChunks(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), planted.as("text")),
+        maxTokens = 12)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -6865,5 +6928,5 @@ object PipelineQueries {
     q228RobotsWildcards, q229PslTable, q230PctNormalize,
     q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
-    q239Discovery, q240HttpCodings)
+    q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks)
 }

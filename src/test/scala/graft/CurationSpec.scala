@@ -863,4 +863,39 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("allocateBudget") ||
       Option(e.getCause).exists(_.getMessage.contains("allocateBudget")))
   }
+
+  test("sentences: terminator-run boundaries, glued runs stay in-token, " +
+    "trailing tail, empties dropped") {
+    import graft.ops.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      // decimal and glued abbreviation never split; ?? run splits;
+      // ellipsis followed by space ends its sentence
+      ("Pi is 3.14 ok. See e.g.x now?? Wait... tail", 1),
+      ("No terminator at all", 2),
+      ("", 3),
+      ("!! ?? ..", 4), // terminator-only runs: every span trims empty?
+      ("One. Two! Three?", 5))
+      .toDF("text", "id")
+      .select(col("id"), TextAnalysis.sentences(col("text")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1) === List("Pi is 3.14 ok.", "See e.g.x now??", "Wait...",
+      "tail"))
+    assert(got(2) === List("No terminator at all"))
+    assert(got(3) === Nil)
+    assert(got(5) === List("One.", "Two!", "Three?"))
+
+    val chunks = TextAnalysis.sentenceChunks(
+        Seq((1L, "a b c. d e f g. h i. j k l m n o p q r s t u v w x y z.")
+        ).toDF("doc_id", "text"), maxTokens = 6)
+      .select("chunk_idx", "n_sentences", "n_tokens", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    // sentences are 3/4/2/17 tokens; cumulative-before 0/3/7/9 with
+    // budget 6 -> chunks 0,0,1,1: never a mid-sentence cut, the giant
+    // final sentence overflows its chunk rather than splitting
+    assert(chunks === List(
+      (0L, 2L, 7L, "a b c. d e f g."),
+      (1L, 2L, 19L, "h i. j k l m n o p q r s t u v w x y z.")))
+  }
 }
