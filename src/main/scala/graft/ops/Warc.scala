@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 case class WarcRecord(chunk_id: Long, rec_idx: Long, warc_type: String,
                       target_uri: String, content_type: String,
                       content_length: Long, body_md5: String,
-                      valid: Boolean)
+                      valid: Boolean, truncated_reason: String)
 
 /** [[WarcRecord]] with the decoded body carried as text instead of its
   * md5 — the shape the downstream curation surface (quality gates,
@@ -77,6 +77,11 @@ object Warc {
     lit("WARC/1.0" + Crlf),
     lit("WARC-Type: response" + Crlf),
     lit("WARC-Target-URI: "), uri, lit(Crlf),
+    // a WARC-Truncated cohort (every 8th doc): the crawler-cut-this-
+    // capture marker real crawls carry (WARC 1.1 §5.13) — the parse
+    // must surface it so curation can drop/flag partial captures
+    when(col("doc_id") % 8 === 3, lit("WARC-Truncated: length" + Crlf))
+      .otherwise(lit("")),
     lit("Content-Type: text/plain" + Crlf),
     // BYTE length (Content-Length is octets): length() on a string
     // counts characters, which desyncs the cursor on non-ASCII text
@@ -314,7 +319,7 @@ object Warc {
             pos = end
           case None =>
             out += Parsed(
-              WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false),
+              WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false, ""),
               Array.emptyByteArray, pos.toLong, (bytes.length - pos).toLong)
             bad = true
         }
@@ -396,13 +401,14 @@ object Warc {
       val version =
         if (le < 0) "" else new String(bytes, pos, le - pos, StandardCharsets.UTF_8)
       if (!version.startsWith("WARC/")) {
-        acc += ((WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false),
-          noBody, start))
+        acc += ((WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false,
+          ""), noBody, start))
         return spans() // no record boundary left to trust
       }
       pos = le + 2
       // headers until the blank line
       var wtype = ""; var uri = ""; var ctype = ""; var clen = -1L
+      var trunc = ""
       var truncated = false
       var headersDone = false
       while (!headersDone && !truncated) {
@@ -421,6 +427,11 @@ object Warc {
               case "content-type"    => ctype = v
               case "content-length"  =>
                 clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              case "warc-truncated"  =>
+                // WARC 1.1 §5.13: the crawler cut this capture short;
+                // reasons are length/time/disconnect/unspecified. A
+                // valueless header still marks truncation.
+                trunc = if (v.isEmpty) "unspecified" else v.toLowerCase
               case _ => ()
             }
           }
@@ -431,7 +442,7 @@ object Warc {
       if (truncated || clen < 0 || clen > (n - pos).toLong) {
         acc += ((WarcRecord(chunkId, idx,
           if (truncated) "truncated" else "malformed",
-          uri, ctype, clen, "", false), noBody, start))
+          uri, ctype, clen, "", false, trunc), noBody, start))
         return spans() // cannot trust the cursor past a bad length
       }
       val md5hex = {
@@ -442,8 +453,8 @@ object Warc {
       val body =
         if (keepBody) java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
         else noBody
-      acc += ((WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex, true),
-        body, start))
+      acc += ((WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex,
+        true, trunc), body, start))
       pos += clen.toInt
       idx += 1
     }

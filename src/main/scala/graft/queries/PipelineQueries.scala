@@ -4118,7 +4118,9 @@ object PipelineQueries {
       |  'text/plain' AS content_type,
       |  CAST(strlen(text) AS BIGINT) AS content_length,
       |  md5(text) AS body_md5,
-      |  TRUE AS valid
+      |  TRUE AS valid,
+      |  CASE WHEN doc_id % 8 = 3 THEN 'length' ELSE '' END
+      |    AS truncated_reason
       |FROM documents WHERE text IS NOT NULL
       |ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
     // the synthesis drops null-text rows; the oracle filters identically
@@ -4251,7 +4253,9 @@ object PipelineQueries {
       |  'text/plain' AS content_type,
       |  CAST(strlen(text) AS BIGINT) AS content_length,
       |  md5(text) AS body_md5,
-      |  TRUE AS valid
+      |  TRUE AS valid,
+      |  CASE WHEN doc_id % 8 = 3 THEN 'length' ELSE '' END
+      |    AS truncated_reason
       |FROM documents WHERE text IS NOT NULL
       |ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
     val chunks = Warc.syntheticWarcGzipChunks(s,
@@ -4378,6 +4382,8 @@ object PipelineQueries {
       |  'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
       |  'WARC-Target-URI: http://example.com/doc/' ||
       |    CAST(doc_id AS VARCHAR) || e'\r\n' ||
+      |  CASE WHEN doc_id % 8 = 3
+      |    THEN 'WARC-Truncated: length' || e'\r\n' ELSE '' END ||
       |  'Content-Type: text/plain' || e'\r\n' ||
       |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
       |    e'\r\n\r\n' || text || e'\r\n\r\n' AS r,
@@ -6878,6 +6884,95 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Capture-quality audit — the corpus-health rollup a pipeline runs
+    * before committing crawl data to curation: per
+    * (content_encoding, transfer_encoding) cohort, capture counts and
+    * the share carrying revalidation validators (`ETag`). Exercises
+    * the column-level header extracts ([[graft.ops.Http.contentEncoding]]
+    * / `transferEncoding` / `etag`) against planted header cohorts —
+    * mixed case MIME tokens fold, absent headers report empty. ONE
+    * hash aggregate over scan-stage regex projections (map-side
+    * combine; cohort cardinality is the cross of coding values, a
+    * handful). GROUND-TRUTH oracle from the moduli. */
+  val q243CaptureAudit: Q = q("q243_capture_audit",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m
+      |  FROM documents),
+      |g AS (SELECT doc_id, m,
+      |  CASE WHEN m = 1 THEN 'gzip' WHEN m = 3 THEN 'br' ELSE '' END
+      |    AS content_encoding,
+      |  CASE WHEN m = 2 THEN 'chunked' ELSE '' END AS transfer_encoding,
+      |  CASE WHEN m % 2 = 0 THEN 1 ELSE 0 END AS has_etag FROM t)
+      |SELECT content_encoding, transfer_encoding,
+      |  COUNT(*) AS n_captures,
+      |  CAST(SUM(has_etag) AS BIGINT) AS n_with_etag
+      |FROM g GROUP BY 1, 2
+      |ORDER BY content_encoding, transfer_encoding""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 4
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\n"),
+      when(m === 1, lit("Content-Encoding: GZip\r\n"))
+        .when(m === 3, lit("Content-Encoding: br\r\n")).otherwise(lit("")),
+      when(m === 2, lit("Transfer-Encoding: Chunked\r\n")).otherwise(lit("")),
+      when(m % 2 === 0, concat(lit("ETag: \"v"), col("doc_id").cast("string"),
+        lit("\"\r\n"))).otherwise(lit("")),
+      lit("Content-Type: text/html\r\n\r\n<p>b</p>"))
+    Tables.documents(s, d)
+      .select(graft.ops.Http.contentEncoding(payload).as("content_encoding"),
+        graft.ops.Http.transferEncoding(payload).as("transfer_encoding"),
+        when(graft.ops.Http.etag(payload) =!= "", 1L).otherwise(0L)
+          .as("graft_e"))
+      .groupBy("content_encoding", "transfer_encoding")
+      .agg(count(lit(1)).as("n_captures"), sum(col("graft_e")).as("n_with_etag"))
+      .orderBy("content_encoding", "transfer_encoding")
+  }
+
+  /** hreflang variant clustering — the multilingual-dedup grouping
+    * over [[graft.ops.WebText.hreflangLinks]]: every language variant
+    * of an article declares the SAME alternate set, so the cluster key
+    * is the x-default target (the set's canonical member) and the
+    * rollup gives one row per article with its variant count and
+    * sorted language list. Per-domain budgets and dedup quotas count
+    * CLUSTERS, not pages — three translations of one article are one
+    * document's worth of budget, and this rollup is the key that makes
+    * that true. Scan Project + explode + ONE two-level aggregate
+    * (variant distinct, then cluster rollup). GROUND-TRUTH oracle from
+    * the moduli. */
+  val q244HreflangClusters: Q = q("q244_hreflang_clusters",
+    """WITH t AS (SELECT DISTINCT CAST(doc_id // 3 AS BIGINT) AS art
+      |  FROM documents)
+      |SELECT 'http://h.org/a/' || CAST(art AS VARCHAR) AS cluster_key,
+      |  CAST(3 AS BIGINT) AS n_variants,
+      |  'de,en,x-default' AS langs
+      |FROM t ORDER BY cluster_key""".stripMargin) { (s, d) =>
+    // three pages per article (doc_id // 3), each declaring the same
+    // alternate set: en, de, and the x-default canonical member
+    val art = call_function("div",
+      col("doc_id") - pmod(col("doc_id"), lit(3L)), lit(3L)).cast("string")
+    val html = concat(
+      lit("<link rel=\"alternate\" hreflang=\"en\" href=\"http://h.org/en/a/"),
+      art, lit("\">" +
+        "<link rel=\"alternate\" hreflang=\"de\" href=\"http://h.org/de/a/"),
+      art, lit("\">" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"http://h.org/a/"),
+      art, lit("\">"))
+    val variants = Tables.documents(s, d)
+      .select(explode(WebText.hreflangLinks(html)).as("x"))
+      .select(col("x.lang").as("lang"), col("x.href").as("href"))
+      .distinct()
+    val clusterOf = variants.filter(col("lang") === "x-default")
+      .select(col("href").as("cluster_key"))
+    // every variant row joins to its cluster via the shared article id
+    // embedded in the href tail (the x-default href IS the key)
+    val keyed = variants
+      .withColumn("cluster_key", concat(lit("http://h.org/a/"),
+        regexp_extract(col("href"), "/a/([0-9]+)$", 1)))
+      .join(clusterOf, Seq("cluster_key"), "left_semi")
+    keyed.groupBy("cluster_key")
+      .agg(count(lit(1)).as("n_variants"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy("cluster_key")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -6928,5 +7023,6 @@ object PipelineQueries {
     q228RobotsWildcards, q229PslTable, q230PctNormalize,
     q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
-    q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks)
+    q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
+    q243CaptureAudit, q244HreflangClusters)
 }

@@ -26,6 +26,21 @@ class WarcSpec extends SparkSpec {
     assert(got.map(_.rec_idx) === Seq(0L, 1L, 2L))
   }
 
+  test("WARC-Truncated surfaces as truncated_reason: valued, valueless " +
+    "-> unspecified, case-folded, absent -> empty") {
+    def trec(hdr: String): String =
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u/t\r\n" +
+        hdr + "Content-Type: text/plain\r\nContent-Length: 4\r\n\r\n" +
+        "body\r\n\r\n"
+    val bytes = (trec("WARC-Truncated: length\r\n") +
+      trec("WARC-Truncated:\r\n") + trec("Warc-Truncated: TIME\r\n") +
+      trec("")).getBytes("UTF-8")
+    val got = Warc.parseChunk(9L, bytes)
+    assert(got.map(_.truncated_reason) ===
+      Seq("length", "unspecified", "time", ""))
+    assert(got.forall(_.valid)) // a truncated CAPTURE is a valid RECORD
+  }
+
   test("hostile inputs: truncated header, oversized length, garbage " +
     "version — each surfaces as an invalid row, never throws") {
     val truncated = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Tar".getBytes("UTF-8")
