@@ -1,0 +1,89 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.ops.WebText
+
+/** Streaming canonical-consolidation gate — the O(row) dedup stage a
+  * crawl loop runs BEFORE any content-level screening
+  * ([[graft.ops.WebText.canonicalTargets]] behind a runtime [[Link]]):
+  * each micro-batch of fetched `(url, html)` pages resolves its
+  * author-declared canonical target, keeps ONE page per target — the
+  * lexicographically smallest url within the batch (deterministic), and
+  * only targets never admitted before (earlier batches win) — and
+  * appends survivors to `survivorsStream` `(url, html,
+  * canonical_target)` and their targets to `targetsStream`
+  * `(canonical_target)`. Syndicated, paginated, parameterized, and AMP
+  * variants of one article all declare the same target, so they
+  * collapse here on a scan-stage string key instead of reaching the
+  * O(candidate pairs) near-dup gate — at crawl scale that is the
+  * difference between screening every variant and screening one.
+  * Compose: WarcHttpIngestLink → THIS → MainContentLink →
+  * CurationLink/NearDupGateLink.
+  *
+  * Contracts (the [[NearDupGateLink]] conventions):
+  *  - offsets are exactly-once via the link checkpoint — replay with no
+  *    new input appends nothing;
+  *  - the two side-effect writes are at-least-once under a mid-batch
+  *    crash; targets are written BEFORE survivors, so a crash between
+  *    them can only leave a target without its survivor — future
+  *    variants of that target are then dropped, which is the
+  *    conservative side (no duplicate ever passes); downstream dedups
+  *    on `canonical_target` if it needs exact-once rows;
+  *  - pages with NO canonical declaration gate on their own URL (the
+  *    [[WebText.canonicalTargets]] fallback), so refetches of one URL
+  *    also collapse. */
+class CanonicalGateLink(input: String, survivorsStream: String,
+                        targetsStream: String) extends Link {
+  val inputs: Seq[String] = Seq(input)
+  val output: Option[String] = None // custom start: two streams below
+
+  private val survivorSchema = StructType(Seq(
+    StructField("url", StringType), StructField("html", StringType),
+    StructField("canonical_target", StringType)))
+  private val targetSchema = StructType(Seq(
+    StructField("canonical_target", StringType)))
+
+  override def start(spark: SparkSession, registry: StreamRegistry,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    setup(spark)
+    registry.declare(survivorsStream, survivorSchema)
+    registry.declare(targetsStream, targetSchema)
+    registry.readStream(input).writeStream
+      .option("checkpointLocation",
+        registry.checkpointDir(name, survivorsStream))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = CanonicalGateLink.gate(
+          batch.select(col("url"), col("html")),
+          registry.read(targetsStream))
+          // materialize: the plan reads targetsStream, which the first
+          // write below appends to
+          .localCheckpoint()
+        registry.write(
+          survivors.select(col("canonical_target")), targetsStream)
+        registry.write(survivors, survivorsStream)
+      }
+      .start()
+  }
+}
+
+object CanonicalGateLink {
+  /** The per-batch gate shared with the batch-parity spec: resolve
+    * canonical targets, keep min-url per target within the batch, drop
+    * targets already admitted. One scan Project + one target-keyed
+    * aggregate (map-side combine, cardinality = the batch's article
+    * count) + one anti-join against the compact target set. */
+  def gate(pages: DataFrame, seenTargets: DataFrame): DataFrame = {
+    val resolved = WebText.canonicalTargets(pages)
+      .select(col("url"), col("html"), col("canonical_target"))
+    val winners = resolved
+      .groupBy("canonical_target").agg(min(col("url")).as("url"))
+    resolved.join(winners, Seq("canonical_target", "url"))
+      .join(seenTargets.select(col("canonical_target")).distinct(),
+        Seq("canonical_target"), "left_anti")
+      .select("url", "html", "canonical_target")
+  }
+}

@@ -494,4 +494,56 @@ class StreamingCurationSpec extends SparkSpec {
     assert(rows(reg.read("fd_frontier")) === f2)
     assert(reg.read("fd_links").count() === 5)
   }
+
+  test("canonical gate link: one survivor per declared target, earlier " +
+    "batches win, fallback targets gate refetches, replay no-op") {
+    import graft.runtime.CanonicalGateLink
+    val s = spark
+    import s.implicits._
+    def art(u: String, target: String): (String, String) =
+      (u, s"<link rel=\"canonical\" href=\"$target\"><p>body of $u</p>")
+    val tA = "http://a.org/art/1"
+    val b1 = Seq(
+      art("http://a.org/art/1", tA),           // the canonical page itself
+      art("http://a.org/art/1?page=2", tA),    // variant — loses (url order)
+      art("http://a.org/amp/1", tA),           // variant — loses
+      ("http://b.org/plain", "<p>no canonical</p>")) // fallback target
+    val b2 = Seq(
+      art("http://c.org/syndicated/1", tA),    // target seen in batch 1
+      ("http://b.org/plain", "<p>refetch</p>"), // refetch — fallback gates
+      art("http://d.org/new", "http://d.org/new")) // genuinely new
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-canonical-gate").toString)
+    val link = new CanonicalGateLink("cg_pages", "cg_survivors", "cg_targets")
+
+    reg.write(b1.toDF("url", "html"), "cg_pages")
+    link.start(spark, reg).awaitTermination()
+    val s1 = reg.read("cg_survivors")
+      .select("url", "canonical_target")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // min url per target: "http://a.org/amp/1" < "http://a.org/art/1"
+    assert(s1 === Set(("http://a.org/amp/1", tA),
+      ("http://b.org/plain", "http://b.org/plain")))
+    // batch parity with the shared gate over an empty seen set
+    val expected1 = CanonicalGateLink.gate(b1.toDF("url", "html"),
+        Seq.empty[String].toDF("canonical_target"))
+      .select("url", "canonical_target")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s1 === expected1)
+
+    reg.write(b2.toDF("url", "html"), "cg_pages")
+    link.start(spark, reg).awaitTermination()
+    val s2 = reg.read("cg_survivors")
+      .select("url", "canonical_target")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the syndicated copy and the refetch are gated; only d.org enters
+    assert(s2 === s1 + (("http://d.org/new", "http://d.org/new")))
+    assert(reg.read("cg_targets").count() === 3)
+
+    // replay: exactly-once offsets, nothing appended
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("cg_survivors").count() === 3)
+    assert(reg.read("cg_targets").count() === 3)
+  }
 }
