@@ -934,6 +934,69 @@ object WebText {
         jstr(col("graft_b"), "$.author.name").as("author_name"))
   }
 
+  /** Publish-date extraction — the per-page freshness signal curation
+    * and recrawl scheduling key on, coalesced from the four places
+    * real pages declare it, in trust order:
+    *  1. JSON-LD `datePublished` (the first block carrying one) — the
+    *     machine-readable channel, most reliable when present;
+    *  2. `<meta property="article:published_time">` (OpenGraph
+    *     article vocabulary, either attribute order);
+    *  3. the first `<time datetime=…>` element;
+    *  4. a `/YYYY/MM[/DD]/` path segment of the page URL (century
+    *     19/20 anchored) — the blog-permalink convention, weakest but
+    *     ubiquitous.
+    * Output: the `pages` columns + `published_raw` (the winning
+    * declaration verbatim), `published_source`
+    * (`jsonld`/`meta`/`time`/`url`/''), and `published_date` — the
+    * `YYYY-MM-DD` prefix when the winner starts with one (ISO 8601
+    * timestamps reduce to their date), the URL form zero-padded with
+    * day `01` when absent, '' otherwise. Extraction, not calendar
+    * validation — a declared `2025-13-40` passes through (audit
+    * downstream; rejecting here would silently convert bad metadata
+    * into missing metadata). Pure codegen'd regex/CASE projection +
+    * per-row JSON path reads — scan-stage, no shuffle, Java∩RE2
+    * discipline. */
+  def publishDates(pages: DataFrame, urlCol: String = "url",
+                   htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    val jsonld = coalesce(get(filter(transform(jsonLdBlocks(h),
+      b => coalesce(get_json_object(b, "$.datePublished"), lit(""))),
+      d => d =!= ""), lit(0)), lit(""))
+    val metaNameFirst = "(?is)<meta\\s[^>]*?property\\s*=\\s*[\"']?" +
+      "article:published_time[\"'\\s/>][^>]*?content\\s*=\\s*" +
+      "[\"']([^\"'>]*)[\"']"
+    val metaContentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*" +
+      "[\"']([^\"'>]*)[\"'][^>]*?property\\s*=\\s*[\"']?" +
+      "article:published_time[\"'\\s/>]"
+    val metaA = regexp_extract(h, metaNameFirst, 1)
+    val meta = when(metaA =!= "", metaA)
+      .otherwise(regexp_extract(h, metaContentFirst, 1))
+    val timeTag = regexp_extract(h,
+      "(?is)<time\\s[^>]*?datetime\\s*=\\s*[\"']([^\"'<>]+)[\"']", 1)
+    val urlDateRe = "/((?:19|20)[0-9]{2})/([0-9]{2})(?:/([0-9]{2}))?/"
+    val uy = regexp_extract(col(urlCol), urlDateRe, 1)
+    val um = regexp_extract(col(urlCol), urlDateRe, 2)
+    val ud = regexp_extract(col(urlCol), urlDateRe, 3)
+    val urlRaw = when(uy === "", lit(""))
+      .otherwise(concat(uy, lit("-"), um, lit("-"),
+        when(ud === "", lit("01")).otherwise(ud)))
+    val raw = when(jsonld =!= "", jsonld)
+      .when(meta =!= "", meta)
+      .when(timeTag =!= "", timeTag)
+      .otherwise(urlRaw)
+    val source = when(jsonld =!= "", lit("jsonld"))
+      .when(meta =!= "", lit("meta"))
+      .when(timeTag =!= "", lit("time"))
+      .when(urlRaw =!= "", lit("url"))
+      .otherwise(lit(""))
+    pages
+      .withColumn("published_raw", raw)
+      .withColumn("published_source", source)
+      .withColumn("published_date",
+        when(col("published_raw").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+          col("published_raw").substr(1, 10)).otherwise(lit("")))
+  }
+
   /** Conditional-revalidation fetch plan (RFC 9110 §13.1): from the
     * previous crawl's per-URL validators — `etag`, `last_modified`
     * columns as [[graft.ops.Http.etag]]/[[graft.ops.Http.lastModified]]

@@ -6973,6 +6973,52 @@ object PipelineQueries {
       .orderBy("cluster_key")
   }
 
+  /** Publish-date extraction ([[graft.ops.WebText.publishDates]]): six
+    * cohorts walking the trust chain — JSON-LD `datePublished` beating
+    * a planted meta decoy AND a time tag; `article:published_time` in
+    * the content-first attribute order (ISO timestamp reduced to its
+    * date); a bare `<time datetime>`; URL `/YYYY/MM/DD/` and
+    * `/YYYY/MM/` (day padded to 01); and a page with nothing. The
+    * timestamp → date reduction and the source labels are all
+    * GROUND-TRUTH pinned from the moduli. */
+  val q245PublishDate: Q = q("q245_publish_date",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN '2025-05-05T10:00:00Z'
+      |         WHEN 1 THEN '2024-12-31T23:00:00+01:00'
+      |         WHEN 2 THEN '2023-01-02'
+      |         WHEN 3 THEN '2022-11-03' WHEN 4 THEN '2022-11-01'
+      |         ELSE '' END AS published_raw,
+      |  CASE m WHEN 0 THEN 'jsonld' WHEN 1 THEN 'meta'
+      |         WHEN 2 THEN 'time' WHEN 3 THEN 'url' WHEN 4 THEN 'url'
+      |         ELSE '' END AS published_source,
+      |  CASE m WHEN 0 THEN '2025-05-05' WHEN 1 THEN '2024-12-31'
+      |         WHEN 2 THEN '2023-01-02' WHEN 3 THEN '2022-11-03'
+      |         WHEN 4 THEN '2022-11-01' ELSE '' END AS published_date
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 6
+    val i = col("doc_id").cast("string")
+    val url = when(m === 3, concat(lit("http://p.org/2022/11/03/post-"), i))
+      .when(m === 4, concat(lit("http://p.org/2022/11/draft-"), i))
+      .otherwise(concat(lit("http://p.org/page-"), i))
+    val html = when(m === 0, lit(
+        "<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\"," +
+          "\"datePublished\":\"2025-05-05T10:00:00Z\"}</script>" +
+          "<meta property=\"article:published_time\" " +
+          "content=\"1999-01-01\"><time datetime=\"1998-01-01\">x</time>"))
+      .when(m === 1, lit("<meta content=\"2024-12-31T23:00:00+01:00\" " +
+        "property='article:published_time'><p>t</p>"))
+      .when(m === 2, lit("<p>posted <time datetime=\"2023-01-02\">" +
+        "Jan 2</time></p>"))
+      .otherwise(lit("<p>no date markup</p>"))
+    WebText.publishDates(Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"), html.as("html")))
+      .select("doc_id", "published_raw", "published_source",
+        "published_date")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7024,5 +7070,5 @@ object PipelineQueries {
     q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
-    q243CaptureAudit, q244HreflangClusters)
+    q243CaptureAudit, q244HreflangClusters, q245PublishDate)
 }

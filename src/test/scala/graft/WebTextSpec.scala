@@ -545,6 +545,34 @@ class WebTextSpec extends SparkSpec {
     assert(!got.exists(e => e._1 == "Chan" || e._1 == "Feed"))
   }
 
+  test("publishDates: trust-chain priority, first dated JSON-LD block " +
+    "wins over malformed/undated ones, URL day padding, empty page") {
+    val rows = Seq(
+      // first ld+json block malformed, second undated, THIRD dated —
+      // the dated one must win over the planted meta
+      ("http://x.org/a",
+        "<script type=\"application/ld+json\">nope</script>" +
+          "<script type=\"application/ld+json\">{\"@type\":\"Org\"}</script>" +
+          "<script type=\"application/ld+json\">" +
+          "{\"datePublished\":\"2020-02-02T08:00:00Z\"}</script>" +
+          "<meta property=\"article:published_time\" content=\"1999-01-01\">"),
+      // meta name-first order
+      ("http://x.org/b",
+        "<meta property='article:published_time' content='2021-03-04'>"),
+      // url month form pads day 01; a decoy /21/ segment must not match
+      ("http://x.org/21/2019/07/title", "<p>t</p>"),
+      ("http://x.org/nothing", "<p>t</p>"))
+      .toDF("url", "html")
+    val got = WebText.publishDates(rows)
+      .select("url", "published_date", "published_source")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("http://x.org/a") === (("2020-02-02", "jsonld")))
+    assert(got("http://x.org/b") === (("2021-03-04", "meta")))
+    assert(got("http://x.org/21/2019/07/title") === (("2019-07-01", "url")))
+    assert(got("http://x.org/nothing") === (("", "")))
+  }
+
   test("structuredData: JSON-LD field projection, malformed block " +
     "tolerance, absent fields, multiple blocks per page") {
     val rows = Seq(
