@@ -546,4 +546,92 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read("cg_survivors").count() === 3)
     assert(reg.read("cg_targets").count() === 3)
   }
+
+  test("full streaming loop: WARC ingest → canonical gate → main " +
+    "content → frontier as ONE pipeline — variants collapse before " +
+    "extraction, per-stage batch parity, replay no-op") {
+    import graft.ops.{Warc, WebText}
+    import graft.runtime.{CanonicalGateLink, FrontierLink, MainContentLink,
+      Pipeline, WarcHttpIngestLink}
+    val body = "The quick brown fox jumps over the lazy dog near the " +
+      "riverbank while curious onlookers take photographs of the scene."
+    def page(art: Int, variant: String): String =
+      s"<html><head><link rel=\"canonical\" " +
+        s"href=\"http://site.org/art/$art\"></head><body>" +
+        "<div><a href=\"http://site.org/\">Home</a> " +
+        "<a href=\"http://site.org/about\">About</a></div>" +
+        s"<p>$body Article $art as $variant.</p>" +
+        s"<a href=\"http://peer$art.net/ref\">source</a></body></html>"
+    // article 1 arrives as canonical + ?page=2 variant in batch 1, and
+    // AGAIN as an /amp/ variant in batch 2 (must be gated); article 2
+    // is batch-2-only
+    val b1 = Seq(101L -> page(1, "canonical"), 102L -> page(1, "paged"))
+    val b2 = Seq(201L -> page(1, "amp"), 202L -> page(2, "fresh"))
+    // URI synthesis: doc_id selects the variant URL shape
+    val uri = when(col("doc_id") === 101L, lit("http://site.org/art/1"))
+      .when(col("doc_id") === 102L, lit("http://site.org/art/1?page=2"))
+      .when(col("doc_id") === 201L, lit("http://site.org/amp/1"))
+      .otherwise(lit("http://site.org/art/2"))
+
+    object PageAdapter extends Link {
+      val inputs = Seq("full_docs"); val output = Some("full_pages")
+      override def transform(df: DataFrame): DataFrame =
+        df.filter(col("valid"))
+          .select(col("target_uri").as("url"), col("text").as("html"))
+    }
+    val pipeline = new Pipeline(Seq(
+      new WarcHttpIngestLink("full_chunks", "full_docs"),
+      PageAdapter,
+      new CanonicalGateLink("full_pages", "full_survivors", "full_targets"),
+      new MainContentLink("full_survivors", "full_main"),
+      new FrontierLink("full_survivors", "full_crawled", "full_links",
+        "full_frontier", topKPerDomain = 3)))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-full-loop").toString)
+
+    def html(rows: Seq[(Long, String)]): DataFrame = {
+      val s = spark; import s.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    reg.write(Warc.syntheticWarcChunks(html(b1), uri = uri), "full_chunks")
+    pipeline.runOnce(spark, reg)
+    reg.write(Warc.syntheticWarcChunks(html(b2), uri = uri), "full_chunks")
+    pipeline.runOnce(spark, reg)
+
+    // canonical stage: ONE survivor per article — the batch-1 winner of
+    // article 1 (min url), article 2 from batch 2; the amp re-arrival
+    // never reaches extraction
+    val survivors = reg.read("full_survivors")
+      .select("url", "canonical_target").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(survivors === Set(
+      ("http://site.org/art/1", "http://site.org/art/1"),
+      ("http://site.org/art/2", "http://site.org/art/2")))
+
+    // main-content stage: parity with the batch extractor over exactly
+    // the survivors; the nav chrome is gone, the article text is kept
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val mainStreamed = rows(reg.read("full_main"))
+    assert(mainStreamed === rows(WebText.mainContent(
+      reg.read("full_survivors").select("url", "html"))))
+    val texts = reg.read("full_main").select("main_text")
+      .collect().map(_.getString(0))
+    assert(texts.forall(t => t.contains("quick brown fox") &&
+      !t.contains("Home")))
+
+    // frontier stage: parity with the batch plan over the survivors'
+    // resolved links minus the crawled set
+    assert(rows(reg.read("full_frontier")) === rows(
+      FrontierLink.frontierPlan(
+        WebText.resolvedLinkRows(reg.read("full_survivors")
+          .select("url", "html"), "url", "html").select("link"),
+        reg.read("full_crawled"), None, "graftbot", 3)))
+
+    // replay: every stage appends nothing
+    val streams = Seq("full_docs", "full_pages", "full_survivors",
+      "full_targets", "full_main", "full_crawled", "full_links")
+    val before = streams.map(s => reg.read(s).count())
+    pipeline.runOnce(spark, reg)
+    assert(streams.map(s => reg.read(s).count()) === before)
+  }
 }
