@@ -72,18 +72,21 @@ class CanonicalGateLink(input: String, survivorsStream: String,
 
 object CanonicalGateLink {
   /** The per-batch gate shared with the batch-parity spec: resolve
-    * canonical targets, keep min-url per target within the batch, drop
-    * targets already admitted. One scan Project + one target-keyed
-    * aggregate (map-side combine, cardinality = the batch's article
-    * count) + one anti-join against the compact target set. */
-  def gate(pages: DataFrame, seenTargets: DataFrame): DataFrame = {
-    val resolved = WebText.canonicalTargets(pages)
-      .select(col("url"), col("html"), col("canonical_target"))
-    val winners = resolved
-      .groupBy("canonical_target").agg(min(col("url")).as("url"))
-    resolved.join(winners, Seq("canonical_target", "url"))
+    * canonical targets, keep the min-(url, html) struct per target
+    * within the batch, drop targets already admitted. The min-struct
+    * aggregate (the library's deterministic-argmin idiom) picks the
+    * same min-url winner AND stays single-row-per-target even when a
+    * batch carries two captures of one URL — real WARC batches do,
+    * and a winners self-join would emit both captures. ONE scan
+    * Project + one target-keyed aggregate (map-side combine,
+    * cardinality = the batch's article count) + one anti-join against
+    * the compact target set. */
+  def gate(pages: DataFrame, seenTargets: DataFrame): DataFrame =
+    WebText.canonicalTargets(pages)
+      .groupBy("canonical_target")
+      .agg(min(struct(col("url"), col("html"))).as("graft_w"))
       .join(seenTargets.select(col("canonical_target")).distinct(),
         Seq("canonical_target"), "left_anti")
-      .select("url", "html", "canonical_target")
-  }
+      .select(col("graft_w.url").as("url"), col("graft_w.html").as("html"),
+        col("canonical_target"))
 }

@@ -511,7 +511,10 @@ class StreamingCurationSpec extends SparkSpec {
     val b2 = Seq(
       art("http://c.org/syndicated/1", tA),    // target seen in batch 1
       ("http://b.org/plain", "<p>refetch</p>"), // refetch — fallback gates
-      art("http://d.org/new", "http://d.org/new")) // genuinely new
+      art("http://d.org/new", "http://d.org/new"), // genuinely new
+      // a DUPLICATE capture of the same URL within one batch (two WARC
+      // records of one fetch): exactly one survivor row may emerge
+      art("http://d.org/new", "http://d.org/new"))
 
     val reg = new StreamRegistry(spark,
       Files.createTempDirectory("graft-canonical-gate").toString)
