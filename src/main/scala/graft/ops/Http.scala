@@ -78,6 +78,25 @@ object Http {
     lower(trim(regexp_extract(headerBlock(p),
       "(?im)^transfer-encoding:\\s*([^\r\n]+)", 1)))
 
+  /** The `Retry-After` header value verbatim (RFC 9110 §10.2.3 — a
+    * 429/503's explicit back-off demand), empty when absent. Both
+    * legal forms pass through: delta-seconds and HTTP-date
+    * ([[retryAfterMs]] converts the numeric form). */
+  def retryAfter(p: Column): Column =
+    trim(regexp_extract(headerBlock(p), "(?im)^retry-after:\\s*([^\r\n]+)", 1))
+
+  /** `Retry-After` as a delay in ms: the delta-seconds form × 1000,
+    * null for the HTTP-date form (converting it needs a reference
+    * clock — the caller subtracts its own fetch timestamp) and for
+    * absent/malformed values. A scheduler treats null as
+    * no-explicit-demand and falls back to its error-rate backoff
+    * ([[graft.ops.Robots.backoffSchedule]]). */
+  def retryAfterMs(p: Column): Column = {
+    val v = retryAfter(p)
+    when(v.rlike("^[0-9]{1,9}$"), v.cast("long") * 1000L)
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** The entity body: everything past the first CRLFCRLF when the
     * payload carries an HTTP status line, the whole payload otherwise
     * (a WARC `resource` record or a pre-split corpus passes through

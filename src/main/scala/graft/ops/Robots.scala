@@ -275,4 +275,41 @@ object Robots {
       .drop("graft_rn")
       .withColumn("fetch_offset_ms", col("slot") * col("delay_ms"))
   }
+
+  /** Error-rate back-off schedule — the host-health half of politeness
+    * ([[politenessSchedule]] spaces requests; this SLOWS DOWN hosts
+    * that are failing): from a fetch history of `(host, status_code)`
+    * rows, compute per host the fetch/error counts (error = 5xx or
+    * 429, the retryable server-side classes — 4xx client errors are
+    * the crawler's own fault and don't indicate host distress), the
+    * error share in integer micros (exact Long floor division, the
+    * library micros discipline), and a step-ladder back-off multiplier
+    * over `baseDelayMs`: share ≥ 1/2 → 8×, ≥ 1/4 → 4×, ≥ 1/10 → 2×,
+    * else 1×. An explicit `Retry-After` demand
+    * ([[graft.ops.Http.retryAfterMs]]) overrides per response; this
+    * ladder is the standing cadence between demands. Output per host:
+    * `n_fetches`, `n_errors`, `error_micros`, `backoff_multiplier`,
+    * `delay_ms`.
+    *
+    * Scale shape: ONE host-keyed aggregate with map-side partial
+    * combine — per-key cardinality is that host's fetch count, never
+    * corpus-shaped; the ladder is a per-row CASE after the
+    * aggregation. No window, no join. */
+  def backoffSchedule(history: DataFrame,
+                      baseDelayMs: Long = 1000L): DataFrame = {
+    require(baseDelayMs >= 0, s"negative baseDelayMs: $baseDelayMs")
+    val isErr = col("status_code") >= 500 || col("status_code") === 429
+    val agg = history.groupBy("host").agg(
+      count(lit(1)).as("n_fetches"),
+      sum(when(isErr, 1L).otherwise(0L)).as("n_errors"))
+    val share = graft.ops.Micros.ratio(col("n_errors"), col("n_fetches"))
+    agg
+      .withColumn("error_micros", share)
+      .withColumn("backoff_multiplier",
+        when(col("error_micros") >= 500000L, lit(8L))
+          .when(col("error_micros") >= 250000L, lit(4L))
+          .when(col("error_micros") >= 100000L, lit(2L))
+          .otherwise(lit(1L)))
+      .withColumn("delay_ms", col("backoff_multiplier") * baseDelayMs)
+  }
 }

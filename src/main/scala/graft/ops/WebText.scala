@@ -486,7 +486,36 @@ object WebText {
         trim(regexp_extract(u, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1))
           .as("loc"),
         trim(regexp_extract(u, "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1))
-          .as("lastmod")))
+          .as("lastmod"),
+        // the optional scheduling hints (sitemaps.org): changefreq is a
+        // fixed token vocabulary (folded), priority stays the verbatim
+        // decimal STRING — parsing it to float here would force a
+        // cross-engine float contract onto every consumer that only
+        // wants loc/lastmod
+        lower(trim(regexp_extract(u,
+          "(?is)<changefreq>\\s*([^<]*?)\\s*</changefreq>", 1)))
+          .as("changefreq"),
+        trim(regexp_extract(u, "(?is)<priority>\\s*([^<]*?)\\s*</priority>", 1))
+          .as("priority")))
+
+  /** The sitemaps.org `changefreq` vocabulary as a revisit interval in
+    * ms — the cold-start seed [[revisitSchedule]] refines once real
+    * change observations exist: `always` → 0 (the caller's
+    * min-interval clamp applies), hourly/daily/weekly/monthly/yearly →
+    * their calendar ms, `never` → 400 days (pages marked never DO
+    * change — re-verify eventually rather than trusting the hint
+    * forever), and anything unrecognized or absent → -1 (no hint; the
+    * caller falls back to its default cadence). Pure CASE over exact
+    * Long literals — trivially oracle-mirrored. */
+  def changefreqIntervalMs(cf: Column): Column =
+    when(cf === "always", lit(0L))
+      .when(cf === "hourly", lit(3600000L))
+      .when(cf === "daily", lit(86400000L))
+      .when(cf === "weekly", lit(604800000L))
+      .when(cf === "monthly", lit(2592000000L))
+      .when(cf === "yearly", lit(31536000000L))
+      .when(cf === "never", lit(34560000000L))
+      .otherwise(lit(-1L))
 
   /** Sitemap INDEX entries (`<sitemapindex>` → `<sitemap>` children):
     * large sites shard their sitemaps behind an index file (the

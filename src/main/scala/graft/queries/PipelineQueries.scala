@@ -7019,6 +7019,105 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sitemap scheduling hints ([[graft.ops.WebText.sitemapEntries]]'s
+    * `changefreq`/`priority` fields + `changefreqIntervalMs`): nine
+    * cohorts — the seven-token sitemaps.org vocabulary (case-folded),
+    * an unknown token (`sometimes` → -1, no hint), and an absent tag —
+    * with `priority` present on even docs. GROUND-TRUTH oracle: every
+    * interval in the ladder spelled out from the modulus. */
+  val q246SitemapHints: Q = q("q246_sitemap_hints",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 9 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'http://s.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+      |  CASE m WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+      |         WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+      |         WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+      |         WHEN 6 THEN 'never' WHEN 7 THEN 'sometimes'
+      |         ELSE '' END AS changefreq,
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN '0.' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END
+      |    AS priority,
+      |  CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 3600000
+      |         WHEN 2 THEN 86400000 WHEN 3 THEN 604800000
+      |         WHEN 4 THEN 2592000000 WHEN 5 THEN 31536000000
+      |         WHEN 6 THEN 34560000000 ELSE -1 END AS BIGINT)
+      |    AS interval_ms
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 9
+    val i = col("doc_id").cast("string")
+    val cfTok = when(m === 0, lit("ALWAYS")).when(m === 1, lit("hourly"))
+      .when(m === 2, lit("Daily")).when(m === 3, lit("weekly"))
+      .when(m === 4, lit("monthly")).when(m === 5, lit("yearly"))
+      .when(m === 6, lit("never")).otherwise(lit("sometimes"))
+    val xml = concat(lit("<urlset><url><loc> http://s.org/p/"), i,
+      lit(" </loc>"),
+      when(m =!= 8, concat(lit("<changefreq> "), cfTok,
+        lit(" </changefreq>"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(lit("<priority>0."),
+        (col("doc_id") % 10).cast("string"), lit("</priority>")))
+        .otherwise(lit("")),
+      lit("</url></urlset>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(WebText.sitemapEntries(xml)).as("u"))
+      .select(col("doc_id"), col("u.loc").as("loc"),
+        col("u.changefreq").as("changefreq"),
+        col("u.priority").as("priority"),
+        WebText.changefreqIntervalMs(col("u.changefreq")).as("interval_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** Error-rate back-off ([[graft.ops.Robots.backoffSchedule]]): four
+    * host buckets engineered onto each source with error shares
+    * ~1/2, ~1/4, ~1/10, ~1/16 — one per ladder step — where the error
+    * classes mix 503/500/429 and a planted 404 cohort must NOT count
+    * (client errors are the crawler's fault, not host distress). The
+    * oracle re-derives counts, the exact floor-micros share, and the
+    * ladder from the same rows, so boundary behavior (≥ at exactly
+    * 500000/250000/100000 micros when division is even) is pinned
+    * cross-engine. */
+  val q247Backoff: Q = q("q247_backoff",
+    """WITH h AS (SELECT
+      |  source || '-' || CAST(doc_id % 4 AS VARCHAR) AS host,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN CASE WHEN (doc_id // 4) % 2 = 0 THEN 1 ELSE 0 END
+      |    WHEN 1 THEN CASE WHEN (doc_id // 4) % 4 = 0 THEN 1 ELSE 0 END
+      |    WHEN 2 THEN CASE WHEN (doc_id // 4) % 10 = 0 THEN 1 ELSE 0 END
+      |    ELSE CASE WHEN (doc_id // 4) % 16 = 0 THEN 1 ELSE 0 END
+      |  END AS e FROM documents)
+      |SELECT host, COUNT(*) AS n_fetches,
+      |  CAST(SUM(e) AS BIGINT) AS n_errors,
+      |  CAST((SUM(e) * 1000000) // COUNT(*) AS BIGINT) AS error_micros,
+      |  CAST(CASE
+      |    WHEN (SUM(e) * 1000000) // COUNT(*) >= 500000 THEN 8
+      |    WHEN (SUM(e) * 1000000) // COUNT(*) >= 250000 THEN 4
+      |    WHEN (SUM(e) * 1000000) // COUNT(*) >= 100000 THEN 2
+      |    ELSE 1 END AS BIGINT) AS backoff_multiplier,
+      |  CAST(CASE
+      |    WHEN (SUM(e) * 1000000) // COUNT(*) >= 500000 THEN 8
+      |    WHEN (SUM(e) * 1000000) // COUNT(*) >= 250000 THEN 4
+      |    WHEN (SUM(e) * 1000000) // COUNT(*) >= 100000 THEN 2
+      |    ELSE 1 END * 1000 AS BIGINT) AS delay_ms
+      |FROM h GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+    val b = col("doc_id") % 4
+    val j = call_function("div", col("doc_id") - b, lit(4L))
+    val isErr = when(b === 0, pmod(j, lit(2L)) === 0)
+      .when(b === 1, pmod(j, lit(4L)) === 0)
+      .when(b === 2, pmod(j, lit(10L)) === 0)
+      .otherwise(pmod(j, lit(16L)) === 0)
+    // error statuses cycle 503/500/429; non-errors cycle 200/301/404 —
+    // the 404 cohort must not count toward distress
+    val status = when(isErr,
+        when(pmod(j, lit(3L)) === 0, 503)
+          .when(pmod(j, lit(3L)) === 1, 500).otherwise(429))
+      .otherwise(when(pmod(j, lit(3L)) === 0, 200)
+        .when(pmod(j, lit(3L)) === 1, 301).otherwise(404))
+    val history = Tables.documents(s, d)
+      .select(concat(col("source"), lit("-"), b.cast("string")).as("host"),
+        status.as("status_code"))
+    Robots.backoffSchedule(history).orderBy("host")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7070,5 +7169,6 @@ object PipelineQueries {
     q231PageMeta, q232Revalidation, q233CanonicalLink, q234Hreflang,
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
-    q243CaptureAudit, q244HreflangClusters, q245PublishDate)
+    q243CaptureAudit, q244HreflangClusters, q245PublishDate,
+    q246SitemapHints, q247Backoff)
 }

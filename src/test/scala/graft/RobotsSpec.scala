@@ -250,6 +250,41 @@ class RobotsSpec extends SparkSpec {
       "/img/a.gifs" -> false, "/ok/page" -> true))
   }
 
+  test("retryAfter + backoffSchedule: delta-seconds vs HTTP-date forms, " +
+    "ladder steps, 4xx excluded from distress") {
+    val ra = Seq(
+      Tuple1("HTTP/1.1 429 Too Many\r\nRetry-After: 120\r\n\r\nb"),
+      Tuple1("HTTP/1.1 503 Down\r\nRetry-After: Tue, 01 Jul 2025 " +
+        "00:00:00 GMT\r\n\r\nb"),
+      Tuple1("HTTP/1.1 200 OK\r\nServer: s\r\n\r\nb")).toDF("p")
+      .select(Http.retryAfter(col("p")).as("raw"),
+        Http.retryAfterMs(col("p")).as("ms"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(ra === Seq(("120", Some(120000L)),
+      ("Tue, 01 Jul 2025 00:00:00 GMT", None), ("", None)))
+
+    val hist = Seq(
+      // a: 2/4 server errors -> 500000 micros -> 8x
+      ("a", 503), ("a", 500), ("a", 200), ("a", 301),
+      // b: 1/4 -> 250000 -> 4x (429 counts as distress)
+      ("b", 429), ("b", 200), ("b", 200), ("b", 200),
+      // c: 1/10 -> 100000 -> 2x
+      ("c", 503), ("c", 200), ("c", 200), ("c", 200), ("c", 200),
+      ("c", 200), ("c", 200), ("c", 200), ("c", 200), ("c", 200),
+      // d: only 404s -> client errors never back a host off
+      ("d", 404), ("d", 404), ("d", 200), ("d", 200))
+      .toDF("host", "status_code")
+    val got = graft.ops.Robots.backoffSchedule(hist)
+      .select("host", "n_errors", "error_micros", "backoff_multiplier",
+        "delay_ms")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("a", 2L, 500000L, 8L, 8000L),
+      ("b", 1L, 250000L, 4L, 4000L),
+      ("c", 1L, 100000L, 2L, 2000L),
+      ("d", 0L, 0L, 1L, 1000L)))
+  }
+
   test("Http.splitResponseBytes: transfer/content coding layers — " +
     "chunked, gzip, chunked+gzip, multi-member, deflate both flavors, " +
     "unsupported and malformed fall back raw") {
