@@ -226,7 +226,15 @@ object WebText {
     * against the page URL), else the page URL — and filtered to
     * http(s) targets. Fragment-only self-references are dropped (they
     * name the same document; keeping them would plant a self-edge on
-    * every in-page TOC). Output: the `pages` columns + `link`.
+    * every in-page TOC). Output: the `pages` columns + `link` +
+    * `nofollow` — true when the anchor's `rel` token-list carries any
+    * of `nofollow`/`ugc`/`sponsored` (the public link-annotation
+    * vocabulary: the page's author disclaims endorsement, so ranking
+    * and reputation must not count the edge; the per-LINK sibling of
+    * the page-level [[metaRobotsSignals]] gate). Per-anchor attributes
+    * are read from the SHORT open-tag span (the [[anchorTexts]]
+    * discipline — O(tag) work, any attribute order), with the same
+    * quoted-href and decoy-proof boundary rules as before.
     *
     * Scale shape: one codegen'd projection + one `explode` — the
     * [[hostLinkEdges]] scan stage with resolution fused in; the
@@ -248,14 +256,25 @@ object WebText {
     val refIsHttp = col("graft_ref").rlike("(?i)^https?://")
     val refHasScheme = col("graft_ref").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
     val baseIsHttp = col("graft_base").rlike("(?i)^https?://")
+    val disclaimed = Seq("nofollow", "ugc", "sponsored")
+      .map(v => relContains(col("graft_tag"), v))
+      .reduce(_ || _)
     pages
       .withColumn("graft_base", eff)
-      .withColumn("graft_ref",
-        explode(filter(extractHrefs(col(htmlCol)),
-          h => !h.startsWith("#"))))
-      .filter(refIsHttp || (!refHasScheme && baseIsHttp))
+      // whole `<a …>` OPEN-TAG spans, so per-anchor attributes (href +
+      // rel) read off the same short string; the href rules are the
+      // extractHrefs ones verbatim (quoted value, boundary-anchored
+      // attribute name — a data-href decoy never matches)
+      .withColumn("graft_tag",
+        explode(regexp_extract_all(col(htmlCol), lit("(?is)<a\\s[^>]*>"),
+          lit(0))))
+      .withColumn("graft_ref", tagHref(col("graft_tag")))
+      .filter(col("graft_ref") =!= "" &&
+        !col("graft_ref").startsWith("#") &&
+        (refIsHttp || (!refHasScheme && baseIsHttp)))
       .withColumn("link", resolveUrl(col("graft_base"), col("graft_ref")))
-      .drop("graft_base", "graft_ref")
+      .withColumn("nofollow", disclaimed)
+      .drop("graft_base", "graft_ref", "graft_tag")
   }
 
   /** Three-label public suffixes — the rule class the generated
@@ -455,8 +474,16 @@ object WebText {
     * pushdown (the q156 re-inlining class), multiplying the per-row
     * regex work severalfold. Verified equivalent: the q167 oracle
     * derives both domains from the raw strings. */
-  def hostLinkEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+  def hostLinkEdges(pages: DataFrame, urlCol: String, htmlCol: String,
+                    includeNofollow: Boolean = false): DataFrame =
     resolvedLinkRows(Spread.cpu(pages), urlCol, htmlCol)
+      // rel=nofollow/ugc/sponsored edges are DISCLAIMED by the linking
+      // page's author — counting them lets comment spam and paid
+      // placements buy reputation, which is exactly what the
+      // annotations exist to prevent; default-excluded here (the
+      // ranking surface), while the crawl frontier keeps discovering
+      // through them (discovery ≠ endorsement)
+      .filter(if (includeNofollow) lit(true) else !col("nofollow"))
       .select(registeredDomain(col(urlCol)).as("src_domain"),
         registeredDomain(col("link")).as("dst_domain"))
       .groupBy("src_domain", "dst_domain")

@@ -7118,6 +7118,42 @@ object PipelineQueries {
     Robots.backoffSchedule(history).orderBy("host")
   }
 
+  /** Disclaimed-link exclusion in the host graph
+    * ([[graft.ops.WebText.resolvedLinkRows]]' `nofollow` flag →
+    * [[graft.ops.WebText.hostLinkEdges]] default filter): every page
+    * carries five links — a plain one and a `rel="noopener external"`
+    * one (both COUNTED: non-disclaiming rel values must not trip the
+    * filter), plus `nofollow`, `ugc`, and `sponsored` ones (all
+    * DROPPED — the author disclaims them, so reputation must not
+    * count the edges; comment spam and paid placements would buy
+    * PageRank otherwise). GROUND-TRUTH oracle: exactly the two
+    * counted edge families per source host, nothing from the
+    * disclaimed targets. */
+  val q248NofollowEdges: Q = q("q248_nofollow_edges",
+    """WITH t AS (SELECT source, CAST(doc_id % 3 AS INT) AS m
+      |  FROM documents)
+      |SELECT src_domain, dst_domain,
+      |  CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+      |  SELECT source || '.org' AS src_domain,
+      |    'plain' || CAST(m AS VARCHAR) || '.net' AS dst_domain FROM t
+      |  UNION ALL SELECT source || '.org', 'ok.net' FROM t) e
+      |GROUP BY src_domain, dst_domain
+      |ORDER BY src_domain, dst_domain""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 3
+    val html = concat(
+      lit("<a href=\"http://plain"), m.cast("string"),
+      lit(".net/x\">p</a>" +
+        "<a rel=\"nofollow\" href=\"http://nf.net/x\">n</a>" +
+        "<a rel=\"noopener external\" href=\"http://ok.net/x\">o</a>" +
+        "<a href=\"http://ugc.net/x\" rel=\"ugc\">u</a>" +
+        "<a rel=sponsored href=\"http://sp.net/x\">s</a>"))
+    WebText.hostLinkEdges(Tables.documents(s, d)
+        .select(concat(lit("http://"), col("source"), lit(".org/p/"),
+          col("doc_id").cast("string")).as("url"), html.as("html")),
+        "url", "html")
+      .orderBy("src_domain", "dst_domain")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7170,5 +7206,5 @@ object PipelineQueries {
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
-    q246SitemapHints, q247Backoff)
+    q246SitemapHints, q247Backoff, q248NofollowEdges)
 }

@@ -545,6 +545,32 @@ class WebTextSpec extends SparkSpec {
     assert(!got.exists(e => e._1 == "Chan" || e._1 == "Feed"))
   }
 
+  test("resolvedLinkRows nofollow flag: disclaimed rel values drop from " +
+    "hostLinkEdges by default, non-disclaiming rels and opt-in keep them") {
+    val pages = Seq(("http://src.org/p",
+      "<a href='http://a.net/1'>p</a>" +
+        "<a rel='nofollow' href='http://b.net/1'>n</a>" +
+        "<a rel='external noopener' href='http://c.net/1'>o</a>" +
+        "<a rel='UGC' href='http://d.net/1'>u</a>" + // case-folded match
+        "<a rel='sponsored' href='http://e.net/1'>s</a>" +
+        // a rel value that merely CONTAINS the token must not match
+        "<a rel='nofollowx' href='http://f.net/1'>x</a>"))
+      .toDF("url", "html")
+    val flags = WebText.resolvedLinkRows(pages, "url", "html")
+      .select("link", "nofollow").as[(String, Boolean)].collect().toMap
+    assert(flags === Map(
+      "http://a.net/1" -> false, "http://b.net/1" -> true,
+      "http://c.net/1" -> false, "http://d.net/1" -> true,
+      "http://e.net/1" -> true, "http://f.net/1" -> false))
+    val kept = WebText.hostLinkEdges(pages, "url", "html")
+      .select("dst_domain").as[String].collect().toSet
+    assert(kept === Set("a.net", "c.net", "f.net"))
+    val all = WebText.hostLinkEdges(pages, "url", "html",
+      includeNofollow = true)
+      .select("dst_domain").as[String].collect().toSet
+    assert(all.size === 6)
+  }
+
   test("publishDates: trust-chain priority, first dated JSON-LD block " +
     "wins over malformed/undated ones, URL day padding, empty page") {
     val rows = Seq(
