@@ -230,7 +230,11 @@ object Http {
   /** `Content-Encoding: gzip` removal — the full RFC 1952 member walk
     * ([[Warc.inflateMember]]: header flags, bomb clamp, truncation
     * checks), looped over back-to-back members (multi-member gzip
-    * entities are legal). None on a corrupt/truncated stream. */
+    * entities are legal). None on a corrupt/truncated stream. The
+    * CUMULATIVE output is clamped to [[Warc.MaxInflatedMember]] like
+    * [[inflateZlib]]'s total — each member is individually clamped
+    * inside inflateMember, but a crafted entity of many small members
+    * could otherwise accumulate past the bomb budget. */
   private def gunzipAll(b: Array[Byte], off: Int,
                         len: Int): Option[Array[Byte]] = {
     val slice =
@@ -240,7 +244,9 @@ object Http {
     var pos = 0
     while (pos < slice.length) {
       Warc.inflateMember(slice, pos) match {
-        case Some((data, endPos)) => out.write(data, 0, data.length); pos = endPos
+        case Some((data, endPos)) =>
+          out.write(data, 0, data.length); pos = endPos
+          if (out.size() > Warc.MaxInflatedMember) return None
         case None => return None
       }
     }

@@ -77,7 +77,13 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val before = coalesce(sum(col("graft_nt")).over(w), lit(0L))
     sentenceRows(docs, idCol, textCol)
-      .withColumn("graft_nt", size(split(col("sentence"), " ")).cast("long"))
+      // \s+ split, not " ": runs of spaces / tabs / newlines inside a
+      // sentence are one separator, so n_tokens and the chunk budget
+      // hold the documented whitespace-token semantics on
+      // non-normalized text (sentences are trimmed, so no boundary
+      // empties either)
+      .withColumn("graft_nt",
+        size(split(col("sentence"), "\\s+")).cast("long"))
       .withColumn("graft_before", before)
       .withColumn("chunk_idx", call_function("div",
         col("graft_before") - pmod(col("graft_before"), lit(maxTokens.toLong)),

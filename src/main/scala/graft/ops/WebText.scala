@@ -809,13 +809,28 @@ object WebText {
   private def linkTags(html: Column): Column =
     regexp_extract_all(html, lit("(?is)<link\\s[^>]*>"), lit(0))
 
+  /** The tag's `rel` attribute VALUE ('' when absent). Attributes are
+    * consumed left-to-right from the tag start — quoted values
+    * swallowed whole, the unquoted branch forbidden from opening a
+    * quote — so a `rel=` substring INSIDE another attribute's value
+    * (`title="rel=nofollow is bad"`) can never be read as the rel
+    * attribute: the title value is consumed as one unit or the match
+    * dies, and backtracking has no parse that lands the tail mid-value.
+    * The captured chunk keeps its quotes (one group either way);
+    * `translate` strips them — rel token lists never contain quotes. */
+  private def relValue(tag: Column): Column =
+    translate(regexp_extract(tag,
+      "(?is)^<[a-z]+(?:\\s+[^\\s=>]+\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s\"'>]*)|\\s+[^\\s=>/]+)*\\s+rel\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>/]+)",
+      1), "\"'", "")
+
   /** True when the tag's `rel` value-list contains `value` (quoted
     * `rel` may list several tokens — `rel="alternate nofollow"`).
-    * Boundary-anchored on BOTH sides so `canonicalx` / `x-canonical`
-    * never match (the data-href decoy rule). Java∩RE2 subset. */
+    * Token-matched within the EXTRACTED [[relValue]], boundary-anchored
+    * on both sides, so `canonicalx` / `x-canonical` never match (the
+    * data-href decoy rule) and `rel=` text inside an unrelated
+    * attribute's value never fabricates a match. Java∩RE2 subset. */
   private def relContains(tag: Column, value: String): Column =
-    tag.rlike("(?is)[\\s\"']rel\\s*=\\s*[\"']?(?:[^\"'>]*\\s)?" +
-      value + "[\"'\\s/>]")
+    relValue(tag).rlike("(?i)(?:^|\\s)" + value + "(?:\\s|$)")
 
   /** The tag's quoted `href` target with `&amp;` decoded ('' when
     * absent) — same quote handling as [[extractLinks]]. */

@@ -6864,7 +6864,7 @@ object PipelineQueries {
       |  FROM documents WHERE text IS NOT NULL),
       |r AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM s),
       |x AS (SELECT doc_id, i - 1 AS sent_idx, l[i] AS sentence,
-      |    len(string_split(l[i], ' ')) AS nt FROM r),
+      |    len(regexp_split_to_array(l[i], '\s+')) AS nt FROM r),
       |c AS (SELECT doc_id, sent_idx, sentence, nt,
       |    coalesce(sum(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -27,11 +27,14 @@ import graft.ops.WebText
   *  - offsets are exactly-once via the link checkpoint — replay with no
   *    new input appends nothing;
   *  - the two side-effect writes are at-least-once under a mid-batch
-  *    crash; targets are written BEFORE survivors, so a crash between
-  *    them can only leave a target without its survivor — future
-  *    variants of that target are then dropped, which is the
-  *    conservative side (no duplicate ever passes); downstream dedups
-  *    on `canonical_target` if it needs exact-once rows;
+  *    crash; SURVIVORS are written BEFORE targets, so a crash between
+  *    them can only leave a survivor whose target was never
+  *    registered — the replayed batch then re-admits a duplicate
+  *    survivor row, which downstream dedups on `canonical_target`.
+  *    (The other order would register the target while its survivor
+  *    row is lost forever: every future variant of that article
+  *    anti-joins away with no recovery path. A rare duplicate is
+  *    recoverable; a silently dropped document is not.);
   *  - pages with NO canonical declaration gate on their own URL (the
   *    [[WebText.canonicalTargets]] fallback), so refetches of one URL
   *    also collapse. */
@@ -59,12 +62,15 @@ class CanonicalGateLink(input: String, survivorsStream: String,
         val survivors = CanonicalGateLink.gate(
           batch.select(col("url"), col("html")),
           registry.read(targetsStream))
-          // materialize: the plan reads targetsStream, which the first
+          // materialize: the plan reads targetsStream, which the second
           // write below appends to
           .localCheckpoint()
+        // survivors FIRST (see the crash-ordering contract above): a
+        // crash between the writes must leave a duplicate-admitting
+        // gap, never a document-dropping one
+        registry.write(survivors, survivorsStream)
         registry.write(
           survivors.select(col("canonical_target")), targetsStream)
-        registry.write(survivors, survivorsStream)
       }
       .start()
   }

@@ -897,5 +897,13 @@ class CurationSpec extends SparkSpec {
     assert(chunks === List(
       (0L, 2L, 7L, "a b c. d e f g."),
       (1L, 2L, 19L, "h i. j k l m n o p q r s t u v w x y z.")))
+
+    // whitespace-token semantics: runs of spaces / tabs inside a
+    // sentence are ONE separator (\s+ split, not " "), so n_tokens and
+    // the chunk budget hold on non-normalized text
+    val nt = TextAnalysis.sentenceChunks(
+        Seq((1L, "a  b\tc. d e.")).toDF("doc_id", "text"), maxTokens = 100)
+      .select("n_tokens").as[Long].collect().toList
+    assert(nt === List(5L))
   }
 }

@@ -554,21 +554,33 @@ class WebTextSpec extends SparkSpec {
         "<a rel='UGC' href='http://d.net/1'>u</a>" + // case-folded match
         "<a rel='sponsored' href='http://e.net/1'>s</a>" +
         // a rel value that merely CONTAINS the token must not match
-        "<a rel='nofollowx' href='http://f.net/1'>x</a>"))
+        "<a rel='nofollowx' href='http://f.net/1'>x</a>" +
+        // `rel=` text inside ANOTHER attribute's value must not be
+        // read as the rel attribute (attributes are consumed
+        // left-to-right, quoted values swallowed whole)
+        "<a title=\"rel=nofollow is bad\" href='http://g.net/1'>t</a>" +
+        "<a title=\"x rel=nofollow y\" href='http://h.net/1'>t</a>" +
+        // ... and the REAL rel still wins with a decoy value earlier
+        "<a title=\"rel=nope\" rel='sponsored' href='http://i.net/1'>t</a>" +
+        // unquoted rel in a self-closing tag: the `/` stays out of
+        // the token
+        "<a rel=nofollow href='http://j.net/1'/>"))
       .toDF("url", "html")
     val flags = WebText.resolvedLinkRows(pages, "url", "html")
       .select("link", "nofollow").as[(String, Boolean)].collect().toMap
     assert(flags === Map(
       "http://a.net/1" -> false, "http://b.net/1" -> true,
       "http://c.net/1" -> false, "http://d.net/1" -> true,
-      "http://e.net/1" -> true, "http://f.net/1" -> false))
+      "http://e.net/1" -> true, "http://f.net/1" -> false,
+      "http://g.net/1" -> false, "http://h.net/1" -> false,
+      "http://i.net/1" -> true, "http://j.net/1" -> true))
     val kept = WebText.hostLinkEdges(pages, "url", "html")
       .select("dst_domain").as[String].collect().toSet
-    assert(kept === Set("a.net", "c.net", "f.net"))
+    assert(kept === Set("a.net", "c.net", "f.net", "g.net", "h.net"))
     val all = WebText.hostLinkEdges(pages, "url", "html",
       includeNofollow = true)
       .select("dst_domain").as[String].collect().toSet
-    assert(all.size === 6)
+    assert(all.size === 10)
   }
 
   test("publishDates: trust-chain priority, first dated JSON-LD block " +
