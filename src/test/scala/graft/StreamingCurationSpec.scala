@@ -425,6 +425,97 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read("fr_crawled").count() === 4)
   }
 
+  test("incremental frontier refresh: the count table merges per batch, " +
+    "the refresh plan never re-scans the link log, politeness slots come " +
+    "from crawl-delay × back-off, replay is a no-op on view AND counts") {
+    import graft.ops.WebText
+    import graft.runtime.FrontierLink
+    val s = spark
+    import s.implicits._
+    val b1 = Seq(
+      ("http://src1.org/p",
+        "<a href='http://alpha.org/a'>1</a><a href='http://peer1.net/x'>2</a>"),
+      ("http://src2.org/p",
+        "<a href='http://alpha.org/a'>1</a><a href='http://alpha.org/b'>3</a>" +
+          "<a href='http://hub.com/h'>4</a>"))
+    // batch 2 links alpha.org/b twice more: b (3) must overtake a (2) —
+    // only possible if the batch counts MERGED into the running table
+    val b2 = Seq(("http://src3.org/p",
+      "<a href='http://alpha.org/b'>1</a><a href='http://alpha.org/b'>2</a>"))
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-frontier-inc").toString)
+    // alpha.org asks for 2s spacing; peer1.net's history is 50% 5xx →
+    // back-off multiplier 8; hub.com rides the 1s default
+    reg.write(Seq(("alpha.org", "User-agent: *\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt"), "fi_robots")
+    reg.write(Seq(("peer1.net", 500), ("peer1.net", 503),
+        ("peer1.net", 200), ("peer1.net", 200))
+      .toDF("host", "status_code"), "fi_hist")
+    val link = new FrontierLink("fi_pages", "fi_crawled", "fi_linklog",
+      "fi_frontier", robotsStream = "fi_robots", topKPerDomain = 2,
+      historyStream = "fi_hist")
+
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(pages: Seq[(String, String)]): DataFrame = {
+      val pdf = pages.toDF("url", "html")
+      FrontierLink.frontierPlan(
+        WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
+        pdf.select("url"), Some(reg.read("fi_robots")), "graftbot", 2,
+        Some(reg.read("fi_hist")))
+    }
+
+    reg.write(b1.toDF("url", "html"), "fi_pages")
+    link.start(spark, reg).awaitTermination()
+    val f1 = rows(reg.read("fi_frontier"))
+    assert(f1 === rows(expected(b1)))
+    // the schedule contract: not_before_ms = (rank−1) × effective delay
+    assert(f1.exists(r => r(1) === "http://alpha.org/b" &&
+      r(3) === 2L && r(4) === 2000L && r(5) === 2000L))
+    assert(f1.exists(r => r(1) === "http://peer1.net/x" &&
+      r(4) === 8000L && r(5) === 0L))
+    assert(f1.exists(r => r(1) === "http://hub.com/h" && r(4) === 1000L))
+    // the merged count table equals the aggregate of the audit log
+    assert(rows(reg.read("fi_frontier_counts")) ===
+      rows(FrontierLink.linkCounts(reg.read("fi_linklog"))))
+
+    reg.write(b2.toDF("url", "html"), "fi_pages")
+    link.start(spark, reg).awaitTermination()
+    val f2 = rows(reg.read("fi_frontier"))
+    assert(f2 === rows(expected(b1 ++ b2)))
+    // cross-batch accumulation through the merge: b now leads alpha.org
+    assert(f2.exists(r => r(1) === "http://alpha.org/b" &&
+      r(2) === 3L && r(3) === 1L && r(5) === 0L))
+    assert(f2.exists(r => r(1) === "http://alpha.org/a" && r(3) === 2L))
+    val c2 = rows(reg.read("fi_frontier_counts"))
+    assert(c2 === rows(FrontierLink.linkCounts(reg.read("fi_linklog"))))
+    // the merge high-water mark rode the refresh rotate
+    assert(reg.refreshMeta("fi_frontier_counts", "batch") === Some("1"))
+
+    // the 100 TB shape pin: the refresh plan scans the COUNT table and
+    // the bounded side streams — never the raw accumulated link log
+    // (root paths collected from the relations themselves: the plan
+    // STRING truncates long paths)
+    val scanPaths = FrontierLink.refreshPlan(reg, "fi_frontier_counts", Nil,
+        "fi_crawled", "fi_robots", "fi_hist", "graftbot", 2, 1000L)
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    assert(scanPaths.nonEmpty)
+    assert(!scanPaths.exists(_.contains("fi_linklog")), scanPaths)
+    assert(scanPaths.exists(_.contains("fi_frontier_counts")), scanPaths)
+
+    // replay with no new input: frontier AND count table stay put
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("fi_frontier")) === f2)
+    assert(rows(reg.read("fi_frontier_counts")) === c2)
+  }
+
   test("feed discovery link + frontier extra sources: feed entries rank " +
     "in the same frontier as page links; relative Atom hrefs resolve; " +
     "replay no-op") {
