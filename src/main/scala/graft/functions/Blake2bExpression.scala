@@ -128,5 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PctNormalizeExpr(arity(exprs, 1, 1, "pct_normalize").head))
     inject("visible_text", classOf[VisibleTextExpr])(exprs =>
       VisibleTextExpr(arity(exprs, 1, 1, "visible_text").head))
+    inject("html_unescape", classOf[HtmlUnescapeExpr])(exprs =>
+      HtmlUnescapeExpr(arity(exprs, 1, 1, "html_unescape").head))
   }
 }

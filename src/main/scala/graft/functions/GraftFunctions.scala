@@ -95,6 +95,8 @@ object GraftFunctions {
       PctNormalizeExpr(arity(exprs, 1, 1, "pct_normalize").head))
     reg("visible_text")(exprs =>
       VisibleTextExpr(arity(exprs, 1, 1, "visible_text").head))
+    reg("html_unescape")(exprs =>
+      HtmlUnescapeExpr(arity(exprs, 1, 1, "html_unescape").head))
   }
 }
 

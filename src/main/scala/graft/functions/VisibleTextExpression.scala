@@ -9,11 +9,14 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel for [[VisibleTextExpr]] — the single-call form of the
-  * `WebText.visibleText` regex chain. Every pass replicates its regex
-  * EXACTLY (the oracles splice the regex chain into DuckDB, so the two
-  * must be bit-identical on every input — `VisibleTextParitySpec`
-  * fuzzes the equality and the q144/q211/q215 oracles re-check it on
-  * every verify run):
+  * `WebText.visibleText` chain. Strip passes 1–4 replicate their
+  * regexes EXACTLY (the oracles splice those regexes into DuckDB, so
+  * they must be bit-identical on every input — `VisibleTextParitySpec`
+  * fuzzes the equality against `WebText.visibleTextRegex` and the
+  * q144/q211/q215 oracles re-check on every verify run; the entity
+  * stage is the shared [[HtmlUnescapeOps]] decoder, mirrored in DuckDB
+  * by per-planted-form replaces since a fixed replace chain cannot
+  * express numeric references):
   *
   *  1. `(?is)<script[^>]*>.*?</script>` → `' '` — leftmost scan, open
   *     prefix is the literal `<script` followed by any non-`>` run and
@@ -26,11 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     comments stay);
   *  4. `<[^>]*>` → `' '` (any `<`…first-`>` span; a `<` with no `>`
   *     ahead stays literal);
-  *  5. entity decode in the chain's order — `&nbsp;`→space, `&lt;`,
-  *     `&gt;`, `&quot;`, `&#39;`, `&amp;` LAST (one priority scan; the
-  *     sequential chain and the priority scan agree because no
-  *     replacement emits a character that can extend a later token,
-  *     and `&` itself is only produced by the final pass);
+  *  5. FULL character-reference decode ([[HtmlUnescapeOps]] — numeric
+  *     `&#8217;`/`&#xE9;` with the Windows-1252 C1 remap, plus the
+  *     named table), in the visible-text mapping where `&nbsp;`-family
+  *     references become a plain space; a single pass whose output is
+  *     never re-scanned, so `&amp;lt;` yields `&lt;`;
   *  6. `\s+` → `' '` + trim (Java `\s` is the ASCII class).
   *
   * Passes 1–3 run SEQUENTIALLY like the regex chain — fusing them
@@ -132,31 +135,14 @@ object VisibleTextOps {
     sb.toString
   }
 
-  // entity tokens in the regex chain's pass order; &amp; deliberately
-  // last (the no-double-decode rule: "&amp;lt;" must yield "&lt;")
-  private val Tokens = Array("&nbsp;", "&lt;", "&gt;", "&quot;", "&#39;", "&amp;")
-  private val Repl = Array(' ', '<', '>', '"', '\'', '&')
-
-  private def decodeEntities(s: String): String = {
-    val n = s.length
-    if (s.indexOf('&') < 0) return s
-    val sb = new java.lang.StringBuilder(n)
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c == '&') {
-        var hit = -1
-        var t = 0
-        while (hit < 0 && t < Tokens.length) {
-          if (s.regionMatches(i, Tokens(t), 0, Tokens(t).length)) hit = t
-          t += 1
-        }
-        if (hit >= 0) { sb.append(Repl(hit)); i += Tokens(hit).length }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  // entity stage: the FULL character-reference decoder shared with
+  // html_unescape (numeric &#8217;/&#xE9; + the named table), in the
+  // visible-text mapping where a decoded no-break space becomes a
+  // plain space so the ASCII whitespace collapse below folds it. One
+  // left-to-right scan — "&amp;lt;" yields "&lt;" because the output
+  // is never re-scanned.
+  private def decodeEntities(s: String): String =
+    HtmlUnescapeOps.unescape(s, nbspAsSpace = true)
 
   /** Java-regex `\s` is the ASCII class [ \t\n\x0B\f\r]. */
   private def isWs(c: Char): Boolean =

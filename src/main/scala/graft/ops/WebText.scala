@@ -289,9 +289,9 @@ object WebText {
   /** The multi-label suffix rules as a one-column `suffix` frame —
     * [[MultiLabelSuffixGroups]] flattened plus [[ThreeLabelSuffixes]].
     * A production deployment replaces this with the full
-    * publicsuffix.org registry section loaded from file: the TABLE
-    * path scales to thousands of rules where a generated alternation
-    * regex cannot. */
+    * publicsuffix.org registry loaded via [[loadPublicSuffixList]]
+    * (wildcard/exception syntax included): the TABLE path scales to
+    * thousands of rules where a generated alternation regex cannot. */
   def suffixTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (MultiLabelSuffixGroups.flatMap { case (tld, labels) =>
@@ -299,50 +299,127 @@ object WebText {
     } ++ ThreeLabelSuffixes).toDF("suffix")
   }
 
-  /** Registered domain (eTLD+1) via a broadcast LONGEST-MATCH suffix
-    * table — the full-publicsuffix.org deployment path (thousands of
-    * rules, including the 3-label suffixes the [[registeredDomain]]
-    * regex doesn't carry). For each host the 2- and 3-label tails are
-    * derived row-wise and probed against the table; the longest
-    * matching suffix wins and the domain takes one more label; a host
-    * no longer than its matched suffix returns itself; a host matching
-    * nothing takes two labels (plain-TLD rule), or itself when it has
-    * only one. Appends `out` to `df`.
+  /** Registered domain (eTLD+1) via a broadcast LONGEST-MATCH rule
+    * table with FULL publicsuffix.org semantics — plain suffixes
+    * (`com.au`), wildcard rules (`*.ck`: any single label under the
+    * base is itself a public suffix), and exception rules (`!www.ck`:
+    * the named host is registrable even though a wildcard covers it).
+    * Prevailing-rule selection per the published algorithm: an
+    * exception beats everything, otherwise the rule with the most
+    * labels wins (a wildcard counts its `*`); no match falls back to
+    * the implicit `*` rule (suffix = the bare TLD). The registered
+    * domain is the public suffix plus one label; a host no longer than
+    * its suffix returns itself. Appends `out` to `df`.
     *
-    * Scale shape: two broadcast left joins on the derived tail keys —
-    * the corpus side never shuffles and nothing explodes; the suffix
-    * table is broadcast-sized by nature (the full PSL is ~10k rows).
-    * Verified equivalent to [[registeredDomain]] on every two-label
-    * rule (WebTextSpec pins the equivalence over the q224 host set). */
+    * Scale shape: one broadcast left join per rule label-length
+    * (`maxLabels` of them, each on a row-wise derived host tail — the
+    * rule table pre-aggregates to ONE row per tail key carrying
+    * plain/wildcard/exception flags, so no join fans out) — the corpus
+    * side never shuffles and nothing explodes; the suffix table is
+    * broadcast-sized by nature (the full PSL is ~10k rows). Rules
+    * longer than `maxLabels` labels are not matched — raise it when
+    * loading a list with longer rules (the public registry's longest
+    * is covered by the default). Verified equivalent to
+    * [[registeredDomain]] on every two-label rule (WebTextSpec pins
+    * the equivalence over the q224 host set); wildcard/exception
+    * precedence is oracle-pinned by q229's planted `*.ck` / `!www.ck`
+    * / `*.nom.br` cohorts. */
   def registeredDomainByTable(df: DataFrame, urlCol: String,
                               suffixes: DataFrame,
-                              out: String = "domain"): DataFrame = {
+                              out: String = "domain",
+                              maxLabels: Int = 5): DataFrame = {
+    require(maxLabels >= 1, s"maxLabels >= 1, got $maxLabels")
     val host = regexp_replace(
       regexp_extract(lower(col(urlCol)), "//[^/:?#]*", 0), "^//(www\\.)?", "")
-    val s3 = broadcast(suffixes.select(col("suffix").as("graft_s3"))
-      .filter(size(split(col("graft_s3"), "\\.")) === 3).distinct())
-    val s2 = broadcast(suffixes.select(col("suffix").as("graft_s2"))
-      .filter(size(split(col("graft_s2"), "\\.")) === 2).distinct())
+    // parse the rule syntax once, table-side: the join KEY is the
+    // rule's literal label tail (exception body, wildcard BASE — the
+    // `*` consumes a host label at match time via the n-guard below)
+    val parsed = suffixes.select(col("suffix").as("graft_rule"))
+      .withColumn("graft_exc", col("graft_rule").startsWith("!"))
+      .withColumn("graft_wild", col("graft_rule").startsWith("*."))
+      .withColumn("graft_key",
+        when(col("graft_exc"), expr("substring(graft_rule, 2)"))
+          .when(col("graft_wild"), expr("substring(graft_rule, 3)"))
+          .otherwise(col("graft_rule")))
     val withHost = df.withColumn("graft_host", host)
       .withColumn("graft_n", size(split(col("graft_host"), "\\.")))
-      .withColumn("graft_l2", substring_index(col("graft_host"), ".", -2))
-      .withColumn("graft_l3", substring_index(col("graft_host"), ".", -3))
-    withHost
-      .join(s3, col("graft_l3") === col("graft_s3") &&
-        col("graft_n") >= 3, "left")
-      .join(s2, col("graft_l2") === col("graft_s2") &&
-        col("graft_n") >= 2, "left")
-      .withColumn(out,
-        when(col("graft_s3").isNotNull && col("graft_n") >= 4,
-          substring_index(col("graft_host"), ".", -4))
-        .when(col("graft_s3").isNotNull, col("graft_host"))
-        .when(col("graft_s2").isNotNull && col("graft_n") >= 3,
-          col("graft_l3"))
-        .when(col("graft_s2").isNotNull, col("graft_host"))
-        .when(col("graft_n") >= 2, col("graft_l2"))
-        .otherwise(col("graft_host")))
-      .drop("graft_host", "graft_n", "graft_l2", "graft_l3",
-        "graft_s3", "graft_s2")
+    val joined = (1 to maxLabels).foldLeft(withHost) { (acc, m) =>
+      val t = broadcast(parsed
+        .filter(size(split(col("graft_key"), "\\.")) === m)
+        .groupBy("graft_key").agg(
+          max(when(!col("graft_exc") && !col("graft_wild"), true))
+            .as(s"graft_p$m"),
+          max(when(col("graft_wild"), true)).as(s"graft_w$m"),
+          max(when(col("graft_exc"), true)).as(s"graft_e$m"))
+        .withColumnRenamed("graft_key", s"graft_k$m"))
+      acc.join(t,
+        substring_index(col("graft_host"), ".", -m) === col(s"graft_k$m") &&
+          col("graft_n") >= m, "left")
+    }
+    // prevailing rule as an argmax over (priority, suffix-label-count)
+    // candidates: exceptions outrank every normal rule, longer rules
+    // outrank shorter, the implicit `*` rule is the floor
+    val candidates = (1 to maxLabels).flatMap { m =>
+      Seq(
+        when(coalesce(col(s"graft_e$m"), lit(false)),
+          struct(lit(1000 + m).as("p"), lit(m - 1).as("s"))),
+        when(coalesce(col(s"graft_w$m"), lit(false)) &&
+            col("graft_n") >= m + 1,
+          struct(lit(m + 1).as("p"), lit(m + 1).as("s"))),
+        when(coalesce(col(s"graft_p$m"), lit(false)),
+          struct(lit(m).as("p"), lit(m).as("s"))))
+    } :+ struct(lit(0).as("p"), lit(1).as("s"))
+    val slen = array_max(filter(array(candidates: _*),
+      c => c.isNotNull)).getField("s")
+    // suffix label counts span 0 (a single-label exception body) to
+    // maxLabels+1 (a wildcard whose base is maxLabels long)
+    val domain = (0 to maxLabels + 1).foldLeft(
+      when(col("graft_n") <= col("graft_slen"), col("graft_host"))) {
+      (acc, m) => acc.when(col("graft_slen") === m,
+        substring_index(col("graft_host"), ".", -(m + 1)))
+    }
+    joined
+      .withColumn("graft_slen", slen)
+      .withColumn(out, coalesce(domain, col("graft_host")))
+      .drop("graft_host" +: "graft_n" +: "graft_slen" +:
+        (1 to maxLabels).flatMap(m => Seq(s"graft_k$m", s"graft_p$m",
+          s"graft_w$m", s"graft_e$m")): _*)
+  }
+
+  /** Load a publicsuffix.org–format rule list into the one-column
+    * `suffix` frame [[registeredDomainByTable]] consumes: `//`
+    * comments and blank lines dropped, rules trimmed (wildcard `*.`
+    * and exception `!` syntax pass through). `section` restricts to
+    * the `===BEGIN ICANN DOMAINS===` / `===BEGIN PRIVATE DOMAINS===`
+    * block (`"icann"` | `"private"` | `"all"`). The file is
+    * control-plane sized (~250 KB for the full registry), so it is
+    * read driver-side through the Hadoop FS API (works on local/HDFS/
+    * object-store paths alike) and becomes a broadcast-sized local
+    * relation — exactly the shape the suffix join wants. */
+  def loadPublicSuffixList(spark: SparkSession, path: String,
+                           section: String = "all"): DataFrame = {
+    require(Set("all", "icann", "private")(section),
+      s"section must be all|icann|private, got '$section'")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    var active = section == "all"
+    val rules = Seq.newBuilder[String]
+    text.split("\n").foreach { raw =>
+      val line = raw.trim
+      if (line.startsWith("//")) {
+        if (line.contains("===BEGIN ICANN DOMAINS==="))
+          active = section != "private"
+        else if (line.contains("===BEGIN PRIVATE DOMAINS==="))
+          active = section != "icann"
+      } else if (line.nonEmpty && active) rules += line
+    }
+    import spark.implicits._
+    rules.result().toDF("suffix")
   }
 
   /** Drop rows whose registered domain appears in `blocked` (a one-column
@@ -359,7 +436,9 @@ object WebText {
   /** Visible text of an HTML payload: `<script>`/`<style>` blocks and
     * comments removed wholesale (their content is never visible), all
     * remaining tags replaced by a space (so `</p><p>` doesn't weld two
-    * words), the five predefined entities plus `&nbsp;`/`&#39;` decoded,
+    * words), character references decoded in full — numeric
+    * `&#8217;`/`&#xE9;` plus the named table
+    * ([[graft.functions.HtmlUnescapeOps]]; `&nbsp;`-family → space) —
     * and whitespace collapsed. This is the boilerplate-strip half of a
     * Trafilatura-style extractor, expressed as a codegen'd regex chain —
     * the DOM-scoring half (link density, block weights) composes on top
@@ -388,19 +467,20 @@ object WebText {
   def visibleText(html: Column): Column =
     graft.functions.VisibleTextFunctions.visibleText(html)
 
-  /** The original regexp_replace chain — the exact transforms every
-    * visible-text oracle splices into DuckDB SQL, kept as the
+  /** The regexp_replace strip chain with the shared
+    * [[graft.functions.HtmlUnescapeOps]] entity stage — the
     * cross-engine reference the native kernel is parity-pinned
-    * against. */
+    * against: the four STRIP passes are the exact regexes every
+    * visible-text oracle splices into DuckDB SQL, and the entity stage
+    * is the full character-reference decoder (numeric `&#8217;` /
+    * `&#xE9;` + the named table — a fixed replace chain cannot express
+    * numeric references, so the oracles mirror the decode with
+    * per-planted-form replaces over inputs whose reference forms they
+    * control). */
   private[graft] def visibleTextRegex(html: Column): Column = {
     val noTags = regexp_replace(stripNonVisible(html), "<[^>]*>", " ")
-    val ent1 = regexp_replace(noTags, "&nbsp;", " ")
-    val ent2 = regexp_replace(ent1, "&lt;", "<")
-    val ent3 = regexp_replace(ent2, "&gt;", ">")
-    val ent4 = regexp_replace(ent3, "&quot;", "\"")
-    val ent5 = regexp_replace(ent4, "&#39;", "'")
-    val ent6 = regexp_replace(ent5, "&amp;", "&") // last: avoid double-decode
-    trim(regexp_replace(ent6, "\\s+", " "))
+    val decoded = graft.functions.HtmlUnescapeFunctions.htmlUnescapeWs(noTags)
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
 
   /** All ABSOLUTE http(s) `href` targets of a page's `<a>` tags, in
@@ -430,8 +510,8 @@ object WebText {
     * (and a training-pair source: anchor → linked page). Same
     * quote/attribute handling as [[extractLinks]]; the anchor is the
     * tag's inner content up to the first `</a>` with nested markup
-    * stripped, the five standard entities decoded, and whitespace
-    * collapsed. The outer match extracts whole `<a …>…</a>` spans
+    * stripped, character references decoded in full
+    * ([[graft.functions.HtmlUnescapeOps]]), and whitespace collapsed. The outer match extracts whole `<a …>…</a>` spans
     * (group 0); per-span group extraction then runs on the SHORT span
     * string, so the nested regex work is O(span), not O(page), per
     * link. Non-greedy quantifiers only — no backreferences, same
@@ -439,16 +519,14 @@ object WebText {
   def anchorTexts(html: Column): Column = {
     val pat = "(?is)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*[\"'](https?://[^\"'<>\\s]+)[\"']" +
       "[^>]*>(.*?)</a>"
-    def decode(c: Column): Column =
-      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-          "&amp;" -> "&").foldLeft(c) { case (acc, (e, ch)) =>
-        replace(acc, lit(e), lit(ch))   // plain replace (all occurrences, no
-      }                                 // regex); &amp; LAST so "&amp;lt;"
-                                        // decodes to "&lt;", not "<"
+    // anchor labels get the shared full character-reference decode
+    // (cleanText); hrefs deliberately keep the &amp;-only decode — a
+    // URL is a dedup/canonicalization KEY, and the RFC 3986 path never
+    // entity-decodes, so broader decoding there would fork key spaces
     transform(regexp_extract_all(html, lit(pat), lit(0)), m => struct(
       replace(regexp_extract(m, pat, 1), lit("&amp;"), lit("&")).as("href"),
-      trim(regexp_replace(decode(regexp_replace(
-        regexp_extract(m, pat, 2), "<[^>]*>", " ")), "\\s+", " ")).as("anchor")))
+      cleanText(regexp_replace(
+        regexp_extract(m, pat, 2), "<[^>]*>", " ")).as("anchor")))
   }
 
   /** Host-level link graph: explode each page's out-links — relative
@@ -769,13 +847,8 @@ object WebText {
     * (empty string when absent). Pure codegen'd regex projection —
     * scan-stage, no shuffle, the Java∩RE2 discipline throughout. */
   def pageMetadata(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
-    def clean(c: Column): Column = {
-      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&").foldLeft(c) {
-        case (acc, (e, ch)) => replace(acc, lit(e), lit(ch))
-      }
-      trim(regexp_replace(decoded, "\\s+", " "))
-    }
+    // the shared full character-reference decode + whitespace fold
+    def clean(c: Column): Column = cleanText(c)
     def metaContent(nameAttr: String, name: String): Column = {
       // the name is FOLLOWED by a boundary char (quote, whitespace, /,
       // >) so an attribute value merely STARTING with it
@@ -840,15 +913,13 @@ object WebText {
       lit("&amp;"), lit("&"))
 
   /** Entity decode + whitespace fold shared by the text-bearing
-    * extractors (the [[visibleText]] entity set; `&amp;` LAST so
-    * `&amp;lt;` decodes to `&lt;`, not `<`). */
-  private def cleanText(c: Column): Column = {
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&").foldLeft(c) {
-      case (acc, (e, ch)) => replace(acc, lit(e), lit(ch))
-    }
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
+    * extractors: the full [[graft.functions.HtmlUnescapeOps]] decoder
+    * (numeric + named references, `&nbsp;`-family → space so the fold
+    * below collapses it; single pass, so `&amp;lt;` decodes to `&lt;`,
+    * not `<`). */
+  private def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.HtmlUnescapeFunctions.htmlUnescapeWs(c), "\\s+", " "))
 
   /** First `rel="canonical"` link target of a page in document order
     * ('' when none) — the author-declared consolidation key. May be

@@ -6091,23 +6091,31 @@ object PipelineQueries {
 
   /** Longest-match suffix-TABLE registered domain
     * ([[graft.ops.WebText.registeredDomainByTable]] — the
-    * full-publicsuffix.org deployment path): eight planted host shapes
-    * covering a 3-label suffix under a deep subdomain
-    * (`school.act.edu.au`), a host that IS its 3-label suffix, the US
-    * k12 district class, 2-label suffixes with and without extra
-    * labels, the plain-TLD fallback, and a single-label host.
-    * GROUND-TRUTH oracle (expected domains spelled out); WebTextSpec
-    * additionally pins table≡regex equivalence on every 2-label rule. */
+    * full-publicsuffix.org deployment path, FULL rule semantics):
+    * twelve planted host shapes covering a 3-label suffix under a deep
+    * subdomain (`school.act.edu.au`), a host that IS its 3-label
+    * suffix, the US k12 district class, 2-label suffixes with and
+    * without extra labels, the plain-TLD fallback, a single-label
+    * host, and the publicsuffix wildcard/exception algebra — `*.ck`
+    * (every label under `ck` is itself a suffix), `!www.ck` (the
+    * exception that beats the wildcard, at depth), `*.nom.br` (a
+    * wildcard whose base is already 2 labels), and a host that IS a
+    * wildcard-covered suffix exactly. GROUND-TRUTH oracle (expected
+    * domains spelled out); WebTextSpec additionally pins table≡regex
+    * equivalence on every 2-label rule. */
   val q229PslTable: Q = q("q229_psl_table",
-    """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS m
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 12 AS INT) AS m
       |  FROM documents)
       |SELECT doc_id,
       |  CASE m WHEN 0 THEN 'school.act.edu.au' WHEN 1 THEN 'act.edu.au'
       |    WHEN 2 THEN 'district.k12.ca.us' WHEN 3 THEN 'shop.com.cn'
       |    WHEN 4 THEN 'co.uk' WHEN 5 THEN 'example.fr'
-      |    WHEN 6 THEN 'example.org' ELSE 'localhost' END AS domain
+      |    WHEN 6 THEN 'example.org' WHEN 7 THEN 'localhost'
+      |    WHEN 8 THEN 'b.foo.ck' WHEN 9 THEN 'www.ck'
+      |    WHEN 10 THEN 'a.smith.nom.br' ELSE 'foo.ck' END AS domain
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val m = col("doc_id") % 8
+    import s.implicits._
+    val m = col("doc_id") % 12
     val url = when(m === 0, lit("http://www.deep.school.act.edu.au/x"))
       .when(m === 1, lit("http://act.edu.au/"))
       .when(m === 2, lit("https://portal.district.k12.ca.us:8080/y"))
@@ -6115,10 +6123,20 @@ object PipelineQueries {
       .when(m === 4, lit("http://co.uk/")) // host == its own suffix
       .when(m === 5, lit("http://deep.example.fr/p"))
       .when(m === 6, lit("http://a.b.example.org/q")) // plain-TLD rule
-      .otherwise(lit("http://localhost/r"))
+      .when(m === 7, lit("http://localhost/r"))
+      // *.ck: the * consumes `foo`, suffix = foo.ck, domain takes one more
+      .when(m === 8, lit("http://a.b.foo.ck/w"))
+      // !www.ck beats *.ck even from a deeper subdomain
+      .when(m === 9, lit("http://deep.www.ck/e"))
+      // *.nom.br: 3-label effective suffix smith.nom.br
+      .when(m === 10, lit("http://x.a.smith.nom.br/n"))
+      // host IS a wildcard-covered suffix → returns itself
+      .otherwise(lit("http://foo.ck/"))
+    val rules = WebText.suffixTable(s)
+      .unionAll(Seq("*.ck", "!www.ck", "*.nom.br").toDF("suffix"))
     WebText.registeredDomainByTable(
         Tables.documents(s, d).select(col("doc_id"), url.as("url")),
-        "url", WebText.suffixTable(s))
+        "url", rules)
       .select("doc_id", "domain").orderBy("doc_id")
   }
 
@@ -7154,6 +7172,115 @@ object PipelineQueries {
       .orderBy("src_domain", "dst_domain")
   }
 
+  /** Character-reference decoding across every text-bearing extractor
+    * ([[graft.functions.HtmlUnescapeOps]] threaded through
+    * `visibleText`, `pageMetadata`, `anchorTexts`, `feedEntries`):
+    * planted numeric (decimal, hex, astral, C1-remap), named (Latin-1
+    * + punctuation), nbsp-family, double-escaped (`&amp;#8212;` stays
+    * one level), and INVALID (`&bad;`, `&#xZZ;`) references per doc.
+    * GROUND-TRUTH oracle: DuckDB re-derives every expected string from
+    * `chr()` code points — a missed form, a double decode, a wrong
+    * Windows-1252 remap, or an nbsp that fails to fold into the
+    * whitespace collapse all hash-diverge. Scan-stage regex + native
+    * char-scan projections only — no shuffle before the final sort. */
+  val q249CharRefs: Q = q("q249_char_refs",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 500)
+      |SELECT doc_id,
+      |  'caf' || chr(233) || ' ' || chr(8212) || ' ' || chr(128512) ||
+      |    ' A&B &bad; &#xZZ; ' || chr(8217) || ' &#8212; q' ||
+      |    CAST(doc_id AS VARCHAR) AS vis,
+      |  'T' || chr(8217) || 's ' || chr(171) || 'N' || chr(187) AS title,
+      |  'http://x.org/a?u=1&v=2' AS href,
+      |  'L' || chr(233) || 'o ' || chr(8230) AS anchor,
+      |  'F' || chr(233) || 'e ' || chr(8230) AS feed_title
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val body = concat(
+      lit("<p>caf&eacute; &#8212; &#x1F600; A&amp;B&nbsp;&bad; &#xZZ; " +
+        "&#146; &amp;#8212; q"),
+      col("doc_id").cast("string"),
+      lit("</p><script>var x='&mdash;';</script><!-- &hellip; -->"))
+    val page = lit("<head><title>T&#8217;s &laquo;N&raquo;</title></head>" +
+      "<body><a href=\"http://x.org/a?u=1&amp;v=2\">L&eacute;o&nbsp;" +
+      "&#8230;</a></body>")
+    val xml = lit("<rss><channel><title>c</title><item>" +
+      "<title>F&#xE9;e &hellip;</title><link>http://f.org/e</link>" +
+      "</item></channel></rss>")
+    val base = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), body.as("graft_body"), page.as("html"),
+        xml.as("graft_xml"))
+    WebText.pageMetadata(base)
+      .select(col("doc_id"),
+        WebText.visibleText(col("graft_body")).as("vis"),
+        col("title"),
+        get(WebText.anchorTexts(col("html")), lit(0)).getField("href")
+          .as("href"),
+        get(WebText.anchorTexts(col("html")), lit(0)).getField("anchor")
+          .as("anchor"),
+        get(WebText.feedEntries(col("graft_xml")), lit(0)).getField("title")
+          .as("feed_title"))
+      .orderBy("doc_id")
+  }
+
+  /** Value oracle for the PQ asymmetric-distance scorer
+    * ([[graft.ops.Similarity.pqEncode]] →
+    * [[graft.ops.Similarity.pqAdcTopK]] with a FIXED literal model —
+    * the q226 trick applied to the last rows-only ANN machine).
+    * Vectors are the EXACT integer-eighths construction
+    * `v[j] = ((vec_id·31 + j·17) mod 97) / 8` (raw float embeddings
+    * put dozens of code-identical vectors in last-ulp near-ties at the
+    * top-k cut, where engine-side summation order decides the order —
+    * exact dyadic rationals make every distance bit-identical in both
+    * engines, so ties break on vec_id deterministically): codebooks
+    * from the construction at vec_id 0–3 sliced into 4 subspaces of
+    * 16 dims, every corpus vector encodes to its per-subspace argmin
+    * code (ties to the lower cid), the construction at vec_id 5 is
+    * the query, ADC top-10 by the m-lookup table sum. The oracle
+    * re-derives codebooks, both argmin stages, the query distance
+    * table, the lookup-sum, and the (dist, vec_id) rank — a drifted
+    * slice offset, tie-break, or table indexing hash-diverges. */
+  val q250PqAdc: Q = q("q250_pq_adc",
+    """WITH e AS (SELECT vec_id, list_transform(range(1, 65),
+      |    j -> CAST((vec_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM embeddings),
+      |cb AS (SELECT vec_id AS c, v FROM e WHERE vec_id < 4),
+      |sub AS (SELECT unnest(range(0, 4)) AS s),
+      |cd AS (SELECT e.vec_id, sub.s, cb.c,
+      |    list_sum(list_transform(range(1, 17),
+      |      j -> (e.v[sub.s * 16 + j] - cb.v[sub.s * 16 + j]) *
+      |           (e.v[sub.s * 16 + j] - cb.v[sub.s * 16 + j]))) AS dist
+      |  FROM e CROSS JOIN cb CROSS JOIN sub),
+      |codes AS (SELECT vec_id, s, c FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY dist, c) AS rn FROM cd)
+      |  WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+      |qd AS (SELECT sub.s, cb.c,
+      |    list_sum(list_transform(range(1, 17),
+      |      j -> (q.qv[sub.s * 16 + j] - cb.v[sub.s * 16 + j]) *
+      |           (q.qv[sub.s * 16 + j] - cb.v[sub.s * 16 + j]))) AS qdist
+      |  FROM q CROSS JOIN cb CROSS JOIN sub),
+      |adc AS (SELECT codes.vec_id, sum(qd.qdist) AS dist
+      |  FROM codes JOIN qd ON codes.s = qd.s AND codes.c = qd.c
+      |  GROUP BY codes.vec_id)
+      |SELECT vec_id, round(dist, 4) AS adc_dist,
+      |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rnk
+      |FROM adc ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    import graft.ops.Similarity
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(j0 => ((id * 31 + (j0 + 1) * 17) % 97).toDouble / 8.0)
+    val model = Similarity.PqModel(16,
+      Array.tabulate(4)(sub =>
+        Array.tabulate(4)(c => vec(c.toLong).slice(sub * 16, sub * 16 + 16))))
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => ((col("vec_id") * 31 + j * 17) % 97).cast("double") / lit(8.0))
+        .as("embedding"))
+    Similarity.pqAdcTopK(Similarity.pqEncode(corpus, model), model,
+        vec(5L), 10)
+      .select(col("vec_id"), round(col("adc_dist"), 4).as("adc_dist"),
+        col("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7206,5 +7333,6 @@ object PipelineQueries {
     q235FeedDiscovery, q236FeedEntries, q237JsonLd, q238CanonicalWarc,
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
-    q246SitemapHints, q247Backoff, q248NofollowEdges)
+    q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
+    q250PqAdc)
 }

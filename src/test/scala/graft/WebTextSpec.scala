@@ -96,6 +96,71 @@ class WebTextSpec extends SparkSpec {
     assert(both.filter(col("t") =!= col("r")).count() === 0)
   }
 
+  test("registeredDomainByTable: wildcard and exception rules follow " +
+    "the publicsuffix.org algorithm (exception beats wildcard beats " +
+    "plain beats implicit *)") {
+    val rules = WebText.suffixTable(spark).unionAll(Seq(
+      "*.ck", "!www.ck", "*.nom.br", "*.kobe.jp", "!city.kobe.jp")
+      .toDF("suffix"))
+    val cases = Seq(
+      // *.ck: the * consumes one label → suffix foo.ck, +1 label
+      "http://a.b.foo.ck/x" -> "b.foo.ck",
+      // host IS a wildcard-covered suffix → itself
+      "http://foo.ck/" -> "foo.ck",
+      // bare TLD under a wildcard: no label for the * to consume
+      "http://ck/" -> "ck",
+      // the library's leading-www strip runs BEFORE suffix matching
+      // (the registeredDomain convention), so a literal www.ck host
+      // reduces to the bare TLD...
+      "http://www.ck/" -> "ck",
+      // ...while the exception rule applies from any deeper subdomain
+      "http://deep.www.ck/" -> "www.ck",
+      "http://a.deep.www.ck/" -> "www.ck",
+      // wildcard with a 2-label base → 3-label effective suffix
+      "http://x.a.smith.nom.br/n" -> "a.smith.nom.br",
+      "http://smith.nom.br/" -> "smith.nom.br",
+      // the real-world *.kobe.jp / !city.kobe.jp pair
+      "http://sub.city.kobe.jp/" -> "city.kobe.jp",
+      "http://x.other.kobe.jp/" -> "x.other.kobe.jp",
+      // plain rules still work alongside
+      "http://a.example.co.uk/" -> "example.co.uk",
+      "http://plain.example.org/" -> "example.org")
+    val got = WebText.registeredDomainByTable(
+        cases.map(_._1).toDF("url"), "url", rules)
+      .select("domain").as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("loadPublicSuffixList: comments/blanks dropped, rule syntax " +
+    "passes through, section filters honor the ===BEGIN=== markers") {
+    val f = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(f, Seq(
+      "// comment header", "",
+      "// ===BEGIN ICANN DOMAINS===",
+      "com", "co.uk", "*.ck", "!www.ck", "  padded.example  ", "",
+      "// ===END ICANN DOMAINS===",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "github.io", "*.s3.amazonaws.example",
+      "// ===END PRIVATE DOMAINS===").mkString("\n"))
+    def load(sec: String) =
+      WebText.loadPublicSuffixList(spark, f.toString, sec)
+        .as[String].collect().toSeq
+    assert(load("all") === Seq("com", "co.uk", "*.ck", "!www.ck",
+      "padded.example", "github.io", "*.s3.amazonaws.example"))
+    assert(load("icann") === Seq("com", "co.uk", "*.ck", "!www.ck",
+      "padded.example"))
+    assert(load("private") === Seq("github.io", "*.s3.amazonaws.example"))
+    intercept[IllegalArgumentException] {
+      WebText.loadPublicSuffixList(spark, f.toString, "bogus")
+    }
+    // the loaded frame composes with the domain join end-to-end
+    val d = WebText.registeredDomainByTable(
+        Seq("http://a.b.foo.ck/").toDF("url"), "url",
+        WebText.loadPublicSuffixList(spark, f.toString))
+      .select("domain").as[String].head()
+    assert(d === "b.foo.ck")
+  }
+
   test("normalizePercent: unreserved decode, hex uppercase, reserved " +
     "kept, malformed verbatim") {
     val got = Seq(
