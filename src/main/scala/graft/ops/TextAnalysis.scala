@@ -96,6 +96,84 @@ object TextAnalysis {
           x => x("sentence")), " ").as("text"))
   }
 
+  /** Length-based bitext sentence alignment over translation clusters —
+    * the multilingual-training-pair miner that composes the hreflang
+    * clustering (q244) with sentence segmentation ([[sentenceRows]]):
+    * a Gale-Church-SHAPED heuristic in exact integer micros. Input:
+    * one row per (cluster, lang) document. Per document, each
+    * sentence's relative MIDPOINT position is computed in character
+    * space — `mid = (2·chars_before + len) · 1e6 / (2 · total_chars)`,
+    * exact Long floor ([[Micros.ratio]] — translations keep relative
+    * sentence positions far better than absolute indexes, which is
+    * Gale-Church's observation) — then for every lang pair
+    * (`src_lang < dst_lang`) each src sentence pairs with the dst
+    * sentence of NEAREST midpoint (ties to the lower dst index), and
+    * a length-ratio gate in micros (`min·1e6/max ≥
+    * minLenRatioMicros`) drops pairs no plausible translation
+    * produces (default ≥ 0.5: within 2× — the classic Gale-Church
+    * prior). Deterministic and oracle-able end to end: every number
+    * is exact integer arithmetic, so the nearest-match and the gate
+    * can never drift between engines. Output per surviving pair:
+    * `(clusterCol, src_lang, dst_lang, src_idx, dst_idx,
+    * src_sentence, dst_sentence, mid_delta_micros,
+    * len_ratio_micros)`. The mapping is src-total (every src sentence
+    * emits its best dst candidate; a dst sentence may serve several
+    * src sentences when the dst side merged them) — filter on
+    * `mid_delta_micros` for precision-biased harvesting.
+    *
+    * Scale shape: sentence windows partition BY (cluster, lang) —
+    * per-partition cardinality is one document's sentence count; the
+    * candidate join keys on the CLUSTER, so its fan-out is one
+    * article's sentence count squared (the same O(n·m) a real
+    * Gale-Church DP pays, without driver state), never
+    * corpus-shaped; then one per-src window for the argmin. No
+    * global window, no collect. */
+  def bitextAlign(docs: DataFrame, clusterCol: String = "cluster_key",
+                  langCol: String = "lang", textCol: String = "text",
+                  minLenRatioMicros: Long = 500000L): DataFrame = {
+    require(minLenRatioMicros >= 0 && minLenRatioMicros <= 1000000L,
+      s"minLenRatioMicros in [0, 1e6], got $minLenRatioMicros")
+    import org.apache.spark.sql.expressions.Window
+    val sents = docs
+      .select(col(clusterCol), col(langCol).as("graft_lang"),
+        posexplode(sentences(col(textCol))).as(Seq("graft_pos", "graft_sent")))
+      .withColumn("graft_idx", col("graft_pos").cast("long"))
+      .withColumn("graft_len", length(col("graft_sent")).cast("long"))
+    val wCum = Window.partitionBy(clusterCol, "graft_lang")
+      .orderBy("graft_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(clusterCol, "graft_lang")
+    val mids = sents
+      .withColumn("graft_before",
+        coalesce(sum(col("graft_len")).over(wCum), lit(0L)))
+      .withColumn("graft_total", sum(col("graft_len")).over(wTot))
+      .withColumn("graft_mid", Micros.ratio(
+        col("graft_before") * 2 + col("graft_len"), col("graft_total") * 2))
+      .select(col(clusterCol), col("graft_lang"), col("graft_idx"),
+        col("graft_sent"), col("graft_len"), col("graft_mid"))
+    val a = mids.select(col(clusterCol), col("graft_lang").as("src_lang"),
+      col("graft_idx").as("src_idx"), col("graft_sent").as("src_sentence"),
+      col("graft_len").as("graft_sl"), col("graft_mid").as("graft_sm"))
+    val b = mids.select(col(clusterCol), col("graft_lang").as("dst_lang"),
+      col("graft_idx").as("dst_idx"), col("graft_sent").as("dst_sentence"),
+      col("graft_len").as("graft_dl"), col("graft_mid").as("graft_dm"))
+    val wBest = Window
+      .partitionBy(clusterCol, "src_lang", "dst_lang", "src_idx")
+      .orderBy(col("mid_delta_micros"), col("dst_idx"))
+    a.join(b, Seq(clusterCol)).filter(col("src_lang") < col("dst_lang"))
+      .withColumn("mid_delta_micros", abs(col("graft_sm") - col("graft_dm")))
+      .withColumn("graft_rn", row_number().over(wBest))
+      .filter(col("graft_rn") === 1)
+      .withColumn("len_ratio_micros", Micros.ratio(
+        least(col("graft_sl"), col("graft_dl")),
+        greatest(col("graft_sl"), col("graft_dl"))))
+      .filter(col("len_ratio_micros") >= minLenRatioMicros)
+      .select(col(clusterCol), col("src_lang"), col("dst_lang"),
+        col("src_idx"), col("dst_idx"), col("src_sentence"),
+        col("dst_sentence"), col("mid_delta_micros"),
+        col("len_ratio_micros"))
+  }
+
   /** Tiny per-language stopword profiles for heuristic lang-ID. A real
     * pipeline ships char-n-gram models; the heuristic keeps identical
     * plumbing (score → argmax) with a deterministic, dependency-free

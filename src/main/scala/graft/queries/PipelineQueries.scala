@@ -7281,6 +7281,73 @@ object PipelineQueries {
       .orderBy("rnk")
   }
 
+  /** Bitext alignment capstone ([[graft.ops.TextAnalysis.bitextAlign]]
+    * — hreflang-style translation clusters × sentence segmentation ×
+    * exact-micros length alignment): per doc, an `en` text of three
+    * sentences and a `de` text of three sentences whose last is a
+    * 2-char fragment, in one cluster. The midpoint nearest-match pairs
+    * the first two de sentences with their en counterparts and the
+    * fragment's best candidate fails the ≥0.5 length-ratio gate — the
+    * classic Gale-Church prior dropping an implausible pair. The
+    * oracle re-derives EVERYTHING: the spliced [[TextAnalysis
+    * .SentencePattern]] segmentation, per-sentence lengths, running
+    * character offsets, the `(2·before+len)·1e6 // (2·total)` exact
+    * midpoint, the (|Δmid|, dst_idx) argmin, and the micros ratio
+    * gate — any drift in window frame, floor division, or tie-break
+    * hash-diverges. */
+  val q251Bitext: Q = q("q251_bitext",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+      |docs AS (
+      |  SELECT doc_id, 'c' || CAST(doc_id AS VARCHAR) AS cluster_key,
+      |    'en' AS lang,
+      |    'Aa ' || CAST(doc_id AS VARCHAR) ||
+      |      ' bb. Cc dd ee ff gg. Hh ii jj kk.' AS text FROM t
+      |  UNION ALL
+      |  SELECT doc_id, 'c' || CAST(doc_id AS VARCHAR), 'de',
+      |    'Xx ' || CAST(doc_id AS VARCHAR) ||
+      |      ' yy. Zz ww vv uu tt ss. U.' FROM t),
+      |s AS (SELECT cluster_key, lang,
+      |  list_filter(list_transform(regexp_extract_all(text,
+      |    '""".stripMargin + TextAnalysis.SentencePattern +
+      """'), x -> trim(x)), x -> x <> '') AS l FROM docs),
+      |r AS (SELECT cluster_key, lang, l,
+      |    unnest(range(1, len(l) + 1)) AS i FROM s),
+      |x AS (SELECT cluster_key, lang, CAST(i - 1 AS BIGINT) AS idx,
+      |    l[i] AS sentence, CAST(length(l[i]) AS BIGINT) AS ln FROM r),
+      |c AS (SELECT *, coalesce(sum(ln) OVER (PARTITION BY cluster_key,
+      |      lang ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+      |      PRECEDING), 0) AS bef,
+      |    sum(ln) OVER (PARTITION BY cluster_key, lang) AS tot FROM x),
+      |m AS (SELECT cluster_key, lang, idx, sentence, ln,
+      |    CAST(((2 * bef + ln) * 1000000) // (2 * tot) AS BIGINT) AS mid
+      |  FROM c),
+      |p AS (SELECT a.cluster_key, a.lang AS src_lang, b.lang AS dst_lang,
+      |    a.idx AS src_idx, b.idx AS dst_idx,
+      |    a.sentence AS src_sentence, b.sentence AS dst_sentence,
+      |    abs(a.mid - b.mid) AS mid_delta_micros, a.ln AS al, b.ln AS bl
+      |  FROM m a JOIN m b USING (cluster_key) WHERE a.lang < b.lang),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_key,
+      |    src_lang, dst_lang, src_idx
+      |    ORDER BY mid_delta_micros, dst_idx) AS rn FROM p)
+      |SELECT cluster_key, src_lang, dst_lang, src_idx, dst_idx,
+      |  src_sentence, dst_sentence, mid_delta_micros,
+      |  (least(al, bl) * 1000000) // greatest(al, bl) AS len_ratio_micros
+      |FROM rk WHERE rn = 1
+      |  AND (least(al, bl) * 1000000) // greatest(al, bl) >= 500000
+      |ORDER BY cluster_key, src_idx""".stripMargin) { (s, d) =>
+    val id = col("doc_id").cast("string")
+    val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+    val en = base.select(concat(lit("c"), id).as("cluster_key"),
+      lit("en").as("lang"),
+      concat(lit("Aa "), id, lit(" bb. Cc dd ee ff gg. Hh ii jj kk."))
+        .as("text"))
+    val de = base.select(concat(lit("c"), id).as("cluster_key"),
+      lit("de").as("lang"),
+      concat(lit("Xx "), id, lit(" yy. Zz ww vv uu tt ss. U.")).as("text"))
+    TextAnalysis.bitextAlign(en.unionAll(de))
+      .orderBy("cluster_key", "src_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7334,5 +7401,5 @@ object PipelineQueries {
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
-    q250PqAdc)
+    q250PqAdc, q251Bitext)
 }

@@ -906,4 +906,36 @@ class CurationSpec extends SparkSpec {
       .select("n_tokens").as[Long].collect().toList
     assert(nt === List(5L))
   }
+
+  test("bitextAlign: exact-micros midpoint nearest-match, length-ratio " +
+    "gate drops fragments, equal-delta ties to the lower dst index, " +
+    "single-lang clusters emit nothing") {
+    import graft.ops.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // en: lens 8/15/12 (total 35); de: 8/18/2 (total 28) — the 2-char
+      // fragment's best candidate fails the ≥0.5 ratio gate
+      ("c1", "en", "Aa 7 bb. Cc dd ee ff gg. Hh ii jj kk."),
+      ("c1", "de", "Xx 7 yy. Zz ww vv uu tt ss. U."),
+      // src has ONE sentence at mid 500000; both dst sentences are
+      // equidistant (250000) → the tie falls to dst_idx 0
+      ("c2", "aa", "Mid pt x."),
+      ("c2", "bb", "Eq one x. Eq two y."),
+      ("c3", "zz", "Lonely sentence here."))
+      .toDF("cluster_key", "lang", "text")
+    val got = TextAnalysis.bitextAlign(docs)
+      .select("cluster_key", "src_lang", "dst_lang", "src_idx", "dst_idx",
+        "mid_delta_micros", "len_ratio_micros")
+      .as[(String, String, String, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set(
+      ("c1", "de", "en", 0L, 0L, 28572L, 1000000L),
+      ("c1", "de", "en", 1L, 1L, 164285L, 833333L),
+      ("c2", "aa", "bb", 0L, 0L, 250000L, 1000000L)))
+    // a permissive gate admits the fragment pair the default dropped
+    val loose = TextAnalysis.bitextAlign(docs, minLenRatioMicros = 100000L)
+      .filter(col("cluster_key") === "c1").count()
+    assert(loose === 3L)
+  }
 }
