@@ -256,9 +256,11 @@ object WebText {
     val refIsHttp = col("graft_ref").rlike("(?i)^https?://")
     val refHasScheme = col("graft_ref").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
     val baseIsHttp = col("graft_base").rlike("(?i)^https?://")
-    val disclaimed = Seq("nofollow", "ugc", "sponsored")
-      .map(v => relContains(col("graft_tag"), v))
-      .reduce(_ || _)
+    // ONE relValue extraction + one alternation token-match per tag
+    // (three separate relContains calls would re-run the attribute
+    // parse per token)
+    val disclaimed = relValue(col("graft_tag"))
+      .rlike("(?i)(?:^|\\s)(?:nofollow|ugc|sponsored)(?:\\s|$)")
     pages
       .withColumn("graft_base", eff)
       // whole `<a …>` OPEN-TAG spans, so per-anchor attributes (href +

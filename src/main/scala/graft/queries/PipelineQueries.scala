@@ -7348,6 +7348,92 @@ object PipelineQueries {
       .orderBy("cluster_key", "src_idx")
   }
 
+  /** Value oracle for the full IVF-PQ RESIDUAL search chain
+    * ([[graft.ops.Similarity.pqIndex]] →
+    * [[graft.ops.Similarity.annIvfPq]] with FIXED literal centers and
+    * codebooks — q250's trick extended from the ADC scorer to the
+    * whole faiss-shaped search): over the exact integer-eighths
+    * construction (all arithmetic up to the final cosine is exact, and
+    * the cosine's dyadic dot/norm inputs are bit-identical in both
+    * engines before the round), corpus vectors assign to their top-1
+    * of 4 cells (construction ids 100–103), encode the cell RESIDUAL
+    * against 2×4 literal sub-codebooks (construction ids 200–203
+    * sliced), queries (ids < 3) probe their 2 nearest cells, and
+    * candidates decode (reconstruction + center) for exact-cosine
+    * top-5. The oracle re-derives the assignment argmin, the residual,
+    * both code argmins, the reconstruction, the probe ranks, the
+    * cosine, and the (cos desc, c_id) rank. */
+  val q252IvfPqSearch: Q = q("q252_ivfpq_search",
+    """WITH ids AS (SELECT vec_id FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(range(1, 65),
+      |    j -> CAST((vec_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM ids),
+      |ctr AS (SELECT unnest(range(0, 4)) AS cell),
+      |ctrv AS (SELECT cell, list_transform(range(1, 65),
+      |    j -> CAST(((100 + cell) * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS cv
+      |  FROM ctr),
+      |ad AS (SELECT e.vec_id, ctrv.cell,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> (e.v[j] - ctrv.cv[j]) * (e.v[j] - ctrv.cv[j]))) AS dist
+      |  FROM e CROSS JOIN ctrv),
+      |asg AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ad)
+      |  WHERE rn = 1),
+      |res AS (SELECT e.vec_id, asg.cell,
+      |    list_transform(range(1, 65), j -> e.v[j] - ctrv.cv[j]) AS r
+      |  FROM e JOIN asg USING (vec_id) JOIN ctrv USING (cell)),
+      |cb AS (SELECT s.s, c.c, list_transform(range(1, 33),
+      |    j -> CAST(((200 + c.c) * 31 + (s.s * 32 + j) * 17) % 97
+      |      AS DOUBLE) / 8.0) AS bv
+      |  FROM (SELECT unnest(range(0, 2)) AS s) s
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+      |cdist AS (SELECT res.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 33),
+      |      j -> (res.r[cb.s * 32 + j] - cb.bv[j]) *
+      |           (res.r[cb.s * 32 + j] - cb.bv[j]))) AS dist
+      |  FROM res CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, c FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY dist, c) AS rn FROM cdist)
+      |  WHERE rn = 1),
+      |recon AS (SELECT res.vec_id, res.cell,
+      |    list_transform(range(1, 65), j -> ctrv.cv[j] +
+      |      CAST(((200 + CASE WHEN j <= 32 THEN c0.c ELSE c1.c END) * 31 +
+      |        j * 17) % 97 AS DOUBLE) / 8.0) AS ce
+      |  FROM res JOIN ctrv USING (cell)
+      |  JOIN codes c0 ON c0.vec_id = res.vec_id AND c0.s = 0
+      |  JOIN codes c1 ON c1.vec_id = res.vec_id AND c1.s = 1),
+      |qp AS (SELECT vec_id AS q_id, cell FROM (SELECT ad.vec_id, ad.cell,
+      |    row_number() OVER (PARTITION BY ad.vec_id
+      |      ORDER BY ad.dist, ad.cell) AS rn
+      |  FROM ad WHERE ad.vec_id < 3) WHERE rn <= 2),
+      |sims AS (SELECT qp.q_id, recon.vec_id AS c_id,
+      |    round(list_dot_product(qe.v, recon.ce) /
+      |      (sqrt(list_dot_product(qe.v, qe.v)) *
+      |       sqrt(list_dot_product(recon.ce, recon.ce))), 4) AS cos_sim
+      |  FROM qp JOIN recon ON recon.cell = qp.cell
+      |  JOIN e qe ON qe.vec_id = qp.q_id
+      |  WHERE qp.q_id <> recon.vec_id)
+      |SELECT q_id, rnk, c_id, cos_sim FROM (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk FROM sims)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.ops.Similarity
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(j0 => ((id * 31 + (j0 + 1) * 17) % 97).toDouble / 8.0)
+    val centers = Array.tabulate(4)(c => vec(100L + c))
+    val model = Similarity.PqModel(32,
+      Array.tabulate(2)(sub =>
+        Array.tabulate(4)(c => vec(200L + c).slice(sub * 32, sub * 32 + 32))))
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => ((col("vec_id") * 31 + j * 17) % 97).cast("double") / lit(8.0))
+        .as("embedding"))
+    val index = Similarity.pqIndex(corpus, centers, model).localCheckpoint()
+    Similarity.annIvfPq(corpus.filter(col("vec_id") < 3), index, centers,
+        model, k = 5, nprobe = 2)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7401,5 +7487,5 @@ object PipelineQueries {
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
-    q250PqAdc, q251Bitext)
+    q250PqAdc, q251Bitext, q252IvfPqSearch)
 }
