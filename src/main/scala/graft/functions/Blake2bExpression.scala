@@ -130,5 +130,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       VisibleTextExpr(arity(exprs, 1, 1, "visible_text").head))
     inject("html_unescape", classOf[HtmlUnescapeExpr])(exprs =>
       HtmlUnescapeExpr(arity(exprs, 1, 1, "html_unescape").head))
+    inject("attr_value", classOf[AttrValueExpr])(exprs => {
+      arity(exprs, 2, 2, "attr_value")
+      AttrValueExpr(exprs.head, SqlArgs.strArg(exprs, 1, "attr_value")) })
   }
 }

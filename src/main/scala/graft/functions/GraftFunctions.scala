@@ -97,6 +97,8 @@ object GraftFunctions {
       VisibleTextExpr(arity(exprs, 1, 1, "visible_text").head))
     reg("html_unescape")(exprs =>
       HtmlUnescapeExpr(arity(exprs, 1, 1, "html_unescape").head))
+    reg("attr_value")(exprs => { arity(exprs, 2, 2, "attr_value")
+      AttrValueExpr(exprs.head, SqlArgs.strArg(exprs, 1, "attr_value")) })
   }
 }
 
@@ -126,5 +128,14 @@ private[functions] object SqlArgs {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be an INT literal, got $other")
+    }
+
+  /** Required STRING-literal argument. */
+  def strArg(exprs: Seq[Expression], i: Int, fn: String): String =
+    exprs(i) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a STRING literal, got $other")
     }
 }

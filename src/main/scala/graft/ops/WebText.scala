@@ -886,17 +886,15 @@ object WebText {
 
   /** The tag's `rel` attribute VALUE ('' when absent). Attributes are
     * consumed left-to-right from the tag start — quoted values
-    * swallowed whole, the unquoted branch forbidden from opening a
-    * quote — so a `rel=` substring INSIDE another attribute's value
-    * (`title="rel=nofollow is bad"`) can never be read as the rel
-    * attribute: the title value is consumed as one unit or the match
-    * dies, and backtracking has no parse that lands the tail mid-value.
-    * The captured chunk keeps its quotes (one group either way);
-    * `translate` strips them — rel token lists never contain quotes. */
+    * swallowed whole — so a `rel=` substring INSIDE another
+    * attribute's value (`title="rel=nofollow is bad"`) can never be
+    * read as the rel attribute. Implemented as the native
+    * [[graft.functions.AttrValueOps]] char scan: the equivalent regex
+    * needs an attribute-consuming alternation loop whose backtracking
+    * explodes on exactly the common case — a tag WITHOUT rel (most
+    * `<a>` tags) — measured 2–3× on every rel-reading query. */
   private def relValue(tag: Column): Column =
-    translate(regexp_extract(tag,
-      "(?is)^<[a-z]+(?:\\s+[^\\s=>]+\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s\"'>]*)|\\s+[^\\s=>/]+)*\\s+rel\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>/]+)",
-      1), "\"'", "")
+    graft.functions.AttrValueFunctions.attrValue(tag, "rel")
 
   /** True when the tag's `rel` value-list contains `value` (quoted
     * `rel` may list several tokens — `rel="alternate nofollow"`).
@@ -907,11 +905,14 @@ object WebText {
   private def relContains(tag: Column, value: String): Column =
     relValue(tag).rlike("(?i)(?:^|\\s)" + value + "(?:\\s|$)")
 
-  /** The tag's quoted `href` target with `&amp;` decoded ('' when
-    * absent) — same quote handling as [[extractLinks]]. */
+  /** The tag's `href` target with `&amp;` decoded ('' when absent) —
+    * the native [[graft.functions.AttrValueOps]] attribute read
+    * (quoted or unquoted, left-to-right like [[relValue]]: an `href=`
+    * substring inside another attribute's quoted value can never be
+    * read as the link target, and real-page unquoted hrefs — which the
+    * quoted-only regex dropped — now extract). */
   private def tagHref(tag: Column): Column =
-    replace(regexp_extract(tag,
-        "(?is)[\\s\"']href\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']", 1),
+    replace(graft.functions.AttrValueFunctions.attrValue(tag, "href"),
       lit("&amp;"), lit("&"))
 
   /** Entity decode + whitespace fold shared by the text-bearing
@@ -979,9 +980,11 @@ object WebText {
   def hreflangLinks(html: Column): Column =
     filter(transform(filter(linkTags(html), t => relContains(t, "alternate")),
         t => struct(
-          lower(regexp_extract(t,
-            "(?is)[\\s\"']hreflang\\s*=\\s*[\"']?([A-Za-z0-9-]+)", 1))
-            .as("lang"),
+          // native attribute read, then the leading BCP 47 token (the
+          // old regex's [A-Za-z0-9-]+ truncation rule, kept)
+          lower(regexp_extract(
+            graft.functions.AttrValueFunctions.attrValue(t, "hreflang"),
+            "^[A-Za-z0-9-]+", 0)).as("lang"),
           tagHref(t).as("href"))),
       x => x("lang") =!= "" && x("href") =!= "")
 
@@ -995,9 +998,14 @@ object WebText {
   def feedLinks(html: Column): Column =
     filter(transform(filter(linkTags(html), t => relContains(t, "alternate")),
         t => struct(
-          lower(regexp_extract(t,
-            "(?is)[\\s\"']type\\s*=\\s*[\"']?application/(rss|atom)\\+xml" +
-              "[\"'\\s/>]", 1)).as("feed_type"),
+          // native attribute read + exact MIME equality (the old
+          // boundary-anchored prefix match reduces to this on a whole
+          // attribute value)
+          when(lower(graft.functions.AttrValueFunctions
+              .attrValue(t, "type")) === "application/rss+xml", "rss")
+            .when(lower(graft.functions.AttrValueFunctions
+              .attrValue(t, "type")) === "application/atom+xml", "atom")
+            .otherwise("").as("feed_type"),
           tagHref(t).as("href"))),
       x => x("feed_type") =!= "" && x("href") =!= "")
 

@@ -96,6 +96,35 @@ class WebTextSpec extends SparkSpec {
     assert(both.filter(col("t") =!= col("r")).count() === 0)
   }
 
+  test("attr_value kernel: quoted/unquoted/valueless grammar, decoy " +
+    "attribute values never match, unterminated quotes poison the tag") {
+    import graft.functions.AttrValueOps
+    def av(tag: String) = AttrValueOps.extract(tag, "rel")
+    assert(av("<a rel=\"nofollow ugc\" href=\"x\">") === "nofollow ugc")
+    assert(av("<link rel='a b'>") === "a b")
+    assert(av("<a rel=nofollow/>") === "nofollow") // self-closing slash cut
+    assert(av("<link rel = canonical >") === "canonical")
+    assert(av("<a REL=UGC>") === "UGC") // name case-folds, value verbatim
+    assert(av("<a x=1 y rel=z q=2>") === "z") // valueless attr mid-tag
+    assert(av("<a title=\"rel=nofollow is bad\" href=x>") === "")
+    assert(av("<a title=\"x rel=nofollow y\">") === "")
+    assert(av("<a title='rel=\"nope\"' rel=real>") === "real")
+    assert(av("<a data-rel=x>") === "")
+    assert(av("<a rel>") === "") // valueless target attribute
+    assert(av("<a href=\"unterminated rel=x>") === "")
+    assert(av("<a>") === "")
+    assert(av("plain text") === "")
+    // SQL + codegen surface
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq("<a rel='me nofollow'>").toDF("t")
+      .selectExpr("attr_value(t, 'rel') AS v").as[String].head()
+    assert(got === "me nofollow")
+    intercept[IllegalArgumentException] {
+      graft.functions.AttrValueExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "REL")
+    }
+  }
+
   test("registeredDomainByTable: wildcard and exception rules follow " +
     "the publicsuffix.org algorithm (exception beats wildcard beats " +
     "plain beats implicit *)") {
