@@ -218,6 +218,40 @@ object Warc {
       })
   }
 
+  /** WET conversion-record EXPORT — the CommonCrawl plain-text
+    * artifact as a writable column, closing the ingest→curate→export
+    * loop in the corpus's own interchange format: one `WARC/1.0`
+    * conversion record per doc (version line, WARC-Type /
+    * WARC-Target-URI / WARC-Date headers, `text/plain` Content-Type,
+    * Content-Length in UTF-8 OCTETS — `length()` counts characters
+    * and desyncs every downstream cursor on non-ASCII text), CRLFCRLF,
+    * body, CRLFCRLF. Concatenated records ARE a valid WET file: the
+    * round-trip through [[parseWarcText]] is the format contract
+    * (q253 pins it record-field-for-record-field). `date` is a
+    * caller-supplied column (the capture/export timestamp — export
+    * jobs pass their run date; the default keeps test plans
+    * deterministic). Null-text rows are dropped — a null record
+    * string would silently vanish from downstream concatenation.
+    * Output: the doc columns + `wet_record`.
+    *
+    * Scale shape: scan-stage concat projection, no shuffle; shard
+    * sizing and ordering are the caller's export policy (the
+    * q131/q206 shard machinery), and the registry's `text` format
+    * sink writes the records as-is. */
+  def wetRecords(docs: DataFrame, uriCol: String = "url",
+                 textCol: String = "text",
+                 date: Column = lit("2026-01-01T00:00:00Z")): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("wet_record", concat(
+        lit("WARC/1.0" + Crlf),
+        lit("WARC-Type: conversion" + Crlf),
+        lit("WARC-Target-URI: "), col(uriCol), lit(Crlf),
+        lit("WARC-Date: "), date, lit(Crlf),
+        lit("Content-Type: text/plain" + Crlf),
+        lit("Content-Length: "),
+        length(encode(col(textCol), "UTF-8")).cast("string"), lit(Crlf),
+        lit(Crlf), col(textCol), lit(Crlf + Crlf)))
+
   /** The real-CommonCrawl bytes→text path in ONE cursor pass: WARC
     * envelope parse + HTTP response split + charset-declared body
     * decode ([[Http.splitResponseBytes]] — the byte-level split, which

@@ -7434,6 +7434,47 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** WET export round-trip ([[graft.ops.Warc.wetRecords]] →
+    * [[graft.ops.Warc.parseWarcText]]): the curated corpus written
+    * back out in the CommonCrawl conversion-record format, packed 8
+    * records per chunk in doc order, then re-parsed by the library's
+    * OWN WARC cursor — the format contract as an identity. The oracle
+    * re-derives every parsed field from the construction (uri from
+    * doc_id, Content-Length as UTF-8 octets of the source text, body
+    * = the text verbatim, sequential rec_idx), so a header drift,
+    * an octet/char-length mixup, or a CRLF framing slip breaks the
+    * cursor walk and hash-diverges. */
+  val q253WetExport: Q = q("q253_wet_export",
+    """WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+      |SELECT CAST(doc_id // 8 AS BIGINT) AS chunk_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |    - 1 AS BIGINT) AS rec_idx,
+      |  'conversion' AS warc_type,
+      |  'http://w.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'text/plain' AS content_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+      |  text AS body, TRUE AS valid
+      |FROM t ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("http://w.org/"), col("doc_id").cast("string")).as("url"),
+        col("text"))
+    val chunks = Warc.wetRecords(docs)
+      .select(call_function("div",
+          col("doc_id") - pmod(col("doc_id"), lit(8L)), lit(8L))
+          .as("chunk_id"),
+        col("doc_id"), col("wet_record"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), col("wet_record")))),
+        x => x.getField("wet_record")), "").as("chunk"))
+      .select(col("chunk_id"), encode(col("chunk"), "UTF-8").as("payload"))
+    Warc.parseWarcText(s, chunks).toDF()
+      .select("chunk_id", "rec_idx", "warc_type", "target_uri",
+        "content_type", "content_length", "body", "valid")
+      .orderBy("chunk_id", "rec_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7487,5 +7528,5 @@ object PipelineQueries {
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
-    q250PqAdc, q251Bitext, q252IvfPqSearch)
+    q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport)
 }

@@ -234,4 +234,39 @@ class WarcSpec extends SparkSpec {
       "body_md5"))
     assert(joined.count() === docs.count())
   }
+
+  test("wetRecords: conversion records round-trip through the cursor, " +
+    "Content-Length counts UTF-8 octets on non-ASCII text, null texts " +
+    "drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "http://a.org/1", "plain ascii"),
+      (2L, "http://a.org/2", "café à l'été"), // octets > chars
+      (3L, "http://a.org/3", null)).toDF("doc_id", "url", "text")
+    val recs = Warc.wetRecords(docs,
+      date = lit("2026-08-16T00:00:00Z"))
+    assert(recs.count() === 2) // the null-text row dropped
+    val rec2 = recs.filter(col("doc_id") === 2)
+      .select("wet_record").as[String].head()
+    val bodyOctets = "café à l'été"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(rec2.contains(s"Content-Length: $bodyOctets\r\n"))
+    assert(rec2.contains("WARC-Type: conversion\r\n"))
+    assert(rec2.contains("WARC-Date: 2026-08-16T00:00:00Z\r\n"))
+    // concatenated records ARE a WET file: the library's own cursor
+    // recovers every field
+    val chunk = recs.orderBy("doc_id")
+      .agg(concat_ws("", collect_list(col("wet_record"))).as("c"))
+      .select(encode(col("c"), "UTF-8").as("payload"))
+      .withColumn("chunk_id", lit(0L))
+    val back = Warc.parseWarcText(spark, chunk).toDF()
+      .orderBy("rec_idx")
+      .select("warc_type", "target_uri", "content_length", "body", "valid")
+      .as[(String, String, Long, String, Boolean)].collect().toList
+    assert(back === List(
+      ("conversion", "http://a.org/1", 11L, "plain ascii", true),
+      ("conversion", "http://a.org/2", bodyOctets.toLong,
+        "café à l'été", true)))
+  }
 }
