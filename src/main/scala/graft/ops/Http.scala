@@ -173,9 +173,29 @@ object Http {
     } else if (ce == "deflate") inflateZlib(buf, off, len).foreach { d =>
       buf = d; off = 0; len = d.length
     }
+    // WHATWG byte-order-mark sniff on the DECODED entity's first bytes
+    // — a BOM outranks BOTH the header declaration and the meta
+    // prescan (the page's own leading bytes are the strongest
+    // evidence; real captures carry stale/wrong header charsets over
+    // BOM'd bodies constantly), and the BOM bytes are CONSUMED so a
+    // U+FEFF never leaks into the decoded text head, where it would
+    // pollute tokens, dedup keys, and sentence boundaries. Also the
+    // only way a UTF-16 page decodes at all: a meta prescan over
+    // UTF-16 octets reads interleaved NULs, never a charset token.
+    val (bomCs, bomSkip) =
+      if (len >= 3 && buf(off) == 0xEF.toByte &&
+          buf(off + 1) == 0xBB.toByte && buf(off + 2) == 0xBF.toByte)
+        ("utf-8", 3)
+      else if (len >= 2 && buf(off) == 0xFE.toByte &&
+          buf(off + 1) == 0xFF.toByte) ("utf-16be", 2)
+      else if (len >= 2 && buf(off) == 0xFF.toByte &&
+          buf(off + 1) == 0xFE.toByte) ("utf-16le", 2)
+      else ("", 0)
     val hdrCs =
       CsRe.findFirstMatchIn(hdr).map(_.group(1).toLowerCase).getOrElse("")
-    val cs = if (hdrCs.nonEmpty) hdrCs else {
+    val cs = if (bomCs.nonEmpty) bomCs
+    else if (hdrCs.nonEmpty) hdrCs
+    else {
       // bounded prescan of the body head, ISO-8859-1 (every byte maps to
       // a char, so the scan itself can never throw or lose ASCII markup)
       val head = new String(buf, off, math.min(MetaSniffBytes, len),
@@ -190,7 +210,7 @@ object Http {
       else
         try java.nio.charset.Charset.forName(cs)
         catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
-    val text = new String(buf, off, len, decoder)
+    val text = new String(buf, off + bomSkip, len - bomSkip, decoder)
     (status, ct, cs, text)
   }
 

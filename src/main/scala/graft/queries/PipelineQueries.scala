@@ -7475,6 +7475,61 @@ object PipelineQueries {
       .orderBy("chunk_id", "rec_idx")
   }
 
+  /** Byte-order-mark charset sniffing
+    * ([[graft.ops.Http.splitResponseBytes]], the WHATWG precedence:
+    * BOM > header declaration > meta prescan): four byte-level cohorts
+    * behind the full WARC stack — a UTF-8 BOM under a WRONG latin-1
+    * header (the BOM must win or the planted accents mojibake), a
+    * UTF-16BE body whose only evidence is its BOM (a meta prescan over
+    * UTF-16 octets reads interleaved NULs, never a token), a UTF-16LE
+    * BOM over a decoy meta declaring latin-1, and a BOM-less control
+    * that still honors its header. In every BOM cohort the BOM bytes
+    * are CONSUMED — a leaked U+FEFF at the text head would lengthen
+    * the reconstruction and hash-diverge. GROUND-TRUTH oracle: the
+    * expected text is the source construction verbatim and the
+    * charset token per cohort is spelled out. */
+  val q254BomDecode: Q = q("q254_bom_decode",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, text
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, 200 AS status_code, 'text/html' AS content_type,
+      |  CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16be'
+      |    WHEN 2 THEN 'utf-16le' ELSE 'iso-8859-1' END AS charset,
+      |  CASE WHEN m = 2 THEN '<meta charset="iso-8859-1">' ELSE '' END ||
+      |    '<p>' || text || ' café ñ über</p>' AS text,
+      |  TRUE AS valid
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 4
+    val html = concat(lit("<p>"), col("text"), lit(" café ñ über</p>"))
+    val bomUtf8 = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val bomBe = lit(Array(0xFE.toByte, 0xFF.toByte))
+    val bomLe = lit(Array(0xFF.toByte, 0xFE.toByte))
+    val bodyBytes =
+      // m=0: UTF-8 BOM + UTF-8 bytes under a LYING latin-1 header
+      when(m === 0, concat(bomUtf8, encode(html, "UTF-8")))
+        // m=1: UTF-16BE with only its BOM as evidence
+        .when(m === 1, concat(bomBe, encode(html, "UTF-16BE")))
+        // m=2: UTF-16LE BOM beats a decoy meta (prepended INSIDE the
+        // utf-16 payload, so the prescan could never read it anyway —
+        // the decoy is the header-less + meta-bearing shape)
+        .when(m === 2, concat(bomLe, encode(concat(
+          lit("<meta charset=\"iso-8859-1\">"), html), "UTF-16LE")))
+        // m=3: BOM-less control — the latin-1 header is honored
+        .otherwise(encode(html, "ISO-8859-1"))
+    val hdr = when(m === 0 || m === 3,
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=iso-8859-1\r\n\r\n"))
+      .otherwise(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"))
+    val httpBytes = concat(encode(hdr, "UTF-8"), bodyBytes)
+    val chunks = binaryWarcChunks(Tables.documents(s, d),
+      httpWarcRecordBytes(httpBytes))
+    Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .filter(col("valid"))
+      .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long")
+        .as("doc_id"), col("status_code"), col("content_type"),
+        col("charset"), col("text"), col("valid"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7528,5 +7583,5 @@ object PipelineQueries {
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
-    q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport)
+    q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode)
 }

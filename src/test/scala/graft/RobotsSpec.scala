@@ -207,6 +207,42 @@ class RobotsSpec extends SparkSpec {
       ((null, "", "", "raw bytes")))
   }
 
+  test("Http.splitResponseBytes BOM precedence: BOM beats a lying " +
+    "header and any meta, BOM bytes never leak into the text, UTF-16 " +
+    "decodes from its BOM alone, truncated BOM-ish prefixes stay raw") {
+    def resp(hdrCs: String, body: Array[Byte]): Array[Byte] = {
+      val cs = if (hdrCs.isEmpty) "" else s"; charset=$hdrCs"
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html$cs\r\n\r\n"
+        .getBytes("ISO-8859-1")) ++ body
+    }
+    val bomU8 = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    // UTF-8 BOM under a WRONG latin-1 header: BOM wins, is consumed
+    val u8 = Http.splitResponseBytes(
+      resp("iso-8859-1", bomU8 ++ "café".getBytes("UTF-8")))
+    assert(u8 === ((200, "text/html", "utf-8", "café")))
+    // UTF-16BE/LE decode from the BOM alone (no header charset)
+    val be = Http.splitResponseBytes(resp("",
+      Array(0xFE.toByte, 0xFF.toByte) ++ "über".getBytes("UTF-16BE")))
+    assert(be === ((200, "text/html", "utf-16be", "über")))
+    val le = Http.splitResponseBytes(resp("",
+      Array(0xFF.toByte, 0xFE.toByte) ++ "über".getBytes("UTF-16LE")))
+    assert(le === ((200, "text/html", "utf-16le", "über")))
+    // BOM beats the meta prescan too
+    val overMeta = Http.splitResponseBytes(resp("", bomU8 ++
+      "<meta charset=\"iso-8859-1\">é".getBytes("UTF-8")))
+    assert(overMeta._3 === "utf-8")
+    assert(overMeta._4 === "<meta charset=\"iso-8859-1\">é")
+    // a lone 0xEF 0xBB without the third byte is NOT a BOM: the body
+    // decodes raw (U+FFFD on the malformed head, never a throw)
+    val trunc = Http.splitResponseBytes(resp("",
+      Array(0xEF.toByte, 0xBB.toByte) ++ "x".getBytes("UTF-8")))
+    assert(trunc._3 === "" && trunc._4.endsWith("x"))
+    // a BOM agreeing with its header still strips
+    val agree = Http.splitResponseBytes(
+      resp("utf-8", bomU8 ++ "plain".getBytes("UTF-8")))
+    assert(agree === ((200, "text/html", "utf-8", "plain")))
+  }
+
   test("RobotsGlob.matches: RFC 9309 wildcard semantics — prefix " +
     "reduction, * spans, trailing-$ anchor, mid-pattern $ literal") {
     import graft.functions.RobotsGlob.matches
