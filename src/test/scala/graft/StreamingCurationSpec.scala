@@ -586,6 +586,46 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read("fd_links").count() === 5)
   }
 
+  test("wet export link: the streamed records equal the batch plan, " +
+    "concatenated output round-trips through the WARC cursor, replay " +
+    "no-op") {
+    import graft.ops.Warc
+    import graft.runtime.WetExportLink
+    val s = spark
+    import s.implicits._
+    val b1 = Seq(("http://w.org/1", "doc one"), ("http://w.org/2", "café"))
+    val b2 = Seq(("http://w.org/3", "doc three"))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-wet-stream").toString)
+    val link = new WetExportLink("we_docs", "we_wet",
+      date = "2026-08-16T00:00:00Z")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(docs: Seq[(String, String)]) =
+      Warc.wetRecords(docs.toDF("url", "text"),
+          date = lit("2026-08-16T00:00:00Z"))
+        .select(col("url"), col("wet_record"))
+
+    reg.write(b1.toDF("url", "text"), "we_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("we_wet")) === rows(expected(b1)))
+    reg.write(b2.toDF("url", "text"), "we_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("we_wet")) === rows(expected(b1 ++ b2)))
+    // the accumulated stream IS a WET file: concatenate and re-parse
+    val chunk = reg.read("we_wet").orderBy("url")
+      .agg(concat_ws("", collect_list(col("wet_record"))).as("c"))
+      .select(encode(col("c"), "UTF-8").as("payload"))
+      .withColumn("chunk_id", lit(0L))
+    val back = Warc.parseWarcText(spark, chunk).toDF()
+      .select("target_uri", "body", "warc_type", "valid")
+      .collect().map(_.toSeq).toSet
+    assert(back === (b1 ++ b2).map { case (u, t) =>
+      Seq(u, t, "conversion", true) }.toSet)
+    // replay with no new input appends nothing
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("we_wet").count() === 3)
+  }
+
   test("canonical gate link: one survivor per declared target, earlier " +
     "batches win, fallback targets gate refetches, replay no-op") {
     import graft.runtime.CanonicalGateLink

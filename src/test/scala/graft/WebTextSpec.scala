@@ -160,6 +160,22 @@ class WebTextSpec extends SparkSpec {
     assert(got === cases.map(_._2))
   }
 
+  test("registeredDomainByTable scale shape: every rule join broadcasts " +
+    "and the corpus side never shuffles") {
+    val rules = WebText.suffixTable(spark).unionAll(Seq(
+      "*.ck", "!www.ck").toDF("suffix"))
+    val plan = WebText.registeredDomainByTable(
+        Seq("http://a.b.foo.ck/").toDF("url"), "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    // the rule-table side may shuffle inside its own pre-broadcast
+    // aggregate (broadcast-sized by nature); the CORPUS columns must
+    // never appear under a hashpartitioning Exchange
+    assert(!plan.matches("(?s).*hashpartitioning\\((url|graft_host).*"),
+      plan.take(1200))
+  }
+
   test("loadPublicSuffixList: comments/blanks dropped, rule syntax " +
     "passes through, section filters honor the ===BEGIN=== markers") {
     val f = java.nio.file.Files.createTempFile("psl", ".dat")
