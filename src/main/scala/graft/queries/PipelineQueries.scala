@@ -7530,6 +7530,89 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Value oracle for the pure-ADC IVF-PQ searcher
+    * ([[graft.ops.Similarity.annIvfPqAdc]] — the faiss
+    * precomputed-tables recipe: per (query, probed cell) the table
+    * entry (s, c) is `||slice_s(q − center(cell)) − cb_s,c||²`, so a
+    * candidate's score is m lookups by its codes): the q252
+    * construction driven through the ADC path. All table entries and
+    * lookup sums are exact dyadic rationals, so the ascending
+    * (dist, c_id) rank is bit-deterministic cross-engine. With q250
+    * (flat ADC) and q252 (decode-then-cosine) this closes the last
+    * rows-only ANN scorer behind a value oracle. */
+  val q255IvfPqAdc: Q = q("q255_ivfpq_adc",
+    """WITH ids AS (SELECT vec_id FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(range(1, 65),
+      |    j -> CAST((vec_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM ids),
+      |ctrv AS (SELECT cell, list_transform(range(1, 65),
+      |    j -> CAST(((100 + cell) * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS cv
+      |  FROM (SELECT unnest(range(0, 4)) AS cell)),
+      |ad AS (SELECT e.vec_id, ctrv.cell,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> (e.v[j] - ctrv.cv[j]) * (e.v[j] - ctrv.cv[j]))) AS dist
+      |  FROM e CROSS JOIN ctrv),
+      |asg AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ad)
+      |  WHERE rn = 1),
+      |res AS (SELECT e.vec_id, asg.cell,
+      |    list_transform(range(1, 65), j -> e.v[j] - ctrv.cv[j]) AS r
+      |  FROM e JOIN asg USING (vec_id) JOIN ctrv USING (cell)),
+      |cb AS (SELECT s.s, c.c, list_transform(range(1, 33),
+      |    j -> CAST(((200 + c.c) * 31 + (s.s * 32 + j) * 17) % 97
+      |      AS DOUBLE) / 8.0) AS bv
+      |  FROM (SELECT unnest(range(0, 2)) AS s) s
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+      |cdist AS (SELECT res.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 33),
+      |      j -> (res.r[cb.s * 32 + j] - cb.bv[j]) *
+      |           (res.r[cb.s * 32 + j] - cb.bv[j]))) AS dist
+      |  FROM res CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, c FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY dist, c) AS rn FROM cdist)
+      |  WHERE rn = 1),
+      |qp AS (SELECT vec_id AS q_id, cell FROM (SELECT ad.vec_id, ad.cell,
+      |    row_number() OVER (PARTITION BY ad.vec_id
+      |      ORDER BY ad.dist, ad.cell) AS rn
+      |  FROM ad WHERE ad.vec_id < 3) WHERE rn <= 2),
+      |qt AS (SELECT qp.q_id, qp.cell, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 33),
+      |      j -> ((qe.v[cb.s * 32 + j] - ctrv.cv[cb.s * 32 + j]) - cb.bv[j])
+      |         * ((qe.v[cb.s * 32 + j] - ctrv.cv[cb.s * 32 + j]) - cb.bv[j])))
+      |      AS entry
+      |  FROM qp JOIN ctrv USING (cell)
+      |  JOIN e qe ON qe.vec_id = qp.q_id CROSS JOIN cb),
+      |cand AS (SELECT qp.q_id, asg.vec_id AS c_id, qp.cell
+      |  FROM qp JOIN asg ON asg.cell = qp.cell
+      |  WHERE qp.q_id <> asg.vec_id),
+      |adc AS (SELECT cand.q_id, cand.c_id, sum(qt.entry) AS dist
+      |  FROM cand JOIN codes ON codes.vec_id = cand.c_id
+      |  JOIN qt ON qt.q_id = cand.q_id AND qt.cell = cand.cell
+      |         AND qt.s = codes.s AND qt.c = codes.c
+      |  GROUP BY cand.q_id, cand.c_id)
+      |SELECT q_id, rnk, c_id, round(dist, 4) AS adc_dist FROM (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY dist, c_id) AS BIGINT) AS rnk FROM adc)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.ops.Similarity
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(j0 => ((id * 31 + (j0 + 1) * 17) % 97).toDouble / 8.0)
+    val centers = Array.tabulate(4)(c => vec(100L + c))
+    val model = Similarity.PqModel(32,
+      Array.tabulate(2)(sub =>
+        Array.tabulate(4)(c => vec(200L + c).slice(sub * 32, sub * 32 + 32))))
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => ((col("vec_id") * 31 + j * 17) % 97).cast("double") / lit(8.0))
+        .as("embedding"))
+    val index = Similarity.pqIndex(corpus, centers, model).localCheckpoint()
+    Similarity.annIvfPqAdc(corpus.filter(col("vec_id") < 3), index, centers,
+        model, k = 5, nprobe = 2)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("adc_dist"), 4).as("adc_dist"))
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7583,5 +7666,6 @@ object PipelineQueries {
     q239Discovery, q240HttpCodings, q241Sentences, q242SentenceChunks,
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
-    q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode)
+    q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
+    q255IvfPqAdc)
 }
