@@ -7613,6 +7613,86 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Bitext HARVEST capstone — the full multilingual-pair chain from
+    * raw pages: each article ships an `en` and a `de` page whose
+    * `<link rel=alternate hreflang>` sets declare each other plus the
+    * x-default canonical member ([[graft.ops.WebText.hreflangLinks]]);
+    * a page self-identifies its language by the alternate row whose
+    * href IS its own URL, clusters on the x-default target (the q244
+    * key), and the clustered `(cluster, lang, text)` docs flow into
+    * [[graft.ops.TextAnalysis.bitextAlign]]. The oracle re-derives the
+    * cluster key and language from the construction and then the
+    * entire q251 alignment chain — segmentation, exact midpoints,
+    * nearest-match, the ratio gate dropping the planted fragment. */
+  val q256BitextHarvest: Q = q("q256_bitext_harvest",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+      |docs AS (
+      |  SELECT doc_id, 'http://h.org/a/' || CAST(doc_id AS VARCHAR)
+      |      AS cluster_key, 'en' AS lang,
+      |    'Aa ' || CAST(doc_id AS VARCHAR) ||
+      |      ' bb. Cc dd ee ff gg. Hh ii jj kk.' AS text FROM t
+      |  UNION ALL
+      |  SELECT doc_id, 'http://h.org/a/' || CAST(doc_id AS VARCHAR), 'de',
+      |    'Xx ' || CAST(doc_id AS VARCHAR) ||
+      |      ' yy. Zz ww vv uu tt ss. U.' FROM t),
+      |s AS (SELECT cluster_key, lang,
+      |  list_filter(list_transform(regexp_extract_all(text,
+      |    '""".stripMargin + TextAnalysis.SentencePattern +
+      """'), x -> trim(x)), x -> x <> '') AS l FROM docs),
+      |r AS (SELECT cluster_key, lang, l,
+      |    unnest(range(1, len(l) + 1)) AS i FROM s),
+      |x AS (SELECT cluster_key, lang, CAST(i - 1 AS BIGINT) AS idx,
+      |    l[i] AS sentence, CAST(length(l[i]) AS BIGINT) AS ln FROM r),
+      |c AS (SELECT *, coalesce(sum(ln) OVER (PARTITION BY cluster_key,
+      |      lang ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+      |      PRECEDING), 0) AS bef,
+      |    sum(ln) OVER (PARTITION BY cluster_key, lang) AS tot FROM x),
+      |m AS (SELECT cluster_key, lang, idx, sentence, ln,
+      |    CAST(((2 * bef + ln) * 1000000) // (2 * tot) AS BIGINT) AS mid
+      |  FROM c),
+      |p AS (SELECT a.cluster_key, a.lang AS src_lang, b.lang AS dst_lang,
+      |    a.idx AS src_idx, b.idx AS dst_idx,
+      |    a.sentence AS src_sentence, b.sentence AS dst_sentence,
+      |    abs(a.mid - b.mid) AS mid_delta_micros, a.ln AS al, b.ln AS bl
+      |  FROM m a JOIN m b USING (cluster_key) WHERE a.lang < b.lang),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_key,
+      |    src_lang, dst_lang, src_idx
+      |    ORDER BY mid_delta_micros, dst_idx) AS rn FROM p)
+      |SELECT cluster_key, src_lang, dst_lang, src_idx, dst_idx,
+      |  src_sentence, dst_sentence, mid_delta_micros,
+      |  (least(al, bl) * 1000000) // greatest(al, bl) AS len_ratio_micros
+      |FROM rk WHERE rn = 1
+      |  AND (least(al, bl) * 1000000) // greatest(al, bl) >= 500000
+      |ORDER BY cluster_key, src_idx""".stripMargin) { (s, d) =>
+    val id = col("doc_id").cast("string")
+    val alternates = concat(
+      lit("<link rel=\"alternate\" hreflang=\"en\" href=\"http://h.org/en/a/"),
+      id, lit("\"><link rel=\"alternate\" hreflang=\"de\" " +
+        "href=\"http://h.org/de/a/"), id,
+      lit("\"><link rel=\"alternate\" hreflang=\"x-default\" " +
+        "href=\"http://h.org/a/"), id, lit("\">"))
+    val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+    def page(lang: String, text: Column) = base.select(
+      concat(lit(s"http://h.org/$lang/a/"), id).as("url"),
+      alternates.as("html"), text.as("text"))
+    val pages = page("en",
+        concat(lit("Aa "), id, lit(" bb. Cc dd ee ff gg. Hh ii jj kk.")))
+      .unionAll(page("de",
+        concat(lit("Xx "), id, lit(" yy. Zz ww vv uu tt ss. U."))))
+    // a page self-identifies: the alternate row whose href IS its url
+    val variants = pages.select(col("url"), col("text"),
+      explode(WebText.hreflangLinks(col("html"))).as("x"))
+    val self = variants.filter(col("x.href") === col("url"))
+      .select(col("url"), col("text"), col("x.lang").as("lang"))
+    // cluster key = the x-default member (the q244 rule)
+    val clusterOf = variants.filter(col("x.lang") === "x-default")
+      .select(col("url"), col("x.href").as("cluster_key")).distinct()
+    TextAnalysis.bitextAlign(
+        self.join(clusterOf, Seq("url"))
+          .select(col("cluster_key"), col("lang"), col("text")))
+      .orderBy("cluster_key", "src_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7667,5 +7747,5 @@ object PipelineQueries {
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
-    q255IvfPqAdc)
+    q255IvfPqAdc, q256BitextHarvest)
 }
