@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Grammar (mirrors the prior regex semantics, WebTextSpec-pinned):
   *  - the span must open `<` + an ASCII tag name;
-  *  - attributes are separated by REQUIRED whitespace; names are any
-  *    run outside `{whitespace, '=', '>'}`; values are
+  *  - attributes are separated by whitespace, OR follow a quoted
+  *    value directly (`rel="canonical"href="/x"` — the WHATWG
+  *    tokenizer accepts the glued form and real pages carry it);
+  *    names are any run outside `{whitespace, '=', '>'}`; values are
   *    double-/single-quoted (anything to the closing quote) or
   *    unquoted (up to whitespace / quote / `>`);
   *  - `name=` inside ANOTHER attribute's quoted value can never be
@@ -29,10 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    wins; a valueless occurrence ('' would be ambiguous with
   *    absence) and a valueless attribute whose name carries `/`
   *    (a stray self-closing slash) both yield '';
-  *  - the matched attribute's UNQUOTED value cuts at the first `/`
-  *    (`<link rel=canonical/>` → `canonical` — the self-closing slash
-  *    is tag syntax, not value); other attributes' unquoted values
-  *    keep `/` (an unquoted href must consume `http://…` whole);
+  *  - the matched attribute's UNQUOTED value drops ONLY a trailing
+  *    `/` that sits immediately before `>` (`<link rel=canonical/>` →
+  *    `canonical` — that slash is tag syntax); interior slashes are
+  *    value (`href=docs/intro.html`, `type=application/rss+xml`);
   *  - an unterminated quote poisons the rest of the tag → ''. */
 object AttrValueOps {
 
@@ -62,11 +64,17 @@ object AttrValueOps {
     if (n < 2 || s.charAt(0) != '<' || !isAlpha(s.charAt(1))) return ""
     var i = 2
     while (i < n && isAlpha(s.charAt(i))) i += 1
+    // a closing quote is itself a valid separator before the next
+    // attribute (rel="canonical"href="/x") — tracked across passes
+    var prevQuoted = false
     while (true) {
-      // required whitespace before each attribute
+      // whitespace (or the previous attribute's closing quote)
+      // before each attribute
       var hadWs = false
       while (i < n && isWs(s.charAt(i))) { i += 1; hadWs = true }
-      if (!hadWs || i >= n || s.charAt(i) == '>') return ""
+      if (i >= n || s.charAt(i) == '>') return ""
+      if (!hadWs && !prevQuoted) return ""
+      prevQuoted = false
       // attribute name
       val ns = i
       while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
@@ -86,7 +94,7 @@ object AttrValueOps {
           var k = vs
           while (k < n && s.charAt(k) != qc) k += 1
           if (k >= n) return "" // unterminated quote poisons the tag
-          ve = k; i = k + 1; quoted = true
+          ve = k; i = k + 1; quoted = true; prevQuoted = true
         } else {
           vs = j
           var k = j
@@ -96,11 +104,11 @@ object AttrValueOps {
         }
         if (nameEq(s, ns, ne, name)) {
           var e = ve
-          if (!quoted) {
-            // the matched value's unquoted form cuts at a self-closing '/'
-            var k = vs
-            while (k < e && s.charAt(k) != '/') k += 1
-            e = k
+          if (!quoted && e > vs && s.charAt(e - 1) == '/' &&
+            e < n && s.charAt(e) == '>') {
+            // ONLY the self-closing slash (value-final '/' glued to
+            // '>') is tag syntax; interior slashes are value
+            e -= 1
           }
           return if (e > vs) s.substring(vs, e) else ""
         }

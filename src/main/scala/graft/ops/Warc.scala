@@ -230,8 +230,9 @@ object Warc {
     * (q253 pins it record-field-for-record-field). `date` is a
     * caller-supplied column (the capture/export timestamp — export
     * jobs pass their run date; the default keeps test plans
-    * deterministic). Null-text rows are dropped — a null record
-    * string would silently vanish from downstream concatenation.
+    * deterministic). Null-text AND null-uri rows are dropped — either
+    * null makes the whole concat null, a record string that would
+    * silently vanish from downstream concatenation.
     * Output: the doc columns + `wet_record`.
     *
     * Scale shape: scan-stage concat projection, no shuffle; shard
@@ -241,7 +242,7 @@ object Warc {
   def wetRecords(docs: DataFrame, uriCol: String = "url",
                  textCol: String = "text",
                  date: Column = lit("2026-01-01T00:00:00Z")): DataFrame =
-    docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull && col(uriCol).isNotNull)
       .withColumn("wet_record", concat(
         lit("WARC/1.0" + Crlf),
         lit("WARC-Type: conversion" + Crlf),

@@ -1,10 +1,10 @@
 package graft.runtime
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import graft.ops.{Robots, WebText}
 
 /** Streaming crawl-frontier link — the discovery stage that closes the
@@ -19,20 +19,30 @@ import graft.ops.{Robots, WebText}
   * scheduler as the loop's output contract).
   *
   * Streams:
-  *  - `crawledStream` `(url)` — append-only fetched set;
-  *  - `linksStream` `(link)` — append-only out-link log. AUDIT ONLY on
-  *    the refresh path: the refresh never re-scans it (see scale
-  *    shape); it exists so the count table can be rebuilt offline and
-  *    so batch jobs (q195 and friends) can run over the raw log;
-  *  - `countsStream` `(link, host, inlinks)` — the persisted in-link
-  *    count table, REFRESHED incrementally per batch: the batch's own
-  *    aggregated counts merge into the previous table
-  *    ([[StreamRegistry.refresh]] rotate — readers never see a
-  *    half-merge, a crash rolls back to the previous table). The
-  *    merge is EXACTLY-ONCE under replay: the admitted batch id rides
-  *    inside the refreshed directory (`_batch`, atomic with its
-  *    data), so a replayed batch whose merge already landed skips the
-  *    merge instead of double-counting;
+  *  - `crawledStream` `(url, batch)` — the fetched set, hive-
+  *    partitioned by batch id: each micro-batch REWRITES its own
+  *    `batch=<id>` directory ([[StreamRegistry.refreshPartition]]), so
+  *    a crash-replayed batch replaces its partition instead of
+  *    appending duplicates — the log's CONTENTS are exactly-once, not
+  *    merely its consumption;
+  *  - `linksStream` `(link, batch)` — the out-link log, same
+  *    batch-partitioned exactly-once layout. AUDIT ONLY on the refresh
+  *    path: the refresh never re-scans it (see scale shape); it exists
+  *    so the count table can be rebuilt offline —
+  *    `linkCounts(log)` equals the count table EVEN AFTER a replay,
+  *    because the replay rewrote its batch partition — and so batch
+  *    jobs (q195 and friends) can run over the raw log;
+  *  - `countsStream` `(link, host, inlinks, bucket)` — the persisted
+  *    in-link count table, hive-partitioned into `numBuckets` FIXED
+  *    host-hash buckets and merged incrementally per batch: the
+  *    batch's aggregated counts fold into ONLY the buckets the batch
+  *    touches, each bucket rotating independently
+  *    ([[StreamRegistry.refreshPartition]] — readers see a bucket
+  *    whole-old or whole-new, a crash rolls the bucket back). The
+  *    merge is EXACTLY-ONCE PER BUCKET under replay: each bucket's
+  *    admitted batch id rides inside its rotated directory
+  *    (`_batch`, atomic with the bucket's data), so a replay merges
+  *    exactly the buckets whose merge hadn't landed;
   *  - `frontierStream` `(domain, url, inlinks, rank, delay_ms,
   *    not_before_ms)` — REFRESHED per batch: a materialized view, not
   *    a log. Readers see the latest complete refresh; `not_before_ms`
@@ -56,10 +66,21 @@ import graft.ops.{Robots, WebText}
   * `resolvedLinkRows` projection over the BATCH only, and the count
   * merge aggregates the BATCH's links (map-side combine) before
   * folding them into the count table — ONE row per distinct target,
-  * already aggregated, so per-batch merge work is the batch plus the
-  * compact count table, never the raw accumulated link log (which
+  * already aggregated, so per-batch merge READ work is the batch plus
+  * the touched buckets, never the raw accumulated link log (which
   * grows with every duplicate sighting and is exactly the re-scan the
-  * first implementation paid per batch). The refresh plan provably
+  * first implementation paid per batch). Per-batch WRITE work is
+  * ∝ the buckets the batch touches — on a real crawl the count table
+  * is the corpus-shaped URL universe, and rewriting it whole per
+  * micro-batch (the round-13 shape) was O(corpus) write amplification;
+  * bucketing caps it at (table/numBuckets) × touched buckets.
+  * `numBuckets` is FIXED for the stream's lifetime (persisted beside
+  * its schema, validated on start — a changed modulus would split
+  * hosts across buckets); size it so table/numBuckets is a
+  * comfortable rewrite (a few hundred MB at scale), and note a batch
+  * with links to ≥numBuckets distinct hosts still rewrites every
+  * bucket — numBuckets trades write amplification against per-batch
+  * rotate count. The refresh plan provably
   * never touches `linksStream` ([[FrontierLink.refreshPlan]] is the
   * plan the spec walks). The per-domain top-k keeps the
   * `row_number ≤ k` filter directly above its window so
@@ -75,20 +96,24 @@ class FrontierLink(input: String, crawledStream: String,
                    extraLinksStreams: Seq[String] = Nil,
                    historyStream: String = "",
                    defaultDelayMs: Long = 1000L,
-                   countsStream: String = "") extends Link {
+                   countsStream: String = "",
+                   numBuckets: Int = 16) extends Link {
   require(topKPerDomain >= 1, s"topKPerDomain >= 1, got $topKPerDomain")
   require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
+  require(numBuckets >= 1, s"numBuckets >= 1, got $numBuckets")
   val inputs: Seq[String] = Seq(input)
   val output: Option[String] = None // custom start: four streams below
 
   private val countsName =
     if (countsStream.nonEmpty) countsStream else s"${frontierStream}_counts"
 
-  private val crawledSchema = StructType(Seq(StructField("url", StringType)))
-  private val linkSchema = StructType(Seq(StructField("link", StringType)))
+  private val crawledSchema = StructType(Seq(
+    StructField("url", StringType), StructField("batch", LongType)))
+  private val linkSchema = StructType(Seq(
+    StructField("link", StringType), StructField("batch", LongType)))
   private val countsSchema = StructType(Seq(
     StructField("link", StringType), StructField("host", StringType),
-    StructField("inlinks", LongType)))
+    StructField("inlinks", LongType), StructField("bucket", IntegerType)))
   private val frontierSchema = StructType(Seq(
     StructField("domain", StringType), StructField("url", StringType),
     StructField("inlinks", LongType), StructField("rank", LongType),
@@ -97,33 +122,58 @@ class FrontierLink(input: String, crawledStream: String,
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
-    registry.declare(crawledStream, crawledSchema)
-    registry.declare(linksStream, linkSchema)
-    registry.declare(countsName, countsSchema)
+    registry.declare(crawledStream, crawledSchema, Seq("batch"))
+    registry.declare(linksStream, linkSchema, Seq("batch"))
+    registry.declare(countsName, countsSchema, Seq("bucket"))
     registry.declare(frontierStream, frontierSchema)
+    // the bucket modulus is part of the count table's layout: a changed
+    // value would route a host's updates to a DIFFERENT bucket than its
+    // existing rows — persisted beside the schema, validated every start
+    val bucketsPath = s"${registry.root}/schemas/$countsName.buckets"
+    registry.readTextIfExists(bucketsPath) match {
+      case Some(v) => require(v.trim.toInt == numBuckets,
+        s"count table '$countsName' was laid out with ${v.trim} buckets; " +
+          s"this link was built with $numBuckets — the modulus is fixed " +
+          "for the stream's lifetime")
+      case None => registry.writeText(bucketsPath, numBuckets.toString)
+    }
     registry.readStream(input).writeStream
       .option("checkpointLocation",
         registry.checkpointDir(name, frontierStream))
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("url"), col("html")).localCheckpoint()
-        registry.write(b.select(col("url")), crawledStream)
-        // ONE extraction per batch feeds both the audit log append and
-        // the count merge (they must agree row-for-row)
+        // audit writes are batch-partition REWRITES, not appends: a
+        // crash-replayed batch replaces its own batch=<id> directory,
+        // so the logs' contents stay exactly-once and the offline
+        // rebuild invariant counts == linkCounts(log) survives replay
+        registry.refreshPartition(crawledStream, batchId,
+          b.select(col("url")))
+        // ONE extraction per batch feeds both the audit log and the
+        // count merge (they must agree row-for-row)
         val batchLinks = WebText.resolvedLinkRows(b, "url", "html")
           .select(col("link")).localCheckpoint()
-        registry.write(batchLinks, linksStream)
-        // incremental count merge — skipped on a replay whose merge
-        // already landed (the _batch mark rode the refresh rotate, so
-        // it can never claim a merge that rolled back)
-        val merged = registry.refreshMeta(countsName, "batch")
-          .exists(_.toLong >= batchId)
-        if (!merged) {
-          val bc = FrontierLink.linkCounts(batchLinks)
-          registry.refresh(countsName,
-            registry.read(countsName).unionByName(bc)
-              .groupBy("link", "host").agg(sum("inlinks").as("inlinks")),
-            Map("batch" -> batchId.toString))
+        registry.refreshPartition(linksStream, batchId, batchLinks)
+        // incremental count merge, bucket by bucket: only the buckets
+        // the batch touches are read + rewritten; each bucket's _batch
+        // mark rides its own rotate, so a replay merges exactly the
+        // buckets whose merge hadn't landed (exactly-once per bucket)
+        val bc = FrontierLink.linkCounts(batchLinks)
+          .withColumn("bucket", FrontierLink.bucketOf(col("host"), numBuckets))
+          .localCheckpoint()
+        // touched-bucket ids: bounded by numBuckets — control-plane
+        val touched = bc.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        touched.foreach { bkt =>
+          val merged = registry.refreshPartitionMeta(countsName, bkt, "batch")
+            .exists(_.toLong >= batchId)
+          if (!merged) {
+            registry.refreshPartition(countsName, bkt,
+              registry.readPartition(countsName, bkt)
+                .unionByName(bc.filter(col("bucket") === bkt).drop("bucket"))
+                .groupBy("link", "host").agg(sum("inlinks").as("inlinks")),
+              Map("batch" -> batchId.toString))
+          }
         }
         registry.refresh(frontierStream, FrontierLink.refreshPlan(
           registry, countsName, extraLinksStreams, crawledStream,
@@ -142,6 +192,14 @@ object FrontierLink {
     links
       .select(col("link"), WebText.registeredDomain(col("link")).as("host"))
       .groupBy("link", "host").agg(count(lit(1)).as("inlinks"))
+
+  /** The count table's host-hash bucket id — xxhash64 (stable seed 42,
+    * stable across Spark releases, codegen'd) mod the table's fixed
+    * bucket count. Bucketing by HOST keeps a host's whole URL
+    * neighborhood in one bucket, so a polite per-host batch touches
+    * one bucket. */
+  def bucketOf(host: Column, numBuckets: Int): Column =
+    pmod(xxhash64(host), lit(numBuckets.toLong)).cast("int")
 
   /** The frontier view as a function of a COUNT table: crawled URLs
     * anti-joined away, optional robots admission on the target's
@@ -221,7 +279,8 @@ object FrontierLink {
                   robotsStream: String, historyStream: String,
                   agent: String, topKPerDomain: Int,
                   defaultDelayMs: Long): DataFrame = {
-    val base = registry.read(countsStream)
+    // the bucket column is merge-path layout, not frontier input
+    val base = registry.read(countsStream).select("link", "host", "inlinks")
     val extras = extraLinksStreams.filter(registry.exists)
       .map(n => linkCounts(registry.read(n).select(col("link"))))
     val counts =

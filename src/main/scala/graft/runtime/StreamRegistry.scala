@@ -185,6 +185,32 @@ class StreamRegistry(spark: SparkSession, val root: String,
       ()
     }
     if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+    if (partitionsOf(name).nonEmpty) recoverPartitions(name)
+  }
+
+  /** Repair crashed [[refreshPartition]] rotates: the per-partition
+    * `.X.old` / `.X.compacting` directories are DOT-PREFIXED so Spark's
+    * file index never reads them as data or partition values; a leftover
+    * `.old` whose live dir vanished rolls back, a leftover next to a
+    * live dir (swap completed) or a `.compacting` (incomplete output)
+    * is dropped. One flat listing of the stream dir — the same listing
+    * the subsequent load pays anyway. */
+  private def recoverPartitions(name: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val (dirP, fs) = fsFor(streamDir(name))
+    if (!fs.exists(dirP)) return
+    fs.listStatus(dirP).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".") && n.endsWith(".old")) {
+        val live = new HPath(dirP,
+          n.stripPrefix(".").stripSuffix(".old"))
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+        ()
+      } else if (n.startsWith(".") && n.endsWith(".compacting")) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
   }
 
   /** REPLACE a stream's contents with `df` — the materialized-view
@@ -236,6 +262,97 @@ class StreamRegistry(spark: SparkSession, val root: String,
   def refreshMeta(name: String, key: String): Option[String] = {
     recover(name)
     readTextIfExists(s"${streamDir(name)}/_$key")
+  }
+
+  /** REPLACE one hive partition of a single-column-partitioned stream —
+    * the BUCKETED refresh primitive. Where [[refresh]] rewrites a whole
+    * materialized view per update, this rotates exactly ONE
+    * `<col>=<value>` subdirectory: an incremental merge whose write
+    * amplification is ∝ the partitions the batch touches, not the
+    * table (the 100 TB contract for corpus-shaped views like the crawl
+    * frontier's in-link count table — per micro-batch, a handful of
+    * host-hash buckets rewrite; the other N−k are untouched files).
+    *
+    * Same two-rename rotate and crash repair as [[refresh]], scoped to
+    * the partition: output lands in a DOT-PREFIXED sibling
+    * (`.X.compacting` — hidden from every Spark reader, so a half-
+    * written rotate can never surface as data OR as a bogus partition
+    * value), `meta` entries become `_<key>` files inside it (atomic
+    * with the data — the per-PARTITION merge high-water mark), then
+    * live→`.X.old`→swap. Readers of the stream see each partition
+    * either whole-old or whole-new; [[recover]] repairs a crash between
+    * the renames on the next read/refresh. Replaying the SAME df is
+    * idempotent by construction — a rewrite, not an append — which is
+    * what upgrades foreachBatch audit-log appends to exactly-once: key
+    * the partition by batch id and a replayed batch rewrites its own
+    * directory instead of duplicating rows.
+    *
+    * `df` must NOT carry the partition column (its value is the
+    * directory name); the stream must be declared (the partition
+    * column's type can't be inferred from `df`). */
+  def refreshPartition(name: String, partValue: Any, df: DataFrame,
+                       meta: Map[String, String] = Map.empty): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    require(exists(name),
+      s"declare partitioned stream '$name' before refreshPartition " +
+        "(the partition column's type is not inferable from the data)")
+    val parts = partitionsOf(name)
+    require(parts.length == 1,
+      s"refreshPartition rotates single-column hive layouts; '$name' " +
+        s"is partitioned by $parts")
+    val partCol = parts.head
+    require(!df.columns.contains(partCol),
+      s"'$partCol' is encoded in the partition path — drop it from the data")
+    recoverPartitions(name) // repair any prior crash before rotating again
+    val leaf = s"$partCol=$partValue"
+    val base = streamDir(name)
+    val dir = new HPath(s"$base/$leaf")
+    val tmp = new HPath(s"$base/.$leaf.compacting")
+    val old = new HPath(s"$base/.$leaf.old")
+    df.write.format(format).save(tmp.toString)
+    meta.foreach { case (k, v) => writeText(s"$tmp/_$k", v) }
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val hadLive = fs.exists(dir)
+    if (hadLive && !fs.rename(dir, old))
+      throw new java.io.IOException(s"cannot rotate $dir")
+    if (!fs.rename(tmp, dir)) {
+      if (hadLive) fs.rename(old, dir) // roll back
+      throw new java.io.IOException(s"cannot swap in refreshed $leaf of $name")
+    }
+    fs.delete(old, true); ()
+  }
+
+  /** One partition of a partitioned stream, read directly from its
+    * directory — no whole-stream listing, no partition discovery: the
+    * incremental-merge read path (the merge touches bucket b, so it
+    * reads bucket b). Empty result when the partition doesn't exist
+    * yet. The partition column is NOT in the result (it is the
+    * directory name the caller just passed). */
+  def readPartition(name: String, partValue: Any): DataFrame = {
+    recover(name)
+    val parts = partitionsOf(name)
+    require(parts.length == 1,
+      s"readPartition reads single-column hive layouts; '$name' " +
+        s"is partitioned by $parts")
+    val schema = StructType(schemaOf(name).filterNot(_.name == parts.head))
+    val (p, fs) = fsFor(s"${streamDir(name)}/${parts.head}=$partValue")
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).format(format).load(p.toString)
+  }
+
+  /** Read back a `_<key>` metadata file written by [[refreshPartition]]
+    * (None when the stream, partition, or key doesn't exist). */
+  def refreshPartitionMeta(name: String, partValue: Any,
+                           key: String): Option[String] = {
+    if (!exists(name)) return None
+    recover(name)
+    val parts = partitionsOf(name)
+    require(parts.length == 1,
+      s"'$name' is partitioned by $parts — refreshPartitionMeta needs " +
+        "a single-column hive layout")
+    readTextIfExists(s"${streamDir(name)}/${parts.head}=$partValue/_$key")
   }
 
   /** Atomically claim a stream name: create-exclusive write of the schema

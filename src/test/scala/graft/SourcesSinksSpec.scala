@@ -133,6 +133,75 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("refreshPartition rotates ONE hive bucket: self-referential " +
+    "per-bucket merge, per-partition meta, replay REWRITES instead of " +
+    "appending, a crash rolls back the bucket alone, sibling buckets " +
+    "stay byte-identical") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+      StructField, StructType}
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-refpart").toString)
+    reg.declare("pc", StructType(Seq(StructField("k", StringType),
+      StructField("n", LongType), StructField("bucket", IntegerType))),
+      Seq("bucket"))
+    reg.refreshPartition("pc", 0, Seq(("a", 1L)).toDF("k", "n"),
+      Map("batch" -> "0"))
+    reg.refreshPartition("pc", 3, Seq(("z", 7L)).toDF("k", "n"),
+      Map("batch" -> "0"))
+    // whole-stream read reconstructs the partition column from the path
+    assert(reg.read("pc").as[(String, Long, Int)].collect().toSet ===
+      Set(("a", 1L, 0), ("z", 7L, 3)))
+    def files(b: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"${reg.root}/streams/pc/bucket=$b")
+      d.listFiles().map(f =>
+        f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val b3Before = files(3)
+    // self-referential merge on bucket 0 — the incremental count-table
+    // shape, scoped to one bucket
+    reg.refreshPartition("pc", 0,
+      reg.readPartition("pc", 0)
+        .unionByName(Seq(("a", 2L), ("b", 5L)).toDF("k", "n"))
+        .groupBy("k").agg(sum("n").as("n")),
+      Map("batch" -> "1"))
+    assert(reg.readPartition("pc", 0).as[(String, Long)].collect().toMap ===
+      Map("a" -> 3L, "b" -> 5L))
+    assert(reg.refreshPartitionMeta("pc", 0, "batch") === Some("1"))
+    assert(reg.refreshPartitionMeta("pc", 3, "batch") === Some("0"))
+    assert(files(3) === b3Before) // the untouched bucket never rewrote
+    // a replayed merge REPLACES the bucket: same contents, no dup rows
+    reg.refreshPartition("pc", 0,
+      Seq(("a", 3L), ("b", 5L)).toDF("k", "n"), Map("batch" -> "1"))
+    assert(reg.readPartition("pc", 0).count() === 2)
+    assert(reg.read("pc").count() === 3)
+    // crash between the two renames: live bucket gone, hidden .old
+    // holds the committed copy → next read rolls the BUCKET back
+    val dir = new java.io.File(s"${reg.root}/streams/pc/bucket=0")
+    val old = new java.io.File(s"${reg.root}/streams/pc/.bucket=0.old")
+    assert(dir.renameTo(old))
+    assert(reg.readPartition("pc", 0).as[(String, Long)].collect().toMap ===
+      Map("a" -> 3L, "b" -> 5L))
+    assert(reg.refreshPartitionMeta("pc", 0, "batch") === Some("1"))
+    // an abandoned .compacting (crash before any rename) is swept
+    val tmp = new java.io.File(s"${reg.root}/streams/pc/.bucket=5.compacting")
+    assert(tmp.mkdirs())
+    assert(reg.read("pc").count() === 3)
+    assert(!tmp.exists())
+    // a never-written partition reads empty (and never errors)
+    assert(reg.readPartition("pc", 9).count() === 0)
+    // guards: the partition column is path-encoded, streams must be
+    // declared (the column's type is not inferable from the data)
+    intercept[IllegalArgumentException] {
+      reg.refreshPartition("pc", 1,
+        Seq(("x", 1L, 1)).toDF("k", "n", "bucket"))
+    }
+    intercept[IllegalArgumentException] {
+      reg.refreshPartition("pc-nope", 0, Seq(("x", 1L)).toDF("k", "n"))
+    }
+  }
+
   test("recover deletes a stale .old left by a crash AFTER the swap") {
     val reg = new StreamRegistry(spark, Files.createTempDirectory("graft-rec").toString)
     val s = spark

@@ -476,7 +476,9 @@ class StreamingCurationSpec extends SparkSpec {
       r(4) === 8000L && r(5) === 0L))
     assert(f1.exists(r => r(1) === "http://hub.com/h" && r(4) === 1000L))
     // the merged count table equals the aggregate of the audit log
-    assert(rows(reg.read("fi_frontier_counts")) ===
+    // (bucket is merge-path layout; the log's batch column likewise)
+    assert(rows(reg.read("fi_frontier_counts")
+        .select("link", "host", "inlinks")) ===
       rows(FrontierLink.linkCounts(reg.read("fi_linklog"))))
 
     reg.write(b2.toDF("url", "html"), "fi_pages")
@@ -487,10 +489,26 @@ class StreamingCurationSpec extends SparkSpec {
     assert(f2.exists(r => r(1) === "http://alpha.org/b" &&
       r(2) === 3L && r(3) === 1L && r(5) === 0L))
     assert(f2.exists(r => r(1) === "http://alpha.org/a" && r(3) === 2L))
-    val c2 = rows(reg.read("fi_frontier_counts"))
+    val c2 = rows(reg.read("fi_frontier_counts")
+      .select("link", "host", "inlinks"))
     assert(c2 === rows(FrontierLink.linkCounts(reg.read("fi_linklog"))))
-    // the merge high-water mark rode the refresh rotate
-    assert(reg.refreshMeta("fi_frontier_counts", "batch") === Some("1"))
+    // each bucket's merge high-water mark rode ITS OWN rotate: batch 1
+    // touched only alpha.org's bucket; buckets batch 0 touched and
+    // batch 1 didn't still carry mark 0
+    def bucketOf(host: String): Int =
+      Seq(host).toDF("h")
+        .select(FrontierLink.bucketOf(col("h"), 16)).head().getInt(0)
+    assert(reg.refreshPartitionMeta("fi_frontier_counts",
+      bucketOf("alpha.org"), "batch") === Some("1"))
+    Seq("peer1.net", "hub.com").filter(bucketOf(_) != bucketOf("alpha.org"))
+      .foreach { h =>
+        assert(reg.refreshPartitionMeta("fi_frontier_counts",
+          bucketOf(h), "batch") === Some("0"), h)
+      }
+    // the audit log is batch-partitioned: replay REWRITES a batch's
+    // directory instead of appending (exactly-once log contents)
+    assert(reg.read("fi_linklog").select("batch").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L))
 
     // the 100 TB shape pin: the refresh plan scans the COUNT table and
     // the bounded side streams — never the raw accumulated link log
@@ -513,7 +531,63 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new input: frontier AND count table stay put
     link.start(spark, reg).awaitTermination()
     assert(rows(reg.read("fi_frontier")) === f2)
-    assert(rows(reg.read("fi_frontier_counts")) === c2)
+    assert(rows(reg.read("fi_frontier_counts")
+      .select("link", "host", "inlinks")) === c2)
+  }
+
+  test("bucketed count store: a batch touching one host rewrites ONLY " +
+    "that host's bucket — file-level walk, untouched bucket directories " +
+    "byte-identical across the batch") {
+    import graft.runtime.FrontierLink
+    val s = spark
+    import s.implicits._
+    // find a second host in a DIFFERENT bucket than alpha.org (16-way
+    // host-hash; computed, not assumed — the modulus is the contract)
+    def bucketOf(host: String): Int =
+      Seq(host).toDF("h")
+        .select(FrontierLink.bucketOf(col("h"), 16)).head().getInt(0)
+    val alphaB = bucketOf("alpha.org")
+    val other = Seq("bravo.net", "carol.com", "delta.io", "echo.org")
+      .find(bucketOf(_) != alphaB).get
+    val otherB = bucketOf(other)
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-frontier-buckets").toString)
+    val link = new FrontierLink("fb_pages", "fb_crawled", "fb_links",
+      "fb_frontier", topKPerDomain = 3)
+    // batch 1 links into BOTH buckets
+    reg.write(Seq(("http://seed.org/p",
+      s"<a href='http://alpha.org/a'>1</a><a href='http://$other/x'>2</a>"))
+      .toDF("url", "html"), "fb_pages")
+    link.start(spark, reg).awaitTermination()
+    def bucketFiles(b: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(
+        s"${reg.root}/streams/fb_frontier_counts/bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().map(f =>
+        f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val otherBefore = bucketFiles(otherB)
+    val alphaBefore = bucketFiles(alphaB)
+    assert(otherBefore.nonEmpty && alphaBefore.nonEmpty)
+    // batch 2 links ONLY into alpha.org's bucket
+    reg.write(Seq(("http://seed2.org/p",
+      "<a href='http://alpha.org/a'>1</a><a href='http://alpha.org/b'>2</a>"))
+      .toDF("url", "html"), "fb_pages")
+    link.start(spark, reg).awaitTermination()
+    // the walk, not the plan: the other host's bucket directory is
+    // byte-for-byte the files batch 1 wrote; alpha's bucket rotated
+    assert(bucketFiles(otherB) === otherBefore)
+    assert(bucketFiles(alphaB) !== alphaBefore)
+    assert(reg.refreshPartitionMeta("fb_frontier_counts", alphaB,
+      "batch") === Some("1"))
+    assert(reg.refreshPartitionMeta("fb_frontier_counts", otherB,
+      "batch") === Some("0"))
+    // and the merged table is still exactly the audit-log aggregate
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(reg.read("fb_frontier_counts")
+        .select("link", "host", "inlinks")) ===
+      rows(FrontierLink.linkCounts(reg.read("fb_links"))))
   }
 
   test("feed discovery link + frontier extra sources: feed entries rank " +

@@ -237,16 +237,19 @@ class WarcSpec extends SparkSpec {
 
   test("wetRecords: conversion records round-trip through the cursor, " +
     "Content-Length counts UTF-8 octets on non-ASCII text, null texts " +
-    "drop") {
+    "and null uris drop") {
     val s = spark
     import s.implicits._
     val docs = Seq(
       (1L, "http://a.org/1", "plain ascii"),
       (2L, "http://a.org/2", "café à l'été"), // octets > chars
-      (3L, "http://a.org/3", null)).toDF("doc_id", "url", "text")
+      (3L, "http://a.org/3", null),
+      (4L, null, "orphan text")) // null uri nulls the concat — drop it too
+      .toDF("doc_id", "url", "text")
     val recs = Warc.wetRecords(docs,
       date = lit("2026-08-16T00:00:00Z"))
-    assert(recs.count() === 2) // the null-text row dropped
+    assert(recs.count() === 2) // the null-text AND null-uri rows dropped
+    assert(recs.filter(col("wet_record").isNull).count() === 0)
     val rec2 = recs.filter(col("doc_id") === 2)
       .select("wet_record").as[String].head()
     val bodyOctets = "café à l'été"

@@ -104,6 +104,24 @@ class WebTextSpec extends SparkSpec {
     assert(av("<link rel='a b'>") === "a b")
     assert(av("<a rel=nofollow/>") === "nofollow") // self-closing slash cut
     assert(av("<link rel = canonical >") === "canonical")
+    // interior slashes are VALUE, only the trailing /> slash is syntax
+    assert(AttrValueOps.extract("<a href=docs/intro.html>", "href") ===
+      "docs/intro.html")
+    assert(AttrValueOps.extract("<a href=http://x.com/page>", "href") ===
+      "http://x.com/page")
+    assert(AttrValueOps.extract("<a href=http://x.com/dir/>", "href") ===
+      "http://x.com/dir") // trailing slash before '>' reads self-closing
+    assert(AttrValueOps.extract(
+      "<link rel=alternate type=application/rss+xml href=/feed>", "type") ===
+      "application/rss+xml")
+    // a closing quote separates attributes (WHATWG glued form)
+    assert(AttrValueOps.extract(
+      "<link rel=\"canonical\"href=\"/x\">", "href") === "/x")
+    assert(av("<a href=\"x\"rel=nofollow>") === "nofollow")
+    assert(av("<a rel=\"a\"rel=\"b\">") === "a") // first still wins
+    assert(av("<ahref=x>") === "") // glue does NOT apply to the tag name
+    assert(AttrValueOps.extract("<a rel=x\"y\">", "rel") === "x") // unquoted
+    // value still stops at a quote; the quoted run then separates
     assert(av("<a REL=UGC>") === "UGC") // name case-folds, value verbatim
     assert(av("<a x=1 y rel=z q=2>") === "z") // valueless attr mid-tag
     assert(av("<a title=\"rel=nofollow is bad\" href=x>") === "")
