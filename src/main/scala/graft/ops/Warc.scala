@@ -253,6 +253,84 @@ object Warc {
         length(encode(col(textCol), "UTF-8")).cast("string"), lit(Crlf),
         lit(Crlf), col(textCol), lit(Crlf + Crlf)))
 
+  /** Per-page WAT metadata records — CommonCrawl's THIRD artifact
+    * (WARC = captures, WET = extracted text, WAT = per-page JSON
+    * metadata): one `WARC-Type: metadata` record per page whose JSON
+    * payload carries the page's head metadata (title, description —
+    * the [[graft.ops.WebText.pageMetadata]] extraction, entities
+    * decoded), its out-link hrefs in document order RAW
+    * ([[graft.ops.WebText.extractHrefs]] — WAT records the reference
+    * as written; resolution is the consumer's choice, unlike the
+    * frontier path), and the response Content-Type, nested in the
+    * CommonCrawl envelope shape
+    * (`Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata`).
+    * Header framing mirrors [[wetRecords]]: Content-Length counts the
+    * JSON's UTF-8 OCTETS, and concatenated records ARE a valid WAT
+    * file — the [[parseWarcText]] round-trip plus a `from_json`
+    * re-derivation of every payload field is the format contract
+    * (q257). Null-html and null-uri rows are dropped (either would
+    * null the record string — the [[wetRecords]] vanishing-row rule).
+    * `contentTypeCol` names the page's response media-type column
+    * ('' ⇒ a text/html literal). Output: the page columns +
+    * `wat_record`.
+    *
+    * Scale shape: scan-stage regex/JSON projection, no shuffle — the
+    * link array stays a per-page column (never exploded), so the only
+    * cost is the page's own tag scan. */
+  def watRecords(pages: DataFrame, uriCol: String = "url",
+                 htmlCol: String = "html", contentTypeCol: String = "",
+                 date: Column = lit("2026-01-01T00:00:00Z")): DataFrame = {
+    val ct = if (contentTypeCol.nonEmpty) col(contentTypeCol)
+             else lit("text/html")
+    val payload = to_json(struct(struct(
+      struct(col(uriCol).as("WARC-Target-URI"))
+        .as("WARC-Header-Metadata"),
+      struct(struct(
+        struct(ct.as("Content-Type")).as("Headers"),
+        struct(
+          struct(col("title").as("Title"),
+            col("description").as("Description")).as("Head"),
+          transform(WebText.extractHrefs(col(htmlCol)),
+            h => struct(lit("A@/href").as("path"), h.as("url")))
+            .as("Links")).as("HTML-Metadata"))
+        .as("HTTP-Response-Metadata")).as("Payload-Metadata"))
+      .as("Envelope")))
+    WebText.pageMetadata(
+        pages.filter(col(htmlCol).isNotNull && col(uriCol).isNotNull),
+        htmlCol)
+      .withColumn("wat_record", concat(
+        lit("WARC/1.0" + Crlf),
+        lit("WARC-Type: metadata" + Crlf),
+        lit("WARC-Target-URI: "), col(uriCol), lit(Crlf),
+        lit("WARC-Date: "), date, lit(Crlf),
+        lit("Content-Type: application/json" + Crlf),
+        lit("Content-Length: "),
+        length(encode(payload, "UTF-8")).cast("string"), lit(Crlf),
+        lit(Crlf), payload, lit(Crlf + Crlf)))
+      .drop("title", "description", "og_title", "og_description")
+  }
+
+  /** The `from_json` schema of a [[watRecords]] payload — the reader
+    * half of the WAT contract, shared by the q257 round-trip oracle
+    * and any consumer re-deriving fields from the artifact. */
+  val WatPayloadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("Envelope", StructType(Seq(
+      StructField("WARC-Header-Metadata", StructType(Seq(
+        StructField("WARC-Target-URI", StringType)))),
+      StructField("Payload-Metadata", StructType(Seq(
+        StructField("HTTP-Response-Metadata", StructType(Seq(
+          StructField("Headers", StructType(Seq(
+            StructField("Content-Type", StringType)))),
+          StructField("HTML-Metadata", StructType(Seq(
+            StructField("Head", StructType(Seq(
+              StructField("Title", StringType),
+              StructField("Description", StringType)))),
+            StructField("Links", ArrayType(StructType(Seq(
+              StructField("path", StringType),
+              StructField("url", StringType)))))))))))))))))))
+  }
+
   /** The real-CommonCrawl bytes→text path in ONE cursor pass: WARC
     * envelope parse + HTTP response split + charset-declared body
     * decode ([[Http.splitResponseBytes]] — the byte-level split, which

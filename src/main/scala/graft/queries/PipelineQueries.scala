@@ -7693,6 +7693,79 @@ object PipelineQueries {
       .orderBy("cluster_key", "src_idx")
   }
 
+  /** WAT export round-trip ([[graft.ops.Warc.watRecords]] →
+    * [[graft.ops.Warc.parseWarcText]] → `from_json`): CommonCrawl's
+    * metadata artifact — per-page JSON carrying title/description
+    * (entity-decoded), the RAW out-link hrefs in document order, and
+    * the response Content-Type, in the Envelope/Payload-Metadata
+    * nesting — packed 8 records per chunk, re-parsed by the library's
+    * OWN WARC cursor, and every payload field re-derived through the
+    * shared [[graft.ops.Warc.WatPayloadSchema]] reader. The oracle
+    * reconstructs each field from the page construction (title with a
+    * non-ASCII char AND an `&amp;` entity, an absolute href with an
+    * in-query `&amp;`, a relative href kept raw), so a JSON nesting
+    * drift, an entity-decode slip on either side of the raw-href rule,
+    * or an octet/char Content-Length mixup (asserted as `length_ok`
+    * against the re-encoded body) hash-diverges. */
+  val q257WatExport: Q = q("q257_wat_export",
+    """WITH t AS (SELECT doc_id FROM documents)
+      |SELECT CAST(doc_id // 8 AS BIGINT) AS chunk_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |    - 1 AS BIGINT) AS rec_idx,
+      |  'metadata' AS warc_type,
+      |  'http://w.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'application/json' AS content_type,
+      |  'http://w.org/' || CAST(doc_id AS VARCHAR) AS env_uri,
+      |  'Tï ' || CAST(doc_id AS VARCHAR) || ' & co' AS title,
+      |  'D ' || CAST(doc_id AS VARCHAR) AS description,
+      |  'text/html' AS page_content_type,
+      |  'http://peer' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '.net/x?a=1&b=2,/rel/' || CAST(doc_id AS VARCHAR) AS links,
+      |  TRUE AS length_ok
+      |FROM t ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Tï "), id, lit(" &amp; co</title>"),
+      lit("<meta name=\"description\" content=\"D "), id,
+      lit("\"></head><body><a href=\"http://peer"),
+      pmod(col("doc_id"), lit(5L)).cast("string"),
+      lit(".net/x?a=1&amp;b=2\">l1</a> <a href=\"/rel/"), id,
+      lit("\">l2</a></body></html>"))
+    val pages = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("http://w.org/"), id).as("url"), html.as("html"))
+    val chunks = Warc.watRecords(pages)
+      .select(call_function("div",
+          col("doc_id") - pmod(col("doc_id"), lit(8L)), lit(8L))
+          .as("chunk_id"),
+        col("doc_id"), col("wat_record"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), col("wat_record")))),
+        x => x.getField("wat_record")), "").as("chunk"))
+      .select(col("chunk_id"), encode(col("chunk"), "UTF-8").as("payload"))
+    val parsed = Warc.parseWarcText(s, chunks).toDF()
+      .withColumn("pj", from_json(col("body"), Warc.WatPayloadSchema))
+    val env = col("pj").getField("Envelope")
+    val respMeta = env.getField("Payload-Metadata")
+      .getField("HTTP-Response-Metadata")
+    val head = respMeta.getField("HTML-Metadata").getField("Head")
+    parsed.select(
+      col("chunk_id"), col("rec_idx"), col("warc_type"), col("target_uri"),
+      col("content_type"),
+      env.getField("WARC-Header-Metadata").getField("WARC-Target-URI")
+        .as("env_uri"),
+      head.getField("Title").as("title"),
+      head.getField("Description").as("description"),
+      respMeta.getField("Headers").getField("Content-Type")
+        .as("page_content_type"),
+      array_join(transform(
+        respMeta.getField("HTML-Metadata").getField("Links"),
+        l => l.getField("url")), ",").as("links"),
+      (col("content_length") ===
+        length(encode(col("body"), "UTF-8"))).as("length_ok"))
+      .orderBy("chunk_id", "rec_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7747,5 +7820,5 @@ object PipelineQueries {
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
-    q255IvfPqAdc, q256BitextHarvest)
+    q255IvfPqAdc, q256BitextHarvest, q257WatExport)
 }

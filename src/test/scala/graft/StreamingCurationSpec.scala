@@ -700,6 +700,63 @@ class StreamingCurationSpec extends SparkSpec {
     assert(reg.read("we_wet").count() === 3)
   }
 
+  test("wat export link: the streamed records equal the batch plan, " +
+    "concatenated output round-trips through the cursor with every " +
+    "JSON payload field re-derived, replay no-op") {
+    import graft.ops.Warc
+    import graft.runtime.WatExportLink
+    val s = spark
+    import s.implicits._
+    def page(n: Int): (String, String) = (s"http://w.org/$n",
+      s"<html><head><title>T$n &amp; é</title>" +
+        s"<meta name=\"description\" content=\"D$n\"></head>" +
+        s"<body><a href=\"http://peer$n.net/?a=1&amp;b=2\">x</a>" +
+        s"<a href=\"/rel/$n\">y</a></body></html>")
+    val b1 = Seq(page(1), page(2))
+    val b2 = Seq(page(3))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-wat-stream").toString)
+    val link = new WatExportLink("wa_docs", "wa_wat",
+      date = "2026-08-16T00:00:00Z")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(docs: Seq[(String, String)]) =
+      Warc.watRecords(docs.toDF("url", "html"),
+          date = lit("2026-08-16T00:00:00Z"))
+        .select(col("url"), col("wat_record"))
+
+    reg.write(b1.toDF("url", "html"), "wa_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("wa_wat")) === rows(expected(b1)))
+    reg.write(b2.toDF("url", "html"), "wa_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("wa_wat")) === rows(expected(b1 ++ b2)))
+    // the accumulated stream IS a WAT file: concatenate, re-parse,
+    // and re-derive the payload fields through the shared reader
+    val chunk = reg.read("wa_wat").orderBy("url")
+      .agg(concat_ws("", collect_list(col("wat_record"))).as("c"))
+      .select(encode(col("c"), "UTF-8").as("payload"))
+      .withColumn("chunk_id", lit(0L))
+    val pj = from_json(col("body"), Warc.WatPayloadSchema)
+    val head = pj.getField("Envelope").getField("Payload-Metadata")
+      .getField("HTTP-Response-Metadata")
+    val back = Warc.parseWarcText(spark, chunk).toDF()
+      .select(col("target_uri"), col("warc_type"), col("content_type"),
+        col("valid"),
+        head.getField("HTML-Metadata").getField("Head").getField("Title")
+          .as("title"),
+        array_join(transform(
+          head.getField("HTML-Metadata").getField("Links"),
+          l => l.getField("url")), ",").as("links"))
+      .collect().map(_.toSeq).toSet
+    assert(back === (1 to 3).map { n =>
+      Seq(s"http://w.org/$n", "metadata", "application/json", true,
+        s"T$n & é", s"http://peer$n.net/?a=1&b=2,/rel/$n")
+    }.toSet)
+    // replay with no new input appends nothing
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("wa_wat").count() === 3)
+  }
+
   test("canonical gate link: one survivor per declared target, earlier " +
     "batches win, fallback targets gate refetches, replay no-op") {
     import graft.runtime.CanonicalGateLink
