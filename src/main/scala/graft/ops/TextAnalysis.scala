@@ -174,6 +174,89 @@ object TextAnalysis {
         col("len_ratio_micros"))
   }
 
+  /** Embedding-margin bitext mining over translation clusters — the
+    * CCMatrix/LASER-shaped scorer that upgrades [[bitextAlign]]'s
+    * length/position heuristic when sentence embeddings exist. Input:
+    * one row per (cluster, lang, idx, sentence, embedding) — the
+    * embeddings come from the caller's encoder ([[bitextAlign]] stays
+    * the embedding-free fallback). For every lang pair
+    * (`src_lang < dst_lang`) and every cross-language sentence pair in
+    * a cluster:
+    *
+    *   `margin(x, y) = 2·cos(x, y) / (avgₖ(x) + avgₖ(y))`
+    *
+    * — the RATIO margin of Artetxe & Schwenk, where `avgₖ(x)` is the
+    * mean of x's k HIGHEST cosines over the cluster's other-language
+    * side (the candidate's own neighborhood normalizes its score: a
+    * sentence that is merely close to everything scores ~1 against
+    * every candidate, while a true translation stands above its
+    * neighborhood). Each src sentence keeps its best-margin dst
+    * candidate (ties to the lower dst index), gated at `minMargin`
+    * (1.0 = above-neighborhood; raise for precision). Zero-norm
+    * embeddings are dropped up front (cosine is undefined on them).
+    * Output: `(clusterCol, src_lang, dst_lang, src_idx, dst_idx,
+    * src_sentence, dst_sentence, cos_sim, margin)`.
+    *
+    * Deterministic cross-engine under the q250-style exact-dyadic
+    * construction discipline: dot products and norms² are EXACT (so
+    * order-free); sqrt/divide are correctly-rounded IEEE on both
+    * engines, so ranks can never drift (q258 pins the full chain).
+    *
+    * Scale shape: the candidate join keys on the CLUSTER (fan-out one
+    * article's sentences squared, like [[bitextAlign]] — never
+    * corpus-shaped); the kNN normalizers are WINDOWS over the pair
+    * frame keyed by (cluster, lang pair, sentence) — no self-joins,
+    * no global window, no collect. Corpus-wide mining (no cluster
+    * key) is [[Similarity.cosineTopK]]'s bucketed regime instead —
+    * this op is the high-precision path where hreflang/URL evidence
+    * already clusters candidates. */
+  def bitextMineByMargin(sentences: DataFrame,
+                         clusterCol: String = "cluster_key",
+                         langCol: String = "lang", idxCol: String = "idx",
+                         sentCol: String = "sentence",
+                         embCol: String = "embedding",
+                         k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val base = sentences.select(col(clusterCol),
+        col(langCol).as("graft_lang"), col(idxCol).cast("long").as("graft_idx"),
+        col(sentCol).as("graft_sent"), col(embCol).as("graft_emb"))
+      .withColumn("graft_norm", sqrt(dot(col("graft_emb"), col("graft_emb"))))
+      .filter(col("graft_norm") > 0)
+    val a = base.select(col(clusterCol), col("graft_lang").as("src_lang"),
+      col("graft_idx").as("src_idx"), col("graft_sent").as("src_sentence"),
+      col("graft_emb").as("graft_se"), col("graft_norm").as("graft_sn"))
+    val b = base.select(col(clusterCol), col("graft_lang").as("dst_lang"),
+      col("graft_idx").as("dst_idx"), col("graft_sent").as("dst_sentence"),
+      col("graft_emb").as("graft_de"), col("graft_norm").as("graft_dn"))
+    val wS = Window.partitionBy(clusterCol, "src_lang", "dst_lang", "src_idx")
+    val wD = Window.partitionBy(clusterCol, "src_lang", "dst_lang", "dst_idx")
+    val wBest = wS.orderBy(col("margin").desc, col("dst_idx"))
+    a.join(b, Seq(clusterCol)).filter(col("src_lang") < col("dst_lang"))
+      .withColumn("cos_sim", dot(col("graft_se"), col("graft_de")) /
+        (col("graft_sn") * col("graft_dn")))
+      .drop("graft_se", "graft_de", "graft_sn", "graft_dn")
+      // each side's k nearest OTHER-LANGUAGE neighbors (the candidate
+      // included — the neighborhood definition of the margin paper)
+      .withColumn("graft_rs", row_number().over(
+        wS.orderBy(col("cos_sim").desc, col("dst_idx"))))
+      .withColumn("graft_rd", row_number().over(
+        wD.orderBy(col("cos_sim").desc, col("src_idx"))))
+      .withColumn("graft_ks",
+        avg(when(col("graft_rs") <= k, col("cos_sim"))).over(wS))
+      .withColumn("graft_kd",
+        avg(when(col("graft_rd") <= k, col("cos_sim"))).over(wD))
+      .withColumn("margin",
+        col("cos_sim") * 2.0 / (col("graft_ks") + col("graft_kd")))
+      .withColumn("graft_rn", row_number().over(wBest))
+      .filter(col("graft_rn") === 1 && col("margin") >= minMargin)
+      .select(col(clusterCol), col("src_lang"), col("dst_lang"),
+        col("src_idx"), col("dst_idx"), col("src_sentence"),
+        col("dst_sentence"), col("cos_sim"), col("margin"))
+  }
+
   /** Tiny per-language stopword profiles for heuristic lang-ID. A real
     * pipeline ships char-n-gram models; the heuristic keeps identical
     * plumbing (score → argmax) with a deterministic, dependency-free

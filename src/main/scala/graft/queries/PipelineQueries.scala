@@ -7707,6 +7707,155 @@ object PipelineQueries {
     * drift, an entity-decode slip on either side of the raw-href rule,
     * or an octet/char Content-Length mixup (asserted as `length_ok`
     * against the re-encoded body) hash-diverges. */
+  /** Embedding-margin bitext mining
+    * ([[graft.ops.TextAnalysis.bitextMineByMargin]] — the CCMatrix
+    * ratio margin `2·cos/(avgₖ(src)+avgₖ(dst))` over cluster-keyed
+    * cross-language sentence pairs): planted en/de clusters where each
+    * aligned sentence's true translation carries the IDENTICAL
+    * exact-dyadic embedding (cos exactly 1) and the de side — the SRC
+    * side under the `src_lang < dst_lang` rule — adds an unaligned
+    * decoy sentence, so the kNN normalizers are nontrivial and the
+    * ≥1 gate has a real candidate to judge.
+    * GROUND-TRUTH oracle: DuckDB re-derives every cosine, both k=2
+    * neighborhood averages, the margin, the per-src argmax, and the
+    * ≥1 gate from the same integer-eighths construction — dot
+    * products and norms² are exact dyadic rationals (the q250
+    * discipline), so the ranking can never drift between engines. */
+  val q258MarginBitext: Q = q("q258_margin_bitext",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+      |en AS (SELECT doc_id, i, list_transform(range(1, 9),
+      |    j -> CAST((doc_id * 31 + i * 13 + j * 17) % 97 AS DOUBLE) / 8.0)
+      |    AS v
+      |  FROM t CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+      |de AS (SELECT doc_id, i, CASE WHEN i < 3 THEN
+      |    list_transform(range(1, 9),
+      |      j -> CAST((doc_id * 31 + i * 13 + j * 17) % 97 AS DOUBLE) / 8.0)
+      |  ELSE list_transform(range(1, 9),
+      |      j -> CAST((doc_id * 29 + 5 + j * 23) % 97 AS DOUBLE) / 8.0)
+      |  END AS v
+      |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      |p AS (SELECT de.doc_id, de.i AS src_idx, en.i AS dst_idx,
+      |    list_sum(list_transform(range(1, 9), j -> de.v[j] * en.v[j])) /
+      |      (sqrt(list_sum(list_transform(range(1, 9),
+      |         j -> de.v[j] * de.v[j]))) *
+      |       sqrt(list_sum(list_transform(range(1, 9),
+      |         j -> en.v[j] * en.v[j])))) AS cos
+      |  FROM de JOIN en USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, src_idx
+      |      ORDER BY cos DESC, dst_idx) AS rs,
+      |    row_number() OVER (PARTITION BY doc_id, dst_idx
+      |      ORDER BY cos DESC, src_idx) AS rd FROM p),
+      |ks AS (SELECT doc_id, src_idx, avg(cos) AS ks FROM r
+      |  WHERE rs <= 2 GROUP BY 1, 2),
+      |kd AS (SELECT doc_id, dst_idx, avg(cos) AS kd FROM r
+      |  WHERE rd <= 2 GROUP BY 1, 2),
+      |m AS (SELECT r.doc_id, r.src_idx, r.dst_idx, r.cos,
+      |    2 * r.cos / (ks.ks + kd.kd) AS margin
+      |  FROM r JOIN ks USING (doc_id, src_idx)
+      |  JOIN kd USING (doc_id, dst_idx)),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id, src_idx
+      |    ORDER BY margin DESC, dst_idx) AS rb FROM m)
+      |SELECT 'http://m.org/' || CAST(doc_id AS VARCHAR) AS cluster_key,
+      |  'de' AS src_lang, 'en' AS dst_lang,
+      |  CAST(src_idx AS BIGINT) AS src_idx,
+      |  CAST(dst_idx AS BIGINT) AS dst_idx,
+      |  'S ' || CAST(doc_id AS VARCHAR) || ' de ' || CAST(src_idx AS VARCHAR)
+      |    AS src_sentence,
+      |  'S ' || CAST(doc_id AS VARCHAR) || ' en ' || CAST(dst_idx AS VARCHAR)
+      |    AS dst_sentence,
+      |  round(cos, 4) AS cos_sim, round(margin, 4) AS margin
+      |FROM best WHERE rb = 1 AND margin >= 1.0
+      |ORDER BY cluster_key, src_idx""".stripMargin) { (s, d) =>
+    val id = col("doc_id").cast("string")
+    def aligned(i: Column) = transform(sequence(lit(1), lit(8)),
+      j => ((col("doc_id") * 31 + i * 13 + j * 17) % 97).cast("double")
+        / lit(8.0))
+    val decoy = transform(sequence(lit(1), lit(8)),
+      j => ((col("doc_id") * 29 + lit(5) + j * 23) % 97).cast("double")
+        / lit(8.0))
+    def side(lang: String, n: Int) = Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(n - 1L))).as("i"))
+      .select(
+        concat(lit("http://m.org/"), id).as("cluster_key"),
+        lit(lang).as("lang"), col("i").as("idx"),
+        concat(lit("S "), id, lit(s" $lang "), col("i").cast("string"))
+          .as("sentence"),
+        when(col("i") < 3, aligned(col("i"))).otherwise(decoy)
+          .as("embedding"))
+    TextAnalysis.bitextMineByMargin(
+        side("en", 3).unionByName(side("de", 4)), k = 2)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .withColumn("margin", round(col("margin"), 4))
+      .orderBy("cluster_key", "src_idx")
+  }
+
+  /** Hint-blended frontier ranking
+    * ([[graft.runtime.FrontierLink.frontierFromCounts]] — the q195
+    * frontier with sitemap changefreq (q246), publish-date recency
+    * (q245) and domain pass-rate (q201) folded into the per-host order
+    * as the exact integer-micros score
+    * `(4·inlink + 2·fresh + recency + 3·reputation) / 10`).
+    * GROUND-TRUTH oracle: every signal is planted by modulus — capped
+    * in-link counts (one 20-link row exercises the `least(·,16)` cap),
+    * sparse hints (doc_id%3=0 rows carry NONE and must score neutral),
+    * sparse dates (odd doc_ids score neutral; ages past 100 days clamp
+    * to zero), and a reputation ladder whose top rung exceeds 1e6 and
+    * must clamp — so DuckDB re-derives the full blend, the per-host
+    * rank, the top-3 cut, and the politeness slots. */
+  val q259HintedFrontier: Q = q("q259_hinted_frontier",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      |l AS (SELECT doc_id,
+      |    'h' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS host,
+      |    'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.org/p/' ||
+      |      CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 37 = 0 THEN 20
+      |         ELSE 1 + doc_id % 5 END AS inlinks FROM t),
+      |f AS (SELECT * FROM l WHERE doc_id % 11 <> 0),
+      |s AS (SELECT *,
+      |    least(inlinks, 16) * 62500 AS inl,
+      |    CASE WHEN doc_id % 3 = 0 THEN 500000 ELSE
+      |      CASE doc_id % 7 WHEN 0 THEN 1000000 WHEN 1 THEN 900000
+      |        WHEN 2 THEN 750000 WHEN 3 THEN 500000 WHEN 4 THEN 250000
+      |        WHEN 5 THEN 100000 ELSE 0 END END AS fresh,
+      |    CASE WHEN doc_id % 2 = 1 THEN 500000
+      |      ELSE greatest(0, 1000000 - (doc_id % 150) * 10000) END AS rec,
+      |    least((doc_id % 40) % 6 * 250000, 1000000) AS rep
+      |  FROM f),
+      |sc AS (SELECT host, url, CAST(inlinks AS BIGINT) AS inlinks,
+      |    (inl * 4 + fresh * 2 + rec + rep * 3) // 10 AS score FROM s),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY host
+      |    ORDER BY score DESC, inlinks DESC, url) AS rn FROM sc)
+      |SELECT host AS domain, url, inlinks, CAST(rn AS BIGINT) AS rank,
+      |  CAST(1000 AS BIGINT) AS delay_ms,
+      |  CAST((rn - 1) * 1000 AS BIGINT) AS not_before_ms
+      |FROM r WHERE rn <= 3 ORDER BY domain, rank""".stripMargin) { (s, d) =>
+    import graft.runtime.FrontierLink
+    val base = Tables.documents(s, d).filter(col("doc_id") < 240)
+    val m40 = (col("doc_id") % 40).cast("string")
+    val url = concat(lit("http://h"), m40, lit(".org/p/"),
+      col("doc_id").cast("string"))
+    val nLinks = when(col("doc_id") % 37 === 0, lit(20L))
+      .otherwise(lit(1L) + col("doc_id") % 5)
+    val links = base
+      .select(url.as("link"), explode(sequence(lit(1L), nLinks)).as("graft_i"))
+      .select("link")
+    val crawled = base.filter(col("doc_id") % 11 === 0).select(url.as("url"))
+    val hints = base.filter(col("doc_id") % 3 =!= 0).select(url.as("url"),
+      element_at(typedLit(Seq("always", "hourly", "daily", "weekly",
+          "monthly", "yearly", "never")),
+        (col("doc_id") % 7).cast("int") + 1).as("changefreq"))
+    val dates = base.filter(col("doc_id") % 2 === 0).select(url.as("url"),
+      (lit(1755300000000L) - (col("doc_id") % 150) * 86400000L)
+        .as("published_ms"))
+    val rep = Tables.documents(s, d).filter(col("doc_id") < 40).select(
+      concat(lit("h"), col("doc_id").cast("string"), lit(".org")).as("host"),
+      ((col("doc_id") % 6) * 250000L).as("pass_rate_micros"))
+    FrontierLink.frontierPlan(links, crawled, None, "graftbot", 3, None,
+        1000L, Some(hints), Some(dates), Some(rep), 1755300000000L)
+      .orderBy("domain", "rank")
+  }
+
   val q257WatExport: Q = q("q257_wat_export",
     """WITH t AS (SELECT doc_id FROM documents)
       |SELECT CAST(doc_id // 8 AS BIGINT) AS chunk_id,
@@ -7820,5 +7969,6 @@ object PipelineQueries {
     q243CaptureAudit, q244HreflangClusters, q245PublishDate,
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
-    q255IvfPqAdc, q256BitextHarvest, q257WatExport)
+    q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
+    q259HintedFrontier)
 }

@@ -56,6 +56,14 @@ import graft.ops.{Robots, WebText}
   *  - optional `historyStream` `(host, status_code)` — fetch outcomes;
   *    when present, hosts with high 5xx/429 shares back off
   *    ([[graft.ops.Robots.backoffSchedule]] step ladder);
+  *  - optional hint streams blended into the frontier's ORDER (the
+  *    [[FrontierLink.frontierFromCounts]] integer-micros score —
+  *    q259's batch contract): `hintsStream` `(url, changefreq)`
+  *    (sitemap hints, q246), `datesStream` `(url, published_ms)`
+  *    (publish dates aged against `nowMs`, q245), and
+  *    `reputationStream` `(host, pass_rate_micros)` (domain quality,
+  *    q201). Absent streams score neutral, so a hint-free loop ranks
+  *    exactly as before;
   *  - optional `extraLinksStreams` — additional `(link)` tables the
   *    refresh unions in READ-ONLY (ownership stays with their
   *    producers): point one at a [[FeedDiscoveryLink]]'s output and
@@ -97,7 +105,10 @@ class FrontierLink(input: String, crawledStream: String,
                    historyStream: String = "",
                    defaultDelayMs: Long = 1000L,
                    countsStream: String = "",
-                   numBuckets: Int = 16) extends Link {
+                   numBuckets: Int = 16,
+                   hintsStream: String = "", datesStream: String = "",
+                   reputationStream: String = "",
+                   nowMs: Long = 0L) extends Link {
   require(topKPerDomain >= 1, s"topKPerDomain >= 1, got $topKPerDomain")
   require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
   require(numBuckets >= 1, s"numBuckets >= 1, got $numBuckets")
@@ -178,7 +189,8 @@ class FrontierLink(input: String, crawledStream: String,
         registry.refresh(frontierStream, FrontierLink.refreshPlan(
           registry, countsName, extraLinksStreams, crawledStream,
           robotsStream, historyStream, agent, topKPerDomain,
-          defaultDelayMs))
+          defaultDelayMs, hintsStream, datesStream, reputationStream,
+          nowMs))
       }
       .start()
   }
@@ -201,19 +213,67 @@ object FrontierLink {
   def bucketOf(host: Column, numBuckets: Int): Column =
     pmod(xxhash64(host), lit(numBuckets.toLong)).cast("int")
 
+  /** Freshness weight (micros) per sitemap `changefreq` token — the
+    * q246 hint vocabulary folded into the frontier's order. Unknown /
+    * absent tokens score [[NeutralMicros]] (a missing hint must not
+    * penalize a URL against one that was merely never sitemapped). */
+  val FreshnessMicros: Map[String, Long] = Map(
+    "always" -> 1000000L, "hourly" -> 900000L, "daily" -> 750000L,
+    "weekly" -> 500000L, "monthly" -> 250000L, "yearly" -> 100000L,
+    "never" -> 0L)
+
+  /** The neutral score (micros) a URL gets on any signal it carries no
+    * evidence for. */
+  val NeutralMicros: Long = 500000L
+
   /** The frontier view as a function of a COUNT table: crawled URLs
     * anti-joined away, optional robots admission on the target's
-    * registered domain, top-k per domain by (inlinks desc, url asc),
-    * then the politeness schedule — each row's `not_before_ms` is
-    * `(rank − 1) ·` the host's effective delay: robots crawl-delay
-    * (or `defaultDelayMs`) × the error-back-off multiplier from the
-    * fetch history. `robots`/`history` absent ⇒ everything admitted
-    * at the default delay, multiplier 1. */
+    * registered domain, a HINT-BLENDED rank per domain, then the
+    * politeness schedule — each row's `not_before_ms` is `(rank − 1) ·`
+    * the host's effective delay: robots crawl-delay (or
+    * `defaultDelayMs`) × the error-back-off multiplier from the fetch
+    * history. `robots`/`history` absent ⇒ everything admitted at the
+    * default delay, multiplier 1.
+    *
+    * Ranking: per host by `score_micros` desc, inlinks desc, url asc,
+    * where the score blends the crawl's four ranking signals in EXACT
+    * integer micros (every term re-derivable by an engine-independent
+    * oracle — q259):
+    *
+    *   `score = (4·inlink + 2·fresh + 1·recency + 3·reputation) / 10`
+    *
+    *  - inlink evidence: `least(inlinks, 16) · 62500` — capped so a
+    *    link-farmed URL can't drown every other signal;
+    *  - fresh: [[FreshnessMicros]] of the URL's sitemap `changefreq`
+    *    (`hints` = `(url, changefreq)`, the q246 extraction);
+    *  - recency: `max(0, 1e6 − age_days·10000)` — zero past 100 days
+    *    (`dates` = `(url, published_ms)` epoch millis, the q245
+    *    extraction, aged against `nowMs`);
+    *  - reputation: the host's quality pass-rate in micros, clamped to
+    *    [0, 1e6] (`reputation` = `(host, pass_rate_micros)`, the q201
+    *    aggregate).
+    *
+    * Every absent frame/row scores [[NeutralMicros]] on its signal;
+    * with NO hint frames the blend is monotone in `least(inlinks, 16)`
+    * and the (score, inlinks, url) order reduces EXACTLY to the
+    * original (inlinks desc, url asc) — hint-free deployments see an
+    * unchanged frontier.
+    *
+    * Scale shape: the hint joins are link-keyed left joins AFTER the
+    * robots gate (hint tables — sitemap-listed URLs, dated articles —
+    * are orders smaller than the URL universe; the reputation join is
+    * host-keyed and broadcast-sized); the blend itself is a scan-stage
+    * integer projection, and the top-k window keeps the bare
+    * `row_number ≤ literal` InferWindowGroupLimit shape. */
   def frontierFromCounts(counts: DataFrame, crawled: DataFrame,
                          robots: Option[DataFrame],
                          history: Option[DataFrame], agent: String,
                          topKPerDomain: Int,
-                         defaultDelayMs: Long = 1000L): DataFrame = {
+                         defaultDelayMs: Long = 1000L,
+                         hints: Option[DataFrame] = None,
+                         dates: Option[DataFrame] = None,
+                         reputation: Option[DataFrame] = None,
+                         nowMs: Long = 0L): DataFrame = {
     val fresh = counts.join(crawled.select(col("url").as("link")).distinct(),
       Seq("link"), "left_anti")
     val gated = robots match {
@@ -226,11 +286,45 @@ object FrontierLink {
           .select("link", "host", "inlinks")
       case None => fresh
     }
+    val withFresh = hints match {
+      case Some(h) => gated.join(
+        h.select(col("url").as("link"), col("changefreq")), Seq("link"), "left")
+      case None => gated.withColumn("changefreq", lit(null).cast("string"))
+    }
+    val withDate = dates match {
+      case Some(dd) => withFresh.join(
+        dd.select(col("url").as("link"), col("published_ms")),
+        Seq("link"), "left")
+      case None => withFresh.withColumn("published_ms", lit(null).cast("long"))
+    }
+    val withRep = reputation match {
+      case Some(r) => withDate.join(
+        r.select(col("host"), col("pass_rate_micros")), Seq("host"), "left")
+      case None =>
+        withDate.withColumn("pass_rate_micros", lit(null).cast("long"))
+    }
+    val freshScore = coalesce(
+      element_at(typedLit(FreshnessMicros), lower(col("changefreq"))),
+      lit(NeutralMicros))
+    // clamp BEFORE the day division: truncating and flooring agree on
+    // non-negatives, so the oracle's // can never drift from div
+    val ageDays = call_function("div",
+      greatest(lit(0L), lit(nowMs) - col("published_ms")), lit(86400000L))
+    val recScore = coalesce(
+      greatest(lit(0L), lit(1000000L) - ageDays * 10000L),
+      lit(NeutralMicros))
+    val repScore = coalesce(
+      least(greatest(col("pass_rate_micros"), lit(0L)), lit(1000000L)),
+      lit(NeutralMicros))
+    val scored = withRep.withColumn("graft_score", call_function("div",
+      least(col("inlinks"), lit(16L)) * 62500L * 4L +
+        freshScore * 2L + recScore + repScore * 3L, lit(10L)))
     val w = Window.partitionBy("host")
-      .orderBy(col("inlinks").desc, col("link").asc)
+      .orderBy(col("graft_score").desc, col("inlinks").desc,
+        col("link").asc)
     // bare row_number ≤ literal directly over the window — the
     // InferWindowGroupLimit contract (see Robots.politenessSchedule)
-    val ranked = gated.withColumn("graft_rn", row_number().over(w))
+    val ranked = scored.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") <= topKPerDomain)
     // effective per-host delay: crawl-delay (default when the host has
     // none / no robots) × back-off multiplier (1 when healthy / no
@@ -259,14 +353,19 @@ object FrontierLink {
 
   /** The frontier computation as a function of the RAW link log — the
     * batch reference plan the streaming refresh is spec-pinned equal
-    * to (and the q195 shape): count, gate, rank, schedule. */
+    * to (and the q195 shape): count, gate, hint-blend, rank,
+    * schedule. */
   def frontierPlan(links: DataFrame, crawled: DataFrame,
                    robots: Option[DataFrame], agent: String,
                    topKPerDomain: Int,
                    history: Option[DataFrame] = None,
-                   defaultDelayMs: Long = 1000L): DataFrame =
+                   defaultDelayMs: Long = 1000L,
+                   hints: Option[DataFrame] = None,
+                   dates: Option[DataFrame] = None,
+                   reputation: Option[DataFrame] = None,
+                   nowMs: Long = 0L): DataFrame =
     frontierFromCounts(linkCounts(links), crawled, robots, history, agent,
-      topKPerDomain, defaultDelayMs)
+      topKPerDomain, defaultDelayMs, hints, dates, reputation, nowMs)
 
   /** The EXACT DataFrame a [[FrontierLink]] refresh materializes — a
     * function of the registry state, exposed so the scale spec can
@@ -278,7 +377,10 @@ object FrontierLink {
                   extraLinksStreams: Seq[String], crawledStream: String,
                   robotsStream: String, historyStream: String,
                   agent: String, topKPerDomain: Int,
-                  defaultDelayMs: Long): DataFrame = {
+                  defaultDelayMs: Long,
+                  hintsStream: String = "", datesStream: String = "",
+                  reputationStream: String = "",
+                  nowMs: Long = 0L): DataFrame = {
     // the bucket column is merge-path layout, not frontier input
     val base = registry.read(countsStream).select("link", "host", "inlinks")
     val extras = extraLinksStreams.filter(registry.exists)
@@ -287,15 +389,12 @@ object FrontierLink {
       if (extras.isEmpty) base
       else (base +: extras).reduce(_ unionByName _)
         .groupBy("link", "host").agg(sum("inlinks").as("inlinks"))
-    val robots =
-      if (robotsStream.nonEmpty && registry.exists(robotsStream))
-        Some(registry.read(robotsStream))
+    def opt(name: String): Option[DataFrame] =
+      if (name.nonEmpty && registry.exists(name)) Some(registry.read(name))
       else None
-    val history =
-      if (historyStream.nonEmpty && registry.exists(historyStream))
-        Some(registry.read(historyStream))
-      else None
-    frontierFromCounts(counts, registry.read(crawledStream), robots,
-      history, agent, topKPerDomain, defaultDelayMs)
+    frontierFromCounts(counts, registry.read(crawledStream),
+      opt(robotsStream), opt(historyStream), agent, topKPerDomain,
+      defaultDelayMs, opt(hintsStream), opt(datesStream),
+      opt(reputationStream), nowMs)
   }
 }

@@ -590,6 +590,49 @@ class StreamingCurationSpec extends SparkSpec {
       rows(FrontierLink.linkCounts(reg.read("fb_links"))))
   }
 
+  test("hint-blended frontier link: changefreq/date/reputation streams " +
+    "reorder the frontier within a host (the fresher low-inlink page " +
+    "overtakes), batch parity with the hinted plan, absent hints score " +
+    "neutral") {
+    import graft.ops.WebText
+    import graft.runtime.FrontierLink
+    val s = spark
+    import s.implicits._
+    val now = 1755300000000L
+    // alpha.org/a gets TWO in-links, /b one — inlink-only ranking puts
+    // a first; b's hints (changefreq=always, published today) must
+    // overtake: score(a) = (2·62500·4 + 5e5·2 + 5e5 + 5e5·3)/10 =
+    // 350000 < score(b) = (62500·4 + 1e6·2 + 1e6 + 5e5·3)/10 = 475000
+    val b1 = Seq(
+      ("http://src1.org/p", "<a href='http://alpha.org/a'>1</a>"),
+      ("http://src2.org/p",
+        "<a href='http://alpha.org/a'>1</a><a href='http://alpha.org/b'>2</a>"))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-frontier-hints").toString)
+    reg.write(Seq(("http://alpha.org/b", "always"))
+      .toDF("url", "changefreq"), "fh_hints")
+    reg.write(Seq(("http://alpha.org/b", now))
+      .toDF("url", "published_ms"), "fh_dates")
+    val link = new FrontierLink("fh_pages", "fh_crawled", "fh_links",
+      "fh_frontier", topKPerDomain = 2,
+      hintsStream = "fh_hints", datesStream = "fh_dates", nowMs = now)
+    reg.write(b1.toDF("url", "html"), "fh_pages")
+    link.start(spark, reg).awaitTermination()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val f1 = rows(reg.read("fh_frontier"))
+    // the flip: b rank 1 despite fewer in-links; a rank 2 (neutral on
+    // every hint it lacks)
+    assert(f1.exists(r => r(1) === "http://alpha.org/b" && r(3) === 1L))
+    assert(f1.exists(r => r(1) === "http://alpha.org/a" && r(3) === 2L &&
+      r(2) === 2L))
+    // batch parity with the hinted reference plan
+    val pdf = b1.toDF("url", "html")
+    assert(f1 === rows(FrontierLink.frontierPlan(
+      WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
+      pdf.select("url"), None, "graftbot", 2, None, 1000L,
+      Some(reg.read("fh_hints")), Some(reg.read("fh_dates")), None, now)))
+  }
+
   test("feed discovery link + frontier extra sources: feed entries rank " +
     "in the same frontier as page links; relative Atom hrefs resolve; " +
     "replay no-op") {
