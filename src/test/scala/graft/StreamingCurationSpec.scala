@@ -590,6 +590,151 @@ class StreamingCurationSpec extends SparkSpec {
       rows(FrontierLink.linkCounts(reg.read("fb_links"))))
   }
 
+  test("cdx index link: per-batch index lines equal the batch plan over " +
+    "the same chunks, locators round-trip (slicing the payload at a " +
+    "line's offset/length re-parses exactly that record), replay no-op") {
+    import graft.ops.Warc
+    import graft.runtime.CdxIndexLink
+    val s = spark
+    import s.implicits._
+    def chunks(ids: Seq[Long]): DataFrame =
+      Warc.syntheticWarcChunks(
+        ids.map(i => (i, s"body text $i café")).toDF("doc_id", "text"),
+        uri = concat(lit("HTTP://WWW.S"), col("doc_id").cast("string"),
+          lit(".ORG:80/a?b=2&a=1")))
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-cdx-stream").toString)
+    val link = new CdxIndexLink("cx_chunks", "cx_index")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(ids: Seq[Long]) = rows(Warc.cdxjLines(
+        Warc.parseWarcIndex(spark, chunks(ids)),
+        filename = concat(lit("seg-"), col("chunk_id").cast("string"),
+          lit(".warc")))
+      .select("urlkey", "chunk_id", "rec_idx", "cdxj_line"))
+
+    reg.write(chunks(Seq(1L, 2L)), "cx_chunks")
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("cx_index")) === expected(Seq(1L, 2L)))
+    reg.write(chunks(Seq(17L)), "cx_chunks") // a later segment arrives
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("cx_index")) ===
+      expected(Seq(1L, 2L)) ++ expected(Seq(17L)))
+    // the locator contract: slice the chunk payload at one line's
+    // (offset, length) and the cursor re-parses exactly that record
+    val line = reg.read("cx_index").filter(col("chunk_id") === 0L)
+      .orderBy("rec_idx").select("cdxj_line").as[String].head()
+    val json = line.split(" ", 3)(2)
+    def jfield(k: String): String = Seq(json).toDF("j")
+      .select(get_json_object(col("j"), s"$$.$k")).as[String].head()
+    val (off, len) = (jfield("offset").toInt, jfield("length").toInt)
+    assert(jfield("filename") === "seg-0.warc")
+    val payload = chunks(Seq(1L, 2L)).filter(col("chunk_id") === 0L)
+      .select("payload").as[Array[Byte]].head()
+    val sliced = Seq((0L, payload.slice(off, off + len)))
+      .toDF("chunk_id", "payload")
+    val back = Warc.parseWarcText(spark, sliced).toDF()
+    assert(back.count() === 1)
+    assert(back.select("target_uri").as[String].head() ===
+      "HTTP://WWW.S1.ORG:80/a?b=2&a=1")
+    // replay with no new input appends nothing
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("cx_index").count() === 3)
+  }
+
+  test("bitext harvest link: translations arriving in DIFFERENT batches " +
+    "join their cluster (cross-batch state), only touched clusters " +
+    "re-align (untouched bucket files byte-identical), recrawl replaces " +
+    "a member, replay no-op") {
+    import graft.ops.TextAnalysis
+    import graft.runtime.BitextHarvestLink
+    val s = spark
+    import s.implicits._
+    def cluster(n: Int) = s"http://h.org/a/$n"
+    def bucketOf(c: String): Int = Seq(c).toDF("c")
+      .select(BitextHarvestLink.bucketOf(col("c"), 16)).head().getInt(0)
+    // three clusters in pairwise DIFFERENT buckets (computed, not
+    // assumed — the modulus is the contract)
+    val ids = (1 to 64).toList
+      .groupBy(n => bucketOf(cluster(n))).values.map(_.head).take(3).toList
+    val Seq(ca, cb, cc) = ids.map(_.toInt)
+    def enText(n: Int) = s"Aa $n bb. Cc dd ee ff gg."
+    def deText(n: Int) = s"Xx $n yy. Zz ww vv uu tt ss."
+    def page(n: Int, lang: String, text: String): (String, String, String) = {
+      val url = s"http://h.org/$lang/a/$n"
+      val html = s"<link rel=\"alternate\" hreflang=\"en\" " +
+        s"href=\"http://h.org/en/a/$n\">" +
+        s"<link rel=\"alternate\" hreflang=\"de\" " +
+        s"href=\"http://h.org/de/a/$n\">" +
+        s"<link rel=\"alternate\" hreflang=\"x-default\" " +
+        s"href=\"${cluster(n)}\">"
+      (url, html, text)
+    }
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-bitext-harvest").toString)
+    val link = new BitextHarvestLink("bh_pages", "bh_members", "bh_pairs")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def pairRows = rows(reg.read("bh_pairs").drop("bucket"))
+    def expected(pages: Seq[(String, String, String)]) = {
+      val members = BitextHarvestLink.clusterMembers(
+        pages.toDF("url", "html", "text"))
+      rows(TextAnalysis.bitextAlign(members
+        .groupBy("cluster_key", "lang")
+        .agg(min(struct(col("url"), col("text"))).as("w"))
+        .select(col("cluster_key"), col("lang"),
+          col("w").getField("text").as("text"))))
+    }
+
+    // batch 1: the en half of cluster A alone — no pairs yet
+    val b1 = Seq(page(ca, "en", enText(ca)))
+    reg.write(b1.toDF("url", "html", "text"), "bh_pages")
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("bh_members").count() === 1)
+    assert(pairRows.isEmpty)
+
+    // batch 2: A's de half arrives (cross-batch!) plus both halves of B
+    val b2 = Seq(page(ca, "de", deText(ca)),
+      page(cb, "en", enText(cb)), page(cb, "de", deText(cb)))
+    reg.write(b2.toDF("url", "html", "text"), "bh_pages")
+    link.start(spark, reg).awaitTermination()
+    assert(pairRows === expected(b1 ++ b2))
+    assert(pairRows.exists(_.head === cluster(ca))) // the cross-batch join
+    def bucketFiles(stream: String, b: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"${reg.root}/streams/$stream/bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().map(f =>
+        f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val aPairsBefore = bucketFiles("bh_pairs", bucketOf(cluster(ca)))
+    val bPairsBefore = bucketFiles("bh_pairs", bucketOf(cluster(cb)))
+
+    // batch 3: cluster C only — A's and B's pair buckets never rewrite
+    val b3 = Seq(page(cc, "en", enText(cc)), page(cc, "de", deText(cc)))
+    reg.write(b3.toDF("url", "html", "text"), "bh_pages")
+    link.start(spark, reg).awaitTermination()
+    assert(pairRows === expected(b1 ++ b2 ++ b3))
+    assert(bucketFiles("bh_pairs", bucketOf(cluster(ca))) === aPairsBefore)
+    assert(bucketFiles("bh_pairs", bucketOf(cluster(cb))) === bPairsBefore)
+
+    // batch 4: A's de page recrawled with NEW text — the member row is
+    // REPLACED (count unchanged) and A re-aligns against the new text
+    val newDe = s"Xx $ca neu. Zz ww vv uu tt ss."
+    val b4 = Seq(page(ca, "de", newDe))
+    reg.write(b4.toDF("url", "html", "text"), "bh_pages")
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("bh_members").count() === 6)
+    assert(pairRows === expected(Seq(page(ca, "en", enText(ca))) ++
+      b2.tail ++ b3 ++ b4))
+    assert(pairRows.exists(r => r.head === cluster(ca) &&
+      r.toString.contains("neu")))
+
+    // replay with no new input: members AND pairs stay put
+    val mBefore = rows(reg.read("bh_members"))
+    val pBefore = pairRows
+    link.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("bh_members")) === mBefore)
+    assert(pairRows === pBefore)
+  }
+
   test("hint-blended frontier link: changefreq/date/reputation streams " +
     "reorder the frontier within a host (the fresher low-inlink page " +
     "overtakes), batch parity with the hinted plan, absent hints score " +
