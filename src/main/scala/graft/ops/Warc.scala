@@ -310,6 +310,37 @@ object Warc {
       .drop("title", "description", "og_title", "og_description")
   }
 
+  /** CDXJ index lines over a [[parseWarcIndex]] frame — the THIRD
+    * per-segment artifact (WET text, WAT metadata, CDX random-access
+    * index): one line per VALID record,
+    * `"<urlkey> <timestamp14> {json}"`, where the urlkey is the
+    * [[graft.ops.WebText.surtKey]] of the record's target URI and the
+    * JSON carries url / digest / length / offset / filename — length
+    * and offset as STRINGS, the CommonCrawl cdx-*.gz convention. The
+    * lines of a segment, SORTED by urlkey, are the binary-searchable
+    * index that fetches `[offset, offset+length)` of the segment and
+    * inflates exactly one record. Sorting/sharding is the caller's
+    * export policy (the q131/q206 shard machinery); q260 pins the
+    * line grammar, the SURT key, and every locator field against a
+    * ground-truth reconstruction. Invalid rows are dropped — a
+    * corrupt record has no usable locator, and a null line would
+    * vanish from concatenation (the [[wetRecords]] rule). Output: the
+    * index columns + `urlkey` + `cdxj_line`. Scan-stage projection,
+    * no shuffle. */
+  def cdxjLines(index: DataFrame, filename: Column,
+                uriCol: String = "target_uri",
+                timestamp: Column = lit("20260101000000")): DataFrame =
+    index.filter(col("valid") && col(uriCol).isNotNull)
+      .withColumn("urlkey", WebText.surtKey(col(uriCol)))
+      .withColumn("cdxj_line", concat(
+        col("urlkey"), lit(" "), timestamp, lit(" "),
+        to_json(struct(
+          col(uriCol).as("url"),
+          col("body_md5").as("digest"),
+          col("rec_bytes").cast("string").as("length"),
+          col("rec_offset").cast("string").as("offset"),
+          filename.as("filename")))))
+
   /** The `from_json` schema of a [[watRecords]] payload — the reader
     * half of the WAT contract, shared by the q257 round-trip oracle
     * and any consumer re-deriving fields from the artifact. */

@@ -34,6 +34,40 @@ object WebText {
   private def authority(u: Column): Column =
     lower(regexp_extract(u, "^[^/]*//[^/]*", 0))
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the CDX index
+    * key convention (pywb/OpenWayback, CommonCrawl's cdx-*.gz files):
+    * the whole URL lowercased, scheme dropped, default ports and a
+    * leading `www.` label dropped, HOST LABELS REVERSED comma-joined,
+    * `)` then the path (bare host ⇒ `/`), then the query with its
+    * `&`-separated parameters SORTED (so param order never splits an
+    * index key) and the fragment dropped:
+    * `HTTP://WWW.Ex.ORG:80/P/1?b=2&a=1` → `org,ex)/p/1?a=1&b=2`.
+    * Reversing the host groups a registrable domain's captures into
+    * one contiguous, binary-searchable run of a SORTED index — the
+    * property the whole CDX random-access story rests on. Codegen'd
+    * regexp/array chain, scan-stage like [[canonicalUrl]] (which keeps
+    * the URL shape for dedup keys; this is the INDEX key). */
+  def surtKey(u: Column): Column = {
+    val lc = lower(trim(u))
+    val rest = regexp_replace(lc, "^[a-z][a-z0-9+.-]*://", "")
+    val hostPort = regexp_replace(regexp_replace(
+      regexp_extract(rest, "^([^/?#]*)", 1), ":(80|443)$", ""),
+      "^www\\.", "")
+    // a NON-default port survives, attached after the reversed labels
+    // (`org,example:8080)` — the pywb convention)
+    val host = regexp_replace(hostPort, ":[0-9]+$", "")
+    val port = regexp_extract(hostPort, "(:[0-9]+)$", 1)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_extract(pathq, "^([^?#]*)", 1)
+    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+    concat(
+      array_join(reverse(split(host, "\\.")), ","), port, lit(")"),
+      when(path === "", lit("/")).otherwise(path),
+      when(query === "", lit(""))
+        .otherwise(concat(lit("?"),
+          array_join(array_sort(split(query, "&")), "&"))))
+  }
+
   /** Canonical form of a (possibly messy) absolute http(s) URL:
     *  1. fragment stripped (`#…` never reaches the server);
     *  2. scheme+host lowercased (case-insensitive per RFC 3986) and a

@@ -7915,6 +7915,71 @@ object PipelineQueries {
       .orderBy("chunk_id", "rec_idx")
   }
 
+  /** CDXJ index export ([[graft.ops.Warc.cdxjLines]] over
+    * [[graft.ops.Warc.parseWarcIndex]]): the third segment artifact —
+    * `"<SURT urlkey> <timestamp14> {json}"` lines whose locators buy
+    * random access into the segment. Messy planted URIs (uppercase
+    * scheme/host, `www.` label, explicit `:80`, query params out of
+    * order) exercise the full [[graft.ops.WebText.surtKey]] transform;
+    * the query re-parses its OWN lines (token split + JSON reads) and
+    * the oracle reconstructs everything from the construction: the
+    * urlkey spelled out directly (reversed labels, dropped www/port,
+    * sorted query), and length/offset as the q191 running-sum
+    * record-string reconstruction — one header byte miscounted and a
+    * locator drifts. */
+  val q260CdxjExport: Q = q("q260_cdxj_export",
+    """WITH src AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |u AS (SELECT doc_id, text,
+      |  'HTTP://WWW.Ex' || CAST(doc_id % 5 AS VARCHAR) || '.ORG:80/P/' ||
+      |    CAST(doc_id AS VARCHAR) || '?b=2&a=' ||
+      |    CAST(doc_id % 3 AS VARCHAR) AS uri FROM src),
+      |rec AS (SELECT doc_id, doc_id // 8 AS chunk_id, uri,
+      |  'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+      |  'WARC-Target-URI: ' || uri || e'\r\n' ||
+      |  CASE WHEN doc_id % 8 = 3
+      |    THEN 'WARC-Truncated: length' || e'\r\n' ELSE '' END ||
+      |  'Content-Type: text/plain' || e'\r\n' ||
+      |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+      |    e'\r\n\r\n' || text || e'\r\n\r\n' AS r,
+      |  md5(text) AS digest FROM u),
+      |loc AS (SELECT chunk_id, doc_id, uri, digest, strlen(r) AS rb,
+      |  row_number() OVER (PARTITION BY chunk_id ORDER BY doc_id) - 1
+      |    AS rec_idx,
+      |  sum(strlen(r)) OVER (PARTITION BY chunk_id ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - strlen(r) AS off FROM rec)
+      |SELECT 'org,ex' || CAST(doc_id % 5 AS VARCHAR) || ')/p/' ||
+      |    CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+      |    || '&b=2' AS urlkey,
+      |  '20260101000000' AS ts, uri AS url, digest,
+      |  CAST(rb AS VARCHAR) AS length, CAST(off AS VARCHAR) AS offset,
+      |  'seg-' || CAST(chunk_id AS VARCHAR) || '.warc' AS filename,
+      |  CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(rec_idx AS BIGINT) AS rec_idx
+      |FROM loc ORDER BY urlkey""".stripMargin) { (s, d) =>
+    val uri = concat(lit("HTTP://WWW.Ex"), (col("doc_id") % 5).cast("string"),
+      lit(".ORG:80/P/"), col("doc_id").cast("string"),
+      lit("?b=2&a="), (col("doc_id") % 3).cast("string"))
+    val chunks = Warc.syntheticWarcChunks(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select("doc_id", "text"), uri = uri)
+    val lines = Warc.cdxjLines(Warc.parseWarcIndex(s, chunks),
+      filename = concat(lit("seg-"), col("chunk_id").cast("string"),
+        lit(".warc")))
+    val json = regexp_extract(col("cdxj_line"), "^(\\S+) (\\S+) (.*)$", 3)
+    lines.select(
+      regexp_extract(col("cdxj_line"), "^(\\S+) (\\S+) (.*)$", 1)
+        .as("urlkey"),
+      regexp_extract(col("cdxj_line"), "^(\\S+) (\\S+) (.*)$", 2).as("ts"),
+      get_json_object(json, "$.url").as("url"),
+      get_json_object(json, "$.digest").as("digest"),
+      get_json_object(json, "$.length").as("length"),
+      get_json_object(json, "$.offset").as("offset"),
+      get_json_object(json, "$.filename").as("filename"),
+      col("chunk_id"), col("rec_idx"))
+      .orderBy("urlkey")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -7970,5 +8035,5 @@ object PipelineQueries {
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
     q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
-    q259HintedFrontier)
+    q259HintedFrontier, q260CdxjExport)
 }

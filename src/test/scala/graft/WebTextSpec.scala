@@ -143,6 +143,26 @@ class WebTextSpec extends SparkSpec {
     }
   }
 
+  test("surtKey: lowercases, drops scheme/www/default ports, reverses " +
+    "host labels, sorts query params, drops fragments, roots bare hosts") {
+    import graft.ops.WebText
+    def sk(u: String): String = Seq(u).toDF("u")
+      .select(WebText.surtKey(col("u"))).as[String].head()
+    assert(sk("HTTP://WWW.Ex.ORG:80/P/1?b=2&a=1") === "org,ex)/p/1?a=1&b=2")
+    assert(sk("https://news.example.co.uk/a/b") ===
+      "uk,co,example,news)/a/b")
+    assert(sk("https://example.org:443/x") === "org,example)/x")
+    assert(sk("http://example.org:8080/x") === "org,example:8080)/x")
+    assert(sk("http://example.org") === "org,example)/")
+    assert(sk("http://example.org/a#frag") === "org,example)/a")
+    assert(sk("http://example.org/?z=1&y=2&x=3") ===
+      "org,example)/?x=3&y=2&z=1")
+    // www only strips as a whole leading label
+    assert(sk("http://wwwx.org/a") === "org,wwwx)/a")
+    // same page, different param order and case → ONE index key
+    assert(sk("http://a.org/p?x=1&y=2") === sk("HTTP://A.ORG/p?y=2&x=1"))
+  }
+
   test("registeredDomainByTable: wildcard and exception rules follow " +
     "the publicsuffix.org algorithm (exception beats wildcard beats " +
     "plain beats implicit *)") {
