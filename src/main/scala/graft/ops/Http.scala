@@ -78,6 +78,17 @@ object Http {
     lower(trim(regexp_extract(headerBlock(p),
       "(?im)^transfer-encoding:\\s*([^\r\n]+)", 1)))
 
+  /** ALL `X-Robots-Tag` header values of the response, in header
+    * order, trimmed and verbatim otherwise (a response may carry the
+    * header several times — each is an independent rule line). This is
+    * the HTTP-layer sibling of the `<meta name=robots>` tag and the
+    * ONLY robots channel a non-HTML resource (PDF, image, feed) has;
+    * [[WebText.headerRobotsSignals]] parses the agent-scoped grammar.
+    * Empty array when absent. */
+  def xRobotsTags(p: Column): Column =
+    transform(regexp_extract_all(headerBlock(p),
+      lit("(?im)^x-robots-tag:\\s*([^\r\n]+)"), lit(1)), v => trim(v))
+
   /** The `Retry-After` header value verbatim (RFC 9110 §10.2.3 — a
     * 429/503's explicit back-off demand), empty when absent. Both
     * legal forms pass through: delta-seconds and HTTP-date

@@ -813,6 +813,60 @@ object WebText {
           .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
   }
 
+  /** Directive names of the X-Robots-Tag grammar — a leading
+    * `token:` whose token is one of THESE is a directive (the
+    * colon-carrying `unavailable_after: <date>` form), anything else
+    * is an agent scope (`googlebot: noindex`). */
+  private val XRobotsDirectives: Seq[String] = Seq(
+    "all", "noindex", "nofollow", "none", "noarchive", "nosnippet",
+    "notranslate", "noimageindex", "indexifembedded", "unavailable_after",
+    "max-snippet", "max-image-preview", "max-video-preview")
+
+  /** `X-Robots-Tag` response-header robots signals — the HTTP-layer
+    * sibling of [[metaRobotsSignals]] and the ONLY robots channel a
+    * non-HTML resource (PDF, image, feed) has. Each header value is a
+    * rule line: optionally agent-scoped (`googlebot: noindex` — the
+    * rule binds to that bot alone; an UNSCOPED line binds to every
+    * bot), then comma-separated directives. The scope/directive
+    * ambiguity of the colon — `unavailable_after: 25 Jun 2026 …` is a
+    * DIRECTIVE carrying a colon, not a scope — resolves the way
+    * Google's parser does: a leading token that names a known
+    * directive ([[XRobotsDirectives]]) is a directive. Rules scoped to
+    * OTHER agents are ignored; `agent` compares case-insensitively.
+    * Output per response: `url`, `directives` (sorted-distinct,
+    * comma-joined, lowercased, internal whitespace collapsed),
+    * `noindex`, `nofollow` (both also true under `none`) — the
+    * [[metaRobotsSignals]] shape, so the two channels union with
+    * most-restrictive-wins semantics downstream. Pure codegen'd
+    * regex/HOF chain over the header block, no shuffle. */
+  def headerRobotsSignals(responses: DataFrame, urlCol: String = "url",
+                          payloadCol: String = "payload",
+                          agent: String = "graftbot"): DataFrame = {
+    val tags = Http.xRobotsTags(col(payloadCol))
+    def prefix(v: Column): Column =
+      lower(regexp_extract(v, "^([A-Za-z0-9_*-]+)\\s*:", 1))
+    def scoped(v: Column): Column =
+      prefix(v) =!= "" && !prefix(v).isin(XRobotsDirectives: _*)
+    def applies(v: Column): Column =
+      !scoped(v) || prefix(v) === lit(agent.toLowerCase)
+    def ruleBody(v: Column): Column =
+      when(scoped(v), regexp_replace(v, "^[A-Za-z0-9_*-]+\\s*:\\s*", ""))
+        .otherwise(v)
+    val dirs = array_sort(array_distinct(filter(
+      transform(
+        flatten(transform(filter(tags, v => applies(v)),
+          v => split(ruleBody(v), ","))),
+        d => regexp_replace(trim(lower(d)), "\\s+", " ")),
+      d => d =!= "")))
+    responses.select(col(urlCol).as("url"), dirs.as("graft_dirs"))
+      .select(col("url"),
+        array_join(col("graft_dirs"), ",").as("directives"),
+        array_contains(col("graft_dirs"), "noindex")
+          .or(array_contains(col("graft_dirs"), "none")).as("noindex"),
+        array_contains(col("graft_dirs"), "nofollow")
+          .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
+  }
+
   /** Redirect-chain resolution over fetched responses: from per-URL
     * `(url, status, location)` records, walk the 3xx redirect graph up
     * to `maxHops` and report each URL's `final_url`, `n_hops`,

@@ -7980,6 +7980,92 @@ object PipelineQueries {
       .orderBy("urlkey")
   }
 
+  /** X-Robots-Tag header parsing
+    * ([[graft.ops.WebText.headerRobotsSignals]] over
+    * [[graft.ops.Http.xRobotsTags]]): the HTTP-layer robots channel —
+    * repeated headers, case-folded directives, agent-scoped rules
+    * (`graftbot:` applies, `otherbot:` must be ignored), and the
+    * colon ambiguity (`unavailable_after: <date>` is a DIRECTIVE, not
+    * an agent scope — a scope-first parser silently drops it).
+    * GROUND-TRUTH oracle: expected directive strings per planted
+    * modulus, spelled out. */
+  val q261XRobots: Q = q("q261_x_robots",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m
+      |  FROM documents)
+      |SELECT 'http://x.org/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE m WHEN 0 THEN 'noarchive,nofollow,noindex'
+      |         WHEN 1 THEN 'noindex'
+      |         WHEN 2 THEN 'unavailable_after: 25 jun 2026 15:00:00 pst'
+      |         ELSE '' END AS directives,
+      |  m IN (0, 1) AS noindex,
+      |  m = 0 AS nofollow
+      |FROM t ORDER BY url""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 4
+    val hdrs = when(m === 0, lit("X-Robots-Tag: noindex\r\n" +
+        "X-Robots-Tag: NOFOLLOW, noarchive\r\n"))
+      .when(m === 1, lit("X-Robots-Tag: graftbot: noindex\r\n" +
+        "X-Robots-Tag: otherbot: noarchive\r\n"))
+      .when(m === 2,
+        lit("X-Robots-Tag: unavailable_after: 25 Jun 2026   " +
+          "15:00:00 PST\r\n"))
+      .otherwise(lit(""))
+    val docs = Tables.documents(s, d).select(
+      concat(lit("http://x.org/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"), hdrs,
+        lit("\r\n<html>ok</html>")).as("payload"))
+    WebText.headerRobotsSignals(docs, "url", "payload", "graftbot")
+      .orderBy("url")
+  }
+
+  /** WARC revisit-record dedup ([[graft.ops.Warc.revisitDedup]] →
+    * [[graft.ops.Warc.parseWarcText]]): planted duplicate payloads
+    * (50 digest groups) collapse to one full `response` record per
+    * digest plus ~200-byte `revisit` stubs naming the first capture —
+    * the archive-format dedup. The records round-trip through the
+    * library's own cursor (a stub's `Content-Length: 0` framing slip
+    * would desync every following record in its chunk), and the
+    * oracle re-derives first-capture choice (min uri per digest),
+    * refers-to targets, digests, types, lengths and bodies from the
+    * construction. */
+  val q262RevisitDedup: Q = q("q262_revisit_dedup",
+    """WITH src AS (SELECT doc_id FROM documents),
+      |t AS (SELECT doc_id, 'http://r.org/' || CAST(doc_id AS VARCHAR)
+      |    AS uri,
+      |  'payload ' || CAST(doc_id % 50 AS VARCHAR) AS body FROM src),
+      |g AS (SELECT *, row_number() OVER (PARTITION BY body ORDER BY uri)
+      |    AS rn, min(uri) OVER (PARTITION BY body) AS first FROM t)
+      |SELECT doc_id, uri AS target_uri, rn > 1 AS is_revisit,
+      |  CASE WHEN rn > 1 THEN first ELSE '' END AS refers_to,
+      |  md5(body) AS digest,
+      |  CASE WHEN rn > 1 THEN 'revisit' ELSE 'response' END AS warc_type,
+      |  CAST(CASE WHEN rn > 1 THEN 0 ELSE strlen(body) END AS BIGINT)
+      |    AS content_length,
+      |  CASE WHEN rn > 1 THEN '' ELSE body END AS body
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("http://r.org/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("payload "), (col("doc_id") % 50).cast("string")).as("text"))
+    val deduped = Warc.revisitDedup(docs)
+    val chunks = deduped
+      .select(call_function("div",
+          col("doc_id") - pmod(col("doc_id"), lit(8L)), lit(8L))
+          .as("chunk_id"),
+        col("doc_id"), col("warc_record"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), col("warc_record")))),
+        x => x.getField("warc_record")), "").as("chunk"))
+      .select(col("chunk_id"), encode(col("chunk"), "UTF-8").as("payload"))
+    Warc.parseWarcText(s, chunks).toDF()
+      .select(col("target_uri"), col("warc_type"), col("content_length"),
+        col("body"))
+      .join(deduped.select(col("url").as("target_uri"), col("doc_id"),
+        col("is_revisit"), col("refers_to"), col("digest")), Seq("target_uri"))
+      .select("doc_id", "target_uri", "is_revisit", "refers_to", "digest",
+        "warc_type", "content_length", "body")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8035,5 +8121,5 @@ object PipelineQueries {
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
     q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
-    q259HintedFrontier, q260CdxjExport)
+    q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup)
 }

@@ -272,4 +272,37 @@ class WarcSpec extends SparkSpec {
       ("conversion", "http://a.org/2", bodyOctets.toLong,
         "café à l'été", true)))
   }
+
+  test("revisitDedup: first capture per digest stays a response, later " +
+    "captures become 0-length revisit stubs naming the first; a stub " +
+    "mid-chunk never desyncs the cursor; non-ASCII octets counted") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "http://a.org/1", "café dup"), // digest group A, first (min uri)
+      (2L, "http://a.org/2", "café dup"), // group A, revisit
+      (3L, "http://a.org/3", "unique"),   // its own group
+      (4L, "http://a.org/4", "café dup")  // group A, revisit
+    ).toDF("doc_id", "url", "text")
+    val out = Warc.revisitDedup(docs).orderBy("doc_id")
+    val rows = out.select("doc_id", "is_revisit", "refers_to").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(rows === Seq((1L, false, ""), (2L, true, "http://a.org/1"),
+      (3L, false, ""), (4L, true, "http://a.org/1")))
+    // one chunk holding response, stub, response, stub IN ORDER: the
+    // stub's 0-length framing must hand the cursor cleanly to the next
+    val chunk = out.orderBy("doc_id")
+      .agg(concat_ws("", collect_list(col("warc_record"))).as("c"))
+      .select(encode(col("c"), "UTF-8").as("payload"))
+      .withColumn("chunk_id", lit(0L))
+    val back = Warc.parseWarcText(spark, chunk).toDF().orderBy("rec_idx")
+      .select("warc_type", "target_uri", "content_length", "body", "valid")
+      .collect().map(_.toSeq)
+    val octets = "café dup".getBytes("UTF-8").length.toLong
+    assert(back.toSeq === Seq(
+      Seq("response", "http://a.org/1", octets, "café dup", true),
+      Seq("revisit", "http://a.org/2", 0L, "", true),
+      Seq("response", "http://a.org/3", 6L, "unique", true),
+      Seq("revisit", "http://a.org/4", 0L, "", true)))
+  }
 }
