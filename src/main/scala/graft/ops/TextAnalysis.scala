@@ -248,6 +248,13 @@ object TextAnalysis {
         avg(when(col("graft_rs") <= k, col("cos_sim"))).over(wS))
       .withColumn("graft_kd",
         avg(when(col("graft_rd") <= k, col("cos_sim"))).over(wD))
+      // the ratio margin assumes a POSITIVE neighborhood: with a zero
+      // or negative denominator the division yields NaN/Inf or flips
+      // the sign — and NaN both sorts greatest and passes `>= gate`
+      // in Spark, so a degenerate pair would WIN the argmax. Such
+      // neighborhoods (all cross-language cosines ≤ 0) carry no
+      // translation evidence; drop them before the division.
+      .filter(col("graft_ks") + col("graft_kd") > 0)
       .withColumn("margin",
         col("cos_sim") * 2.0 / (col("graft_ks") + col("graft_kd")))
       .withColumn("graft_rn", row_number().over(wBest))

@@ -50,9 +50,11 @@ object WebText {
   def surtKey(u: Column): Column = {
     val lc = lower(trim(u))
     val rest = regexp_replace(lc, "^[a-z][a-z0-9+.-]*://", "")
-    val hostPort = regexp_replace(regexp_replace(
-      regexp_extract(rest, "^([^/?#]*)", 1), ":(80|443)$", ""),
-      "^www\\.", "")
+    // userinfo never keys an index (user:pass@host and host are the
+    // same capture), then default port, then the www label
+    val hostPort = regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(rest, "^([^/?#]*)", 1), "^[^@]*@", ""),
+      ":(80|443)$", ""), "^www\\.", "")
     // a NON-default port survives, attached after the reversed labels
     // (`org,example:8080)` — the pywb convention)
     val host = regexp_replace(hostPort, ":[0-9]+$", "")

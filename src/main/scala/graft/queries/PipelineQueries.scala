@@ -7752,7 +7752,8 @@ object PipelineQueries {
       |m AS (SELECT r.doc_id, r.src_idx, r.dst_idx, r.cos,
       |    2 * r.cos / (ks.ks + kd.kd) AS margin
       |  FROM r JOIN ks USING (doc_id, src_idx)
-      |  JOIN kd USING (doc_id, dst_idx)),
+      |  JOIN kd USING (doc_id, dst_idx)
+      |  WHERE ks.ks + kd.kd > 0),
       |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id, src_idx
       |    ORDER BY margin DESC, dst_idx) AS rb FROM m)
       |SELECT 'http://m.org/' || CAST(doc_id AS VARCHAR) AS cluster_key,
@@ -7798,11 +7799,16 @@ object PipelineQueries {
     * `(4·inlink + 2·fresh + recency + 3·reputation) / 10`).
     * GROUND-TRUTH oracle: every signal is planted by modulus — capped
     * in-link counts (one 20-link row exercises the `least(·,16)` cap),
-    * sparse hints (doc_id%3=0 rows carry NONE and must score neutral),
-    * sparse dates (odd doc_ids score neutral; ages past 100 days clamp
-    * to zero), and a reputation ladder whose top rung exceeds 1e6 and
-    * must clamp — so DuckDB re-derives the full blend, the per-host
-    * rank, the top-3 cut, and the politeness slots. */
+    * sparse hints (doc_id%3=0 rows carry NONE and must score neutral;
+    * doc_id%10=0 rows carry TWO sitemap rows and the freshest must
+    * win WITHOUT fanning the frontier out), sparse dates keyed on a
+    * modulus COPRIME to the host modulus (so dated and undated URLs
+    * coexist within one host — an undated URL scoring max-recency
+    * instead of neutral flips a rank; ages past 100 days clamp to
+    * zero), a reputation ladder whose top rung exceeds 1e6 and must
+    * clamp, and TEN hosts absent from the reputation table that must
+    * score neutral, not zero — so DuckDB re-derives the full blend,
+    * the per-host rank, the top-3 cut, and the politeness slots. */
   val q259HintedFrontier: Q = q("q259_hinted_frontier",
     """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 240),
       |l AS (SELECT doc_id,
@@ -7814,13 +7820,16 @@ object PipelineQueries {
       |f AS (SELECT * FROM l WHERE doc_id % 11 <> 0),
       |s AS (SELECT *,
       |    least(inlinks, 16) * 62500 AS inl,
-      |    CASE WHEN doc_id % 3 = 0 THEN 500000 ELSE
+      |    CASE WHEN doc_id % 3 = 0 THEN 500000
+      |      WHEN doc_id % 10 = 0 THEN 1000000 ELSE
       |      CASE doc_id % 7 WHEN 0 THEN 1000000 WHEN 1 THEN 900000
       |        WHEN 2 THEN 750000 WHEN 3 THEN 500000 WHEN 4 THEN 250000
       |        WHEN 5 THEN 100000 ELSE 0 END END AS fresh,
-      |    CASE WHEN doc_id % 2 = 1 THEN 500000
+      |    CASE WHEN doc_id % 7 >= 4 THEN 500000
       |      ELSE greatest(0, 1000000 - (doc_id % 150) * 10000) END AS rec,
-      |    least((doc_id % 40) % 6 * 250000, 1000000) AS rep
+      |    CASE WHEN doc_id % 40 < 30
+      |      THEN least((doc_id % 40) % 6 * 250000, 1000000)
+      |      ELSE 500000 END AS rep
       |  FROM f),
       |sc AS (SELECT host, url, CAST(inlinks AS BIGINT) AS inlinks,
       |    (inl * 4 + fresh * 2 + rec + rep * 3) // 10 AS score FROM s),
@@ -7845,10 +7854,19 @@ object PipelineQueries {
       element_at(typedLit(Seq("always", "hourly", "daily", "weekly",
           "monthly", "yearly", "never")),
         (col("doc_id") % 7).cast("int") + 1).as("changefreq"))
-    val dates = base.filter(col("doc_id") % 2 === 0).select(url.as("url"),
+      // a second sitemap lists some URLs again — the freshest hint
+      // must win and the frontier must NOT fan out to two rows
+      .unionByName(base
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 0)
+        .select(url.as("url"), lit("always").as("changefreq")))
+    // date modulus 7 is COPRIME to the host modulus 40: every host
+    // holds both dated and undated URLs (the null-recency trap)
+    val dates = base.filter(col("doc_id") % 7 < 4).select(url.as("url"),
       (lit(1755300000000L) - (col("doc_id") % 150) * 86400000L)
         .as("published_ms"))
-    val rep = Tables.documents(s, d).filter(col("doc_id") < 40).select(
+    // hosts h30..h39 are ABSENT from the reputation table on purpose:
+    // unmeasured must score neutral, never zero
+    val rep = Tables.documents(s, d).filter(col("doc_id") < 30).select(
       concat(lit("h"), col("doc_id").cast("string"), lit(".org")).as("host"),
       ((col("doc_id") % 6) * 250000L).as("pass_rate_micros"))
     FrontierLink.frontierPlan(links, crawled, None, "graftbot", 3, None,

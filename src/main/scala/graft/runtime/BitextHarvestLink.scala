@@ -67,6 +67,12 @@ class BitextHarvestLink(input: String, membersStream: String,
     setup(spark)
     registry.declare(membersStream, membersSchema, Seq("bucket"))
     registry.declare(pairsStream, pairsSchema, Seq("bucket"))
+    // the bucket modulus is part of BOTH tables' layout — persisted
+    // beside each schema, validated every start (a changed modulus
+    // would split a cluster's members across buckets and strand its
+    // stale pairs where the anti-join can never reach them)
+    registry.pinBucketCount(membersStream, numBuckets)
+    registry.pinBucketCount(pairsStream, numBuckets)
     registry.readStream(input).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, pairsStream))
       .trigger(trigger)
@@ -139,9 +145,9 @@ object BitextHarvestLink {
       .select("cluster_key", "lang", "url", "text")
   }
 
-  /** Cluster-hash bucket id — xxhash64 mod the stream's fixed bucket
-    * count (the [[FrontierLink.bucketOf]] discipline, keyed by
-    * cluster so one article's translations land in ONE bucket). */
+  /** Cluster-hash bucket id ([[StreamRegistry.bucketOf]], the one
+    * layout-defining hash — keyed by cluster so one article's
+    * translations land in ONE bucket). */
   def bucketOf(clusterKey: Column, numBuckets: Int): Column =
-    pmod(xxhash64(clusterKey), lit(numBuckets.toLong)).cast("int")
+    StreamRegistry.bucketOf(clusterKey, numBuckets)
 }

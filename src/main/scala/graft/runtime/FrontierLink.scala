@@ -137,17 +137,9 @@ class FrontierLink(input: String, crawledStream: String,
     registry.declare(linksStream, linkSchema, Seq("batch"))
     registry.declare(countsName, countsSchema, Seq("bucket"))
     registry.declare(frontierStream, frontierSchema)
-    // the bucket modulus is part of the count table's layout: a changed
-    // value would route a host's updates to a DIFFERENT bucket than its
-    // existing rows — persisted beside the schema, validated every start
-    val bucketsPath = s"${registry.root}/schemas/$countsName.buckets"
-    registry.readTextIfExists(bucketsPath) match {
-      case Some(v) => require(v.trim.toInt == numBuckets,
-        s"count table '$countsName' was laid out with ${v.trim} buckets; " +
-          s"this link was built with $numBuckets — the modulus is fixed " +
-          "for the stream's lifetime")
-      case None => registry.writeText(bucketsPath, numBuckets.toString)
-    }
+    // the bucket modulus is part of the count table's layout —
+    // persisted beside the schema, validated every start
+    registry.pinBucketCount(countsName, numBuckets)
     registry.readStream(input).writeStream
       .option("checkpointLocation",
         registry.checkpointDir(name, frontierStream))
@@ -205,13 +197,12 @@ object FrontierLink {
       .select(col("link"), WebText.registeredDomain(col("link")).as("host"))
       .groupBy("link", "host").agg(count(lit(1)).as("inlinks"))
 
-  /** The count table's host-hash bucket id — xxhash64 (stable seed 42,
-    * stable across Spark releases, codegen'd) mod the table's fixed
-    * bucket count. Bucketing by HOST keeps a host's whole URL
-    * neighborhood in one bucket, so a polite per-host batch touches
-    * one bucket. */
+  /** The count table's host-hash bucket id
+    * ([[StreamRegistry.bucketOf]], the one layout-defining hash).
+    * Bucketing by HOST keeps a host's whole URL neighborhood in one
+    * bucket, so a polite per-host batch touches one bucket. */
   def bucketOf(host: Column, numBuckets: Int): Column =
-    pmod(xxhash64(host), lit(numBuckets.toLong)).cast("int")
+    StreamRegistry.bucketOf(host, numBuckets)
 
   /** Freshness weight (micros) per sitemap `changefreq` token — the
     * q246 hint vocabulary folded into the frontier's order. Unknown /
@@ -286,36 +277,51 @@ object FrontierLink {
           .select("link", "host", "inlinks")
       case None => fresh
     }
+    // every hint side is PRE-AGGREGATED to one row per key before its
+    // left join: a URL listed in two sitemaps (or dated twice) must
+    // not fan the frontier out to two ranked rows — the dedup the
+    // crawled side gets via .distinct(), applied to each signal with
+    // a deterministic winner (freshest hint, newest date, best rate)
     val withFresh = hints match {
       case Some(h) => gated.join(
-        h.select(col("url").as("link"), col("changefreq")), Seq("link"), "left")
-      case None => gated.withColumn("changefreq", lit(null).cast("string"))
+        h.select(col("url").as("link"),
+            coalesce(element_at(typedLit(FreshnessMicros),
+              lower(col("changefreq"))), lit(NeutralMicros))
+              .as("graft_fresh0"))
+          .groupBy("link").agg(max("graft_fresh0").as("graft_fresh")),
+        Seq("link"), "left")
+      case None => gated.withColumn("graft_fresh", lit(null).cast("long"))
     }
     val withDate = dates match {
       case Some(dd) => withFresh.join(
-        dd.select(col("url").as("link"), col("published_ms")),
+        dd.select(col("url").as("link"), col("published_ms"))
+          .groupBy("link").agg(max("published_ms").as("published_ms")),
         Seq("link"), "left")
       case None => withFresh.withColumn("published_ms", lit(null).cast("long"))
     }
     val withRep = reputation match {
       case Some(r) => withDate.join(
-        r.select(col("host"), col("pass_rate_micros")), Seq("host"), "left")
+        r.groupBy("host").agg(max("pass_rate_micros").as("pass_rate_micros")),
+        Seq("host"), "left")
       case None =>
         withDate.withColumn("pass_rate_micros", lit(null).cast("long"))
     }
-    val freshScore = coalesce(
-      element_at(typedLit(FreshnessMicros), lower(col("changefreq"))),
-      lit(NeutralMicros))
+    val freshScore = coalesce(col("graft_fresh"), lit(NeutralMicros))
     // clamp BEFORE the day division: truncating and flooring agree on
-    // non-negatives, so the oracle's // can never drift from div
+    // non-negatives, so the oracle's // can never drift from div.
+    // Null handling is an EXPLICIT isNull branch on each signal:
+    // Spark's greatest/least SKIP nulls rather than propagate them, so
+    // a coalesce around the clamp would never fire — an undated URL
+    // would score age 0 (maximum recency) and an unmeasured host would
+    // clamp to 0 (minimum reputation), inverting both signals for
+    // exactly the rows that carry no evidence.
     val ageDays = call_function("div",
       greatest(lit(0L), lit(nowMs) - col("published_ms")), lit(86400000L))
-    val recScore = coalesce(
-      greatest(lit(0L), lit(1000000L) - ageDays * 10000L),
-      lit(NeutralMicros))
-    val repScore = coalesce(
-      least(greatest(col("pass_rate_micros"), lit(0L)), lit(1000000L)),
-      lit(NeutralMicros))
+    val recScore = when(col("published_ms").isNull, lit(NeutralMicros))
+      .otherwise(greatest(lit(0L), lit(1000000L) - ageDays * 10000L))
+    val repScore = when(col("pass_rate_micros").isNull, lit(NeutralMicros))
+      .otherwise(least(greatest(col("pass_rate_micros"), lit(0L)),
+        lit(1000000L)))
     val scored = withRep.withColumn("graft_score", call_function("div",
       least(col("inlinks"), lit(16L)) * 62500L * 4L +
         freshScore * 2L + recScore + repScore * 3L, lit(10L)))

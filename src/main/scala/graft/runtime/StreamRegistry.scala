@@ -303,6 +303,10 @@ class StreamRegistry(spark: SparkSession, val root: String,
     val partCol = parts.head
     require(!df.columns.contains(partCol),
       s"'$partCol' is encoded in the partition path — drop it from the data")
+    // the value becomes a directory name: a separator or traversal
+    // token would escape the stream root
+    require(StreamRegistry.validName(partValue.toString),
+      s"partition value '$partValue' is not a safe path segment")
     recoverPartitions(name) // repair any prior crash before rotating again
     val leaf = s"$partCol=$partValue"
     val base = streamDir(name)
@@ -340,6 +344,22 @@ class StreamRegistry(spark: SparkSession, val root: String,
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema).format(format).load(p.toString)
+  }
+
+  /** Pin a bucketed stream's modulus: persisted beside the schema on
+    * first call, REQUIRED equal on every later one. The bucket count
+    * is part of a [[refreshPartition]]-maintained table's layout — a
+    * changed modulus would route a key's updates to a DIFFERENT
+    * bucket than its existing rows, silently splitting state. */
+  def pinBucketCount(name: String, numBuckets: Int): Unit = {
+    val p = s"$root/schemas/$name.buckets"
+    readTextIfExists(p) match {
+      case Some(v) => require(v.trim.toInt == numBuckets,
+        s"stream '$name' is laid out with ${v.trim} buckets; this link " +
+          s"was built with $numBuckets — the modulus is fixed for the " +
+          "stream's lifetime")
+      case None => writeText(p, numBuckets.toString)
+    }
   }
 
   /** Read back a `_<key>` metadata file written by [[refreshPartition]]
@@ -502,6 +522,18 @@ class StreamRegistry(spark: SparkSession, val root: String,
 
 object StreamRegistry {
   private val seqMutex = new Object
+
+  /** THE layout-defining hash for bucketed [[StreamRegistry
+    * .refreshPartition]] streams — xxhash64 (stable seed 42, stable
+    * across Spark releases, codegen'd) mod the stream's pinned bucket
+    * count ([[StreamRegistry.pinBucketCount]]). One definition on
+    * purpose: two copies of this expression could silently diverge
+    * and orphan every persisted bucket layout. */
+  def bucketOf(key: org.apache.spark.sql.Column,
+               numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+  }
 
   /** Safe stream-name alphabet, shared by every path that accepts
     * NON-PROGRAMMER names (HTTP ingest URLs, data-derived router

@@ -754,28 +754,39 @@ class StreamingCurationSpec extends SparkSpec {
         "<a href='http://alpha.org/a'>1</a><a href='http://alpha.org/b'>2</a>"))
     val reg = new StreamRegistry(spark,
       Files.createTempDirectory("graft-frontier-hints").toString)
-    reg.write(Seq(("http://alpha.org/b", "always"))
+    // /b is listed in TWO sitemaps (weekly + always): the freshest
+    // hint must win and the frontier must NOT fan out to two rows
+    reg.write(Seq(("http://alpha.org/b", "weekly"),
+        ("http://alpha.org/b", "always"))
       .toDF("url", "changefreq"), "fh_hints")
     reg.write(Seq(("http://alpha.org/b", now))
       .toDF("url", "published_ms"), "fh_dates")
+    // the reputation stream EXISTS but measures a different host:
+    // alpha.org must score neutral, never zero
+    reg.write(Seq(("elsewhere.net", 900000L))
+      .toDF("host", "pass_rate_micros"), "fh_rep")
     val link = new FrontierLink("fh_pages", "fh_crawled", "fh_links",
       "fh_frontier", topKPerDomain = 2,
-      hintsStream = "fh_hints", datesStream = "fh_dates", nowMs = now)
+      hintsStream = "fh_hints", datesStream = "fh_dates",
+      reputationStream = "fh_rep", nowMs = now)
     reg.write(b1.toDF("url", "html"), "fh_pages")
     link.start(spark, reg).awaitTermination()
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
     val f1 = rows(reg.read("fh_frontier"))
     // the flip: b rank 1 despite fewer in-links; a rank 2 (neutral on
-    // every hint it lacks)
+    // every hint it lacks — including the unmeasured-host reputation)
     assert(f1.exists(r => r(1) === "http://alpha.org/b" && r(3) === 1L))
     assert(f1.exists(r => r(1) === "http://alpha.org/a" && r(3) === 2L &&
       r(2) === 2L))
+    // the double-hinted URL appears ONCE (pre-aggregated, no fan-out)
+    assert(f1.count(_(1) === "http://alpha.org/b") === 1)
     // batch parity with the hinted reference plan
     val pdf = b1.toDF("url", "html")
     assert(f1 === rows(FrontierLink.frontierPlan(
       WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
       pdf.select("url"), None, "graftbot", 2, None, 1000L,
-      Some(reg.read("fh_hints")), Some(reg.read("fh_dates")), None, now)))
+      Some(reg.read("fh_hints")), Some(reg.read("fh_dates")),
+      Some(reg.read("fh_rep")), now)))
   }
 
   test("feed discovery link + frontier extra sources: feed entries rank " +

@@ -159,6 +159,8 @@ class WebTextSpec extends SparkSpec {
       "org,example)/?x=3&y=2&z=1")
     // www only strips as a whole leading label
     assert(sk("http://wwwx.org/a") === "org,wwwx)/a")
+    // userinfo never keys an index
+    assert(sk("http://user:pw@example.org/a") === "org,example)/a")
     // same page, different param order and case → ONE index key
     assert(sk("http://a.org/p?x=1&y=2") === sk("HTTP://A.ORG/p?y=2&x=1"))
   }
