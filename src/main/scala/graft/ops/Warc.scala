@@ -310,6 +310,53 @@ object Warc {
       .drop("title", "description", "og_title", "og_description")
   }
 
+  /** Random access into archived segments BY INDEX LOCATOR — the
+    * READER half of the CDX contract ([[parseWarcIndex]] /
+    * [[cdxjLines]] are the writer half): given the chunk payloads and
+    * (a subset of) their index rows, slice each record's
+    * `[rec_offset, rec_offset + rec_bytes)` span out of its chunk and
+    * re-parse EXACTLY that record — fetching N documents out of a
+    * 100 TB archive touches the N slices' chunks and nothing else,
+    * which is the entire point of shipping an index beside the
+    * segments. Works on both layouts the locators encode: a plain
+    * chunk's slice is the record's own bytes, a `.warc.gz` chunk's
+    * slice is ONE compressed member (the cursor sniffs the gzip magic
+    * per slice and inflates just that member). A slice that fails to
+    * parse to exactly one valid record — a drifted or foreign
+    * locator — surfaces as a `valid = false` row, never an exception
+    * (the invalid-row convention of this file). Output: one
+    * [[WarcDoc]] per index row, carrying the INDEX's chunk_id/rec_idx
+    * (the archive coordinates being dereferenced).
+    *
+    * Scale shape: one equi-join of the (small) locator set against
+    * the chunk table — pruned/broadcast by chunk_id — then a
+    * scan-stage binary substring and a per-row cursor over slice-sized
+    * byte arrays; no full-segment parse, no shuffle beyond the join. */
+  def fetchByLocator(spark: SparkSession, chunks: DataFrame,
+                     index: DataFrame): Dataset[WarcDoc] = {
+    import spark.implicits._
+    index.filter(col("valid"))
+      .select(col("chunk_id").cast("long"), col("rec_idx").cast("long"),
+        col("rec_offset"), col("rec_bytes"))
+      .join(chunks.select(col("chunk_id").cast("long").as("chunk_id"),
+        col("payload")), Seq("chunk_id"))
+      .select(col("chunk_id"), col("rec_idx"),
+        call_function("substring", col("payload"),
+          (col("rec_offset") + 1).cast("int"), col("rec_bytes").cast("int"))
+          .as("slice"))
+      .as[(Long, Long, Array[Byte])]
+      .map { case (cid, ridx, bytes) =>
+        parseRecords(cid, bytes) match {
+          case Seq(p) if p.rec.valid =>
+            WarcDoc(cid, ridx, p.rec.warc_type, p.rec.target_uri,
+              p.rec.content_type, p.rec.content_length,
+              new String(p.body, StandardCharsets.UTF_8), valid = true)
+          case _ => WarcDoc(cid, ridx, "malformed", "", "", 0L, "",
+            valid = false)
+        }
+      }
+  }
+
   /** Archive-side payload dedup via WARC `revisit` records (ISO 28500
     * §6.7.2, the `identical-payload-digest` profile): per distinct
     * body digest the FIRST capture (lowest `uriCol`, deterministic)

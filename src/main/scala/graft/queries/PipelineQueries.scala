@@ -8084,6 +8084,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Index-driven random access ([[graft.ops.Warc.fetchByLocator]] —
+    * the CDX reader half): build the index over synthesized chunks,
+    * keep only every ninth document's locator (the "fetch N documents
+    * out of the archive" shape), slice each record out of its chunk
+    * by offset/length and re-parse exactly it. The oracle re-derives
+    * every fetched field from the construction — if a locator were
+    * off by one byte the slice would fail the cursor and the row
+    * would flip invalid/hash-diverge. */
+  val q263FetchByLocator: Q = q("q263_fetch_by_locator",
+    """WITH src AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |rec AS (SELECT doc_id, doc_id // 8 AS chunk_id, text,
+      |  strlen('WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+      |  'WARC-Target-URI: http://example.com/doc/' ||
+      |    CAST(doc_id AS VARCHAR) || e'\r\n' ||
+      |  CASE WHEN doc_id % 8 = 3
+      |    THEN 'WARC-Truncated: length' || e'\r\n' ELSE '' END ||
+      |  'Content-Type: text/plain' || e'\r\n' ||
+      |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+      |    e'\r\n\r\n' || text || e'\r\n\r\n') AS rb FROM src),
+      |loc AS (SELECT chunk_id, doc_id, text,
+      |  row_number() OVER (PARTITION BY chunk_id ORDER BY doc_id) - 1
+      |    AS rec_idx FROM rec)
+      |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(rec_idx AS BIGINT) AS rec_idx,
+      |  'response' AS warc_type,
+      |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'text/plain' AS content_type,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  text AS body, TRUE AS valid
+      |FROM loc WHERE doc_id % 9 = 0
+      |ORDER BY chunk_id, rec_idx""".stripMargin) { (s, d) =>
+    val chunks = Warc.syntheticWarcChunks(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select("doc_id", "text")).localCheckpoint()
+    val wanted = Warc.parseWarcIndex(s, chunks)
+      .filter(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+        .cast("long") % 9 === 0)
+    Warc.fetchByLocator(s, chunks, wanted).toDF()
+      .orderBy("chunk_id", "rec_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8139,5 +8181,6 @@ object PipelineQueries {
     q246SitemapHints, q247Backoff, q248NofollowEdges, q249CharRefs,
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
     q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
-    q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup)
+    q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
+    q263FetchByLocator)
 }

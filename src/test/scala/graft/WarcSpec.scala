@@ -273,6 +273,37 @@ class WarcSpec extends SparkSpec {
         "café à l'été", true)))
   }
 
+  test("fetchByLocator: gzip locators dereference to exactly their " +
+    "record (distributed random access); a drifted locator surfaces as " +
+    "an invalid row, never an exception") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text").limit(16)
+    val gz = Warc.syntheticWarcGzipChunks(spark, docs).localCheckpoint()
+    val idx = Warc.parseWarcIndex(spark, gz).localCheckpoint()
+    val fetched = Warc.fetchByLocator(spark, gz, idx).toDF()
+    // every locator dereferences to a valid record whose uri/length
+    // match the whole-chunk parse of the same coordinates
+    val whole = Warc.parseWarcText(spark, gz).toDF()
+      .select("chunk_id", "rec_idx", "warc_type", "target_uri",
+        "content_type", "content_length", "body", "valid")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(fetched) === rows(whole))
+    assert(fetched.filter(!col("valid")).count() === 0)
+    // a subset fetch touches only its rows
+    val some = Warc.fetchByLocator(spark, gz,
+      idx.filter(col("rec_idx") === 1L)).toDF()
+    assert(rows(some) === rows(whole.filter(col("rec_idx") === 1L)))
+    // drift every offset by one byte: the slice no longer starts on a
+    // gzip member / version line — flagged rows, no exception
+    val drifted = Warc.fetchByLocator(spark, gz,
+      idx.withColumn("rec_offset", col("rec_offset") + 1)).toDF()
+    assert(drifted.count() === idx.count())
+    assert(drifted.filter(col("valid")).count() === 0)
+  }
+
   test("revisitDedup: first capture per digest stays a response, later " +
     "captures become 0-length revisit stubs naming the first; a stub " +
     "mid-chunk never desyncs the cursor; non-ASCII octets counted") {
