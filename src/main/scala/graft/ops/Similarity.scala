@@ -108,6 +108,77 @@ object Similarity {
       .select("q_id", "rnk", "c_id", "label", "cos_sim")
   }
 
+  /** Hard-negative mining for contrastive embedding training — per
+    * anchor, the most-similar candidates that are NOT true matches
+    * (different `label`: the near-misses that actually move a
+    * contrastive loss; random negatives are trivially separable).
+    * `candidates` is any `(q_id, c_id, label, cos_sim)` top-k frame —
+    * [[cosineTopK]] for the exact/oracle path, [[annIvf]]/[[annIvfPq]]
+    * candidates for the 100 TB path (mining quality then depends on
+    * the ANN recall, which SimilaritySpec floors). Same-label rows are
+    * excluded (the label IS the ground truth here), `maxCos` drops
+    * suspiciously-identical candidates (an unlabeled duplicate
+    * masquerading as a negative poisons the loss — the
+    * sentence-transformers false-negative guard; 1.0 = off), and each
+    * anchor keeps its `k` best by (cos desc, c_id). Output:
+    * `(q_id, anchor_label, neg_rank, c_id, neg_label, cos_sim)` —
+    * join positives on label downstream to emit training triplets.
+    *
+    * Scale shape: one anchor-keyed join against the (small) label
+    * table + one window over candidate-bounded rows; the expensive
+    * part is the candidate source, which is chosen by the caller. */
+  def hardNegatives(candidates: DataFrame, labels: DataFrame, k: Int,
+                    maxCos: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val a = labels.select(col("vec_id").as("q_id"),
+      col("label").as("anchor_label"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    candidates.join(a, Seq("q_id"))
+      .filter(col("label") =!= col("anchor_label") &&
+        col("cos_sim") <= maxCos)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("q_id"), col("anchor_label"), col("neg_rank"),
+        col("c_id"), col("label").as("neg_label"), col("cos_sim"))
+  }
+
+  /** Contrastive training triplets — [[hardNegatives]] joined with
+    * each anchor's best SAME-label candidate (the in-batch positive):
+    * one row per (anchor, negative) pair carrying the positive
+    * alongside, which is exactly the `(a, p, n)` unit a triplet /
+    * InfoNCE loss consumes. Anchors whose candidate pool holds no
+    * same-label row emit nothing (no positive ⇒ no triplet — at
+    * mining time that anchor needs a bigger candidate pool, not a
+    * fabricated pair). Same `candidates` contract as
+    * [[hardNegatives]]; the positive is the best by (cos desc, c_id).
+    * Output: `(q_id, anchor_label, pos_id, pos_cos, neg_rank, neg_id,
+    * neg_cos)`.
+    *
+    * Scale shape: two windows over the candidate-bounded frame + one
+    * anchor-keyed join — nothing corpus-shaped beyond the caller's
+    * candidate source. */
+  def trainingTriplets(candidates: DataFrame, labels: DataFrame,
+                       kNeg: Int, maxCos: Double = 1.0): DataFrame = {
+    val a = labels.select(col("vec_id").as("q_id"),
+      col("label").as("anchor_label"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    val positives = candidates.join(a, Seq("q_id"))
+      .filter(col("label") === col("anchor_label"))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("q_id"), col("anchor_label"),
+        col("c_id").as("pos_id"), col("cos_sim").as("pos_cos"))
+    positives.join(
+        hardNegatives(candidates, labels, kNeg, maxCos)
+          .select(col("q_id"), col("neg_rank"),
+            col("c_id").as("neg_id"), col("cos_sim").as("neg_cos")),
+        Seq("q_id"))
+      .select("q_id", "anchor_label", "pos_id", "pos_cos", "neg_rank",
+        "neg_id", "neg_cos")
+  }
+
   /** Semantic decontamination: flags every training vector whose
     * embedding sits within cosine `minCos` of ANY eval-benchmark vector
     * — the embedding-space sibling of `Curation.contaminationFlags`

@@ -8126,6 +8126,99 @@ object PipelineQueries {
       .orderBy("chunk_id", "rec_idx")
   }
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]] over
+    * [[graft.ops.Similarity.cosineTopK]] candidates): exact dyadic
+    * embeddings with labels planted by modulus — the oracle mirrors
+    * BOTH stages (the top-8 candidate cut, then the cross-label
+    * re-rank to 3), so a cross-label item ranked 9th overall correctly
+    * never surfaces. Cosines round to 4 decimals BEFORE ranking (the
+    * q40 discipline) with c_id tie-breaks, so ranks can never drift
+    * between engines. */
+  val q264HardNegatives: Q = q("q264_hard_negatives",
+    """WITH e AS (SELECT vec_id, list_transform(range(1, 17),
+      |    j -> CAST((vec_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM embeddings),
+      |sims AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    'l' || CAST(q.vec_id % 4 AS VARCHAR) AS anchor_label,
+      |    'l' || CAST(c.vec_id % 4 AS VARCHAR) AS neg_label,
+      |    round(list_sum(list_transform(range(1, 17),
+      |        j -> q.v[j] * c.v[j])) /
+      |      (sqrt(list_sum(list_transform(range(1, 17),
+      |         j -> q.v[j] * q.v[j]))) *
+      |       sqrt(list_sum(list_transform(range(1, 17),
+      |         j -> c.v[j] * c.v[j])))), 4) AS cos_sim
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 6),
+      |cand AS (SELECT * FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+      |  FROM sims) WHERE rnk <= 8),
+      |neg AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id) AS neg_rank
+      |  FROM cand WHERE neg_label <> anchor_label)
+      |SELECT q_id, anchor_label, CAST(neg_rank AS BIGINT) AS neg_rank,
+      |  c_id, neg_label, cos_sim
+      |FROM neg WHERE neg_rank <= 3 ORDER BY q_id, neg_rank""".stripMargin) {
+    (s, d) =>
+    import graft.ops.Similarity
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        j => ((col("vec_id") * 31 + j * 17) % 97).cast("double") / lit(8.0))
+        .as("embedding"),
+      concat(lit("l"), (col("vec_id") % 4).cast("string")).as("label"))
+    Similarity.hardNegatives(
+        Similarity.cosineTopK(e.filter(col("vec_id") < 6), e, 8),
+        e.select(col("vec_id"), col("label")), 3)
+      .orderBy("q_id", "neg_rank")
+  }
+
+  /** Triplet assembly ([[graft.ops.Similarity.trainingTriplets]] —
+    * each anchor's best same-label candidate joined beside its q264
+    * hard negatives): the `(anchor, positive, negative)` unit a
+    * contrastive loss consumes, mirrored stage-for-stage in the
+    * oracle (top-8 pool → positive argmax → cross-label re-rank to 2,
+    * anchors without an in-pool positive emit nothing). */
+  val q265TrainingTriplets: Q = q("q265_training_triplets",
+    """WITH e AS (SELECT vec_id, list_transform(range(1, 17),
+      |    j -> CAST((vec_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM embeddings),
+      |sims AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    'l' || CAST(q.vec_id % 4 AS VARCHAR) AS anchor_label,
+      |    'l' || CAST(c.vec_id % 4 AS VARCHAR) AS c_label,
+      |    round(list_sum(list_transform(range(1, 17),
+      |        j -> q.v[j] * c.v[j])) /
+      |      (sqrt(list_sum(list_transform(range(1, 17),
+      |         j -> q.v[j] * q.v[j]))) *
+      |       sqrt(list_sum(list_transform(range(1, 17),
+      |         j -> c.v[j] * c.v[j])))), 4) AS cos_sim
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 6),
+      |cand AS (SELECT * FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+      |  FROM sims) WHERE rnk <= 8),
+      |pos AS (SELECT q_id, anchor_label, c_id AS pos_id,
+      |    cos_sim AS pos_cos FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS pr
+      |  FROM cand WHERE c_label = anchor_label) WHERE pr = 1),
+      |neg AS (SELECT q_id, c_id AS neg_id, cos_sim AS neg_cos,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, c_id) AS neg_rank
+      |  FROM cand WHERE c_label <> anchor_label)
+      |SELECT pos.q_id, pos.anchor_label, pos.pos_id, pos.pos_cos,
+      |  CAST(neg.neg_rank AS BIGINT) AS neg_rank, neg.neg_id, neg.neg_cos
+      |FROM pos JOIN neg ON neg.q_id = pos.q_id AND neg.neg_rank <= 2
+      |ORDER BY pos.q_id, neg_rank""".stripMargin) { (s, d) =>
+    import graft.ops.Similarity
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        j => ((col("vec_id") * 31 + j * 17) % 97).cast("double") / lit(8.0))
+        .as("embedding"),
+      concat(lit("l"), (col("vec_id") % 4).cast("string")).as("label"))
+    Similarity.trainingTriplets(
+        Similarity.cosineTopK(e.filter(col("vec_id") < 6), e, 8),
+        e.select(col("vec_id"), col("label")), kNeg = 2)
+      .orderBy("q_id", "neg_rank")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8182,5 +8275,5 @@ object PipelineQueries {
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
     q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
-    q263FetchByLocator)
+    q263FetchByLocator, q264HardNegatives, q265TrainingTriplets)
 }

@@ -200,6 +200,16 @@ class SourcesSinksSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       reg.refreshPartition("pc-nope", 0, Seq(("x", 1L)).toDF("k", "n"))
     }
+    // a partition value must stay a safe path segment
+    intercept[IllegalArgumentException] {
+      reg.refreshPartition("pc", "../escape", Seq(("x", 1L)).toDF("k", "n"))
+    }
+    // the bucket modulus pins on first call and refuses to drift: a
+    // changed value would route keys to different buckets than their
+    // existing rows
+    reg.pinBucketCount("pc", 16)
+    reg.pinBucketCount("pc", 16) // same value re-pins fine
+    intercept[IllegalArgumentException] { reg.pinBucketCount("pc", 32) }
   }
 
   test("recover deletes a stale .old left by a crash AFTER the swap") {
