@@ -117,7 +117,11 @@ class QueriesSpec extends SparkSpec {
       "q181_length_drift",
       // q202 crossJoins the broadcast one-row (N, V) LM totals onto the
       // token stream — the q137/q69 scalar-aggregate class
-      "q202_bigram_backoff")
+      "q202_bigram_backoff",
+      // q264/q265 source their candidates from the q40 cosineTopK
+      // chain: the same bounded query-set broadcast against the
+      // corpus; the mining stages themselves add only equi-joins
+      "q264_hard_negatives", "q265_training_triplets")
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(run(name))
       val v = Seq.newBuilder[String]
