@@ -385,35 +385,46 @@ object Warc {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("digest").orderBy(col(uriCol).asc)
     val first = min(col(uriCol)).over(Window.partitionBy("digest"))
-    val fullRecord = concat(
-      lit("WARC/1.0" + Crlf),
-      lit("WARC-Type: response" + Crlf),
-      lit("WARC-Target-URI: "), col(uriCol), lit(Crlf),
-      lit("WARC-Date: "), date, lit(Crlf),
-      lit("Content-Type: text/plain" + Crlf),
-      lit("Content-Length: "),
-      length(encode(col(textCol), "UTF-8")).cast("string"), lit(Crlf),
-      lit(Crlf), col(textCol), lit(Crlf + Crlf))
-    val stubRecord = concat(
-      lit("WARC/1.0" + Crlf),
-      lit("WARC-Type: revisit" + Crlf),
-      lit("WARC-Target-URI: "), col(uriCol), lit(Crlf),
-      lit("WARC-Date: "), date, lit(Crlf),
-      lit("WARC-Refers-To-Target-URI: "), col("refers_to"), lit(Crlf),
-      lit("WARC-Payload-Digest: md5:"), col("digest"), lit(Crlf),
-      lit("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
-        "identical-payload-digest" + Crlf),
-      lit("Content-Length: 0" + Crlf),
-      lit(Crlf + Crlf + Crlf))
     docs.filter(col(textCol).isNotNull && col(uriCol).isNotNull)
       .withColumn("digest", md5(encode(col(textCol), "UTF-8")))
       .withColumn("graft_rn", row_number().over(w))
       .withColumn("is_revisit", col("graft_rn") > 1)
       .withColumn("refers_to", when(col("is_revisit"), first).otherwise(lit("")))
       .withColumn("warc_record",
-        when(col("is_revisit"), stubRecord).otherwise(fullRecord))
+        when(col("is_revisit"),
+          revisitStub(col(uriCol), col("refers_to"), col("digest"), date))
+        .otherwise(responseRecord(col(uriCol), col(textCol), date)))
       .drop("graft_rn")
   }
+
+  /** One full `response` record string (the [[revisitDedup]] /
+    * [[RevisitGateLink]] first-capture form; Content-Length in UTF-8
+    * octets like [[wetRecords]]). */
+  private[graft] def responseRecord(uri: Column, text: Column,
+                                    date: Column): Column = concat(
+    lit("WARC/1.0" + Crlf),
+    lit("WARC-Type: response" + Crlf),
+    lit("WARC-Target-URI: "), uri, lit(Crlf),
+    lit("WARC-Date: "), date, lit(Crlf),
+    lit("Content-Type: text/plain" + Crlf),
+    lit("Content-Length: "),
+    length(encode(text, "UTF-8")).cast("string"), lit(Crlf),
+    lit(Crlf), text, lit(Crlf + Crlf))
+
+  /** One ~200-byte `revisit` stub string naming the first capture
+    * (ISO 28500 identical-payload-digest profile). */
+  private[graft] def revisitStub(uri: Column, refersTo: Column,
+                                 digest: Column, date: Column): Column = concat(
+    lit("WARC/1.0" + Crlf),
+    lit("WARC-Type: revisit" + Crlf),
+    lit("WARC-Target-URI: "), uri, lit(Crlf),
+    lit("WARC-Date: "), date, lit(Crlf),
+    lit("WARC-Refers-To-Target-URI: "), refersTo, lit(Crlf),
+    lit("WARC-Payload-Digest: md5:"), digest, lit(Crlf),
+    lit("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+      "identical-payload-digest" + Crlf),
+    lit("Content-Length: 0" + Crlf),
+    lit(Crlf + Crlf + Crlf))
 
   /** CDXJ index lines over a [[parseWarcIndex]] frame — the THIRD
     * per-segment artifact (WET text, WAT metadata, CDX random-access

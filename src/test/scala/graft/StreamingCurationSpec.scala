@@ -590,6 +590,64 @@ class StreamingCurationSpec extends SparkSpec {
       rows(FrontierLink.linkCounts(reg.read("fb_links"))))
   }
 
+  test("revisit gate link: the first capture EVER SEEN stays canonical " +
+    "across batches (later recrawls stub to it), within-batch dups stub " +
+    "to the batch first, state merges per digest bucket, replay never " +
+    "flips the canonical capture") {
+    import graft.ops.Warc
+    import graft.runtime.RevisitGateLink
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-revisit-stream").toString)
+    val link = new RevisitGateLink("rg_docs", "rg_out", "rg_seen",
+      date = "2026-08-16T00:00:00Z")
+    def outRows = reg.read("rg_out")
+      .select("url", "is_revisit", "refers_to").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+
+    // batch 1: two distinct payloads
+    reg.write(Seq(("http://a.org/1", "payload X"),
+      ("http://a.org/2", "payload Y")).toDF("url", "text"), "rg_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(outRows === Set(("http://a.org/1", false, ""),
+      ("http://a.org/2", false, "")))
+    assert(reg.read("rg_seen").count() === 2)
+
+    // batch 2: a RECRAWL of payload X from a lexicographically SMALLER
+    // url — arrival order wins, so it must stub to a.org/1, not become
+    // canonical; plus a new payload captured twice in the batch
+    reg.write(Seq(("http://a.org/0", "payload X"),
+      ("http://b.org/1", "payload Z"), ("http://b.org/2", "payload Z"))
+      .toDF("url", "text"), "rg_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(outRows === Set(
+      ("http://a.org/1", false, ""), ("http://a.org/2", false, ""),
+      ("http://a.org/0", true, "http://a.org/1"), // cross-batch stub
+      ("http://b.org/1", false, ""),              // batch first
+      ("http://b.org/2", true, "http://b.org/1"))) // within-batch stub
+    // the state holds ONE row per digest, the arrival-first url
+    val seen = reg.read("rg_seen").select("digest", "first_url").collect()
+      .map(r => r.getString(1)).toSet
+    assert(seen === Set("http://a.org/1", "http://a.org/2", "http://b.org/1"))
+    // the emitted records parse: stubs are 0-length revisits
+    val chunk = reg.read("rg_out").orderBy("url")
+      .agg(concat_ws("", collect_list(col("warc_record"))).as("c"))
+      .select(encode(col("c"), "UTF-8").as("payload"))
+      .withColumn("chunk_id", lit(0L))
+    val back = Warc.parseWarcText(spark, chunk).toDF()
+    assert(back.filter(!col("valid")).count() === 0)
+    assert(back.filter(col("warc_type") === "revisit")
+      .select("content_length").collect().forall(_.getLong(0) === 0L))
+    assert(back.count() === 5)
+
+    // replay with no new input: output and state stay put
+    val (o, c) = (outRows, reg.read("rg_seen").count())
+    link.start(spark, reg).awaitTermination()
+    assert(outRows === o)
+    assert(reg.read("rg_seen").count() === c)
+  }
+
   test("cdx index link: per-batch index lines equal the batch plan over " +
     "the same chunks, locators round-trip (slicing the payload at a " +
     "line's offset/length re-parses exactly that record), replay no-op") {
