@@ -113,9 +113,12 @@ object Similarity {
     * (different `label`: the near-misses that actually move a
     * contrastive loss; random negatives are trivially separable).
     * `candidates` is any `(q_id, c_id, label, cos_sim)` top-k frame —
-    * [[cosineTopK]] for the exact/oracle path, [[annIvf]]/[[annIvfPq]]
-    * candidates for the 100 TB path (mining quality then depends on
-    * the ANN recall, which SimilaritySpec floors). Same-label rows are
+    * `label` is the CANDIDATE's label and is REQUIRED: [[cosineTopK]]
+    * and [[annIvf]] carry it natively; a label-less candidate source
+    * ([[annIvfPq]] returns only ids/scores) needs its labels joined on
+    * `c_id` first. Use the exact path for oracles, the ANN paths at
+    * 100 TB (mining quality then depends on the ANN recall, which
+    * SimilaritySpec floors). Same-label rows are
     * excluded (the label IS the ground truth here), `maxCos` drops
     * suspiciously-identical candidates (an unlabeled duplicate
     * masquerading as a negative poisons the loss — the
@@ -155,28 +158,32 @@ object Similarity {
     * Output: `(q_id, anchor_label, pos_id, pos_cos, neg_rank, neg_id,
     * neg_cos)`.
     *
-    * Scale shape: two windows over the candidate-bounded frame + one
-    * anchor-keyed join — nothing corpus-shaped beyond the caller's
-    * candidate source. */
+    * Scale shape: ONE pass over the joined candidate frame — the
+    * positive is a window argmax (a `max(struct)` whose negated-id
+    * field breaks ties to the lowest c_id, mirroring
+    * [[hardNegatives]]' (cos desc, c_id) order) carried alongside the
+    * negative ranking, so the caller's candidate source — per its own
+    * contract the expensive part — is never evaluated twice. */
   def trainingTriplets(candidates: DataFrame, labels: DataFrame,
                        kNeg: Int, maxCos: Double = 1.0): DataFrame = {
+    require(kNeg >= 1, s"kNeg >= 1, got $kNeg")
     val a = labels.select(col("vec_id").as("q_id"),
       col("label").as("anchor_label"))
-    val w = Window.partitionBy("q_id")
+    val posStruct = max(when(col("label") === col("anchor_label"),
+      struct(col("cos_sim").as("c"), (-col("c_id")).as("nid"))))
+      .over(Window.partitionBy("q_id"))
+    val wNeg = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("c_id"))
-    val positives = candidates.join(a, Seq("q_id"))
-      .filter(col("label") === col("anchor_label"))
-      .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
+    candidates.join(a, Seq("q_id"))
+      .withColumn("graft_pos", posStruct)
+      .filter(col("label") =!= col("anchor_label") &&
+        col("cos_sim") <= maxCos && col("graft_pos").isNotNull)
+      .withColumn("neg_rank", row_number().over(wNeg).cast("long"))
+      .filter(col("neg_rank") <= kNeg)
       .select(col("q_id"), col("anchor_label"),
-        col("c_id").as("pos_id"), col("cos_sim").as("pos_cos"))
-    positives.join(
-        hardNegatives(candidates, labels, kNeg, maxCos)
-          .select(col("q_id"), col("neg_rank"),
-            col("c_id").as("neg_id"), col("cos_sim").as("neg_cos")),
-        Seq("q_id"))
-      .select("q_id", "anchor_label", "pos_id", "pos_cos", "neg_rank",
-        "neg_id", "neg_cos")
+        (-col("graft_pos.nid")).as("pos_id"),
+        col("graft_pos.c").as("pos_cos"), col("neg_rank"),
+        col("c_id").as("neg_id"), col("cos_sim").as("neg_cos"))
   }
 
   /** Semantic decontamination: flags every training vector whose

@@ -324,9 +324,14 @@ object Warc {
     * per slice and inflates just that member). A slice that fails to
     * parse to exactly one valid record — a drifted or foreign
     * locator — surfaces as a `valid = false` row, never an exception
-    * (the invalid-row convention of this file). Output: one
+    * (the invalid-row convention of this file), and so does a locator
+    * whose chunk is MISSING from the chunk frame or whose payload is
+    * null (a deleted/compacted segment, a foreign index): the join is
+    * LEFT from the index side, so the output is always one
     * [[WarcDoc]] per index row, carrying the INDEX's chunk_id/rec_idx
-    * (the archive coordinates being dereferenced).
+    * (the archive coordinates being dereferenced) — a caller counting
+    * on one row per requested locator never loses a failure
+    * silently.
     *
     * Scale shape: one equi-join of the (small) locator set against
     * the chunk table — pruned/broadcast by chunk_id — then a
@@ -339,14 +344,15 @@ object Warc {
       .select(col("chunk_id").cast("long"), col("rec_idx").cast("long"),
         col("rec_offset"), col("rec_bytes"))
       .join(chunks.select(col("chunk_id").cast("long").as("chunk_id"),
-        col("payload")), Seq("chunk_id"))
+        col("payload")), Seq("chunk_id"), "left")
       .select(col("chunk_id"), col("rec_idx"),
         call_function("substring", col("payload"),
           (col("rec_offset") + 1).cast("int"), col("rec_bytes").cast("int"))
           .as("slice"))
       .as[(Long, Long, Array[Byte])]
       .map { case (cid, ridx, bytes) =>
-        parseRecords(cid, bytes) match {
+        val parsed = if (bytes == null) Nil else parseRecords(cid, bytes)
+        parsed match {
           case Seq(p) if p.rec.valid =>
             WarcDoc(cid, ridx, p.rec.warc_type, p.rec.target_uri,
               p.rec.content_type, p.rec.content_length,

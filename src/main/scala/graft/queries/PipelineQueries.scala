@@ -8095,18 +8095,9 @@ object PipelineQueries {
   val q263FetchByLocator: Q = q("q263_fetch_by_locator",
     """WITH src AS (SELECT doc_id, text FROM documents
       |  WHERE text IS NOT NULL),
-      |rec AS (SELECT doc_id, doc_id // 8 AS chunk_id, text,
-      |  strlen('WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
-      |  'WARC-Target-URI: http://example.com/doc/' ||
-      |    CAST(doc_id AS VARCHAR) || e'\r\n' ||
-      |  CASE WHEN doc_id % 8 = 3
-      |    THEN 'WARC-Truncated: length' || e'\r\n' ELSE '' END ||
-      |  'Content-Type: text/plain' || e'\r\n' ||
-      |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
-      |    e'\r\n\r\n' || text || e'\r\n\r\n') AS rb FROM src),
-      |loc AS (SELECT chunk_id, doc_id, text,
-      |  row_number() OVER (PARTITION BY chunk_id ORDER BY doc_id) - 1
-      |    AS rec_idx FROM rec)
+      |loc AS (SELECT doc_id // 8 AS chunk_id, doc_id, text,
+      |  row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1
+      |    AS rec_idx FROM src)
       |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
       |  CAST(rec_idx AS BIGINT) AS rec_idx,
       |  'response' AS warc_type,

@@ -630,6 +630,23 @@ class StreamingCurationSpec extends SparkSpec {
     val seen = reg.read("rg_seen").select("digest", "first_url").collect()
       .map(r => r.getString(1)).toSet
     assert(seen === Set("http://a.org/1", "http://a.org/2", "http://b.org/1"))
+
+    // batch 3: a SAME-url recrawl of an unchanged payload (the most
+    // common crawl event) must stub to its own earlier capture, and an
+    // identical duplicate pair yields one response + one stub
+    reg.write(Seq(("http://a.org/1", "payload X"),
+      ("http://b.org/9", "payload W"), ("http://b.org/9", "payload W"))
+      .toDF("url", "text"), "rg_docs")
+    link.start(spark, reg).awaitTermination()
+    assert(outRows === Set(
+      ("http://a.org/1", false, ""), ("http://a.org/2", false, ""),
+      ("http://a.org/0", true, "http://a.org/1"),
+      ("http://b.org/1", false, ""),
+      ("http://b.org/2", true, "http://b.org/1"),
+      ("http://a.org/1", true, "http://a.org/1"), // same-url recrawl stub
+      ("http://b.org/9", false, ""),
+      ("http://b.org/9", true, "http://b.org/9")))
+    assert(reg.read("rg_seen").count() === 4) // payload W registered once
     // the emitted records parse: stubs are 0-length revisits
     val chunk = reg.read("rg_out").orderBy("url")
       .agg(concat_ws("", collect_list(col("warc_record"))).as("c"))
@@ -639,7 +656,8 @@ class StreamingCurationSpec extends SparkSpec {
     assert(back.filter(!col("valid")).count() === 0)
     assert(back.filter(col("warc_type") === "revisit")
       .select("content_length").collect().forall(_.getLong(0) === 0L))
-    assert(back.count() === 5)
+    assert(back.count() === 8)
+    assert(back.filter(col("warc_type") === "response").count() === 4)
 
     // replay with no new input: output and state stay put
     val (o, c) = (outRows, reg.read("rg_seen").count())

@@ -302,6 +302,12 @@ class WarcSpec extends SparkSpec {
       idx.withColumn("rec_offset", col("rec_offset") + 1)).toDF()
     assert(drifted.count() === idx.count())
     assert(drifted.filter(col("valid")).count() === 0)
+    // a locator whose chunk is MISSING still yields its row (invalid),
+    // never a silently shorter result
+    val foreign = Warc.fetchByLocator(spark, gz,
+      idx.limit(1).withColumn("chunk_id", lit(999L))).toDF()
+    assert(foreign.count() === 1)
+    assert(foreign.filter(col("valid")).count() === 0)
   }
 
   test("revisitDedup: first capture per digest stays a response, later " +
