@@ -794,25 +794,31 @@ object WebText {
     * every WebText expression, no shuffle, composes onto the WARC→HTML
     * scan. */
   def metaRobotsSignals(pages: DataFrame, urlCol: String = "url",
-                        htmlCol: String = "html"): DataFrame = {
-    val nameFirst = "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?robots[\"']?" +
-      "[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']"
-    val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
-      "[^>]*?name\\s*=\\s*[\"']?robots[\"']?"
-    def contents(re: String): Column =
-      regexp_extract_all(col(htmlCol), lit(re), lit(1))
-    val directives = array_sort(array_distinct(filter(
-      transform(flatten(transform(
-        concat(contents(nameFirst), contents(contentFirst)),
-        c => split(lower(c), ","))), d => trim(d)),
-      d => d =!= "")))
-    pages.select(col(urlCol).as("url"), directives.as("graft_dirs"))
+                        htmlCol: String = "html"): DataFrame =
+    pages.select(col(urlCol).as("url"),
+        metaRobotsDirectives(col(htmlCol)).as("graft_dirs"))
       .select(col("url"),
         array_join(col("graft_dirs"), ",").as("directives"),
         array_contains(col("graft_dirs"), "noindex")
           .or(array_contains(col("graft_dirs"), "none")).as("noindex"),
         array_contains(col("graft_dirs"), "nofollow")
           .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
+
+  /** The sorted-distinct meta-robots directive array of a page —
+    * shared by [[metaRobotsSignals]] and the combined-channel
+    * [[robotsGate]]. */
+  private def metaRobotsDirectives(html: Column): Column = {
+    val nameFirst = "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?robots[\"']?" +
+      "[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']"
+    val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+      "[^>]*?name\\s*=\\s*[\"']?robots[\"']?"
+    def contents(re: String): Column =
+      regexp_extract_all(html, lit(re), lit(1))
+    array_sort(array_distinct(filter(
+      transform(flatten(transform(
+        concat(contents(nameFirst), contents(contentFirst)),
+        c => split(lower(c), ","))), d => trim(d)),
+      d => d =!= "")))
   }
 
   /** Directive names of the X-Robots-Tag grammar — a leading
@@ -843,8 +849,22 @@ object WebText {
     * regex/HOF chain over the header block, no shuffle. */
   def headerRobotsSignals(responses: DataFrame, urlCol: String = "url",
                           payloadCol: String = "payload",
-                          agent: String = "graftbot"): DataFrame = {
-    val tags = Http.xRobotsTags(col(payloadCol))
+                          agent: String = "graftbot"): DataFrame =
+    responses.select(col(urlCol).as("url"),
+        headerRobotsDirectives(col(payloadCol), agent).as("graft_dirs"))
+      .select(col("url"),
+        array_join(col("graft_dirs"), ",").as("directives"),
+        array_contains(col("graft_dirs"), "noindex")
+          .or(array_contains(col("graft_dirs"), "none")).as("noindex"),
+        array_contains(col("graft_dirs"), "nofollow")
+          .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
+
+  /** The sorted-distinct X-Robots-Tag directive array of a response
+    * for `agent` — shared by [[headerRobotsSignals]] and
+    * [[robotsGate]]. */
+  private def headerRobotsDirectives(payload: Column,
+                                     agent: String): Column = {
+    val tags = Http.xRobotsTags(payload)
     def prefix(v: Column): Column =
       lower(regexp_extract(v, "^([A-Za-z0-9_*-]+)\\s*:", 1))
     def scoped(v: Column): Column =
@@ -854,19 +874,41 @@ object WebText {
     def ruleBody(v: Column): Column =
       when(scoped(v), regexp_replace(v, "^[A-Za-z0-9_*-]+\\s*:\\s*", ""))
         .otherwise(v)
-    val dirs = array_sort(array_distinct(filter(
+    array_sort(array_distinct(filter(
       transform(
         flatten(transform(filter(tags, v => applies(v)),
           v => split(ruleBody(v), ","))),
         d => regexp_replace(trim(lower(d)), "\\s+", " ")),
       d => d =!= "")))
-    responses.select(col(urlCol).as("url"), dirs.as("graft_dirs"))
+  }
+
+  /** The COMBINED robots verdict of a fetched page — `<meta
+    * name=robots>` AND `X-Robots-Tag` headers, most-restrictive-wins
+    * (a page is noindex/nofollow if EITHER channel says so — the rule
+    * every major engine documents; a pipeline honoring only the meta
+    * tag silently keeps every header-gated page, and non-HTML
+    * resources have no meta tag at all). One scan-stage projection
+    * over the fetched row — both channels' directive arrays compute
+    * side by side with NO self-join (two projections of the same
+    * frame joined on url would re-run both regex chains, the q156
+    * double-eval class). Output: `url`, `meta_directives`,
+    * `header_directives`, `noindex`, `nofollow`. */
+  def robotsGate(pages: DataFrame, urlCol: String = "url",
+                 htmlCol: String = "html", payloadCol: String = "payload",
+                 agent: String = "graftbot"): DataFrame = {
+    val md = metaRobotsDirectives(col(htmlCol))
+    val hd = headerRobotsDirectives(col(payloadCol), agent)
+    def restricts(dirs: Column, d: String): Column =
+      array_contains(dirs, d) || array_contains(dirs, "none")
+    pages
+      .select(col(urlCol).as("url"), md.as("graft_md"), hd.as("graft_hd"))
       .select(col("url"),
-        array_join(col("graft_dirs"), ",").as("directives"),
-        array_contains(col("graft_dirs"), "noindex")
-          .or(array_contains(col("graft_dirs"), "none")).as("noindex"),
-        array_contains(col("graft_dirs"), "nofollow")
-          .or(array_contains(col("graft_dirs"), "none")).as("nofollow"))
+        array_join(col("graft_md"), ",").as("meta_directives"),
+        array_join(col("graft_hd"), ",").as("header_directives"),
+        (restricts(col("graft_md"), "noindex") ||
+          restricts(col("graft_hd"), "noindex")).as("noindex"),
+        (restricts(col("graft_md"), "nofollow") ||
+          restricts(col("graft_hd"), "nofollow")).as("nofollow"))
   }
 
   /** Redirect-chain resolution over fetched responses: from per-URL

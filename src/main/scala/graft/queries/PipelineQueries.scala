@@ -8210,6 +8210,40 @@ object PipelineQueries {
       .orderBy("q_id", "neg_rank")
   }
 
+  /** Combined robots verdict ([[graft.ops.WebText.robotsGate]] — meta
+    * tag AND X-Robots-Tag header, most-restrictive-wins, in ONE
+    * projection): five planted cohorts crossing the channels (meta
+    * only, header only, split across both, neither, header `none`
+    * implying both restrictions). GROUND-TRUTH oracle per modulus. */
+  val q266RobotsGate: Q = q("q266_robots_gate",
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS m
+      |  FROM documents)
+      |SELECT 'http://g.org/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE m WHEN 0 THEN 'noindex' WHEN 2 THEN 'nofollow'
+      |    ELSE '' END AS meta_directives,
+      |  CASE m WHEN 1 THEN 'nofollow' WHEN 2 THEN 'noindex'
+      |    WHEN 4 THEN 'none' ELSE '' END AS header_directives,
+      |  m IN (0, 2, 4) AS noindex,
+      |  m IN (1, 2, 4) AS nofollow
+      |FROM t ORDER BY url""".stripMargin) { (s, d) =>
+    val m = col("doc_id") % 5
+    val metaTag = when(m === 0,
+        lit("<meta name=\"robots\" content=\"noindex\">"))
+      .when(m === 2, lit("<meta name=\"robots\" content=\"nofollow\">"))
+      .otherwise(lit(""))
+    val hdr = when(m === 1, lit("X-Robots-Tag: nofollow\r\n"))
+      .when(m === 2, lit("X-Robots-Tag: noindex\r\n"))
+      .when(m === 4, lit("X-Robots-Tag: none\r\n"))
+      .otherwise(lit(""))
+    val docs = Tables.documents(s, d).select(
+      concat(lit("http://g.org/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("<html><head>"), metaTag,
+        lit("</head><body>x</body></html>")).as("html"),
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"), hdr,
+        lit("\r\n<html>x</html>")).as("payload"))
+    WebText.robotsGate(docs).orderBy("url")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8266,5 +8300,6 @@ object PipelineQueries {
     q250PqAdc, q251Bitext, q252IvfPqSearch, q253WetExport, q254BomDecode,
     q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
-    q263FetchByLocator, q264HardNegatives, q265TrainingTriplets)
+    q263FetchByLocator, q264HardNegatives, q265TrainingTriplets,
+    q266RobotsGate)
 }
