@@ -333,18 +333,27 @@ object Warc {
     * on one row per requested locator never loses a failure
     * silently.
     *
-    * Scale shape: one equi-join of the (small) locator set against
-    * the chunk table — pruned/broadcast by chunk_id — then a
-    * scan-stage binary substring and a per-row cursor over slice-sized
-    * byte arrays; no full-segment parse, no shuffle beyond the join. */
+    * Scale shape: the hit path is an INNER equi-join whose small
+    * locator side stays broadcastable (a LEFT join from the index
+    * side would force the payload-carrying chunk table to be the
+    * build side — Spark can only broadcast the non-preserved side of
+    * an outer join, so an archive-sized chunk table would shuffle
+    * every segment payload, exactly the full-archive touch this op
+    * exists to avoid); the missing-chunk rows come from an anti-join
+    * against the chunk_id-only projection (~8 bytes per chunk,
+    * broadcastable) and union in as invalid rows. Then a scan-stage
+    * binary substring and a per-row cursor over slice-sized byte
+    * arrays; no full-segment parse. */
   def fetchByLocator(spark: SparkSession, chunks: DataFrame,
                      index: DataFrame): Dataset[WarcDoc] = {
     import spark.implicits._
-    index.filter(col("valid"))
-      .select(col("chunk_id").cast("long"), col("rec_idx").cast("long"),
+    val locs = index.filter(col("valid"))
+      .select(col("chunk_id").cast("long").as("chunk_id"),
+        col("rec_idx").cast("long").as("rec_idx"),
         col("rec_offset"), col("rec_bytes"))
-      .join(chunks.select(col("chunk_id").cast("long").as("chunk_id"),
-        col("payload")), Seq("chunk_id"), "left")
+    val keyed = chunks.select(col("chunk_id").cast("long").as("chunk_id"),
+      col("payload"))
+    val hits = locs.join(keyed, Seq("chunk_id"))
       .select(col("chunk_id"), col("rec_idx"),
         call_function("substring", col("payload"),
           (col("rec_offset") + 1).cast("int"), col("rec_bytes").cast("int"))
@@ -361,6 +370,14 @@ object Warc {
             valid = false)
         }
       }
+    val missing = locs
+      .join(keyed.select("chunk_id"), Seq("chunk_id"), "left_anti")
+      .select(col("chunk_id"), col("rec_idx"))
+      .as[(Long, Long)]
+      .map { case (cid, ridx) =>
+        WarcDoc(cid, ridx, "malformed", "", "", 0L, "", valid = false)
+      }
+    hits.union(missing)
   }
 
   /** Archive-side payload dedup via WARC `revisit` records (ISO 28500

@@ -92,12 +92,15 @@ class RevisitGateLink(input: String, outputStream: String,
           .collect().map(_.getInt(0)).sorted
         // prior state for the touched buckets only (bucket-pruned);
         // rows a crashed attempt of THIS batch merged are filtered so
-        // a replay labels the output identically
+        // a replay labels the output identically. Deliberately LAZY:
+        // both consumers (the output join, the fresh anti-join)
+        // evaluate BEFORE any seenStream rotate, so the reads are
+        // consistent, column-pruned, and never materialize the whole
+        // digest registry per batch
         val prior = touched.map(bkt =>
             registry.readPartition(seenStream, bkt)).reduceOption(_ unionByName _)
           .getOrElse(registry.readPartition(seenStream, 0).limit(0))
           .filter(col("first_batch") < batchId)
-          .localCheckpoint()
         // revisit detection is by DIGEST rank: a prior capture (any
         // url, any batch) or a lower-ranked same-batch sibling makes
         // this row a stub — never url inequality, which would store a

@@ -51,6 +51,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("hardNegatives / trainingTriplets: cross-label only, maxCos drops " +
+    "a suspicious near-duplicate but keeps the boundary (<= inclusive), " +
+    "anchors without an in-pool positive emit no triplet") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      (1L, 10L, "b", 0.95), // cross-label but near-identical → maxCos drop
+      (1L, 11L, "b", 0.90), // boundary: <= keeps it
+      (1L, 12L, "a", 0.85), // same-label: the positive, never a negative
+      (1L, 13L, "c", 0.80),
+      (2L, 20L, "b", 0.70)  // anchor 2 has NO same-label candidate
+    ).toDF("q_id", "c_id", "label", "cos_sim")
+    val labels = Seq((1L, "a"), (2L, "a")).toDF("vec_id", "label")
+    val negs = Similarity.hardNegatives(cands, labels, k = 5, maxCos = 0.9)
+      .orderBy("q_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    assert(negs.toSeq === Seq(
+      (1L, 1L, 11L, 0.90), (1L, 2L, 13L, 0.80), (2L, 1L, 20L, 0.70)))
+    val trips = Similarity.trainingTriplets(cands, labels, kNeg = 5,
+        maxCos = 0.9)
+      .orderBy("q_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    // only anchor 1 (anchor 2 has no positive); the positive is NOT
+    // subject to maxCos, and the negatives mirror hardNegatives'
+    assert(trips.toSeq === Seq(
+      (1L, 12L, 0.85, 1L, 11L), (1L, 12L, 0.85, 2L, 13L)))
+  }
+
   test("annLsh achieves usable recall@5 vs exact top-5 on fixture embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 20)
