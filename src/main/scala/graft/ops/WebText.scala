@@ -49,12 +49,24 @@ object WebText {
     * the URL shape for dedup keys; this is the INDEX key). */
   def surtKey(u: Column): Column = {
     val lc = lower(trim(u))
+    val scheme = regexp_extract(lc, "^([a-z][a-z0-9+.-]*)://", 1)
     val rest = regexp_replace(lc, "^[a-z][a-z0-9+.-]*://", "")
     // userinfo never keys an index (user:pass@host and host are the
-    // same capture), then default port, then the www label
-    val hostPort = regexp_replace(regexp_replace(regexp_replace(
-      regexp_extract(rest, "^([^/?#]*)", 1), "^[^@]*@", ""),
-      ":(80|443)$", ""), "^www\\.", "")
+    // same capture)
+    val noUser = regexp_replace(
+      regexp_extract(rest, "^([^/?#]*)", 1), "^[^@]*@", "")
+    // only the SCHEME'S OWN default port drops (pywb/surt): an explicit
+    // https://h:80 or http://h:443 is a non-default port and must key
+    // differently from the bare host — unconditional :80|:443 stripping
+    // collided such captures under one urlkey. A scheme-less value
+    // keys like http (the surt convention for bare host[/path] input).
+    val defPort = when(scheme === "https", lit(":443"))
+      .when(scheme === "http" || scheme === "", lit(":80"))
+      .otherwise(lit(""))
+    val noPort = when(defPort =!= "" && noUser.endsWith(defPort),
+        noUser.substr(lit(1), length(noUser) - length(defPort)))
+      .otherwise(noUser)
+    val hostPort = regexp_replace(noPort, "^www\\.", "")
     // a NON-default port survives, attached after the reversed labels
     // (`org,example:8080)` — the pywb convention)
     val host = regexp_replace(hostPort, ":[0-9]+$", "")
@@ -808,12 +820,18 @@ object WebText {
     * shared by [[metaRobotsSignals]] and the combined-channel
     * [[robotsGate]]. */
   private def metaRobotsDirectives(html: Column): Column = {
+    // null html (the motivating non-HTML case: a PDF/image has no meta
+    // tag at all) must yield the EMPTY directive array, not null: a
+    // null array nulls array_contains, and `null || false` stays null —
+    // so a downstream filter(!noindex) would silently drop every
+    // non-blocked non-HTML resource
+    val h = coalesce(html, lit(""))
     val nameFirst = "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?robots[\"']?" +
       "[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']"
     val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
       "[^>]*?name\\s*=\\s*[\"']?robots[\"']?"
     def contents(re: String): Column =
-      regexp_extract_all(html, lit(re), lit(1))
+      regexp_extract_all(h, lit(re), lit(1))
     array_sort(array_distinct(filter(
       transform(flatten(transform(
         concat(contents(nameFirst), contents(contentFirst)),
@@ -864,7 +882,9 @@ object WebText {
     * [[robotsGate]]. */
   private def headerRobotsDirectives(payload: Column,
                                      agent: String): Column = {
-    val tags = Http.xRobotsTags(payload)
+    // null payload ⇒ empty directive array (the metaRobotsDirectives
+    // null rule: noindex/nofollow must be non-null booleans)
+    val tags = Http.xRobotsTags(coalesce(payload, lit("")))
     def prefix(v: Column): Column =
       lower(regexp_extract(v, "^([A-Za-z0-9_*-]+)\\s*:", 1))
     def scoped(v: Column): Column =

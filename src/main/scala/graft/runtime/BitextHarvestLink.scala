@@ -137,7 +137,13 @@ object BitextHarvestLink {
   def clusterMembers(pages: DataFrame): DataFrame = {
     val variants = pages.select(col("url"), col("text"),
       explode(WebText.hreflangLinks(col("html"))).as("graft_x"))
-    val self = variants.filter(col("graft_x.href") === col("url"))
+    // "x-default" is a ROLE, not a language: on real sites the
+    // x-default href usually IS one of the concrete pages, and taking
+    // its self-match as a membership would enroll that page twice
+    // (real lang + 'x-default') — bitextAlign would then pair its
+    // identical text against itself as a degenerate "translation"
+    val self = variants.filter(col("graft_x.href") === col("url") &&
+        col("graft_x.lang") =!= "x-default")
       .select(col("url"), col("text"), col("graft_x.lang").as("lang"))
     val clusterOf = variants.filter(col("graft_x.lang") === "x-default")
       .select(col("url"), col("graft_x.href").as("cluster_key")).distinct()

@@ -153,6 +153,13 @@ class WebTextSpec extends SparkSpec {
       "uk,co,example,news)/a/b")
     assert(sk("https://example.org:443/x") === "org,example)/x")
     assert(sk("http://example.org:8080/x") === "org,example:8080)/x")
+    // only the scheme's OWN default port drops (pywb/surt): an explicit
+    // :80 on https (or :443 on http) is non-default and must not
+    // collide with the bare host's key
+    assert(sk("https://example.org:80/x") === "org,example:80)/x")
+    assert(sk("http://example.org:443/x") === "org,example:443)/x")
+    // scheme-less input keys like http
+    assert(sk("example.org:80/x") === "org,example)/x")
     assert(sk("http://example.org") === "org,example)/")
     assert(sk("http://example.org/a#frag") === "org,example)/a")
     assert(sk("http://example.org/?z=1&y=2&x=3") ===
@@ -541,6 +548,34 @@ class WebTextSpec extends SparkSpec {
     assert(got("rev") === (("none", true, true)))
     assert(got("decoy") === (("", false, false)))
     assert(got("plain") === (("", false, false)))
+  }
+
+  test("robots channels: null html/payload (non-HTML resources) yield " +
+    "non-null false noindex/nofollow, never null verdicts") {
+    // the motivating case: a PDF/image capture has NO html column — a
+    // null directive array would null array_contains, null||false stays
+    // null, and a filter(!noindex) would silently drop every
+    // non-blocked non-HTML resource
+    val rows = Seq(("http://h.org/doc.pdf", null: String, null: String))
+      .toDF("url", "html", "payload")
+    val m = WebText.metaRobotsSignals(rows)
+      .as[(String, String, Boolean, Boolean)].head()
+    assert(m === (("http://h.org/doc.pdf", "", false, false)))
+    val h = WebText.headerRobotsSignals(rows)
+      .as[(String, String, Boolean, Boolean)].head()
+    assert(h === (("http://h.org/doc.pdf", "", false, false)))
+    val g = WebText.robotsGate(rows)
+      .as[(String, String, String, Boolean, Boolean)].head()
+    assert(g === (("http://h.org/doc.pdf", "", "", false, false)))
+    // the downstream admission filter keeps the row (the bug dropped it)
+    assert(WebText.robotsGate(rows).filter(!col("noindex")).count() === 1L)
+    // a header-gated page still restricts when html alone is null
+    val mixed = Seq(("http://h.org/x.pdf", null: String,
+      "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n\r\nbody"))
+      .toDF("url", "html", "payload")
+    val gm = WebText.robotsGate(mixed)
+      .as[(String, String, String, Boolean, Boolean)].head()
+    assert(gm === (("http://h.org/x.pdf", "", "noindex", true, false)))
   }
 
   test("resolveRedirects: chains, hop-limit truncation, loops, " +
