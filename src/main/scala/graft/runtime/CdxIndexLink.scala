@@ -22,10 +22,11 @@ import graft.ops.Warc
   * its run time; the default keeps spec plans deterministic). Sorting
   * the accumulated lines by urlkey — the binary-search contract — is
   * the terminal export's job (the q131/q206 shard machinery), not the
-  * per-batch append's. Offsets are exactly-once via the link
-  * checkpoint; the output write is at-least-once under a mid-batch
-  * crash like any foreachBatch sink — index readers dedup on
-  * (urlkey, filename, offset) if they need idempotence. Per-batch
+  * per-batch write's. The output is EXACTLY-ONCE under a mid-batch
+  * crash, not merely its offsets: each micro-batch REWRITES its own
+  * `batch=<id>` partition ([[StreamRegistry.refreshPartition]] — the
+  * audit-log discipline), so a crash-replayed batch replaces its
+  * directory instead of appending duplicate index lines. Per-batch
   * work: the stateless per-partition index cursor over the BATCH's
   * chunks plus a scan-stage line projection; nothing accumulates,
   * nothing shuffles. */
@@ -40,24 +41,25 @@ class CdxIndexLink(input: String, outputStream: String,
 
   private val outSchema = StructType(Seq(
     StructField("urlkey", StringType), StructField("chunk_id", LongType),
-    StructField("rec_idx", LongType), StructField("cdxj_line", StringType)))
+    StructField("rec_idx", LongType), StructField("cdxj_line", StringType),
+    StructField("batch", LongType)))
 
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
-    registry.declare(outputStream, outSchema)
+    registry.declare(outputStream, outSchema, Seq("batch"))
     val Array(pre, post) = filenamePattern.split("\\{\\}", -1)
     registry.readStream(input).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, outputStream))
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = Warc.cdxjLines(
             Warc.parseWarcIndex(batch.sparkSession, batch),
             filename = concat(lit(pre), col("chunk_id").cast("string"),
               lit(post)),
             timestamp = lit(timestamp))
           .select("urlkey", "chunk_id", "rec_idx", "cdxj_line")
-        registry.write(out, outputStream)
+        registry.refreshPartition(outputStream, batchId, out)
       }
       .start()
   }

@@ -44,13 +44,32 @@ import graft.ops.{Robots, WebText}
   *    (`_batch`, atomic with the bucket's data), so a replay merges
   *    exactly the buckets whose merge hadn't landed;
   *  - `frontierStream` `(domain, url, inlinks, rank, delay_ms,
-  *    not_before_ms)` — REFRESHED per batch: a materialized view, not
-  *    a log. Readers see the latest complete refresh; `not_before_ms`
+  *    not_before_ms, bucket)` — the materialized frontier VIEW,
+  *    hive-partitioned into the SAME host-hash buckets as the count
+  *    table and refreshed INCREMENTALLY: per batch, only the buckets
+  *    whose inputs changed (buckets the count merge touched, buckets
+  *    of the batch's crawled hosts, and — when extra link channels
+  *    are configured — the extras' buckets) recompute and rotate
+  *    ([[StreamRegistry.refreshPartition]], per-bucket `_batch`
+  *    marks); every other bucket's files RIDE THROUGH untouched. A
+  *    host's rows live entirely in one bucket (rank windows partition
+  *    by host), so the union of per-bucket refreshes is EXACTLY the
+  *    whole-view [[FrontierLink.refreshPlan]] — parity spec-pinned.
+  *    Readers see each bucket whole-old or whole-new; `not_before_ms`
   *    is the politeness slot offset — `(rank − 1) ·` the host's
   *    effective delay (robots crawl-delay or `defaultDelayMs`, times
   *    the error-back-off multiplier from `historyStream`) — so wiring
   *    the frontier back into a fetcher yields a schedule, not just a
-  *    list;
+  *    list. Bounded side streams (robots/history/hints) are re-read
+  *    per refresh; an update to one propagates to a host's rows when
+  *    that host's bucket next refreshes — per-batch work stays ∝
+  *    touched buckets by design;
+  *  - `crawledSetStream` (internal, `<frontier>_crawled_set`)
+  *    `(url, bucket)` — the DISTINCT crawled set bucketed by the
+  *    TARGET-side host hash, merged per touched bucket like the count
+  *    table, so each bucket's frontier recompute anti-joins ONE
+  *    partition instead of re-scanning the whole batch-partitioned
+  *    crawled audit log (which grows with the crawl);
   *  - optional `robotsStream` `(host, robots_txt)` — admission rules +
   *    crawl delays; absent ⇒ every URL admitted at the default delay;
   *  - optional `historyStream` `(host, status_code)` — fetch outcomes;
@@ -88,9 +107,15 @@ import graft.ops.{Robots, WebText}
   * comfortable rewrite (a few hundred MB at scale), and note a batch
   * with links to ≥numBuckets distinct hosts still rewrites every
   * bucket — numBuckets trades write amplification against per-batch
-  * rotate count. The refresh plan provably
-  * never touches `linksStream` ([[FrontierLink.refreshPlan]] is the
-  * plan the spec walks). The per-domain top-k keeps the
+  * rotate count. The frontier VIEW inherits the same shape: refresh
+  * READ+COMPUTE work is ∝ touched buckets too (per bucket: one count
+  * partition + one crawled-set partition + the bounded side streams),
+  * never the whole count table — the semi-join-recompute /
+  * ride-through discipline of [[BitextHarvestLink]]. The refresh plan
+  * provably never touches `linksStream` ([[FrontierLink.refreshPlan]]
+  * is the whole-view reference the spec walks;
+  * [[FrontierLink.refreshBucketPlan]] is the per-bucket restriction
+  * the link materializes). The per-domain top-k keeps the
   * `row_number ≤ k` filter directly above its window so
   * `InferWindowGroupLimit` prunes map-side (the politenessSchedule
   * shape). `extraLinksStreams` ARE re-aggregated per refresh — they
@@ -117,9 +142,12 @@ class FrontierLink(input: String, crawledStream: String,
 
   private val countsName =
     if (countsStream.nonEmpty) countsStream else s"${frontierStream}_counts"
+  private val crawledSetName = s"${frontierStream}_crawled_set"
 
   private val crawledSchema = StructType(Seq(
     StructField("url", StringType), StructField("batch", LongType)))
+  private val crawledSetSchema = StructType(Seq(
+    StructField("url", StringType), StructField("bucket", IntegerType)))
   private val linkSchema = StructType(Seq(
     StructField("link", StringType), StructField("batch", LongType)))
   private val countsSchema = StructType(Seq(
@@ -128,18 +156,24 @@ class FrontierLink(input: String, crawledStream: String,
   private val frontierSchema = StructType(Seq(
     StructField("domain", StringType), StructField("url", StringType),
     StructField("inlinks", LongType), StructField("rank", LongType),
-    StructField("delay_ms", LongType), StructField("not_before_ms", LongType)))
+    StructField("delay_ms", LongType), StructField("not_before_ms", LongType),
+    StructField("bucket", IntegerType)))
 
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
     registry.declare(crawledStream, crawledSchema, Seq("batch"))
+    registry.declare(crawledSetName, crawledSetSchema, Seq("bucket"))
     registry.declare(linksStream, linkSchema, Seq("batch"))
     registry.declare(countsName, countsSchema, Seq("bucket"))
-    registry.declare(frontierStream, frontierSchema)
-    // the bucket modulus is part of the count table's layout —
-    // persisted beside the schema, validated every start
+    registry.declare(frontierStream, frontierSchema, Seq("bucket"))
+    // the bucket modulus is part of ALL THREE bucketed tables' layout —
+    // persisted beside each schema, validated every start (one modulus:
+    // the frontier recompute pairs count partition k with crawled-set
+    // partition k)
     registry.pinBucketCount(countsName, numBuckets)
+    registry.pinBucketCount(crawledSetName, numBuckets)
+    registry.pinBucketCount(frontierStream, numBuckets)
     registry.readStream(input).writeStream
       .option("checkpointLocation",
         registry.checkpointDir(name, frontierStream))
@@ -152,6 +186,29 @@ class FrontierLink(input: String, crawledStream: String,
         // rebuild invariant counts == linkCounts(log) survives replay
         registry.refreshPartition(crawledStream, batchId,
           b.select(col("url")))
+        // crawled-SET merge: the distinct crawled urls, bucketed by the
+        // TARGET-side host hash (a crawled url evicts the count row
+        // whose link equals it — same registeredDomain, same bucket),
+        // merged per touched bucket with the count-table discipline so
+        // each frontier recompute anti-joins exactly one partition
+        val bcr = b.select(col("url")).distinct()
+          .withColumn("bucket", FrontierLink.bucketOf(
+            WebText.registeredDomain(col("url")), numBuckets))
+          .localCheckpoint()
+        val crawledTouched = bcr.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        crawledTouched.foreach { bkt =>
+          val merged = registry
+            .refreshPartitionMeta(crawledSetName, bkt, "batch")
+            .exists(_.toLong >= batchId)
+          if (!merged) {
+            registry.refreshPartition(crawledSetName, bkt,
+              registry.readPartition(crawledSetName, bkt)
+                .unionByName(bcr.filter(col("bucket") === bkt).drop("bucket"))
+                .distinct(),
+              Map("batch" -> batchId.toString))
+          }
+        }
         // ONE extraction per batch feeds both the audit log and the
         // count merge (they must agree row-for-row)
         val batchLinks = WebText.resolvedLinkRows(b, "url", "html")
@@ -178,11 +235,41 @@ class FrontierLink(input: String, crawledStream: String,
               Map("batch" -> batchId.toString))
           }
         }
-        registry.refresh(frontierStream, FrontierLink.refreshPlan(
-          registry, countsName, extraLinksStreams, crawledStream,
-          robotsStream, historyStream, agent, topKPerDomain,
-          defaultDelayMs, hintsStream, datesStream, reputationStream,
-          nowMs))
+        // INCREMENTAL frontier refresh: only the buckets whose inputs
+        // changed this batch can change rank — buckets the count merge
+        // touched, buckets of the batch's crawled hosts (their rows
+        // must leave the view), and the extras' buckets (extra channels
+        // are re-read per refresh; bounded by contract). Everything
+        // else rides through untouched — per-batch view work is
+        // ∝ touched buckets, never the count table.
+        val extraTouched: Seq[Int] =
+          if (extraLinksStreams.isEmpty) Nil
+          else {
+            val ex = extraLinksStreams.filter(registry.exists)
+              .map(n => FrontierLink.linkCounts(
+                registry.read(n).select(col("link"))))
+            if (ex.isEmpty) Nil
+            else ex.reduce(_ unionByName _)
+              .select(FrontierLink.bucketOf(col("host"), numBuckets)
+                .as("bucket"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+          }
+        val frontierTouched =
+          (touched ++ crawledTouched ++ extraTouched).distinct.sorted
+        frontierTouched.foreach { bkt =>
+          val done = registry
+            .refreshPartitionMeta(frontierStream, bkt, "batch")
+            .exists(_.toLong >= batchId)
+          if (!done) {
+            registry.refreshPartition(frontierStream, bkt,
+              FrontierLink.refreshBucketPlan(registry, countsName,
+                crawledSetName, bkt, numBuckets, extraLinksStreams,
+                robotsStream, historyStream, agent, topKPerDomain,
+                defaultDelayMs, hintsStream, datesStream,
+                reputationStream, nowMs),
+              Map("batch" -> batchId.toString))
+          }
+        }
       }
       .start()
   }
@@ -373,12 +460,53 @@ object FrontierLink {
     frontierFromCounts(linkCounts(links), crawled, robots, history, agent,
       topKPerDomain, defaultDelayMs, hints, dates, reputation, nowMs)
 
-  /** The EXACT DataFrame a [[FrontierLink]] refresh materializes — a
-    * function of the registry state, exposed so the scale spec can
-    * plan-walk it: its scans read the count table, the crawled set,
-    * and the (bounded) rule/history/extra side streams — NEVER the
-    * raw accumulated `linksStream` log. Extra link channels are
-    * aggregated and summed into the counts here (read-only). */
+  /** ONE bucket's slice of the frontier view — the DataFrame a
+    * [[FrontierLink]] refresh materializes per TOUCHED bucket: the
+    * bucket's count partition (plus the extras' rows hashing to it),
+    * anti-joined against the bucket's crawled-set partition, through
+    * [[frontierFromCounts]]. A host's rows live entirely in one
+    * bucket (every window/join here keys on host or link), so the
+    * union of all buckets' plans is EXACTLY [[refreshPlan]] — which
+    * is what lets untouched buckets ride through as files. Reads are
+    * direct partition loads ([[StreamRegistry.readPartition]] — no
+    * whole-table listing) plus the bounded side streams. */
+  def refreshBucketPlan(registry: StreamRegistry, countsStream: String,
+                        crawledSetStream: String, bucket: Int,
+                        numBuckets: Int,
+                        extraLinksStreams: Seq[String],
+                        robotsStream: String, historyStream: String,
+                        agent: String, topKPerDomain: Int,
+                        defaultDelayMs: Long,
+                        hintsStream: String = "", datesStream: String = "",
+                        reputationStream: String = "",
+                        nowMs: Long = 0L): DataFrame = {
+    val base = registry.readPartition(countsStream, bucket)
+    val extras = extraLinksStreams.filter(registry.exists)
+      .map(n => linkCounts(registry.read(n).select(col("link")))
+        .filter(bucketOf(col("host"), numBuckets) === bucket))
+    val counts =
+      if (extras.isEmpty) base
+      else (base +: extras).reduce(_ unionByName _)
+        .groupBy("link", "host").agg(sum("inlinks").as("inlinks"))
+    def opt(name: String): Option[DataFrame] =
+      if (name.nonEmpty && registry.exists(name)) Some(registry.read(name))
+      else None
+    frontierFromCounts(counts,
+      registry.readPartition(crawledSetStream, bucket),
+      opt(robotsStream), opt(historyStream), agent, topKPerDomain,
+      defaultDelayMs, opt(hintsStream), opt(datesStream),
+      opt(reputationStream), nowMs)
+  }
+
+  /** The WHOLE frontier view as a function of the registry state — the
+    * reference plan the per-bucket refreshes union to (parity
+    * spec-pinned), exposed so the scale spec can plan-walk it: its
+    * scans read the count table, the crawled set, and the (bounded)
+    * rule/history/extra side streams — NEVER the raw accumulated
+    * `linksStream` log. Extra link channels are aggregated and summed
+    * into the counts here (read-only). `crawledStream` may be any
+    * stream carrying a `url` column (the batch-partitioned audit log
+    * or the bucketed crawled set — both hold the same url set). */
   def refreshPlan(registry: StreamRegistry, countsStream: String,
                   extraLinksStreams: Seq[String], crawledStream: String,
                   robotsStream: String, historyStream: String,

@@ -3,7 +3,7 @@ package graft.runtime
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.ops.Warc
 
 /** Streaming WAT export — [[graft.ops.Warc.watRecords]] behind a
@@ -18,9 +18,11 @@ import graft.ops.Warc
   *
   * `date` stamps every record's WARC-Date (an export job passes its
   * run timestamp; the default keeps spec plans deterministic).
-  * Offsets are exactly-once via the link checkpoint; the single output
-  * write is at-least-once under a mid-batch crash like any foreachBatch
-  * sink — WAT readers dedup on WARC-Target-URI if they need idempotence.
+  * The output is EXACTLY-ONCE under a mid-batch crash, not merely its
+  * offsets: each micro-batch REWRITES its own `batch=<id>` partition
+  * ([[StreamRegistry.refreshPartition]] — the audit-log discipline), so
+  * a crash-replayed batch replaces its directory instead of appending
+  * duplicate records into the published artifact.
   * Per-batch work is one scan-stage regex/JSON projection over the
   * batch: nothing accumulates, nothing shuffles. */
 class WatExportLink(input: String, outputStream: String,
@@ -31,20 +33,21 @@ class WatExportLink(input: String, outputStream: String,
   val output: Option[String] = None // custom start: declared + written below
 
   private val outSchema = StructType(Seq(
-    StructField("url", StringType), StructField("wat_record", StringType)))
+    StructField("url", StringType), StructField("wat_record", StringType),
+    StructField("batch", LongType)))
 
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
-    registry.declare(outputStream, outSchema)
+    registry.declare(outputStream, outSchema, Seq("batch"))
     registry.readStream(input).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, outputStream))
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = Warc.watRecords(batch, uriCol, htmlCol, contentTypeCol,
             lit(date))
           .select(col(uriCol).as("url"), col("wat_record"))
-        registry.write(out, outputStream)
+        registry.refreshPartition(outputStream, batchId, out)
       }
       .start()
   }

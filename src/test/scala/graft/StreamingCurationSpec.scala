@@ -403,7 +403,7 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(b1.toDF("url", "html"), "fr_pages")
     link.start(spark, reg).awaitTermination()
-    val f1 = rows(reg.read("fr_frontier"))
+    val f1 = rows(reg.read("fr_frontier").drop("bucket"))
     assert(f1 === rows(expected(b1)))
     // the rooted relative resolved against its page host
     assert(f1.exists(_(1) === "http://alpha.org/local/next"))
@@ -412,7 +412,7 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(b2.toDF("url", "html"), "fr_pages")
     link.start(spark, reg).awaitTermination()
-    val f2 = rows(reg.read("fr_frontier"))
+    val f2 = rows(reg.read("fr_frontier").drop("bucket"))
     assert(f2 === rows(expected(b1 ++ b2)))
     // hub.com/popular was linked in batch 1 but CRAWLED in batch 2:
     // the refresh must evict it from the frontier
@@ -421,7 +421,7 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new input: offsets are exactly-once, frontier and
     // the accumulated streams stay put
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("fr_frontier")) === f2)
+    assert(rows(reg.read("fr_frontier").drop("bucket")) === f2)
     assert(reg.read("fr_crawled").count() === 4)
   }
 
@@ -467,7 +467,7 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(b1.toDF("url", "html"), "fi_pages")
     link.start(spark, reg).awaitTermination()
-    val f1 = rows(reg.read("fi_frontier"))
+    val f1 = rows(reg.read("fi_frontier").drop("bucket"))
     assert(f1 === rows(expected(b1)))
     // the schedule contract: not_before_ms = (rank−1) × effective delay
     assert(f1.exists(r => r(1) === "http://alpha.org/b" &&
@@ -483,7 +483,7 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(b2.toDF("url", "html"), "fi_pages")
     link.start(spark, reg).awaitTermination()
-    val f2 = rows(reg.read("fi_frontier"))
+    val f2 = rows(reg.read("fi_frontier").drop("bucket"))
     assert(f2 === rows(expected(b1 ++ b2)))
     // cross-batch accumulation through the merge: b now leads alpha.org
     assert(f2.exists(r => r(1) === "http://alpha.org/b" &&
@@ -530,7 +530,7 @@ class StreamingCurationSpec extends SparkSpec {
 
     // replay with no new input: frontier AND count table stay put
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("fi_frontier")) === f2)
+    assert(rows(reg.read("fi_frontier").drop("bucket")) === f2)
     assert(rows(reg.read("fi_frontier_counts")
       .select("link", "host", "inlinks")) === c2)
   }
@@ -588,6 +588,90 @@ class StreamingCurationSpec extends SparkSpec {
     assert(rows(reg.read("fb_frontier_counts")
         .select("link", "host", "inlinks")) ===
       rows(FrontierLink.linkCounts(reg.read("fb_links"))))
+  }
+
+  test("incremental frontier VIEW: a batch touching one host rewrites " +
+    "ONLY that host's frontier bucket — untouched frontier bucket " +
+    "directories byte-identical — and the bucketed view equals the " +
+    "whole-plan reference") {
+    import graft.runtime.FrontierLink
+    val s = spark
+    import s.implicits._
+    def bucketOf(host: String): Int =
+      Seq(host).toDF("h")
+        .select(FrontierLink.bucketOf(col("h"), 16)).head().getInt(0)
+    val alphaB = bucketOf("alpha.org")
+    val other = Seq("bravo.net", "carol.com", "delta.io", "echo.org")
+      .find(bucketOf(_) != alphaB).get
+    val otherB = bucketOf(other)
+    // batch 2's CRAWLED host must also avoid the other bucket — a
+    // crawled host's bucket legitimately refreshes (its rows must
+    // leave the view), so the ride-through claim needs a seed whose
+    // own hash stays clear of it
+    val seed2 = Seq("seed2.org", "seed3.net", "seed4.com", "seed5.io")
+      .find(bucketOf(_) != otherB).get
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-frontier-view").toString)
+    val link = new FrontierLink("ff_pages", "ff_crawled", "ff_links",
+      "ff_frontier", topKPerDomain = 3)
+    // batch 1 links into BOTH buckets (both frontier partitions exist)
+    reg.write(Seq(("http://seed.org/p",
+      s"<a href='http://alpha.org/a'>1</a><a href='http://$other/x'>2</a>"))
+      .toDF("url", "html"), "ff_pages")
+    link.start(spark, reg).awaitTermination()
+    def bucketFiles(b: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(
+        s"${reg.root}/streams/ff_frontier/bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().map(f =>
+        f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val otherBefore = bucketFiles(otherB)
+    val alphaBefore = bucketFiles(alphaB)
+    assert(otherBefore.nonEmpty && alphaBefore.nonEmpty)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val f1 = rows(reg.read("ff_frontier").drop("bucket"))
+    assert(f1.exists(_(1) === s"http://$other/x"))
+    // batch 2: links AND crawled host avoid the other bucket entirely
+    reg.write(Seq((s"http://$seed2/p",
+      "<a href='http://alpha.org/a'>1</a><a href='http://alpha.org/b'>2</a>"))
+      .toDF("url", "html"), "ff_pages")
+    link.start(spark, reg).awaitTermination()
+    // the walk, not the plan: the other host's FRONTIER bucket is
+    // byte-for-byte the files batch 1 wrote; alpha's bucket rotated
+    assert(bucketFiles(otherB) === otherBefore)
+    assert(bucketFiles(alphaB) !== alphaBefore)
+    assert(reg.refreshPartitionMeta("ff_frontier", alphaB,
+      "batch") === Some("1"))
+    assert(reg.refreshPartitionMeta("ff_frontier", otherB,
+      "batch") === Some("0"))
+    // the crawled SET merged the same way (bucket-pruned, marked)
+    assert(reg.refreshPartitionMeta("ff_frontier_crawled_set",
+      bucketOf(seed2), "batch") === Some("1"))
+    // parity: the union of per-bucket refreshes IS the whole-view
+    // reference plan over the same registry state
+    assert(rows(reg.read("ff_frontier").drop("bucket")) ===
+      rows(FrontierLink.refreshPlan(reg, "ff_frontier_counts", Nil,
+        "ff_crawled", "", "", "graftbot", 3, 1000L)))
+    // and the per-BUCKET plan reads count/crawled-set PARTITIONS, not
+    // the whole tables and never the link log (the 100 TB read shape)
+    val scanPaths = FrontierLink.refreshBucketPlan(reg,
+        "ff_frontier_counts", "ff_frontier_crawled_set", alphaB, 16, Nil,
+        "", "", "graftbot", 3, 1000L)
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    assert(scanPaths.nonEmpty)
+    assert(!scanPaths.exists(_.contains("ff_links")), scanPaths)
+    assert(scanPaths.forall(p =>
+      p.contains(s"ff_frontier_counts/bucket=$alphaB") ||
+        p.contains(s"ff_frontier_crawled_set/bucket=$alphaB")), scanPaths)
   }
 
   test("revisit gate link: the first capture EVER SEEN stays canonical " +
@@ -668,7 +752,8 @@ class StreamingCurationSpec extends SparkSpec {
 
   test("cdx index link: per-batch index lines equal the batch plan over " +
     "the same chunks, locators round-trip (slicing the payload at a " +
-    "line's offset/length re-parses exactly that record), replay no-op") {
+    "line's offset/length re-parses exactly that record), replay no-op, " +
+    "crash-replay rewrites its batch partition (zero dups)") {
     import graft.ops.Warc
     import graft.runtime.CdxIndexLink
     val s = spark
@@ -690,10 +775,10 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(chunks(Seq(1L, 2L)), "cx_chunks")
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("cx_index")) === expected(Seq(1L, 2L)))
+    assert(rows(reg.read("cx_index").drop("batch")) === expected(Seq(1L, 2L)))
     reg.write(chunks(Seq(17L)), "cx_chunks") // a later segment arrives
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("cx_index")) ===
+    assert(rows(reg.read("cx_index").drop("batch")) ===
       expected(Seq(1L, 2L)) ++ expected(Seq(17L)))
     // the locator contract: slice the chunk payload at one line's
     // (offset, length) and the cursor re-parses exactly that record
@@ -715,6 +800,39 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new input appends nothing
     link.start(spark, reg).awaitTermination()
     assert(reg.read("cx_index").count() === 3)
+    // CRASH-replay: re-execute batch 1 (commit mark dropped) — the
+    // batch=1 partition rewrites, zero duplicate index lines
+    val commits = new java.io.File(
+      reg.checkpointDir(link.name, "cx_index"), "commits")
+    assert(new java.io.File(commits, "1").delete())
+    new java.io.File(commits, ".1.crc").delete()
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("cx_index").count() === 3)
+    assert(rows(reg.read("cx_index").drop("batch")) ===
+      expected(Seq(1L, 2L)) ++ expected(Seq(17L)))
+  }
+
+  test("clusterMembers: an x-default href that IS a concrete page joins " +
+    "its cluster ONCE, under its real lang — x-default is a role, not a " +
+    "language (no degenerate self-pair memberships)") {
+    import graft.runtime.BitextHarvestLink
+    val s = spark
+    import s.implicits._
+    // the common real-site layout: the x-default member IS the en page
+    val enUrl = "http://h.org/a/9" // doubles as the cluster key
+    val deUrl = "http://h.org/de/a/9"
+    val html = "<link rel=\"alternate\" hreflang=\"en\" href=\"" + enUrl +
+      "\"><link rel=\"alternate\" hreflang=\"de\" href=\"" + deUrl +
+      "\"><link rel=\"alternate\" hreflang=\"x-default\" href=\"" +
+      enUrl + "\">"
+    val pages = Seq((enUrl, html, "En text."), (deUrl, html, "De text."))
+      .toDF("url", "html", "text")
+    val got = BitextHarvestLink.clusterMembers(pages)
+      .as[(String, String, String, String)].collect().toSet
+    // the en page appears once (lang en), never a second 'x-default' row
+    // whose identical text bitextAlign would pair against itself
+    assert(got === Set((enUrl, "en", enUrl, "En text."),
+      (enUrl, "de", deUrl, "De text.")))
   }
 
   test("bitext harvest link: translations arriving in DIFFERENT batches " +
@@ -848,7 +966,7 @@ class StreamingCurationSpec extends SparkSpec {
     reg.write(b1.toDF("url", "html"), "fh_pages")
     link.start(spark, reg).awaitTermination()
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
-    val f1 = rows(reg.read("fh_frontier"))
+    val f1 = rows(reg.read("fh_frontier").drop("bucket"))
     // the flip: b rank 1 despite fewer in-links; a rank 2 (neutral on
     // every hint it lacks — including the unmeasured-host reputation)
     assert(f1.exists(r => r(1) === "http://alpha.org/b" && r(3) === 1L))
@@ -908,7 +1026,7 @@ class StreamingCurationSpec extends SparkSpec {
     feedLink.start(spark, reg).awaitTermination()
     reg.write(pagesB1.toDF("url", "html"), "fd_pages")
     frontier.start(spark, reg).awaitTermination()
-    val f1 = rows(reg.read("fd_frontier"))
+    val f1 = rows(reg.read("fd_frontier").drop("bucket"))
     assert(f1 === rows(expected(pagesB1, feedsB1)))
     // the relative Atom href resolved against its feed URL
     assert(f1.exists(_(1) === "http://beta.org/a/9"))
@@ -923,7 +1041,7 @@ class StreamingCurationSpec extends SparkSpec {
     feedLink.start(spark, reg).awaitTermination()
     reg.write(Seq.empty[(String, String)].toDF("url", "html"), "fd_pages")
     frontier.start(spark, reg).awaitTermination()
-    val f2 = rows(reg.read("fd_frontier"))
+    val f2 = rows(reg.read("fd_frontier").drop("bucket"))
     assert(f2 === rows(expected(pagesB1, feedsB1 ++ feedsB2)))
     assert(f2.exists(r => r(1) === "http://alpha.org/a/2" && r(2) === 3L))
     assert(f2.exists(_(1) === "http://alpha.org/a/3"))
@@ -931,13 +1049,13 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new input on either stream: everything stays put
     feedLink.start(spark, reg).awaitTermination()
     frontier.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("fd_frontier")) === f2)
+    assert(rows(reg.read("fd_frontier").drop("bucket")) === f2)
     assert(reg.read("fd_links").count() === 5)
   }
 
   test("wet export link: the streamed records equal the batch plan, " +
     "concatenated output round-trips through the WARC cursor, replay " +
-    "no-op") {
+    "no-op, crash-replay rewrites its batch partition (zero dups)") {
     import graft.ops.Warc
     import graft.runtime.WetExportLink
     val s = spark
@@ -956,10 +1074,11 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(b1.toDF("url", "text"), "we_docs")
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("we_wet")) === rows(expected(b1)))
+    assert(rows(reg.read("we_wet").drop("batch")) === rows(expected(b1)))
     reg.write(b2.toDF("url", "text"), "we_docs")
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("we_wet")) === rows(expected(b1 ++ b2)))
+    assert(rows(reg.read("we_wet").drop("batch")) ===
+      rows(expected(b1 ++ b2)))
     // the accumulated stream IS a WET file: concatenate and re-parse
     val chunk = reg.read("we_wet").orderBy("url")
       .agg(concat_ws("", collect_list(col("wet_record"))).as("c"))
@@ -973,11 +1092,36 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new input appends nothing
     link.start(spark, reg).awaitTermination()
     assert(reg.read("we_wet").count() === 3)
+    // CRASH-replay: drop batch 1's commit mark (crash after the output
+    // write, before the checkpoint commit) — the restart re-executes
+    // batch 1 with the same id, which must REWRITE batch=1 instead of
+    // appending duplicate records into the published artifact
+    def batchFiles(b: Long): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"${reg.root}/streams/we_wet/batch=$b")
+      dir.listFiles().map(f =>
+        f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val b0Before = batchFiles(0L)
+    val commits = new java.io.File(
+      reg.checkpointDir(link.name, "we_wet"), "commits")
+    val latest = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(latest.getName === "1" && latest.delete())
+    // the local FS is a ChecksumFileSystem: the stale .crc sibling
+    // would fail the re-created commit's rename
+    new java.io.File(commits, ".1.crc").delete()
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("we_wet").count() === 3) // zero duplicates
+    assert(rows(reg.read("we_wet").drop("batch")) ===
+      rows(expected(b1 ++ b2)))
+    // file-walk: only the replayed batch's partition rotated
+    assert(batchFiles(0L) === b0Before)
   }
 
   test("wat export link: the streamed records equal the batch plan, " +
     "concatenated output round-trips through the cursor with every " +
-    "JSON payload field re-derived, replay no-op") {
+    "JSON payload field re-derived, replay no-op, crash-replay " +
+    "rewrites its batch partition (zero dups)") {
     import graft.ops.Warc
     import graft.runtime.WatExportLink
     val s = spark
@@ -1001,10 +1145,11 @@ class StreamingCurationSpec extends SparkSpec {
 
     reg.write(b1.toDF("url", "html"), "wa_docs")
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("wa_wat")) === rows(expected(b1)))
+    assert(rows(reg.read("wa_wat").drop("batch")) === rows(expected(b1)))
     reg.write(b2.toDF("url", "html"), "wa_docs")
     link.start(spark, reg).awaitTermination()
-    assert(rows(reg.read("wa_wat")) === rows(expected(b1 ++ b2)))
+    assert(rows(reg.read("wa_wat").drop("batch")) ===
+      rows(expected(b1 ++ b2)))
     // the accumulated stream IS a WAT file: concatenate, re-parse,
     // and re-derive the payload fields through the shared reader
     val chunk = reg.read("wa_wat").orderBy("url")
@@ -1030,6 +1175,16 @@ class StreamingCurationSpec extends SparkSpec {
     // replay with no new input appends nothing
     link.start(spark, reg).awaitTermination()
     assert(reg.read("wa_wat").count() === 3)
+    // CRASH-replay: re-execute batch 1 (commit mark dropped) — the
+    // batch=1 partition rewrites, zero duplicate records
+    val commits = new java.io.File(
+      reg.checkpointDir(link.name, "wa_wat"), "commits")
+    assert(new java.io.File(commits, "1").delete())
+    new java.io.File(commits, ".1.crc").delete()
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("wa_wat").count() === 3)
+    assert(rows(reg.read("wa_wat").drop("batch")) ===
+      rows(expected(b1 ++ b2)))
   }
 
   test("canonical gate link: one survivor per declared target, earlier " +
@@ -1161,7 +1316,7 @@ class StreamingCurationSpec extends SparkSpec {
 
     // frontier stage: parity with the batch plan over the survivors'
     // resolved links minus the crawled set
-    assert(rows(reg.read("full_frontier")) === rows(
+    assert(rows(reg.read("full_frontier").drop("bucket")) === rows(
       FrontierLink.frontierPlan(
         WebText.resolvedLinkRows(reg.read("full_survivors")
           .select("url", "html"), "url", "html").select("link"),
