@@ -264,6 +264,145 @@ object TextAnalysis {
         col("dst_sentence"), col("cos_sim"), col("margin"))
   }
 
+  /** CORPUS-WIDE margin bitext mining — the CCMatrix regime where no
+    * hreflang/URL evidence clusters candidates: sign-LSH candidate
+    * generation across the two languages' sentence pools
+    * ([[graft.functions.LshSignatures]] — ONE hash family, so the two
+    * sides' buckets are comparable) followed by the
+    * [[bitextMineByMargin]] ratio-margin scorer, with the kNN
+    * normalizers computed over each sentence's CANDIDATE neighborhood
+    * (the ANN approximation CCMatrix itself uses: the margin paper's
+    * k-nearest sets come from a faiss index, not a full scan). Input:
+    * one row per `(idCol, langCol, sentCol, embCol)` across the corpus;
+    * only rows of `srcLang`/`dstLang` participate. Output: per src
+    * sentence its best-margin dst candidate at `minMargin`+ —
+    * `(src_lang, dst_lang, src_id, dst_id, src_sentence, dst_sentence,
+    * cos_sim, margin)`.
+    *
+    * Scale shape: candidates are bucket equi-joins (never all-pairs),
+    * hot buckets capped over the COMBINED two-sided occupancy
+    * (`maxBucketSize`, the [[Similarity.lshCosineNearDupPairs]]
+    * defense — a mass-duplicated embedding floods buckets on either
+    * side); scoring is windows over the candidate-bounded pair frame.
+    * Identical embeddings share every bucket, so true translations
+    * with cos ≈ 1 are found at near-certain recall; the
+    * SimilaritySpec recall floor pins the LSH path against the exact
+    * all-pairs margin ([[bitextMineGlobalMd5]] with `buckets = 1` IS
+    * that reference — every id hashes to bucket 0). */
+  def bitextMineGlobal(sentences: DataFrame, srcLang: String,
+                       dstLang: String,
+                       idCol: String = "sent_id", langCol: String = "lang",
+                       sentCol: String = "sentence",
+                       embCol: String = "embedding",
+                       planes: Int = 8, tables: Int = 12,
+                       maxBucketSize: Int = Dedup.DefaultHotKeyCap,
+                       k: Int = 4, minMargin: Double = 1.0): DataFrame =
+    bitextMineGlobalImpl(sentences, srcLang, dstLang, idCol, langCol,
+      sentCol, embCol, (_, e) =>
+        graft.functions.VectorFunctions.lshSignatures(e, planes, tables),
+      maxBucketSize, k, minMargin)
+
+  /** Engine-portable sibling of [[bitextMineGlobal]] (the q210
+    * annLshMd5 trick): the SAME candidate/score/rank machinery fed by
+    * deterministic md5-derived bucket ids — per table `t`, bucket =
+    * `md5_prefix60(id || ':' || t) % buckets + t·10⁶` — so a DuckDB
+    * oracle re-derives the candidate set and every margin from its own
+    * builtins (q269). `buckets = 1, tables = 1` degenerates to the
+    * EXACT all-pairs margin (every id in bucket 0) — the brute-force
+    * reference the spec's recall floor measures [[bitextMineGlobal]]
+    * against. */
+  def bitextMineGlobalMd5(sentences: DataFrame, srcLang: String,
+                          dstLang: String,
+                          idCol: String = "sent_id",
+                          langCol: String = "lang",
+                          sentCol: String = "sentence",
+                          embCol: String = "embedding",
+                          buckets: Int = 32, tables: Int = 4,
+                          maxBucketSize: Int = 0,
+                          k: Int = 4, minMargin: Double = 1.0): DataFrame =
+    bitextMineGlobalImpl(sentences, srcLang, dstLang, idCol, langCol,
+      sentCol, embCol, (id, _) => array((0 until tables).map { t =>
+        graft.functions.Md5Functions.md5Prefix60(
+          concat(id.cast("string"), lit(":"), lit(t.toString))) % buckets +
+          lit(t.toLong * 1000000L)
+      }: _*), maxBucketSize, k, minMargin)
+
+  private def bitextMineGlobalImpl(sentences: DataFrame, srcLang: String,
+                                   dstLang: String, idCol: String,
+                                   langCol: String, sentCol: String,
+                                   embCol: String,
+                                   sigs: (Column, Column) => Column,
+                                   maxBucketSize: Int, k: Int,
+                                   minMargin: Double): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(srcLang != dstLang,
+      s"src and dst languages must differ, got '$srcLang' twice")
+    import org.apache.spark.sql.expressions.Window
+    def dp(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val base = sentences.select(col(langCol).as("graft_lang"),
+        col(idCol).cast("long").as("graft_id"),
+        col(sentCol).as("graft_sent"),
+        col(embCol).cast("array<double>").as("graft_emb"))
+      .withColumn("graft_norm", sqrt(dp(col("graft_emb"), col("graft_emb"))))
+      .filter(col("graft_norm") > 0)
+    val src = base.filter(col("graft_lang") === srcLang).select(
+      col("graft_id").as("src_id"), col("graft_sent").as("src_sentence"),
+      col("graft_emb").as("graft_se"), col("graft_norm").as("graft_sn"))
+    val dst = base.filter(col("graft_lang") === dstLang).select(
+      col("graft_id").as("dst_id"), col("graft_sent").as("dst_sentence"),
+      col("graft_emb").as("graft_de"), col("graft_norm").as("graft_dn"))
+    val sb0 = src.select(col("src_id"),
+      explode(sigs(col("src_id"), col("graft_se"))).as("bucket"))
+    val db0 = dst.select(col("dst_id"),
+      explode(sigs(col("dst_id"), col("graft_de"))).as("bucket"))
+    // the hot-bucket cap counts COMBINED occupancy: a bucket flooded
+    // from either side alone still emits |src∩bucket|·|dst∩bucket|
+    // candidates, so capping per side would miss one-sided floods
+    val (sb, db) =
+      if (maxBucketSize <= 0) (sb0, db0)
+      else {
+        val hot = sb0.select("bucket").unionByName(db0.select("bucket"))
+          .groupBy("bucket").count()
+          .filter(col("count") > maxBucketSize).select("bucket")
+        (sb0.join(hot, Seq("bucket"), "left_anti"),
+          db0.join(hot, Seq("bucket"), "left_anti"))
+      }
+    // candidate id pairs first (the distinct shuffles 16 bytes per
+    // pair, not embeddings); vectors re-attach after dedup
+    val candIds = sb.join(db, Seq("bucket"))
+      .select("src_id", "dst_id").distinct()
+    val pairs = candIds.join(src, Seq("src_id")).join(dst, Seq("dst_id"))
+      .withColumn("cos_sim", dp(col("graft_se"), col("graft_de")) /
+        (col("graft_sn") * col("graft_dn")))
+      .drop("graft_se", "graft_de", "graft_sn", "graft_dn")
+    val wS = Window.partitionBy("src_id")
+    val wD = Window.partitionBy("dst_id")
+    pairs
+      // each side's k nearest CANDIDATE neighbors (the margin paper's
+      // neighborhood, ANN-approximated — the bitextMineByMargin shape)
+      .withColumn("graft_rs", row_number().over(
+        wS.orderBy(col("cos_sim").desc, col("dst_id"))))
+      .withColumn("graft_rd", row_number().over(
+        wD.orderBy(col("cos_sim").desc, col("src_id"))))
+      .withColumn("graft_ks",
+        avg(when(col("graft_rs") <= k, col("cos_sim"))).over(wS))
+      .withColumn("graft_kd",
+        avg(when(col("graft_rd") <= k, col("cos_sim"))).over(wD))
+      // non-positive neighborhoods carry no translation evidence and
+      // would NaN/flip the ratio (NaN sorts greatest AND passes >= in
+      // Spark — the bitextMineByMargin trap)
+      .filter(col("graft_ks") + col("graft_kd") > 0)
+      .withColumn("margin",
+        col("cos_sim") * 2.0 / (col("graft_ks") + col("graft_kd")))
+      .withColumn("graft_rn", row_number().over(
+        wS.orderBy(col("margin").desc, col("dst_id"))))
+      .filter(col("graft_rn") === 1 && col("margin") >= minMargin)
+      .select(lit(srcLang).as("src_lang"), lit(dstLang).as("dst_lang"),
+        col("src_id"), col("dst_id"), col("src_sentence"),
+        col("dst_sentence"), col("cos_sim"), col("margin"))
+  }
+
   /** Tiny per-language stopword profiles for heuristic lang-ID. A real
     * pipeline ships char-n-gram models; the heuristic keeps identical
     * plumbing (score → argmax) with a deterministic, dependency-free

@@ -347,6 +347,67 @@ object Warc {
   def fetchByLocator(spark: SparkSession, chunks: DataFrame,
                      index: DataFrame): Dataset[WarcDoc] = {
     import spark.implicits._
+    val (hits, missing) = locatorSlices(spark, chunks, index)
+    val fetched = hits.map { case (cid, ridx, bytes) =>
+      val parsed = if (bytes == null) Nil else parseRecords(cid, bytes)
+      parsed match {
+        case Seq(p) if p.rec.valid =>
+          WarcDoc(cid, ridx, p.rec.warc_type, p.rec.target_uri,
+            p.rec.content_type, p.rec.content_length,
+            new String(p.body, StandardCharsets.UTF_8), valid = true)
+        case _ => WarcDoc(cid, ridx, "malformed", "", "", 0L, "",
+          valid = false)
+      }
+    }
+    fetched.union(missing.map { case (cid, ridx) =>
+      WarcDoc(cid, ridx, "malformed", "", "", 0L, "", valid = false)
+    })
+  }
+
+  /** [[fetchByLocator]] continued through the HTTP layer — random
+    * access that returns DECODED documents: each fetched record's
+    * block goes through the [[parseWarcHttpDocs]] byte-level split
+    * (status line, media type, declared-charset body decode), so a
+    * reader dereferencing a full-fidelity archive
+    * ([[responseRecord]]'s `application/http` blocks) gets the page
+    * TEXT, not the raw HTTP message. Non-HTTP blocks pass through as
+    * UTF-8 with a null status (the parseWarcHttpDocs rule); failed or
+    * missing locators surface as `valid = false` rows keyed by the
+    * index coordinates, exactly like [[fetchByLocator]]. Same
+    * broadcast-the-locator-side join shape. */
+  def fetchHttpByLocator(spark: SparkSession, chunks: DataFrame,
+                         index: DataFrame): Dataset[WarcHttpDoc] = {
+    import spark.implicits._
+    val (hits, missing) = locatorSlices(spark, chunks, index)
+    val fetched = hits.map { case (cid, ridx, bytes) =>
+      val parsed = if (bytes == null) Nil else parseRecords(cid, bytes)
+      parsed match {
+        case Seq(p) if p.rec.valid =>
+          val (status, ct, cs, text) = Http.splitResponseBytes(p.body)
+          WarcHttpDoc(cid, ridx, p.rec.target_uri, status, ct, cs, text,
+            valid = true)
+        case _ =>
+          WarcHttpDoc(cid, ridx, "", null, "", "", "", valid = false)
+      }
+    }
+    fetched.union(missing.map { case (cid, ridx) =>
+      WarcHttpDoc(cid, ridx, "", null, "", "", "", valid = false)
+    })
+  }
+
+  /** The shared random-access machinery of [[fetchByLocator]] /
+    * [[fetchHttpByLocator]]: per valid index row, the
+    * `[rec_offset, rec_offset + rec_bytes)` slice of its chunk
+    * (hit path — an INNER equi-join that keeps the SMALL locator side
+    * broadcastable; a LEFT join from the index side would force the
+    * payload-carrying chunk table to be the build side), plus the
+    * locators whose chunk is missing from the chunk frame (anti-join
+    * against the chunk_id-only projection — ~8 bytes per chunk,
+    * broadcastable). */
+  private def locatorSlices(spark: SparkSession, chunks: DataFrame,
+                            index: DataFrame)
+      : (Dataset[(Long, Long, Array[Byte])], Dataset[(Long, Long)]) = {
+    import spark.implicits._
     val locs = index.filter(col("valid"))
       .select(col("chunk_id").cast("long").as("chunk_id"),
         col("rec_idx").cast("long").as("rec_idx"),
@@ -359,25 +420,75 @@ object Warc {
           (col("rec_offset") + 1).cast("int"), col("rec_bytes").cast("int"))
           .as("slice"))
       .as[(Long, Long, Array[Byte])]
-      .map { case (cid, ridx, bytes) =>
-        val parsed = if (bytes == null) Nil else parseRecords(cid, bytes)
-        parsed match {
-          case Seq(p) if p.rec.valid =>
-            WarcDoc(cid, ridx, p.rec.warc_type, p.rec.target_uri,
-              p.rec.content_type, p.rec.content_length,
-              new String(p.body, StandardCharsets.UTF_8), valid = true)
-          case _ => WarcDoc(cid, ridx, "malformed", "", "", 0L, "",
-            valid = false)
-        }
-      }
     val missing = locs
       .join(keyed.select("chunk_id"), Seq("chunk_id"), "left_anti")
       .select(col("chunk_id"), col("rec_idx"))
       .as[(Long, Long)]
-      .map { case (cid, ridx) =>
-        WarcDoc(cid, ridx, "malformed", "", "", 0L, "", valid = false)
-      }
-    hits.union(missing)
+    (hits, missing)
+  }
+
+  /** Revisit RESOLUTION — the reader that turns a deduplicated archive
+    * back into a full corpus, the inverse of [[revisitDedup]]: every
+    * `revisit` stub is dereferenced through the index — `refers_to` →
+    * the EARLIEST `response` capture of that URI (archive order, the
+    * deterministic choice the q260 docstring promises) →
+    * [[fetchHttpByLocator]] slice — and the resolved text is VERIFIED
+    * against the stub's `WARC-Payload-Digest`: a stub whose first
+    * capture is missing from the index or chunks, whose locator
+    * fails, or whose resolved payload hashes differently surfaces as
+    * `valid = false`, never silently.
+    * `resolveRevisits(revisitDedup(corpus))` is the identity on the
+    * corpus — q268's byte-exact oracle.
+    *
+    * Output: one row per archive record — `(chunk_id, rec_idx,
+    * target_uri, is_revisit, refers_to, text, valid)`; response rows
+    * carry their own HTTP-decoded text ([[parseWarcHttpDocs]]).
+    *
+    * Scale shape: resolving the stubs touches the stub rows, one
+    * uri-keyed window over the INDEX (index-shaped — the index is the
+    * artifact built for exactly this job), and the referred slices'
+    * chunks, each dereferenced ONCE however many stubs name it —
+    * never a full-archive re-parse beyond the input records
+    * themselves. */
+  def resolveRevisits(spark: SparkSession, chunks: DataFrame,
+                      index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = parseWarcHttpDocs(spark, chunks).toDF()
+    val stubs = parseWarcRevisits(spark, chunks)
+      .select(col("chunk_id"), col("rec_idx"),
+        col("refers_to").as("graft_ref"), col("payload_digest"))
+    // the record a stub names: the earliest RESPONSE capture of the
+    // referred uri (a same-url recrawl's stub shares its uri with the
+    // response — the warc_type filter is what disambiguates them)
+    val w = Window.partitionBy("target_uri")
+      .orderBy(col("chunk_id").asc, col("rec_idx").asc)
+    val firsts = index
+      .filter(col("valid") && col("warc_type") === "response")
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("target_uri").as("graft_ref"), col("chunk_id"),
+        col("rec_idx"), col("rec_offset"), col("rec_bytes"))
+    // distinct referred captures, each dereferenced once
+    val wanted = stubs.select("graft_ref").distinct()
+      .join(firsts, Seq("graft_ref"))
+      .withColumn("valid", lit(true))
+    val resolved = fetchHttpByLocator(spark, chunks, wanted).toDF()
+      .join(wanted.select("graft_ref", "chunk_id", "rec_idx"),
+        Seq("chunk_id", "rec_idx"))
+      .select(col("graft_ref"), col("text").as("graft_text"),
+        col("valid").as("graft_ok"))
+    docs
+      .join(stubs, Seq("chunk_id", "rec_idx"), "left")
+      .join(resolved, Seq("graft_ref"), "left")
+      .select(col("chunk_id"), col("rec_idx"), col("target_uri"),
+        col("graft_ref").isNotNull.as("is_revisit"),
+        coalesce(col("graft_ref"), lit("")).as("refers_to"),
+        when(col("graft_ref").isNull, col("text"))
+          .otherwise(coalesce(col("graft_text"), lit(""))).as("text"),
+        when(col("graft_ref").isNull, col("valid"))
+          .otherwise(coalesce(col("graft_ok"), lit(false)) &&
+            col("payload_digest") === concat(lit("md5:"),
+              md5(encode(col("graft_text"), "UTF-8")))).as("valid"))
   }
 
   /** Archive-side payload dedup via WARC `revisit` records (ISO 28500
@@ -396,7 +507,13 @@ object Warc {
     * Output: the doc columns + `digest` (body md5, the [[WarcRecord]]
     * convention), `is_revisit`, `refers_to` ('' on first captures),
     * `warc_record`. Concatenated records ARE a valid WARC file — q262
-    * round-trips them through [[parseWarcText]].
+    * round-trips them through [[parseWarcText]], and first captures
+    * are FULL-FIDELITY `application/http; msgtype=response` records
+    * ([[responseRecord]]) that round-trip through
+    * [[parseWarcHttpDocs]] (q267). `status`/`mediaType` carry the
+    * capture's HTTP layer into the written block (columns, so a frame
+    * that kept its real response metadata writes it back; the
+    * defaults are the curated-corpus convention).
     *
     * Scale shape: ONE digest-keyed window (the exact-dedup shuffle —
     * this IS the dedup job) + a scan-stage concat projection. Null
@@ -404,7 +521,9 @@ object Warc {
     * rule). */
   def revisitDedup(docs: DataFrame, uriCol: String = "url",
                    textCol: String = "text",
-                   date: Column = lit("2026-01-01T00:00:00Z")): DataFrame = {
+                   date: Column = lit("2026-01-01T00:00:00Z"),
+                   status: Column = lit(200),
+                   mediaType: Column = lit("text/html")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("digest").orderBy(col(uriCol).asc)
     val first = min(col(uriCol)).over(Window.partitionBy("digest"))
@@ -416,23 +535,61 @@ object Warc {
       .withColumn("warc_record",
         when(col("is_revisit"),
           revisitStub(col(uriCol), col("refers_to"), col("digest"), date))
-        .otherwise(responseRecord(col(uriCol), col(textCol), date)))
+        .otherwise(responseRecord(col(uriCol), col(textCol), date,
+          status, mediaType)))
       .drop("graft_rn")
   }
 
-  /** One full `response` record string (the [[revisitDedup]] /
-    * [[RevisitGateLink]] first-capture form; Content-Length in UTF-8
-    * octets like [[wetRecords]]). */
+  /** The reason phrase of the status codes a crawl archive writes
+    * (RFC 9110 §15's registered phrases; empty for anything else —
+    * the phrase is decorative per spec, the status line stays valid). */
+  private def reasonPhrase(status: Column): Column =
+    when(status === 200, lit("OK"))
+      .when(status === 301, lit("Moved Permanently"))
+      .when(status === 302, lit("Found"))
+      .when(status === 304, lit("Not Modified"))
+      .when(status === 404, lit("Not Found"))
+      .when(status === 410, lit("Gone"))
+      .when(status === 429, lit("Too Many Requests"))
+      .when(status === 500, lit("Internal Server Error"))
+      .when(status === 503, lit("Service Unavailable"))
+      .otherwise(lit(""))
+
+  /** One FULL-FIDELITY `response` record string (the [[revisitDedup]] /
+    * [[RevisitGateLink]] first-capture form): the record block is a
+    * complete `application/http; msgtype=response` message — status
+    * line (with its RFC 9110 reason phrase), Content-Type /
+    * Content-Length headers, CRLFCRLF, entity — exactly what real
+    * crawls store, so written archives round-trip through
+    * [[parseWarcHttpDocs]] (the reader has always handled real HTTP
+    * blocks; a text/plain writer could never feed it). The HTTP layer
+    * declares `charset=utf-8` unconditionally: the text column is
+    * re-encoded as UTF-8 octets here, whatever the original capture's
+    * charset was — declaring anything else would corrupt the
+    * round-trip decode. Both Content-Lengths count UTF-8 OCTETS (the
+    * [[wetRecords]] rule): the HTTP header the entity's, the WARC
+    * envelope the whole HTTP block's. */
   private[graft] def responseRecord(uri: Column, text: Column,
-                                    date: Column): Column = concat(
-    lit("WARC/1.0" + Crlf),
-    lit("WARC-Type: response" + Crlf),
-    lit("WARC-Target-URI: "), uri, lit(Crlf),
-    lit("WARC-Date: "), date, lit(Crlf),
-    lit("Content-Type: text/plain" + Crlf),
-    lit("Content-Length: "),
-    length(encode(text, "UTF-8")).cast("string"), lit(Crlf),
-    lit(Crlf), text, lit(Crlf + Crlf))
+                                    date: Column,
+                                    status: Column = lit(200),
+                                    mediaType: Column = lit("text/html")): Column = {
+    val http = concat(
+      lit("HTTP/1.1 "), status.cast("string"), lit(" "),
+      reasonPhrase(status), lit(Crlf),
+      lit("Content-Type: "), mediaType, lit("; charset=utf-8" + Crlf),
+      lit("Content-Length: "),
+      length(encode(text, "UTF-8")).cast("string"), lit(Crlf),
+      lit(Crlf), text)
+    concat(
+      lit("WARC/1.0" + Crlf),
+      lit("WARC-Type: response" + Crlf),
+      lit("WARC-Target-URI: "), uri, lit(Crlf),
+      lit("WARC-Date: "), date, lit(Crlf),
+      lit("Content-Type: application/http; msgtype=response" + Crlf),
+      lit("Content-Length: "),
+      length(encode(http, "UTF-8")).cast("string"), lit(Crlf),
+      lit(Crlf), http, lit(Crlf + Crlf))
+  }
 
   /** One ~200-byte `revisit` stub string naming the first capture
     * (ISO 28500 identical-payload-digest profile). */
@@ -548,11 +705,34 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         parseRecords(id, bytes, keepBody = false).map(p =>
-          (p.rec.chunk_id, p.rec.rec_idx, p.rec.target_uri, p.offset,
-            p.recBytes, p.rec.body_md5, p.rec.valid))
+          (p.rec.chunk_id, p.rec.rec_idx, p.rec.warc_type, p.rec.target_uri,
+            p.offset, p.recBytes, p.rec.body_md5, p.rec.valid))
       })
-      .toDF("chunk_id", "rec_idx", "target_uri", "rec_offset", "rec_bytes",
-        "body_md5", "valid")
+      .toDF("chunk_id", "rec_idx", "warc_type", "target_uri", "rec_offset",
+        "rec_bytes", "body_md5", "valid")
+  }
+
+  /** The revisit stubs of an archive, with their resolution headers —
+    * one row per VALID `WARC-Type: revisit` record:
+    * `(chunk_id, rec_idx, target_uri, refers_to, payload_digest)`
+    * (`refers_to` = `WARC-Refers-To-Target-URI`, `payload_digest` =
+    * `WARC-Payload-Digest` verbatim with its algorithm prefix). The
+    * metadata half of [[resolveRevisits]]; same stateless
+    * mapPartitions shape as [[parseWarcIndex]]. */
+  def parseWarcRevisits(spark: SparkSession, chunks: DataFrame): DataFrame = {
+    import spark.implicits._
+    Spread.cpu(chunks)
+      .select(col("chunk_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseRecords(id, bytes, keepBody = false).collect {
+          case p if p.rec.valid && p.rec.warc_type == "revisit" =>
+            (p.rec.chunk_id, p.rec.rec_idx, p.rec.target_uri, p.refersTo,
+              p.payloadDigest)
+        }
+      })
+      .toDF("chunk_id", "rec_idx", "target_uri", "refers_to",
+        "payload_digest")
   }
 
   /** Cursor walk over one chunk (gzip member stream or plain WARC).
@@ -566,9 +746,14 @@ object Warc {
     * line to the start of the next record, trailing CRLFCRLF included);
     * for a `.warc.gz` chunk the COMPRESSED gzip member's span (the CDX
     * convention: offset+length let a reader fetch and inflate one
-    * record without touching the rest of the segment). */
+    * record without touching the rest of the segment).
+    * `refersTo`/`payloadDigest` carry the revisit-resolution headers
+    * (`WARC-Refers-To-Target-URI`, `WARC-Payload-Digest` — algorithm
+    * prefix kept verbatim), '' when absent. */
   private[graft] final case class Parsed(rec: WarcRecord, body: Array[Byte],
-                                         offset: Long, recBytes: Long)
+                                         offset: Long, recBytes: Long,
+                                         refersTo: String = "",
+                                         payloadDigest: String = "")
 
   /** `keepBody = false` (the md5-only metadata paths: [[parseWarc]],
     * [[parseWarcIndex]]) digests each body inside the cursor loop and
@@ -657,11 +842,12 @@ object Warc {
 
   private def parsePlain(chunkId: Long, bytes: Array[Byte],
                          startIdx: Long, keepBody: Boolean): Seq[Parsed] = {
-    // (record, body, startPos) triples; spans are patched in afterwards
-    // (a record's byte span runs to the NEXT record's start, so the
-    // trailing CRLFCRLF padding belongs to the record that wrote it)
+    // (record, body, startPos, refersTo, payloadDigest) tuples; spans
+    // are patched in afterwards (a record's byte span runs to the NEXT
+    // record's start, so the trailing CRLFCRLF padding belongs to the
+    // record that wrote it)
     val acc = scala.collection.mutable.ArrayBuffer
-      .empty[(WarcRecord, Array[Byte], Int)]
+      .empty[(WarcRecord, Array[Byte], Int, String, String)]
     var pos = 0
     var idx = startIdx
     val n = bytes.length
@@ -671,9 +857,10 @@ object Warc {
       while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
       if (i + 1 < n) i else -1
     }
-    def spans(): Seq[Parsed] = acc.toSeq.zipWithIndex.map { case ((r, b, s), i) =>
-      val end = if (i + 1 < acc.length) acc(i + 1)._3 else n
-      Parsed(r, b, s.toLong, (end - s).toLong)
+    def spans(): Seq[Parsed] = acc.toSeq.zipWithIndex.map {
+      case ((r, b, s, rt, pd), i) =>
+        val end = if (i + 1 < acc.length) acc(i + 1)._3 else n
+        Parsed(r, b, s.toLong, (end - s).toLong, rt, pd)
     }
     while (pos < n) {
       // resynchronize: skip inter-record padding to the next "WARC/"
@@ -685,13 +872,14 @@ object Warc {
         if (le < 0) "" else new String(bytes, pos, le - pos, StandardCharsets.UTF_8)
       if (!version.startsWith("WARC/")) {
         acc += ((WarcRecord(chunkId, idx, "malformed", "", "", -1L, "", false,
-          ""), noBody, start))
+          ""), noBody, start, "", ""))
         return spans() // no record boundary left to trust
       }
       pos = le + 2
       // headers until the blank line
       var wtype = ""; var uri = ""; var ctype = ""; var clen = -1L
       var trunc = ""
+      var refersTo = ""; var payloadDigest = ""
       var truncated = false
       var headersDone = false
       while (!headersDone && !truncated) {
@@ -715,6 +903,8 @@ object Warc {
                 // reasons are length/time/disconnect/unspecified. A
                 // valueless header still marks truncation.
                 trunc = if (v.isEmpty) "unspecified" else v.toLowerCase
+              case "warc-refers-to-target-uri" => refersTo = v
+              case "warc-payload-digest"       => payloadDigest = v
               case _ => ()
             }
           }
@@ -725,7 +915,8 @@ object Warc {
       if (truncated || clen < 0 || clen > (n - pos).toLong) {
         acc += ((WarcRecord(chunkId, idx,
           if (truncated) "truncated" else "malformed",
-          uri, ctype, clen, "", false, trunc), noBody, start))
+          uri, ctype, clen, "", false, trunc), noBody, start, refersTo,
+          payloadDigest))
         return spans() // cannot trust the cursor past a bad length
       }
       val md5hex = {
@@ -737,7 +928,7 @@ object Warc {
         if (keepBody) java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
         else noBody
       acc += ((WarcRecord(chunkId, idx, wtype, uri, ctype, clen, md5hex,
-        true, trunc), body, start))
+        true, trunc), body, start, refersTo, payloadDigest))
       pos += clen.toInt
       idx += 1
     }

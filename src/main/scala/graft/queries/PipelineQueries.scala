@@ -4395,6 +4395,7 @@ object PipelineQueries {
       |    ROWS UNBOUNDED PRECEDING) - strlen(r) AS off FROM rec)
       |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
       |  CAST(rec_idx AS BIGINT) AS rec_idx,
+      |  'response' AS warc_type,
       |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
       |  CAST(off AS BIGINT) AS rec_offset, CAST(rb AS BIGINT) AS rec_bytes,
       |  body_md5, TRUE AS valid
@@ -7682,7 +7683,10 @@ object PipelineQueries {
     // a page self-identifies: the alternate row whose href IS its url
     val variants = pages.select(col("url"), col("text"),
       explode(WebText.hreflangLinks(col("html"))).as("x"))
-    val self = variants.filter(col("x.href") === col("url"))
+    // (x-default is a role, not a language — excluded from self rows
+    // like BitextHarvestLink.clusterMembers)
+    val self = variants.filter(col("x.href") === col("url") &&
+        col("x.lang") =!= "x-default")
       .select(col("url"), col("text"), col("x.lang").as("lang"))
     // cluster key = the x-default member (the q244 rule)
     val clusterOf = variants.filter(col("x.lang") === "x-default")
@@ -8041,25 +8045,34 @@ object PipelineQueries {
     * digest plus ~200-byte `revisit` stubs naming the first capture —
     * the archive-format dedup. The records round-trip through the
     * library's own cursor (a stub's `Content-Length: 0` framing slip
-    * would desync every following record in its chunk), and the
-    * oracle re-derives first-capture choice (min uri per digest),
-    * refers-to targets, digests, types, lengths and bodies from the
-    * construction. */
+    * would desync every following record in its chunk), first captures
+    * as FULL `application/http; msgtype=response` blocks (the r15
+    * fidelity upgrade — the oracle reconstructs the whole HTTP block
+    * string, so a status-line or header byte drift moves the envelope
+    * Content-Length and desyncs), and the oracle re-derives
+    * first-capture choice (min uri per digest), refers-to targets,
+    * digests, types, lengths and bodies from the construction. The
+    * HTTP-layer decode is q267's oracle. */
   val q262RevisitDedup: Q = q("q262_revisit_dedup",
     """WITH src AS (SELECT doc_id FROM documents),
       |t AS (SELECT doc_id, 'http://r.org/' || CAST(doc_id AS VARCHAR)
       |    AS uri,
       |  'payload ' || CAST(doc_id % 50 AS VARCHAR) AS body FROM src),
       |g AS (SELECT *, row_number() OVER (PARTITION BY body ORDER BY uri)
-      |    AS rn, min(uri) OVER (PARTITION BY body) AS first FROM t)
+      |    AS rn, min(uri) OVER (PARTITION BY body) AS first FROM t),
+      |h AS (SELECT *,
+      |  'HTTP/1.1 200 OK' || e'\r\n' ||
+      |  'Content-Type: text/html; charset=utf-8' || e'\r\n' ||
+      |  'Content-Length: ' || CAST(strlen(body) AS VARCHAR) ||
+      |    e'\r\n\r\n' || body AS http FROM g)
       |SELECT doc_id, uri AS target_uri, rn > 1 AS is_revisit,
       |  CASE WHEN rn > 1 THEN first ELSE '' END AS refers_to,
       |  md5(body) AS digest,
       |  CASE WHEN rn > 1 THEN 'revisit' ELSE 'response' END AS warc_type,
-      |  CAST(CASE WHEN rn > 1 THEN 0 ELSE strlen(body) END AS BIGINT)
+      |  CAST(CASE WHEN rn > 1 THEN 0 ELSE strlen(http) END AS BIGINT)
       |    AS content_length,
-      |  CASE WHEN rn > 1 THEN '' ELSE body END AS body
-      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  CASE WHEN rn > 1 THEN '' ELSE http END AS body
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"),
       concat(lit("http://r.org/"), col("doc_id").cast("string")).as("url"),
       concat(lit("payload "), (col("doc_id") % 50).cast("string")).as("text"))
@@ -8244,6 +8257,204 @@ object PipelineQueries {
     WebText.robotsGate(docs).orderBy("url")
   }
 
+  /** Full-fidelity WARC response records
+    * ([[graft.ops.Warc.revisitDedup]] first captures →
+    * [[graft.ops.Warc.parseWarcHttpDocs]]): the writer now emits
+    * complete `application/http; msgtype=response` blocks — status
+    * line (reason phrase included), Content-Type with the declared
+    * utf-8 charset, octet-exact Content-Length at BOTH layers — so a
+    * written archive round-trips through the real-CommonCrawl reader
+    * path. Statuses and media types vary by planted moduli (exercising
+    * four reason phrases), bodies carry a non-ASCII é (an octet/char
+    * mixup at either layer desyncs the cursor or truncates the
+    * decode), and the oracle reconstructs status/type/charset/decoded
+    * body directly from the construction. */
+  val q267HttpResponseRecords: Q = q("q267_http_response_records",
+    """WITH t AS (SELECT doc_id,
+      |  'http://f.org/' || CAST(doc_id AS VARCHAR) AS uri,
+      |  'Body é ' || CAST(doc_id AS VARCHAR) || ' fin.' AS body,
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 404
+      |    WHEN 2 THEN 301 ELSE 503 END AS status,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
+      |    AS mt
+      |  FROM documents)
+      |SELECT uri AS target_uri, CAST(status AS INT) AS status_code,
+      |  mt AS content_type, 'utf-8' AS charset, body AS text,
+      |  TRUE AS valid
+      |FROM t ORDER BY target_uri""".stripMargin) { (s, d) =>
+    val m4 = col("doc_id") % 4
+    val status = when(m4 === 0, 200).when(m4 === 1, 404)
+      .when(m4 === 2, 301).otherwise(503)
+    val media = when(col("doc_id") % 2 === 0, "text/html")
+      .otherwise("text/plain")
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("http://f.org/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("Body é "), col("doc_id").cast("string"), lit(" fin."))
+        .as("text"))
+    val recs = Warc.revisitDedup(docs, status = status, mediaType = media)
+    val chunks = recs
+      .select((col("doc_id") / 8).cast("long").as("chunk_id"),
+        col("doc_id"), col("warc_record"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), col("warc_record")))),
+        x => x.getField("warc_record")), "").as("chunk"))
+      .select(col("chunk_id"), encode(col("chunk"), "UTF-8").as("payload"))
+    Warc.parseWarcHttpDocs(s, chunks).toDF()
+      .select("target_uri", "status_code", "content_type", "charset",
+        "text", "valid")
+      .orderBy("target_uri")
+  }
+
+  /** Revisit RESOLUTION round-trip ([[graft.ops.Warc.resolveRevisits]]
+    * over [[graft.ops.Warc.revisitDedup]]'s archive + its own index):
+    * `resolve(dedup(corpus)) == corpus` — every stub dereferences
+    * through the index to its first capture's HTTP-decoded payload,
+    * digest-verified. Five of fifty digest groups have their FIRST
+    * CAPTURE dropped from the archive (a deleted/compacted segment):
+    * their stubs must surface `valid = false` with empty text, never a
+    * silent payload. The oracle re-derives every row — dedup rank,
+    * refers-to, the resolved text, and the dropped-cohort failures —
+    * from the construction alone. */
+  val q268ResolveRevisits: Q = q("q268_resolve_revisits",
+    """WITH src AS (SELECT doc_id FROM documents),
+      |t AS (SELECT doc_id, 'http://r.org/' || CAST(doc_id AS VARCHAR)
+      |    AS uri,
+      |  'payload ' || CAST(doc_id % 50 AS VARCHAR) AS body,
+      |  CAST(doc_id % 50 AS INT) % 10 = 7 AS dropped FROM src),
+      |g AS (SELECT *, row_number() OVER (PARTITION BY body ORDER BY uri)
+      |    AS rn, min(uri) OVER (PARTITION BY body) AS first FROM t)
+      |SELECT doc_id, uri AS target_uri, rn > 1 AS is_revisit,
+      |  CASE WHEN rn > 1 THEN first ELSE '' END AS refers_to,
+      |  CASE WHEN rn > 1 AND dropped THEN '' ELSE body END AS text,
+      |  NOT (rn > 1 AND dropped) AS valid
+      |FROM g WHERE NOT (rn = 1 AND dropped)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("http://r.org/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("payload "), (col("doc_id") % 50).cast("string")).as("text"))
+    val deduped = Warc.revisitDedup(docs)
+    val dropped = (col("doc_id") % 50) % 10 === 7
+    // the dropped cohort loses its RESPONSE record (the stubs stay)
+    val kept = deduped.filter(col("is_revisit") || !dropped)
+      .localCheckpoint()
+    val chunks = kept
+      .select((col("doc_id") / 8).cast("long").as("chunk_id"),
+        col("doc_id"), col("warc_record"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("doc_id"), col("warc_record")))),
+        x => x.getField("warc_record")), "").as("chunk"))
+      .select(col("chunk_id"), encode(col("chunk"), "UTF-8").as("payload"))
+      .localCheckpoint()
+    val idx = Warc.parseWarcIndex(s, chunks)
+    Warc.resolveRevisits(s, chunks, idx)
+      .join(kept.select(col("url").as("target_uri"), col("doc_id")),
+        Seq("target_uri"))
+      .select("doc_id", "target_uri", "is_revisit", "refers_to", "text",
+        "valid")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide margin bitext mining
+    * ([[graft.ops.TextAnalysis.bitextMineGlobalMd5]] — the CCMatrix
+    * no-cluster-evidence regime: cross-language candidate generation +
+    * the q258 ratio-margin scorer over candidate neighborhoods). The
+    * md5-bucket contract variant (the q210 annLshMd5 trick) makes the
+    * candidate set itself value-pinned: DuckDB re-derives every bucket
+    * from its own md5 builtin, the candidate equi-join quadratically,
+    * and then every cosine / k=2 neighborhood average / margin /
+    * per-src argmax from the exact-dyadic construction (aligned de
+    * sentences carry the identical embedding of their en twin; every
+    * third doc adds an unaligned decoy). The sign-LSH throughput path
+    * ([[graft.ops.TextAnalysis.bitextMineGlobal]]) is recall-floored
+    * in TextAnalysisSpec against the buckets=1 exact reference. */
+  val q269GlobalBitext: Q = q("q269_global_bitext",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+      |en AS (SELECT doc_id, doc_id * 2 AS id,
+      |    'S en ' || CAST(doc_id AS VARCHAR) AS sent,
+      |    list_transform(range(1, 9),
+      |      j -> CAST((doc_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM t),
+      |de AS (
+      |  SELECT doc_id, doc_id * 2 + 1 AS id,
+      |    'S de ' || CAST(doc_id AS VARCHAR) AS sent,
+      |    list_transform(range(1, 9),
+      |      j -> CAST((doc_id * 31 + j * 17) % 97 AS DOUBLE) / 8.0) AS v
+      |  FROM t
+      |  UNION ALL
+      |  SELECT doc_id, doc_id * 2 + 100001,
+      |    'D de ' || CAST(doc_id AS VARCHAR),
+      |    list_transform(range(1, 9),
+      |      j -> CAST((doc_id * 29 + 5 + j * 23) % 97 AS DOUBLE) / 8.0)
+      |  FROM t WHERE doc_id % 3 = 0),
+      |ts AS (SELECT unnest(range(0, 4)) AS tt),
+      |sb AS (SELECT de.id AS src_id,
+      |    CAST(('0x' || substr(md5(CAST(de.id AS VARCHAR) || ':' || tt),
+      |      1, 15)) AS BIGINT) % 32 + tt * 1000000 AS bucket
+      |  FROM de, ts),
+      |db AS (SELECT en.id AS dst_id,
+      |    CAST(('0x' || substr(md5(CAST(en.id AS VARCHAR) || ':' || tt),
+      |      1, 15)) AS BIGINT) % 32 + tt * 1000000 AS bucket
+      |  FROM en, ts),
+      |cand AS (SELECT DISTINCT src_id, dst_id FROM sb JOIN db
+      |  USING (bucket)),
+      |p AS (SELECT cand.src_id, cand.dst_id, de.sent AS src_sentence,
+      |    en.sent AS dst_sentence,
+      |    list_sum(list_transform(range(1, 9), j -> de.v[j] * en.v[j])) /
+      |      (sqrt(list_sum(list_transform(range(1, 9),
+      |         j -> de.v[j] * de.v[j]))) *
+      |       sqrt(list_sum(list_transform(range(1, 9),
+      |         j -> en.v[j] * en.v[j])))) AS cos
+      |  FROM cand JOIN de ON de.id = cand.src_id
+      |  JOIN en ON en.id = cand.dst_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |      ORDER BY cos DESC, dst_id) AS rs,
+      |    row_number() OVER (PARTITION BY dst_id
+      |      ORDER BY cos DESC, src_id) AS rd FROM p),
+      |ks AS (SELECT src_id, avg(cos) AS ks FROM r WHERE rs <= 2
+      |  GROUP BY 1),
+      |kd AS (SELECT dst_id, avg(cos) AS kd FROM r WHERE rd <= 2
+      |  GROUP BY 1),
+      |m AS (SELECT r.src_id, r.dst_id, r.src_sentence, r.dst_sentence,
+      |    r.cos, 2 * r.cos / (ks.ks + kd.kd) AS margin
+      |  FROM r JOIN ks USING (src_id) JOIN kd USING (dst_id)
+      |  WHERE ks.ks + kd.kd > 0),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |    ORDER BY margin DESC, dst_id) AS rb FROM m)
+      |SELECT 'de' AS src_lang, 'en' AS dst_lang,
+      |  CAST(src_id AS BIGINT) AS src_id, CAST(dst_id AS BIGINT) AS dst_id,
+      |  src_sentence, dst_sentence, round(cos, 4) AS cos_sim,
+      |  round(margin, 4) AS margin
+      |FROM best WHERE rb = 1 AND margin >= 1.0
+      |ORDER BY src_id""".stripMargin) { (s, d) =>
+    import graft.ops.TextAnalysis
+    val base = Tables.documents(s, d).filter(col("doc_id") < 150)
+    val envec = transform(sequence(lit(1), lit(8)),
+      j => ((col("doc_id") * 31 + j * 17) % 97).cast("double") / lit(8.0))
+    val devec = transform(sequence(lit(1), lit(8)),
+      j => ((col("doc_id") * 29 + 5 + j * 23) % 97).cast("double") / lit(8.0))
+    val en = base.select((col("doc_id") * 2).as("sent_id"),
+      lit("en").as("lang"),
+      concat(lit("S en "), col("doc_id").cast("string")).as("sentence"),
+      envec.as("embedding"))
+    val de = base.select((col("doc_id") * 2 + 1).as("sent_id"),
+      lit("de").as("lang"),
+      concat(lit("S de "), col("doc_id").cast("string")).as("sentence"),
+      envec.as("embedding"))
+    val decoy = base.filter(col("doc_id") % 3 === 0).select(
+      (col("doc_id") * 2 + 100001).as("sent_id"), lit("de").as("lang"),
+      concat(lit("D de "), col("doc_id").cast("string")).as("sentence"),
+      devec.as("embedding"))
+    TextAnalysis.bitextMineGlobalMd5(en.unionByName(de).unionByName(decoy),
+        "de", "en", buckets = 32, tables = 4, k = 2)
+      .select(col("src_lang"), col("dst_lang"), col("src_id"),
+        col("dst_id"), col("src_sentence"), col("dst_sentence"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        round(col("margin"), 4).as("margin"))
+      .orderBy("src_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8301,5 +8512,6 @@ object PipelineQueries {
     q255IvfPqAdc, q256BitextHarvest, q257WatExport, q258MarginBitext,
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
     q263FetchByLocator, q264HardNegatives, q265TrainingTriplets,
-    q266RobotsGate)
+    q266RobotsGate, q267HttpResponseRecords, q268ResolveRevisits,
+    q269GlobalBitext)
 }

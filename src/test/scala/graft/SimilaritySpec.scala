@@ -201,6 +201,41 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("bitextMineGlobal: the sign-LSH mining path recovers the exact " +
+    "all-pairs margin's aligned translations (recall floor vs the " +
+    "buckets=1 md5 reference, which IS the brute-force margin)") {
+    import graft.ops.TextAnalysis
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+    // 40 translated pairs (identical embeddings — cos exactly 1, so the
+    // pair shares EVERY sign-LSH bucket and candidacy is certain) plus
+    // 20 unaligned de noise sentences
+    val ens = (0 until 40).map(i => (i.toLong, "en", s"en $i", vec()))
+    val des = ens.map { case (i, _, _, v) => (1000L + i, "de", s"de $i", v) }
+    val noise = (0 until 20).map(i => (2000L + i, "de", s"noise $i", vec()))
+    val all = (ens ++ des ++ noise)
+      .toDF("sent_id", "lang", "sentence", "embedding")
+    // buckets=1/tables=1 puts every id in bucket 0: the md5 variant
+    // degenerates to the EXACT all-pairs margin — the reference
+    val exact = TextAnalysis.bitextMineGlobalMd5(all, "de", "en",
+        buckets = 1, tables = 1, k = 4)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aligned = (0 until 40).map(i => (1000L + i, i.toLong)).toSet
+    assert((aligned intersect exact).size === 40,
+      "the exact margin must mine every aligned twin")
+    val mined = TextAnalysis.bitextMineGlobal(all, "de", "en",
+        planes = 6, tables = 8, k = 4)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (aligned intersect mined).size.toDouble / aligned.size
+    info(s"bitextMineGlobal aligned recall = $recall")
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("annIvfWith: probing every cell degenerates to exact cosine top-k " +
     "(the q226 fixed-centers path against the brute-force ground truth)") {
     val emb = Tables.embeddings(spark, SparkSpec.sf0001)

@@ -335,11 +335,105 @@ class WarcSpec extends SparkSpec {
     val back = Warc.parseWarcText(spark, chunk).toDF().orderBy("rec_idx")
       .select("warc_type", "target_uri", "content_length", "body", "valid")
       .collect().map(_.toSeq)
-    val octets = "café dup".getBytes("UTF-8").length.toLong
+    // first captures are FULL application/http response blocks (the r15
+    // fidelity upgrade): the envelope's body IS the HTTP message
+    def http(body: String): String = {
+      val o = body.getBytes("UTF-8").length
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: $o\r\n\r\n$body"
+    }
+    def octets(s0: String): Long = s0.getBytes("UTF-8").length.toLong
     assert(back.toSeq === Seq(
-      Seq("response", "http://a.org/1", octets, "café dup", true),
+      Seq("response", "http://a.org/1", octets(http("café dup")),
+        http("café dup"), true),
       Seq("revisit", "http://a.org/2", 0L, "", true),
-      Seq("response", "http://a.org/3", 6L, "unique", true),
+      Seq("response", "http://a.org/3", octets(http("unique")),
+        http("unique"), true),
       Seq("revisit", "http://a.org/4", 0L, "", true)))
+    // ...and the HTTP layer decodes back to the original text
+    val decoded = Warc.parseWarcHttpDocs(spark, chunk).toDF()
+      .orderBy("rec_idx")
+      .select("status_code", "content_type", "charset", "text")
+      .collect().map(_.toSeq)
+    assert(decoded.toSeq === Seq(
+      Seq(200, "text/html", "utf-8", "café dup"),
+      Seq(null, "", "", ""), // a stub's empty block has no HTTP layer
+      Seq(200, "text/html", "utf-8", "unique"),
+      Seq(null, "", "", "")))
+  }
+
+  test("resolveRevisits: stubs dereference through the index to their " +
+    "first capture's decoded payload (digest-verified); a missing first " +
+    "capture or a lying digest surfaces as valid=false; a same-url " +
+    "recrawl stub resolves to the RESPONSE at its own uri") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "http://a.org/1", "café dup"),
+      (2L, "http://a.org/2", "café dup"),   // stub → a.org/1
+      (3L, "http://a.org/3", "unique"),
+      (4L, "http://a.org/4", "café dup"))   // stub → a.org/1
+      .toDF("doc_id", "url", "text")
+    val out = Warc.revisitDedup(docs)
+    // deterministic record order inside the chunk: sort by `ord`
+    def chunksOf(df: org.apache.spark.sql.DataFrame, cid: Long) = df
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("ord"), col("warc_record")))),
+        x => x.getField("warc_record")), "").as("c"))
+      .select(encode(col("c"), "UTF-8").as("payload"))
+      .withColumn("chunk_id", lit(cid))
+    val chunk = chunksOf(out.select(col("doc_id").as("ord"),
+      col("warc_record")), 0L).localCheckpoint()
+    val idx = Warc.parseWarcIndex(spark, chunk).localCheckpoint()
+    val got = Warc.resolveRevisits(spark, chunk, idx)
+      .select("target_uri", "is_revisit", "refers_to", "text", "valid")
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(
+      Seq("http://a.org/1", false, "", "café dup", true),
+      Seq("http://a.org/2", true, "http://a.org/1", "café dup", true),
+      Seq("http://a.org/3", false, "", "unique", true),
+      Seq("http://a.org/4", true, "http://a.org/1", "café dup", true)))
+    // same-url recrawl (the RevisitGateLink shape): a stub whose uri ==
+    // refers_to must resolve to the RESPONSE record at that uri, not
+    // itself — the index's warc_type is what disambiguates
+    val recrawl = out.filter(!col("is_revisit") && col("doc_id") === 1L)
+      .select(lit(99L).as("ord"), Warc.revisitStub(col("url"), col("url"),
+        col("digest"), lit("2026-01-02T00:00:00Z")).as("warc_record"))
+    val chunk2 = chunksOf(out.select(col("doc_id").as("ord"),
+      col("warc_record")).unionByName(recrawl), 0L).localCheckpoint()
+    val idx2 = Warc.parseWarcIndex(spark, chunk2).localCheckpoint()
+    val got2 = Warc.resolveRevisits(spark, chunk2, idx2)
+      .filter(col("rec_idx") === 4L)
+      .select("target_uri", "refers_to", "text", "valid")
+      .collect().map(_.toSeq).toSeq
+    assert(got2 === Seq(
+      Seq("http://a.org/1", "http://a.org/1", "café dup", true)))
+    // drop the first capture from the archive: its stubs CANNOT resolve
+    // and must say so (valid=false, empty text), never silently
+    val noFirst = chunksOf(out.filter(col("url") =!= "http://a.org/1")
+      .select(col("doc_id").as("ord"), col("warc_record")), 0L)
+      .localCheckpoint()
+    val idx3 = Warc.parseWarcIndex(spark, noFirst).localCheckpoint()
+    val got3 = Warc.resolveRevisits(spark, noFirst, idx3)
+      .filter(col("is_revisit"))
+      .select("target_uri", "text", "valid")
+      .collect().map(_.toSeq).toSet
+    assert(got3 === Set(
+      Seq("http://a.org/2", "", false),
+      Seq("http://a.org/4", "", false)))
+    // a lying digest fails verification even when the locator resolves
+    val lying = chunksOf(out.filter(!col("is_revisit"))
+      .select(col("doc_id").as("ord"), col("warc_record"))
+      .unionByName(out.filter(col("doc_id") === 2L)
+        .select(lit(99L).as("ord"),
+          Warc.revisitStub(col("url"), col("refers_to"),
+            lit("0123456789abcdef0123456789abcdef"),
+            lit("2026-01-01T00:00:00Z")).as("warc_record"))), 0L)
+      .localCheckpoint()
+    val idx4 = Warc.parseWarcIndex(spark, lying).localCheckpoint()
+    val got4 = Warc.resolveRevisits(spark, lying, idx4)
+      .filter(col("is_revisit"))
+      .select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(got4 === Seq(false))
   }
 }
