@@ -295,6 +295,31 @@ object Robots {
     * combine — per-key cardinality is that host's fetch count, never
     * corpus-shaped; the ladder is a per-row CASE after the
     * aggregation. No window, no join. */
+  /** Explicit per-host `Retry-After` demands from raw fetched
+    * responses — the header half of the politeness contract
+    * ([[backoffSchedule]]'s doc has always promised it overrides the
+    * ladder): rows whose status is 429 or 503 (RFC 9110's overload
+    * statuses — a 3xx Retry-After paces a redirect, not a host) AND
+    * whose `Retry-After` is the delta-seconds form
+    * ([[graft.ops.Http.retryAfterMs]]; the HTTP-date form needs the
+    * caller's fetch clock and maps to null) yield
+    * `(host, retry_after_ms)` — the MAX demand per registered domain,
+    * since obeying the largest concurrent demand obeys them all.
+    * Feed it to [[graft.runtime.FrontierLink.frontierFromCounts]]'s
+    * `retry` input (q270). One scan-stage regex projection + one
+    * host-keyed aggregate with map-side combine; output is
+    * distressed-host-sized (broadcastable). */
+  def retryAfterDemands(responses: DataFrame, urlCol: String = "url",
+                        payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    responses
+      .filter(Http.statusCode(p).isin(429, 503) &&
+        Http.retryAfterMs(p).isNotNull)
+      .select(WebText.registeredDomain(col(urlCol)).as("host"),
+        Http.retryAfterMs(p).as("graft_ra"))
+      .groupBy("host").agg(max("graft_ra").as("retry_after_ms"))
+  }
+
   def backoffSchedule(history: DataFrame,
                       baseDelayMs: Long = 1000L): DataFrame = {
     require(baseDelayMs >= 0, s"negative baseDelayMs: $baseDelayMs")

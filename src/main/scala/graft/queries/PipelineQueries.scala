@@ -8455,6 +8455,100 @@ object PipelineQueries {
       .orderBy("src_id")
   }
 
+  /** Retry-After in the frontier scheduler
+    * ([[graft.ops.Robots.retryAfterDemands]] →
+    * [[graft.runtime.FrontierLink.frontierFromCounts]]'s `retry`
+    * input): an explicit 429/503 `Retry-After` demand OVERRIDES the
+    * error-ladder heuristic for its host — spacing becomes
+    * `max(crawl-delay base, demand)` with no ladder multiplier, and
+    * the host's first slot waits the demand out. GROUND-TRUTH oracle
+    * by planted moduli: demanding hosts (one where the crawl-delay
+    * base exceeds the demand and must win the max; one carrying BOTH a
+    * demand and ladder-triggering history, where the demand must
+    * silence the 8× multiplier; two demands per host where the max
+    * wins), an HTTP-date form that maps to NO demand (clock-relative),
+    * a 200 response whose Retry-After must be ignored (not an
+    * overload status), and ladder-only hosts keeping base × 8. */
+  val q270RetryAfter: Q = q("q270_retry_after",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 160),
+      |l AS (SELECT doc_id, CAST(doc_id % 20 AS INT) AS hid,
+      |  'h' || CAST(doc_id % 20 AS VARCHAR) || '.org' AS host,
+      |  'http://h' || CAST(doc_id % 20 AS VARCHAR) || '.org/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  1 + doc_id % 3 AS inlinks FROM t),
+      |f AS (SELECT * FROM l WHERE doc_id % 11 <> 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY host
+      |    ORDER BY inlinks DESC, url) AS rn FROM f),
+      |sch AS (SELECT *,
+      |  CASE WHEN hid % 2 = 0 THEN 2000 ELSE 1000 END AS base,
+      |  CASE WHEN hid % 4 = 1 THEN 8 ELSE 1 END AS mult,
+      |  CASE WHEN hid % 5 = 0 THEN
+      |    (CASE WHEN hid = 0 THEN 1 ELSE hid END) * 1000 END AS demand
+      |  FROM r WHERE rn <= 3),
+      |dl AS (SELECT *, CASE WHEN demand IS NOT NULL
+      |    THEN greatest(base, demand) ELSE base * mult END AS delay
+      |  FROM sch)
+      |SELECT host AS domain, url, CAST(inlinks AS BIGINT) AS inlinks,
+      |  CAST(rn AS BIGINT) AS rank, CAST(delay AS BIGINT) AS delay_ms,
+      |  CAST(coalesce(demand, 0) + (rn - 1) * delay AS BIGINT)
+      |    AS not_before_ms
+      |FROM dl ORDER BY domain, rank""".stripMargin) { (s, d) =>
+    import graft.ops.Robots
+    import graft.runtime.FrontierLink
+    val base = Tables.documents(s, d).filter(col("doc_id") < 160)
+    val hid = col("doc_id") % 20
+    val url = concat(lit("http://h"), hid.cast("string"), lit(".org/p/"),
+      col("doc_id").cast("string"))
+    val links = base
+      .select(url.as("link"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 3))
+          .as("graft_i"))
+      .select("link")
+    val crawled = base.filter(col("doc_id") % 11 === 0).select(url.as("url"))
+    val hosts = base.select(hid.as("hid")).distinct()
+    def hostOf(c: Column): Column =
+      concat(lit("h"), c.cast("string"), lit(".org"))
+    // even hosts ask for 2s spacing (no Disallow rules — admission is
+    // not this query's subject, q195/q259 cover it)
+    val robots = hosts.filter(col("hid") % 2 === 0)
+      .select(hostOf(col("hid")).as("host"),
+        lit("User-agent: *\nCrawl-delay: 2\n").as("robots_txt"))
+    // hid%4=1 hosts are 50% 5xx -> ladder multiplier 8
+    val hist = hosts.filter(col("hid") % 4 === 1)
+      .select(hostOf(col("hid")).as("host"),
+        explode(array(lit(503), lit(500), lit(200), lit(200)))
+          .as("status_code"))
+    // raw RESPONSES, extracted by retryAfterDemands: two overload
+    // demands per demanding host (max wins), an HTTP-date form (no
+    // demand — needs the caller's clock), a 200 decoy (ignored)
+    val demandSec = when(col("hid") === 0, lit(1L))
+      .otherwise(col("hid").cast("long"))
+    val rh = hosts.filter(col("hid") % 5 === 0)
+    val responses = rh.select(
+        concat(lit("http://h"), col("hid").cast("string"), lit(".org/a"))
+          .as("url"),
+        concat(lit("HTTP/1.1 429 Too Many Requests\r\nRetry-After: "),
+          demandSec.cast("string"), lit("\r\n\r\nslow down")).as("payload"))
+      .unionByName(rh.select(
+        concat(lit("http://h"), col("hid").cast("string"), lit(".org/b"))
+          .as("url"),
+        lit("HTTP/1.1 503 Service Unavailable\r\nRetry-After: 1\r\n\r\nx")
+          .as("payload")))
+      .unionByName(hosts.filter(col("hid") % 5 === 1).select(
+        concat(lit("http://h"), col("hid").cast("string"), lit(".org/c"))
+          .as("url"),
+        lit("HTTP/1.1 503 Service Unavailable\r\nRetry-After: " +
+          "Fri, 01 Jan 2027 00:00:00 GMT\r\n\r\nx").as("payload")))
+      .unionByName(hosts.filter(col("hid") % 5 === 2).select(
+        concat(lit("http://h"), col("hid").cast("string"), lit(".org/d"))
+          .as("url"),
+        lit("HTTP/1.1 200 OK\r\nRetry-After: 99\r\n\r\nok").as("payload")))
+    val retry = Robots.retryAfterDemands(responses)
+    FrontierLink.frontierPlan(links, crawled, Some(robots), "graftbot", 3,
+        Some(hist), 1000L, None, None, None, 0L, Some(retry))
+      .orderBy("domain", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8513,5 +8607,5 @@ object PipelineQueries {
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
     q263FetchByLocator, q264HardNegatives, q265TrainingTriplets,
     q266RobotsGate, q267HttpResponseRecords, q268ResolveRevisits,
-    q269GlobalBitext)
+    q269GlobalBitext, q270RetryAfter)
 }

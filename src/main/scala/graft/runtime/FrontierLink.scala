@@ -83,6 +83,12 @@ import graft.ops.{Robots, WebText}
   *    `reputationStream` `(host, pass_rate_micros)` (domain quality,
   *    q201). Absent streams score neutral, so a hint-free loop ranks
   *    exactly as before;
+  *  - optional `retryStream` `(host, retry_after_ms)` — explicit
+  *    429/503 `Retry-After` demands
+  *    ([[graft.ops.Robots.retryAfterDemands]]): a demanding host's
+  *    spacing becomes `max(crawl-delay base, demand)` with NO ladder
+  *    multiplier (the server's explicit demand overrides the
+  *    heuristic, q270) and its first slot waits the demand out;
   *  - optional `extraLinksStreams` — additional `(link)` tables the
   *    refresh unions in READ-ONLY (ownership stays with their
   *    producers): point one at a [[FeedDiscoveryLink]]'s output and
@@ -133,7 +139,8 @@ class FrontierLink(input: String, crawledStream: String,
                    numBuckets: Int = 16,
                    hintsStream: String = "", datesStream: String = "",
                    reputationStream: String = "",
-                   nowMs: Long = 0L) extends Link {
+                   nowMs: Long = 0L,
+                   retryStream: String = "") extends Link {
   require(topKPerDomain >= 1, s"topKPerDomain >= 1, got $topKPerDomain")
   require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
   require(numBuckets >= 1, s"numBuckets >= 1, got $numBuckets")
@@ -266,7 +273,7 @@ class FrontierLink(input: String, crawledStream: String,
                 crawledSetName, bkt, numBuckets, extraLinksStreams,
                 robotsStream, historyStream, agent, topKPerDomain,
                 defaultDelayMs, hintsStream, datesStream,
-                reputationStream, nowMs),
+                reputationStream, nowMs, retryStream),
               Map("batch" -> batchId.toString))
           }
         }
@@ -311,7 +318,11 @@ object FrontierLink {
     * the host's effective delay: robots crawl-delay (or
     * `defaultDelayMs`) × the error-back-off multiplier from the fetch
     * history. `robots`/`history` absent ⇒ everything admitted at the
-    * default delay, multiplier 1.
+    * default delay, multiplier 1. `retry` = `(host, retry_after_ms)`
+    * explicit 429/503 demands
+    * ([[graft.ops.Robots.retryAfterDemands]]): a demanding host's
+    * spacing becomes `max(base, demand)` with NO ladder multiplier and
+    * its first slot starts at the demand (q270).
     *
     * Ranking: per host by `score_micros` desc, inlinks desc, url asc,
     * where the score blends the crawl's four ranking signals in EXACT
@@ -351,7 +362,8 @@ object FrontierLink {
                          hints: Option[DataFrame] = None,
                          dates: Option[DataFrame] = None,
                          reputation: Option[DataFrame] = None,
-                         nowMs: Long = 0L): DataFrame = {
+                         nowMs: Long = 0L,
+                         retry: Option[DataFrame] = None): DataFrame = {
     val fresh = counts.join(crawled.select(col("url").as("link")).distinct(),
       Seq("link"), "left_anti")
     val gated = robots match {
@@ -433,14 +445,34 @@ object FrontierLink {
       case None =>
         withDelay.withColumn("backoff_multiplier", lit(null).cast("long"))
     }
-    withMult
+    // explicit Retry-After demands (`retry` = (host, retry_after_ms),
+    // the Robots.retryAfterDemands aggregate — pre-aggregated again
+    // here to the max per host, the hint-side one-row-per-key rule):
+    // an explicit 429/503 demand OVERRIDES the error-ladder heuristic
+    // for its host — the per-request spacing becomes
+    // max(crawl-delay base, the demand) with NO ladder multiplier, and
+    // the host's FIRST slot waits the demand out (not_before starts at
+    // retry_after_ms: "don't come back for N seconds" gates the next
+    // request, not just the spacing). Hosts without a demand keep the
+    // base × ladder cadence exactly as before.
+    val withRetry = retry match {
+      case Some(r) => withMult.join(
+        r.groupBy("host").agg(max("retry_after_ms").as("retry_after_ms")),
+        Seq("host"), "left")
+      case None =>
+        withMult.withColumn("retry_after_ms", lit(null).cast("long"))
+    }
+    val baseDelay = coalesce(col("crawl_delay_ms"), lit(defaultDelayMs))
+    withRetry
       .withColumn("graft_delay",
-        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)) *
-          coalesce(col("backoff_multiplier"), lit(1L)))
+        when(col("retry_after_ms").isNotNull,
+          greatest(baseDelay, col("retry_after_ms")))
+          .otherwise(baseDelay * coalesce(col("backoff_multiplier"), lit(1L))))
       .select(col("host").as("domain"), col("link").as("url"),
         col("inlinks"), col("graft_rn").cast("long").as("rank"),
         col("graft_delay").as("delay_ms"),
-        ((col("graft_rn") - 1).cast("long") * col("graft_delay"))
+        (coalesce(col("retry_after_ms"), lit(0L)) +
+          (col("graft_rn") - 1).cast("long") * col("graft_delay"))
           .as("not_before_ms"))
   }
 
@@ -456,9 +488,10 @@ object FrontierLink {
                    hints: Option[DataFrame] = None,
                    dates: Option[DataFrame] = None,
                    reputation: Option[DataFrame] = None,
-                   nowMs: Long = 0L): DataFrame =
+                   nowMs: Long = 0L,
+                   retry: Option[DataFrame] = None): DataFrame =
     frontierFromCounts(linkCounts(links), crawled, robots, history, agent,
-      topKPerDomain, defaultDelayMs, hints, dates, reputation, nowMs)
+      topKPerDomain, defaultDelayMs, hints, dates, reputation, nowMs, retry)
 
   /** ONE bucket's slice of the frontier view — the DataFrame a
     * [[FrontierLink]] refresh materializes per TOUCHED bucket: the
@@ -479,7 +512,8 @@ object FrontierLink {
                         defaultDelayMs: Long,
                         hintsStream: String = "", datesStream: String = "",
                         reputationStream: String = "",
-                        nowMs: Long = 0L): DataFrame = {
+                        nowMs: Long = 0L,
+                        retryStream: String = ""): DataFrame = {
     val base = registry.readPartition(countsStream, bucket)
     val extras = extraLinksStreams.filter(registry.exists)
       .map(n => linkCounts(registry.read(n).select(col("link")))
@@ -495,7 +529,7 @@ object FrontierLink {
       registry.readPartition(crawledSetStream, bucket),
       opt(robotsStream), opt(historyStream), agent, topKPerDomain,
       defaultDelayMs, opt(hintsStream), opt(datesStream),
-      opt(reputationStream), nowMs)
+      opt(reputationStream), nowMs, opt(retryStream))
   }
 
   /** The WHOLE frontier view as a function of the registry state — the
@@ -514,7 +548,8 @@ object FrontierLink {
                   defaultDelayMs: Long,
                   hintsStream: String = "", datesStream: String = "",
                   reputationStream: String = "",
-                  nowMs: Long = 0L): DataFrame = {
+                  nowMs: Long = 0L,
+                  retryStream: String = ""): DataFrame = {
     // the bucket column is merge-path layout, not frontier input
     val base = registry.read(countsStream).select("link", "host", "inlinks")
     val extras = extraLinksStreams.filter(registry.exists)
@@ -529,6 +564,6 @@ object FrontierLink {
     frontierFromCounts(counts, registry.read(crawledStream),
       opt(robotsStream), opt(historyStream), agent, topKPerDomain,
       defaultDelayMs, opt(hintsStream), opt(datesStream),
-      opt(reputationStream), nowMs)
+      opt(reputationStream), nowMs, opt(retryStream))
   }
 }

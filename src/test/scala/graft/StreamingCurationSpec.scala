@@ -446,15 +446,19 @@ class StreamingCurationSpec extends SparkSpec {
     val reg = new StreamRegistry(spark,
       Files.createTempDirectory("graft-frontier-inc").toString)
     // alpha.org asks for 2s spacing; peer1.net's history is 50% 5xx →
-    // back-off multiplier 8; hub.com rides the 1s default
+    // back-off multiplier 8; hub.com rides the 1s default BUT carries
+    // an explicit 5s Retry-After demand (which must also silence a
+    // ladder, if it had one — the q270 override rule)
     reg.write(Seq(("alpha.org", "User-agent: *\nCrawl-delay: 2\n"))
       .toDF("host", "robots_txt"), "fi_robots")
     reg.write(Seq(("peer1.net", 500), ("peer1.net", 503),
         ("peer1.net", 200), ("peer1.net", 200))
       .toDF("host", "status_code"), "fi_hist")
+    reg.write(Seq(("hub.com", 5000L))
+      .toDF("host", "retry_after_ms"), "fi_retry")
     val link = new FrontierLink("fi_pages", "fi_crawled", "fi_linklog",
       "fi_frontier", robotsStream = "fi_robots", topKPerDomain = 2,
-      historyStream = "fi_hist")
+      historyStream = "fi_hist", retryStream = "fi_retry")
 
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
     def expected(pages: Seq[(String, String)]): DataFrame = {
@@ -462,7 +466,8 @@ class StreamingCurationSpec extends SparkSpec {
       FrontierLink.frontierPlan(
         WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
         pdf.select("url"), Some(reg.read("fi_robots")), "graftbot", 2,
-        Some(reg.read("fi_hist")))
+        Some(reg.read("fi_hist")),
+        retry = Some(reg.read("fi_retry")))
     }
 
     reg.write(b1.toDF("url", "html"), "fi_pages")
@@ -474,7 +479,10 @@ class StreamingCurationSpec extends SparkSpec {
       r(3) === 2L && r(4) === 2000L && r(5) === 2000L))
     assert(f1.exists(r => r(1) === "http://peer1.net/x" &&
       r(4) === 8000L && r(5) === 0L))
-    assert(f1.exists(r => r(1) === "http://hub.com/h" && r(4) === 1000L))
+    // the explicit demand: spacing max(1000, 5000) and the FIRST slot
+    // waits the demand out (not_before starts at 5000, not 0)
+    assert(f1.exists(r => r(1) === "http://hub.com/h" &&
+      r(4) === 5000L && r(5) === 5000L))
     // the merged count table equals the aggregate of the audit log
     // (bucket is merge-path layout; the log's batch column likewise)
     assert(rows(reg.read("fi_frontier_counts")
