@@ -436,7 +436,12 @@ object Warc {
     * against the stub's `WARC-Payload-Digest`: a stub whose first
     * capture is missing from the index or chunks, whose locator
     * fails, or whose resolved payload hashes differently surfaces as
-    * `valid = false`, never silently.
+    * `valid = false`, never silently. Verification covers the digest
+    * forms recomputable from the decoded text's UTF-8 octets —
+    * `md5:<hex>` (this library's stubs) and `sha1:<lowercase hex>`;
+    * other forms (real archives' `sha1:<base32>` over RAW payload
+    * octets) resolve on the locator alone rather than flagging every
+    * correctly-resolved payload invalid.
     * `resolveRevisits(revisitDedup(corpus))` is the identity on the
     * corpus — q268's byte-exact oracle.
     *
@@ -477,6 +482,21 @@ object Warc {
         Seq("chunk_id", "rec_idx"))
       .select(col("graft_ref"), col("text").as("graft_text"),
         col("valid").as("graft_ok"))
+    // digest verification applies only to forms this reader can
+    // recompute over the resolved text's UTF-8 octets — md5:<hex> (the
+    // library's own stubs) and sha1:<lowercase hex>. Real archives
+    // also carry sha1:<base32> (RFC 4648) digests of the RAW payload
+    // octets, which a charset-decoded text cannot reproduce — those
+    // stubs resolve on the locator alone (a hardcoded md5 check would
+    // flag 100% of a foreign archive's revisits invalid while
+    // returning the CORRECT payloads).
+    val bytes = encode(col("graft_text"), "UTF-8")
+    val verified =
+      when(col("payload_digest").startsWith("md5:"),
+        col("payload_digest") === concat(lit("md5:"), md5(bytes)))
+      .when(col("payload_digest").rlike("^sha1:[0-9a-f]{40}$"),
+        col("payload_digest") === concat(lit("sha1:"), sha1(bytes)))
+      .otherwise(lit(true))
     docs
       .join(stubs, Seq("chunk_id", "rec_idx"), "left")
       .join(resolved, Seq("graft_ref"), "left")
@@ -486,9 +506,8 @@ object Warc {
         when(col("graft_ref").isNull, col("text"))
           .otherwise(coalesce(col("graft_text"), lit(""))).as("text"),
         when(col("graft_ref").isNull, col("valid"))
-          .otherwise(coalesce(col("graft_ok"), lit(false)) &&
-            col("payload_digest") === concat(lit("md5:"),
-              md5(encode(col("graft_text"), "UTF-8")))).as("valid"))
+          .otherwise(coalesce(col("graft_ok"), lit(false)) && verified)
+          .as("valid"))
   }
 
   /** Archive-side payload dedup via WARC `revisit` records (ISO 28500
@@ -573,10 +592,16 @@ object Warc {
                                     date: Column,
                                     status: Column = lit(200),
                                     mediaType: Column = lit("text/html")): Column = {
+    // the media TYPE only: any parameters the caller's column carries
+    // (a real capture's 'text/html; charset=iso-8859-1') are stripped —
+    // the body is re-encoded as UTF-8 here, so echoing the original
+    // charset (or doubling the parameter) would mojibake every
+    // standard reader that honors the first charset it sees
+    val bareType = trim(regexp_extract(mediaType, "^([^;]*)", 1))
     val http = concat(
       lit("HTTP/1.1 "), status.cast("string"), lit(" "),
       reasonPhrase(status), lit(Crlf),
-      lit("Content-Type: "), mediaType, lit("; charset=utf-8" + Crlf),
+      lit("Content-Type: "), bareType, lit("; charset=utf-8" + Crlf),
       lit("Content-Length: "),
       length(encode(text, "UTF-8")).cast("string"), lit(Crlf),
       lit(Crlf), text)

@@ -60,10 +60,12 @@ import graft.ops.{Robots, WebText}
   *    effective delay (robots crawl-delay or `defaultDelayMs`, times
   *    the error-back-off multiplier from `historyStream`) — so wiring
   *    the frontier back into a fetcher yields a schedule, not just a
-  *    list. Bounded side streams (robots/history/hints) are re-read
-  *    per refresh; an update to one propagates to a host's rows when
-  *    that host's bucket next refreshes — per-batch work stays ∝
-  *    touched buckets by design;
+  *    list. Side-stream updates (robots/history/hints/retry/extras)
+  *    propagate on the NEXT batch: each bucket's refresh records a
+  *    side-stream fingerprint ([[FrontierLink.sideSignature]]) and a
+  *    batch refreshes every bucket whose recording differs — one
+  *    directory listing per bounded side stream per batch, so static
+  *    sides cost nothing and per-batch work stays ∝ touched buckets;
   *  - `crawledSetStream` (internal, `<frontier>_crawled_set`)
   *    `(url, bucket)` — the DISTINCT crawled set bucketed by the
   *    TARGET-side host hash, merged per touched bucket like the count
@@ -243,38 +245,51 @@ class FrontierLink(input: String, crawledStream: String,
           }
         }
         // INCREMENTAL frontier refresh: only the buckets whose inputs
-        // changed this batch can change rank — buckets the count merge
-        // touched, buckets of the batch's crawled hosts (their rows
-        // must leave the view), and the extras' buckets (extra channels
-        // are re-read per refresh; bounded by contract). Everything
-        // else rides through untouched — per-batch view work is
-        // ∝ touched buckets, never the count table.
-        val extraTouched: Seq[Int] =
-          if (extraLinksStreams.isEmpty) Nil
-          else {
-            val ex = extraLinksStreams.filter(registry.exists)
-              .map(n => FrontierLink.linkCounts(
-                registry.read(n).select(col("link"))))
-            if (ex.isEmpty) Nil
-            else ex.reduce(_ unionByName _)
-              .select(FrontierLink.bucketOf(col("host"), numBuckets)
-                .as("bucket"))
-              .distinct().collect().map(_.getInt(0)).toSeq
-          }
-        val frontierTouched =
-          (touched ++ crawledTouched ++ extraTouched).distinct.sorted
+        // changed can change rank — buckets the count merge touched,
+        // buckets of the batch's crawled hosts (their rows must leave
+        // the view), the extras' buckets, and — the side channel —
+        // every previously-refreshed bucket whose recorded SIDE
+        // SIGNATURE differs: a robots/history/hint/retry update
+        // affects hosts in buckets no link touched, and serving them
+        // stale until something else lands there would keep a fetcher
+        // scheduling now-disallowed or now-backed-off URLs. The
+        // signature is one directory listing per bounded side stream
+        // per batch (control-plane); with static sides it never fires
+        // and per-batch view work stays ∝ touched buckets.
+        // Extras aggregate ONCE per batch (bucketed + materialized) —
+        // the per-bucket refreshes slice this frame instead of
+        // re-scanning the channels once per touched bucket.
+        val extras = FrontierLink.extrasCounts(registry,
+          extraLinksStreams, numBuckets)
+        val extraTouched: Seq[Int] = extras
+          .map(_.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq)
+          .getOrElse(Nil)
+        val sideSig = FrontierLink.sideSignature(registry,
+          Seq(robotsStream, historyStream, hintsStream, datesStream,
+            reputationStream, retryStream) ++ extraLinksStreams)
+        val sideChanged: Seq[Int] = (0 until numBuckets).filter { bkt =>
+          registry.refreshPartitionMeta(frontierStream, bkt, "batch")
+            .isDefined &&
+            !registry.refreshPartitionMeta(frontierStream, bkt, "sides")
+              .contains(sideSig)
+        }
+        val frontierTouched = (touched ++ crawledTouched ++
+          extraTouched ++ sideChanged).distinct.sorted
         frontierTouched.foreach { bkt =>
           val done = registry
             .refreshPartitionMeta(frontierStream, bkt, "batch")
-            .exists(_.toLong >= batchId)
+            .exists(_.toLong >= batchId) &&
+            registry.refreshPartitionMeta(frontierStream, bkt, "sides")
+              .contains(sideSig)
           if (!done) {
             registry.refreshPartition(frontierStream, bkt,
-              FrontierLink.refreshBucketPlan(registry, countsName,
-                crawledSetName, bkt, numBuckets, extraLinksStreams,
-                robotsStream, historyStream, agent, topKPerDomain,
-                defaultDelayMs, hintsStream, datesStream,
-                reputationStream, nowMs, retryStream),
-              Map("batch" -> batchId.toString))
+              FrontierLink.refreshBucketPlanFrom(registry, countsName,
+                crawledSetName, bkt, extras, robotsStream,
+                historyStream, agent, topKPerDomain, defaultDelayMs,
+                hintsStream, datesStream, reputationStream, nowMs,
+                retryStream),
+              Map("batch" -> batchId.toString, "sides" -> sideSig))
           }
         }
       }
@@ -513,15 +528,51 @@ object FrontierLink {
                         hintsStream: String = "", datesStream: String = "",
                         reputationStream: String = "",
                         nowMs: Long = 0L,
-                        retryStream: String = ""): DataFrame = {
+                        retryStream: String = ""): DataFrame =
+    refreshBucketPlanFrom(registry, countsStream, crawledSetStream,
+      bucket, extrasCounts(registry, extraLinksStreams, numBuckets),
+      robotsStream, historyStream, agent, topKPerDomain, defaultDelayMs,
+      hintsStream, datesStream, reputationStream, nowMs, retryStream)
+
+  /** The extra discovery channels aggregated ONCE into a bucketed
+    * `(link, host, inlinks, bucket)` frame (None with no channels) —
+    * computed per batch and SLICED per touched bucket by the refresh
+    * loop, so an extra channel is scanned once per batch rather than
+    * once per touched bucket. */
+  def extrasCounts(registry: StreamRegistry,
+                   extraLinksStreams: Seq[String],
+                   numBuckets: Int): Option[DataFrame] = {
+    val ex = extraLinksStreams.filter(registry.exists)
+      .map(n => linkCounts(registry.read(n).select(col("link"))))
+    if (ex.isEmpty) None
+    else Some(ex.reduce(_ unionByName _)
+      .groupBy("link", "host").agg(sum("inlinks").as("inlinks"))
+      .withColumn("bucket", bucketOf(col("host"), numBuckets))
+      .localCheckpoint())
+  }
+
+  /** [[refreshBucketPlan]] over a PRE-AGGREGATED extras frame (the
+    * [[extrasCounts]] shape) — the form the refresh loop uses so the
+    * extra channels are not re-scanned per bucket. */
+  def refreshBucketPlanFrom(registry: StreamRegistry,
+                            countsStream: String,
+                            crawledSetStream: String, bucket: Int,
+                            extras: Option[DataFrame],
+                            robotsStream: String, historyStream: String,
+                            agent: String, topKPerDomain: Int,
+                            defaultDelayMs: Long,
+                            hintsStream: String = "",
+                            datesStream: String = "",
+                            reputationStream: String = "",
+                            nowMs: Long = 0L,
+                            retryStream: String = ""): DataFrame = {
     val base = registry.readPartition(countsStream, bucket)
-    val extras = extraLinksStreams.filter(registry.exists)
-      .map(n => linkCounts(registry.read(n).select(col("link")))
-        .filter(bucketOf(col("host"), numBuckets) === bucket))
-    val counts =
-      if (extras.isEmpty) base
-      else (base +: extras).reduce(_ unionByName _)
+    val counts = extras match {
+      case None => base
+      case Some(e) => base
+        .unionByName(e.filter(col("bucket") === bucket).drop("bucket"))
         .groupBy("link", "host").agg(sum("inlinks").as("inlinks"))
+    }
     def opt(name: String): Option[DataFrame] =
       if (name.nonEmpty && registry.exists(name)) Some(registry.read(name))
       else None
@@ -530,6 +581,23 @@ object FrontierLink {
       opt(robotsStream), opt(historyStream), agent, topKPerDomain,
       defaultDelayMs, opt(hintsStream), opt(datesStream),
       opt(reputationStream), nowMs, opt(retryStream))
+  }
+
+  /** One fingerprint over the refresh's bounded SIDE streams
+    * ([[StreamRegistry.contentSignature]] per stream, md5'd together):
+    * recorded in each frontier bucket's refresh meta, so a
+    * robots/history/hint/retry/extra-channel update refreshes every
+    * bucket it may have invalidated on the NEXT batch — without it, a
+    * host's new Disallow or Retry-After would stay unapplied until
+    * some link or crawl happened to touch its bucket. */
+  def sideSignature(registry: StreamRegistry,
+                    streams: Seq[String]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    streams.filter(_.nonEmpty).distinct.sorted.foreach { n =>
+      d.update(s"$n=${registry.contentSignature(n)};".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    d.digest().map("%02x".format(_)).mkString
   }
 
   /** The WHOLE frontier view as a function of the registry state — the

@@ -541,6 +541,25 @@ class StreamingCurationSpec extends SparkSpec {
     assert(rows(reg.read("fi_frontier").drop("bucket")) === f2)
     assert(rows(reg.read("fi_frontier_counts")
       .select("link", "host", "inlinks")) === c2)
+
+    // SIDE-STREAM propagation: a new Retry-After demand for alpha.org
+    // lands between batches; batch 3's links touch an unrelated host
+    // in a DIFFERENT bucket — alpha's bucket must still refresh (the
+    // side-signature path), not serve the stale 2s cadence forever
+    val alphaBucket = bucketOf("alpha.org")
+    val zeta = Seq("zeta.org", "yank.net", "xray.com", "wolf.io")
+      .find(bucketOf(_) != alphaBucket).get
+    reg.write(Seq(("alpha.org", 9000L))
+      .toDF("host", "retry_after_ms"), "fi_retry")
+    val b3 = Seq((s"http://src9.org/p", s"<a href='http://$zeta/z'>1</a>"))
+    reg.write(b3.toDF("url", "html"), "fi_pages")
+    link.start(spark, reg).awaitTermination()
+    val f3 = rows(reg.read("fi_frontier").drop("bucket"))
+    assert(f3 === rows(expected(b1 ++ b2 ++ b3)))
+    // the demand reached alpha's rows: spacing max(2000, 9000), first
+    // slot at the demand
+    assert(f3.exists(r => r(1) === "http://alpha.org/b" &&
+      r(4) === 9000L && r(5) === 9000L))
   }
 
   test("bucketed count store: a batch touching one host rewrites ONLY " +
