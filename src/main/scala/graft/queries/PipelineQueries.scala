@@ -8549,6 +8549,62 @@ object PipelineQueries {
       .orderBy("domain", "rank")
   }
 
+  /** Archive segment packing ([[graft.ops.Warc.packSegments]] — the
+    * writer half of the segment contract: record COLUMNS become
+    * target-sized segments with byte locators, per shard in caller
+    * order, records never split, segments target-sized not
+    * hard-capped). The oracle reconstructs every value with
+    * running-sum windows over the q191-style record-string
+    * reconstruction: octet lengths, the per-shard cumulative sum, the
+    * floor-division segment assignment, the `shard·2²⁰ + seg` id, the
+    * within-segment index and the offset rebase — one miscounted
+    * header byte or an off-by-one in any window drifts a locator and
+    * hash-diverges. The gzip layout + fetch round-trips are
+    * WarcSpec-gated (compressed spans are not SQL-derivable, the q191
+    * split). */
+  val q271PackSegments: Q = q("q271_pack_segments",
+    """WITH src AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+      |  'WARC/1.0' || e'\r\n' || 'WARC-Type: conversion' || e'\r\n' ||
+      |  'WARC-Target-URI: http://p.org/' || CAST(doc_id AS VARCHAR) ||
+      |    e'\r\n' ||
+      |  'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n' ||
+      |  'Content-Type: text/plain' || e'\r\n' ||
+      |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+      |    e'\r\n\r\n' || text || e'\r\n\r\n' AS r FROM src),
+      |c AS (SELECT doc_id, shard, strlen(r) AS rb,
+      |  CAST(coalesce(sum(strlen(r)) OVER (PARTITION BY shard
+      |    ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS bef
+      |  FROM t),
+      |s AS (SELECT *, bef // 2000 AS seg FROM c),
+      |o AS (SELECT *,
+      |  CAST(CAST(shard AS BIGINT) * 1048576 + seg AS BIGINT)
+      |    AS segment_id,
+      |  row_number() OVER (PARTITION BY shard, seg ORDER BY doc_id) - 1
+      |    AS rec_idx,
+      |  bef - min(bef) OVER (PARTITION BY shard, seg) AS rec_offset
+      |  FROM s)
+      |SELECT doc_id, CAST(rb AS BIGINT) AS rec_bytes, segment_id,
+      |  CAST(rec_idx AS BIGINT) AS rec_idx,
+      |  CAST(rec_offset AS BIGINT) AS rec_offset
+      |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("shard"),
+        concat(lit("http://p.org/"), col("doc_id").cast("string"))
+          .as("url"),
+        col("text"))
+    Warc.packSegments(
+        Warc.wetRecords(docs).withColumnRenamed("wet_record", "warc_record"),
+        shardCol = "shard", ordCol = "doc_id",
+        targetSegmentBytes = 2000L)
+      .select(col("doc_id"), col("rec_bytes"), col("segment_id"),
+        col("rec_idx"), col("rec_offset"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8607,5 +8663,5 @@ object PipelineQueries {
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
     q263FetchByLocator, q264HardNegatives, q265TrainingTriplets,
     q266RobotsGate, q267HttpResponseRecords, q268ResolveRevisits,
-    q269GlobalBitext, q270RetryAfter)
+    q269GlobalBitext, q270RetryAfter, q271PackSegments)
 }

@@ -61,11 +61,15 @@ import graft.ops.{Robots, WebText}
   *    the error-back-off multiplier from `historyStream`) — so wiring
   *    the frontier back into a fetcher yields a schedule, not just a
   *    list. Side-stream updates (robots/history/hints/retry/extras)
-  *    propagate on the NEXT batch: each bucket's refresh records a
-  *    side-stream fingerprint ([[FrontierLink.sideSignature]]) and a
-  *    batch refreshes every bucket whose recording differs — one
-  *    directory listing per bounded side stream per batch, so static
-  *    sides cost nothing and per-batch work stays ∝ touched buckets;
+  *    propagate on the NEXT batch: each bucket's refresh records its
+  *    PER-BUCKET side fingerprint ([[FrontierLink.sideSignatures]] —
+  *    host-hashed content hashes, so a side row invalidates exactly
+  *    the bucket whose frontier it can affect) and a batch refreshes
+  *    every bucket whose recording differs. The loop's own continuous
+  *    history appends therefore invalidate only the touched hosts'
+  *    buckets — a GLOBAL fingerprint would have degraded to a
+  *    full-view refresh every batch — and per-batch work stays
+  *    ∝ touched buckets;
   *  - `crawledSetStream` (internal, `<frontier>_crawled_set`)
   *    `(url, bucket)` — the DISTINCT crawled set bucketed by the
   *    TARGET-side host hash, merged per touched bucket like the count
@@ -248,14 +252,16 @@ class FrontierLink(input: String, crawledStream: String,
         // changed can change rank — buckets the count merge touched,
         // buckets of the batch's crawled hosts (their rows must leave
         // the view), the extras' buckets, and — the side channel —
-        // every previously-refreshed bucket whose recorded SIDE
-        // SIGNATURE differs: a robots/history/hint/retry update
+        // every previously-refreshed bucket whose recorded PER-BUCKET
+        // side signature differs: a robots/history/hint/retry update
         // affects hosts in buckets no link touched, and serving them
         // stale until something else lands there would keep a fetcher
         // scheduling now-disallowed or now-backed-off URLs. The
-        // signature is one directory listing per bounded side stream
-        // per batch (control-plane); with static sides it never fires
-        // and per-batch view work stays ∝ touched buckets.
+        // signatures cost one scan per BOUNDED side stream per batch
+        // (the r14 whole-view refresh re-read them per batch too);
+        // bucket scope means the loop's own history appends invalidate
+        // only the touched hosts' buckets, so steady-state view work
+        // stays ∝ touched buckets.
         // Extras aggregate ONCE per batch (bucketed + materialized) —
         // the per-bucket refreshes slice this frame instead of
         // re-scanning the channels once per touched bucket.
@@ -265,14 +271,15 @@ class FrontierLink(input: String, crawledStream: String,
           .map(_.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq)
           .getOrElse(Nil)
-        val sideSig = FrontierLink.sideSignature(registry,
-          Seq(robotsStream, historyStream, hintsStream, datesStream,
-            reputationStream, retryStream) ++ extraLinksStreams)
+        val sideSigs = FrontierLink.sideSignatures(registry, numBuckets,
+          hostKeyed = Seq(robotsStream, historyStream, reputationStream,
+            retryStream),
+          urlKeyed = Seq(hintsStream, datesStream), extras = extras)
         val sideChanged: Seq[Int] = (0 until numBuckets).filter { bkt =>
           registry.refreshPartitionMeta(frontierStream, bkt, "batch")
             .isDefined &&
             !registry.refreshPartitionMeta(frontierStream, bkt, "sides")
-              .contains(sideSig)
+              .contains(sideSigs(bkt))
         }
         val frontierTouched = (touched ++ crawledTouched ++
           extraTouched ++ sideChanged).distinct.sorted
@@ -281,7 +288,7 @@ class FrontierLink(input: String, crawledStream: String,
             .refreshPartitionMeta(frontierStream, bkt, "batch")
             .exists(_.toLong >= batchId) &&
             registry.refreshPartitionMeta(frontierStream, bkt, "sides")
-              .contains(sideSig)
+              .contains(sideSigs(bkt))
           if (!done) {
             registry.refreshPartition(frontierStream, bkt,
               FrontierLink.refreshBucketPlanFrom(registry, countsName,
@@ -289,7 +296,8 @@ class FrontierLink(input: String, crawledStream: String,
                 historyStream, agent, topKPerDomain, defaultDelayMs,
                 hintsStream, datesStream, reputationStream, nowMs,
                 retryStream),
-              Map("batch" -> batchId.toString, "sides" -> sideSig))
+              Map("batch" -> batchId.toString,
+                "sides" -> sideSigs(bkt)))
           }
         }
       }
@@ -583,21 +591,73 @@ object FrontierLink {
       opt(reputationStream), nowMs, opt(retryStream))
   }
 
-  /** One fingerprint over the refresh's bounded SIDE streams
-    * ([[StreamRegistry.contentSignature]] per stream, md5'd together):
+  /** PER-BUCKET fingerprints of the refresh's bounded SIDE streams —
     * recorded in each frontier bucket's refresh meta, so a
     * robots/history/hint/retry/extra-channel update refreshes every
-    * bucket it may have invalidated on the NEXT batch — without it, a
-    * host's new Disallow or Retry-After would stay unapplied until
-    * some link or crawl happened to touch its bucket. */
-  def sideSignature(registry: StreamRegistry,
-                    streams: Seq[String]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    streams.filter(_.nonEmpty).distinct.sorted.foreach { n =>
-      d.update(s"$n=${registry.contentSignature(n)};".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-    }
-    d.digest().map("%02x".format(_)).mkString
+    * bucket it actually invalidated on the NEXT batch. Without the
+    * mechanism a host's new Disallow or Retry-After would stay
+    * unapplied until some link or crawl happened to touch its bucket;
+    * with a GLOBAL fingerprint the loop's own continuous side appends
+    * (every batch writes fetch history) would invalidate EVERY bucket
+    * every batch — a full-view refresh per batch, exactly the
+    * O(corpus) shape the bucketing removed. Bucket scope keeps the
+    * steady state honest: a history row for host h changes h's
+    * bucket's signature alone, and h's bucket is usually already in
+    * the touched set.
+    *
+    * Per side stream: one scan projecting
+    * `(host-hash bucket, xxhash64(row))`, aggregated to ≤ numBuckets
+    * `(sum, count)` rows (order-insensitive content hash, map-side
+    * combined, collected control-plane) — side streams are the
+    * refresh's BOUNDED inputs by contract (the r14 whole-view refresh
+    * re-read them per batch too; what must never re-scan per batch is
+    * the count/crawled universe, and doesn't). Host-keyed streams
+    * hash their `host` column; url-keyed hint streams hash
+    * `registeredDomain(url)` — the same bucketing as the count table,
+    * so a side row lands in exactly the bucket whose frontier rows it
+    * can affect. */
+  def sideSignatures(registry: StreamRegistry, numBuckets: Int,
+                     hostKeyed: Seq[String], urlKeyed: Seq[String],
+                     extras: Option[DataFrame]): Map[Int, String] = {
+    // row hashes fold via sum of bounded moduli (order-insensitive and
+    // overflow-proof under ANSI arithmetic: values < 2^30, so the sum
+    // stays in Long range for any realistic side-stream cardinality)
+    def sig(df: DataFrame, key: Column): Map[Int, (Long, Long)] =
+      df.select(StreamRegistry.bucketOf(key, numBuckets).as("graft_b"),
+          pmod(xxhash64(struct(df.columns.map(col): _*)),
+            lit(1000000007L)).as("graft_h"))
+        .groupBy("graft_b")
+        .agg(sum("graft_h").as("graft_s"), count(lit(1)).as("graft_c"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def existing(names: Seq[String]): Seq[String] =
+      names.filter(n => n.nonEmpty && registry.exists(n)).distinct.sorted
+    val parts: Seq[(String, Map[Int, (Long, Long)])] =
+      existing(hostKeyed).map { n =>
+        n -> sig(registry.read(n), col("host"))
+      } ++ existing(urlKeyed).map { n =>
+        n -> sig(registry.read(n),
+          graft.ops.WebText.registeredDomain(col("url")))
+      } ++ extras.map { e =>
+        // extrasCounts is already bucketed — hash its rows per bucket
+        "graft_extras" -> e
+          .select(col("bucket").as("graft_b"),
+            pmod(xxhash64(struct(col("link"), col("host"),
+              col("inlinks"))), lit(1000000007L)).as("graft_h"))
+          .groupBy("graft_b")
+          .agg(sum("graft_h").as("graft_s"), count(lit(1)).as("graft_c"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      }
+    (0 until numBuckets).map { b =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach { case (n, m) =>
+        val (s0, c0) = m.getOrElse(b, (0L, 0L))
+        d.update(s"$n=$s0,$c0;".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      b -> d.digest().map("%02x".format(_)).mkString
+    }.toMap
   }
 
   /** The WHOLE frontier view as a function of the registry state — the

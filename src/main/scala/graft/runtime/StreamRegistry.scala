@@ -362,32 +362,6 @@ class StreamRegistry(spark: SparkSession, val root: String,
     }
   }
 
-  /** Cheap content fingerprint of a stream: the sorted
-    * `(path, length, mtime)` listing of its visible files, md5'd
-    * together ('' for an absent stream). Appends, refreshes and
-    * compactions all change it (part-file names are unique per write).
-    * Control-plane cost — ONE recursive listing; meant for the
-    * BOUNDED side streams a refresh loop polls per batch
-    * (robots/hints/history), never for corpus-shaped data. */
-  def contentSignature(name: String): String = {
-    if (!exists(name)) return ""
-    val (p, fs) = fsFor(streamDir(name))
-    if (!fs.exists(p)) return ""
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val base = st.getPath.getName
-      if (!base.startsWith(".") && !base.startsWith("_"))
-        entries +=
-          s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
-    }
-    val d = java.security.MessageDigest.getInstance("MD5")
-    entries.sorted.foreach(e =>
-      d.update(e.getBytes(StandardCharsets.UTF_8)))
-    d.digest().map("%02x".format(_)).mkString
-  }
-
   /** Read back a `_<key>` metadata file written by [[refreshPartition]]
     * (None when the stream, partition, or key doesn't exist). */
   def refreshPartitionMeta(name: String, partValue: Any,

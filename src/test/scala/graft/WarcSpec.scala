@@ -362,6 +362,52 @@ class WarcSpec extends SparkSpec {
       Seq(null, "", "", "")))
   }
 
+  test("packSegments: target-sized segments whose locators round-trip " +
+    "through fetchByLocator — plain offsets byte-exact, gzip locators " +
+    "rebuilt via parseWarcIndex (the real CDX build), record sets " +
+    "identical across both layouts") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .filter(col("text").isNotNull).limit(30)
+      .select(col("doc_id"), (col("doc_id") % 3).cast("int").as("shard"),
+        concat(lit("http://p.org/"), col("doc_id").cast("string"))
+          .as("url"),
+        col("text"))
+    val packed = Warc.packSegments(
+        Warc.wetRecords(docs).withColumnRenamed("wet_record", "warc_record"),
+        shardCol = "shard", ordCol = "doc_id",
+        targetSegmentBytes = 1500L)
+      .localCheckpoint()
+    // floor-division packing invariant: every record STARTS inside its
+    // segment's target window (offsets < target; overrun is bounded by
+    // one record, the documented target-size semantic)
+    assert(packed.filter(col("rec_offset") >= 1500L).count() === 0)
+    assert(packed.select("segment_id").distinct().count() > 3,
+      "the fixture must actually span several segments")
+    // plain layout: packSegments' own offsets ARE the locators
+    val plain = Warc.segmentPayloads(packed).localCheckpoint()
+    val locs = packed.select(col("segment_id").as("chunk_id"),
+      col("rec_idx"), col("rec_offset"), col("rec_bytes"),
+      lit(true).as("valid"))
+    val fetched = Warc.fetchByLocator(spark, plain, locs).toDF()
+    assert(fetched.filter(!col("valid")).count() === 0)
+    val texts = docs.select(col("url").as("target_uri"), col("text"))
+    assert(fetched.join(texts, Seq("target_uri"))
+      .filter(col("body") =!= col("text")).count() === 0)
+    assert(fetched.count() === 30)
+    // gzip layout: per-record members; compressed locators come from
+    // the index builder over the packed payloads
+    val gz = Warc.segmentPayloadsGzip(spark, packed).localCheckpoint()
+    val idx = Warc.parseWarcIndex(spark, gz)
+    assert(idx.filter(!col("valid")).count() === 0)
+    val fetchedGz = Warc.fetchByLocator(spark, gz, idx).toDF()
+    def recs(df: org.apache.spark.sql.DataFrame) = df
+      .select("warc_type", "target_uri", "content_length", "body", "valid")
+      .collect().map(_.toSeq).toSet
+    assert(recs(fetchedGz) === recs(fetched))
+  }
+
   test("resolveRevisits: stubs dereference through the index to their " +
     "first capture's decoded payload (digest-verified); a missing first " +
     "capture or a lying digest surfaces as valid=false; a same-url " +
