@@ -8505,7 +8505,9 @@ object PipelineQueries {
           .as("graft_i"))
       .select("link")
     val crawled = base.filter(col("doc_id") % 11 === 0).select(url.as("url"))
-    val hosts = base.select(hid.as("hid")).distinct()
+    // 20 rows, reused by five side frames below — materialized so each
+    // reuse doesn't re-scan + re-distinct the documents table
+    val hosts = base.select(hid.as("hid")).distinct().localCheckpoint()
     def hostOf(c: Column): Column =
       concat(lit("h"), c.cast("string"), lit(".org"))
     // even hosts ask for 2s spacing (no Disallow rules — admission is
