@@ -1214,6 +1214,93 @@ class StreamingCurationSpec extends SparkSpec {
       rows(expected(b1 ++ b2)))
   }
 
+  test("segment export link: batches pack into target-sized segments " +
+    "with a CDXJ index whose locators round-trip through " +
+    "fetchByLocator — both layouts, ids unique across batches, " +
+    "crash-replay rewrites its partitions (zero dups)") {
+    import graft.ops.Warc
+    import graft.runtime.SegmentExportLink
+    val s = spark
+    import s.implicits._
+    def docs(ids: Range) = ids.map(i =>
+      (s"http://seg.org/$i", s"body text $i café " + ("x" * (i % 40))))
+    val b1 = docs(0 until 12)
+    val b2 = docs(12 until 20)
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-segment-export").toString)
+    val link = new SegmentExportLink("se_docs", "se_segments", "se_index",
+      targetSegmentBytes = 400L, shardsPerBatch = 2,
+      date = "2026-08-16T00:00:00Z")
+
+    reg.write(b1.toDF("url", "text"), "se_docs")
+    link.start(spark, reg).awaitTermination()
+    reg.write(b2.toDF("url", "text"), "se_docs")
+    link.start(spark, reg).awaitTermination()
+
+    val segs = reg.read("se_segments")
+    val idx = reg.read("se_index")
+    // record-level parity: parsing every written segment recovers
+    // exactly the corpus as WET conversion records
+    val parsed = Warc.parseWarcText(spark,
+        segs.select("chunk_id", "payload")).toDF()
+    assert(parsed.filter(!col("valid")).count() === 0)
+    val got = parsed.select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === (b1 ++ b2).toSet)
+    // several segments per batch (the 400-byte target is real) and ids
+    // unique across batches (batch-scoped shards can never collide)
+    assert(segs.select("chunk_id").distinct().count() === segs.count())
+    assert(segs.count() > 4)
+    // the index IS the random-access contract: dereference every line's
+    // json locator against the written segments
+    val locs = idx.select(col("chunk_id"), col("rec_idx"),
+      get_json_object(regexp_extract(col("cdxj_line"),
+        "^(\\S+) (\\S+) (.*)$", 3), "$.offset").cast("long")
+        .as("rec_offset"),
+      get_json_object(regexp_extract(col("cdxj_line"),
+        "^(\\S+) (\\S+) (.*)$", 3), "$.length").cast("long")
+        .as("rec_bytes"),
+      lit(true).as("valid"))
+    val fetched = Warc.fetchByLocator(spark,
+      segs.select("chunk_id", "payload"), locs).toDF()
+    assert(fetched.count() === 20)
+    assert(fetched.filter(!col("valid")).count() === 0)
+    assert(fetched.select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet === got)
+    // crash-replay: drop batch 1's commit mark — the restart
+    // re-executes it and REWRITES batch=1 of both outputs
+    val (sc, ic) = (segs.count(), idx.count())
+    val commits = new java.io.File(
+      reg.checkpointDir(link.name, "se_segments"), "commits")
+    assert(new java.io.File(commits, "1").delete())
+    new java.io.File(commits, ".1.crc").delete()
+    link.start(spark, reg).awaitTermination()
+    assert(reg.read("se_segments").count() === sc)
+    assert(reg.read("se_index").count() === ic)
+
+    // the .warc.gz layout: per-record members, compressed locators from
+    // the index builder — same corpus back through the same contract
+    val gzLink = new SegmentExportLink("se_docs", "se_gz_segments",
+      "se_gz_index", targetSegmentBytes = 400L, shardsPerBatch = 2,
+      gzip = true, date = "2026-08-16T00:00:00Z")
+    gzLink.start(spark, reg).awaitTermination()
+    val gsegs = reg.read("se_gz_segments")
+    val gidx = reg.read("se_gz_index")
+    val glocs = gidx.select(col("chunk_id"), col("rec_idx"),
+      get_json_object(regexp_extract(col("cdxj_line"),
+        "^(\\S+) (\\S+) (.*)$", 3), "$.offset").cast("long")
+        .as("rec_offset"),
+      get_json_object(regexp_extract(col("cdxj_line"),
+        "^(\\S+) (\\S+) (.*)$", 3), "$.length").cast("long")
+        .as("rec_bytes"),
+      lit(true).as("valid"))
+    val gfetched = Warc.fetchByLocator(spark,
+      gsegs.select("chunk_id", "payload"), glocs).toDF()
+    assert(gfetched.filter(!col("valid")).count() === 0)
+    assert(gfetched.select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet === got)
+  }
+
   test("canonical gate link: one survivor per declared target, earlier " +
     "batches win, fallback targets gate refetches, replay no-op") {
     import graft.runtime.CanonicalGateLink
