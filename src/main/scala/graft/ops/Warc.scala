@@ -780,6 +780,74 @@ object Warc {
           col("rec_offset").cast("string").as("offset"),
           filename.as("filename")))))
 
+  /** The TERMINAL CDX sort — [[cdxjLines]]' deferred "binary-search
+    * contract" made concrete: the accumulated index lines in GLOBAL
+    * `(urlkey, line)` order, cut into fixed-size blocks of
+    * `linesPerBlock` lines (the pywb/CommonCrawl `cluster.idx`
+    * layout: the index ships as sorted blocks plus a tiny
+    * entry table — [[cdxClusterSummaries]] — naming each block's
+    * first key, and a lookup binary-searches the SUMMARIES, fetches
+    * ONE block, and scans ≤ linesPerBlock lines). Output: the input
+    * columns + `rank` (1-based global position), `block`
+    * (`(rank−1) / linesPerBlock`) and `block_pos` (position inside
+    * the block) — every value re-derivable as `row_number` windows by
+    * the q272 oracle.
+    *
+    * Scale shape: ONE range-shuffle + per-partition sort
+    * (`repartitionByRange` — sampled boundaries, so no partition
+    * sees more than ~corpus/numPartitions lines regardless of key
+    * skew; a reversed-domain keyspace is heavily skewed toward
+    * `com,…`, which is why prefix banding would NOT be safe here)
+    * followed by `zipWithIndex`'s per-partition count + offset pass —
+    * the two-phase global rank, never a single-partition corpus
+    * window. The sampled boundaries affect only which task holds
+    * which range; ranks are determined by the total order alone, so
+    * the output is deterministic. */
+  def cdxClusterIndex(spark: SparkSession, lines: DataFrame,
+                      linesPerBlock: Long = 3000L,
+                      urlkeyCol: String = "urlkey",
+                      lineCol: String = "cdxj_line",
+                      numPartitions: Int = 0): DataFrame = {
+    require(linesPerBlock >= 1, s"linesPerBlock >= 1, got $linesPerBlock")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val sorted = lines
+      .repartitionByRange(parts, col(urlkeyCol), col(lineCol))
+      .sortWithinPartitions(col(urlkeyCol), col(lineCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    ranked
+      .withColumn("block", call_function("div",
+        col("rank") - 1, lit(linesPerBlock)))
+      .withColumn("block_pos", col("rank") - 1 - col("block") * linesPerBlock)
+  }
+
+  /** The `cluster.idx`-shaped entry table over a [[cdxClusterIndex]]
+    * frame: one row per block — `(block, first_urlkey, first_line,
+    * n_lines)` — tiny (corpus/linesPerBlock rows), broadcastable, the
+    * thing a reader binary-searches to find which block can hold a
+    * key (`first_urlkey ≤ key <` the next block's `first_urlkey`)
+    * before fetching exactly that block. One block-keyed min-struct
+    * aggregate. */
+  def cdxClusterSummaries(blocked: DataFrame,
+                          urlkeyCol: String = "urlkey",
+                          lineCol: String = "cdxj_line"): DataFrame =
+    blocked.groupBy("block")
+      .agg(min(struct(col("rank"), col(urlkeyCol).as("k"),
+          col(lineCol).as("l"))).as("graft_first"),
+        count(lit(1)).as("n_lines"))
+      .select(col("block"),
+        col("graft_first").getField("k").as("first_urlkey"),
+        col("graft_first").getField("l").as("first_line"),
+        col("n_lines"))
+
   /** The `from_json` schema of a [[watRecords]] payload — the reader
     * half of the WAT contract, shared by the q257 round-trip oracle
     * and any consumer re-deriving fields from the artifact. */

@@ -8607,6 +8607,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Terminal CDX sort ([[graft.ops.Warc.cdxClusterIndex]] — the
+    * binary-search layout [[graft.ops.Warc.cdxjLines]] defers: global
+    * (urlkey, line) order cut into fixed-size blocks, the
+    * pywb/CommonCrawl cluster.idx convention). The oracle re-derives
+    * rank/block/block_pos as one `row_number` window over the
+    * construction — the engine side computes the SAME total order via
+    * a range-shuffle + two-phase zipWithIndex rank (never a
+    * single-partition corpus window), so this is exactly the
+    * distributed-vs-declarative parity the q131 shard family pins.
+    * Skewed reversed-domain keys (7 hosts over the corpus) make the
+    * range sort's balance real. */
+  val q272CdxCluster: Q = q("q272_cdx_cluster",
+    """WITH t AS (SELECT doc_id FROM documents),
+      |l AS (SELECT doc_id, 'com,ex' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey FROM t),
+      |x AS (SELECT doc_id, urlkey, urlkey || ' 20260101000000 {"u":' ||
+      |    CAST(doc_id AS VARCHAR) || '}' AS cdxj_line FROM l),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY urlkey, cdxj_line)
+      |    AS BIGINT) AS rank FROM x)
+      |SELECT doc_id, urlkey, rank,
+      |  CAST((rank - 1) // 16 AS BIGINT) AS block,
+      |  CAST((rank - 1) % 16 AS BIGINT) AS block_pos
+      |FROM r ORDER BY rank""".stripMargin) { (s, d) =>
+    val urlkey = concat(lit("com,ex"), (col("doc_id") % 7).cast("string"),
+      lit(")/p/"), col("doc_id").cast("string"))
+    val lines = Tables.documents(s, d).select(col("doc_id"),
+      urlkey.as("urlkey"),
+      concat(urlkey, lit(" 20260101000000 {\"u\":"),
+        col("doc_id").cast("string"), lit("}")).as("cdxj_line"))
+    Warc.cdxClusterIndex(s, lines, linesPerBlock = 16L)
+      .select("doc_id", "urlkey", "rank", "block", "block_pos")
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8665,5 +8699,5 @@ object PipelineQueries {
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
     q263FetchByLocator, q264HardNegatives, q265TrainingTriplets,
     q266RobotsGate, q267HttpResponseRecords, q268ResolveRevisits,
-    q269GlobalBitext, q270RetryAfter, q271PackSegments)
+    q269GlobalBitext, q270RetryAfter, q271PackSegments, q272CdxCluster)
 }

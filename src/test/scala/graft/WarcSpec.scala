@@ -408,6 +408,59 @@ class WarcSpec extends SparkSpec {
     assert(recs(fetchedGz) === recs(fetched))
   }
 
+  test("cdxClusterIndex: globally sorted fixed-size blocks whose " +
+    "summaries drive the cluster.idx lookup — binary-search the entry " +
+    "table, fetch ONE block, find the line") {
+    val s = spark
+    import s.implicits._
+    val lines = Tables.documents(spark, SparkSpec.sf0001)
+      .select(col("doc_id"),
+        concat(lit("org,h"), (col("doc_id") % 5).cast("string"),
+          lit(")/p/"), col("doc_id").cast("string")).as("urlkey"))
+      .withColumn("cdxj_line", concat(col("urlkey"), lit(" 2026 {}")))
+    val blocked = Warc.cdxClusterIndex(spark, lines, linesPerBlock = 8L)
+      .localCheckpoint()
+    val n = blocked.count()
+    // block layout invariants: every block but the last holds exactly
+    // 8 lines, ranks are a permutation of 1..n, and consecutive blocks
+    // never interleave key ranges
+    val sizes = blocked.groupBy("block").count().orderBy("block")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.init.forall(_._2 == 8L) && sizes.last._2 <= 8L)
+    assert(blocked.select("rank").distinct().count() === n)
+    val summaries = Warc.cdxClusterSummaries(blocked).orderBy("block")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(summaries.map(_._3).sum === n)
+    val maxPerBlock = blocked.groupBy("block")
+      .agg(max("urlkey").as("mx")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    summaries.sliding(2).foreach {
+      case Array((b1, _, _), (_, k2, _)) =>
+        assert(maxPerBlock(b1) <= k2,
+          s"block $b1 range overlaps the next block's first key")
+      case _ => ()
+    }
+    // the lookup path: binary-search the (tiny, collected) entry table
+    // for the LAST block whose first_urlkey <= probe, fetch that one
+    // block, scan <= linesPerBlock lines
+    val probeId = 37L
+    val probe = s"org,h${probeId % 5})/p/$probeId"
+    val keys = summaries.map(_._2)
+    val bi = {
+      var lo = 0; var hi = keys.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (keys(mid) <= probe) lo = mid else hi = mid - 1
+      }
+      summaries(lo)._1
+    }
+    val hit = blocked.filter(col("block") === bi &&
+        col("urlkey") === probe)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(probeId), s"probe $probe must resolve in block $bi")
+  }
+
   test("resolveRevisits: stubs dereference through the index to their " +
     "first capture's decoded payload (digest-verified); a missing first " +
     "capture or a lying digest surfaces as valid=false; a same-url " +
