@@ -913,6 +913,35 @@ object WebText {
     * frame joined on url would re-run both regex chains, the q156
     * double-eval class). Output: `url`, `meta_directives`,
     * `header_directives`, `noindex`, `nofollow`. */
+  /** [[robotsGate]] keeping EVERY input column: the two channels'
+    * directive arrays and the combined verdicts are APPENDED to the
+    * frame in one projection — no re-projection, no self-join (a
+    * verdict frame joined back on url would re-run both regex chains
+    * AND fan out on duplicate urls, the q156 double-eval class). The
+    * form a streaming gate composes
+    * ([[graft.runtime.RobotsPageGateLink]]). */
+  def robotsGateAll(pages: DataFrame, urlCol: String = "url",
+                    htmlCol: String = "html",
+                    payloadCol: String = "payload",
+                    agent: String = "graftbot"): DataFrame = {
+    val md = metaRobotsDirectives(col(htmlCol))
+    val hd = headerRobotsDirectives(col(payloadCol), agent)
+    def restricts(dirs: Column, d: String): Column =
+      array_contains(dirs, d) || array_contains(dirs, "none")
+    pages
+      .withColumn("graft_md", md)
+      .withColumn("graft_hd", hd)
+      .withColumn("meta_directives", array_join(col("graft_md"), ","))
+      .withColumn("header_directives", array_join(col("graft_hd"), ","))
+      .withColumn("noindex",
+        restricts(col("graft_md"), "noindex") ||
+          restricts(col("graft_hd"), "noindex"))
+      .withColumn("nofollow",
+        restricts(col("graft_md"), "nofollow") ||
+          restricts(col("graft_hd"), "nofollow"))
+      .drop("graft_md", "graft_hd")
+  }
+
   def robotsGate(pages: DataFrame, urlCol: String = "url",
                  htmlCol: String = "html", payloadCol: String = "payload",
                  agent: String = "graftbot"): DataFrame = {

@@ -1214,6 +1214,76 @@ class StreamingCurationSpec extends SparkSpec {
       rows(expected(b1 ++ b2)))
   }
 
+  test("robots page gate link: noindex pages never reach the corpus " +
+    "split, nofollow pages never reach the frontier split (and their " +
+    "links never seed a frontier fed from it), crash-replay rewrites " +
+    "both outputs (zero dups)") {
+    import graft.runtime.{FrontierLink, RobotsPageGateLink}
+    val s = spark
+    import s.implicits._
+    // m=0 clean; m=1 meta noindex; m=2 header nofollow (links to a
+    // host that must never surface); m=3 header `none` (both)
+    def page(i: Int): (String, String, String) = {
+      val m = i % 4
+      val meta = if (m == 1) "<meta name=\"robots\" content=\"noindex\">"
+        else ""
+      val hdr = m match {
+        case 2 => "X-Robots-Tag: nofollow\r\n"
+        case 3 => "X-Robots-Tag: none\r\n"
+        case _ => ""
+      }
+      val target = if (m == 2 || m == 3) s"http://hidden$m.net/x"
+        else s"http://ok$i.org/next"
+      (s"http://rp.org/$i",
+        s"<html><head>$meta</head><body><a href='$target'>l</a></body></html>",
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$hdr\r\nbody")
+    }
+    val b1 = (0 until 8).map(page)
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-robots-gate").toString)
+    val link = new RobotsPageGateLink("rp_pages", "rp_corpus",
+      "rp_frontier_feed")
+    reg.write(b1.toDF("url", "html", "payload"), "rp_pages")
+    link.start(spark, reg).awaitTermination()
+    def urls(name: String) = reg.read(name).select("url").collect()
+      .map(_.getString(0)).toSet
+    val corpus = urls("rp_corpus")
+    val feed = urls("rp_frontier_feed")
+    // noindex (m=1) and none (m=3) are excluded from the corpus;
+    // nofollow (m=2) and none (m=3) from the frontier feed
+    assert(corpus === (0 until 8).filter(i => i % 4 == 0 || i % 4 == 2)
+      .map(i => s"http://rp.org/$i").toSet)
+    assert(feed === (0 until 8).filter(i => i % 4 == 0 || i % 4 == 1)
+      .map(i => s"http://rp.org/$i").toSet)
+    // batch parity with the shared gate, audit columns included
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val expected = RobotsPageGateLink.gate(
+      b1.toDF("url", "html", "payload"))
+    assert(rows(reg.read("rp_corpus").drop("batch")) ===
+      rows(expected.filter(!col("noindex")).drop("noindex", "nofollow")))
+    assert(rows(reg.read("rp_frontier_feed").drop("batch")) ===
+      rows(expected.filter(!col("nofollow")).drop("noindex", "nofollow")))
+    // a frontier fed from the split never sees a nofollow page's links
+    val frontier = new FrontierLink("rp_frontier_feed", "rp_crawled",
+      "rp_links", "rp_frontier", topKPerDomain = 3)
+    frontier.start(spark, reg).awaitTermination()
+    val fUrls = reg.read("rp_frontier").select("url").collect()
+      .map(_.getString(0)).toSet
+    assert(!fUrls.exists(_.contains("hidden")),
+      s"nofollow links leaked into the frontier: $fUrls")
+    assert(fUrls.exists(_.startsWith("http://ok")))
+    // crash-replay: batch 0 re-executes and REWRITES both outputs
+    val commits = new java.io.File(
+      reg.checkpointDir(link.name, "rp_corpus"), "commits")
+    assert(new java.io.File(commits, "0").delete())
+    new java.io.File(commits, ".0.crc").delete()
+    link.start(spark, reg).awaitTermination()
+    assert(urls("rp_corpus") === corpus)
+    assert(reg.read("rp_corpus").count() === corpus.size)
+    assert(urls("rp_frontier_feed") === feed)
+    assert(reg.read("rp_frontier_feed").count() === feed.size)
+  }
+
   test("segment export link: batches pack into target-sized segments " +
     "with a CDXJ index whose locators round-trip through " +
     "fetchByLocator — both layouts, ids unique across batches, " +
