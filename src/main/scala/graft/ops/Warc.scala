@@ -439,8 +439,10 @@ object Warc {
     * upstream here ([[wetRecords]], [[watRecords]], [[revisitDedup]])
     * emits RECORD COLUMNS that still need segment assignment and
     * locators before they are an archive. Per shard (`shardCol` — the
-    * caller's distribution key: a host bucket, a date, a q131-style
-    * shard id), records pack in `ordCol` order into segments of
+    * caller's NUMERIC distribution key: a host bucket, a day number,
+    * a q131-style shard id; a null or non-numeric shard raises — a
+    * null would otherwise collapse its rows into one unbounded
+    * null-id segment), records pack in `ordCol` order into segments of
     * `targetSegmentBytes` TARGET size (a record never splits; the
     * CommonCrawl convention is target-sized, not hard-capped — a
     * segment may overrun by less than one record). Output: the input
@@ -480,11 +482,15 @@ object Warc {
     val wSeg = Window.partitionBy(col(shardCol), col("graft_seg"))
     val wIdx = wSeg.orderBy(ordCol)
     withCum
-      // a shard overflowing 2^20 segments would silently collide ids —
-      // the guard rides INSIDE segment_id so no projection prune can
-      // optimize it away
+      // both guards ride INSIDE segment_id so no projection prune can
+      // optimize them away: a null shard would silently collapse its
+      // rows into one unbounded null-id segment, and a shard past 2^20
+      // segments would collide ids
       .withColumn("segment_id",
-        when(col("graft_seg") >= SegmentsPerShard,
+        when(col(shardCol).isNull,
+          raise_error(lit("packSegments: null shard — assign every " +
+            "record a numeric shard id")))
+        .when(col("graft_seg") >= SegmentsPerShard,
           raise_error(concat(lit("packSegments: shard "),
             col(shardCol).cast("string"),
             lit(s" exceeds $SegmentsPerShard segments — re-shard"))))
@@ -522,11 +528,19 @@ object Warc {
     * order. Compressed locators are NOT [[packSegments]]' plain
     * offsets — rebuild them with [[parseWarcIndex]] over this output
     * (exactly how real CDX indexes are built, and what the spec's
-    * fetch round-trip drives). */
+    * fetch round-trip drives).
+    *
+    * Assembly is a `mapGroups` with ONE linear ByteArrayOutputStream
+    * pass per segment — a fold of SQL `concat` over the member array
+    * (the small-fixture [[syntheticWarcGzipChunks]] idiom) re-copies
+    * the accumulated prefix per member, O(members · segment_bytes) at
+    * the 1 GB default target, and this is the PRODUCTION writer path.
+    * One segment materializes per group — segment-sized by
+    * construction (one writer's worth of bytes). */
   def segmentPayloadsGzip(spark: SparkSession, packed: DataFrame,
                           recCol: String = "warc_record"): DataFrame = {
     import spark.implicits._
-    val gz = packed
+    packed
       .select(col("segment_id"), col("rec_idx"),
         encode(col(recCol), "UTF-8").as("rec"))
       .as[(Long, Long, Array[Byte])]
@@ -536,13 +550,15 @@ object Warc {
         g.write(rec); g.close()
         (sid, ridx, out.toByteArray)
       })
-      .toDF("segment_id", "rec_idx", "gz")
-    gz.groupBy(col("segment_id").as("chunk_id"))
-      .agg(array_sort(collect_list(struct(col("rec_idx"), col("gz"))))
-        .as("members"))
-      .select(col("chunk_id"),
-        aggregate(col("members"), lit(Array.emptyByteArray),
-          (acc, m) => concat(acc, m.getField("gz"))).as("payload"))
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream(
+          members.iterator.map(_._3.length).sum)
+        members.foreach(m => out.write(m._3))
+        (sid, out.toByteArray)
+      }
+      .toDF("chunk_id", "payload")
   }
 
   /** Revisit RESOLUTION — the reader that turns a deduplicated archive
@@ -802,7 +818,11 @@ object Warc {
     * the two-phase global rank, never a single-partition corpus
     * window. The sampled boundaries affect only which task holds
     * which range; ranks are determined by the total order alone, so
-    * the output is deterministic. */
+    * the output is deterministic. The returned frame's lineage
+    * includes the sort AND zipWithIndex's extra count job —
+    * checkpoint/persist it (or write it out) before running MORE THAN
+    * ONE action over it (the summaries-then-lookup flow does exactly
+    * that), or each action re-runs both. */
   def cdxClusterIndex(spark: SparkSession, lines: DataFrame,
                       linesPerBlock: Long = 3000L,
                       urlkeyCol: String = "urlkey",

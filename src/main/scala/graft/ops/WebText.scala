@@ -902,25 +902,15 @@ object WebText {
       d => d =!= "")))
   }
 
-  /** The COMBINED robots verdict of a fetched page — `<meta
-    * name=robots>` AND `X-Robots-Tag` headers, most-restrictive-wins
-    * (a page is noindex/nofollow if EITHER channel says so — the rule
-    * every major engine documents; a pipeline honoring only the meta
-    * tag silently keeps every header-gated page, and non-HTML
-    * resources have no meta tag at all). One scan-stage projection
-    * over the fetched row — both channels' directive arrays compute
-    * side by side with NO self-join (two projections of the same
-    * frame joined on url would re-run both regex chains, the q156
-    * double-eval class). Output: `url`, `meta_directives`,
-    * `header_directives`, `noindex`, `nofollow`. */
-  /** [[robotsGate]] keeping EVERY input column: the two channels'
-    * directive arrays and the combined verdicts are APPENDED to the
-    * frame in one projection — no re-projection, no self-join (a
-    * verdict frame joined back on url would re-run both regex chains
-    * AND fan out on duplicate urls, the q156 double-eval class). The
-    * form a streaming gate composes
-    * ([[graft.runtime.RobotsPageGateLink]]). */
-  def robotsGateAll(pages: DataFrame, urlCol: String = "url",
+  /** The combined verdict columns APPENDED to the frame — every input
+    * column kept, `meta_directives` / `header_directives` / `noindex`
+    * / `nofollow` added in one projection: no re-projection, no
+    * self-join (a verdict frame joined back on url would re-run both
+    * regex chains AND fan out on duplicate urls, the q156 double-eval
+    * class). The form a streaming gate composes
+    * ([[graft.runtime.RobotsPageGateLink]]); [[robotsGate]] is its
+    * five-column projection. */
+  def robotsGateAll(pages: DataFrame,
                     htmlCol: String = "html",
                     payloadCol: String = "payload",
                     agent: String = "graftbot"): DataFrame = {
@@ -942,23 +932,22 @@ object WebText {
       .drop("graft_md", "graft_hd")
   }
 
+  /** The COMBINED robots verdict of a fetched page — `<meta
+    * name=robots>` AND `X-Robots-Tag` headers, most-restrictive-wins
+    * (a page is noindex/nofollow if EITHER channel says so — the rule
+    * every major engine documents; a pipeline honoring only the meta
+    * tag silently keeps every header-gated page, and non-HTML
+    * resources have no meta tag at all). One scan-stage projection
+    * over the fetched row ([[robotsGateAll]] — ONE directive/verdict
+    * construction shared by both forms, so the gates cannot drift).
+    * Output: `url`, `meta_directives`, `header_directives`,
+    * `noindex`, `nofollow`. */
   def robotsGate(pages: DataFrame, urlCol: String = "url",
                  htmlCol: String = "html", payloadCol: String = "payload",
-                 agent: String = "graftbot"): DataFrame = {
-    val md = metaRobotsDirectives(col(htmlCol))
-    val hd = headerRobotsDirectives(col(payloadCol), agent)
-    def restricts(dirs: Column, d: String): Column =
-      array_contains(dirs, d) || array_contains(dirs, "none")
-    pages
-      .select(col(urlCol).as("url"), md.as("graft_md"), hd.as("graft_hd"))
-      .select(col("url"),
-        array_join(col("graft_md"), ",").as("meta_directives"),
-        array_join(col("graft_hd"), ",").as("header_directives"),
-        (restricts(col("graft_md"), "noindex") ||
-          restricts(col("graft_hd"), "noindex")).as("noindex"),
-        (restricts(col("graft_md"), "nofollow") ||
-          restricts(col("graft_hd"), "nofollow")).as("nofollow"))
-  }
+                 agent: String = "graftbot"): DataFrame =
+    robotsGateAll(pages, htmlCol, payloadCol, agent)
+      .select(col(urlCol).as("url"), col("meta_directives"),
+        col("header_directives"), col("noindex"), col("nofollow"))
 
   /** Redirect-chain resolution over fetched responses: from per-URL
     * `(url, status, location)` records, walk the 3xx redirect graph up

@@ -38,7 +38,7 @@ import graft.ops.WebText
   * frame. Nothing accumulates, nothing shuffles. */
 class RobotsPageGateLink(input: String, corpusStream: String,
                          frontierStream: String,
-                         uriCol: String = "url", htmlCol: String = "html",
+                         htmlCol: String = "html",
                          payloadCol: String = "payload",
                          agent: String = "graftbot") extends Link {
   val inputs: Seq[String] = Seq(input)
@@ -52,7 +52,7 @@ class RobotsPageGateLink(input: String, corpusStream: String,
         registry.checkpointDir(name, corpusStream))
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val gated = RobotsPageGateLink.gate(batch, uriCol, htmlCol,
+        val gated = RobotsPageGateLink.gate(batch, htmlCol,
           payloadCol, agent).localCheckpoint()
         def declareAndWrite(stream: String, df: DataFrame): Unit = {
           val out = df.drop("noindex", "nofollow")
@@ -76,17 +76,17 @@ object RobotsPageGateLink {
     * the q156 double-eval rule). `payloadCol` = '' or absent from the
     * frame gates on the meta channel alone (the header channel scores
     * empty — non-restricted — by the null-coalescing rule). */
-  def gate(pages: DataFrame, uriCol: String = "url",
+  def gate(pages: DataFrame,
            htmlCol: String = "html", payloadCol: String = "payload",
            agent: String = "graftbot"): DataFrame = {
     val hasPayload = payloadCol.nonEmpty &&
       pages.columns.contains(payloadCol)
     if (hasPayload)
-      WebText.robotsGateAll(pages, uriCol, htmlCol, payloadCol, agent)
+      WebText.robotsGateAll(pages, htmlCol, payloadCol, agent)
     else
       WebText.robotsGateAll(
           pages.withColumn("graft_payload", lit(null).cast("string")),
-          uriCol, htmlCol, "graft_payload", agent)
+          htmlCol, "graft_payload", agent)
         .drop("graft_payload")
   }
 }
