@@ -13,36 +13,40 @@ import graft.ops.WebText
   * [[graft.ops.WebText.feedLinks]] found them — parses the entries
   * ([[graft.ops.WebText.feedEntries]], both vocabularies from one
   * call), RFC 3986-resolves each entry link against its feed URL
-  * (Atom relative hrefs are legal and common), and appends the
-  * http(s) targets to `linksOut` `(link)`. Point a [[FrontierLink]]'s
-  * `extraLinksStreams` at `linksOut` and feed-discovered URLs rank in
-  * the SAME frontier as page out-links — a URL surfaced by both
-  * channels counts both in-links, which is exactly the freshness
-  * boost a new article on a followed feed should get.
+  * (Atom relative hrefs are legal and common), and emits the
+  * http(s) targets to `linksOut` `(link, batch)`. Point a
+  * [[FrontierLink]]'s `extraLinksStreams` at `linksOut` and
+  * feed-discovered URLs rank in the SAME frontier as page out-links —
+  * a URL surfaced by both channels counts both in-links, which is
+  * exactly the freshness boost a new article on a followed feed
+  * should get.
   *
   * Scale shape: per batch, ONE scan Project (outer-span entry regex +
   * per-entry field reads, O(span)) + one explode over the batch —
   * no shuffle, no state; the accumulated `(link)` table is compact
-  * strings. Offsets are exactly-once via the link checkpoint; the
-  * append is at-least-once under a mid-batch crash like any
-  * foreachBatch sink (the frontier's in-link COUNTS tolerate replay
-  * inflation only until the next refresh dedups crawled targets —
-  * callers needing exact counts key on (feed url, entry link)). */
+  * strings. The output is EXACTLY-ONCE under a mid-batch crash, not
+  * merely its offsets: each micro-batch REWRITES its own `batch=<id>`
+  * partition ([[StreamRegistry.refreshPartition]] — the export-link
+  * discipline), which matters here specifically because the frontier
+  * COUNTS this stream: an at-least-once append would inflate a
+  * replayed entry's in-link evidence. */
 class FeedDiscoveryLink(input: String, linksOut: String) extends Link {
   val inputs: Seq[String] = Seq(input)
   val output: Option[String] = None // custom start: declared + written below
 
-  private val linkSchema = StructType(Seq(StructField("link", StringType)))
+  private val linkSchema = StructType(Seq(StructField("link", StringType),
+    StructField("batch", org.apache.spark.sql.types.LongType)))
 
   override def start(spark: SparkSession, registry: StreamRegistry,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     setup(spark)
-    registry.declare(linksOut, linkSchema)
+    registry.declare(linksOut, linkSchema, Seq("batch"))
     registry.readStream(input).writeStream
       .option("checkpointLocation", registry.checkpointDir(name, linksOut))
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        registry.write(FeedDiscoveryLink.entryLinks(batch), linksOut)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        registry.refreshPartition(linksOut, batchId,
+          FeedDiscoveryLink.entryLinks(batch))
       }
       .start()
   }

@@ -1078,6 +1078,21 @@ class StreamingCurationSpec extends SparkSpec {
     frontier.start(spark, reg).awaitTermination()
     assert(rows(reg.read("fd_frontier").drop("bucket")) === f2)
     assert(reg.read("fd_links").count() === 5)
+
+    // CRASH-replay of feed batch 1 (commit mark dropped): the
+    // batch=1 partition REWRITES — an append here would have inflated
+    // the replayed entries' in-link evidence on the next refresh
+    val commits = new java.io.File(
+      reg.checkpointDir(feedLink.name, "fd_links"), "commits")
+    assert(new java.io.File(commits, "1").delete())
+    new java.io.File(commits, ".1.crc").delete()
+    feedLink.start(spark, reg).awaitTermination()
+    assert(reg.read("fd_links").count() === 5) // zero duplicates
+    reg.write(Seq.empty[(String, String)].toDF("url", "html"), "fd_pages")
+    frontier.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("fd_frontier").drop("bucket")) === f2)
+    assert(rows(reg.read("fd_frontier").drop("bucket"))
+      .exists(r => r(1) === "http://alpha.org/a/2" && r(2) === 3L))
   }
 
   test("wet export link: the streamed records equal the batch plan, " +
