@@ -433,6 +433,13 @@ object Warc {
     * (guarded per row, never silent). */
   private[graft] val SegmentsPerShard: Long = 1L << 20
 
+  /** Hard cap on [[packSegments]]' `targetSegmentBytes` (1.5 GiB):
+    * [[segmentPayloads]]/[[segmentPayloadsGzip]] materialize one
+    * `Array[Byte]` row per segment, bounded at 2 GiB by the JVM —
+    * and a segment may overrun its target by one record, so the cap
+    * keeps headroom. Fails at pack time, not mid-assembly. */
+  val MaxTargetSegmentBytes: Long = (3L << 29) // 1.5 GiB
+
   /** PACK record strings into target-sized archive segments — the
     * writer-side sibling of [[parseWarcIndex]]'s reader contract: real
     * corpora ship as ~1 GB segment files plus an index, and everything
@@ -455,7 +462,20 @@ object Warc {
     * locators from [[parseWarcIndex]] over [[segmentPayloadsGzip]]
     * instead, exactly like real CDX builds). Every value is
     * re-derivable by running-sum windows, so q271 pins the whole
-    * packing against ground truth.
+    * packing against ground truth. `ordCol` need not be unique: both
+    * windows (the octet running sum and the index/offset assignment)
+    * share the `(ordCol, recCol)` ordering, so duplicate ord keys
+    * with different record lengths still pair each record's
+    * `rec_idx` with its OWN cumulative offset — two non-stable sorts
+    * ordered by ord alone could swap equal-ord records between the
+    * windows and silently cross-wire their locators.
+    *
+    * `targetSegmentBytes` is capped at 1.5 GiB: [[segmentPayloads]] /
+    * [[segmentPayloadsGzip]] materialize ONE `Array[Byte]` row per
+    * segment, and a target past ~2 GiB (the JVM array / Spark binary
+    * row bound) would fail deep inside the payload assembly instead
+    * of here — a segment may overrun its target by one record, so
+    * the cap leaves headroom under the hard limit.
     *
     * Scale shape: two windows per shard (running octet sum, then the
     * per-segment offset rebase) — per-partition cardinality is one
@@ -468,8 +488,15 @@ object Warc {
                    targetSegmentBytes: Long = 1L << 30): DataFrame = {
     require(targetSegmentBytes >= 1,
       s"targetSegmentBytes >= 1, got $targetSegmentBytes")
+    require(targetSegmentBytes <= MaxTargetSegmentBytes,
+      s"targetSegmentBytes $targetSegmentBytes exceeds " +
+        s"$MaxTargetSegmentBytes (1.5 GiB): segment payloads " +
+        "materialize as one Array[Byte] row each, and the 2 GiB JVM " +
+        "array bound would fail later, in the payload assembly — " +
+        "split the archive across more segments instead")
     import org.apache.spark.sql.expressions.Window
-    val wCum = Window.partitionBy(shardCol).orderBy(ordCol)
+    val wCum = Window.partitionBy(shardCol)
+      .orderBy(col(ordCol), col(recCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withCum = records
       .filter(col(recCol).isNotNull)
@@ -480,7 +507,7 @@ object Warc {
       .withColumn("graft_seg", call_function("div",
         col("graft_before"), lit(targetSegmentBytes)))
     val wSeg = Window.partitionBy(col(shardCol), col("graft_seg"))
-    val wIdx = wSeg.orderBy(ordCol)
+    val wIdx = wSeg.orderBy(col(ordCol), col(recCol))
     withCum
       // both guards ride INSIDE segment_id so no projection prune can
       // optimize them away: a null shard would silently collapse its

@@ -267,9 +267,18 @@ class FrontierLink(input: String, crawledStream: String,
         // re-scanning the channels once per touched bucket.
         val extras = FrontierLink.extrasCounts(registry,
           extraLinksStreams, numBuckets)
+        // extras force-touch ONLY buckets with no frontier partition
+        // yet (first materialization — nothing recorded a signature to
+        // diff against); thereafter the graft_extras side signature
+        // drives refreshes on CHANGE. Unconditional force-touch would
+        // rewrite every extras-populated bucket every batch even when
+        // no channel changed — exactly the ∝-touched-buckets claim
+        // this link makes.
         val extraTouched: Seq[Int] = extras
           .map(_.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq)
+            .collect().map(_.getInt(0)).toSeq
+            .filter(b => registry
+              .refreshPartitionMeta(frontierStream, b, "batch").isEmpty))
           .getOrElse(Nil)
         val sideSigs = FrontierLink.sideSignatures(registry, numBuckets,
           hostKeyed = Seq(robotsStream, historyStream, reputationStream,
@@ -607,8 +616,9 @@ object FrontierLink {
     *
     * Per side stream: one scan projecting
     * `(host-hash bucket, xxhash64(row))`, aggregated to ≤ numBuckets
-    * `(sum, count)` rows (order-insensitive content hash, map-side
-    * combined, collected control-plane) — side streams are the
+    * `(modular sum, count, bit_xor, min, max)` rows (order-insensitive
+    * content hash with four independent combiners, map-side combined,
+    * collected control-plane) — side streams are the
     * refresh's BOUNDED inputs by contract (the r14 whole-view refresh
     * re-read them per batch too; what must never re-scan per batch is
     * the count/crawled universe, and doesn't). Host-keyed streams
@@ -619,41 +629,49 @@ object FrontierLink {
   def sideSignatures(registry: StreamRegistry, numBuckets: Int,
                      hostKeyed: Seq[String], urlKeyed: Seq[String],
                      extras: Option[DataFrame]): Map[Int, String] = {
-    // row hashes fold via sum of bounded moduli (order-insensitive and
-    // overflow-proof under ANSI arithmetic: values < 2^30, so the sum
-    // stays in Long range for any realistic side-stream cardinality)
-    def sig(df: DataFrame, key: Column): Map[Int, (Long, Long)] =
-      df.select(StreamRegistry.bucketOf(key, numBuckets).as("graft_b"),
-          pmod(xxhash64(struct(df.columns.map(col): _*)),
-            lit(1000000007L)).as("graft_h"))
+    // per-row xxhash64 values fold with FOUR order-insensitive
+    // combiners — sum of bounded moduli (< 2^30 each, so the sum never
+    // overflows ANSI Long arithmetic), bit_xor of the FULL 64-bit
+    // hash, and the min/max full hashes — plus the row count. A
+    // (sum, count) pair alone could stay fixed under two offsetting
+    // row changes (equal count, colliding modular sums — ~2^-30, real
+    // at crawl-batch rates); a silent collision across ALL of xor,
+    // min, max AND the modular sum requires simultaneous independent
+    // 64-bit coincidences, which is not a plannable event.
+    def sig(df: DataFrame, bucketCol: Column,
+            content: Column): Map[Int, Seq[Long]] =
+      df.select(bucketCol.as("graft_b"),
+          xxhash64(content).as("graft_h"))
         .groupBy("graft_b")
-        .agg(sum("graft_h").as("graft_s"), count(lit(1)).as("graft_c"))
+        .agg(sum(pmod(col("graft_h"), lit(1000000007L))).as("graft_s"),
+          count(lit(1)).as("graft_c"),
+          call_function("bit_xor", col("graft_h")).as("graft_x"),
+          min("graft_h").as("graft_mn"), max("graft_h").as("graft_mx"))
         .collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        .map(r => r.getInt(0) -> Seq(r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     def existing(names: Seq[String]): Seq[String] =
       names.filter(n => n.nonEmpty && registry.exists(n)).distinct.sorted
-    val parts: Seq[(String, Map[Int, (Long, Long)])] =
+    val parts: Seq[(String, Map[Int, Seq[Long]])] =
       existing(hostKeyed).map { n =>
-        n -> sig(registry.read(n), col("host"))
+        val df = registry.read(n)
+        n -> sig(df, StreamRegistry.bucketOf(col("host"), numBuckets),
+          struct(df.columns.map(col): _*))
       } ++ existing(urlKeyed).map { n =>
-        n -> sig(registry.read(n),
-          graft.ops.WebText.registeredDomain(col("url")))
+        val df = registry.read(n)
+        n -> sig(df, StreamRegistry.bucketOf(
+            graft.ops.WebText.registeredDomain(col("url")), numBuckets),
+          struct(df.columns.map(col): _*))
       } ++ extras.map { e =>
         // extrasCounts is already bucketed — hash its rows per bucket
-        "graft_extras" -> e
-          .select(col("bucket").as("graft_b"),
-            pmod(xxhash64(struct(col("link"), col("host"),
-              col("inlinks"))), lit(1000000007L)).as("graft_h"))
-          .groupBy("graft_b")
-          .agg(sum("graft_h").as("graft_s"), count(lit(1)).as("graft_c"))
-          .collect()
-          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        "graft_extras" -> sig(e, col("bucket"),
+          struct(col("link"), col("host"), col("inlinks")))
       }
     (0 until numBuckets).map { b =>
       val d = java.security.MessageDigest.getInstance("MD5")
       parts.foreach { case (n, m) =>
-        val (s0, c0) = m.getOrElse(b, (0L, 0L))
-        d.update(s"$n=$s0,$c0;".getBytes(
+        val vals = m.getOrElse(b, Seq(0L, 0L, 0L, 0L, 0L))
+        d.update(s"$n=${vals.mkString(",")};".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
       }
       b -> d.digest().map("%02x".format(_)).mkString

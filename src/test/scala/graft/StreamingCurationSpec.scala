@@ -1073,6 +1073,25 @@ class StreamingCurationSpec extends SparkSpec {
     assert(f2.exists(r => r(1) === "http://alpha.org/a/2" && r(2) === 3L))
     assert(f2.exists(_(1) === "http://alpha.org/a/3"))
 
+    // an UNCHANGED extras channel must not rewrite any frontier
+    // bucket: batch 3 is empty pages + no feed change, so every
+    // frontier bucket directory rides through byte-identical (extras
+    // force-touch only buckets with no partition yet; thereafter the
+    // graft_extras side signature drives refreshes on change)
+    def frontierFiles(): Map[String, (Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (!d.exists()) Nil
+        else d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"${reg.root}/streams/fd_frontier"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val beforeIdle = frontierFiles()
+    reg.write(Seq.empty[(String, String)].toDF("url", "html"), "fd_pages")
+    frontier.start(spark, reg).awaitTermination()
+    assert(frontierFiles() === beforeIdle,
+      "idle batch with unchanged extras rewrote a frontier bucket")
+
     // replay with no new input on either stream: everything stays put
     feedLink.start(spark, reg).awaitTermination()
     frontier.start(spark, reg).awaitTermination()

@@ -408,6 +408,57 @@ class WarcSpec extends SparkSpec {
     assert(recs(fetchedGz) === recs(fetched))
   }
 
+  test("packSegments: duplicate ord keys pair each record's rec_idx " +
+    "with its OWN cumulative offset (shared (ord, record) tiebreaker " +
+    "across both windows) — locators round-trip byte-exact; target " +
+    "size is fail-fast capped at 1.5 GiB") {
+    val s = spark
+    import s.implicits._
+    // every row shares ONE ord key; record lengths all differ, so a
+    // cross-wired pairing (rec_idx from one sort order, rec_offset
+    // from another) would place locators mid-record and garble fetches
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .filter(col("text").isNotNull).limit(20)
+      .select(col("doc_id"), lit(0).as("shard"), lit(0L).as("ord"),
+        concat(lit("http://d.org/"), col("doc_id").cast("string"))
+          .as("url"),
+        col("text"))
+    val packed = Warc.packSegments(
+        Warc.wetRecords(docs).withColumnRenamed("wet_record", "warc_record"),
+        shardCol = "shard", ordCol = "ord", targetSegmentBytes = 1200L)
+      .localCheckpoint()
+    assert(packed.select("segment_id").distinct().count() > 1)
+    // per segment, offsets must be EXACTLY the running sum of
+    // rec_bytes in rec_idx order (any swap between the two windows
+    // breaks this for unequal lengths)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment_id").orderBy("rec_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    assert(packed.withColumn("graft_exp",
+        coalesce(sum("rec_bytes").over(w), lit(0L)))
+      .filter(col("rec_offset") =!= col("graft_exp")).count() === 0)
+    // and the locators dereference to the right documents
+    val fetched = Warc.fetchByLocator(spark, Warc.segmentPayloads(packed),
+      packed.select(col("segment_id").as("chunk_id"), col("rec_idx"),
+        col("rec_offset"), col("rec_bytes"), lit(true).as("valid"))).toDF()
+    assert(fetched.filter(!col("valid")).count() === 0)
+    assert(fetched.join(docs.select(col("url").as("target_uri"),
+        col("text")), Seq("target_uri"))
+      .filter(col("body") =!= col("text")).count() === 0)
+    assert(fetched.count() === 20)
+    // fail-fast guard: the boundary passes, one byte past it raises at
+    // PACK time (the 2 GiB per-row array bound would otherwise fail
+    // deep inside payload assembly)
+    Warc.packSegments(packed.select(col("shard"), col("ord"),
+      col("warc_record")), targetSegmentBytes = Warc.MaxTargetSegmentBytes)
+    val ex = intercept[IllegalArgumentException] {
+      Warc.packSegments(packed.select(col("shard"), col("ord"),
+        col("warc_record")),
+        targetSegmentBytes = Warc.MaxTargetSegmentBytes + 1)
+    }
+    assert(ex.getMessage.contains("1.5 GiB"))
+  }
+
   test("cdxClusterIndex: globally sorted fixed-size blocks whose " +
     "summaries drive the cluster.idx lookup — binary-search the entry " +
     "table, fetch ONE block, find the line") {
