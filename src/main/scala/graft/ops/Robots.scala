@@ -321,14 +321,41 @@ object Robots {
   }
 
   def backoffSchedule(history: DataFrame,
-                      baseDelayMs: Long = 1000L): DataFrame = {
-    require(baseDelayMs >= 0, s"negative baseDelayMs: $baseDelayMs")
+                      baseDelayMs: Long = 1000L): DataFrame =
+    backoffFromCounts(healthCounts(history), baseDelayMs)
+
+  /** The per-host fetch/error AGGREGATE [[backoffSchedule]] runs on —
+    * `(host, n_fetches, n_errors)` from raw `(host, status_code)`
+    * outcomes (error = 5xx or 429, the retryable server-side classes).
+    * Split out so the aggregate can be MAINTAINED incrementally
+    * ([[graft.runtime.HostHealthLink]] merges per-batch counts into a
+    * bucketed table — counts are associative, so per-batch partial
+    * aggregates sum to exactly this) instead of re-derived from the
+    * append-only fetch log on every consumer evaluation; the identity
+    * `backoffSchedule(log) == backoffFromCounts(healthCounts(log))`
+    * holds by construction. ONE host-keyed aggregate with map-side
+    * partial combine. */
+  def healthCounts(history: DataFrame): DataFrame = {
     val isErr = col("status_code") >= 500 || col("status_code") === 429
-    val agg = history.groupBy("host").agg(
+    history.groupBy("host").agg(
       count(lit(1)).as("n_fetches"),
       sum(when(isErr, 1L).otherwise(0L)).as("n_errors"))
+  }
+
+  /** The ladder half of [[backoffSchedule]], as a pure projection over
+    * a `(host, n_fetches, n_errors)` aggregate (extra columns ride
+    * through untouched): error share in integer micros, step-ladder
+    * `backoff_multiplier` (share ≥ 1/2 → 8×, ≥ 1/4 → 4×, ≥ 1/10 → 2×,
+    * else 1×) and `delay_ms`. Consuming a MAINTAINED aggregate here —
+    * the [[graft.runtime.HostHealthLink]] table — is the 100 TB shape:
+    * the raw fetch log grows with every fetch the crawl ever made,
+    * while this input stays host-cardinality. No shuffle, no window —
+    * a scan-stage CASE chain. */
+  def backoffFromCounts(health: DataFrame,
+                        baseDelayMs: Long = 1000L): DataFrame = {
+    require(baseDelayMs >= 0, s"negative baseDelayMs: $baseDelayMs")
     val share = graft.ops.Micros.ratio(col("n_errors"), col("n_fetches"))
-    agg
+    health
       .withColumn("error_micros", share)
       .withColumn("backoff_multiplier",
         when(col("error_micros") >= 500000L, lit(8L))

@@ -8641,6 +8641,74 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** The maintained host-health aggregate driving the frontier's
+    * ladder ([[graft.ops.Robots.healthCounts]] →
+    * [[graft.ops.Robots.backoffFromCounts]] →
+    * [[graft.runtime.FrontierLink.frontierFromCounts]]'s `health`
+    * input — the 100 TB path where the back-off input is the
+    * incremental [[graft.runtime.HostHealthLink]] table, never the
+    * raw fetch log). GROUND-TRUTH oracle by planted moduli: 7 hosts
+    * with EXACT error shares hid/10 (doc_id < 280 = 4 full 70-cycles,
+    * so every (mod 7, mod 10) residue pair appears exactly 4 times —
+    * shares 0 … 0.6 hit every ladder rung including the ≥ 100000 and
+    * ≥ 500000 boundaries exactly), the oracle re-deriving counts,
+    * floor-micros shares, multipliers, ranks and politeness slots
+    * from the same rows. The health frame carries the table's
+    * operability columns (`last_status`, `last_batch`) to pin that
+    * [[graft.ops.Robots.backoffFromCounts]] is a projection extra
+    * columns ride through. */
+  val q275HealthFrontier: Q = q("q275_health_frontier",
+    """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 280),
+      |l AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS hid,
+      |  'h' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS host,
+      |  'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.org/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  1 + doc_id % 3 AS inlinks FROM t),
+      |hh AS (SELECT hid, COUNT(*) AS n,
+      |  SUM(CASE WHEN doc_id % 10 < hid THEN 1 ELSE 0 END) AS e
+      |  FROM l GROUP BY hid),
+      |m AS (SELECT hid, CASE
+      |  WHEN (e * 1000000) // n >= 500000 THEN 8
+      |  WHEN (e * 1000000) // n >= 250000 THEN 4
+      |  WHEN (e * 1000000) // n >= 100000 THEN 2
+      |  ELSE 1 END AS mult FROM hh),
+      |f AS (SELECT * FROM l WHERE doc_id % 11 <> 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY host
+      |    ORDER BY inlinks DESC, url) AS rn FROM f),
+      |s AS (SELECT r.*, m.mult FROM r JOIN m ON r.hid = m.hid
+      |  WHERE rn <= 3)
+      |SELECT host AS domain, url, CAST(inlinks AS BIGINT) AS inlinks,
+      |  CAST(rn AS BIGINT) AS rank,
+      |  CAST(1000 * mult AS BIGINT) AS delay_ms,
+      |  CAST((rn - 1) * 1000 * mult AS BIGINT) AS not_before_ms
+      |FROM s ORDER BY domain, rank""".stripMargin) { (s, d) =>
+    import graft.ops.Robots
+    import graft.runtime.FrontierLink
+    val base = Tables.documents(s, d).filter(col("doc_id") < 280)
+    val hid = col("doc_id") % 7
+    val url = concat(lit("http://h"), hid.cast("string"), lit(".org/p/"),
+      col("doc_id").cast("string"))
+    val links = base
+      .select(url.as("link"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 3))
+          .as("graft_i"))
+      .select("link")
+    val crawled = base.filter(col("doc_id") % 11 === 0).select(url.as("url"))
+    // the raw outcomes EXIST (one row per fetch) — but the frontier
+    // consumes only their maintained aggregate, as a HostHealthLink
+    // table would be: healthCounts is the link's per-batch merge shape
+    val history = base.select(
+      concat(lit("h"), hid.cast("string"), lit(".org")).as("host"),
+      when(pmod(col("doc_id"), lit(10L)) < hid, 503).otherwise(200)
+        .as("status_code"))
+    val health = Robots.healthCounts(history)
+      .withColumn("last_status", lit(200))
+      .withColumn("last_batch", lit(0L))
+    FrontierLink.frontierPlan(links, crawled, None, "graftbot", 3,
+        None, 1000L, None, None, None, 0L, None, Some(health))
+      .orderBy("domain", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     q30ExactDedup, q31HashDedup, q32JaccardNeardup, q33MinhashLsh, q34Simhash,
     q36SimhashNeardup,
@@ -8699,5 +8767,6 @@ object PipelineQueries {
     q259HintedFrontier, q260CdxjExport, q261XRobots, q262RevisitDedup,
     q263FetchByLocator, q264HardNegatives, q265TrainingTriplets,
     q266RobotsGate, q267HttpResponseRecords, q268ResolveRevisits,
-    q269GlobalBitext, q270RetryAfter, q271PackSegments, q272CdxCluster)
+    q269GlobalBitext, q270RetryAfter, q271PackSegments, q272CdxCluster,
+    q275HealthFrontier)
 }

@@ -78,9 +78,23 @@ import graft.ops.{Robots, WebText}
   *    crawled audit log (which grows with the crawl);
   *  - optional `robotsStream` `(host, robots_txt)` — admission rules +
   *    crawl delays; absent ⇒ every URL admitted at the default delay;
-  *  - optional `historyStream` `(host, status_code)` — fetch outcomes;
-  *    when present, hosts with high 5xx/429 shares back off
-  *    ([[graft.ops.Robots.backoffSchedule]] step ladder);
+  *  - optional `historyStream` `(host, status_code)` — RAW fetch
+  *    outcomes; when present, hosts with high 5xx/429 shares back off
+  *    ([[graft.ops.Robots.backoffSchedule]] step ladder). The raw log
+  *    is re-aggregated per evaluation — fine for bounded deployments,
+  *    but on a long crawl the log is append-only and grows with every
+  *    fetch the loop itself makes: prefer `healthStream`;
+  *  - optional `healthStream` — the MAINTAINED `(host, n_fetches,
+  *    n_errors, …)` aggregate table a [[HostHealthLink]] keeps over
+  *    the same outcomes, hive-partitioned by the SAME host-hash
+  *    modulus ([[StreamRegistry.pinBucketCount]] enforces it; set one
+  *    of `historyStream`/`healthStream`, not both). The ladder input
+  *    becomes [[graft.ops.Robots.backoffFromCounts]] — identical
+  *    output by the `backoffSchedule == backoffFromCounts ∘
+  *    healthCounts` identity — but each bucket's refresh reads ONE
+  *    health partition and the side fingerprint is the partition's
+  *    file manifest, so NOTHING in the refresh path scans the raw
+  *    fetch log (the 100 TB shape; spec-pinned by the plan walk);
   *  - optional hint streams blended into the frontier's ORDER (the
   *    [[FrontierLink.frontierFromCounts]] integer-micros score —
   *    q259's batch contract): `hintsStream` `(url, changefreq)`
@@ -88,7 +102,17 @@ import graft.ops.{Robots, WebText}
   *    (publish dates aged against `nowMs`, q245), and
   *    `reputationStream` `(host, pass_rate_micros)` (domain quality,
   *    q201). Absent streams score neutral, so a hint-free loop ranks
-  *    exactly as before;
+  *    exactly as before. ANY side stream (rules, hints, dates,
+  *    reputation, retry, health) may be laid out as a bucketed table
+  *    (`bucket` hive partition under the SAME pinned modulus — a
+  *    [[BucketedSideLink]]/[[HostHealthLink]] output): the refresh
+  *    then reads each bucket's PARTITION instead of the whole stream
+  *    and fingerprints its file manifest instead of hashing its rows,
+  *    which is what keeps url-keyed channels (corpus-shaped at crawl
+  *    scale) out of the per-batch scan set. Partition reads are
+  *    semantically exact because every side join keys on the same
+  *    host (or the url's registered domain) the bucketing hashes —
+  *    a side row can only affect frontier rows in its own bucket;
   *  - optional `retryStream` `(host, retry_after_ms)` — explicit
   *    429/503 `Retry-After` demands
   *    ([[graft.ops.Robots.retryAfterDemands]]): a demanding host's
@@ -146,10 +170,14 @@ class FrontierLink(input: String, crawledStream: String,
                    hintsStream: String = "", datesStream: String = "",
                    reputationStream: String = "",
                    nowMs: Long = 0L,
-                   retryStream: String = "") extends Link {
+                   retryStream: String = "",
+                   healthStream: String = "") extends Link {
   require(topKPerDomain >= 1, s"topKPerDomain >= 1, got $topKPerDomain")
   require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
   require(numBuckets >= 1, s"numBuckets >= 1, got $numBuckets")
+  require(historyStream.isEmpty || healthStream.isEmpty,
+    "set historyStream (raw log) OR healthStream (maintained " +
+      "aggregate), not both — two ladder inputs would double-join")
   val inputs: Seq[String] = Seq(input)
   val output: Option[String] = None // custom start: four streams below
 
@@ -187,6 +215,11 @@ class FrontierLink(input: String, crawledStream: String,
     registry.pinBucketCount(countsName, numBuckets)
     registry.pinBucketCount(crawledSetName, numBuckets)
     registry.pinBucketCount(frontierStream, numBuckets)
+    // a bucketed health table must share the modulus (its partitions
+    // are read per frontier bucket) — pinning here makes a mismatched
+    // HostHealthLink fail loudly at ITS start, not silently misread
+    if (healthStream.nonEmpty)
+      registry.pinBucketCount(healthStream, numBuckets)
     registry.readStream(input).writeStream
       .option("checkpointLocation",
         registry.checkpointDir(name, frontierStream))
@@ -282,7 +315,7 @@ class FrontierLink(input: String, crawledStream: String,
           .getOrElse(Nil)
         val sideSigs = FrontierLink.sideSignatures(registry, numBuckets,
           hostKeyed = Seq(robotsStream, historyStream, reputationStream,
-            retryStream),
+            retryStream, healthStream),
           urlKeyed = Seq(hintsStream, datesStream), extras = extras)
         val sideChanged: Seq[Int] = (0 until numBuckets).filter { bkt =>
           registry.refreshPartitionMeta(frontierStream, bkt, "batch")
@@ -304,7 +337,7 @@ class FrontierLink(input: String, crawledStream: String,
                 crawledSetName, bkt, extras, robotsStream,
                 historyStream, agent, topKPerDomain, defaultDelayMs,
                 hintsStream, datesStream, reputationStream, nowMs,
-                retryStream),
+                retryStream, healthStream),
               Map("batch" -> batchId.toString,
                 "sides" -> sideSigs(bkt)))
           }
@@ -395,7 +428,8 @@ object FrontierLink {
                          dates: Option[DataFrame] = None,
                          reputation: Option[DataFrame] = None,
                          nowMs: Long = 0L,
-                         retry: Option[DataFrame] = None): DataFrame = {
+                         retry: Option[DataFrame] = None,
+                         health: Option[DataFrame] = None): DataFrame = {
     val fresh = counts.join(crawled.select(col("url").as("link")).distinct(),
       Seq("link"), "left_anti")
     val gated = robots match {
@@ -471,10 +505,18 @@ object FrontierLink {
         .select(col("host"), col("crawl_delay_ms")), Seq("host"), "left")
       case None => ranked.withColumn("crawl_delay_ms", lit(null).cast("long"))
     }
-    val withMult = history match {
-      case Some(h) => withDelay.join(Robots.backoffSchedule(h)
+    // the ladder multiplier comes from the RAW log (`history`,
+    // re-aggregated here) or the MAINTAINED aggregate (`health` —
+    // (host, n_fetches, n_errors) rows, the HostHealthLink table):
+    // identical output by the backoffSchedule == backoffFromCounts ∘
+    // healthCounts identity, but the aggregate input stays
+    // host-cardinality where the log grows with every fetch ever made
+    val withMult = (history, health) match {
+      case (Some(h), _) => withDelay.join(Robots.backoffSchedule(h)
         .select(col("host"), col("backoff_multiplier")), Seq("host"), "left")
-      case None =>
+      case (None, Some(hc)) => withDelay.join(Robots.backoffFromCounts(hc)
+        .select(col("host"), col("backoff_multiplier")), Seq("host"), "left")
+      case _ =>
         withDelay.withColumn("backoff_multiplier", lit(null).cast("long"))
     }
     // explicit Retry-After demands (`retry` = (host, retry_after_ms),
@@ -521,9 +563,11 @@ object FrontierLink {
                    dates: Option[DataFrame] = None,
                    reputation: Option[DataFrame] = None,
                    nowMs: Long = 0L,
-                   retry: Option[DataFrame] = None): DataFrame =
+                   retry: Option[DataFrame] = None,
+                   health: Option[DataFrame] = None): DataFrame =
     frontierFromCounts(linkCounts(links), crawled, robots, history, agent,
-      topKPerDomain, defaultDelayMs, hints, dates, reputation, nowMs, retry)
+      topKPerDomain, defaultDelayMs, hints, dates, reputation, nowMs, retry,
+      health)
 
   /** ONE bucket's slice of the frontier view — the DataFrame a
     * [[FrontierLink]] refresh materializes per TOUCHED bucket: the
@@ -545,11 +589,13 @@ object FrontierLink {
                         hintsStream: String = "", datesStream: String = "",
                         reputationStream: String = "",
                         nowMs: Long = 0L,
-                        retryStream: String = ""): DataFrame =
+                        retryStream: String = "",
+                        healthStream: String = ""): DataFrame =
     refreshBucketPlanFrom(registry, countsStream, crawledSetStream,
       bucket, extrasCounts(registry, extraLinksStreams, numBuckets),
       robotsStream, historyStream, agent, topKPerDomain, defaultDelayMs,
-      hintsStream, datesStream, reputationStream, nowMs, retryStream)
+      hintsStream, datesStream, reputationStream, nowMs, retryStream,
+      healthStream)
 
   /** The extra discovery channels aggregated ONCE into a bucketed
     * `(link, host, inlinks, bucket)` frame (None with no channels) —
@@ -570,7 +616,14 @@ object FrontierLink {
 
   /** [[refreshBucketPlan]] over a PRE-AGGREGATED extras frame (the
     * [[extrasCounts]] shape) — the form the refresh loop uses so the
-    * extra channels are not re-scanned per bucket. */
+    * extra channels are not re-scanned per bucket. Side streams laid
+    * out as bucketed tables (SAME pinned modulus as the count store —
+    * required, a different modulus would silently read the wrong
+    * bucket) are read as ONE partition here; flat side streams read
+    * whole (bounded by contract). The partition read is exact: every
+    * side join keys on the host (or the url's registered domain) the
+    * bucketing hashes, so rows outside bucket `b` can never join
+    * bucket `b`'s count rows. */
   def refreshBucketPlanFrom(registry: StreamRegistry,
                             countsStream: String,
                             crawledSetStream: String, bucket: Int,
@@ -582,7 +635,8 @@ object FrontierLink {
                             datesStream: String = "",
                             reputationStream: String = "",
                             nowMs: Long = 0L,
-                            retryStream: String = ""): DataFrame = {
+                            retryStream: String = "",
+                            healthStream: String = ""): DataFrame = {
     val base = registry.readPartition(countsStream, bucket)
     val counts = extras match {
       case None => base
@@ -590,14 +644,24 @@ object FrontierLink {
         .unionByName(e.filter(col("bucket") === bucket).drop("bucket"))
         .groupBy("link", "host").agg(sum("inlinks").as("inlinks"))
     }
+    val modulus = registry.bucketCountOf(countsStream)
     def opt(name: String): Option[DataFrame] =
-      if (name.nonEmpty && registry.exists(name)) Some(registry.read(name))
-      else None
+      if (name.isEmpty || !registry.exists(name)) None
+      else if (registry.partitionsOf(name) == Seq("bucket")) {
+        require(modulus.isDefined &&
+          registry.bucketCountOf(name) == modulus,
+          s"bucketed side stream '$name' uses modulus " +
+            s"${registry.bucketCountOf(name).getOrElse("<unpinned>")} " +
+            s"but the count store '$countsStream' is pinned to " +
+            s"${modulus.getOrElse("<unpinned>")} — per-bucket side " +
+            "reads need ONE modulus")
+        Some(registry.readPartition(name, bucket))
+      } else Some(registry.read(name))
     frontierFromCounts(counts,
       registry.readPartition(crawledSetStream, bucket),
       opt(robotsStream), opt(historyStream), agent, topKPerDomain,
       defaultDelayMs, opt(hintsStream), opt(datesStream),
-      opt(reputationStream), nowMs, opt(retryStream))
+      opt(reputationStream), nowMs, opt(retryStream), opt(healthStream))
   }
 
   /** PER-BUCKET fingerprints of the refresh's bounded SIDE streams —
@@ -614,18 +678,29 @@ object FrontierLink {
     * bucket's signature alone, and h's bucket is usually already in
     * the touched set.
     *
-    * Per side stream: one scan projecting
+    * Per FLAT side stream: one scan projecting
     * `(host-hash bucket, xxhash64(row))`, aggregated to ≤ numBuckets
     * `(modular sum, count, bit_xor, min, max)` rows (order-insensitive
     * content hash with four independent combiners, map-side combined,
-    * collected control-plane) — side streams are the
+    * collected control-plane) — flat side streams are the
     * refresh's BOUNDED inputs by contract (the r14 whole-view refresh
     * re-read them per batch too; what must never re-scan per batch is
     * the count/crawled universe, and doesn't). Host-keyed streams
     * hash their `host` column; url-keyed hint streams hash
     * `registeredDomain(url)` — the same bucketing as the count table,
     * so a side row lands in exactly the bucket whose frontier rows it
-    * can affect. */
+    * can affect.
+    *
+    * A side stream laid out as a BUCKETED table (same pinned modulus
+    * — [[HostHealthLink]] / [[BucketedSideLink]] outputs) is never
+    * scanned at all: its per-bucket fingerprint is the partition's
+    * FILE MANIFEST ([[StreamRegistry.partitionManifest]] — rotates
+    * write fresh uniquely-named part files, appends add files, so the
+    * manifest changes exactly when the partition's contents can
+    * have). That is what takes the log-shaped channels (fetch
+    * history via the health table, url-keyed hints/dates) out of the
+    * per-batch scan set entirely: numBuckets FS listings per stream,
+    * zero rows read. */
   def sideSignatures(registry: StreamRegistry, numBuckets: Int,
                      hostKeyed: Seq[String], urlKeyed: Seq[String],
                      extras: Option[DataFrame]): Map[Int, String] = {
@@ -652,26 +727,43 @@ object FrontierLink {
           r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     def existing(names: Seq[String]): Seq[String] =
       names.filter(n => n.nonEmpty && registry.exists(n)).distinct.sorted
-    val parts: Seq[(String, Map[Int, Seq[Long]])] =
+    def contentPart(n: String, key: Column): (String, Int => String) = {
+      val df = registry.read(n)
+      val m = sig(df, StreamRegistry.bucketOf(key, numBuckets),
+        struct(df.columns.map(col): _*))
+      n -> ((b: Int) => m.getOrElse(b, Seq(0L, 0L, 0L, 0L, 0L))
+        .mkString(","))
+    }
+    // bucketed tables (same modulus, enforced like the refresh reads)
+    // fingerprint by FILE MANIFEST — no data scan
+    def manifestPart(n: String): (String, Int => String) = {
+      require(registry.bucketCountOf(n).contains(numBuckets),
+        s"bucketed side stream '$n' uses modulus " +
+          s"${registry.bucketCountOf(n).getOrElse("<unpinned>")} but " +
+          s"this refresh uses $numBuckets")
+      n -> ((b: Int) => registry.partitionManifest(n, b)
+        .map { case (f, sz) => s"$f:$sz" }.mkString(","))
+    }
+    def isBucketed(n: String): Boolean =
+      registry.partitionsOf(n) == Seq("bucket")
+    val parts: Seq[(String, Int => String)] =
       existing(hostKeyed).map { n =>
-        val df = registry.read(n)
-        n -> sig(df, StreamRegistry.bucketOf(col("host"), numBuckets),
-          struct(df.columns.map(col): _*))
+        if (isBucketed(n)) manifestPart(n)
+        else contentPart(n, col("host"))
       } ++ existing(urlKeyed).map { n =>
-        val df = registry.read(n)
-        n -> sig(df, StreamRegistry.bucketOf(
-            graft.ops.WebText.registeredDomain(col("url")), numBuckets),
-          struct(df.columns.map(col): _*))
+        if (isBucketed(n)) manifestPart(n)
+        else contentPart(n, graft.ops.WebText.registeredDomain(col("url")))
       } ++ extras.map { e =>
         // extrasCounts is already bucketed — hash its rows per bucket
-        "graft_extras" -> sig(e, col("bucket"),
+        val m = sig(e, col("bucket"),
           struct(col("link"), col("host"), col("inlinks")))
+        "graft_extras" -> ((b: Int) =>
+          m.getOrElse(b, Seq(0L, 0L, 0L, 0L, 0L)).mkString(","))
       }
     (0 until numBuckets).map { b =>
       val d = java.security.MessageDigest.getInstance("MD5")
-      parts.foreach { case (n, m) =>
-        val vals = m.getOrElse(b, Seq(0L, 0L, 0L, 0L, 0L))
-        d.update(s"$n=${vals.mkString(",")};".getBytes(
+      parts.foreach { case (n, f) =>
+        d.update(s"$n=${f(b)};".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
       }
       b -> d.digest().map("%02x".format(_)).mkString
@@ -695,7 +787,8 @@ object FrontierLink {
                   hintsStream: String = "", datesStream: String = "",
                   reputationStream: String = "",
                   nowMs: Long = 0L,
-                  retryStream: String = ""): DataFrame = {
+                  retryStream: String = "",
+                  healthStream: String = ""): DataFrame = {
     // the bucket column is merge-path layout, not frontier input
     val base = registry.read(countsStream).select("link", "host", "inlinks")
     val extras = extraLinksStreams.filter(registry.exists)
@@ -704,12 +797,16 @@ object FrontierLink {
       if (extras.isEmpty) base
       else (base +: extras).reduce(_ unionByName _)
         .groupBy("link", "host").agg(sum("inlinks").as("inlinks"))
+    // the whole-view reference reads side streams whole either way; a
+    // bucketed side table's layout column is dropped (merge-path
+    // metadata, not frontier input)
     def opt(name: String): Option[DataFrame] =
-      if (name.nonEmpty && registry.exists(name)) Some(registry.read(name))
+      if (name.nonEmpty && registry.exists(name))
+        Some(registry.read(name).drop("bucket"))
       else None
     frontierFromCounts(counts, registry.read(crawledStream),
       opt(robotsStream), opt(historyStream), agent, topKPerDomain,
       defaultDelayMs, opt(hintsStream), opt(datesStream),
-      opt(reputationStream), nowMs, opt(retryStream))
+      opt(reputationStream), nowMs, opt(retryStream), opt(healthStream))
   }
 }

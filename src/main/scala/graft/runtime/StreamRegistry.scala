@@ -362,6 +362,37 @@ class StreamRegistry(spark: SparkSession, val root: String,
     }
   }
 
+  /** The pinned bucket modulus of a [[pinBucketCount]]-declared stream
+    * (None when never pinned). Consumers that read a bucketed side
+    * table PER PARTITION must require it equals their own modulus —
+    * a mismatched modulus would silently read the wrong bucket. */
+  def bucketCountOf(name: String): Option[Int] =
+    readTextIfExists(s"$root/schemas/$name.buckets").map(_.trim.toInt)
+
+  /** The file manifest of one partition directory — sorted
+    * `(file name, byte size)` pairs, Nil when the partition doesn't
+    * exist. A control-plane CHANGE FINGERPRINT for
+    * [[refreshPartition]]-maintained tables: every rotate writes fresh
+    * uniquely-named part files and every append adds files, so the
+    * manifest changes exactly when the partition's contents can have —
+    * one FS listing, zero data scanned (the
+    * [[graft.runtime.FrontierLink.sideSignatures]] path for bucketed
+    * side tables, where hashing the rows would re-read the table per
+    * batch). */
+  def partitionManifest(name: String, partValue: Any): Seq[(String, Long)] = {
+    recover(name)
+    val parts = partitionsOf(name)
+    require(parts.length == 1,
+      s"partitionManifest lists single-column hive layouts; '$name' " +
+        s"is partitioned by $parts")
+    val (p, fs) = fsFor(s"${streamDir(name)}/${parts.head}=$partValue")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .map(st => st.getPath.getName -> st.getLen)
+      .sortBy(_._1)
+  }
+
   /** Read back a `_<key>` metadata file written by [[refreshPartition]]
     * (None when the stream, partition, or key doesn't exist). */
   def refreshPartitionMeta(name: String, partValue: Any,

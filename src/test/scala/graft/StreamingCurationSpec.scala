@@ -1547,4 +1547,220 @@ class StreamingCurationSpec extends SparkSpec {
     pipeline.runOnce(spark, reg)
     assert(streams.map(s => reg.read(s).count()) === before)
   }
+
+  test("incremental host-health table: the frontier's back-off input is " +
+    "the maintained aggregate — parity with the raw-log ladder, refresh " +
+    "plan reads ONE health partition and never the fetch log, raw-log " +
+    "appends alone are invisible until merged, health-only batches " +
+    "propagate via the manifest signature, crash-replay never double-" +
+    "counts") {
+    import graft.ops.{Robots, WebText}
+    import graft.runtime.{FrontierLink, HostHealthLink}
+    val s = spark
+    import s.implicits._
+    def bucketOf(host: String): Int =
+      Seq(host).toDF("h")
+        .select(FrontierLink.bucketOf(col("h"), 16)).head().getInt(0)
+    val alphaB = bucketOf("alpha.org")
+    val other = Seq("bravo.net", "carol.com", "delta.io", "echo.org")
+      .find(bucketOf(_) != alphaB).get
+    val otherB = bucketOf(other)
+    val seed = Seq("seed2.org", "seed3.net", "seed4.com", "seed5.io")
+      .find(h => bucketOf(h) != otherB && bucketOf(h) != alphaB).get
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-health-stream").toString)
+    val health = new HostHealthLink("hh_hist", "hh_health")
+    val frontier = new FrontierLink("hh_pages", "hh_crawled", "hh_links",
+      "hh_frontier", topKPerDomain = 3, healthStream = "hh_health")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def expected(pages: Seq[(String, String)]): DataFrame = {
+      val pdf = pages.toDF("url", "html")
+      FrontierLink.frontierPlan(
+        WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
+        pdf.select("url"), None, "graftbot", 3,
+        history = Some(reg.read("hh_hist")))
+    }
+
+    // batch 1: links into both buckets; alpha.org is DISTRESSED (2/4
+    // server errors → share 1/2 → ladder 8×)
+    val h1 = Seq(("alpha.org", 500), ("alpha.org", 503),
+      ("alpha.org", 200), ("alpha.org", 200), (other, 200))
+    reg.write(h1.toDF("host", "status_code"), "hh_hist")
+    health.start(spark, reg).awaitTermination()
+    val b1 = Seq((s"http://$seed/p",
+      s"<a href='http://alpha.org/a'>1</a><a href='http://$other/x'>2</a>"))
+    reg.write(b1.toDF("url", "html"), "hh_pages")
+    frontier.start(spark, reg).awaitTermination()
+
+    // the maintained aggregate IS the log's aggregate, and the ladder
+    // over it IS the raw-log ladder
+    assert(rows(reg.read("hh_health")
+        .select("host", "n_fetches", "n_errors")) ===
+      rows(Robots.healthCounts(reg.read("hh_hist"))))
+    assert(rows(Robots.backoffFromCounts(reg.read("hh_health")
+        .select("host", "n_fetches", "n_errors"))) ===
+      rows(Robots.backoffSchedule(reg.read("hh_hist"))))
+    // last_status/last_batch: the worst status of the most recent
+    // batch that touched the host
+    assert(rows(reg.read("hh_health")
+        .select("host", "last_status", "last_batch")) ===
+      Set(Seq("alpha.org", 503, 0L), Seq(other, 200, 0L)))
+    // frontier parity with the RAW-log reference plan (the aggregate
+    // path must be invisible in the output), and the 8× ladder landed
+    val f1 = rows(reg.read("hh_frontier").drop("bucket"))
+    assert(f1 === rows(expected(b1)))
+    assert(f1.exists(r => r(1) === "http://alpha.org/a" && r(4) === 8000L))
+
+    // THE 100 TB pin: a bucket's refresh plan reads its count,
+    // crawled-set and HEALTH partitions — never the raw fetch log and
+    // never a whole table
+    val scanPaths = FrontierLink.refreshBucketPlan(reg,
+        "hh_frontier_counts", "hh_frontier_crawled_set", alphaB, 16, Nil,
+        "", "", "graftbot", 3, 1000L, healthStream = "hh_health")
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    assert(scanPaths.nonEmpty)
+    assert(!scanPaths.exists(_.contains("hh_hist")), scanPaths)
+    assert(scanPaths.forall(p =>
+      p.contains(s"hh_frontier_counts/bucket=$alphaB") ||
+        p.contains(s"hh_frontier_crawled_set/bucket=$alphaB") ||
+        p.contains(s"hh_health/bucket=$alphaB")), scanPaths)
+
+    // raw-log appends alone are INVISIBLE to the refresh (nothing in
+    // the loop reads the log): new history rows without a health merge
+    // change no frontier bucket
+    def frontierFiles(): Map[String, (Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (!d.exists()) Nil
+        else d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"${reg.root}/streams/hh_frontier"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val h2 = Seq(("alpha.org", 200), ("alpha.org", 200),
+      ("alpha.org", 200), ("alpha.org", 200))
+    reg.write(h2.toDF("host", "status_code"), "hh_hist")
+    val beforeRaw = frontierFiles()
+    reg.write(Seq.empty[(String, String)].toDF("url", "html"), "hh_pages")
+    frontier.start(spark, reg).awaitTermination()
+    assert(frontierFiles() === beforeRaw,
+      "a raw-log append without a health merge rewrote a frontier bucket")
+
+    // ...and the MERGE propagates through the manifest signature: a
+    // health-only batch (no links, no crawls) refreshes EXACTLY
+    // alpha's bucket — the 8 recovery fetches drop the share to 1/4
+    // (ladder 4×) — while the other bucket rides through byte-identical
+    health.start(spark, reg).awaitTermination()
+    val beforeMerge = frontierFiles()
+    reg.write(Seq.empty[(String, String)].toDF("url", "html"), "hh_pages")
+    frontier.start(spark, reg).awaitTermination()
+    val afterMerge = frontierFiles()
+    assert(afterMerge !== beforeMerge)
+    assert(afterMerge.filter(_._1.contains(s"bucket=$otherB")) ===
+      beforeMerge.filter(_._1.contains(s"bucket=$otherB")),
+      "a health merge for alpha's bucket rewrote the other bucket")
+    val f2 = rows(reg.read("hh_frontier").drop("bucket"))
+    assert(f2 === rows(expected(b1)))
+    assert(f2.exists(r => r(1) === "http://alpha.org/a" && r(4) === 4000L))
+
+    // crash-replay of the HEALTH merge: drop the commit mark (and its
+    // crc — ChecksumFileSystem would fail the re-created commit's
+    // rename otherwise) and re-run; counts must not inflate
+    val commits = new java.io.File(
+      reg.checkpointDir(health.name, "hh_health"), "commits")
+    assert(new java.io.File(commits, "1").delete())
+    new java.io.File(commits, ".1.crc").delete()
+    health.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("hh_health")
+        .select("host", "n_fetches", "n_errors")) ===
+      rows(Robots.healthCounts(reg.read("hh_hist"))))
+    assert(reg.read("hh_health").filter(col("host") === "alpha.org")
+      .select("n_fetches").head().getLong(0) === 8L)
+  }
+
+  test("bucketed url-keyed side channel: a BucketedSideLink dates table " +
+    "feeds the frontier identically to the flat stream, per-bucket " +
+    "refresh reads ONE dates partition, distinct-set merge is " +
+    "exactly-once under replay") {
+    import graft.ops.WebText
+    import graft.runtime.{BucketedSideLink, FrontierLink}
+    val s = spark
+    import s.implicits._
+    def bucketOf(host: String): Int =
+      Seq(host).toDF("h")
+        .select(FrontierLink.bucketOf(col("h"), 16)).head().getInt(0)
+    val alphaB = bucketOf("alpha.org")
+
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-sidedates-stream").toString)
+    val sideLink = new BucketedSideLink("sd_dates_raw", "sd_dates",
+      urlCol = "url")
+    val now = 1755000000000L
+    val frontier = new FrontierLink("sd_pages", "sd_crawled", "sd_links",
+      "sd_frontier", topKPerDomain = 2, datesStream = "sd_dates",
+      nowMs = now)
+
+    // dates for alpha's urls (one DUPLICATE row — the distinct set
+    // must hold it once) land in alpha's bucket via registeredDomain
+    val d1 = Seq(("http://alpha.org/a", now - 86400000L),
+      ("http://alpha.org/a", now - 86400000L),
+      ("http://alpha.org/b", now - 200L * 86400000L))
+    reg.write(d1.toDF("url", "published_ms"), "sd_dates_raw")
+    sideLink.start(spark, reg).awaitTermination()
+    assert(reg.read("sd_dates").count() === 2)
+    assert(reg.read("sd_dates").select("bucket").distinct()
+      .head().getInt(0) === alphaB)
+
+    val b1 = Seq(("http://seed.org/p",
+      "<a href='http://alpha.org/a'>1</a><a href='http://alpha.org/b'>2</a>" +
+        "<a href='http://alpha.org/c'>3</a>"))
+    reg.write(b1.toDF("url", "html"), "sd_pages")
+    frontier.start(spark, reg).awaitTermination()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    // parity with the FLAT-stream reference plan: layout must be
+    // invisible in the ranking (fresh /a outranks 200-day-old /b)
+    val pdf = b1.toDF("url", "html")
+    val f1 = rows(reg.read("sd_frontier").drop("bucket"))
+    assert(f1 === rows(FrontierLink.frontierPlan(
+      WebText.resolvedLinkRows(pdf, "url", "html").select("link"),
+      pdf.select("url"), None, "graftbot", 2, None, 1000L,
+      None, Some(d1.toDF("url", "published_ms")), None, now)))
+    assert(f1.exists(r => r(1) === "http://alpha.org/a" && r(3) === 1L))
+
+    // the per-bucket refresh reads the dates PARTITION, not the whole
+    // table and not the raw channel
+    val scanPaths = FrontierLink.refreshBucketPlan(reg,
+        "sd_frontier_counts", "sd_frontier_crawled_set", alphaB, 16, Nil,
+        "", "", "graftbot", 2, 1000L, datesStream = "sd_dates",
+        nowMs = now)
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    assert(scanPaths.nonEmpty)
+    assert(!scanPaths.exists(_.contains("sd_dates_raw")), scanPaths)
+    assert(scanPaths.forall(p =>
+      p.contains(s"sd_frontier_counts/bucket=$alphaB") ||
+        p.contains(s"sd_frontier_crawled_set/bucket=$alphaB") ||
+        p.contains(s"sd_dates/bucket=$alphaB")), scanPaths)
+
+    // crash-replay of the side merge: distinct-set contents unchanged
+    val commits = new java.io.File(
+      reg.checkpointDir(sideLink.name, "sd_dates"), "commits")
+    assert(new java.io.File(commits, "0").delete())
+    new java.io.File(commits, ".0.crc").delete()
+    sideLink.start(spark, reg).awaitTermination()
+    assert(reg.read("sd_dates").count() === 2)
+  }
 }
