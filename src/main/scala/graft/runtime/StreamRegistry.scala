@@ -350,16 +350,103 @@ class StreamRegistry(spark: SparkSession, val root: String,
     * first call, REQUIRED equal on every later one. The bucket count
     * is part of a [[refreshPartition]]-maintained table's layout — a
     * changed modulus would route a key's updates to a DIFFERENT
-    * bucket than its existing rows, silently splitting state. */
+    * bucket than its existing rows, silently splitting state. The only
+    * sanctioned change is [[rebucket]], which commits the new modulus
+    * as a `_buckets` marker ATOMICALLY WITH the rewritten data; a
+    * crash between that swap and the pin-file update leaves the two
+    * disagreeing, in which case the data is the truth and the pin
+    * heals here — a link built against the OLD modulus then fails
+    * loudly (mid-migration readers must never see mixed moduli). */
   def pinBucketCount(name: String, numBuckets: Int): Unit = {
+    recover(name) // a crashed rebucket swap repairs before we decide
     val p = s"$root/schemas/$name.buckets"
-    readTextIfExists(p) match {
-      case Some(v) => require(v.trim.toInt == numBuckets,
-        s"stream '$name' is laid out with ${v.trim} buckets; this link " +
+    val dataN = readTextIfExists(s"${streamDir(name)}/_buckets")
+      .map(_.trim.toInt)
+    val pinned = readTextIfExists(p).map(_.trim.toInt)
+    dataN.foreach { dn =>
+      if (!pinned.contains(dn)) writeText(p, dn.toString)
+    }
+    dataN.orElse(pinned) match {
+      case Some(v) => require(v == numBuckets,
+        s"stream '$name' is laid out with $v buckets; this link " +
           s"was built with $numBuckets — the modulus is fixed for the " +
-          "stream's lifetime")
+          "stream's lifetime (migrate with rebucket)")
       case None => writeText(p, numBuckets.toString)
     }
+  }
+
+  /** MIGRATE a bucketed stream to a new modulus — the one sanctioned
+    * way to change a [[pinBucketCount]]-pinned layout (a crawl that
+    * outgrew its bucket count otherwise has no path short of a full
+    * offline rebuild): read the table, re-hash every row's `key` with
+    * [[StreamRegistry.bucketOf]] under `newNumBuckets`, rewrite the
+    * whole layout, and swap it in with the [[compact]] two-rename
+    * rotate. A MAINTENANCE op with the same quiesce contract as
+    * [[compact]]: producers and consumers of the stream must be
+    * STOPPED, and every pending merge must have landed (the carried
+    * per-bucket `_batch` marks collapse to the MAX of the old buckets'
+    * marks — correct exactly when no batch is mid-replay, which the
+    * quiesce guarantees; a replayed batch id ≤ the max then skips its
+    * merge everywhere, as it must).
+    *
+    * Crash discipline: the rewritten layout carries the new modulus as
+    * a `_buckets` marker INSIDE the directory, so modulus and data
+    * commit in the SAME atomic rename; the pin file updates after. A
+    * crash before the swap drops the temp ([[recover]]); between the
+    * renames rolls back whole; after the swap but before the pin
+    * write leaves pin ≠ marker, which [[pinBucketCount]] heals from
+    * the marker — so an old-modulus link fails loudly at start and a
+    * new-modulus link resumes, never a mixed read. `key` must be the
+    * SAME key expression the producers bucket by (the count store's
+    * `host`, the crawled set's `registeredDomain(url)`, the
+    * frontier's `domain`) — the registry cannot know it, and a wrong
+    * key here splits state exactly like a changed modulus would.
+    *
+    * One whole-table read + one whole-table write, once per
+    * migration — the cost a 100 TB deployment schedules, against the
+    * alternative of per-batch write amplification on overgrown
+    * buckets forever. */
+  def rebucket(name: String, key: org.apache.spark.sql.Column,
+               newNumBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    require(newNumBuckets >= 1, s"newNumBuckets >= 1, got $newNumBuckets")
+    require(partitionsOf(name) == Seq("bucket"),
+      s"rebucket migrates bucket-partitioned streams; '$name' is " +
+        s"partitioned by ${partitionsOf(name)}")
+    recover(name)
+    // effective modulus: the in-dir marker (a prior rebucket's atomic
+    // commit) wins over a stale pin file a crash left behind
+    val oldN = readTextIfExists(s"${streamDir(name)}/_buckets")
+      .map(_.trim.toInt).orElse(bucketCountOf(name))
+      .getOrElse(throw new IllegalStateException(
+        s"stream '$name' has no pinned bucket count — nothing to migrate"))
+    // the carried merge high-water mark (see quiesce contract above)
+    val marks = (0 until oldN)
+      .flatMap(b => refreshPartitionMeta(name, b, "batch").map(_.toLong))
+    val maxMark = marks.reduceOption(_ max _)
+    val rewritten = read(name).drop("bucket")
+      .withColumn("bucket",
+        StreamRegistry.bucketOf(key, newNumBuckets))
+    val tmp = s"${streamDir(name)}.compacting"
+    rewritten.write.format(format).partitionBy("bucket").save(tmp)
+    val (tmpP, fs) = fsFor(tmp)
+    maxMark.foreach { mk =>
+      fs.listStatus(tmpP)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .foreach(st => writeText(s"${st.getPath}/_batch", mk.toString))
+    }
+    writeText(s"$tmp/_buckets", newNumBuckets.toString)
+    val dir = new HPath(streamDir(name))
+    val old = new HPath(s"${streamDir(name)}.old")
+    val fs2 = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs2.rename(dir, old))
+      throw new java.io.IOException(s"cannot rotate $dir")
+    if (!fs2.rename(new HPath(tmp), dir)) {
+      fs2.rename(old, dir) // roll back
+      throw new java.io.IOException(s"cannot swap in rebucketed $name")
+    }
+    fs2.delete(old, true)
+    writeText(s"$root/schemas/$name.buckets", newNumBuckets.toString)
   }
 
   /** The pinned bucket modulus of a [[pinBucketCount]]-declared stream

@@ -1685,6 +1685,105 @@ class StreamingCurationSpec extends SparkSpec {
       .select("n_fetches").head().getLong(0) === 8L)
   }
 
+  test("rebucket migration: a pinned modulus changes in one maintenance " +
+    "op — contents identical, rows land in their new-hash buckets, " +
+    "merge marks carried, an old-modulus link fails loudly (including " +
+    "after a crash between data swap and pin write), and the frontier " +
+    "loop resumes against the new modulus") {
+    import graft.ops.WebText
+    import graft.runtime.FrontierLink
+    val s = spark
+    import s.implicits._
+    val reg = new StreamRegistry(spark,
+      Files.createTempDirectory("graft-rebucket").toString)
+    val link16 = new FrontierLink("rb_pages", "rb_crawled", "rb_links",
+      "rb_frontier", topKPerDomain = 3)
+    val b1 = Seq(("http://seed.org/p",
+      "<a href='http://alpha.org/a'>1</a><a href='http://bravo.net/x'>2</a>"))
+    val b2 = Seq(("http://seed2.org/p",
+      "<a href='http://alpha.org/b'>1</a><a href='http://carol.com/y'>2</a>"))
+    reg.write(b1.toDF("url", "html"), "rb_pages")
+    link16.start(spark, reg).awaitTermination()
+    reg.write(b2.toDF("url", "html"), "rb_pages")
+    link16.start(spark, reg).awaitTermination()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val countsBefore = rows(reg.read("rb_frontier_counts").drop("bucket"))
+    val crawledBefore = rows(reg.read("rb_frontier_crawled_set")
+      .drop("bucket"))
+    val frontierBefore = rows(reg.read("rb_frontier").drop("bucket"))
+
+    // migrate all three tables of the loop to 4 buckets, each under
+    // ITS bucketing key
+    reg.rebucket("rb_frontier_counts", col("host"), 4)
+    reg.rebucket("rb_frontier_crawled_set",
+      WebText.registeredDomain(col("url")), 4)
+    reg.rebucket("rb_frontier", col("domain"), 4)
+
+    // contents identical; every row sits in its new-hash bucket
+    assert(rows(reg.read("rb_frontier_counts").drop("bucket")) ===
+      countsBefore)
+    assert(rows(reg.read("rb_frontier_crawled_set").drop("bucket")) ===
+      crawledBefore)
+    assert(rows(reg.read("rb_frontier").drop("bucket")) === frontierBefore)
+    assert(reg.read("rb_frontier_counts")
+      .filter(col("bucket") =!= FrontierLink.bucketOf(col("host"), 4))
+      .count() === 0)
+    assert(reg.read("rb_frontier")
+      .filter(col("bucket") =!= FrontierLink.bucketOf(col("domain"), 4))
+      .count() === 0)
+    // the merge high-water mark carried (max of the old buckets' marks)
+    val popped = reg.read("rb_frontier_counts").select("bucket")
+      .distinct().collect().map(_.getInt(0))
+    popped.foreach { b =>
+      assert(reg.refreshPartitionMeta("rb_frontier_counts", b, "batch")
+        === Some("1"), s"bucket $b lost its merge mark")
+    }
+
+    // an old-modulus link fails LOUDLY at start — never a mixed read
+    val stale = new FrontierLink("rb_pages", "rb_crawled", "rb_links",
+      "rb_frontier", topKPerDomain = 3, numBuckets = 16)
+    val ex = intercept[IllegalArgumentException] {
+      stale.start(spark, reg)
+    }
+    assert(ex.getMessage.contains("fixed for the"))
+
+    // crash between the data swap and the pin write: the in-dir
+    // _buckets marker is the committed truth — the pin heals on the
+    // next pin check, the stale link still fails
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"${reg.root}/schemas/rb_frontier_counts.buckets"),
+      "16".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the direct write bypassed Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sibling so the registry can read the simulated state
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      s"${reg.root}/schemas/.rb_frontier_counts.buckets.crc"))
+    reg.pinBucketCount("rb_frontier_counts", 4) // heals from the marker
+    assert(reg.bucketCountOf("rb_frontier_counts") === Some(4))
+    intercept[IllegalArgumentException] {
+      reg.pinBucketCount("rb_frontier_counts", 16)
+    }
+
+    // the loop RESUMES against the new modulus: a new-modulus link
+    // picks up the same checkpoint, processes a fresh batch, and the
+    // view equals the whole-plan reference
+    val link4 = new FrontierLink("rb_pages", "rb_crawled", "rb_links",
+      "rb_frontier", topKPerDomain = 3, numBuckets = 4)
+    val b3 = Seq(("http://seed3.io/p",
+      "<a href='http://alpha.org/a'>1</a><a href='http://delta.io/z'>2</a>"))
+    reg.write(b3.toDF("url", "html"), "rb_pages")
+    link4.start(spark, reg).awaitTermination()
+    assert(rows(reg.read("rb_frontier_counts")
+        .select("link", "host", "inlinks")) ===
+      rows(FrontierLink.linkCounts(reg.read("rb_links"))))
+    assert(rows(reg.read("rb_frontier").drop("bucket")) ===
+      rows(FrontierLink.refreshPlan(reg, "rb_frontier_counts", Nil,
+        "rb_crawled", "", "", "graftbot", 3, 1000L)))
+    assert(reg.read("rb_frontier")
+      .filter(col("bucket") =!= FrontierLink.bucketOf(col("domain"), 4))
+      .count() === 0)
+  }
+
   test("bucketed url-keyed side channel: a BucketedSideLink dates table " +
     "feeds the frontier identically to the flat stream, per-bucket " +
     "refresh reads ONE dates partition, distinct-set merge is " +
