@@ -133,5 +133,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("attr_value", classOf[AttrValueExpr])(exprs => {
       arity(exprs, 2, 2, "attr_value")
       AttrValueExpr(exprs.head, SqlArgs.strArg(exprs, 1, "attr_value")) })
+    inject("md5_shingle_hashes", classOf[Md5ShingleHashes])(exprs => {
+      arity(exprs, 1, 2, "md5_shingle_hashes")
+      Md5ShingleHashes(exprs.head, intArg(exprs, 1, 3, "md5_shingle_hashes")) })
+    inject("md5_shingle_pos_hashes", classOf[Md5ShinglePosHashes])(exprs => {
+      arity(exprs, 1, 2, "md5_shingle_pos_hashes")
+      Md5ShinglePosHashes(exprs.head,
+        intArg(exprs, 1, 3, "md5_shingle_pos_hashes")) })
+    inject("dup_ngram_stats", classOf[DupNgramStats])(exprs => {
+      arity(exprs, 1, 2, "dup_ngram_stats")
+      DupNgramStats(exprs.head, intArg(exprs, 1, 5, "dup_ngram_stats")) })
+    inject("script_gate_lang", classOf[ScriptGateLang])(exprs => {
+      arity(exprs, 1, 1, "script_gate_lang")
+      ScriptGateLang(exprs.head,
+        graft.ops.TextAnalysis.ScriptGateMinShareMicros) })
   }
 }

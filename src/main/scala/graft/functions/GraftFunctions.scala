@@ -99,6 +99,17 @@ object GraftFunctions {
       HtmlUnescapeExpr(arity(exprs, 1, 1, "html_unescape").head))
     reg("attr_value")(exprs => { arity(exprs, 2, 2, "attr_value")
       AttrValueExpr(exprs.head, SqlArgs.strArg(exprs, 1, "attr_value")) })
+    reg("md5_shingle_hashes")(exprs => { arity(exprs, 1, 2, "md5_shingle_hashes")
+      Md5ShingleHashes(exprs.head, intArg(exprs, 1, 3, "md5_shingle_hashes")) })
+    reg("md5_shingle_pos_hashes")(exprs => {
+      arity(exprs, 1, 2, "md5_shingle_pos_hashes")
+      Md5ShinglePosHashes(exprs.head,
+        intArg(exprs, 1, 3, "md5_shingle_pos_hashes")) })
+    reg("dup_ngram_stats")(exprs => { arity(exprs, 1, 2, "dup_ngram_stats")
+      DupNgramStats(exprs.head, intArg(exprs, 1, 5, "dup_ngram_stats")) })
+    reg("script_gate_lang")(exprs => { arity(exprs, 1, 1, "script_gate_lang")
+      ScriptGateLang(exprs.head,
+        graft.ops.TextAnalysis.ScriptGateMinShareMicros) })
   }
 }
 

@@ -130,6 +130,61 @@ object ShingleHash {
     longestRun(h)
   }
 
+  /** Duplicate n-gram coverage stats of a token array, one fused pass:
+    * `[covered_chars, total_chars]` where a token position is covered
+    * iff some occurrence of a DUPLICATED n-gram (same 64-bit gram hash
+    * appearing ≥ 2 times in this array) spans it, and chars are
+    * codepoint counts (Spark `length` semantics; null token → 0).
+    * The per-row native form of the Gopher duplicate-n-gram-coverage
+    * pipeline (grams explode → count ≥ 2 → position-union → char sum):
+    * same union-over-positions semantics — overlapping duplicate grams
+    * count each token once — with zero shuffle and zero per-gram rows.
+    * Exact modulo within-document 64-bit gram-hash collisions
+    * (~n²/2⁶⁵, the [[topBigramCountOf]] argument). */
+  def dupCoverageStats(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    var tot = 0L
+    val tokChars = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val c = if (tokens.isNullAt(i)) 0 else tokens.getUTF8String(i).numChars()
+      tokChars(i) = c
+      tot += c
+      i += 1
+    }
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array(0L, tot))
+    val base = baseHashes(tokens)
+    val grams = m - n + 1
+    val covered = new Array[Boolean](m)
+    // open addressing gram-hash -> first gram index; a repeat marks both
+    // occurrences' spans (idempotent — the union-over-positions rule)
+    var cap = 8
+    while (cap < grams * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val firstIdx = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var g = 0
+    while (g < grams) {
+      val v = gramHash(base, g, n)
+      var slot = graft.ops.Dedup.mix64(v).toInt & mask
+      while (used(slot) && table(slot) != v) slot = (slot + 1) & mask
+      if (!used(slot)) { used(slot) = true; table(slot) = v; firstIdx(slot) = g }
+      else {
+        var j = g
+        while (j < g + n) { covered(j) = true; j += 1 }
+        j = firstIdx(slot)
+        val end = j + n
+        while (j < end) { covered(j) = true; j += 1 }
+      }
+      g += 1
+    }
+    var cov = 0L
+    i = 0
+    while (i < m) { if (covered(i)) cov += tokChars(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(Array(cov, tot))
+  }
+
   /** Count of the most frequent TOKEN of a token array (0 when empty) —
     * the unigram twin of [[topBigramCountOf]]: hash, primitive sort,
     * longest equal run. Replaces the nested
@@ -253,7 +308,35 @@ case class ShinglePosHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Duplicate n-gram coverage stats `[covered_chars, total_chars]` of a
+  * token array — see [[ShingleHash.dupCoverageStats]]. */
+case class DupNgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"dup n-gram coverage needs n >= 2, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"dup_ngram_stats_$n"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.dupCoverageStats(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.dupCoverageStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramStats =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
+  /** Column API: duplicate n-gram coverage stats [covered, total] chars. */
+  def dupNgramStats(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(DupNgramStats(GraftSqlBridge.expression(tokens), n))
+
   /** Column API: positional 64-bit n-gram hashes of a token array. */
   def shinglePosHashes(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(ShinglePosHashes(GraftSqlBridge.expression(tokens), n))

@@ -116,14 +116,15 @@ object Dedup {
     * and per-gram digest twice inside one composed plan. */
   def ngramPositionHashes(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // r16: fused native gram digest (see [[graft.ops.Dedup.simHashMd5]]
+    // note) — positional form; hash values identical to the prior
+    // transform/concat_ws/md5_prefix60 chain.
     Spread.cpu(docs)
       .select(col("doc_id"), split(col("text"), " ").as("wd"))
       .filter(size(col("wd")) >= n)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("wd")) - n),
-        i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))))
-      .select(col("doc_id"), col("pos"),
-        graft.functions.Md5Functions.md5Prefix60(col("col")).as("h"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.Md5ShingleFunctions.md5ShinglePosHashes(col("wd"), n))
+        .as(Seq("pos", "h")))
   }
 
   /** [[scrubSharedNgramSpans]] over a pre-materialized
@@ -134,10 +135,18 @@ object Dedup {
     require(minDf >= 2, s"minDf < 2 would scrub every token, got $minDf")
     val toked = Spread.cpu(docs)
       .select(col("doc_id"), split(col("text"), " ").as("wd"))
-    val heavy = hashed.groupBy("h")
+    // r16: the gram-hash projection is consumed TWICE (df aggregation +
+    // coverage semi-join) — as two plan branches it would compute the
+    // gram explode + digest twice per run. Establishing ONE hash(h)
+    // exchange here lets both consumers reuse it (guide §2.4 "share one
+    // exchange"): the groupBy's required distribution is already
+    // satisfied and the semi-join's probe side re-reads the same shuffle
+    // output, so the expensive projection runs once.
+    val hashedOnce = hashed.repartition(col("h"))
+    val heavy = hashedOnce.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf).select("h")
-    val covered = hashed.join(heavy, Seq("h"), "left_semi")
+    val covered = hashedOnce.join(heavy, Seq("h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()
@@ -502,8 +511,16 @@ object Dedup {
     * re-computing `hashedShingles` per consumer. */
   private def bandCandidatesFromShingles(sh: DataFrame,
                                          maxBandSize: Int): DataFrame = {
+    // r16: the banded frame feeds the cap's aggregate + anti-join and
+    // both self-join sides — four branches, each re-running the
+    // 128-permutation MinHash band signatures (a pure projection, no
+    // exchange to reuse). One hash(doc_id) repartition of the exploded
+    // (doc_id, band) rows makes the signature computation run once and
+    // every branch a ReusedExchange (guide §2.4; the hamming64Pairs
+    // note).
     val banded = capBands(
-      sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band")),
+      sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
+        .repartition(col("doc_id")),
       maxBandSize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -638,11 +655,16 @@ object Dedup {
     val toked = Spread.cpu(docs)
       .select(col("doc_id"), split(col("text"), " ").as("wd"))
       .filter(size(col("wd")) >= n)
-    val sh = toked.select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
-          i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"))
-      .select(col("doc_id"),
-        graft.functions.Md5Functions.md5Prefix60(col("sg")).as("h"))
+    // r16: the gram construction + digest are ONE fused native pass
+    // ([[graft.functions.Md5ShingleHashes]]) — the prior
+    // `explode(array_distinct(transform(..., concat_ws(slice))))` +
+    // per-row md5_prefix60 evaluated the HOF interpreted per element and
+    // materialized every gram string (guide §1.2 per-task work; measured
+    // q163 executor time 28.6 s → see OPTIMIZATION_r16.md). Hash values
+    // and the distinct set are bit-identical (dedup keys on the full
+    // 128-bit digest), so the DuckDB oracles are unchanged.
+    val sh = toked.select(col("doc_id"), explode(
+      graft.functions.Md5ShingleFunctions.md5ShingleHashes(col("wd"), n)).as("h"))
     val ones = (0 until 60).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     val voted = sh.groupBy("doc_id")
@@ -760,7 +782,21 @@ object Dedup {
     val bands = Seq(1, 2, 4, 8, 16).find(_ > maxHamming).get
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val banded0 = fp.select(col("doc_id"), col("h"),
+    // r16: the fingerprint frame feeds both sides of the band self-join
+    // plus the hot-bucket cap's aggregate + anti-join — FOUR plan
+    // branches. Exchange reuse (AQE stage cache / ReuseExchange) dedupes
+    // canonically-identical exchanges at runtime, but a fingerprint
+    // built by pure PROJECTION (the internal-hash simhash path, the
+    // image phash decode) has no exchange to reuse — each branch
+    // recomputes the per-doc fingerprint, for images the full pixel
+    // decode. One deterministic hash(doc_id) repartition of the 16-byte
+    // rows gives every branch the shared exchange (guide §2.4); where
+    // the fingerprint already ends in its own hash aggregate (the md5
+    // simhash path) the optimizer drops this node as redundant and the
+    // aggregate's exchange is the reuse point instead. Pinned by the
+    // NativeKernelParitySpec runtime-plan tests.
+    val fpOnce = fp.repartition(col("doc_id"))
+    val banded0 = fpOnce.select(col("doc_id"), col("h"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("h"), b * bits).bitwiseAND(mask).as("bits"))): _*)).as("bk"))

@@ -484,16 +484,9 @@ object TextAnalysis {
     * latin-script). Kana is checked before CJK ideographs — Japanese
     * text contains both. Same ranges expressible in RE2 (`\x{..}`) for
     * the oracle. */
-  private val scriptGateRanges: Seq[(String, Int, Int)] = Seq(
-    ("ja", 0x3040, 0x30ff), // hiragana + katakana
-    ("ko", 0xac00, 0xd7af), // hangul syllables
-    ("zh", 0x4e00, 0x9fff), // CJK unified ideographs
-    ("ru", 0x0400, 0x04ff), // cyrillic
-    ("el", 0x0370, 0x03ff), // greek
-    ("ar", 0x0600, 0x06ff), // arabic
-    ("he", 0x0590, 0x05ff), // hebrew
-    ("hi", 0x0900, 0x097f), // devanagari
-    ("th", 0x0e00, 0x0e7f)) // thai
+  private def scriptGateRanges: Seq[(String, Int, Int)] =
+    graft.functions.ScriptGateOps.ranges // one definition (r16: the fused
+                                         // native gate shares it)
 
   /** (lang, Java-regex char class) — Spark side. */
   private def scriptGates: Seq[(String, String)] =
@@ -514,7 +507,12 @@ object TextAnalysis {
     * in-script character share ([[ScriptGateMinShareMicros]]). The
     * share counts characters via the length-minus-stripped identity,
     * mirrored verbatim by the oracle's RE2 form. */
-  private def scriptGateConds(text: Column): Seq[(String, Column)] =
+  /** Reference (expression-chain) form of the gates — retained for the
+    * native-kernel parity spec; [[langIdTrigram]] now evaluates the
+    * fused [[graft.functions.ScriptGateLang]] single-pass kernel
+    * instead (r16: up to 18 regex passes per row → one codepoint
+    * pass; decision rule identical, see the expression's scaladoc). */
+  private[graft] def scriptGateConds(text: Column): Seq[(String, Column)] =
     scriptGates.map { case (l, re) =>
       val nScript = length(text) -
         length(regexp_replace(text, re, ""))
@@ -590,15 +588,22 @@ object TextAnalysis {
       .groupBy("doc_id", "lang").agg(sum("w").as("w"))
     val best = hits.groupBy("doc_id")
       .agg(max(struct(col("w"), col("lang"))).as("b"))
-    val gateConds = scriptGateConds(col("text"))
-    val gated = gateConds.foldRight(
-        when(col("b").isNotNull, col("b.lang")).otherwise(lit("unknown"))) {
-      case ((lang, cond), other) => when(cond, lit(lang)).otherwise(other)
-    }
+    // r16: the 9 per-script gates (each an `rlike` scan + a
+    // `regexp_replace` rewrite, referenced by BOTH output columns) fold
+    // into one fused native codepoint pass returning the gate verdict
+    // directly — decision rule identical by construction (parity spec
+    // in TextAnalysis/Similarity suites; the q213/q216 oracles pin the
+    // values cross-engine).
+    val gLang = graft.functions.ScriptGateFunctions
+      .scriptGateLang(col("text"), ScriptGateMinShareMicros)
     base.join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), gated.as("pred_lang"),
-        when(gateConds.map(_._2).reduce(_ || _),
-            lit(1000000L))
+      .select(col("doc_id"), col("text"), col("b"), col("n_trigrams"),
+        gLang.as("graft_gate"))
+      .select(col("doc_id"),
+        coalesce(col("graft_gate"),
+          when(col("b").isNotNull, col("b.lang")).otherwise(lit("unknown")))
+          .as("pred_lang"),
+        when(col("graft_gate").isNotNull, lit(1000000L))
           .when(col("b").isNotNull,
             Micros.ratio(col("b.w"), col("n_trigrams")))
           .otherwise(lit(0L)).as("score_micros"),
@@ -1432,27 +1437,24 @@ object TextAnalysis {
   def dupNgramCoverage(docs: DataFrame, n: Int = 5,
                        textCol: String = "text"): DataFrame = {
     require(n >= 2, s"dup n-gram coverage needs n >= 2, got $n")
-    val toksCol = split(col(textCol), " ")
-    val d = Spread.cpu(docs)
-    val toks = d.select(col("doc_id"),
-      posexplode(toksCol).as(Seq("tpos", "tok")))
-    val grams = d.select(col("doc_id"),
-      posexplode(gramsWithRepeats(toksCol, n)).as(Seq("gpos", "gram")))
-    val dupPos = grams.groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("c"), collect_list(col("gpos")).as("ps"))
-      .filter(col("c") >= 2)
-      .select(col("doc_id"), explode(col("ps")).as("gpos"))
-    val covered = dupPos
+    // r16: the coverage union is computable per DOCUMENT, so the whole
+    // five-stage pipeline (grams explode → per-gram count → positions
+    // explode → distinct → char-sum joins; 4 shuffles + a join, 12 jobs
+    // at sf0.1) collapses to ONE scan-stage projection around the fused
+    // native [[graft.functions.DupNgramStats]] kernel (guide §1.2 step 1:
+    // the cheapest execution is zero shuffles — per-doc work never needed
+    // the cluster-wide stages). Values unchanged: the kernel applies the
+    // identical duplicated-gram position-union and codepoint-count rules
+    // (exact modulo within-doc 64-bit gram-hash collisions, the
+    // [[topBigramShare]] precedent; the q172 string-keyed oracle
+    // confirms on the fixtures). Docs with a null text column vanish
+    // from the output exactly as the prior posexplode(null) did.
+    val stats = graft.functions.ShingleFunctions
+      .dupNgramStats(split(col(textCol), " "), n)
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), stats.as("st"))
       .select(col("doc_id"),
-        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("tpos"))
-      .distinct()
-    val covChars = covered.join(toks, Seq("doc_id", "tpos"))
-      .groupBy("doc_id").agg(sum(length(col("tok"))).as("cov"))
-    val totals = toks.groupBy("doc_id")
-      .agg(sum(length(col("tok"))).as("tot"))
-    totals.join(covChars, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        microsRatio(coalesce(col("cov"), lit(0L)), col("tot"))
+        microsRatio(element_at(col("st"), 1), element_at(col("st"), 2))
           .as("dup_ngram_micros"))
   }
 
