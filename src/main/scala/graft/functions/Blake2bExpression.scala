@@ -147,5 +147,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(exprs, 1, 1, "script_gate_lang")
       ScriptGateLang(exprs.head,
         graft.ops.TextAnalysis.ScriptGateMinShareMicros) })
+    inject("md5_minhash", classOf[Md5MinHashK])(exprs => {
+      arity(exprs, 1, 3, "md5_minhash")
+      Md5MinHashK(exprs.head, intArg(exprs, 1, 3, "md5_minhash"),
+        intArg(exprs, 2, 16, "md5_minhash")) })
+    inject("trigram_lang_best", classOf[TrigramLangBest])(exprs =>
+      TrigramLangBest(arity(exprs, 1, 1, "trigram_lang_best").head))
   }
 }

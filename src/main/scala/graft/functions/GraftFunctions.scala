@@ -110,6 +110,11 @@ object GraftFunctions {
     reg("script_gate_lang")(exprs => { arity(exprs, 1, 1, "script_gate_lang")
       ScriptGateLang(exprs.head,
         graft.ops.TextAnalysis.ScriptGateMinShareMicros) })
+    reg("md5_minhash")(exprs => { arity(exprs, 1, 3, "md5_minhash")
+      Md5MinHashK(exprs.head, intArg(exprs, 1, 3, "md5_minhash"),
+        intArg(exprs, 2, 16, "md5_minhash")) })
+    reg("trigram_lang_best")(exprs =>
+      TrigramLangBest(arity(exprs, 1, 1, "trigram_lang_best").head))
   }
 }
 

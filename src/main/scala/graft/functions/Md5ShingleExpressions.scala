@@ -130,6 +130,86 @@ object Md5ShingleOps {
   }
 }
 
+/** See [[Md5ShingleOps]]. */
+object Md5MinHashOps {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val SPACE = Array[Byte](' ')
+
+  /** Per-row k-entry MinHash signature under the md5 lattice: entry i is
+    * `min` over every n-gram (position order, repeats kept — min over a
+    * multiset equals min over its set) of the 60-bit prefix of
+    * `md5(i ‖ "|" ‖ gram)`. Bit-identical to the exploded
+    * `md5_prefix60(concat_ws("|", i, gram))` columns it replaces; the
+    * digest is fed the index prefix and token bytes directly, so no
+    * gram string or per-element interpretation exists (the
+    * [[Md5ShingleOps]] discipline). Empty for under-`n` arrays. */
+  def minHashK(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](m)
+    var t = 0
+    while (t < m) {
+      toks(t) =
+        if (tokens.isNullAt(t)) Array.emptyByteArray
+        else tokens.getUTF8String(t).getBytes
+      t += 1
+    }
+    val prefixes = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < k) { prefixes(i) = (i.toString + "|").getBytes("UTF-8"); i += 1 }
+    val d = md.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var g = 0
+    while (g <= m - n) {
+      i = 0
+      while (i < k) {
+        d.reset()
+        d.update(prefixes(i))
+        d.update(toks(g))
+        var j = 1
+        while (j < n) { d.update(SPACE); d.update(toks(g + j)); j += 1 }
+        val dig = d.digest()
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        v = v >>> 4
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** Per-row md5-lattice MinHash signature (k minima) — the fused native
+  * form of the k exploded `md5_prefix60(i ‖ "|" ‖ gram)` min-columns
+  * (see [[Md5MinHashOps.minHashK]]). */
+case class Md5MinHashK(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  require(k >= 1 && k <= 256, s"k out of range: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"md5_minhash_${k}_$n"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5MinHashOps.minHashK(input.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5MinHashOps.minHashK($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashK =
+    copy(child = newChild)
+}
+
 /** Distinct 60-bit md5-prefix n-gram hashes of a token array — the fused
   * native form of `explode(array_distinct(transform(...))) →
   * md5_prefix60(gram)` (see [[Md5ShingleOps]]). */
@@ -188,4 +268,8 @@ object Md5ShingleFunctions {
   /** Column API: positional 60-bit md5-prefix n-gram hashes. */
   def md5ShinglePosHashes(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(Md5ShinglePosHashes(GraftSqlBridge.expression(tokens), n))
+
+  /** Column API: per-row md5-lattice MinHash signature (k minima). */
+  def md5MinHashK(tokens: Column, n: Int, k: Int): Column =
+    GraftSqlBridge.column(Md5MinHashK(GraftSqlBridge.expression(tokens), n, k))
 }

@@ -736,14 +736,18 @@ object Dedup {
     val toked = Spread.cpu(docs)
       .select(g :+ split(col("text"), " ").as("wd"): _*)
       .filter(size(col("wd")) >= n)
-    val ex = toked.select(g :+
-      explode(transform(sequence(lit(0), size(col("wd")) - n),
-        i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))).as("sg"): _*)
-    val hashed = ex.select(g ++ (0 until k).map(i =>
-      graft.functions.Md5Functions.md5Prefix60(
-        concat_ws("|", lit(i), col("sg"))).as(s"h$i")): _*)
-    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
-    hashed.groupBy(groupCols.head, groupCols.tail: _*)
+    // r16: per-row fused signature ([[graft.functions.Md5MinHashK]]) —
+    // the k digests per gram still happen, but the gram explode (one
+    // row per position), the interpreted transform/concat_ws gram
+    // construction, and the k-column projection through the aggregate
+    // all collapse into one native pass; the group aggregate then takes
+    // element-wise mins of k-long arrays. min(over docs, over grams) ==
+    // min(over the group's gram multiset): values identical.
+    val sigs = toked.select(g :+ graft.functions.Md5ShingleFunctions
+      .md5MinHashK(col("wd"), n, k).as("graft_sig"): _*)
+    val mins = (0 until k).map(i =>
+      min(element_at(col("graft_sig"), i + 1)).as(s"m$i"))
+    sigs.groupBy(groupCols.head, groupCols.tail: _*)
       .agg(mins.head, mins.tail: _*)
       .select(g :+ explode(array((0 until k).map(i =>
         struct(lit(i.toLong).as("hash_idx"), col(s"m$i").as("minhash"))): _*))
@@ -1246,11 +1250,12 @@ object Dedup {
     val toked = Spread.cpu(docs)
       .select(g :+ split(col("text"), " ").as("wd"): _*)
       .filter(size(col("wd")) >= n)
-    toked.select(g :+
-        explode(array_distinct(transform(sequence(lit(0), size(col("wd")) - n),
-          i => concat_ws(" ", slice(col("wd"), i + 1, lit(n)))))).as("sg"): _*)
-      .select(g :+
-        graft.functions.Md5Functions.md5Prefix60(col("sg")).as("h"): _*)
+    // r16: fused native gram digest (the [[simHashMd5]] note) — one
+    // primitive pass instead of the interpreted HOF + per-gram
+    // md5_prefix60; values identical, the cross-key distinct unchanged.
+    toked.select(g :+ explode(
+        graft.functions.Md5ShingleFunctions.md5ShingleHashes(col("wd"), n))
+        .as("h"): _*)
       .distinct()
   }
 

@@ -566,37 +566,37 @@ object TextAnalysis {
     * window, no cartesian, no UDF: every stage is codegen'd
     * expressions + two bounded aggregates. */
   def langIdTrigram(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val sExpr = concat(lit(" "),
       trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit(" "))
     // The normalized string is materialized in its OWN projection
     // (multi-referenced below, so CollapseProject keeps the alias — the
-    // langId precedent), and trigram extraction is the native codegen'd
-    // [[graft.functions.CharTrigrams]]: the equivalent
-    // transform(sequence, i -> substr) HOF evaluated interpreted per
-    // element and re-ran catastrophically as the explode's generator
-    // child — 26 s at sf0.1 for the explode stage alone vs ~1 s total
-    // with the native expression (the BigramTopCount lesson again).
+    // langId precedent).
     val norm = Spread.cpu(docs).select(col("doc_id"), col("text"),
       sExpr.as("graft_s"))
     val nTri = greatest(length(col("graft_s")) - 2, lit(0)).cast("long")
-    val tris = graft.functions.CharNgramFunctions.charTrigrams(col("graft_s"))
+    // r16: scoring against the compile-time-constant profile is
+    // per-document work — the trigram explode (one row per character),
+    // the broadcast model join, the (doc, lang) weight-sum, the argmax
+    // aggregate, and the join back to the features all collapse into
+    // the fused [[graft.functions.TrigramLangBest]] kernel (one
+    // codepoint pass; identical `max(struct(w, lang))` ordering — the
+    // q213/q216 oracles pin the values cross-engine, and the parity
+    // spec pins kernel-vs-chain equality). A deployment that LEARNS a
+    // profile at runtime would keep the broadcast-join form — this
+    // operator's model is the static table the oracle embeds.
     val base = norm.select(col("doc_id"), col("text"),
-      nTri.as("n_trigrams"), tris.as("graft_tris"))
-    val hits = base.select(col("doc_id"), explode(col("graft_tris")).as("trigram"))
-      .join(broadcast(trigramProfiles(spark)), Seq("trigram"))
-      .groupBy("doc_id", "lang").agg(sum("w").as("w"))
-    val best = hits.groupBy("doc_id")
-      .agg(max(struct(col("w"), col("lang"))).as("b"))
+      nTri.as("n_trigrams"),
+      graft.functions.TrigramLangFunctions.trigramLangBest(col("graft_s"))
+        .as("b"))
     // r16: the 9 per-script gates (each an `rlike` scan + a
     // `regexp_replace` rewrite, referenced by BOTH output columns) fold
     // into one fused native codepoint pass returning the gate verdict
     // directly — decision rule identical by construction (parity spec
-    // in TextAnalysis/Similarity suites; the q213/q216 oracles pin the
+    // in NativeKernelParitySpec; the q213/q216 oracles pin the
     // values cross-engine).
     val gLang = graft.functions.ScriptGateFunctions
       .scriptGateLang(col("text"), ScriptGateMinShareMicros)
-    base.join(best, Seq("doc_id"), "left")
+    base
       .select(col("doc_id"), col("text"), col("b"), col("n_trigrams"),
         gLang.as("graft_gate"))
       .select(col("doc_id"),

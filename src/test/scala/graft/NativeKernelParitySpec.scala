@@ -104,6 +104,60 @@ class NativeKernelParitySpec extends SparkSpec {
     }
   }
 
+  test("md5_minhash == the k exploded md5_prefix60(i|gram) min-columns") {
+    val k = 16
+    for (n <- Seq(2, 3)) {
+      val wd = split(col("text"), " ")
+      val toked = docs.select(col("doc_id"), wd.as("wd"))
+        .filter(size(col("wd")) >= n)
+      val ex = toked.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("wd")) - n),
+          i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))).as("sg"))
+      val hashed = ex.select(Seq(col("doc_id")) ++ (0 until k).map(i =>
+        md5Prefix60Ref(concat_ws("|", lit(i), col("sg"))).as(s"h$i")): _*)
+      val chain = hashed.groupBy("doc_id")
+        .agg((0 until k).map(i => min(col(s"h$i")).as(s"m$i")).head,
+          (0 until k).map(i => min(col(s"h$i")).as(s"m$i")).tail: _*)
+      val native = toked.select(col("doc_id"),
+          Md5ShingleFunctions.md5MinHashK(col("wd"), n, k).as("sig"))
+        .select(Seq(col("doc_id")) ++ (0 until k).map(i =>
+          element_at(col("sig"), i + 1).as(s"m$i")): _*)
+      assert(native.except(chain).isEmpty && chain.except(native).isEmpty,
+        s"md5 minhash mismatch at n=$n")
+    }
+  }
+
+  test("trigram_lang_best == explode/broadcast-join/argmax chain") {
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (100L, "the theatre there is then that these"),
+      (101L, "der die das und ist nicht"),
+      (102L, "no hits here zz qq xx"),
+      (103L, ""),
+      (104L, "le la les des une est dans"))
+    val df = texts.toDF("doc_id", "text")
+    val sExpr = concat(lit(" "),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit(" "))
+    val norm = df.select(col("doc_id"), sExpr.as("graft_s"))
+    val chain = norm.select(col("doc_id"),
+        explode(graft.functions.CharNgramFunctions.charTrigrams(col("graft_s")))
+          .as("trigram"))
+      .join(broadcast(TextAnalysis.trigramProfiles(spark)), Seq("trigram"))
+      .groupBy("doc_id", "lang").agg(sum("w").as("w"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("w"), col("lang"))).as("b"))
+      .select(col("doc_id"), col("b.w").as("w"), col("b.lang").as("lang"))
+    val native = norm.select(col("doc_id"),
+        graft.functions.TrigramLangFunctions.trigramLangBest(col("graft_s"))
+          .as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b.w").as("w"), col("b.lang").as("lang"))
+    assert(native.except(chain).isEmpty && chain.except(native).isEmpty,
+      "trigram lang argmax mismatch")
+    assert(native.count() == chain.count(), "hit-doc cardinality mismatch")
+  }
+
   test("script_gate_lang == the rlike/regexp_replace gate chain") {
     import spark.implicits._
     val texts = Seq(
