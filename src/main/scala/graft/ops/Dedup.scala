@@ -155,9 +155,11 @@ object Dedup {
     val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("tok")))),
-          s => s.getField("tok")), " ").as("text"))
+        // r16: native ordered listagg (the cdcChunks idiom) — the
+        // collect+sort+transform reassembly ran the field-extraction
+        // lambda interpreted per element; `p` is unique per doc so the
+        // ordering (and the joined string) is identical.
+        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY p)").as("text"))
     toked.select(col("doc_id"), size(col("wd")).cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -1117,9 +1119,9 @@ object Dedup {
       .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("part"))
     firsts.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("part")))),
-          s => s.getField("part")), " ").as("dedup_text"))
+        // r16: native ordered listagg (the cdcChunks idiom; pos unique)
+        expr("listagg(part, ' ') WITHIN GROUP (ORDER BY pos)")
+          .as("dedup_text"))
   }
 
   /** Corpus-frequency line filter — the CCNet/RefinedWeb boilerplate-line
@@ -1153,9 +1155,9 @@ object Dedup {
     exploded.join(heavy, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line")), "\n").as("clean_text"))
+        // r16: native ordered listagg (the cdcChunks idiom; pos unique)
+        expr("listagg(line, '\\n') WITHIN GROUP (ORDER BY pos)")
+          .as("clean_text"))
   }
 
   /** Cross-source duplication matrix — for every source pair, how many
@@ -1528,9 +1530,9 @@ object Dedup {
     val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
     kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("clean_text"))
+        // r16: native ordered listagg (the cdcChunks idiom; pos unique)
+        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)")
+          .as("clean_text"))
   }
 
   /** Fixed-size word windows for [[chunkDedup]]: chunk i = words
