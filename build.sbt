@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r17: run suites sequentially in the forked test JVM. The default runs
+// every suite concurrently (one thread per host CPU — 32 here) against
+// the ONE shared local[4] SparkSession; under load that race shut the
+// SparkContext down mid-suite in the round-16 driver run ("Job cancelled
+// because SparkContext was shut down" in SimilaritySpec while streaming
+// suites were tearing down queries). Sequential suites keep the shared
+// session's lifecycle single-threaded.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

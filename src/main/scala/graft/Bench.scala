@@ -38,13 +38,24 @@ object Bench {
       // time — a broken query must not silently deflate the total.
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try {
+        val r = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
           -1.0
         }
+        // r17 measurement fix (VERDICT r16 "Next round" #8): a few
+        // operators persist() model tables inside lazy builders with no
+        // in-operator unpersist point, so rep 2..N reused rep 1's cached
+        // blocks ("Asked to cache already cached data" in every past
+        // bench log) — flattering those queries' medians and holding
+        // executor memory across the whole run. Dropping leaked cache
+        // entries BETWEEN reps (outside the timed region) makes every
+        // rep compute from the parquet inputs. Expect some medians to
+        // rise vs r16 — that is the honest number.
+        spark.catalog.clearCache()
+        r
       }
       val ok = runs.filter(_ >= 0)
       val med = if (ok.isEmpty) -1.0 else median(ok)
@@ -70,6 +81,19 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_last.json: $e")
     }
+    // r17 measurement fix (VERDICT r16 "Next round" #2b): the detail line
+    // above outgrew the driver's bounded stdout tail, so its parser saw a
+    // line truncated from the front every round. Print a compact
+    // medians-only summary (same metric/value/unit/queries/sf contract,
+    // medians rounded to ms — display precision only, the full-precision
+    // numbers stay in the detail line and bench_last.json) as the LAST
+    // stdout line so front-truncation eats the detail line, not this one.
+    def ms(x: Double): String =
+      if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsCompact = results.map { case (k, med, _, _) => s"\"" + k + "\":" + ms(med) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total_of_medians","value":${ms(total)},"unit":"sec","reps":$reps,"total_min":${ms(totalMin)},"queries":$qsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

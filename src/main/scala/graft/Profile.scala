@@ -66,12 +66,16 @@ object Profile {
       val runs = (1 to reps).map { i =>
         m.reset()
         val t0 = System.nanoTime()
-        try {
+        val r = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[profile] FAILED $name: $e"); -1.0
         }
+        // match Bench: drop leaked lazy-builder caches between reps so
+        // every rep computes from the parquet inputs (see Bench.scala)
+        spark.catalog.clearCache()
+        r
       }
       // listener events are async; give the bus a moment before reading
       Thread.sleep(100)
@@ -84,7 +88,8 @@ object Profile {
         val df = fn(spark, sfDir)
         sw.write(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-        val dirPath = java.nio.file.Paths.get("plans/r16")
+        val dirPath = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r17"))
         java.nio.file.Files.createDirectories(dirPath)
         java.nio.file.Files.writeString(dirPath.resolve(s"${name}_$tag.txt"),
           sw.toString)

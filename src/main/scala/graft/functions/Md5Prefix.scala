@@ -32,6 +32,19 @@ object Md5Ops {
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** First 6 hex nibbles of md5(utf8 bytes) as a non-negative long —
+    * bit-identical to `CAST(CONV(SUBSTRING(MD5(x), 1, 6), 16, 10) AS
+    * BIGINT)`: the 6 leading nibbles are the big-endian value of digest
+    * bytes 0..2. The md5-bucket rule of `Curation.hashSplit` /
+    * `Dedup.cdcChunks` / `Classifier.featureId`, minus the 32-char hex
+    * render + base-16 string parse per row. */
+  def prefix24(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    ((dig(0) & 0xffL) << 16) | ((dig(1) & 0xffL) << 8) | (dig(2) & 0xffL)
+  }
 }
 
 /** Native 60-bit md5-prefix hash: the engine-portable hash kernel of the
@@ -64,8 +77,37 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 24-bit md5-prefix bucket: value-identical to
+  * `conv(substring(md5(x), 1, 6), 16, 10) :: long` (the engine-portable
+  * md5-bucket rule of [[graft.ops.Dedup.cdcChunks]] /
+  * [[graft.ops.Classifier.featureId]]) but digest→long directly — no
+  * 32-char hex render, no substring, no base-16 string parse per row.
+  * Same codegen discipline as [[Md5Prefix60]]. */
+case class Md5Prefix24(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix24"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Ops.prefix24(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.prefix24($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix24 =
+    copy(child = newChild)
+}
+
 object Md5Functions {
   /** Column API: 60-bit md5-prefix hash of a string column. */
   def md5Prefix60(s: Column): Column =
     GraftSqlBridge.column(Md5Prefix60(GraftSqlBridge.expression(s)))
+
+  /** Column API: 24-bit md5-prefix bucket of a string column. */
+  def md5Prefix24(s: Column): Column =
+    GraftSqlBridge.column(Md5Prefix24(GraftSqlBridge.expression(s)))
 }

@@ -31,13 +31,19 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** Hashed feature id of one token: md5-prefix → [0, dim). Deterministic
-    * across engines/partitionings (the [[Curation.hashSplit]] idiom). */
+    * across engines/partitionings (the [[Curation.hashSplit]] idiom).
+    * r17: the 24-bit prefix is the native [[graft.functions.Md5Prefix24]]
+    * kernel — value-identical to `conv(substring(md5(tok),1,6),16,10)`
+    * (what the oracle derives) with no hex render/parse round-trip. */
   def featureId(tok: Column, dim: Int): Column =
-    conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % dim
+    graft.functions.Md5Functions.md5Prefix24(tok) % dim
 
-  /** Per-document feature ids (with multiplicity — bag of words). */
+  /** Per-document feature ids (with multiplicity — bag of words).
+    * r17: fused native kernel ([[graft.functions.HashedFeatureIds]]) —
+    * the `transform(split, t -> featureId(t))` HOF ran the md5-hex
+    * round-trip interpreted per token (§1.2 per-task work). */
   def hashedFeatures(text: Column, dim: Int): Column =
-    transform(split(text, " "), t => featureId(t, dim))
+    graft.functions.ClassifierFunctions.hashedFeatureIds(split(text, " "), dim)
 
   /** Deterministic pseudo-weights in integer micros, derived from the
     * feature id by a Knuth multiplicative mix: w_micro(f) =
@@ -50,10 +56,14 @@ object Classifier {
 
   /** Order-free linear score in integer micros under the pseudo-weight
     * table: Σ_tokens w_micro(h(tok)). Pure per-row expression — no
-    * shuffle, stays in codegen. */
+    * shuffle, stays in codegen. r17: ONE fused native pass
+    * ([[graft.functions.PseudoScoreMicros]]) — the previous
+    * `aggregate(transform(...))` fold evaluated both lambdas interpreted
+    * per token, with an md5-hex render+parse inside (§1.2 per-task
+    * work); the Long fold applies the identical ops in the identical
+    * order, so values are bit-equal. */
   def pseudoScoreMicros(text: Column, dim: Int): Column =
-    aggregate(hashedFeatures(text, dim),
-      lit(0L), (acc, f) => acc + pseudoWeightMicros(f))
+    graft.functions.ClassifierFunctions.pseudoScoreMicros(split(text, " "), dim)
 
   /** Trained model: `weights(dim)` + bias. */
   final case class LinearModel(weights: Array[Double], bias: Double) {
@@ -67,9 +77,13 @@ object Classifier {
     * sigmoid probability). */
   def scoreWith(docs: DataFrame, model: LinearModel,
                 textCol: String = "text"): DataFrame = {
-    val wLit = array(model.weights.map(w => lit(w)).toSeq: _*)
-    val z = aggregate(hashedFeatures(col(textCol), model.dim),
-      lit(model.bias), (acc, f) => acc + element_at(wLit, f.cast("int") + 1))
+    // r17: fused native fold ([[graft.functions.HashedLinearScore]]) —
+    // same one-plan-constant shape as the element_at(array-literal)
+    // aggregate it replaces, same left-to-right Double adds (so the
+    // float result is identical, not merely close), no interpreted
+    // per-token lambda, no dim-element literal expression tree.
+    val z = graft.functions.ClassifierFunctions.hashedLinearScore(
+      split(col(textCol), " "), model.weights, model.bias)
     docs.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 

@@ -70,7 +70,10 @@ object Curation {
     * [trainUpper, valUpper) → val, rest → test; the defaults give the
     * classic ~80/10/10. */
   def hashSplit(docs: DataFrame, trainUpper: Int = 205, valUpper: Int = 230): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int")
+    // r17: first md5 byte = md5_prefix24 >> 16 — the native kernel skips
+    // the per-row 32-char hex render + base-16 parse (value-identical)
+    val bucket = shiftright(
+      graft.functions.Md5Functions.md5Prefix24(col("text")), 16).cast("int")
     docs.withColumn("split",
       when(bucket < trainUpper, "train")
         .when(bucket < valUpper, "val")
@@ -446,7 +449,9 @@ object Curation {
     * re-shard determinism argument cannot drift between copies; edits
     * here change every sampler's draw at once, deliberately. */
   private def md5Bucket24(text: Column): Column =
-    conv(substring(md5(text), 1, 6), 16, 10).cast("long")
+    // r17: native md5_prefix24 — value-identical to
+    // `conv(substring(md5(text),1,6),16,10)`, no hex round-trip (§1.2)
+    graft.functions.Md5Functions.md5Prefix24(text)
 
   /** Deterministic fixed-ratio corpus mixing (the "30% code, 70% web"
     * recipe): downsample each source so kept counts sit in the target

@@ -155,11 +155,15 @@ object Dedup {
     val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        // r16: native ordered listagg (the cdcChunks idiom) — the
-        // collect+sort+transform reassembly ran the field-extraction
-        // lambda interpreted per element; `p` is unique per doc so the
-        // ordering (and the joined string) is identical.
-        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY p)").as("text"))
+        // r17: collect_list + array_sort reassembly (r16's listagg swap
+        // REGRESSED: q73/q84 consistently slower at 32 cores and q84 ran
+        // 38–115 s at 8 cores — ListAgg's TypedImperativeAggregate buffer
+        // degrades as per-partition group state grows, exactly the
+        // at-scale regime). `p` unique per doc ⇒ struct sort = ORDER BY p.
+        // Field extraction via getField (native GetArrayStructFields),
+        // NOT the interpreted per-element transform() lambda of r15.
+        array_join(array_sort(collect_list(struct(col("p"), col("tok"))))
+          .getField("tok"), " ").as("text"))
     toked.select(col("doc_id"), size(col("wd")).cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -363,7 +367,12 @@ object Dedup {
   def cdcChunks(docs: DataFrame, window: Int = 5, modulus: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
-    val bucket = (s: Column) => conv(substring(md5(s), 1, 6), 16, 10).cast("long")
+    // r17: native md5_prefix24 — value-identical to
+    // `conv(substring(md5(s),1,6),16,10)` but digest→long with no 32-char
+    // hex render / base-16 string parse per token (§1.2 per-task work,
+    // the Md5Prefix60 pattern; the oracle keeps deriving the same value
+    // from its own md5 builtin)
+    val bucket = (s: Column) => graft.functions.Md5Functions.md5Prefix24(s)
     // flat posexplode + codegen projection: the md5 boundary hash runs in
     // the whole-stage span, not inside an interpreted transform() lambda
     // (measured 4.4 s → ~1 s at sf0.1 for the lambda variant of this)
@@ -513,16 +522,22 @@ object Dedup {
     * re-computing `hashedShingles` per consumer. */
   private def bandCandidatesFromShingles(sh: DataFrame,
                                          maxBandSize: Int): DataFrame = {
-    // r16: the banded frame feeds the cap's aggregate + anti-join and
+    // r16/r17: the banded frame feeds the cap's aggregate + anti-join and
     // both self-join sides — four branches, each re-running the
     // 128-permutation MinHash band signatures (a pure projection, no
-    // exchange to reuse). One hash(doc_id) repartition of the exploded
-    // (doc_id, band) rows makes the signature computation run once and
-    // every branch a ReusedExchange (guide §2.4; the hamming64Pairs
-    // note).
+    // exchange to reuse). ONE repartition of the exploded (doc_id, band)
+    // rows makes the signature computation run once and every branch a
+    // ReusedExchange (guide §2.4). r17 re-keys it from hash(doc_id) to
+    // hash(band) — the key EVERY consumer clusters on (the cap's groupBy,
+    // its anti-join, and both self-join sides) — so the shared exchange
+    // also SATISFIES their required distributions instead of each branch
+    // stacking its own hash(band) exchange on top (the undocumented r16
+    // cost on q33/q72). Skew is not worsened: the band self-join needs
+    // hash(band) placement regardless; this just stops paying for it
+    // twice, and the hot-band cap bounds bucket size before the join.
     val banded = capBands(
       sh.select(col("doc_id"), explode(bandKeysCol(col("s"))).as("band"))
-        .repartition(col("doc_id")),
+        .repartition(col("band")),
       maxBandSize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -575,26 +590,22 @@ object Dedup {
     */
   def winnowingFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     require(n >= 1 && w >= 1, s"n and w must be >= 1, got n=$n w=$w")
-    // materialize the token array once (the q66 re-evaluation trap)
+    // r17: winnowing is a per-DOCUMENT selection, so the explode-every-
+    // gram → doc-keyed window min(enc) → distinct pipeline (one exchange
+    // for the window, one for the distinct, an interpreted
+    // transform/slice/concat_ws gram chain, and a 41-char enc string per
+    // gram) collapses to ONE scan-stage kernel (§1.2 step 1 — the q172
+    // DupNgramStats precedent). [[graft.functions.WinnowingOps]] applies
+    // the identical rules: md5-hex ordering via unsigned digest bytes
+    // (order-isomorphic to the hex string), ties → rightmost position
+    // (what min over `md5 ‖ pad(10⁹−1−pos)` encoded), full windows only,
+    // selected set dedup'd, same (doc_id, pos, fp) rows out.
     val toked = docs.select(col("doc_id"), split(col("text"), " ").as("wd"))
       .filter(size(col("wd")) >= n)
-    val shingled = toked.select(col("doc_id"),
-      (size(col("wd")) - (n - 1)).as("m"),
-      posexplode(transform(sequence(lit(0), size(col("wd")) - n),
-        i => concat_ws(" ", slice(col("wd"), i + 1, lit(n))))))
-      .select(col("doc_id"), col("m"), col("pos"),
-        concat(md5(col("col")),
-          lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")).as("enc"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    shingled
-      .withColumn("wmin", min(col("enc")).over(win))
-      .filter(col("pos") <= col("m") - w) // full windows only
-      .select(col("doc_id"),
-        (lit(999999999L) - substring(col("wmin"), 33, 9).cast("long")).as("pos"),
-        substring(col("wmin"), 1, 32).as("fp"))
-      .distinct()
+    toked
+      .select(col("doc_id"), explode(
+        graft.functions.WinnowingFunctions.winnowingFps(col("wd"), n, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
   /** 64-bit SimHash over pre-hashed shingles. */
@@ -788,29 +799,31 @@ object Dedup {
     val bands = Seq(1, 2, 4, 8, 16).find(_ > maxHamming).get
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    // r16: the fingerprint frame feeds both sides of the band self-join
-    // plus the hot-bucket cap's aggregate + anti-join — FOUR plan
-    // branches. Exchange reuse (AQE stage cache / ReuseExchange) dedupes
-    // canonically-identical exchanges at runtime, but a fingerprint
-    // built by pure PROJECTION (the internal-hash simhash path, the
-    // image phash decode) has no exchange to reuse — each branch
-    // recomputes the per-doc fingerprint, for images the full pixel
-    // decode. One deterministic hash(doc_id) repartition of the 16-byte
-    // rows gives every branch the shared exchange (guide §2.4); where
-    // the fingerprint already ends in its own hash aggregate (the md5
-    // simhash path) the optimizer drops this node as redundant and the
-    // aggregate's exchange is the reuse point instead. Pinned by the
+    // r16/r17: the fingerprint frame feeds both sides of the band
+    // self-join plus the hot-bucket cap's aggregate + anti-join — FOUR
+    // plan branches. Exchange reuse (AQE stage cache / ReuseExchange)
+    // dedupes canonically-identical exchanges at runtime, but a
+    // fingerprint built by pure PROJECTION (the internal-hash simhash
+    // path, the image phash decode) has no exchange to reuse — each
+    // branch would recompute the per-doc fingerprint, for images the
+    // full pixel decode. ONE deterministic repartition gives every
+    // branch the shared exchange (guide §2.4). r17 re-keys it from
+    // hash(doc_id) (which satisfied NO consumer — every branch stacked
+    // its own hash(bk) exchange on top, the undocumented r16 cost on
+    // q187/q36) to hash(bk), the band-bucket key the cap's groupBy, its
+    // anti-join, and both self-join sides all cluster on — so the one
+    // exchange is also the only one. Skew is not worsened: the band
+    // self-join needs hash(bk) placement regardless, and the hot-bucket
+    // cap bounds bucket size before the join. Pinned by the
     // NativeKernelParitySpec runtime-plan tests.
-    val fpOnce = fp.repartition(col("doc_id"))
-    val banded0 = fpOnce.select(col("doc_id"), col("h"),
+    val banded0 = fp.select(col("doc_id"), col("h"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("h"), b * bits).bitwiseAND(mask).as("bits"))): _*)).as("bk"))
+      .repartition(col("bk"))
     val banded = dropHotKeys(banded0, "bk", maxBucketSize)
-      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bits"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.h").as("ha"), col("b.h").as("hb"))
       .distinct()
@@ -1119,9 +1132,10 @@ object Dedup {
       .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("part"))
     firsts.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        // r16: native ordered listagg (the cdcChunks idiom; pos unique)
-        expr("listagg(part, ' ') WITHIN GROUP (ORDER BY pos)")
-          .as("dedup_text"))
+        // r17: collect_list + array_sort, native getField extraction —
+        // see scrubSharedNgramSpansFrom for why listagg was reverted
+        array_join(array_sort(collect_list(struct(col("pos"), col("part"))))
+          .getField("part"), " ").as("dedup_text"))
   }
 
   /** Corpus-frequency line filter — the CCNet/RefinedWeb boilerplate-line
@@ -1155,9 +1169,10 @@ object Dedup {
     exploded.join(heavy, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        // r16: native ordered listagg (the cdcChunks idiom; pos unique)
-        expr("listagg(line, '\\n') WITHIN GROUP (ORDER BY pos)")
-          .as("clean_text"))
+        // r17: collect_list + array_sort, native getField extraction —
+        // see scrubSharedNgramSpansFrom for why listagg was reverted
+        array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
+          .getField("line"), "\n").as("clean_text"))
   }
 
   /** Cross-source duplication matrix — for every source pair, how many
@@ -1530,9 +1545,10 @@ object Dedup {
     val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
     kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        // r16: native ordered listagg (the cdcChunks idiom; pos unique)
-        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)")
-          .as("clean_text"))
+        // r17: collect_list + array_sort, native getField extraction —
+        // see scrubSharedNgramSpansFrom for why listagg was reverted
+        array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"), " ").as("clean_text"))
   }
 
   /** Fixed-size word windows for [[chunkDedup]]: chunk i = words

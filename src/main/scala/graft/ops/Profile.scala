@@ -133,8 +133,9 @@ object Profile {
     * zero shuffle, no RNG state. */
   def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    df.filter(conv(substring(md5(qcol(keyCol).cast("string")), 1, 6), 16, 10)
-      .cast("long") < rate * (1 << 24))
+    // r17: native md5_prefix24 (value-identical, no hex round-trip)
+    df.filter(graft.functions.Md5Functions.md5Prefix24(
+      qcol(keyCol).cast("string")) < rate * (1 << 24))
   }
 
   /** Median absolute deviation per group — the robust spread statistic

@@ -1405,16 +1405,21 @@ object TextAnalysis {
   def topNgramCharFraction(docs: DataFrame, n: Int = 3,
                            textCol: String = "text"): DataFrame = {
     require(n >= 2, s"top n-gram needs n >= 2, got $n")
+    // r17: the top n-gram is a per-DOCUMENT statistic, so the explode →
+    // (doc, gram)-count shuffle → per-doc argmax shuffle collapses to ONE
+    // scan-stage kernel (§1.2 step 1 — the q172 DupNgramStats precedent).
+    // [[graft.functions.TopNgramOps]] applies the identical rules: count
+    // by gram (64-bit hashed identity, the topBigramShare caveat), ties →
+    // binary-smallest gram string (= the old `min(struct(-c, gram))`
+    // ordering); under-n docs return null and stay absent, as before.
     val toks = split(col(textCol), " ")
-    val counts = docs
+    docs
       .select(col("doc_id"), length(col(textCol)).cast("long").as("tchars"),
-        explode(gramsWithRepeats(toks, n)).as("gram"))
-      .groupBy("doc_id", "tchars", "gram").agg(count(lit(1)).as("c"))
-    counts.groupBy("doc_id", "tchars")
-      .agg(min(struct((-col("c")).as("nc"), col("gram"))).as("best"))
+        graft.functions.TopNgramFunctions.topNgramStats(toks, n).as("best"))
+      .filter(col("best").isNotNull)
       .select(col("doc_id"), col("best.gram").as("top_gram"),
-        (-col("best.nc")).as("top_count"),
-        microsRatio((-col("best.nc")) * length(col("best.gram")),
+        col("best.c").as("top_count"),
+        microsRatio(col("best.c") * length(col("best.gram")),
           col("tchars")).as("top_char_micros"))
   }
 

@@ -3293,7 +3293,10 @@ object PipelineQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("source"),
-        conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long").as("h"))
+        // r17: first 40 md5 bits = md5_prefix60 >> 20 — native kernel,
+        // value-identical to conv(substring(md5(text),1,10),16,10)
+        shiftright(graft.functions.Md5Functions.md5Prefix60(col("text")), 20)
+          .as("h"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("h").as("fingerprint"))
       .orderBy("source")
@@ -5022,7 +5025,8 @@ object PipelineQueries {
       |FROM g ORDER BY bin""".stripMargin) { (s, d) =>
     import graft.ops.Classifier
     val scored = Tables.documents(s, d).select(
-      (conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") /
+      // r17: native md5_prefix24 (value-identical, no hex round-trip)
+      (graft.functions.Md5Functions.md5Prefix24(col("text")) /
         lit(16777216.0)).as("score"),
       (col("doc_id") % 4 === 0).as("label"))
     Classifier.calibrationBins(scored, "score", "label", bins = 10)
