@@ -94,6 +94,17 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total_of_medians","value":${ms(total)},"unit":"sec","reps":$reps,"total_min":${ms(totalMin)},"queries":$qsCompact,"sf":"$sfDir"}""")
-    spark.stop()
+    // Second r17 measurement-contract fix, declared in OPTIMIZATION_r17.md:
+    // every recorded BENCH_r*.json stores a tail of EXACTLY 2000 chars of
+    // combined output, and 271 query names alone run ~7 KB — so even the
+    // compact medians line above cannot survive front-truncation. Print a
+    // total-only summary (~200 chars, no per-query map — a SUBSET map
+    // could misread as dropped queries) as the very last line, after
+    // spark.stop() so no shutdown logging can land behind it. Per-query
+    // numbers stay in the two full lines above and in bench_last.json.
+    val nFailed = results.count(_._2 < 0)
+    try spark.stop() catch { case scala.util.control.NonFatal(_) => () }
+    println(
+      s"""{"metric":"total_of_medians","value":${ms(total)},"unit":"sec","reps":$reps,"total_min":${ms(totalMin)},"n_queries":${results.size},"n_failed":$nFailed,"per_query_in":"stdout above + bench_last.json","sf":"$sfDir"}""")
   }
 }
